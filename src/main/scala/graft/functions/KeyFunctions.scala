@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Big-endian 4-byte encoding of an int32.
+  *
+  * Byte-compatible with HBase `Bytes.toBytes(int)` as used for column-index
+  * qualifiers in the reference (BulkImporterFromText.java:65,
+  * BulkImporterFromCSVText.java:64, BulkImporterFromRC.java:63). Implemented
+  * as a native Catalyst expression with codegen so it stays inside
+  * whole-stage codegen (no UDF/serialization on the ingest hot path).
+  */
+case class IntToBigEndianBinary(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "be_int4"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[Int]
+    Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new byte[] {(byte)($c >>> 24), (byte)($c >>> 16), (byte)($c >>> 8), (byte)($c)}")
+
+  override protected def withNewChildInternal(newChild: Expression): IntToBigEndianBinary =
+    copy(child = newChild)
+}
+
+/** Row-key / cell-key column builders.
+  *
+  * Reproduces the reference's two row-key strategies (RowKeyConverter.java:13-31,
+  * BulkImporterFromAvro.java:59) as pure Catalyst column expressions — every
+  * builder here compiles to built-in, codegen'd expressions (`unhex(md5(..))`,
+  * `concat`, `reverse`, `encode`) so the 100 TB ingest path is whole-stage
+  * codegen end to end. UTF-8 is used throughout (the reference mixed platform
+  * charset and UTF-8; see SURVEY.md §1.3).
+  */
+object keys {
+
+  /** Raw 16-byte MD5 digest of the UTF-8 bytes of `c` (Md5Utils.java:12-20).
+    * Spark's `md5` yields 32 hex chars; `unhex` restores the raw digest. */
+  def md5Raw(c: Column): Column = unhex(md5(c.cast(StringType).cast(BinaryType)))
+
+  /** Composite fixed-width key: concat of one raw MD5 digest per key field
+    * (RowKeyConverter.java:13-31 — 4 fields => 64-byte key). Uniformly
+    * distributed by construction, so range partitions stay balanced at scale. */
+  def md5CompositeKey(cols: Seq[Column]): Column =
+    concat(cols.map(md5Raw): _*)
+
+  /** Reversed natural key (BulkImporterFromAvro.java:59) — digit reversal as a
+    * hot-spot-avoidance trick for monotonically increasing ids. */
+  def reversedKey(c: Column): Column =
+    encode(reverse(c.cast(StringType)), "UTF-8")
+
+  /** Salt prefix `(k mod buckets)` rendered as its ASCII decimal string — the
+    * reference's disabled design intent (RowKeyConverter.java:20-25) whose
+    * `SPLITS ['0'..'9']` pre-split table assumes it (create_table.rb:1).
+    * `pmod` keeps negatives in range. */
+  def saltPrefix(k: Column, buckets: Int): Column =
+    encode(pmod(k.cast(LongType), lit(buckets.toLong)).cast(StringType), "UTF-8")
+
+  /** Salted key = salt byte(s) ++ key bytes. */
+  def saltedKey(k: Column, buckets: Int, key: Column): Column =
+    concat(saltPrefix(k, buckets), key)
+
+  /** 4-byte big-endian qualifier from a column index (reference P10). */
+  def beInt4(c: Column): Column =
+    Bridge.column(IntToBigEndianBinary(Bridge.expression(c.cast(IntegerType))))
+
+  /** UTF-8 bytes of a string column (qualifier/value encoding, reference P9/P11). */
+  def utf8(c: Column): Column = encode(c.cast(StringType), "UTF-8")
+}

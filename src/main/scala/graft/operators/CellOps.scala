@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.functions.keys
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The engine's cell model and wide→tall transforms.
+  *
+  * Unit of data is the HBase-style cell `(row, family, qualifier, value)` —
+  * all BinaryType, plus a LongType `ts` version (SURVEY.md §1.1; reference
+  * `Put` construction at BulkImporterFromText.java:60-66). The reference
+  * explodes each parsed record into ≤9 cells in a hand-written mapper loop
+  * (BulkImporterFromText.java:62-66); here the same shape transform is the
+  * declarative `posexplode`/`unpivot`, which Catalyst prunes and pushes
+  * filters through, and which stays inside whole-stage codegen.
+  */
+object CellOps {
+
+  val cellSchema: StructType = StructType(Seq(
+    StructField("row", BinaryType, nullable = false),
+    StructField("family", BinaryType, nullable = false),
+    StructField("qualifier", BinaryType, nullable = false),
+    StructField("value", BinaryType, nullable = false),
+    StructField("ts", LongType, nullable = false)))
+
+  /** Wide row → cells with 4-byte big-endian column-index qualifiers
+    * (text/CSV/RC reference paths; BulkImporterFromText.java:62-66).
+    * Null fields emit no cell (reference P4 null guard). `ts` defaults to a
+    * caller-provided load timestamp so output is deterministic/testable. */
+  def explodeIndexed(df: DataFrame, rowKey: Column, family: String,
+                     valueCols: Seq[Column], ts: Long = 0L): DataFrame =
+    df.select(rowKey.as("row"),
+        posexplode(array(valueCols.map(_.cast(StringType)): _*)).as(Seq("pos", "v")))
+      .where(col("v").isNotNull)
+      .select(
+        col("row"),
+        keys.utf8(lit(family)).as("family"),
+        keys.beInt4(col("pos")).as("qualifier"),
+        keys.utf8(col("v")).as("value"),
+        lit(ts).as("ts"))
+
+  /** Wide row → cells with field-name qualifiers (Avro reference path;
+    * BulkImporterFromAvro.java:62-67). Uses `Dataset.unpivot` (Spark 3.4+
+    * melt) — the idiomatic declarative form of the mapper loop. */
+  def explodeNamed(df: DataFrame, rowKey: Column, family: String,
+                   valueCols: Seq[String], ts: Long = 0L): DataFrame =
+    df.withColumn("__row", rowKey)
+      .unpivot(
+        ids = Array(col("__row")),
+        values = valueCols.map(c => col(c).cast(StringType).as(c)).toArray,
+        variableColumnName = "qual",
+        valueColumnName = "v")
+      .where(col("v").isNotNull)
+      .select(
+        col("__row").as("row"),
+        keys.utf8(lit(family)).as("family"),
+        keys.utf8(col("qual")).as("qualifier"),
+        keys.utf8(col("v")).as("value"),
+        lit(ts).as("ts"))
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.functions.keys
+import graft.operators.{CellOps, RegionSort}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference-parity query inventory — the bulk-load engine's operators
+  * (SURVEY.md §2.1-§2.4) expressed over the driver testdata tables so the
+  * DuckDB oracle can hash-check byte-exact behavior: MD5 composite row keys,
+  * reversed keys, salting, wide→tall cell explode with index/name
+  * qualifiers, arity-filtered tokenization, and the region-sorted pipeline.
+  */
+object ReferenceParity {
+  import Tables._
+
+  /** customer's 64-byte composite MD5 rowkey (RowKeyConverter.java:13-31). */
+  private def custKey = keys.md5CompositeKey(Seq(
+    col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment")))
+
+  private val custKeySql =
+    "unhex(md5(CAST(c_custkey AS VARCHAR))) || unhex(md5(c_name)) || " +
+    "unhex(md5(CAST(c_nationkey AS VARCHAR))) || unhex(md5(c_mktsegment))"
+
+  /** customer columns as deterministic strings (doubles via DECIMAL(18,2)
+    * so Spark and DuckDB render identically). */
+  private def custValueCols = Seq(
+    col("c_custkey").cast(StringType),
+    col("c_name"),
+    col("c_nationkey").cast(StringType),
+    col("c_acctbal").cast(DecimalType(18, 2)).cast(StringType),
+    col("c_mktsegment"))
+
+  private val custValueSqls = Seq(
+    "CAST(c_custkey AS VARCHAR)", "c_name", "CAST(c_nationkey AS VARCHAR)",
+    "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR)", "c_mktsegment")
+
+  private def cellsIndexedSql: String = {
+    val branches = custValueSqls.zipWithIndex.map { case (v, i) =>
+      s"""SELECT k AS "row", encode('c') AS "family", unhex('${f"$i%08x"}') AS "qualifier", encode($v) AS "value", CAST(0 AS BIGINT) AS "ts" FROM src"""
+    }
+    s"WITH src AS (SELECT $custKeySql AS k, * FROM customer) " + branches.mkString(" UNION ALL ")
+  }
+
+  private def cellsNamedSql: String = {
+    val names = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val branches = names.zip(custValueSqls).map { case (n, v) =>
+      s"""SELECT k AS "row", encode('c') AS "family", encode('$n') AS "qualifier", encode($v) AS "value", CAST(0 AS BIGINT) AS "ts" FROM src"""
+    }
+    "WITH src AS (SELECT encode(reverse(CAST(c_custkey AS VARCHAR))) AS k, * FROM customer) " +
+      branches.mkString(" UNION ALL ")
+  }
+
+  val defs: Map[String, Q] = Map(
+    // P5-P7: composite MD5 row key (text/CSV/RC reference paths)
+    "rowkey_md5_composite" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"), custKey.as("rowkey"))),
+
+    // P8: reversed natural key (Avro reference path)
+    "rowkey_reversed" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        keys.reversedKey(col("o_orderkey")).as("rowkey"))),
+
+    // P12: salt prefix (the reference's disabled-but-intended design)
+    "rowkey_salted" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        keys.saltedKey(col("o_orderkey"), 10, keys.md5Raw(col("o_orderkey"))).as("rowkey"))),
+
+    // T1+P10: wide→tall explode, 4-byte big-endian index qualifiers
+    "cells_explode_indexed" -> ((s, dir) =>
+      CellOps.explodeIndexed(t(s, dir, "customer"), custKey, "c", custValueCols)),
+
+    // T1+P11: wide→tall explode, field-name qualifiers (Avro path)
+    "cells_explode_named" -> ((s, dir) =>
+      CellOps.explodeNamed(
+        t(s, dir, "customer")
+          .withColumn("c_acctbal", col("c_acctbal").cast(DecimalType(18, 2))),
+        keys.reversedKey(col("c_custkey")), "c",
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))),
+
+    // P1-P3: tokenize + arity filter (delimited-parse semantics)
+    "tokenize_arity_filter" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), split(col("p_name"), " ", -1).as("t"))
+      p.where(size(col("t")) === 2)
+        .select(col("p_partkey"), col("t").getItem(0).as("tok0"), col("t").getItem(1).as("tok1"))
+    }),
+
+    // X1-X3: the flagship pipeline — explode + region-range exchange +
+    // per-partition KeyValue sort (rows identical to cells_explode_indexed;
+    // partitioning/order is asserted by CellPipelineSpec, the driver
+    // hash-checks the row set)
+    "ingest_sorted_cells" -> ((s, dir) =>
+      RegionSort.sortedByRange(
+        CellOps.explodeIndexed(t(s, dir, "customer"), custKey, "c", custValueCols), 10)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "rowkey_md5_composite" ->
+      s"SELECT c_custkey, $custKeySql AS rowkey FROM customer",
+    "rowkey_reversed" ->
+      "SELECT o_orderkey, encode(reverse(CAST(o_orderkey AS VARCHAR))) AS rowkey FROM orders",
+    "rowkey_salted" ->
+      ("SELECT o_orderkey, encode(CAST(o_orderkey % 10 AS VARCHAR)) || " +
+        "unhex(md5(CAST(o_orderkey AS VARCHAR))) AS rowkey FROM orders"),
+    "cells_explode_indexed" -> cellsIndexedSql,
+    "cells_explode_named" -> cellsNamedSql,
+    "tokenize_arity_filter" ->
+      ("SELECT p_partkey, string_split(p_name, ' ')[1] AS tok0, " +
+        "string_split(p_name, ' ')[2] AS tok1 FROM part " +
+        "WHERE len(string_split(p_name, ' ')) = 2"),
+    "ingest_sorted_cells" -> cellsIndexedSql,
+  )
+}

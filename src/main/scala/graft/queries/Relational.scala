@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational query inventory — the query surface a user of the loaded table
+  * gets from this engine (joins/aggregations/windows/set-ops; SURVEY.md
+  * §2.5). All Catalyst built-ins: declarative plans so predicate pushdown,
+  * column pruning, partial aggregation and broadcast-join selection are
+  * automatic, and every operator stays inside whole-stage codegen.
+  *
+  * Scale notes per query are inline; the recurring ones: dimension tables
+  * (region/nation/supplier) are explicitly `broadcast()` — at 100 TB the
+  * fact tables shuffle on join keys only when both sides are large, and
+  * map-side partial aggregation runs before every exchange.
+  */
+object Relational {
+  import Tables._
+
+  val defs: Map[String, Q] = Map(
+    // TPC-H Q1 shape: scan-heavy agg; partial agg map-side, 6k→4 groups.
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          revSum(money(col("l_extendedprice")) * factor(lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          revSum(money(col("l_extendedprice")) * factor(lit(1.0) - col("l_discount")) * factor(lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Projection+filter pushed into the parquet scan (PushedFilters +
+    // 2-column ReadSchema — verified in PlanSpec).
+    "q6_filter_pushdown" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+               col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+               col("l_discount") >= 0.02 && col("l_discount") <= 0.09 &&
+               col("l_quantity") < 25)
+        .agg(revSum(money(col("l_extendedprice")) * factor(col("l_discount"))).as("revenue"),
+             count(lit(1)).as("n"))
+    }),
+
+    // Star-schema join: both dims broadcast (no shuffle of customer at all).
+    "q_join_broadcast_dims" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+    }),
+
+    // TPC-H Q3 shape: two big-side joins on keys + deterministic top-k.
+    // At scale: orders/lineitem shuffle on orderkey once; top-k is a
+    // TakeOrderedAndProject (no global sort materialization).
+    "q3_shipping_priority" -> ((s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").where(col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(revSum(money(col("l_extendedprice")) * factor(lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 6-way join, dims broadcast, facts shuffle once each.
+    "q5_local_supplier_volume" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey") &&
+                             c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(revSum(money(col("l_extendedprice")) * factor(lit(1.0) - col("l_discount"))).as("revenue"))
+    }),
+
+    // Window: dense per-partition rank with a total (deterministic) order.
+    "q_window_topn_per_cust" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    }),
+
+    // Window: running frame (rows between unbounded preceding and current).
+    "q_window_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast(DecimalType(18, 4)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType).as("running_qty"))
+    }),
+
+    // ROLLUP grouping sets (subtotals + grand total).
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
+
+    // CUBE grouping sets.
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))),
+
+    // Existential joins: semi (EXISTS) / anti (NOT EXISTS). At scale these
+    // shuffle only the keys of the probe side; no payload duplication.
+    "q_semi_join" -> ((s, dir) => {
+      val big = t(s, dir, "orders").where(col("o_totalprice") > 400000)
+      t(s, dir, "customer")
+        .join(big, col("c_custkey") === big("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // Set operations.
+    "q_set_ops" -> ((s, dir) => {
+      val custNations = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val suppNations = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      custNations.intersect(suppNations)
+        .union(custNations.except(suppNations))
+        .distinct()
+    }),
+
+    // Distinct aggregation (exact; the approx variants are benched, not
+    // oracle-checked, since HLL is engine-specific).
+    "q_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_orderkey")).as("n_orders"))),
+
+    // GROUP BY + HAVING.
+    "q_having" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .where(col("n_orders") >= 3)),
+
+    // Scalar-function surface (string/math/conditional built-ins).
+    "q_scalar_funcs" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 3).as("type3"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        (col("p_retailprice").cast(DecimalType(18, 2)) * 2).cast(DoubleType).as("double_price"),
+        when(col("p_size") > 25, lit("L")).when(col("p_size") > 10, lit("M"))
+          .otherwise(lit("S")).as("size_class"))),
+
+    // Correlated-scalar shape: per-customer max order vs account balance.
+    "q_groupjoin" -> ((s, dir) => {
+      val o = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(max(col("o_totalprice")).as("max_order"))
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === o("o_custkey"), "inner")
+        .where(col("max_order") > col("c_acctbal"))
+        .select(col("c_custkey"), col("max_order"))
+    }),
+  )
+
+  private val q1Sql = {
+    val disc = s"${moneySql("l_extendedprice")} * ${factorSql("1.0 - l_discount")}"
+    val charge = s"$disc * ${factorSql("1.0 + l_tax")}"
+    s"""SELECT l_returnflag, l_linestatus,
+       ${dsumSql("l_quantity")} AS sum_qty,
+       ${dsumSql("l_extendedprice")} AS sum_base_price,
+       CAST(SUM($disc) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM($charge) AS DOUBLE) AS sum_charge,
+       ${davgSql("l_quantity")} AS avg_qty,
+       ${davgSql("l_extendedprice")} AS avg_price,
+       ${davgSql("l_discount")} AS avg_disc,
+       COUNT(*) AS count_order
+     FROM lineitem
+     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+     GROUP BY l_returnflag, l_linestatus""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q6_filter_pushdown" ->
+      s"""SELECT CAST(SUM(${moneySql("l_extendedprice")} * ${factorSql("l_discount")}) AS DOUBLE) AS revenue, COUNT(*) AS n
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+            AND l_discount >= 0.02 AND l_discount <= 0.09 AND l_quantity < 25""",
+    "q_join_broadcast_dims" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_cust, ${dsumSql("c_acctbal")} AS sum_bal
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name, n_name""",
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate,
+            CAST(SUM(${moneySql("l_extendedprice")} * ${factorSql("1.0 - l_discount")}) AS DOUBLE) AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+          GROUP BY l_orderkey, o_orderdate
+          ORDER BY revenue DESC, l_orderkey ASC
+          LIMIT 10""",
+    "q5_local_supplier_volume" ->
+      s"""SELECT n_name, CAST(SUM(${moneySql("l_extendedprice")} * ${factorSql("1.0 - l_discount")}) AS DOUBLE) AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY n_name""",
+    "q_window_topn_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) t WHERE rn <= 3""",
+    "q_window_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+             OVER (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+         FROM lineitem""",
+    "q_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 400000)""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q_set_ops" ->
+      """SELECT DISTINCT nk FROM (
+           SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey AS nk FROM supplier
+           UNION
+           (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey AS nk FROM supplier))""",
+    "q_distinct_agg" ->
+      """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts,
+                COUNT(DISTINCT l_orderkey) AS n_orders
+         FROM lineitem GROUP BY l_suppkey""",
+    "q_having" ->
+      s"""SELECT o_custkey, COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total
+          FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3""",
+    "q_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname, CAST(length(p_name) AS INT) AS name_len,
+               substr(p_type, 1, 3) AS type3,
+               concat_ws('|', p_brand, p_type) AS brand_type,
+               CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS double_price,
+               CASE WHEN p_size > 25 THEN 'L' WHEN p_size > 10 THEN 'M' ELSE 'S' END AS size_class
+         FROM part""",
+    "q_groupjoin" ->
+      """SELECT c_custkey, max_order FROM customer
+         JOIN (SELECT o_custkey, MAX(o_totalprice) AS max_order
+               FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
+         WHERE max_order > c_acctbal""",
+  )
+}

