@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{ReferenceParity, Relational}
+import graft.queries.{NorthStar, ReferenceParity, Relational}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,10 +19,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceParity.defs ++ Relational.defs
+    ReferenceParity.defs ++ Relational.defs ++ NorthStar.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ReferenceParity.oracle ++ Relational.oracle
+    ReferenceParity.oracle ++ Relational.oracle ++ NorthStar.oracle
 }

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * robustness / decreasing cost-at-scale order:
+  *
+  *  - [[exact]]: hash-groupBy — one shuffle on the 32-char digest.
+  *  - [[ngramJaccardPairs]]: EXACT set-similarity via an inverted shingle
+  *    index (explode → self-join on shingle → count intersections). Cost is
+  *    quadratic in per-shingle document frequency, so at 100 TB it is the
+  *    *verification* stage, not the candidate generator.
+  *  - [[minHashPairs]]: MinHash + LSH banding — the scale path. Signatures
+  *    are per-document (no shuffle), banding buckets candidates so the
+  *    self-join touches only probable pairs. k=32 hashes, 8 bands × 4 rows
+  *    ⇒ catches Jaccard ≳ 0.5 with high probability.
+  *  - [[simhash]]: 16-bit SimHash over word unigrams — constant-size
+  *    signature, equal-signature grouping finds near-dups in ONE shuffle.
+  *
+  * All hashing derives from md5 (deterministic across engines/sessions —
+  * no seed state), all math from integer counts, so every operator is
+  * oracle-checkable bit-for-bit. No UDFs anywhere: higher-order array
+  * functions keep signature computation inside codegen.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical texts, keep the smallest doc_id.
+    * Output: (h, keep_id, n). */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol).cast(BinaryType)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** Distinct (doc_id, shingle) pairs — the inverted index. */
+  private def shingleIndex(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(TextOps.shingles(col("text"), n)).as("s"))
+
+  /** Exact n-gram Jaccard near-dup pairs with similarity >= threshold.
+    * Output: (a, b, jaccard), a < b. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sh = shingleIndex(docs, n)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val common = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sz.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"),
+        (col("common").cast(DoubleType) /
+          (col("sa.nsh") + col("sb.nsh") - col("common"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  val MinHashK = 32
+  val Bands = 8
+  val RowsPerBand = 4 // MinHashK / Bands
+
+  /** k MinHash values: sig(i) = min over shingles of md5(i + ":" + shingle).
+    * Hex-string min — lexicographic order on lowercase hex is consistent
+    * across engines. Pure per-row computation. */
+  def minHashSignature(text: Column, n: Int): Column = {
+    val sh = TextOps.shingles(text, n)
+    transform(sequence(lit(0), lit(MinHashK - 1)),
+      i => array_min(transform(sh,
+        s => md5(concat(i.cast(StringType), lit(":"), s).cast(BinaryType)))))
+  }
+
+  /** LSH candidate pairs + signature-estimated Jaccard.
+    * Output: (a, b, est_jaccard = |equal minhash positions| / k), filtered
+    * to est >= minEst. */
+  def minHashPairs(docs: DataFrame, n: Int, minEst: Double): DataFrame = {
+    val sigd = docs.select(col("doc_id"), minHashSignature(col("text"), n).as("sig"))
+    // band key = md5 of the band's r signature values joined with '|'
+    val banded = sigd.select(col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(Bands - 1)),
+        j => struct(j.as("band"),
+          md5(concat_ws("|",
+            slice(col("sig"), j * lit(RowsPerBand) + lit(1), lit(RowsPerBand)))
+            .cast(BinaryType)).as("bkey")))).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.sig").as("siga"), col("y.sig").as("sigb"))
+      .dropDuplicates("a", "b")
+    cand.select(col("a"), col("b"),
+        (size(filter(sequence(lit(0), lit(MinHashK - 1)),
+          i => element_at(col("siga"), i + lit(1)) === element_at(col("sigb"), i + lit(1))))
+          .cast(DoubleType) / lit(MinHashK.toDouble)).as("est_jaccard"))
+      .where(col("est_jaccard") >= minEst)
+  }
+
+  val SimHashBits = 16
+
+  /** 16-bit SimHash over word unigrams: word hash = first 4 hex chars of
+    * md5 as an int; bit j of the signature is the majority vote of bit j
+    * over all (multiplicity-counted) words. */
+  def simhashCol(text: Column): Column = {
+    val hs = transform(TextOps.tokens(text),
+      w => conv(substring(md5(w.cast(BinaryType)), 1, 4), 16, 10).cast(IntegerType))
+    val n = size(hs)
+    (0 until SimHashBits).map { j =>
+      val ones = size(filter(hs, h => h.bitwiseAND(lit(1 << j)) =!= 0))
+      when(ones * 2 > n, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Per-doc SimHash signatures. Output: (doc_id, simhash). Equal-signature
+    * grouping (or hamming-ball probing over bit flips) finds near-dups. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhashCol(col("text")).as("simhash"))
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for LLM training-data pipelines: tokenization,
+  * shingling, quality scoring, language-ID, fingerprinting.
+  *
+  * All pure Catalyst higher-order functions (`transform`/`filter`/
+  * `aggregate` over arrays) — no UDFs, so everything is codegen'd,
+  * NULL-safe, and embarrassingly parallel: per-document computation with no
+  * shuffle, which is exactly what survives a 100 TB corpus (the only
+  * shuffles in this module's consumers are the dedup joins in [[Dedup]]).
+  *
+  * Determinism note: every score is built from integer counts and exact
+  * string ops (divisions happen once, in double, from exact ints), so the
+  * DuckDB oracle reproduces results bit-for-bit.
+  */
+object TextOps {
+
+  /** Single-space tokenization (the corpus is space-joined words; use
+    * [[tokenCount]]'s regex for free-form text). Keeps empty tokens like
+    * Java/DuckDB split semantics. */
+  def tokens(text: Column): Column = split(text, " ", -1)
+
+  /** Robust token count: number of maximal non-whitespace runs. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** BPE-ish subword estimate: ceil(len/4) units per word (a cheap proxy
+    * for byte-pair-encoded token counts; ~4 chars/token heuristic). */
+  def bpeEstimate(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, w) => acc + ceil(length(w) / lit(4.0)).cast(LongType))
+
+  /** Distinct word n-gram shingles (order preserved, duplicates dropped).
+    * Requires docs with >= n tokens (shorter docs yield an empty array). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+        .otherwise(array()))
+  }
+
+  /** Quality-score feature vector: token count, type-token ratio, average
+    * word length, stopword ratio. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
+
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val n = size(toks)
+    Seq(
+      "n_tokens" -> n,
+      "n_distinct" -> size(array_distinct(toks)),
+      "ttr" -> (size(array_distinct(toks)).cast(DoubleType) / n),
+      "avg_word_len" -> (length(regexp_replace(text, " ", "")).cast(DoubleType) / n),
+      "stopword_ratio" ->
+        (size(filter(toks, t => t.isin(stopwords: _*))).cast(DoubleType) / n))
+  }
+
+  /** Language-ID: marker-word voting per language + CJK-codepoint count,
+    * argmax with a fixed priority tiebreak (en>de>fr>es>zh). A real
+    * pipeline swaps in a trained n-gram model; the heuristic keeps the
+    * operator deterministic and oracle-checkable. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    langMarkers.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*)))
+    } :+ ("zh" -> (length(text) - length(regexp_replace(text, "[一-龥]", ""))))
+  }
+
+  /** Chained-argmax over [[langScores]] with fixed priority order. */
+  def langId(text: Column): Column = {
+    val scores = langScores(text).toMap
+    val order = Seq("en", "de", "fr", "es", "zh")
+    order.init.zipWithIndex.foldRight(lit(order.last)) { case ((lang, i), rest) =>
+      val later = order.drop(i + 1)
+      when(later.map(l => scores(lang) >= scores(l)).reduce(_ && _), lit(lang))
+        .otherwise(rest)
+    }
+  }
+
+  /** Whole-document fingerprint (md5 of the exact text) plus a shingle-min
+    * fingerprint (min of per-shingle md5s — a 1-hash MinHash, robust to
+    * local edits the way winnowing fingerprints are). */
+  def fingerprintMd5(text: Column): Column = md5(text.cast(BinaryType))
+  def fingerprintShingleMin(text: Column, n: Int): Column =
+    array_min(transform(shingles(text, n), s => md5(s.cast(BinaryType))))
+}

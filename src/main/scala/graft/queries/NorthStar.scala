@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.operators.{Dedup, TextOps}
+import org.apache.spark.sql.functions._
+
+/** North-star operator inventory: dedup + text analysis over `documents`
+  * (the LLM-training-data-pipeline surface; BASELINE.json). Spark defs live
+  * in [[graft.operators.Dedup]] / [[graft.operators.TextOps]]; here each is
+  * declared as a driver-checkable query with its DuckDB oracle.
+  */
+object NorthStar {
+  import Tables._
+
+  private val N = 3 // word-shingle width
+
+  val defs: Map[String, Q] = Map(
+    "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), N, 0.8)),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashPairs(t(s, dir, "documents"), N, 0.5)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
+
+    "text_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.bpeEstimate(col("text")).as("bpe_est"))),
+
+    "text_quality" -> ((s, dir) => {
+      val cols = TextOps.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
+      t(s, dir, "documents").select(col("doc_id") +: cols: _*)
+    }),
+
+    "text_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("pred_lang"))),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.fingerprintMd5(col("text")).as("fp_md5"),
+        TextOps.fingerprintShingleMin(col("text"), N).as("fp_shingle"))),
+  )
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  /** DuckDB list expr for distinct word-3-gram shingles of tokens `w`. */
+  private val shingleExpr =
+    "list_distinct(list_transform(range(len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]))"
+
+  private val ngramJaccardSql =
+    s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        sh0 AS (SELECT doc_id, $shingleExpr ss FROM t0 WHERE len(w) >= $N),
+        sh AS (SELECT doc_id, unnest(ss) s FROM sh0),
+        sz AS (SELECT doc_id, count(*) nsh FROM sh GROUP BY doc_id),
+        cm AS (SELECT x.doc_id a, y.doc_id b, count(*) common
+               FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+               GROUP BY 1, 2)
+        SELECT a, b, CAST(common AS DOUBLE)/(sa.nsh + sb.nsh - common) AS jaccard
+        FROM cm JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+        WHERE CAST(common AS DOUBLE)/(sa.nsh + sb.nsh - common) >= 0.8"""
+
+  private val minhashSql =
+    s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        shd AS (SELECT doc_id, $shingleExpr ss FROM t0 WHERE len(w) >= $N),
+        sig AS (SELECT doc_id,
+                 list_transform(range(${Dedup.MinHashK}),
+                   i -> list_min(list_transform(ss, s -> md5(i||':'||s)))) sg
+                FROM shd),
+        bands AS (SELECT doc_id, sg, unnest(range(${Dedup.Bands})) j FROM sig),
+        bk AS (SELECT doc_id, j,
+                md5(array_to_string(sg[j*${Dedup.RowsPerBand}+1:j*${Dedup.RowsPerBand}+${Dedup.RowsPerBand}], '|')) bkey
+               FROM bands),
+        cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b
+                 FROM bk x JOIN bk y ON x.j = y.j AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+        SELECT a, b,
+          CAST(len(list_filter(range(${Dedup.MinHashK}), i -> sa.sg[i+1] = sb.sg[i+1])) AS DOUBLE)/${Dedup.MinHashK}.0 AS est_jaccard
+        FROM cand JOIN sig sa ON a = sa.doc_id JOIN sig sb ON b = sb.doc_id
+        WHERE CAST(len(list_filter(range(${Dedup.MinHashK}), i -> sa.sg[i+1] = sb.sg[i+1])) AS DOUBLE)/${Dedup.MinHashK}.0 >= 0.5"""
+
+  private val simhashSql = {
+    val terms = (0 until Dedup.SimHashBits).map { j =>
+      val m = 1 << j
+      s"(CASE WHEN 2*len(list_filter(hs, h -> (h & $m) <> 0)) > len(hs) THEN CAST($m AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    s"""WITH t0 AS (SELECT doc_id,
+          list_transform(string_split(text,' '),
+            w2 -> CAST(('0x'||substr(md5(w2),1,4)) AS INTEGER)) hs
+        FROM documents)
+        SELECT doc_id, $terms AS simhash FROM t0"""
+  }
+
+  private val stopSql = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      "SELECT md5(text) AS h, min(doc_id) AS keep_id, COUNT(*) AS n FROM documents GROUP BY md5(text)",
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_minhash_lsh" -> minhashSql,
+    "dedup_simhash" -> simhashSql,
+    "text_token_count" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+           CAST(list_sum(list_transform(string_split(text,' '),
+             w2 -> CAST(ceil(length(w2)/4.0) AS BIGINT))) AS BIGINT) AS bpe_est
+         FROM documents""",
+    "text_quality" ->
+      s"""SELECT doc_id,
+           CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text,' '))) AS INT) AS n_distinct,
+           CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)/len(string_split(text,' ')) AS ttr,
+           CAST(length(replace(text,' ','')) AS DOUBLE)/len(string_split(text,' ')) AS avg_word_len,
+           CAST(len(list_filter(string_split(text,' '), t2 -> t2 IN ($stopSql))) AS DOUBLE)/len(string_split(text,' ')) AS stopword_ratio
+         FROM documents""",
+    "text_lang_id" -> {
+      val m = TextOps.langMarkers.toMap
+      def sc(lang: String) =
+        s"len(list_filter(w, t2 -> t2 IN (${m(lang).map(x => s"'$x'").mkString(", ")})))"
+      s"""WITH t0 AS (SELECT doc_id, lang, text, string_split(text,' ') w FROM documents),
+          sc AS (SELECT doc_id, lang,
+                  ${sc("en")} s_en, ${sc("de")} s_de, ${sc("fr")} s_fr, ${sc("es")} s_es,
+                  length(text) - length(regexp_replace(text, '[一-龥]', '', 'g')) s_zh
+                 FROM t0)
+          SELECT doc_id, lang,
+            CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+                 WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+                 WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                 WHEN s_es >= s_zh THEN 'es'
+                 ELSE 'zh' END AS pred_lang
+          FROM sc"""
+    },
+    "doc_fingerprint" ->
+      s"""WITH t0 AS (SELECT doc_id, text, string_split(text,' ') w FROM documents)
+          SELECT doc_id, md5(text) AS fp_md5,
+            list_min(list_transform($shingleExpr, s -> md5(s))) AS fp_shingle
+          FROM t0 WHERE len(w) >= $N""",
+  )
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{Dedup, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the dedup + text-analysis operators on constructed docs
+  * with known duplicates/near-duplicates. */
+class DedupTextSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),          // exact dup of 0
+    (2L, "the quick brown fox jumps over the sleepy dog"),        // near dup of 0
+    (3L, "completely different words altogether here now friends"),
+    (4L, "el el la la los y y y es es")                           // spanish-ish
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val d = Dedup.exact(docs).collect()
+    assert(d.length === 4)
+    val dup = d.find(_.getAs[Long]("n") == 2).get
+    assert(dup.getAs[Long]("keep_id") === 0L)
+  }
+
+  test("ngram jaccard finds the near-dup pair and the exact pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // identical
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH candidates match exact jaccard pairs on this corpus") {
+    val mh = Dedup.minHashPairs(docs, 3, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(mh.contains((0L, 1L)))
+    val est = Dedup.minHashPairs(docs, 3, 0.5)
+      .where(col("a") === 0 && col("b") === 1)
+      .select("est_jaccard").as[Double].head()
+    assert(est === 1.0) // identical docs ⇒ identical signatures
+  }
+
+  test("simhash: identical docs equal; near-dups close in hamming distance") {
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(sh(0L) === sh(1L))
+    val hammingNear = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    val hammingFar = java.lang.Long.bitCount(sh(0L) ^ sh(3L))
+    assert(hammingNear < hammingFar)
+  }
+
+  test("token count is whitespace-run based; bpe estimate is ceil(len/4) sum") {
+    val r = Seq((1L, "aa  bbbb cccccc")).toDF("doc_id", "text")
+      .select(TextOps.tokenCount(col("text")), TextOps.bpeEstimate(col("text")))
+      .head()
+    assert(r.getInt(0) === 3)
+    assert(r.getLong(1) === 1 + 1 + 2) // ceil(2/4)+ceil(4/4)+ceil(6/4) ... note split(" ") sees empty token
+  }
+
+  test("langId picks marker-majority language with fixed tiebreak") {
+    val preds = docs.select(col("doc_id"), TextOps.langId(col("text")).as("p"))
+      .as[(Long, String)].collect().toMap
+    assert(preds(0L) === "en")
+    assert(preds(4L) === "es")
+    assert(preds(3L) === "en") // zero scores everywhere → tiebreak priority
+  }
+
+  test("shingle-min fingerprint is edit-local: near-dups often collide, distinct docs don't") {
+    val fp = docs.select(col("doc_id"), TextOps.fingerprintShingleMin(col("text"), 3).as("f"))
+      .as[(Long, String)].collect().toMap
+    assert(fp(0L) === fp(1L))
+    assert(fp(0L) !== fp(3L))
+  }
+}
