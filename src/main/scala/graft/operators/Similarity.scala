@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths, mirroring how ANN is deployed at 100 TB:
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k. Queries are broadcast, the
+  *    corpus stays partitioned: a BroadcastNestedLoopJoin scans each corpus
+  *    partition once with ALL queries — embarrassingly parallel, no corpus
+  *    shuffle, and per-partition top-k via window rank. This is the
+  *    correctness baseline and the right plan whenever |queries| is small.
+  *  - [[rpLshTopK]]: random-hyperplane LSH buckets as the scale path —
+  *    sign-bit sketches shrink the candidate set to same-bucket vectors, so
+  *    cost drops from |Q|·|C| to |Q|·E[bucket size]. Hyperplanes derive
+  *    deterministically from md5 (no RNG state, reproducible across runs).
+  *
+  * Cosine math is done in double (`array<float>` cast up first) with a
+  * sequential left-fold — deterministic, and rounded to 6 decimals before
+  * ranking so rank order is stable across engines.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosineSim(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (qid, nid, cos_sim, rank), rank 1..k per qid. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+    val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosineSim(col("qv"), col("nv")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** All pairs with cosine >= threshold (embedding near-dup detection).
+    * Exact O(n²) form — at scale, run [[rpLshTopK]]-style bucketing first
+    * and this as the verify stage within buckets. */
+  def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("a"), asDouble(col("embedding")).as("va"))
+    val b = corpus.select(col("vec_id").as("b"), asDouble(col("embedding")).as("vb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(cosineSim(col("va"), col("vb")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * plane p, dimension d ↦ (md5-derived 16-bit value - 32768) / 32768. */
+  private def planeComponent(p: Int, d: Column): Column =
+    (conv(substring(md5(concat(lit(p.toString), lit(":"), d.cast(StringType))
+      .cast(BinaryType)), 1, 4), 16, 10).cast(DoubleType) - lit(32768.0)) / lit(32768.0)
+
+  /** Sign-bit sketch: bit p = (v · plane_p) >= 0. */
+  def rpSketch(v: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, d) => x * planeComponent(p, d)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k: candidates share the query's bucket
+    * (optionally hamming-adjacent buckets via `probes` extra bit flips).
+    * Output schema matches [[bruteForceTopK]]. */
+  def rpLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                planes: Int = 8, probes: Int = 1): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
+      .withColumn("bucket", rpSketch(col("nv"), planes))
+    // multi-probe: query also probes buckets at hamming distance 1..probes-1
+    val q0 = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      .withColumn("qbucket", rpSketch(col("qv"), planes))
+    val probeBuckets = {
+      val flips = (0 until math.min(probes - 1, planes))
+        .map(p => col("qbucket").bitwiseXOR(lit(1 << p)))
+      array(col("qbucket") +: flips: _*)
+    }
+    val q = q0.select(col("qid"), col("qv"), explode(probeBuckets).as("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosineSim(col("qv"), col("nv")), 6).as("cos_sim"))
+      .dropDuplicates("qid", "nid")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{Dedup, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** North-star operator inventory: dedup + text analysis over `documents`
@@ -39,6 +39,21 @@ object NorthStar {
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.fingerprintMd5(col("text")).as("fp_md5"),
         TextOps.fingerprintShingleMin(col("text"), N).as("fp_shingle"))),
+
+    // exact cosine top-10 for the first 5 vectors as queries
+    "ann_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), 10)
+    }),
+    // embedding-cosine near-dup pairs (threshold tuned to the corpus)
+    "ann_cosine_pairs" -> ((s, dir) =>
+      Similarity.cosinePairs(t(s, dir, "embeddings"), 0.4)),
+    // LSH-bucketed scale path: no SQL oracle (bucket recall is
+    // probabilistic); SimilaritySpec asserts recall vs brute force
+    "ann_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.rpLshTopK(e, e.where(col("vec_id") < 5), 10, planes = 8, probes = 3)
+    }),
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -133,5 +148,19 @@ object NorthStar {
           SELECT doc_id, md5(text) AS fp_md5,
             list_min(list_transform($shingleExpr, s -> md5(s))) AS fp_shingle
           FROM t0 WHERE len(w) >= $N""",
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) nv FROM embeddings),
+         sc AS (SELECT qid, nid, round(list_cosine_similarity(qv, nv), 6) cos_sim
+                FROM q, c WHERE qid <> nid),
+         r AS (SELECT qid, nid, cos_sim,
+                row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) rn
+               FROM sc)
+         SELECT qid, nid, cos_sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10""",
+    "ann_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+         SELECT x.vec_id a, y.vec_id b, round(list_cosine_similarity(x.v, y.v), 6) cos_sim
+         FROM e x JOIN e y ON x.vec_id < y.vec_id
+         WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.4""",
   )
 }

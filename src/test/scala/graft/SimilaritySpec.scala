@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Similarity-search semantics: exact cosine math, top-k determinism, and
+  * LSH recall vs the brute-force baseline. */
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+
+  test("cosineSim: exact on known vectors") {
+    val df = Seq((Array(1.0, 2.0), Array(2.0, 3.0))).toDF("a", "b")
+    val got = df.select(Similarity.cosineSim(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(got - 8.0 / (math.sqrt(5) * math.sqrt(13))) < 1e-12)
+  }
+
+  test("bruteForceTopK: k rows per query, rank ordered by similarity") {
+    val topk = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), 10)
+    val rows = topk.select("qid", "rank", "cos_sim").as[(Long, Int, Double)].collect()
+    assert(rows.length === 50)
+    rows.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq === (1 to 10))
+      assert(byRank.map(_._3).toSeq === byRank.map(_._3).sortBy(-(_: Double)).toSeq)
+    }
+    // no self-matches
+    assert(topk.where(col("qid") === col("nid")).count() === 0)
+  }
+
+  test("rpLshTopK: planted near-duplicates are recovered (the LSH guarantee)") {
+    // plant a perturbed copy of each query vector: cos(v, v') ≈ 0.9999
+    val planted = emb.where(col("vec_id") < 20).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+        (x, d) => x + (pmod(d, lit(7)) - lit(3)).cast("float") * lit(0.002f)).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").union(planted)
+    val q = emb.where(col("vec_id") < 20)
+    val top1 = Similarity.rpLshTopK(corpus, q, 1, planes = 8, probes = 3)
+      .select("qid", "nid").as[(Long, Long)].collect()
+    val found = top1.count { case (qid, nid) => nid == qid + 100000 }
+    info(s"planted near-dup recall@1 = $found/20")
+    assert(found >= 16, s"only $found/20 planted near-dups recovered")
+  }
+
+  test("rpLshTopK on uniform random data: same-bucket candidates only (informational recall)") {
+    val q = emb.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, q, 10)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.rpLshTopK(emb, q, 10, planes = 4, probes = 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"LSH recall@10 on random vectors = $recall%.3f (expected low: top-10 of uniform noise is near-orthogonal)")
+    assert(approx.nonEmpty)
+  }
+
+  test("cosinePairs: symmetric threshold pairs, a < b") {
+    val pairs = Similarity.cosinePairs(emb, 0.4)
+      .select("a", "b", "cos_sim").as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(p => p._1 < p._2))
+    assert(pairs.forall(_._3 >= 0.4))
+  }
+}
