@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media as opaque `BinaryType` payloads with
+  * typed metadata, processed partition-wise.
+  *
+  * The Spark-side contract is the real thing — binary column + metadata
+  * schema, per-partition batched processing (the Scala analog of
+  * `mapInPandas`), deterministic output — while the actual media decode is
+  * a clearly marked STUB ([[FakeCodec]]): this container has no
+  * image/audio libraries, so payloads are derived from `documents.text`
+  * bytes and "decoding" computes deterministic pseudo-dimensions. Swapping
+  * [[FakeCodec]] for a JNI/javacpp decoder changes nothing structural.
+  */
+object Multimodal {
+
+  case class MediaFeature(doc_id: Long, n_bytes: Long, payload_md5: String,
+                          width: Int, height: Int)
+
+  /** STUB media codec — deterministic stand-in for image decode.
+    * Real deployment: replace `decode` with an actual codec; the
+    * partition-wise batch loop in [[extractFeatures]] stays unchanged. */
+  object FakeCodec {
+    def decode(payload: Array[Byte]): (Int, Int) = {
+      // ??? — real codec goes here; deterministic fake dimensions:
+      val width = payload.length % 640
+      val height = if (payload.isEmpty) 0 else payload(0) & 0xff
+      (width, height)
+    }
+  }
+
+  /** Attach a binary payload column (media stand-in = UTF-8 text bytes). */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  /** Partition-wise feature extraction over binary payloads. One codec
+    * instantiation per PARTITION (not per row) — the property that matters
+    * when the decoder holds native resources; rows stream through without
+    * materializing the partition. */
+  def extractFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeature] = {
+    import spark.implicits._
+    withPayload(docs).as[(Long, Array[Byte])].mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("MD5") // per-partition init
+      batch.map { case (id, payload) =>
+        md.reset()
+        val digest = md.digest(payload).map("%02x".format(_)).mkString
+        val (w, h) = FakeCodec.decode(payload)
+        MediaFeature(id, payload.length.toLong, digest, w, h)
+      }
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.operators.{AsOf, Multimodal}
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+/** Temporal / streaming / multimodal pipeline queries: as-of join,
+  * Structured Streaming windowed aggregation, stateful sessionization, and
+  * binary-payload feature extraction. */
+object Pipelines {
+  import Tables._
+
+  val defs: Map[String, Q] = Map(
+    // point-in-time join: each event ↦ the user's latest order at/before ts
+    "asof_join_events_orders" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val o = t(s, dir, "orders")
+      AsOf.asOfJoin(e, o,
+          leftKey = col("user_id"), rightKey = col("o_custkey"),
+          leftTime = col("ts"), rightTime = col("o_orderdate"),
+          rightValues = Seq(col("o_orderkey"), col("o_totalprice")),
+          rightTiebreak = col("o_orderkey"))
+        .select(col("event_id"), col("user_id"),
+          col("asof.o_orderkey").as("asof_orderkey"),
+          col("asof.o_totalprice").as("asof_totalprice"))
+    }),
+
+    // Structured Streaming: tumbling 1h windows, run to completion
+    "stream_windowed_agg" -> ((s, dir) => EventStream.windowedAgg(s, dir)),
+
+    // stateful sessionization (30-min inactivity gap)
+    "sessionize_events" -> ((s, dir) => EventStream.sessionize(s, dir, 30)),
+
+    // multimodal: binary payloads + partition-wise stub decode
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(s, t(s, dir, "documents")).toDF()),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "asof_join_events_orders" ->
+      """WITH latest AS (
+           SELECT e.event_id, e.user_id, e.ts,
+             (SELECT max(o2.o_orderdate) FROM orders o2
+              WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts) d
+           FROM events e),
+         pick AS (
+           SELECT event_id, user_id, ts, d,
+             (SELECT max(o.o_orderkey) FROM orders o
+              WHERE o.o_custkey = pick0.user_id AND o.o_orderdate = pick0.d) k
+           FROM latest pick0)
+         SELECT event_id, user_id, k AS asof_orderkey,
+           (SELECT o.o_totalprice FROM orders o WHERE o.o_orderkey = pick.k) AS asof_totalprice
+         FROM pick""",
+    "stream_windowed_agg" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "sessionize_events" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts FROM events),
+         x AS (SELECT user_id, event_id, ts,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_ts FROM e),
+         y AS (SELECT user_id, event_id, ts,
+                CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END ns FROM x),
+         z AS (SELECT user_id, ts,
+                CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) session_id
+               FROM y)
+         SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start
+         FROM z GROUP BY 1, 2""",
+    "multimodal_features" ->
+      """SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+           CAST(ascii(substr(text, 1, 1)) AS INT) AS height
+         FROM documents""",
+  )
+}

@@ -19,7 +19,18 @@ object Tables {
   type Q = (SparkSession, String) => DataFrame
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
+    * default; read nanos as long and normalize to microsecond timestamps
+    * (`div 1000` in integer math — a double roundtrip would lose precision
+    * on 1.7e18-scale values). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Exact, order-independent sum of a double expression (see above). */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)

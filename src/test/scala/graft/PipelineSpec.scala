@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.{AsOf, Multimodal}
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+/** As-of join edge semantics, streaming-vs-batch agreement, sessionization,
+  * and multimodal plumbing. */
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin: inclusive <=, latest-wins, tiebreak on max key, null when no match") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 12:00:00")),  // exact tie with right row
+      (2L, 10L, ts("2024-01-01 11:59:59")),  // just before → earlier match
+      (3L, 10L, ts("2023-01-01 00:00:00")),  // before all → null
+      (4L, 99L, ts("2024-06-01 00:00:00"))   // unknown key → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 10:00:00"), 10.0),
+      (101L, 10L, ts("2024-01-01 12:00:00"), 20.0), // tie instant
+      (102L, 10L, ts("2024-01-01 12:00:00"), 30.0), // same instant, higher key wins
+      (103L, 10L, ts("2024-02-01 00:00:00"), 40.0)  // future → never visible
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val got = AsOf.asOfJoin(left, right,
+        col("user_id"), col("o_custkey"), col("ts"), col("o_orderdate"),
+        Seq(col("o_orderkey"), col("o_totalprice")), col("o_orderkey"))
+      .select(col("event_id"), col("asof.o_orderkey"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(1L) === Some(102L)) // inclusive, max-key tiebreak
+    assert(got(2L) === Some(100L))
+    assert(got(3L) === None)
+    assert(got(4L) === None)
+  }
+
+  test("streaming windowed agg equals the batch plan over the same data") {
+    val streamed = EventStream.windowedAgg(spark, sf001)
+      .orderBy("window_start", "event_type")
+      .collect().toSeq
+    val batch = graft.queries.Tables.events(spark, sf001)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+      .collect().toSeq
+    assert(streamed === batch)
+  }
+
+  test("sessionize: session breaks exactly at the inactivity gap") {
+    val sessions = EventStream.sessionize(spark, sf001, 30)
+    val total = sessions.agg(sum("n_events")).as[Long].head()
+    assert(total === 1000) // every event lands in exactly one session
+    // session ids are dense per user starting at 1
+    val ids = sessions.groupBy("user_id").agg(min("session_id").as("mn"))
+    assert(ids.where(col("mn") =!= 1).count() === 0)
+  }
+
+  test("multimodal: per-partition codec, md5 matches builtin, stub dims deterministic") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val feats = Multimodal.extractFeatures(spark, docs)
+    val viaSql = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("m"))
+    val joined = feats.toDF().join(viaSql, "doc_id")
+      .where(col("payload_md5") =!= col("m"))
+    assert(joined.count() === 0)
+    assert(feats.where(col("n_bytes") <= 0).count() === 0)
+  }
+}
