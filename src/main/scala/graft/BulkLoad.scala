@@ -1,0 +1,133 @@
+package graft
+
+import graft.functions.keys
+import graft.operators.{CellOps, RegionSort}
+import graft.sources.{AvroSource, Delimited, RCFileSource}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine's user-facing bulk-load API — drop-in parity with the four
+  * reference drivers (`BulkImporterFromText/CSVText/Avro/RC`, each a
+  * `Tool.run` of scan → parse → rowkey → cells → total-order sort → HFiles
+  * → bulk load), re-expressed as one configurable declarative pipeline.
+  *
+  * A reference invocation like `sample_run.sh`'s
+  * `BulkImporterFromCSVText hbase-site.xml input out` becomes:
+  * {{{
+  *   val r = BulkLoad.csv(spark, input, BulkLoad.Config())
+  *   r.sink.write(r.cells, out)   // sorted cells, region-aligned
+  * }}}
+  *
+  * Differences from the reference are deliberate and documented:
+  * UTF-8 everywhere (it mixed platform charset and UTF-8), strict
+  * RFC-4180 CSV by default with `compatNaiveSplit` opt-in, quarantined
+  * (not silently dropped) malformed rows, salting exposed as a
+  * first-class option (its disabled design intent), and the RC key
+  * normalized to in-range fields (its field-20 bug).
+  */
+object BulkLoad {
+
+  sealed trait QualifierStrategy
+  /** 4-byte big-endian column index (text/CSV/RC reference paths). */
+  case object IndexQualifiers extends QualifierStrategy
+  /** UTF-8 field name (Avro reference path). */
+  case object NameQualifiers extends QualifierStrategy
+
+  /** Pipeline configuration. Defaults mirror the reference's CSV driver:
+    * 9 string columns, key = md5 over fields 0-3, family "c", 10 regions
+    * (`create_table.rb:1`), no salt. */
+  case class Config(
+      arity: Int = 9,
+      keyFields: Seq[Int] = Seq(0, 1, 2, 3),
+      family: String = "c",
+      regions: Int = 10,
+      saltBuckets: Option[Int] = None,
+      qualifiers: QualifierStrategy = IndexQualifiers,
+      compatNaiveSplit: Boolean = false,
+      loadTs: Long = 0L)
+
+  /** Result: region-sorted cells + quarantined raw rows + the sink. */
+  case class Result(cells: DataFrame, quarantined: DataFrame, sink: CellSink)
+
+  /** CSV driver (reference `BulkImporterFromCSVText`). Strict RFC-4180 by
+    * default; `cfg.compatNaiveSplit` reproduces the reference's naive
+    * `split(",")` skip semantics. */
+  def csv(spark: SparkSession, input: String, cfg: Config = Config()): Result =
+    if (cfg.compatNaiveSplit) {
+      val (kept, rejected) = Delimited.naiveSplit(spark, input, ",", cfg.arity)
+      fromPositional(kept, rejected, cfg)
+    } else {
+      val kept = Delimited.strictCsv(spark, input, cfg.arity)
+      fromPositional(kept, kept.limit(0).select(lit("").as("value")).where(lit(false)), cfg)
+    }
+
+  /** Hive `\u0001`-delimited text driver (reference `BulkImporterFromText`). */
+  def hiveText(spark: SparkSession, input: String, cfg: Config = Config()): Result = {
+    val (kept, rejected) = Delimited.hiveText(spark, input, cfg.arity)
+    fromPositional(kept, rejected, cfg)
+  }
+
+  /** Avro driver (reference `BulkImporterFromAvro`): key = reverse(first
+    * field), field-name qualifiers, null `id` quarantined (the reference
+    * NPEs on it). */
+  def avro(spark: SparkSession, input: String, cfg: Config = Config(qualifiers = NameQualifiers)): Result = {
+    val df = AvroSource.read(spark, input)
+    val idCol = df.columns.head
+    val kept = df.where(col(idCol).isNotNull)
+    val cells = CellOps.explodeNamed(kept, keys.reversedKey(col(idCol)),
+      cfg.family, df.columns.toSeq, cfg.loadTs)
+    Result(RegionSort.sortedByRange(maybeSalt(cells, cfg), cfg.regions),
+      df.where(col(idCol).isNull), SortedParquetCellSink)
+  }
+
+  /** RCFile driver (reference `BulkImporterFromRC`), key fields normalized
+    * to in-range positions. */
+  def rcFile(spark: SparkSession, input: String, cfg: Config = Config()): Result = {
+    val kept = RCFileSource.read(spark, input, cfg.arity)
+    fromPositional(kept, kept.limit(0), cfg)
+  }
+
+  /** Shared tail: positional columns → rowkey → cells → salt → region sort. */
+  def fromPositional(kept: DataFrame, quarantined: DataFrame, cfg: Config): Result = {
+    val keyCols = cfg.keyFields.map(i => col(s"c$i"))
+    val rowKey = keys.md5CompositeKey(keyCols)
+    val valueCols = (0 until cfg.arity).map(i => col(s"c$i"))
+    val cells = cfg.qualifiers match {
+      case IndexQualifiers =>
+        CellOps.explodeIndexed(kept, rowKey, cfg.family, valueCols, cfg.loadTs)
+      case NameQualifiers =>
+        CellOps.explodeNamed(kept, rowKey, cfg.family,
+          (0 until cfg.arity).map(i => s"c$i"), cfg.loadTs)
+    }
+    Result(RegionSort.sortedByRange(maybeSalt(cells, cfg), cfg.regions),
+      quarantined, SortedParquetCellSink)
+  }
+
+  private def maybeSalt(cells: DataFrame, cfg: Config): DataFrame =
+    cfg.saltBuckets match {
+      case Some(b) =>
+        cells.withColumn("row", concat(keys.saltPrefix(crc32(col("row")), b), col("row")))
+      case None => cells
+    }
+}
+
+/** Terminal sink for sorted cells — the stand-in seam for
+  * `HFileOutputFormat2` + `LoadIncrementalHFiles` (reference X3/X5).
+  * Implementations must preserve the partition/order contract: file i
+  * holds region i's cells in unsigned (row, family, qualifier) order. */
+trait CellSink {
+  def write(cells: DataFrame, path: String): Unit
+  /** Post-commit hook — the reference's chmod + doBulkLoad + cleanup
+    * (BulkImporterFromText.java:118-133). No-op without an HBase cluster. */
+  def postCommit(path: String): Unit = ()
+}
+
+/** Parquet sink preserving the sorted, region-partitioned layout —
+  * byte-verifiable without HBase jars (SURVEY.md §7.4). Writing real
+  * HFiles is a drop-in alternative implementation of this trait via
+  * `saveAsNewAPIHadoopFile[HFileOutputFormat2]` when hbase-mapreduce is on
+  * the classpath. */
+object SortedParquetCellSink extends CellSink {
+  override def write(cells: DataFrame, path: String): Unit =
+    cells.write.mode("overwrite").parquet(path)
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI driver — the `ToolRunner` surface of the reference
+  * (BulkImporterFromText.java:164-168, sample_run.sh) re-expressed:
+  *
+  *   IngestCli <csv|csv-compat|hivetext|avro|rcfile> <input> <output>
+  *             [--arity N] [--salt BUCKETS] [--regions N]
+  *
+  * Runs the bulk-load pipeline and prints one JSON stats line
+  * (cells, quarantined rows, regions). Plain args, dependency-free. */
+object IngestCli {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: IngestCli <csv|csv-compat|hivetext|avro|rcfile> <input> <output> " +
+          "[--arity N] [--salt BUCKETS] [--regions N]")
+      sys.exit(2)
+    }
+    val Array(format, input, output) = args.take(3)
+    val opts = args.drop(3).grouped(2).collect {
+      case Array(k, v) => k -> v
+    }.toMap
+    val base = BulkLoad.Config(
+      arity = opts.get("--arity").map(_.toInt).getOrElse(9),
+      regions = opts.get("--regions").map(_.toInt).getOrElse(10),
+      saltBuckets = opts.get("--salt").map(_.toInt))
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-ingest")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    try {
+      val r = format match {
+        case "csv"        => BulkLoad.csv(spark, input, base)
+        case "csv-compat" => BulkLoad.csv(spark, input, base.copy(compatNaiveSplit = true))
+        case "hivetext"   => BulkLoad.hiveText(spark, input, base)
+        case "avro"       => BulkLoad.avro(spark, input, base.copy(qualifiers = BulkLoad.NameQualifiers))
+        case "rcfile"     => BulkLoad.rcFile(spark, input, base)
+        case other =>
+          System.err.println(s"unknown format: $other"); sys.exit(2)
+      }
+      val t0 = System.nanoTime()
+      r.sink.write(r.cells, output)
+      r.sink.postCommit(output)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val cells = spark.read.parquet(output).count()
+      val quarantined = r.quarantined.count()
+      println(s"""{"format":"$format","cells":$cells,"quarantined":$quarantined,""" +
+        s""""regions":${base.regions},"write_sec":$secs}""")
+    } finally spark.stop()
+  }
+}

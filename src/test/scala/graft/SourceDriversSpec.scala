@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.hive.ql.io.RCFile
+import org.apache.hadoop.hive.serde2.columnar.{BytesRefArrayWritable, BytesRefWritable}
+import org.apache.spark.sql.functions._
+
+/** End-to-end drives of all four bulk-load drivers (the reference's
+  * BulkImporterFrom{Text,CSVText,Avro,RC} surface) through the BulkLoad
+  * facade, on generated fixtures matching FIXTURES.md §1-§4. */
+class SourceDriversSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-src").toString
+
+  private lazy val rows9 = Seq(
+    ("35218", "195", "Alabama Power Co", "AL", "Bundled", "Investor Owned", "0.105", "0.060", "0.114"),
+    ("00601", "196", "Utility, With Comma", "PR", "Bundled", "Investor Owned", "0.2", "0.1", "0.3"),
+    ("99999", "197", "Last Utility", "AK", "Energy", "Investor Owned", "0.3", "0.2", "0.1"))
+
+  test("csv driver: strict mode keeps quoted commas; compat mode skips them") {
+    val dir = tmpDir()
+    Seq(
+      "35218,195,Alabama Power Co,AL,Bundled,Investor Owned,0.105,0.060,0.114",
+      "00601,196,\"Utility, With Comma\",PR,Bundled,Investor Owned,0.2,0.1,0.3"
+    ).toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+
+    val strict = BulkLoad.csv(spark, dir)
+    assert(strict.cells.count() === 18) // both rows × 9 cells
+    assert(strict.quarantined.count() === 0)
+
+    val compat = BulkLoad.csv(spark, dir, BulkLoad.Config(compatNaiveSplit = true))
+    assert(compat.cells.count() === 9)  // quoted row quarantined (reference semantics)
+    assert(compat.quarantined.count() === 1)
+  }
+
+  test("hiveText driver: \\u0001-delimited parse + 64-byte keys") {
+    val dir = tmpDir()
+    rows9.map(r => r.productIterator.mkString(""))
+      .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val r = BulkLoad.hiveText(spark, dir)
+    assert(r.cells.count() === 27)
+    assert(r.cells.where(length(col("row")) =!= 64).count() === 0)
+  }
+
+  test("avro driver: nullable strings, reversed-id key, name qualifiers, null id quarantined") {
+    val dir = tmpDir() + "/pw"
+    val df = Seq(
+      (Some("123"), Some("a"), Some("b")),
+      (Some("456"), None, Some("c")),
+      (None, Some("x"), Some("y")) // reference NPEs here; we quarantine
+    ).toDF("id", "col1", "cl2")
+    graft.sources.AvroSource.write(df, dir)
+
+    val r = BulkLoad.avro(spark, dir)
+    assert(r.quarantined.count() === 1)
+    // 3 cells for id=123, 2 for id=456 (null col1 emits no cell)
+    assert(r.cells.count() === 5)
+    val k = r.cells.select(col("row").cast("string")).distinct()
+      .as[String].collect().toSet
+    assert(k === Set("321", "654")) // reversed natural keys
+    val quals = r.cells.select(col("qualifier").cast("string")).distinct()
+      .as[String].collect().toSet
+    assert(quals === Set("id", "col1", "cl2"))
+  }
+
+  test("rcFile driver: columnar read, arity guard, same cells as csv path") {
+    val conf = new Configuration()
+    conf.setInt(RCFile.COLUMN_NUMBER_CONF_STR, 9)
+    val dir = tmpDir()
+    val file = new Path(dir, "part-00000.rc")
+    val fs = FileSystem.getLocal(conf)
+    val w = new RCFile.Writer(fs, conf, file)
+    (rows9 :+ (("short", "row", "", "", "", "", "", "", ""))).foreach { r =>
+      val cols = r.productIterator.map(_.toString).toArray
+      val braw = new BytesRefArrayWritable(9)
+      cols.zipWithIndex.foreach { case (v, i) =>
+        braw.set(i, new BytesRefWritable(v.getBytes("UTF-8")))
+      }
+      w.append(braw)
+    }
+    w.close()
+
+    val r = BulkLoad.rcFile(spark, file.toString)
+    // 3 full rows ×9 cells + the 9-col "short" row (empty strings → null-ish?)
+    assert(r.cells.where(length(col("row")) =!= 64).count() === 0)
+    val csvEquivalent = BulkLoad.fromPositional(
+      rows9.toDF((0 until 9).map(i => s"c$i"): _*),
+      spark.emptyDataFrame, BulkLoad.Config())
+    val a = r.cells.where(col("value").cast("string").isin(rows9.map(_._1): _*))
+    assert(a.count() === 3) // zip values present once each
+    assert(csvEquivalent.cells.count() === 27)
+  }
+
+  test("salting spreads rows across buckets and keeps per-bucket sort") {
+    val dir = tmpDir()
+    rows9.map(r => r.productIterator.mkString(""))
+      .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val r = BulkLoad.hiveText(spark, dir, BulkLoad.Config(saltBuckets = Some(10)))
+    // key = 1 salt byte + 64 key bytes
+    assert(r.cells.where(length(col("row")) =!= 65).count() === 0)
+    val salts = r.cells.select(substring(col("row").cast("string"), 1, 1)).distinct().count()
+    assert(salts >= 2) // 3 distinct keys → very likely ≥2 buckets
+  }
+}
