@@ -60,7 +60,8 @@ object Dedup {
 
   /** k MinHash values: sig(i) = min over shingles of md5(i + ":" + shingle).
     * Hex-string min — lexicographic order on lowercase hex is consistent
-    * across engines. Pure per-row computation. */
+    * across engines. Column form (nested HOFs, interpreted) — kept for
+    * column-level composition; the pipeline uses [[minHashSignatures]]. */
   def minHashSignature(text: Column, n: Int): Column = {
     val sh = TextOps.shingles(text, n)
     transform(sequence(lit(0), lit(MinHashK - 1)),
@@ -68,11 +69,28 @@ object Dedup {
         s => md5(concat(i.cast(StringType), lit(":"), s).cast(BinaryType)))))
   }
 
+  /** Same signatures as a relational plan: explode shingles, compute the k
+    * md5s as PLAIN codegen'd columns, and take per-document mins with
+    * map-side partial aggregation. Nested-HOF lambdas run interpreted in
+    * Spark (measured ~20× slower here); this shape also scales better —
+    * the min-agg combines map-side, so the shuffle carries one k-vector
+    * per document regardless of document length. */
+  def minHashSignatures(docs: DataFrame, n: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(TextOps.shingles(col("text"), n)).as("s"))
+    val hashMins = (0 until MinHashK).map { i =>
+      min(md5(concat(lit(s"$i:"), col("s")).cast(BinaryType))).as(s"h$i")
+    }
+    sh.groupBy(col("doc_id"))
+      .agg(hashMins.head, hashMins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinHashK).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
   /** LSH candidate pairs + signature-estimated Jaccard.
     * Output: (a, b, est_jaccard = |equal minhash positions| / k), filtered
     * to est >= minEst. */
   def minHashPairs(docs: DataFrame, n: Int, minEst: Double): DataFrame = {
-    val sigd = docs.select(col("doc_id"), minHashSignature(col("text"), n).as("sig"))
+    val sigd = minHashSignatures(docs, n)
     // band key = md5 of the band's r signature values joined with '|'
     val banded = sigd.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(Bands - 1)),

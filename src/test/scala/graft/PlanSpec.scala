@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.ArrayDotProduct
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions — the 100 TB posture checks: filters reach the
+  * parquet scan, projections prune the read schema, dims broadcast, aggs
+  * have a partial (map-side) phase, and the custom expressions stay inside
+  * whole-stage codegen. */
+class PlanSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf001)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q6: filters pushed to parquet scan, read schema pruned") {
+    val p = plan("q6_filter_pushdown")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(l_discount,0.02)"), p)
+    // only the 4 needed columns are read, not all 11
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag"), readSchema)
+    assert(readSchema.contains("l_discount") && readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("broadcast joins: dims broadcast, no shuffle of the fact side for q_join_broadcast_dims") {
+    val p = plan("q_join_broadcast_dims")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q1: two-phase aggregation (map-side partial before the exchange)") {
+    val p = plan("q1_pricing_summary")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final HashAggregate, got:\n$p")
+  }
+
+  test("ingest pipeline: single range exchange, sort within partitions only") {
+    val p = plan("ingest_sorted_cells")
+    // count physical nodes via their "(n) Name" detail headers
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange.*""")) === 1, p)
+    assert(p.contains("rangepartitioning"), p)
+    // sort is per-partition (global=false), no second global sort
+    assert(p.contains("Sort") && !p.contains("global=true"), p)
+  }
+
+  test("top-k is TakeOrderedAndProject, not a global sort materialization") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("ArrayDotProduct participates in whole-stage codegen and matches the HOF fold bit-exactly") {
+    val df = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val expr = df.select(ArrayDotProduct(col("v"), col("v")).as("d"))
+    val hof = df.select(
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+    assert(expr.as[Double].collect().toSeq === hof.as[Double].collect().toSeq)
+    val p = expr.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // '[codegen id : n]' on the projecting node = inside whole-stage codegen
+    assert(p.linesIterator.exists(l => l.contains("Project") && l.contains("codegen id")), p)
+  }
+
+  test("semi/anti joins never materialize right-side payload columns") {
+    val p = plan("q_semi_join")
+    assert(p.contains("LeftSemi"), p)
+    val read = p.linesIterator.filter(_.trim.startsWith("ReadSchema")).mkString
+    assert(!read.contains("o_orderpriority"), read) // only o_custkey + filter col read
+  }
+}
