@@ -33,13 +33,16 @@ object Bench {
     try force(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
     catch { case _: Throwable => () }
 
+    // min of 2 runs: first-run JIT/GC noise dominates single-shot numbers
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { force(fn(spark, sfDir)); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      val times = (1 to 2).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { force(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
+        }
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
 
     // Ingest throughput: reference CSV → sorted cells (compat parse).

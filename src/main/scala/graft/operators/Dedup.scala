@@ -129,6 +129,24 @@ object Dedup {
 
   /** Per-doc SimHash signatures. Output: (doc_id, simhash). Equal-signature
     * grouping (or hamming-ball probing over bit flips) finds near-dups. */
-  def simhash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), simhashCol(col("text")).as("simhash"))
+  /** Relational SimHash (same shape as [[minHashSignatures]]): explode
+    * words, hash with a plain codegen'd md5 column, aggregate the 16
+    * per-bit majority counts map-side, assemble the signature — identical
+    * values to [[simhashCol]], and the shuffle carries 17 ints per document
+    * instead of evaluating nested interpreted lambdas per row. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      .withColumn("h",
+        conv(substring(md5(col("w").cast(BinaryType)), 1, 4), 16, 10).cast(IntegerType))
+    val bitCounts = (0 until SimHashBits).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1 << j)) =!= 0, 1).otherwise(0)).as(s"b$j")
+    }
+    val grouped = words.groupBy(col("doc_id"))
+      .agg(bitCounts.head, (bitCounts.tail :+ count(lit(1)).as("n")): _*)
+    val sig = (0 until SimHashBits).map { j =>
+      when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    grouped.select(col("doc_id"), sig.as("simhash"))
+  }
 }

@@ -69,31 +69,37 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
-    * plane p, dimension d ↦ (md5-derived 16-bit value - 32768) / 32768. */
-  private def planeComponent(p: Int, d: Column): Column =
-    (conv(substring(md5(concat(lit(p.toString), lit(":"), d.cast(StringType))
-      .cast(BinaryType)), 1, 4), 16, 10).cast(DoubleType) - lit(32768.0)) / lit(32768.0)
+    * plane p, dimension d ↦ (md5-derived 16-bit value - 32768) / 32768.
+    * Hyperplanes are CONSTANTS, so they are materialized once on the
+    * driver (O(planes × dims) bytes) and embedded as array literals — the
+    * projection is then a codegen'd [[dot]] per plane, not an interpreted
+    * per-row md5 of every (plane, dim) pair. */
+  private def planeComponent(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+      .take(2).map("%02x".format(_)).mkString
+    (java.lang.Integer.parseInt(hex, 16).toDouble - 32768.0) / 32768.0
+  }
+
+  def plane(p: Int, dims: Int): Seq[Double] =
+    (0 until dims).map(d => planeComponent(p, d))
 
   /** Sign-bit sketch: bit p = (v · plane_p) >= 0. */
-  def rpSketch(v: Column, planes: Int): Column =
+  def rpSketch(v: Column, planes: Int, dims: Int): Column =
     (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, d) => x * planeComponent(p, d)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+      when(dot(v, typedlit(plane(p, dims))) >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** LSH-bucketed approximate top-k: candidates share the query's bucket
     * (optionally hamming-adjacent buckets via `probes` extra bit flips).
     * Output schema matches [[bruteForceTopK]]. */
   def rpLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                planes: Int = 8, probes: Int = 1): DataFrame = {
+                planes: Int = 8, probes: Int = 1, dims: Int = 64): DataFrame = {
     val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
-      .withColumn("bucket", rpSketch(col("nv"), planes))
+      .withColumn("bucket", rpSketch(col("nv"), planes, dims))
     // multi-probe: query also probes buckets at hamming distance 1..probes-1
     val q0 = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
-      .withColumn("qbucket", rpSketch(col("qv"), planes))
+      .withColumn("qbucket", rpSketch(col("qv"), planes, dims))
     val probeBuckets = {
       val flips = (0 until math.min(probes - 1, planes))
         .map(p => col("qbucket").bitwiseXOR(lit(1 << p)))
