@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Extended relational surface: outer joins, date/string/JSON scalar
+  * functions, exact percentiles, conditional aggregation, pivot, range
+  * joins, and queries expressed through the SQL layer (temp views +
+  * `spark.sql`) — GROUPING SETS and IN-subqueries, which the DataFrame API
+  * doesn't expose directly. */
+object SqlSurface {
+  import Tables._
+
+  /** Register the star schema as temp views for the SQL-layer queries. */
+  private def registerViews(s: SparkSession, dir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+
+  val defs: Map[String, Q] = Map(
+    // LEFT OUTER: customers keep their row at zero orders (count skips null)
+    "q_left_outer_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+    }),
+
+    // FULL OUTER with presence flags on both sides
+    "q_full_outer_join" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
+      val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nk2")).distinct()
+      cn.join(sn, col("nk") === col("nk2"), "full")
+        .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+          col("nk").isNotNull.as("has_customer"),
+          col("nk2").isNotNull.as("has_supplier"))
+    }),
+
+    // date part extraction + truncation
+    "q_date_funcs" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"),
+          min(date_trunc("month", col("o_orderdate"))).as("month_start"))),
+
+    // exact interpolated percentiles per group
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_price"))),
+
+    // JSON column extraction (events.props is a JSON string)
+    "q_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))),
+
+    // string-function surface
+    "q_string_funcs" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        split_part(col("p_name"), lit(" "), lit(2)).as("second_word"),
+        lpad(col("p_partkey").cast(StringType), 8, "0").as("padded"),
+        translate(col("p_brand"), "#", "-").as("brand_t"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        trim(concat(lit("  "), col("p_type"), lit(" "))).as("trimmed"))),
+
+    // conditional aggregation
+    "q_conditional_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("n_urgent"),
+          sum(when(col("o_totalprice") > 200000,
+            col("o_totalprice").cast(DecimalType(18, 4))).otherwise(lit(0)))
+            .cast(DoubleType).as("big_total"),
+          count(lit(1)).as("n"))),
+
+    // composite equi + range join predicate
+    "q_join_range" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      l.join(o, l("l_orderkey") === o("o_orderkey") &&
+          l("l_shipdate") >= o("o_orderdate"))
+        .groupBy(year(col("o_orderdate")).as("y"))
+        .agg(count(lit(1)).as("n_shipped_after"))
+    }),
+
+    // pivot: explicit value list ⇒ deterministic output columns
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))),
+
+    // SQL layer: GROUPING SETS (not expressible via the DataFrame API)
+    "q_sql_grouping_sets" -> ((s, dir) => {
+      registerViews(s, dir)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+    }),
+
+    // SQL layer: IN / NOT IN subqueries
+    "q_sql_in_subquery" -> ((s, dir) => {
+      registerViews(s, dir)
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer
+           WHERE c_nationkey IN (SELECT s_nationkey FROM supplier)
+             AND c_acctbal > 5000""")
+    }),
+
+    // SQL layer: scalar subquery in the projection
+    "q_sql_scalar_subquery" -> ((s, dir) => {
+      registerViews(s, dir)
+      s.sql(
+        """SELECT r_name,
+             (SELECT COUNT(*) FROM nation WHERE n_regionkey = r_regionkey) AS n_nations
+           FROM region""")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_left_outer_join" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey""",
+    "q_full_outer_join" ->
+      """WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS nk2 FROM supplier)
+         SELECT coalesce(nk, nk2) AS nationkey,
+                nk IS NOT NULL AS has_customer,
+                nk2 IS NOT NULL AS has_supplier
+         FROM cn FULL OUTER JOIN sn ON nk = nk2""",
+    "q_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+           COUNT(*) AS n, CAST(min(date_trunc('month', o_orderdate)) AS TIMESTAMP) AS month_start
+         FROM orders GROUP BY 1, 2""",
+    "q_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_json_extract" ->
+      """SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+         FROM events GROUP BY event_type""",
+    "q_string_funcs" ->
+      """SELECT p_partkey, split_part(p_name, ' ', 2) AS second_word,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+           translate(p_brand, '#', '-') AS brand_t,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           trim('  ' || p_type || ' ') AS trimmed
+         FROM part""",
+    "q_conditional_agg" ->
+      """SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+           CAST(SUM(CASE WHEN o_totalprice > 200000
+                    THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE) AS big_total,
+           COUNT(*) AS n
+         FROM orders GROUP BY o_orderstatus""",
+    "q_join_range" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, COUNT(*) AS n_shipped_after
+         FROM lineitem JOIN orders
+           ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate
+         GROUP BY 1""",
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS "F",
+           CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS "O",
+           CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS "P"
+         FROM orders GROUP BY o_orderpriority""",
+    "q_sql_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    "q_sql_in_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_nationkey IN (SELECT s_nationkey FROM supplier)
+           AND c_acctbal > 5000""",
+    "q_sql_scalar_subquery" ->
+      """SELECT r_name,
+           (SELECT COUNT(*) FROM nation WHERE n_regionkey = r_regionkey) AS n_nations
+         FROM region""",
+  )
+}
