@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for the engine's native Catalyst expressions, so
+  * `spark.sql("SELECT be_int4(i), array_dot(a, b) ...")` works like any
+  * built-in.
+  *
+  * Two registration paths:
+  *  - [[GraftExtensions]] — `SparkSessionExtensions` injection for
+  *    `spark.sql.extensions=graft.functions.GraftExtensions` at session
+  *    build time (the deployment path);
+  *  - [[GraftFunctions.register]] — runtime registration on an existing
+  *    session (the embedded-library path used by the query inventory).
+  */
+object GraftFunctions {
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "be_int4" -> (es => IntToBigEndianBinary(es.head)),
+    "array_dot" -> (es => ArrayDotProduct(es.head, es(1))))
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    functions.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}

@@ -123,6 +123,25 @@ object SqlSurface {
              (SELECT COUNT(*) FROM nation WHERE n_regionkey = r_regionkey) AS n_nations
            FROM region""")
     }),
+
+    // SQL layer: the engine's native expressions callable from SQL
+    "q_sql_custom_funcs" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      registerViews(s, dir)
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql(
+        """SELECT p_partkey, be_int4(p_size) AS size_be FROM part
+           WHERE p_size >= 0""")
+    }),
+    "q_sql_array_dot" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql(
+        """SELECT vec_id,
+             round(array_dot(CAST(embedding AS ARRAY<DOUBLE>),
+                             CAST(embedding AS ARRAY<DOUBLE>)), 6) AS norm_sq
+           FROM embeddings""")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -187,5 +206,13 @@ object SqlSurface {
       """SELECT r_name,
            (SELECT COUNT(*) FROM nation WHERE n_regionkey = r_regionkey) AS n_nations
          FROM region""",
+    "q_sql_custom_funcs" ->
+      """SELECT p_partkey, unhex(lpad(to_hex(p_size), 8, '0')) AS size_be
+         FROM part WHERE p_size >= 0""",
+    "q_sql_array_dot" ->
+      """SELECT vec_id,
+           round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])), 6) AS norm_sq
+         FROM embeddings""",
   )
 }

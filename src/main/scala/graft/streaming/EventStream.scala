@@ -2,8 +2,9 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Structured Streaming surface: the engine's stream path for the `events`
@@ -22,6 +23,61 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object EventStream {
 
   private val counter = new AtomicInteger()
+
+  case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+  case class OpenSession(start: Long, last: Long, n: Long) // epoch micros
+  case class Session(user_id: Long, session_start: java.sql.Timestamp, n_events: Long)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+  private def fromMicros(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(us / 1000000L,
+      (us % 1000000L) * 1000L))
+
+  /** TRUE incremental sessionization: per-user custom state via
+    * `flatMapGroupsWithState`, event-time timeout closes a session once the
+    * watermark passes `last event + gap`. Emits each closed session exactly
+    * once (Append mode). This is the streaming form of [[sessionize]] — at
+    * scale the state store holds one `OpenSession` (24 bytes) per active
+    * user, and the watermark bounds it: idle users' state is reaped on
+    * timeout, so state size tracks ACTIVE users, not all users ever seen. */
+  def sessionizeIncremental(events: Dataset[Ev], gapMinutes: Int): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60000000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (uid, it, state) =>
+        val evs = it.toVector.sortBy(e => (micros(e.ts), e.event_id))
+        if (evs.isEmpty) { // watermark-driven timeout: close the open session
+          val out = state.getOption.map(o => Session(uid, fromMicros(o.start), o.n))
+          state.remove()
+          out.iterator
+        } else {
+          var closed = Vector.empty[Session]
+          var open = state.getOption
+          evs.foreach { e =>
+            val t = micros(e.ts)
+            open = open match {
+              case Some(o) if t - o.last <= gapUs =>
+                Some(o.copy(last = math.max(o.last, t), n = o.n + 1))
+              case Some(o) =>
+                closed :+= Session(uid, fromMicros(o.start), o.n)
+                Some(OpenSession(t, t, 1))
+              case None => Some(OpenSession(t, t, 1))
+            }
+          }
+          open.foreach { o =>
+            state.update(o)
+            state.setTimeoutTimestamp(o.last / 1000L + gapMinutes * 60000L)
+          }
+          closed.iterator
+        }
+      }
+  }
 
   /** Tumbling 1-hour windows per event_type: (window_start, event_type, n,
     * sum_value). Runs the stream to completion and returns the result. */

@@ -60,6 +60,36 @@ class PipelineSpec extends SparkSuite {
     assert(ids.where(col("mn") =!= 1).count() === 0)
   }
 
+  test("incremental sessionization: flatMapGroupsWithState emits closed sessions matching batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream.{Ev, Session}
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = graft.streaming.EventStream
+      .sessionizeIncremental(input.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("inc_sessions").start()
+    try {
+      // user 7: two events 5 min apart (one session), then a 2h gap
+      input.addData(
+        Ev(7L, 1L, ts("2024-01-01 10:00:00")),
+        Ev(7L, 2L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // nothing closed yet: watermark hasn't passed start+gap
+      assert(spark.table("inc_sessions").count() === 0)
+      // a much later event advances the watermark past 10:05+30min,
+      // closing the first session and opening a new one
+      input.addData(Ev(7L, 3L, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      input.addData(Ev(7L, 4L, ts("2024-01-01 16:00:00")))
+      q.processAllAvailable()
+      val closed = spark.table("inc_sessions").as[Session].collect()
+        .map(s => (s.user_id, s.session_start.toString, s.n_events)).toSet
+      assert(closed.contains((7L, "2024-01-01 10:00:00.0", 2L)))
+      assert(closed.contains((7L, "2024-01-01 13:00:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("multimodal: per-partition codec, md5 matches builtin, stub dims deterministic") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val feats = Multimodal.extractFeatures(spark, docs)
