@@ -91,21 +91,26 @@ object Dedup {
     * to est >= minEst. */
   def minHashPairs(docs: DataFrame, n: Int, minEst: Double): DataFrame = {
     val sigd = minHashSignatures(docs, n)
-    // band key = md5 of the band's r signature values joined with '|'
-    val banded = sigd.select(col("doc_id"), col("sig"),
+    // band key = md5 of the band's r signature values joined with '|'.
+    // The band join carries ONLY (doc_id, band, bkey) — signatures are
+    // re-attached after candidate dedup, so the hot self-join shuffles
+    // ~50 bytes per (doc, band) instead of the full k-vector.
+    val banded = sigd.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(Bands - 1)),
         j => struct(j.as("band"),
           md5(concat_ws("|",
             slice(col("sig"), j * lit(RowsPerBand) + lit(1), lit(RowsPerBand)))
             .cast(BinaryType)).as("bkey")))).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.sig").as("siga"), col("y.sig").as("sigb"))
-      .dropDuplicates("a", "b")
-    cand.select(col("a"), col("b"),
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    cand
+      .join(sigd.select(col("doc_id").as("a"), col("sig").as("siga")), "a")
+      .join(sigd.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
+      .select(col("a"), col("b"),
         (size(filter(sequence(lit(0), lit(MinHashK - 1)),
           i => element_at(col("siga"), i + lit(1)) === element_at(col("sigb"), i + lit(1))))
           .cast(DoubleType) / lit(MinHashK.toDouble)).as("est_jaccard"))

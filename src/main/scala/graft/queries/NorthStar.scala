@@ -35,10 +35,17 @@ object NorthStar {
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
         TextOps.langId(col("text")).as("pred_lang"))),
 
-    "doc_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-        TextOps.fingerprintMd5(col("text")).as("fp_md5"),
-        TextOps.fingerprintShingleMin(col("text"), N).as("fp_shingle"))),
+    // relational form: explode shingles → codegen'd md5 → map-side min agg
+    // (the HOF column form TextOps.fingerprintShingleMin runs interpreted)
+    "doc_fingerprint" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mins = docs
+        .select(col("doc_id"), explode(TextOps.shingles(col("text"), N)).as("sh"))
+        .groupBy(col("doc_id"))
+        .agg(min(md5(col("sh").cast("binary"))).as("fp_shingle"))
+      docs.select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fp_md5"))
+        .join(mins, "doc_id")
+    }),
 
     // exact cosine top-10 for the first 5 vectors as queries
     "ann_cosine_topk" -> ((s, dir) => {

@@ -101,6 +101,21 @@ object Relational {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
     }),
 
+    // Same result as q_window_topn_per_cust via the custom bounded top-k
+    // aggregate: map-side combine ships k pairs per key through the
+    // exchange instead of sorting every row of every key (see
+    // graft.functions.TopKPairs).
+    "q_topk_custom_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(graft.functions.TopKPairs.topK(
+          struct(col("o_totalprice"), col("o_orderkey")), 3).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("o_custkey"),
+          col("t.payload").as("o_orderkey"),
+          col("t.ord").as("o_totalprice"),
+          (col("pos") + 1).cast(IntegerType).as("rn"))),
+
     // Window: running frame (rows between unbounded preceding and current).
     "q_window_running_sum" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
@@ -233,6 +248,12 @@ object Relational {
           JOIN nation ON s_nationkey = n_nationkey
           JOIN region ON n_regionkey = r_regionkey
           GROUP BY n_name""",
+    "q_topk_custom_agg" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) t WHERE rn <= 3""",
     "q_window_topn_per_cust" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,

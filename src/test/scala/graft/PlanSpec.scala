@@ -65,6 +65,17 @@ class PlanSpec extends SparkSuite {
     assert(p.linesIterator.exists(l => l.contains("Project") && l.contains("codegen id")), p)
   }
 
+  test("TopKPairs aggregate: equals the window top-n result, with a partial (map-side) phase") {
+    val viaAgg = SparkEntry.queries("q_topk_custom_agg")(spark, sf001)
+    val viaWindow = SparkEntry.queries("q_window_topn_per_cust")(spark, sf001)
+    assert(viaAgg.exceptAll(viaWindow).count() === 0)
+    assert(viaWindow.exceptAll(viaAgg).count() === 0)
+    val p = viaAgg.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // partial + final ObjectHashAggregate: k pairs per key cross the exchange
+    assert(p.linesIterator.count(_.matches("""\(\d+\) ObjectHashAggregate.*""")) >= 2, p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("semi/anti joins never materialize right-side payload columns") {
     val p = plan("q_semi_join")
     assert(p.contains("LeftSemi"), p)
