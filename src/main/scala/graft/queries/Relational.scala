@@ -116,6 +116,27 @@ object Relational {
           col("t.ord").as("o_totalprice"),
           (col("pos") + 1).cast(IntegerType).as("rn"))),
 
+    // Skew-safe two-phase aggregation: l_returnflag has 3 values over 600k
+    // rows — the canonical hot-key shape. Salted partials spread each hot
+    // group over 16 reducers; decimal sums make the two-phase result
+    // EXACTLY equal to the direct groupBy (same oracle).
+    "q_skew_salted_agg" -> ((s, dir) =>
+      graft.operators.SkewOps.saltedAgg(
+        t(s, dir, "lineitem"),
+        groupCols = Seq("l_returnflag"),
+        valueCol = col("l_quantity"),
+        alias = "sum_qty",
+        spreadOn = col("l_orderkey"),
+        buckets = 16)),
+
+    // Approximate distinct (HLL sketch): benched rows-only — sketch
+    // estimates are engine-specific, so no value-level oracle exists.
+    "q_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))),
+
     // Window: running frame (rows between unbounded preceding and current).
     "q_window_running_sum" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
@@ -260,6 +281,9 @@ object Relational {
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
            FROM orders) t WHERE rn <= 3""",
+    "q_skew_salted_agg" ->
+      s"""SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
+          FROM lineitem GROUP BY l_returnflag""",
     "q_window_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))

@@ -94,6 +94,17 @@ class SourceDriversSpec extends SparkSuite {
     assert(csvEquivalent.cells.count() === 27)
   }
 
+  test("ORC roundtrip: the supported modern columnar input (RCFile's successor)") {
+    val dir = tmpDir() + "/orc"
+    val df = rows9.toDF((0 until 9).map(i => s"c$i"): _*)
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema === df.schema)
+    assert(back.count() === 3)
+    val r = BulkLoad.fromPositional(back, spark.emptyDataFrame, BulkLoad.Config())
+    assert(r.cells.count() === 27)
+  }
+
   test("salting spreads rows across buckets and keeps per-bucket sort") {
     val dir = tmpDir()
     rows9.map(r => r.productIterator.mkString(""))
