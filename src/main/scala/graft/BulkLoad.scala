@@ -76,8 +76,7 @@ object BulkLoad {
     val kept = df.where(col(idCol).isNotNull)
     val cells = CellOps.explodeNamed(kept, keys.reversedKey(col(idCol)),
       cfg.family, df.columns.toSeq, cfg.loadTs)
-    Result(RegionSort.sortedByRange(maybeSalt(cells, cfg), cfg.regions),
-      df.where(col(idCol).isNull), SortedParquetCellSink)
+    Result(sorted(cells, cfg), df.where(col(idCol).isNull), SortedParquetCellSink)
   }
 
   /** RCFile driver (reference `BulkImporterFromRC`), key fields normalized
@@ -99,15 +98,21 @@ object BulkLoad {
         CellOps.explodeNamed(kept, rowKey, cfg.family,
           (0 until cfg.arity).map(i => s"c$i"), cfg.loadTs)
     }
-    Result(RegionSort.sortedByRange(maybeSalt(cells, cfg), cfg.regions),
-      quarantined, SortedParquetCellSink)
+    Result(sorted(cells, cfg), quarantined, SortedParquetCellSink)
   }
 
-  private def maybeSalt(cells: DataFrame, cfg: Config): DataFrame =
+  /** Salted loads get EXACT region alignment (the salt digits ARE the
+    * table's pre-split boundaries, create_table.rb:1) via the custom
+    * RegionAlignedSort operator; unsalted MD5 keys are uniform, where
+    * Catalyst's sampled range exchange is accurate and cheaper. */
+  private def sorted(cells: DataFrame, cfg: Config): DataFrame =
     cfg.saltBuckets match {
       case Some(b) =>
-        cells.withColumn("row", concat(keys.saltPrefix(crc32(col("row")), b), col("row")))
-      case None => cells
+        val salted = cells.withColumn("row",
+          concat(keys.saltPrefix(crc32(col("row")), b), col("row")))
+        graft.plans.RegionAlignedSort(salted, RegionSort.saltSplits(b))
+      case None =>
+        RegionSort.sortedByRange(cells, cfg.regions)
     }
 }
 

@@ -31,11 +31,14 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: native functions + the
+  * region-aligned-sort planner strategy. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    e.injectPlannerStrategy(_ => graft.plans.RegionSortStrategy)
+  }
 }

@@ -105,6 +105,38 @@ class CellPipelineSpec extends SparkSuite {
     assert(p.getPartition(Array[Byte](0x10, 0x00)) === 1) // longer key after prefix
   }
 
+  test("RegionAlignedSort (custom LogicalPlan/SparkPlan): exact alignment inside the DataFrame world") {
+    val path = "/root/reference/src/main/resources/iouzipcodes2011.csv"
+    val (kept, _) = Delimited.naiveSplit(spark, path, ",", 9)
+    val rowKey = keys.saltedKey(crc32(col("c0")), 10,
+      keys.md5CompositeKey(Seq(col("c0"), col("c1"), col("c2"), col("c3"))))
+    val cells = CellOps.explodeIndexed(kept, rowKey, "c", (0 until 3).map(i => col(s"c$i")))
+    val sorted = graft.plans.RegionAlignedSort(cells, RegionSort.saltSplits(10))
+    // still a DataFrame: downstream relational ops compose
+    assert(sorted.schema === cells.schema)
+    assert(sorted.groupBy().count().head().getLong(0) === 36992L * 3)
+    // physical plan contains the custom exec node
+    assert(sorted.queryExecution.executedPlan
+      .exists(_.isInstanceOf[graft.plans.RegionAlignedSortExec]),
+      sorted.queryExecution.executedPlan.toString)
+    val perPart = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var prev: Array[Byte] = null
+      var ok = true
+      var n = 0L
+      for (r <- it) {
+        val k = r.getAs[Array[Byte]]("row")
+        ok &&= k(0) == ('0' + i).toByte // exact salt-region alignment
+        if (prev != null) ok &&= RegionSort.unsignedBytes.compare(prev, k) <= 0
+        prev = k
+        n += 1
+      }
+      Iterator.single((ok, n))
+    }.collect()
+    assert(perPart.length === 10)
+    assert(perPart.forall(_._1))
+    assert(perPart.map(_._2).sum === 36992L * 3)
+  }
+
   test("partitionByRegions: exact alignment + KV sort within each region") {
     val path = "/root/reference/src/main/resources/iouzipcodes2011.csv"
     val (kept, _) = Delimited.naiveSplit(spark, path, ",", 9)
