@@ -69,16 +69,31 @@ object Dedup {
         s => md5(concat(i.cast(StringType), lit(":"), s).cast(BinaryType)))))
   }
 
-  /** Same signatures as a relational plan: explode shingles, compute the k
-    * md5s as PLAIN codegen'd columns, and take per-document mins with
+  /** Universal-hash family over one md5 base hash per shingle:
+    * base = first 7 md5 hex chars (28 bits); h_i = (a_i·base + b_i) mod
+    * 2^31-1 with md5-derived odd constants a_i, b_i. The product stays
+    * under 2^62, so the arithmetic is exact in any 64-bit engine — the
+    * DuckDB oracle mirrors it literally. One md5 per shingle instead of k. */
+  val MinHashPrime = 2147483647L // 2^31 - 1
+  def hashConstant(tag: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(tag.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % (MinHashPrime - 1)) + 1 // in [1, p-1]
+  }
+
+  /** Same signatures as a relational plan: explode shingles, ONE codegen'd
+    * md5 base hash per shingle, k affine transforms, per-document mins with
     * map-side partial aggregation. Nested-HOF lambdas run interpreted in
-    * Spark (measured ~20× slower here); this shape also scales better —
-    * the min-agg combines map-side, so the shuffle carries one k-vector
-    * per document regardless of document length. */
+    * Spark (measured ~20× slower); this shape also scales better — the
+    * min-agg combines map-side, so the shuffle carries one k-vector per
+    * document regardless of document length. */
   def minHashSignatures(docs: DataFrame, n: Int): DataFrame = {
     val sh = docs.select(col("doc_id"), explode(TextOps.shingles(col("text"), n)).as("s"))
+      .withColumn("base", conv(substring(md5(col("s").cast(BinaryType)), 1, 7), 16, 10)
+        .cast(LongType))
     val hashMins = (0 until MinHashK).map { i =>
-      min(md5(concat(lit(s"$i:"), col("s")).cast(BinaryType))).as(s"h$i")
+      val (a, b) = (hashConstant(s"a$i"), hashConstant(s"b$i"))
+      min(pmod(col("base") * lit(a) + lit(b), lit(MinHashPrime))).as(s"h$i")
     }
     sh.groupBy(col("doc_id"))
       .agg(hashMins.head, hashMins.tail: _*)
@@ -99,7 +114,8 @@ object Dedup {
       explode(transform(sequence(lit(0), lit(Bands - 1)),
         j => struct(j.as("band"),
           md5(concat_ws("|",
-            slice(col("sig"), j * lit(RowsPerBand) + lit(1), lit(RowsPerBand)))
+            transform(slice(col("sig"), j * lit(RowsPerBand) + lit(1), lit(RowsPerBand)),
+              x => x.cast(StringType)))
             .cast(BinaryType)).as("bkey")))).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     val cand = banded.as("x").join(banded.as("y"),

@@ -81,16 +81,28 @@ object NorthStar {
         FROM cm JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
         WHERE CAST(common AS DOUBLE)/(sa.nsh + sb.nsh - common) >= 0.8"""
 
+  /** DuckDB literal mirror of the universal-hash family: one md5 base per
+    * shingle, k affine transforms with the same md5-derived constants. */
+  private val minhashSigSql = {
+    val terms = (0 until Dedup.MinHashK).map { i =>
+      val (a, b) = (Dedup.hashConstant(s"a$i"), Dedup.hashConstant(s"b$i"))
+      s"list_min(list_transform(bs, x -> ($a * x + $b) % ${Dedup.MinHashPrime}))"
+    }.mkString(", ")
+    s"[$terms]"
+  }
+
   private val minhashSql =
     s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
         shd AS (SELECT doc_id, $shingleExpr ss FROM t0 WHERE len(w) >= $N),
-        sig AS (SELECT doc_id,
-                 list_transform(range(${Dedup.MinHashK}),
-                   i -> list_min(list_transform(ss, s -> md5(i||':'||s)))) sg
-                FROM shd),
+        based AS (SELECT doc_id,
+                   list_transform(ss, s -> CAST(('0x'||substr(md5(s),1,7)) AS BIGINT)) bs
+                  FROM shd),
+        sig AS (SELECT doc_id, $minhashSigSql sg FROM based),
         bands AS (SELECT doc_id, sg, unnest(range(${Dedup.Bands})) j FROM sig),
         bk AS (SELECT doc_id, j,
-                md5(array_to_string(sg[j*${Dedup.RowsPerBand}+1:j*${Dedup.RowsPerBand}+${Dedup.RowsPerBand}], '|')) bkey
+                md5(array_to_string(list_transform(
+                  sg[j*${Dedup.RowsPerBand}+1:j*${Dedup.RowsPerBand}+${Dedup.RowsPerBand}],
+                  x -> CAST(x AS VARCHAR)), '|')) bkey
                FROM bands),
         cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b
                  FROM bk x JOIN bk y ON x.j = y.j AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
