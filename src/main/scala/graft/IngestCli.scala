@@ -6,16 +6,19 @@ import org.apache.spark.sql.SparkSession
   * (BulkImporterFromText.java:164-168, sample_run.sh) re-expressed:
   *
   *   IngestCli <csv|csv-compat|hivetext|avro|rcfile> <input> <output>
-  *             [--arity N] [--salt BUCKETS] [--regions N]
+  *             [--arity N] [--salt BUCKETS] [--regions N] [--conf FILE]
   *
-  * Runs the bulk-load pipeline and prints one JSON stats line
-  * (cells, quarantined rows, regions). Plain args, dependency-free. */
+  * `--conf FILE` merges a `key=value`-per-line properties file into the
+  * SparkConf — the reference's `hbase-site.xml` first argument
+  * (BulkImporterFromText.java:82-83) generalized. Runs the bulk-load
+  * pipeline and prints one JSON stats line (cells, quarantined rows,
+  * regions). Plain args, dependency-free. */
 object IngestCli {
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
       System.err.println(
         "usage: IngestCli <csv|csv-compat|hivetext|avro|rcfile> <input> <output> " +
-          "[--arity N] [--salt BUCKETS] [--regions N]")
+          "[--arity N] [--salt BUCKETS] [--regions N] [--conf FILE]")
       sys.exit(2)
     }
     val Array(format, input, output) = args.take(3)
@@ -27,14 +30,26 @@ object IngestCli {
       regions = opts.get("--regions").map(_.toInt).getOrElse(10),
       saltBuckets = opts.get("--salt").map(_.toInt))
 
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-ingest")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // S5 config source: merge key=value lines (skips blanks / #comments)
+    opts.get("--conf").foreach { f =>
+      scala.io.Source.fromFile(f).getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .flatMap { l =>
+          l.split("=", 2) match {
+            case Array(k, v) => Some(k.trim -> v.trim)
+            case _ => None
+          }
+        }
+        .foreach { case (k, v) => builder.config(k, v) }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     try {

@@ -139,8 +139,13 @@ object Relational {
 
     // Window: running frame (rows between unbounded preceding and current).
     "q_window_running_sum" -> ((s, dir) => {
+      // l_quantity as the final tiebreak: (orderkey, linenumber) is NOT
+      // unique in the synthetic data, and at sf0.1 two rows tie on all
+      // other ordering columns — ordering by the summed value makes the
+      // running prefix sums identical regardless of physical order.
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc, col("l_quantity").asc)
       t(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           sum(col("l_quantity").cast(DecimalType(18, 4)))
@@ -288,7 +293,7 @@ object Relational {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
              OVER (PARTITION BY l_suppkey
-                   ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+                   ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
          FROM lineitem""",
     "q_rollup" ->
