@@ -14,16 +14,39 @@ import org.apache.spark.sql.SparkSession
   * pipeline and prints one JSON stats line (cells, quarantined rows,
   * regions). Plain args, dependency-free. */
 object IngestCli {
+
+  private val knownFlags = Set("--arity", "--salt", "--regions", "--conf")
+
+  /** UTF-8 properties file → ordered key/value pairs (standard
+    * `java.util.Properties` dialect: comments, blanks, `=`/`:`, escapes). */
+  def loadConf(path: String): Seq[(String, String)] = {
+    val props = new java.util.Properties()
+    val in = new java.io.InputStreamReader(
+      new java.io.FileInputStream(path), java.nio.charset.StandardCharsets.UTF_8)
+    try props.load(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    props.asScala.toSeq.map { case (k, v) => (k.toString, v.toString) }.sortBy(_._1)
+  }
+
+  private def usageExit(): Nothing = {
+    System.err.println(
+      "usage: IngestCli <csv|csv-compat|hivetext|avro|rcfile> <input> <output> " +
+        "[--arity N] [--salt BUCKETS] [--regions N] [--conf FILE]")
+    sys.exit(2)
+  }
+
   def main(args: Array[String]): Unit = {
-    if (args.length < 3) {
-      System.err.println(
-        "usage: IngestCli <csv|csv-compat|hivetext|avro|rcfile> <input> <output> " +
-          "[--arity N] [--salt BUCKETS] [--regions N] [--conf FILE]")
-      sys.exit(2)
-    }
+    if (args.length < 3) usageExit()
     val Array(format, input, output) = args.take(3)
-    val opts = args.drop(3).grouped(2).collect {
-      case Array(k, v) => k -> v
+    val rest = args.drop(3)
+    // strict flag parsing: unknown or dangling flags are errors, not noise
+    if (rest.length % 2 != 0) usageExit()
+    val opts = rest.grouped(2).map { case Array(k, v) =>
+      if (!knownFlags.contains(k)) {
+        System.err.println(s"unknown option: $k")
+        usageExit()
+      }
+      k -> v
     }.toMap
     val base = BulkLoad.Config(
       arity = opts.get("--arity").map(_.toInt).getOrElse(9),
@@ -37,18 +60,9 @@ object IngestCli {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    // S5 config source: merge key=value lines (skips blanks / #comments)
-    opts.get("--conf").foreach { f =>
-      scala.io.Source.fromFile(f).getLines()
-        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
-        .flatMap { l =>
-          l.split("=", 2) match {
-            case Array(k, v) => Some(k.trim -> v.trim)
-            case _ => None
-          }
-        }
-        .foreach { case (k, v) => builder.config(k, v) }
-    }
+    // S5 config source: merge the properties file into the SparkConf
+    opts.get("--conf").foreach(f =>
+      loadConf(f).foreach { case (k, v) => builder.config(k, v) })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

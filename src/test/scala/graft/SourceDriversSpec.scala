@@ -94,6 +94,15 @@ class SourceDriversSpec extends SparkSuite {
     assert(csvEquivalent.cells.count() === 27)
   }
 
+  test("IngestCli.loadConf: UTF-8 properties dialect (comments, colons, non-ASCII values)") {
+    val f = java.nio.file.Files.createTempFile("graft", ".conf")
+    java.nio.file.Files.write(f,
+      "# comment\nspark.a=1\nspark.b: zwei\nspark.c=/données/tmp\n"
+        .getBytes("UTF-8"))
+    val got = IngestCli.loadConf(f.toString)
+    assert(got === Seq("spark.a" -> "1", "spark.b" -> "zwei", "spark.c" -> "/données/tmp"))
+  }
+
   test("ORC roundtrip: the supported modern columnar input (RCFile's successor)") {
     val dir = tmpDir() + "/orc"
     val df = rows9.toDF((0 until 9).map(i => s"c$i"): _*)
