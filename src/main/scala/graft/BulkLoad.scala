@@ -46,7 +46,10 @@ object BulkLoad {
       compatNaiveSplit: Boolean = false,
       loadTs: Long = 0L)
 
-  /** Result: region-sorted cells + quarantined raw rows + the sink. */
+  /** Result: region-sorted cells + quarantined rows + the sink.
+    * `quarantined` is a single string column `value`: the raw line for
+    * parse-level rejects, a JSON rendering for rows rejected later (e.g.
+    * un-keyable rows whose key fields are null). */
   case class Result(cells: DataFrame, quarantined: DataFrame, sink: CellSink)
 
   /** CSV driver (reference `BulkImporterFromCSVText`). Strict RFC-4180 by
@@ -58,7 +61,7 @@ object BulkLoad {
       fromPositional(kept, rejected, cfg)
     } else {
       val kept = Delimited.strictCsv(spark, input, cfg.arity)
-      fromPositional(kept, kept.limit(0).select(lit("").as("value")).where(lit(false)), cfg)
+      fromPositional(kept, emptyQuarantine(spark), cfg)
     }
 
   /** Hive `\u0001`-delimited text driver (reference `BulkImporterFromText`). */
@@ -76,30 +79,46 @@ object BulkLoad {
     val kept = df.where(col(idCol).isNotNull)
     val cells = CellOps.explodeNamed(kept, keys.reversedKey(col(idCol)),
       cfg.family, df.columns.toSeq, cfg.loadTs)
-    Result(sorted(cells, cfg), df.where(col(idCol).isNull), SortedParquetCellSink)
+    val rejected = df.where(col(idCol).isNull)
+      .select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    Result(sorted(cells, cfg), rejected, SortedParquetCellSink)
   }
 
   /** RCFile driver (reference `BulkImporterFromRC`), key fields normalized
     * to in-range positions. */
   def rcFile(spark: SparkSession, input: String, cfg: Config = Config()): Result = {
     val kept = RCFileSource.read(spark, input, cfg.arity)
-    fromPositional(kept, kept.limit(0), cfg)
+    fromPositional(kept, emptyQuarantine(spark), cfg)
   }
 
-  /** Shared tail: positional columns → rowkey → cells → salt → region sort. */
+  /** Shared tail: positional columns → rowkey → cells → salt → region sort.
+    * Rows whose KEY fields contain nulls cannot be keyed (the composite MD5
+    * would be NULL) — they join the quarantine as JSON instead of silently
+    * producing key-less cells ('quarantine, not drop', ARCHITECTURE.md). */
   def fromPositional(kept: DataFrame, quarantined: DataFrame, cfg: Config): Result = {
+    val keyOk = cfg.keyFields.map(i => col(s"c$i").isNotNull).reduce(_ && _)
+    val keyable = kept.where(keyOk)
+    val unkeyable = kept.where(!keyOk)
+      .select(to_json(struct(kept.columns.map(col): _*)).as("value"))
     val keyCols = cfg.keyFields.map(i => col(s"c$i"))
     val rowKey = keys.md5CompositeKey(keyCols)
     val valueCols = (0 until cfg.arity).map(i => col(s"c$i"))
     val cells = cfg.qualifiers match {
       case IndexQualifiers =>
-        CellOps.explodeIndexed(kept, rowKey, cfg.family, valueCols, cfg.loadTs)
+        CellOps.explodeIndexed(keyable, rowKey, cfg.family, valueCols, cfg.loadTs)
       case NameQualifiers =>
-        CellOps.explodeNamed(kept, rowKey, cfg.family,
+        CellOps.explodeNamed(keyable, rowKey, cfg.family,
           (0 until cfg.arity).map(i => s"c$i"), cfg.loadTs)
     }
-    Result(sorted(cells, cfg), quarantined, SortedParquetCellSink)
+    Result(sorted(cells, cfg), quarantined.unionByName(unkeyable), SortedParquetCellSink)
   }
+
+  /** Empty quarantine frame with the canonical single `value` column. */
+  def emptyQuarantine(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
 
   /** Salted loads get EXACT region alignment (the salt digits ARE the
     * table's pre-split boundaries, create_table.rb:1) via the custom

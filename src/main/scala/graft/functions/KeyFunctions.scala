@@ -19,6 +19,17 @@ case class IntToBigEndianBinary(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "be_int4"
 
+  /** SQL-registered, so non-int arguments must FAIL analysis (a silent
+    * long→int truncation would corrupt qualifiers above Int.MaxValue);
+    * the Column API (`keys.beInt4`) casts explicitly. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == IntegerType) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"be_int4 requires an INT argument, got ${child.dataType.sql}")
+    }
+
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[Int]
     Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
@@ -62,8 +73,11 @@ object keys {
     * reference's disabled design intent (RowKeyConverter.java:20-25) whose
     * `SPLITS ['0'..'9']` pre-split table assumes it (create_table.rb:1).
     * `pmod` keeps negatives in range. */
-  def saltPrefix(k: Column, buckets: Int): Column =
+  def saltPrefix(k: Column, buckets: Int): Column = {
+    require(buckets >= 2 && buckets <= 10,
+      s"salt buckets must be in [2,10] (single ASCII digit), got $buckets")
     encode(pmod(k.cast(LongType), lit(buckets.toLong)).cast(StringType), "UTF-8")
+  }
 
   /** Salted key = salt byte(s) ++ key bytes. */
   def saltedKey(k: Column, buckets: Int, key: Column): Column =

@@ -61,7 +61,12 @@ case class TopKPairs(child: Expression, k: Int,
     val v = child.eval(input)
     if (v != null) {
       val row = v.asInstanceOf[InternalRow]
-      insert(buf, (row.getDouble(0), row.getLong(1)))
+      // pairs with a null ord or payload are ignored (the window
+      // row_number form sorts nulls last; results agree whenever a key
+      // has >= k non-null rows — reading null slots would rank them at 0)
+      if (!row.isNullAt(0) && !row.isNullAt(1)) {
+        insert(buf, (row.getDouble(0), row.getLong(1)))
+      }
     }
     buf
   }

@@ -26,13 +26,15 @@ object CellOps {
 
   /** Wide row → cells with 4-byte big-endian column-index qualifiers
     * (text/CSV/RC reference paths; BulkImporterFromText.java:62-66).
-    * Null fields emit no cell (reference P4 null guard). `ts` defaults to a
+    * Null fields emit no cell (reference P4 null guard), and a NULL row
+    * key emits NO cells — a key-less cell is invalid downstream; BulkLoad
+    * quarantines such source rows before this point. `ts` defaults to a
     * caller-provided load timestamp so output is deterministic/testable. */
   def explodeIndexed(df: DataFrame, rowKey: Column, family: String,
                      valueCols: Seq[Column], ts: Long = 0L): DataFrame =
     df.select(rowKey.as("row"),
         posexplode(array(valueCols.map(_.cast(StringType)): _*)).as(Seq("pos", "v")))
-      .where(col("v").isNotNull)
+      .where(col("v").isNotNull && col("row").isNotNull)
       .select(
         col("row"),
         keys.utf8(lit(family)).as("family"),
@@ -51,7 +53,7 @@ object CellOps {
         values = valueCols.map(c => col(c).cast(StringType).as(c)).toArray,
         variableColumnName = "qual",
         valueColumnName = "v")
-      .where(col("v").isNotNull)
+      .where(col("v").isNotNull && col("__row").isNotNull)
       .select(
         col("__row").as("row"),
         keys.utf8(lit(family)).as("family"),

@@ -25,9 +25,12 @@ object Multimodal {
     * partition-wise batch loop in [[extractFeatures]] stays unchanged. */
   object FakeCodec {
     def decode(payload: Array[Byte]): (Int, Int) = {
-      // ??? — real codec goes here; deterministic fake dimensions:
+      // ??? — real codec goes here; deterministic fake dimensions
+      // (height = first Unicode codepoint, matching the oracle's ascii()
+      // semantics for non-ASCII leading characters too):
       val width = payload.length % 640
-      val height = if (payload.isEmpty) 0 else payload(0) & 0xff
+      val height =
+        if (payload.isEmpty) 0 else new String(payload, "UTF-8").codePointAt(0)
       (width, height)
     }
   }

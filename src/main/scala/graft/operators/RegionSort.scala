@@ -96,16 +96,14 @@ object RegionSort {
       .map(_._2)
   }
 
-  /** Sorted-cell sink: writes the region-partitioned, KV-sorted cells as
-    * parquet — the verifiable stand-in for `HFileOutputFormat2` when HBase
-    * jars are absent (SURVEY.md §7.4). Preserves the partition/order
-    * contract: file i holds region i's cells in KeyValue order. */
-  def writeSorted(cells: DataFrame, numRegions: Int, path: String): Unit =
-    sortedByRange(cells, numRegions).write.mode("overwrite").parquet(path)
-
   /** Region boundary generator for salted keys: one split per salt bucket
     * ('1'..'9' ASCII prefixes for 10 buckets — matches create_table.rb:1's
-    * `SPLITS ['0'..'9']` intent once salting is on). */
-  def saltSplits(buckets: Int): Array[Array[Byte]] =
+    * `SPLITS ['0'..'9']` intent once salting is on). Buckets are capped at
+    * 10: an 11th bucket's "10" prefix sorts BELOW "9" in byte order, which
+    * would break both monotonic splits and the 1-byte salt alignment. */
+  def saltSplits(buckets: Int): Array[Array[Byte]] = {
+    require(buckets >= 2 && buckets <= 10,
+      s"salt buckets must be in [2,10] (single ASCII digit), got $buckets")
     (1 until buckets).map(i => i.toString.getBytes("UTF-8")).toArray
+  }
 }

@@ -97,6 +97,20 @@ object SqlSurface {
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(count(lit(1)))),
 
+    // window-function breadth: lag/lead offsets, dense_rank, ntile
+    "q_window_lag_lead" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        dense_rank().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderpriority").asc)).as("prio_rank"),
+        ntile(4).over(w).as("quartile"))
+    }),
+
     // SQL layer: GROUPING SETS (not expressible via the DataFrame API)
     "q_sql_grouping_sets" -> ((s, dir) => {
       registerViews(s, dir)
@@ -194,6 +208,14 @@ object SqlSurface {
            CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS "O",
            CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS "P"
          FROM orders GROUP BY o_orderpriority""",
+    "q_window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+           lag(o_totalprice, 1) OVER w AS prev_price,
+           lead(o_totalprice, 1) OVER w AS next_price,
+           CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority ASC) AS INT) AS prio_rank,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""",
     "q_sql_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
          FROM lineitem

@@ -31,9 +31,11 @@ object RCFileSource {
         // eager copy: Hadoop reuses the Writable between records
         if (v.size() != arity) None
         else Some(Row.fromSeq((0 until arity).map { i =>
+          // empty bytes decode to "" (not null) — the same record through
+          // the text drivers yields an empty-string cell, and nulling key
+          // fields here would silently void the row key
           val ref = v.get(i)
-          if (ref.getLength == 0) null
-          else new String(ref.getData, ref.getStart, ref.getLength, "UTF-8")
+          new String(ref.getData, ref.getStart, ref.getLength, "UTF-8")
         }))
       }
     spark.createDataFrame(rows, Delimited.positionalSchema(arity))

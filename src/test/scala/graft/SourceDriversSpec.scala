@@ -20,20 +20,25 @@ class SourceDriversSpec extends SparkSuite {
     ("00601", "196", "Utility, With Comma", "PR", "Bundled", "Investor Owned", "0.2", "0.1", "0.3"),
     ("99999", "197", "Last Utility", "AK", "Energy", "Investor Owned", "0.3", "0.2", "0.1"))
 
-  test("csv driver: strict mode keeps quoted commas; compat mode skips them") {
+  test("csv driver: strict mode keeps quoted commas; compat mode skips them; un-keyable rows quarantine") {
     val dir = tmpDir()
     Seq(
       "35218,195,Alabama Power Co,AL,Bundled,Investor Owned,0.105,0.060,0.114",
-      "00601,196,\"Utility, With Comma\",PR,Bundled,Investor Owned,0.2,0.1,0.3"
+      "00601,196,\"Utility, With Comma\",PR,Bundled,Investor Owned,0.2,0.1,0.3",
+      "a,b" // short row: null-padded by PERMISSIVE parse, key fields c2/c3 null
     ).toDF("value").coalesce(1).write.mode("overwrite").text(dir)
 
     val strict = BulkLoad.csv(spark, dir)
-    assert(strict.cells.count() === 18) // both rows × 9 cells
-    assert(strict.quarantined.count() === 0)
+    assert(strict.cells.count() === 18) // 2 keyable rows × 9 cells
+    // NO cell may lack a row key: the short row is quarantined as JSON,
+    // not silently emitted with a NULL key
+    assert(strict.cells.where(col("row").isNull).count() === 0)
+    assert(strict.quarantined.count() === 1)
+    assert(strict.quarantined.head().getString(0).contains("\"c0\":\"a\""))
 
     val compat = BulkLoad.csv(spark, dir, BulkLoad.Config(compatNaiveSplit = true))
-    assert(compat.cells.count() === 9)  // quoted row quarantined (reference semantics)
-    assert(compat.quarantined.count() === 1)
+    assert(compat.cells.count() === 9)  // quoted + short rows quarantined (reference semantics)
+    assert(compat.quarantined.count() === 2)
   }
 
   test("hiveText driver: \\u0001-delimited parse + 64-byte keys") {
@@ -88,7 +93,7 @@ class SourceDriversSpec extends SparkSuite {
     assert(r.cells.where(length(col("row")) =!= 64).count() === 0)
     val csvEquivalent = BulkLoad.fromPositional(
       rows9.toDF((0 until 9).map(i => s"c$i"): _*),
-      spark.emptyDataFrame, BulkLoad.Config())
+      BulkLoad.emptyQuarantine(spark), BulkLoad.Config())
     val a = r.cells.where(col("value").cast("string").isin(rows9.map(_._1): _*))
     assert(a.count() === 3) // zip values present once each
     assert(csvEquivalent.cells.count() === 27)
@@ -110,7 +115,7 @@ class SourceDriversSpec extends SparkSuite {
     val back = spark.read.orc(dir)
     assert(back.schema === df.schema)
     assert(back.count() === 3)
-    val r = BulkLoad.fromPositional(back, spark.emptyDataFrame, BulkLoad.Config())
+    val r = BulkLoad.fromPositional(back, BulkLoad.emptyQuarantine(spark), BulkLoad.Config())
     assert(r.cells.count() === 27)
   }
 
