@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{NorthStar, Pipelines, ReferenceParity, Relational, SqlSurface}
+import graft.queries.{NorthStar, Pipelines, ReferenceParity, Relational, SqlSurface, TpchShapes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,10 +19,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceParity.defs ++ Relational.defs ++ SqlSurface.defs ++ NorthStar.defs ++ Pipelines.defs
+    ReferenceParity.defs ++ Relational.defs ++ SqlSurface.defs ++ TpchShapes.defs ++ NorthStar.defs ++ Pipelines.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ReferenceParity.oracle ++ Relational.oracle ++ SqlSurface.oracle ++ NorthStar.oracle ++ Pipelines.oracle
+    ReferenceParity.oracle ++ Relational.oracle ++ SqlSurface.oracle ++ TpchShapes.oracle ++ NorthStar.oracle ++ Pipelines.oracle
 }
