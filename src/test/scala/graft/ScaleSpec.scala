@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** At-scale mechanics that sf-sized correctness runs don't exercise:
+  * bucketed co-located joins, partition pruning, and streaming dedup
+  * state. These pin the behaviors ARCHITECTURE.md promises. */
+class ScaleSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fmt(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("bucketed tables join with ZERO exchanges (co-located join)") {
+    val o = spark.read.parquet(s"$sf001/orders.parquet")
+    val l = spark.read.parquet(s"$sf001/lineitem.parquet")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("orders_b")
+    l.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("lineitem_b")
+    // disable broadcast so the join must pick a shuffle-or-colocated plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val p = fmt(j)
+      // the join itself runs on bucket alignment: no Exchange below the join
+      val joinSection = p.substring(0, p.indexOf("HashAggregate"))
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey"), p)
+      assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey"), p)
+      // and the result is right
+      val n = j.agg(sum("n")).head().getLong(0)
+      assert(n === 6000L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("partition pruning: year-partitioned writes are pruned by the filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    spark.read.parquet(s"$sf001/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    val q = spark.read.parquet(dir).where(col("o_year") === 1996)
+      .agg(count(lit(1)).as("n"))
+    val p = fmt(q)
+    // the pruned scan reads only the 1996 partition directory
+    assert(p.contains("PartitionFilters"), p)
+    val scanLine = p.linesIterator.find(_.trim.startsWith("PartitionFilters")).get
+    assert(scanLine.contains("o_year"), scanLine)
+    val expected = spark.read.parquet(s"$sf001/orders.parquet")
+      .where(year(col("o_orderdate")) === 1996).count()
+    assert(q.head().getLong(0) === expected)
+  }
+
+  test("streaming dedup: dropDuplicatesWithinWatermark keeps one row per key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    case class E(id: Long, ts: java.sql.Timestamp)
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = input.toDF().toDF("id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:00:05")),
+        (2L, ts("2024-01-01 10:00:10")))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 10:01:00"))) // dup within watermark
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream").select("id").as[Long].collect().sorted
+      assert(got.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+}
