@@ -76,6 +76,21 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("as-of join: exactly one exchange (union + keyed window, no per-row probing)") {
+    val p = plan("asof_join_events_orders")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange.*""")) === 1, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("minhash signatures: partial (map-side) min aggregation before the exchange") {
+    val sig = graft.operators.Dedup.minHashSignatures(
+      spark.read.parquet(s"$sf001/documents.parquet"), 3)
+    val p = sig.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) HashAggregate.*""")) >= 2, p)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange.*""")) === 1, p)
+  }
+
   test("semi/anti joins never materialize right-side payload columns") {
     val p = plan("q_semi_join")
     assert(p.contains("LeftSemi"), p)
