@@ -37,11 +37,21 @@ object Dedup {
     docs.select(col("doc_id"), explode(TextOps.shingles(col("text"), n)).as("s"))
 
   /** Exact n-gram Jaccard near-dup pairs with similarity >= threshold.
-    * Output: (a, b, jaccard), a < b. */
+    * Output: (a, b, jaccard), a < b.
+    *
+    * The self-join runs only over shingles with document frequency > 1 —
+    * a singleton shingle can never produce a pair, so the pruning is
+    * EXACTNESS-PRESERVING (set sizes still count every shingle). On
+    * mostly-unique corpora this removes the bulk of the join input; the
+    * df-CAP (dropping too-common shingles) is the approximation beyond
+    * this and is deliberately NOT applied here. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     val sh = shingleIndex(docs, n)
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val common = sh.as("x").join(sh.as("y"),
+    val shared = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .where(col("df") > 1).select(col("s"))
+    val sh2 = sh.join(shared, "s")
+    val common = sh2.as("x").join(sh2.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("common"))
