@@ -91,6 +91,23 @@ class PlanSpec extends SparkSuite {
     assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange.*""")) === 1, p)
   }
 
+  test("global guard: no unintentional cross products anywhere in the inventory") {
+    // intentional: ANN brute force broadcasts the query set over the corpus
+    // (BroadcastNestedLoopJoin by design); q22 cross-joins a 1-row scalar agg
+    val intentional = Set("ann_cosine_topk", "ann_cosine_pairs", "ann_lsh_topk",
+      "q22_idle_balances")
+    // streaming query executes rather than explains statically
+    val skip = Set("stream_windowed_agg")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip.contains).flatMap { name =>
+        val p = SparkEntry.queries(name)(spark, sf001)
+          .queryExecution.explainString(ExplainMode.fromString("formatted"))
+        val crossy = p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
+        if (crossy && !intentional.contains(name)) Some(name) else None
+      }
+    assert(offenders.isEmpty, s"unintentional cross products in: $offenders")
+  }
+
   test("semi/anti joins never materialize right-side payload columns") {
     val p = plan("q_semi_join")
     assert(p.contains("LeftSemi"), p)
