@@ -42,7 +42,7 @@ object TpchShapes {
     "q17_small_quantity_revenue" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
       val avgQ = l.groupBy(col("l_partkey").as("p_key"))
-        .agg(((dsum(col("l_quantity")) / count(lit(1))) * 0.2).as("qty_threshold"))
+        .agg((davg(col("l_quantity")) * 0.2).as("qty_threshold"))
       l.join(avgQ, col("l_partkey") === col("p_key"))
         .where(col("l_quantity") < col("qty_threshold"))
         .agg((dsum(col("l_extendedprice")) / lit(7.0)).cast(DoubleType).as("avg_yearly"),
@@ -81,7 +81,7 @@ object TpchShapes {
       val c = t(s, dir, "customer")
       val big = t(s, dir, "orders").where(col("o_totalprice") > 300000)
       val avgBal = c.where(col("c_acctbal") > 0)
-        .agg((dsum(col("c_acctbal")) / count(lit(1))).as("ab"))
+        .agg(davg(col("c_acctbal")).as("ab"))
       c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
         .crossJoin(avgBal)
         .where(col("c_acctbal") > col("ab"))
@@ -107,7 +107,7 @@ object TpchShapes {
     "q17_small_quantity_revenue" ->
       s"""WITH avgq AS (
             SELECT l_partkey p_key,
-              (${dsumSql("l_quantity")} / COUNT(*)) * 0.2 AS qty_threshold
+              ${davgSql("l_quantity")} * 0.2 AS qty_threshold
             FROM lineitem GROUP BY l_partkey)
           SELECT CAST(${dsumSql("l_extendedprice")} / 7.0 AS DOUBLE) AS avg_yearly, COUNT(*) AS n
           FROM lineitem JOIN avgq ON l_partkey = p_key
@@ -126,7 +126,7 @@ object TpchShapes {
              OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
              OR (p_type = 'PROMO' AND p_size BETWEEN 20 AND 50)""",
     "q22_idle_balances" ->
-      s"""WITH ab AS (SELECT ${dsumSql("c_acctbal")} / COUNT(*) AS ab
+      s"""WITH ab AS (SELECT ${davgSql("c_acctbal")} AS ab
                       FROM customer WHERE c_acctbal > 0)
           SELECT c_nationkey, COUNT(*) AS numcust, ${dsumSql("c_acctbal")} AS totacctbal
           FROM customer, ab

@@ -20,6 +20,7 @@ class ScaleSpec extends SparkSuite {
     l.write.mode("overwrite").bucketBy(8, "l_orderkey")
       .sortBy("l_orderkey").saveAsTable("lineitem_b")
     // disable broadcast so the join must pick a shuffle-or-colocated plan
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val j = spark.table("lineitem_b")
@@ -27,42 +28,47 @@ class ScaleSpec extends SparkSuite {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))
       val p = fmt(j)
-      // the join itself runs on bucket alignment: no Exchange below the join
-      val joinSection = p.substring(0, p.indexOf("HashAggregate"))
       assert(p.contains("SortMergeJoin"), p)
-      assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey"), p)
-      assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey"), p)
+      // bucket alignment: the ONLY exchange is the groupBy's — an
+      // unbucketed shuffle join would add one per join side (3 total)
+      assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange.*""")) === 1, p)
       // and the result is right
       val n = j.agg(sum("n")).head().getLong(0)
       assert(n === 6000L)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
 
   test("partition pruning: year-partitioned writes are pruned by the filter") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
-    spark.read.parquet(s"$sf001/orders.parquet")
-      .withColumn("o_year", year(col("o_orderdate")))
-      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
-    val q = spark.read.parquet(dir).where(col("o_year") === 1996)
-      .agg(count(lit(1)).as("n"))
-    val p = fmt(q)
-    // the pruned scan reads only the 1996 partition directory
-    assert(p.contains("PartitionFilters"), p)
-    val scanLine = p.linesIterator.find(_.trim.startsWith("PartitionFilters")).get
-    assert(scanLine.contains("o_year"), scanLine)
-    val expected = spark.read.parquet(s"$sf001/orders.parquet")
-      .where(year(col("o_orderdate")) === 1996).count()
-    assert(q.head().getLong(0) === expected)
+    val dirPath = java.nio.file.Files.createTempDirectory("graft-part")
+    try {
+      val dir = dirPath.toString
+      spark.read.parquet(s"$sf001/orders.parquet")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+      val q = spark.read.parquet(dir).where(col("o_year") === 1996)
+        .agg(count(lit(1)).as("n"))
+      val p = fmt(q)
+      // the pruned scan reads only the 1996 partition directory
+      assert(p.contains("PartitionFilters"), p)
+      val scanLine = p.linesIterator.find(_.trim.startsWith("PartitionFilters")).get
+      assert(scanLine.contains("o_year"), scanLine)
+      val expected = spark.read.parquet(s"$sf001/orders.parquet")
+        .where(year(col("o_orderdate")) === 1996).count()
+      assert(q.head().getLong(0) === expected)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("streaming dedup: dropDuplicatesWithinWatermark keeps one row per key") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
-    case class E(id: Long, ts: java.sql.Timestamp)
     val input = MemoryStream[(Long, java.sql.Timestamp)]
     val q = input.toDF().toDF("id", "ts")
       .withWatermark("ts", "10 minutes")
