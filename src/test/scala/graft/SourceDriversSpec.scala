@@ -119,6 +119,45 @@ class SourceDriversSpec extends SparkSuite {
     assert(r.cells.count() === 27)
   }
 
+  test("cross-driver consistency: csv, hivetext and rcfile yield byte-identical cells") {
+    def cellSet(cells: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
+      cells.select(hex(col("row")), hex(col("qualifier")), hex(col("value")))
+        .as[(String, String, String)].collect().toSet
+
+    // csv (strict; RFC-quote fields containing commas)
+    val csvDir = tmpDir()
+    rows9.map(_.productIterator
+        .map(f => if (f.toString.contains(",")) "\"" + f + "\"" else f.toString)
+        .mkString(","))
+      .toDF("value").coalesce(1).write.mode("overwrite").text(csvDir)
+    val viaCsv = cellSet(BulkLoad.csv(spark, csvDir).cells)
+
+    // hive text
+    val hiveDir = tmpDir()
+    rows9.map(r => r.productIterator.mkString(""))
+      .toDF("value").coalesce(1).write.mode("overwrite").text(hiveDir)
+    val viaHive = cellSet(BulkLoad.hiveText(spark, hiveDir).cells)
+
+    // rcfile
+    val conf = new Configuration()
+    conf.setInt(RCFile.COLUMN_NUMBER_CONF_STR, 9)
+    val rcFilePath = new Path(tmpDir(), "data.rc")
+    val w = new RCFile.Writer(FileSystem.getLocal(conf), conf, rcFilePath)
+    rows9.foreach { r =>
+      val braw = new BytesRefArrayWritable(9)
+      r.productIterator.map(_.toString).zipWithIndex.foreach { case (v, i) =>
+        braw.set(i, new BytesRefWritable(v.getBytes("UTF-8")))
+      }
+      w.append(braw)
+    }
+    w.close()
+    val viaRc = cellSet(BulkLoad.rcFile(spark, rcFilePath.toString).cells)
+
+    assert(viaCsv === viaHive)
+    assert(viaCsv === viaRc)
+    assert(viaCsv.size === 27)
+  }
+
   test("salting spreads rows across buckets and keeps per-bucket sort") {
     val dir = tmpDir()
     rows9.map(r => r.productIterator.mkString(""))
