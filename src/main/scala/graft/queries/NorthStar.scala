@@ -47,6 +47,38 @@ object NorthStar {
         .join(mins, "doc_id")
     }),
 
+    // corpus vocabulary statistics: bigram document frequency, top 50
+    "text_top_bigrams" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(explode(TextOps.shingles(col("text"), 2)).as("bigram"))
+      sh.groupBy(col("bigram")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("bigram").asc)
+        .limit(50)
+    }),
+
+    // length-distribution histogram (100-char buckets)
+    "text_length_histogram" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(floor(length(col("text")) / 100).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          (sum(length(col("text"))).cast("double") / count(lit(1))).as("avg_len"))),
+
+    // decontamination: near-identical docs appearing under DIFFERENT
+    // sources (shingle-min fingerprint collision across source labels)
+    "dedup_cross_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fp = docs
+        .select(col("doc_id"), col("source"),
+          explode(TextOps.shingles(col("text"), N)).as("sh"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(min(md5(col("sh").cast("binary"))).as("fp"))
+      fp.as("x").join(fp.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id") &&
+            col("x.source") =!= col("y.source"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.source").as("source_a"), col("y.source").as("source_b"))
+    }),
+
     // exact cosine top-10 for the first 5 vectors as queries
     "ann_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -167,6 +199,25 @@ object NorthStar {
           SELECT doc_id, md5(text) AS fp_md5,
             list_min(list_transform($shingleExpr, s -> md5(s))) AS fp_shingle
           FROM t0 WHERE len(w) >= $N""",
+    "text_top_bigrams" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         sh AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(len(w)-1), i -> w[i+1]||' '||w[i+2]))) b
+                FROM t0 WHERE len(w) >= 2)
+         SELECT b AS bigram, COUNT(*) AS df FROM sh
+         GROUP BY 1 ORDER BY df DESC, bigram ASC LIMIT 50""",
+    "text_length_histogram" ->
+      """SELECT CAST(floor(length(text)/100) AS BIGINT) AS bucket, COUNT(*) AS n,
+           CAST(SUM(length(text)) AS DOUBLE)/COUNT(*) AS avg_len
+         FROM documents GROUP BY 1""",
+    "dedup_cross_source" ->
+      s"""WITH t0 AS (SELECT doc_id, source, string_split(text,' ') w, text FROM documents),
+          fp AS (SELECT doc_id, source,
+                  list_min(list_transform($shingleExpr, s -> md5(s))) f
+                 FROM t0 WHERE len(w) >= $N)
+          SELECT x.doc_id a, y.doc_id b, x.source source_a, y.source source_b
+          FROM fp x JOIN fp y
+            ON x.f = y.f AND x.doc_id < y.doc_id AND x.source <> y.source""",
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 5),
          c AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) nv FROM embeddings),

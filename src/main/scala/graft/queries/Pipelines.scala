@@ -34,6 +34,13 @@ object Pipelines {
     // multimodal: binary payloads + partition-wise stub decode
     "multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(s, t(s, dir, "documents")).toDF()),
+
+    // sliding (overlapping) windows: each event lands in two 2h windows
+    "sliding_window_counts" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("n"))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -69,6 +76,11 @@ object Pipelines {
                FROM y)
          SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start
          FROM z GROUP BY 1, 2""",
+    "sliding_window_counts" ->
+      """WITH e AS (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) h FROM events),
+         x AS (SELECT h AS ws FROM e
+               UNION ALL SELECT h - INTERVAL '1 hour' AS ws FROM e)
+         SELECT ws AS window_start, COUNT(*) AS n FROM x GROUP BY 1""",
     "multimodal_features" ->
       """SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
