@@ -90,6 +90,32 @@ class PipelineSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join: watermarked interval join matches the batch join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)] // (user, clickTime)
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]   // (user, buyTime)
+    val c = clicks.toDF().toDF("c_user", "c_ts").withWatermark("c_ts", "1 hour")
+    val b = buys.toDF().toDF("b_user", "b_ts").withWatermark("b_ts", "1 hour")
+    // buys attributed to a click within the preceding 30 minutes
+    val joined = c.join(b,
+      col("c_user") === col("b_user") &&
+        col("b_ts") >= col("c_ts") &&
+        col("b_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ss_join").start()
+    try {
+      clicks.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:05:00")))
+      buys.addData((1L, ts("2024-01-01 10:10:00")),   // within 30 min → match
+        (2L, ts("2024-01-01 11:30:00")),              // too late → no match
+        (3L, ts("2024-01-01 10:15:00")))              // no click → no match
+      q.processAllAvailable()
+      val got = spark.table("ss_join")
+        .select("c_user", "b_ts").as[(Long, java.sql.Timestamp)].collect().toSet
+      assert(got === Set((1L, ts("2024-01-01 10:10:00"))))
+    } finally q.stop()
+  }
+
   test("multimodal: per-partition codec, md5 matches builtin, stub dims deterministic") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val feats = Multimodal.extractFeatures(spark, docs)
