@@ -39,12 +39,9 @@ object NorthStar {
     // (the HOF column form TextOps.fingerprintShingleMin runs interpreted)
     "doc_fingerprint" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val mins = docs
-        .select(col("doc_id"), explode(TextOps.shingles(col("text"), N)).as("sh"))
-        .groupBy(col("doc_id"))
-        .agg(min(md5(col("sh").cast("binary"))).as("fp_shingle"))
       docs.select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fp_md5"))
-        .join(mins, "doc_id")
+        .join(shingleMinFp(docs, Seq("doc_id")).withColumnRenamed("fp", "fp_shingle"),
+          "doc_id")
     }),
 
     // corpus vocabulary statistics: bigram document frequency, top 50
@@ -66,12 +63,7 @@ object NorthStar {
     // decontamination: near-identical docs appearing under DIFFERENT
     // sources (shingle-min fingerprint collision across source labels)
     "dedup_cross_source" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val fp = docs
-        .select(col("doc_id"), col("source"),
-          explode(TextOps.shingles(col("text"), N)).as("sh"))
-        .groupBy(col("doc_id"), col("source"))
-        .agg(min(md5(col("sh").cast("binary"))).as("fp"))
+      val fp = shingleMinFp(t(s, dir, "documents"), Seq("doc_id", "source"))
       fp.as("x").join(fp.as("y"),
           col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id") &&
             col("x.source") =!= col("y.source"))
@@ -94,6 +86,15 @@ object NorthStar {
       Similarity.rpLshTopK(e, e.where(col("vec_id") < 5), 10, planes = 8, probes = 3)
     }),
   )
+
+  /** Shingle-min fingerprint (1-hash MinHash) per group, relationally:
+    * explode shingles → codegen'd md5 → map-side min agg. Single
+    * definition shared by doc_fingerprint and dedup_cross_source. */
+  private def shingleMinFp(docs: org.apache.spark.sql.DataFrame,
+                           groupCols: Seq[String]): org.apache.spark.sql.DataFrame =
+    docs.select(groupCols.map(col) :+ explode(TextOps.shingles(col("text"), N)).as("sh"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(md5(col("sh").cast("binary"))).as("fp"))
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -211,7 +212,7 @@ object NorthStar {
            CAST(SUM(length(text)) AS DOUBLE)/COUNT(*) AS avg_len
          FROM documents GROUP BY 1""",
     "dedup_cross_source" ->
-      s"""WITH t0 AS (SELECT doc_id, source, string_split(text,' ') w, text FROM documents),
+      s"""WITH t0 AS (SELECT doc_id, source, string_split(text,' ') w FROM documents),
           fp AS (SELECT doc_id, source,
                   list_min(list_transform($shingleExpr, s -> md5(s))) f
                  FROM t0 WHERE len(w) >= $N)

@@ -112,6 +112,18 @@ class PipelineSpec extends SparkSuite {
       q.processAllAvailable()
       val got = spark.table("ss_join")
         .select("c_user", "b_ts").as[(Long, java.sql.Timestamp)].collect().toSet
+      // the streamed result must equal the BATCH interval join over the
+      // same rows (pins streaming/batch boundary-semantics agreement)
+      val cb = Seq((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:05:00")))
+        .toDF("c_user", "c_ts")
+      val bb = Seq((1L, ts("2024-01-01 10:10:00")), (2L, ts("2024-01-01 11:30:00")),
+        (3L, ts("2024-01-01 10:15:00"))).toDF("b_user", "b_ts")
+      val batch = cb.join(bb,
+          col("c_user") === col("b_user") &&
+            col("b_ts") >= col("c_ts") &&
+            col("b_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+        .select("c_user", "b_ts").as[(Long, java.sql.Timestamp)].collect().toSet
+      assert(got === batch)
       assert(got === Set((1L, ts("2024-01-01 10:10:00"))))
     } finally q.stop()
   }

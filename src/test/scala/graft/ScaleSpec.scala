@@ -61,8 +61,10 @@ class ScaleSpec extends SparkSuite {
       assert(q.head().getLong(0) === expected)
     } finally {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      scala.util.Using.resource(java.nio.file.Files.walk(dirPath)) { walk =>
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
   }
 

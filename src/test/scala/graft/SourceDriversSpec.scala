@@ -15,6 +15,23 @@ class SourceDriversSpec extends SparkSuite {
   private def tmpDir(): String =
     java.nio.file.Files.createTempDirectory("graft-src").toString
 
+  /** Write `rows` as an RCFile fixture, returning its path. */
+  private def writeRcFixture(rows: Seq[Product], dir: String): Path = {
+    val conf = new Configuration()
+    conf.setInt(RCFile.COLUMN_NUMBER_CONF_STR, 9)
+    val file = new Path(dir, "data.rc")
+    val w = new RCFile.Writer(FileSystem.getLocal(conf), conf, file)
+    rows.foreach { r =>
+      val braw = new BytesRefArrayWritable(9)
+      r.productIterator.map(_.toString).zipWithIndex.foreach { case (v, i) =>
+        braw.set(i, new BytesRefWritable(v.getBytes("UTF-8")))
+      }
+      w.append(braw)
+    }
+    w.close()
+    file
+  }
+
   private lazy val rows9 = Seq(
     ("35218", "195", "Alabama Power Co", "AL", "Bundled", "Investor Owned", "0.105", "0.060", "0.114"),
     ("00601", "196", "Utility, With Comma", "PR", "Bundled", "Investor Owned", "0.2", "0.1", "0.3"),
@@ -72,22 +89,8 @@ class SourceDriversSpec extends SparkSuite {
   }
 
   test("rcFile driver: columnar read, arity guard, same cells as csv path") {
-    val conf = new Configuration()
-    conf.setInt(RCFile.COLUMN_NUMBER_CONF_STR, 9)
-    val dir = tmpDir()
-    val file = new Path(dir, "part-00000.rc")
-    val fs = FileSystem.getLocal(conf)
-    val w = new RCFile.Writer(fs, conf, file)
-    (rows9 :+ (("short", "row", "", "", "", "", "", "", ""))).foreach { r =>
-      val cols = r.productIterator.map(_.toString).toArray
-      val braw = new BytesRefArrayWritable(9)
-      cols.zipWithIndex.foreach { case (v, i) =>
-        braw.set(i, new BytesRefWritable(v.getBytes("UTF-8")))
-      }
-      w.append(braw)
-    }
-    w.close()
-
+    val file = writeRcFixture(rows9 :+ (("short", "row", "", "", "", "", "", "", "")),
+      tmpDir())
     val r = BulkLoad.rcFile(spark, file.toString)
     // 3 full rows ×9 cells + the 9-col "short" row (empty strings → null-ish?)
     assert(r.cells.where(length(col("row")) =!= 64).count() === 0)
@@ -139,18 +142,7 @@ class SourceDriversSpec extends SparkSuite {
     val viaHive = cellSet(BulkLoad.hiveText(spark, hiveDir).cells)
 
     // rcfile
-    val conf = new Configuration()
-    conf.setInt(RCFile.COLUMN_NUMBER_CONF_STR, 9)
-    val rcFilePath = new Path(tmpDir(), "data.rc")
-    val w = new RCFile.Writer(FileSystem.getLocal(conf), conf, rcFilePath)
-    rows9.foreach { r =>
-      val braw = new BytesRefArrayWritable(9)
-      r.productIterator.map(_.toString).zipWithIndex.foreach { case (v, i) =>
-        braw.set(i, new BytesRefWritable(v.getBytes("UTF-8")))
-      }
-      w.append(braw)
-    }
-    w.close()
+    val rcFilePath = writeRcFixture(rows9, tmpDir())
     val viaRc = cellSet(BulkLoad.rcFile(spark, rcFilePath.toString).cells)
 
     assert(viaCsv === viaHive)
