@@ -111,15 +111,12 @@ object Dedup {
         array((0 until MinHashK).map(i => col(s"h$i")): _*).as("sig"))
   }
 
-  /** LSH candidate pairs + signature-estimated Jaccard.
-    * Output: (a, b, est_jaccard = |equal minhash positions| / k), filtered
-    * to est >= minEst. */
-  def minHashPairs(docs: DataFrame, n: Int, minEst: Double): DataFrame = {
-    val sigd = minHashSignatures(docs, n)
-    // band key = md5 of the band's r signature values joined with '|'.
-    // The band join carries ONLY (doc_id, band, bkey) — signatures are
-    // re-attached after candidate dedup, so the hot self-join shuffles
-    // ~50 bytes per (doc, band) instead of the full k-vector.
+  /** LSH band candidate pairs (a < b, distinct) from MinHash signatures.
+    * Band key = md5 of the band's r signature values joined with '|'.
+    * The band join carries ONLY (doc_id, band, bkey) — signatures are
+    * re-attached after candidate dedup, so the hot self-join shuffles
+    * ~50 bytes per (doc, band) instead of the full k-vector. */
+  def minHashCandidates(sigd: DataFrame): DataFrame = {
     val banded = sigd.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(Bands - 1)),
         j => struct(j.as("band"),
@@ -128,11 +125,19 @@ object Dedup {
               x => x.cast(StringType)))
             .cast(BinaryType)).as("bkey")))).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val cand = banded.as("x").join(banded.as("y"),
+    banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
+  }
+
+  /** LSH candidate pairs + signature-estimated Jaccard.
+    * Output: (a, b, est_jaccard = |equal minhash positions| / k), filtered
+    * to est >= minEst. */
+  def minHashPairs(docs: DataFrame, n: Int, minEst: Double): DataFrame = {
+    val sigd = minHashSignatures(docs, n)
+    val cand = minHashCandidates(sigd)
     cand
       .join(sigd.select(col("doc_id").as("a"), col("sig").as("siga")), "a")
       .join(sigd.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
@@ -141,6 +146,35 @@ object Dedup {
           i => element_at(col("siga"), i + lit(1)) === element_at(col("sigb"), i + lit(1))))
           .cast(DoubleType) / lit(MinHashK.toDouble)).as("est_jaccard"))
       .where(col("est_jaccard") >= minEst)
+  }
+
+  /** The flagship corpus-dedup composition: MinHash-LSH candidate
+    * generation + EXACT n-gram Jaccard verification restricted to candidate
+    * pairs. Output: (a, b, jaccard), a < b, jaccard >= threshold (exact,
+    * not signature-estimated).
+    *
+    * This is the 100 TB shape the per-operator scaladocs promise: the
+    * quadratic inverted-index join ([[ngramJaccardPairs]]) never runs as a
+    * corpus pass — the only all-corpus work is the banded signature
+    * self-join (bucketed, ~50 B/row), and the exact verify fans each
+    * surviving candidate pair out over one side's shingles and equi-joins
+    * the other side's (doc, shingle) index, so verify cost is
+    * O(|candidates| · shingles/doc), independent of corpus size. */
+  def corpusDedup(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val cand = minHashCandidates(minHashSignatures(docs, n))
+    val sh = shingleIndex(docs, n)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val common = cand
+      .join(sh.select(col("doc_id").as("a"), col("s")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    common
+      .join(sz.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"),
+        (col("common").cast(DoubleType) /
+          (col("sa.nsh") + col("sb.nsh") - col("common"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
   }
 
   val SimHashBits = 16

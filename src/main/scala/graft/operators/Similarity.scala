@@ -1,7 +1,7 @@
 package graft.operators
 
+import graft.functions.TopKPairs
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -50,9 +50,19 @@ object Similarity {
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKByScore(scored, k)
   }
+
+  /** Per-qid top-k of (cos_sim DESC, nid ASC) via the bounded [[TopKPairs]]
+    * aggregate: map-side partial top-k means the exchange carries at most k
+    * pairs per qid instead of every scored pair landing on |Q| window
+    * reducers. Output: (qid, nid, cos_sim, rank), rank 1..k. */
+  private def topKByScore(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(TopKPairs.topK(struct(col("cos_sim"), col("nid")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.payload").as("nid"), col("col.ord").as("cos_sim"),
+        (col("pos") + 1).cast(IntegerType).as("rank"))
 
   /** All pairs with cosine >= threshold (embedding near-dup detection).
     * Exact O(n²) form — at scale, run [[rpLshTopK]]-style bucketing first
@@ -84,10 +94,20 @@ object Similarity {
   def plane(p: Int, dims: Int): Seq[Double] =
     (0 until dims).map(d => planeComponent(p, d))
 
-  /** Sign-bit sketch: bit p = (v · plane_p) >= 0. */
+  /** Sign-bit sketch: bit p = round(v · plane_p, 6) >= 0. The projection is
+    * rounded exactly like the cosine scores so an independent engine (the
+    * DuckDB oracle) computes identical buckets — fold-order float noise
+    * below 1e-6 cannot flip a sign bit. */
   def rpSketch(v: Column, planes: Int, dims: Int): Column =
-    (0 until planes).map { p =>
-      when(dot(v, typedlit(plane(p, dims))) >= 0, lit(1 << p)).otherwise(lit(0))
+    rpSketchRange(v, 0, planes, dims)
+
+  /** Sketch over the plane range [fromPlane, fromPlane+planes) — bands of a
+    * banded sketch reuse one deterministic plane family with offsets. Bit i
+    * of the result corresponds to plane fromPlane+i. */
+  def rpSketchRange(v: Column, fromPlane: Int, planes: Int, dims: Int): Column =
+    (0 until planes).map { i =>
+      when(round(dot(v, typedlit(plane(fromPlane + i, dims))), 6) >= 0,
+        lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** LSH-bucketed approximate top-k: candidates share the query's bucket
@@ -111,8 +131,41 @@ object Similarity {
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos_sim"))
-      .dropDuplicates("qid", "nid")
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .dropDuplicates("qid", "nid") // multi-probe can score a pair twice
+    topKByScore(scored, k)
+  }
+
+  /** Near-dup pairs at scale: banded RP-sketch candidate generation + exact
+    * cosine verify WITHIN buckets — the composition [[cosinePairs]]'s
+    * scaladoc promises. Each band b hashes planes [b·r, b·r+r); a pair is a
+    * candidate if it collides in ANY band (recall 1-(1-p^r)^bands for
+    * per-plane agreement p), and every candidate is verified with the exact
+    * dot product, so false positives are zero and the only approximation is
+    * band recall. The per-band self-join is an equi-join on (band, bucket) —
+    * no O(n²) BroadcastNestedLoopJoin anywhere in the plan; at 100 TB,
+    * planesPerBand scales with log(n) to keep E[bucket size] bounded. */
+  def cosinePairsBucketed(corpus: DataFrame, threshold: Double,
+                          bands: Int = 4, planesPerBand: Int = 4,
+                          dims: Int = 64): DataFrame = {
+    val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val banded = e.select(col("vec_id"), col("v"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            rpSketchRange(col("v"), b * planesPerBand, planesPerBand, dims).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    val va = e.select(col("vec_id").as("a"), col("v").as("va"))
+      .withColumn("an", norm2(col("va")))
+    val vb = e.select(col("vec_id").as("b"), col("v").as("vb"))
+      .withColumn("bn", norm2(col("vb")))
+    cand.join(va, "a").join(vb, "b")
+      .select(col("a"), col("b"),
+        round(dot(col("va"), col("vb")) / (col("an") * col("bn")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
   }
 }

@@ -19,6 +19,11 @@ object NorthStar {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), N, 0.8)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashPairs(t(s, dir, "documents"), N, 0.5)),
+    // the flagship corpus-dedup composition: LSH candidates → exact
+    // Jaccard verify restricted to candidates (no corpus-wide
+    // inverted-index self-join anywhere in the plan)
+    "dedup_corpus" -> ((s, dir) =>
+      Dedup.corpusDedup(t(s, dir, "documents"), N, 0.8)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
 
     "text_token_count" -> ((s, dir) =>
@@ -76,11 +81,14 @@ object NorthStar {
       val e = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), 10)
     }),
-    // embedding-cosine near-dup pairs (threshold tuned to the corpus)
+    // embedding-cosine near-dup pairs: banded RP-sketch candidates →
+    // exact cosine verify within buckets (the scale form; the exact O(n²)
+    // Similarity.cosinePairs remains the test-side recall baseline)
     "ann_cosine_pairs" -> ((s, dir) =>
-      Similarity.cosinePairs(t(s, dir, "embeddings"), 0.4)),
-    // LSH-bucketed scale path: no SQL oracle (bucket recall is
-    // probabilistic); SimilaritySpec asserts recall vs brute force
+      Similarity.cosinePairsBucketed(t(s, dir, "embeddings"), 0.4)),
+    // LSH-bucketed scale path — the hyperplanes are deterministic md5
+    // literals and projections are rounded before the sign test, so the
+    // DuckDB oracle mirrors the sketch exactly
     "ann_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.rpLshTopK(e, e.where(col("vec_id") < 5), 10, planes = 8, probes = 3)
@@ -144,6 +152,73 @@ object NorthStar {
         FROM cand JOIN sig sa ON a = sa.doc_id JOIN sig sb ON b = sb.doc_id
         WHERE CAST(len(list_filter(range(${Dedup.MinHashK}), i -> sa.sg[i+1] = sb.sg[i+1])) AS DOUBLE)/${Dedup.MinHashK}.0 >= 0.5"""
 
+  /** dedup_corpus = the minhash CTE chain (candidates) + exact-Jaccard
+    * verify over the candidates only — the literal mirror of
+    * [[graft.operators.Dedup.corpusDedup]]. */
+  private val corpusDedupSql =
+    s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        shd AS (SELECT doc_id, $shingleExpr ss FROM t0 WHERE len(w) >= $N),
+        based AS (SELECT doc_id,
+                   list_transform(ss, s -> CAST(('0x'||substr(md5(s),1,7)) AS BIGINT)) bs
+                  FROM shd),
+        sig AS (SELECT doc_id, $minhashSigSql sg FROM based),
+        bands AS (SELECT doc_id, sg, unnest(range(${Dedup.Bands})) j FROM sig),
+        bk AS (SELECT doc_id, j,
+                md5(array_to_string(list_transform(
+                  sg[j*${Dedup.RowsPerBand}+1:j*${Dedup.RowsPerBand}+${Dedup.RowsPerBand}],
+                  x -> CAST(x AS VARCHAR)), '|')) bkey
+               FROM bands),
+        cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b
+                 FROM bk x JOIN bk y ON x.j = y.j AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        sh AS (SELECT doc_id, unnest(ss) s FROM shd),
+        sz AS (SELECT doc_id, count(*) nsh FROM sh GROUP BY doc_id),
+        cm AS (SELECT a, b, count(*) common
+               FROM cand JOIN sh x ON x.doc_id = a JOIN sh y ON y.doc_id = b AND y.s = x.s
+               GROUP BY 1, 2)
+        SELECT a, b, CAST(common AS DOUBLE)/(sa.nsh + sb.nsh - common) AS jaccard
+        FROM cm JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+        WHERE CAST(common AS DOUBLE)/(sa.nsh + sb.nsh - common) >= 0.8"""
+
+  /** DuckDB literal for random hyperplane p (64 dims) — the same
+    * md5-derived constants as [[Similarity.plane]]; exact binary fractions
+    * (denominator 2^15), so the decimal literals roundtrip bit-exactly. */
+  private def planeSql(p: Int): String =
+    "[" + Similarity.plane(p, 64).mkString(", ") + "]"
+
+  /** Sign-bit bucket over planes [fromPlane, fromPlane+n): projections are
+    * rounded to 6 decimals before the sign test, mirroring rpSketchRange. */
+  private def bucketSql(v: String, fromPlane: Int, n: Int): String =
+    (0 until n).map { i =>
+      s"(CASE WHEN round(list_dot_product($v, ${planeSql(fromPlane + i)}), 6) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val annPairsBucketedSql = {
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT vec_id, $b AS band, ${bucketSql("v", b * 4, 4)} AS bucket FROM e"
+    }.mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        bb AS ($bandSelects),
+        cand AS (SELECT DISTINCT x.vec_id a, y.vec_id b
+                 FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket
+                   AND x.vec_id < y.vec_id)
+        SELECT a, b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+        FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
+        WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4"""
+  }
+
+  private val annLshTopKSql =
+    s"""WITH c AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) nv FROM embeddings),
+        cb AS (SELECT nid, nv, ${bucketSql("nv", 0, 8)} AS bucket FROM c),
+        q0 AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 5),
+        qb AS (SELECT qid, qv, ${bucketSql("qv", 0, 8)} AS qbucket FROM q0),
+        q AS (SELECT qid, qv, unnest([qbucket, xor(qbucket, 1), xor(qbucket, 2)]) AS bucket FROM qb),
+        sc AS (SELECT DISTINCT qid, nid, round(list_cosine_similarity(qv, nv), 6) AS cos_sim
+               FROM q JOIN cb USING (bucket) WHERE qid <> nid),
+        r AS (SELECT qid, nid, cos_sim,
+               row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) rn
+              FROM sc)
+        SELECT qid, nid, cos_sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10"""
+
   private val simhashSql = {
     val terms = (0 until Dedup.SimHashBits).map { j =>
       val m = 1 << j
@@ -163,6 +238,7 @@ object NorthStar {
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, COUNT(*) AS n FROM documents GROUP BY md5(text)",
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashSql,
+    "dedup_corpus" -> corpusDedupSql,
     "dedup_simhash" -> simhashSql,
     "text_token_count" ->
       """SELECT doc_id,
@@ -228,10 +304,7 @@ object NorthStar {
                 row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) rn
                FROM sc)
          SELECT qid, nid, cos_sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10""",
-    "ann_cosine_pairs" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
-         SELECT x.vec_id a, y.vec_id b, round(list_cosine_similarity(x.v, y.v), 6) cos_sim
-         FROM e x JOIN e y ON x.vec_id < y.vec_id
-         WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.4""",
+    "ann_cosine_pairs" -> annPairsBucketedSql,
+    "ann_lsh_topk" -> annLshTopKSql,
   )
 }

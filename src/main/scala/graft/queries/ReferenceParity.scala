@@ -18,9 +18,11 @@ object ReferenceParity {
   private def custKey = keys.md5CompositeKey(Seq(
     col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment")))
 
-  private val custKeySql =
-    "unhex(md5(CAST(c_custkey AS VARCHAR))) || unhex(md5(c_name)) || " +
-    "unhex(md5(CAST(c_nationkey AS VARCHAR))) || unhex(md5(c_mktsegment))"
+  /** lowercase-hex rendering of the composite key — md5() is already hex in
+    * both engines, so hex(unhex(md5 a)||unhex(md5 b)…) = md5(a)||md5(b)…. */
+  private val custKeyHexSql =
+    "md5(CAST(c_custkey AS VARCHAR)) || md5(c_name) || " +
+    "md5(CAST(c_nationkey AS VARCHAR)) || md5(c_mktsegment)"
 
   /** customer columns as deterministic strings (doubles via DECIMAL(18,2)
     * so Spark and DuckDB render identically). */
@@ -35,48 +37,51 @@ object ReferenceParity {
     "CAST(c_custkey AS VARCHAR)", "c_name", "CAST(c_nationkey AS VARCHAR)",
     "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR)", "c_mktsegment")
 
+  /** Cell columns are emitted as lowercase hex (see [[Tables.hexBin]]):
+    * family 'c' ↦ '63', indexed qualifiers ↦ 8 hex digits, named
+    * qualifiers ↦ hex of the UTF-8 name, values ↦ hex of UTF-8 bytes. */
   private def cellsIndexedSql: String = {
     val branches = custValueSqls.zipWithIndex.map { case (v, i) =>
-      s"""SELECT k AS "row", encode('c') AS "family", unhex('${f"$i%08x"}') AS "qualifier", encode($v) AS "value", CAST(0 AS BIGINT) AS "ts" FROM src"""
+      s"""SELECT k AS "row", '63' AS "family", '${f"$i%08x"}' AS "qualifier", lower(hex($v)) AS "value", CAST(0 AS BIGINT) AS "ts" FROM src"""
     }
-    s"WITH src AS (SELECT $custKeySql AS k, * FROM customer) " + branches.mkString(" UNION ALL ")
+    s"WITH src AS (SELECT $custKeyHexSql AS k, * FROM customer) " + branches.mkString(" UNION ALL ")
   }
 
   private def cellsNamedSql: String = {
     val names = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     val branches = names.zip(custValueSqls).map { case (n, v) =>
-      s"""SELECT k AS "row", encode('c') AS "family", encode('$n') AS "qualifier", encode($v) AS "value", CAST(0 AS BIGINT) AS "ts" FROM src"""
+      s"""SELECT k AS "row", '63' AS "family", '${hexOf(n)}' AS "qualifier", lower(hex($v)) AS "value", CAST(0 AS BIGINT) AS "ts" FROM src"""
     }
-    "WITH src AS (SELECT encode(reverse(CAST(c_custkey AS VARCHAR))) AS k, * FROM customer) " +
+    "WITH src AS (SELECT lower(hex(reverse(CAST(c_custkey AS VARCHAR)))) AS k, * FROM customer) " +
       branches.mkString(" UNION ALL ")
   }
 
   val defs: Map[String, Q] = Map(
     // P5-P7: composite MD5 row key (text/CSV/RC reference paths)
     "rowkey_md5_composite" -> ((s, dir) =>
-      t(s, dir, "customer").select(col("c_custkey"), custKey.as("rowkey"))),
+      hexBin(t(s, dir, "customer").select(col("c_custkey"), custKey.as("rowkey")))),
 
     // P8: reversed natural key (Avro reference path)
     "rowkey_reversed" -> ((s, dir) =>
-      t(s, dir, "orders").select(col("o_orderkey"),
-        keys.reversedKey(col("o_orderkey")).as("rowkey"))),
+      hexBin(t(s, dir, "orders").select(col("o_orderkey"),
+        keys.reversedKey(col("o_orderkey")).as("rowkey")))),
 
     // P12: salt prefix (the reference's disabled-but-intended design)
     "rowkey_salted" -> ((s, dir) =>
-      t(s, dir, "orders").select(col("o_orderkey"),
-        keys.saltedKey(col("o_orderkey"), 10, keys.md5Raw(col("o_orderkey"))).as("rowkey"))),
+      hexBin(t(s, dir, "orders").select(col("o_orderkey"),
+        keys.saltedKey(col("o_orderkey"), 10, keys.md5Raw(col("o_orderkey"))).as("rowkey")))),
 
     // T1+P10: wide→tall explode, 4-byte big-endian index qualifiers
     "cells_explode_indexed" -> ((s, dir) =>
-      CellOps.explodeIndexed(t(s, dir, "customer"), custKey, "c", custValueCols)),
+      hexBin(CellOps.explodeIndexed(t(s, dir, "customer"), custKey, "c", custValueCols))),
 
     // T1+P11: wide→tall explode, field-name qualifiers (Avro path)
     "cells_explode_named" -> ((s, dir) =>
-      CellOps.explodeNamed(
+      hexBin(CellOps.explodeNamed(
         t(s, dir, "customer")
           .withColumn("c_acctbal", col("c_acctbal").cast(DecimalType(18, 2))),
         keys.reversedKey(col("c_custkey")), "c",
-        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")))),
 
     // P1-P3: tokenize + arity filter (delimited-parse semantics)
     "tokenize_arity_filter" -> ((s, dir) => {
@@ -91,18 +96,18 @@ object ReferenceParity {
     // partitioning/order is asserted by CellPipelineSpec, the driver
     // hash-checks the row set)
     "ingest_sorted_cells" -> ((s, dir) =>
-      RegionSort.sortedByRange(
-        CellOps.explodeIndexed(t(s, dir, "customer"), custKey, "c", custValueCols), 10)),
+      hexBin(RegionSort.sortedByRange(
+        CellOps.explodeIndexed(t(s, dir, "customer"), custKey, "c", custValueCols), 10))),
   )
 
   val oracle: Map[String, String] = Map(
     "rowkey_md5_composite" ->
-      s"SELECT c_custkey, $custKeySql AS rowkey FROM customer",
+      s"SELECT c_custkey, $custKeyHexSql AS rowkey FROM customer",
     "rowkey_reversed" ->
-      "SELECT o_orderkey, encode(reverse(CAST(o_orderkey AS VARCHAR))) AS rowkey FROM orders",
+      "SELECT o_orderkey, lower(hex(reverse(CAST(o_orderkey AS VARCHAR)))) AS rowkey FROM orders",
     "rowkey_salted" ->
-      ("SELECT o_orderkey, encode(CAST(o_orderkey % 10 AS VARCHAR)) || " +
-        "unhex(md5(CAST(o_orderkey AS VARCHAR))) AS rowkey FROM orders"),
+      ("SELECT o_orderkey, lower(hex(CAST(o_orderkey % 10 AS VARCHAR))) || " +
+        "md5(CAST(o_orderkey AS VARCHAR)) AS rowkey FROM orders"),
     "cells_explode_indexed" -> cellsIndexedSql,
     "cells_explode_named" -> cellsNamedSql,
     "tokenize_arity_filter" ->

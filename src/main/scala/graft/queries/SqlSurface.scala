@@ -144,7 +144,7 @@ object SqlSurface {
       registerViews(s, dir)
       t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
       s.sql(
-        """SELECT p_partkey, be_int4(p_size) AS size_be FROM part
+        """SELECT p_partkey, lower(hex(be_int4(p_size))) AS size_be FROM part
            WHERE p_size >= 0""")
     }),
     "q_sql_array_dot" -> ((s, dir) => {
@@ -229,7 +229,7 @@ object SqlSurface {
            (SELECT COUNT(*) FROM nation WHERE n_regionkey = r_regionkey) AS n_nations
          FROM region""",
     "q_sql_custom_funcs" ->
-      """SELECT p_partkey, unhex(lpad(to_hex(p_size), 8, '0')) AS size_be
+      """SELECT p_partkey, lower(lpad(to_hex(p_size), 8, '0')) AS size_be
          FROM part WHERE p_size >= 0""",
     "q_sql_array_dot" ->
       """SELECT vec_id,

@@ -54,4 +54,19 @@ object Tables {
   def revSum(c: Column): Column = sum(c).cast(DoubleType)
   def moneySql(e: String): String = s"CAST($e AS DECIMAL(12,2))"
   def factorSql(e: String): String = s"CAST($e AS DECIMAL(4,2))"
+
+  /** Driver-comparable rendering of binary outputs: every BINARY column
+    * becomes its lowercase hex string (both engines' `hex` is uppercase,
+    * `md5` lowercase — `lower` unifies). The driver's pandas comparator
+    * cannot hash `bytearray` cells, so declared queries ship hex renderings;
+    * raw-byte fidelity stays pinned by KeyFunctionsSpec/CellPipelineSpec. */
+  def hexBin(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      if (f.dataType == BinaryType) lower(hex(col(f.name))).as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
+
+  /** Lowercase hex of a string's UTF-8 bytes — oracle-side literal builder. */
+  def hexOf(s: String): String =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).map("%02x".format(_)).mkString
 }
