@@ -93,9 +93,10 @@ class PlanSpec extends SparkSuite {
 
   test("global guard: no unintentional cross products anywhere in the inventory") {
     // intentional: ANN brute force broadcasts the query set over the corpus
-    // (BroadcastNestedLoopJoin by design); q22 cross-joins a 1-row scalar agg
-    val intentional = Set("ann_cosine_topk", "ann_cosine_pairs", "ann_lsh_topk",
-      "q22_idle_balances")
+    // (BroadcastNestedLoopJoin by design); q22 cross-joins a 1-row scalar agg.
+    // ann_cosine_pairs and ann_lsh_topk are deliberately NOT here: their
+    // declared forms are bucketed equi-joins and must stay BNLJ-free.
+    val intentional = Set("ann_cosine_topk", "q22_idle_balances")
     // streaming query executes rather than explains statically
     val skip = Set("stream_windowed_agg")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
@@ -106,6 +107,25 @@ class PlanSpec extends SparkSuite {
         if (crossy && !intentional.contains(name)) Some(name) else None
       }
     assert(offenders.isEmpty, s"unintentional cross products in: $offenders")
+  }
+
+  test("dedup_corpus: candidate-restricted verify — no all-pairs join in the plan") {
+    val p = plan("dedup_corpus")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the only self-join is the banded equi-join; Jaccard verify is an
+    // equi-join on (candidate doc, shingle)
+    assert(p.contains("Join") || p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("ann_cosine_pairs (bucketed): the O(n²) BNLJ is gone from the declared query") {
+    val p = plan("ann_cosine_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("similarity top-k: partial-aggregate TopKPairs phase, no window sort") {
+    val p = plan("ann_cosine_topk")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) ObjectHashAggregate.*""")) >= 2, p)
+    assert(!p.contains("Window"), p)
   }
 
   test("semi/anti joins never materialize right-side payload columns") {

@@ -62,4 +62,28 @@ class SimilaritySpec extends SparkSuite {
     assert(pairs.forall(p => p._1 < p._2))
     assert(pairs.forall(_._3 >= 0.4))
   }
+
+  test("cosinePairsBucketed: subset of the exact pairs (zero false positives), full recall on planted near-dups") {
+    val exact = Similarity.cosinePairs(emb, 0.4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val bucketed = Similarity.cosinePairsBucketed(emb, 0.4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(bucketed.nonEmpty)
+    assert(bucketed.subsetOf(exact),
+      s"bucketed produced non-exact pairs: ${(bucketed -- exact).take(3)}")
+    info(f"banded-sketch recall on uniform-random pairs = ${bucketed.size.toDouble / exact.size}%.3f")
+
+    // planted near-dups (cos ≈ 0.9999) agree on nearly every plane, so the
+    // banded sketch must recover essentially all of them
+    val planted = emb.where(col("vec_id") < 20).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+        (x, d) => x + (pmod(d, lit(7)) - lit(3)).cast("float") * lit(0.002f)).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").union(planted)
+    val found = Similarity.cosinePairsBucketed(corpus, 0.99)
+      .select("a", "b").as[(Long, Long)].collect()
+      .count { case (a, b) => b == a + 100000 }
+    info(s"planted near-dup pair recall = $found/20")
+    assert(found >= 19, s"only $found/20 planted near-dup pairs recovered")
+  }
 }
