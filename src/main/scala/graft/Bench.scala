@@ -55,10 +55,19 @@ object Bench {
       Some(inputRows / secs)
     } else None
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // millisecond precision keeps the JSON line ~40% shorter — the driver
+    // captures a bounded stdout tail, and round 1's full-precision line got
+    // clipped past parseability (BENCH_r01.json "parsed": null)
+    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val extra = ingest.map(r => s""","ingest_rows_per_sec":${r.round}""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
+    println(json)
+    // belt and braces: also durable on disk next to the repo artifacts
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -84,8 +84,17 @@ object BulkLoad {
     Result(sorted(cells, cfg), rejected, SortedParquetCellSink)
   }
 
-  /** RCFile driver (reference `BulkImporterFromRC`), key fields normalized
-    * to in-range positions. */
+  /** The reference RC driver's literal key fields (BulkImporterFromRC.java:54-56):
+    * (1, 3, 4, 20) against a 9-column schema — field 20 is out of range, so
+    * the reference mapper throws on every arity-matched row (the documented
+    * field-20 bug, SURVEY §1.3). Opt in via `Config(keyFields =
+    * ReferenceRcKeyFields)` (CLI: `rcfile-compat`): out-of-range key fields
+    * read as null, so affected rows are QUARANTINED instead of killing the
+    * job — same rows rejected, recoverably. */
+  val ReferenceRcKeyFields: Seq[Int] = Seq(1, 3, 4, 20)
+
+  /** RCFile driver (reference `BulkImporterFromRC`); default key fields
+    * normalized to in-range positions, [[ReferenceRcKeyFields]] opt-in. */
   def rcFile(spark: SparkSession, input: String, cfg: Config = Config()): Result = {
     val kept = RCFileSource.read(spark, input, cfg.arity)
     fromPositional(kept, emptyQuarantine(spark), cfg)
@@ -94,13 +103,18 @@ object BulkLoad {
   /** Shared tail: positional columns → rowkey → cells → salt → region sort.
     * Rows whose KEY fields contain nulls cannot be keyed (the composite MD5
     * would be NULL) — they join the quarantine as JSON instead of silently
-    * producing key-less cells ('quarantine, not drop', ARCHITECTURE.md). */
+    * producing key-less cells ('quarantine, not drop', ARCHITECTURE.md).
+    * Key fields beyond the row arity read as null (⇒ quarantine), mirroring
+    * where the reference would crash (see [[ReferenceRcKeyFields]]). */
   def fromPositional(kept: DataFrame, quarantined: DataFrame, cfg: Config): Result = {
-    val keyOk = cfg.keyFields.map(i => col(s"c$i").isNotNull).reduce(_ && _)
+    def field(i: Int): Column =
+      if (i < cfg.arity) col(s"c$i")
+      else lit(null).cast(org.apache.spark.sql.types.StringType)
+    val keyOk = cfg.keyFields.map(field(_).isNotNull).reduce(_ && _)
     val keyable = kept.where(keyOk)
     val unkeyable = kept.where(!keyOk)
       .select(to_json(struct(kept.columns.map(col): _*)).as("value"))
-    val keyCols = cfg.keyFields.map(i => col(s"c$i"))
+    val keyCols = cfg.keyFields.map(field)
     val rowKey = keys.md5CompositeKey(keyCols)
     val valueCols = (0 until cfg.arity).map(i => col(s"c$i"))
     val cells = cfg.qualifiers match {
@@ -141,9 +155,24 @@ object BulkLoad {
   * holds region i's cells in unsigned (row, family, qualifier) order. */
 trait CellSink {
   def write(cells: DataFrame, path: String): Unit
-  /** Post-commit hook — the reference's chmod + doBulkLoad + cleanup
-    * (BulkImporterFromText.java:118-133). No-op without an HBase cluster. */
-  def postCommit(path: String): Unit = ()
+  /** Post-commit hook — the reference's fixed tail sequence after the
+    * files land (BulkImporterFromText.java:118-133): permission walk →
+    * `doBulkLoad` handoff → staging cleanup, IN THAT ORDER (the region
+    * server must be able to read the files before adoption, and nothing
+    * may be deleted until adoption succeeds). Steps are no-ops without an
+    * HBase cluster; implementations override the individual steps, never
+    * the sequencing. */
+  final def postCommit(path: String): Unit = {
+    chmodStep(path)
+    bulkLoadStep(path)
+    cleanupStep(path)
+  }
+  /** X4: recursive permission walk (the reference's chmod 777). */
+  protected def chmodStep(path: String): Unit = ()
+  /** X5: hand the written files to the serving system (doBulkLoad). */
+  protected def bulkLoadStep(path: String): Unit = ()
+  /** X6: remove staging output after successful adoption. */
+  protected def cleanupStep(path: String): Unit = ()
 }
 
 /** Parquet sink preserving the sorted, region-partitioned layout —

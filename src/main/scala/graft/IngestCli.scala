@@ -5,32 +5,56 @@ import org.apache.spark.sql.SparkSession
 /** CLI driver — the `ToolRunner` surface of the reference
   * (BulkImporterFromText.java:164-168, sample_run.sh) re-expressed:
   *
-  *   IngestCli <csv|csv-compat|hivetext|avro|rcfile> <input> <output>
+  *   IngestCli <csv|csv-compat|hivetext|avro|rcfile|rcfile-compat> <input> <output>
   *             [--arity N] [--salt BUCKETS] [--regions N] [--conf FILE]
   *
-  * `--conf FILE` merges a `key=value`-per-line properties file into the
-  * SparkConf — the reference's `hbase-site.xml` first argument
-  * (BulkImporterFromText.java:82-83) generalized. Runs the bulk-load
+  * `--conf FILE` merges a config file into the SparkConf: Hadoop-style XML
+  * (the reference's `hbase-site.xml` first argument,
+  * BulkImporterFromText.java:82-83) or a `key=value`-per-line properties
+  * file. Runs the bulk-load
   * pipeline and prints one JSON stats line (cells, quarantined rows,
   * regions). Plain args, dependency-free. */
 object IngestCli {
 
   private val knownFlags = Set("--arity", "--salt", "--regions", "--conf")
 
-  /** UTF-8 properties file → ordered key/value pairs (standard
-    * `java.util.Properties` dialect: comments, blanks, `=`/`:`, escapes). */
-  def loadConf(path: String): Seq[(String, String)] = {
-    val props = new java.util.Properties()
-    val in = new java.io.InputStreamReader(
-      new java.io.FileInputStream(path), java.nio.charset.StandardCharsets.UTF_8)
-    try props.load(in) finally in.close()
-    import scala.jdk.CollectionConverters._
-    props.asScala.toSeq.map { case (k, v) => (k.toString, v.toString) }.sortBy(_._1)
+  /** Config file → ordered key/value pairs. `.xml` files use the Hadoop
+    * configuration dialect — the reference's `hbase-site.xml` first CLI
+    * argument (BulkImporterFromText.java:82-83) works unchanged; anything
+    * else is a UTF-8 properties file (standard `java.util.Properties`
+    * dialect: comments, blanks, `=`/`:`, escapes). */
+  def loadConf(path: String): Seq[(String, String)] =
+    if (path.endsWith(".xml")) loadXmlConf(path)
+    else {
+      val props = new java.util.Properties()
+      val in = new java.io.InputStreamReader(
+        new java.io.FileInputStream(path), java.nio.charset.StandardCharsets.UTF_8)
+      try props.load(in) finally in.close()
+      import scala.jdk.CollectionConverters._
+      props.asScala.toSeq.map { case (k, v) => (k.toString, v.toString) }.sortBy(_._1)
+    }
+
+  /** Hadoop-style `<configuration><property><name>/<value>` XML (JDK DOM,
+    * dependency-free). Properties marked `<final>` carry no special
+    * meaning here — last write wins, like SparkConf. */
+  def loadXmlConf(path: String): Seq[(String, String)] = {
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    // conf files are local and trusted, but there is no reason to resolve
+    // external entities from them
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    val doc = dbf.newDocumentBuilder().parse(new java.io.File(path))
+    val props = doc.getElementsByTagName("property")
+    (0 until props.getLength).flatMap { i =>
+      val el = props.item(i).asInstanceOf[org.w3c.dom.Element]
+      def text(tag: String): Option[String] =
+        Option(el.getElementsByTagName(tag).item(0)).map(_.getTextContent.trim)
+      for (n <- text("name"); v <- text("value")) yield (n, v)
+    }.sortBy(_._1)
   }
 
   private def usageExit(): Nothing = {
     System.err.println(
-      "usage: IngestCli <csv|csv-compat|hivetext|avro|rcfile> <input> <output> " +
+      "usage: IngestCli <csv|csv-compat|hivetext|avro|rcfile|rcfile-compat> <input> <output> " +
         "[--arity N] [--salt BUCKETS] [--regions N] [--conf FILE]")
     sys.exit(2)
   }
@@ -73,6 +97,10 @@ object IngestCli {
         case "hivetext"   => BulkLoad.hiveText(spark, input, base)
         case "avro"       => BulkLoad.avro(spark, input, base.copy(qualifiers = BulkLoad.NameQualifiers))
         case "rcfile"     => BulkLoad.rcFile(spark, input, base)
+        // reference-literal RC keys (1,3,4,20) incl. the field-20 bug:
+        // affected rows quarantine instead of killing the job
+        case "rcfile-compat" =>
+          BulkLoad.rcFile(spark, input, base.copy(keyFields = BulkLoad.ReferenceRcKeyFields))
         case other =>
           System.err.println(s"unknown format: $other"); sys.exit(2)
       }

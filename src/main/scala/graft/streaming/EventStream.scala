@@ -108,6 +108,37 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Append-mode, watermark-driven form of [[windowedAgg]] writing to a
+    * parquet FILE sink — the deployment shape at 100 TB: no complete-mode
+    * driver materialization, each closed window appended exactly once when
+    * the watermark passes its end, output partitioned across executors.
+    *
+    * On a finite source the trailing windows stay open by design (append
+    * only emits below-watermark windows); producers close them by appending
+    * a sentinel event past max(ts) + watermark, which is what the test
+    * harness does. Returns the file-sink contents after draining all
+    * currently-available input (the no-data micro-batch that follows the
+    * final watermark advance flushes the newly-closed windows). */
+  def windowedAggAppend(spark: SparkSession, inputDir: String,
+                        outDir: String, checkpointDir: String): DataFrame = {
+    val schema = spark.read.parquet(inputDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("checkpointLocation", checkpointDir)
+      .start(outDir)
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** Stateful sessionization: groups each user's events into sessions
     * split on > `gapMinutes` inactivity, via flatMapGroupsWithState-style
     * semantics expressed with window functions on the batch table (the

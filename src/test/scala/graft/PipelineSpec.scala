@@ -51,6 +51,29 @@ class PipelineSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("append-mode file-sink windowed agg: watermark-closed windows equal the batch result") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_append").toString
+    val evs = graft.queries.Tables.events(spark, sf001)
+      .select(col("ts"), col("event_type"), col("value"))
+    // sentinel 10.5 h past the last event: advances the watermark beyond
+    // every real window's end; its own window stays open and is never
+    // emitted, so the appended output covers exactly the real events
+    val maxTs = evs.agg(max("ts")).as[Timestamp].head()
+    val sentinel = Seq((new Timestamp(maxTs.getTime + 37800000L), "sentinel", 0.0))
+      .toDF("ts", "event_type", "value")
+    evs.write.parquet(s"$tmp/in")
+    sentinel.write.mode("append").parquet(s"$tmp/in")
+    val got = EventStream.windowedAggAppend(spark, s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = evs
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(got === batch)
+  }
+
   test("sessionize: session breaks exactly at the inactivity gap") {
     val sessions = EventStream.sessionize(spark, sf001, 30)
     val total = sessions.agg(sum("n_events")).as[Long].head()

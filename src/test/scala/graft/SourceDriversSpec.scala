@@ -111,6 +111,46 @@ class SourceDriversSpec extends SparkSuite {
     assert(got === Seq("spark.a" -> "1", "spark.b" -> "zwei", "spark.c" -> "/données/tmp"))
   }
 
+  test("IngestCli.loadConf: hadoop-style hbase-site.xml (the reference's first CLI arg)") {
+    val f = java.nio.file.Files.createTempFile("graft-site", ".xml")
+    java.nio.file.Files.write(f,
+      """<?xml version="1.0"?>
+        |<configuration>
+        |  <property><name>hbase.zookeeper.quorum</name><value>zk1,zk2</value></property>
+        |  <property><name>spark.x</name><value> trimmed </value><final>true</final></property>
+        |  <property><name>no.value.skipped</name></property>
+        |</configuration>""".stripMargin.getBytes("UTF-8"))
+    val got = IngestCli.loadConf(f.toString)
+    assert(got === Seq("hbase.zookeeper.quorum" -> "zk1,zk2", "spark.x" -> "trimmed"))
+  }
+
+  test("rcfile-compat keys (1,3,4,20): field 20 out of range quarantines every row instead of crashing") {
+    // the reference reads value.get(20) on a 9-column row and dies
+    // (BulkImporterFromRC.java:54-56); the compat flag reproduces the key
+    // spec but rejects affected rows recoverably
+    val file = writeRcFixture(rows9, tmpDir())
+    val r = BulkLoad.rcFile(spark, file.toString,
+      BulkLoad.Config(keyFields = BulkLoad.ReferenceRcKeyFields))
+    assert(r.cells.count() === 0)
+    assert(r.quarantined.count() === 3)
+    assert(r.quarantined.head().getString(0).contains("\"c1\":"))
+
+    // with a wide-enough schema the same key spec produces 4-field MD5 keys
+    val wide = (0 until 5).map { i =>
+      val r21 = (0 until 21).map(c => s"r${i}c$c")
+      org.apache.spark.sql.Row(r21: _*)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      (0 until 21).map(c => org.apache.spark.sql.types.StructField(s"c$c",
+        org.apache.spark.sql.types.StringType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(wide), schema)
+    val ok = BulkLoad.fromPositional(df, BulkLoad.emptyQuarantine(spark),
+      BulkLoad.Config(arity = 21, keyFields = BulkLoad.ReferenceRcKeyFields))
+    assert(ok.quarantined.count() === 0)
+    assert(ok.cells.count() === 5 * 21)
+    assert(ok.cells.where(length(col("row")) =!= 64).count() === 0)
+  }
+
   test("ORC roundtrip: the supported modern columnar input (RCFile's successor)") {
     val dir = tmpDir() + "/orc"
     val df = rows9.toDF((0 until 9).map(i => s"c$i"): _*)
@@ -148,6 +188,65 @@ class SourceDriversSpec extends SparkSuite {
     assert(viaCsv === viaHive)
     assert(viaCsv === viaRc)
     assert(viaCsv.size === 27)
+  }
+
+  test("CellSink contract: postCommit sequences chmod -> bulkLoad -> cleanup after write") {
+    val log = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sink = new CellSink {
+      override def write(cells: org.apache.spark.sql.DataFrame, path: String): Unit =
+        log += s"write:$path"
+      override protected def chmodStep(path: String): Unit = log += s"chmod:$path"
+      override protected def bulkLoadStep(path: String): Unit = log += s"bulkLoad:$path"
+      override protected def cleanupStep(path: String): Unit = log += s"cleanup:$path"
+    }
+    val dir = tmpDir()
+    rows9.map(r => r.productIterator.mkString(""))
+      .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val r = BulkLoad.hiveText(spark, dir)
+    val out = tmpDir() + "/sinkout"
+    sink.write(r.cells, out)
+    sink.postCommit(out)
+    // the reference's fixed tail (BulkImporterFromText.java:118-133): files
+    // land, THEN the permission walk, THEN adoption, THEN staging cleanup
+    assert(log.toSeq ===
+      Seq(s"write:$out", s"chmod:$out", s"bulkLoad:$out", s"cleanup:$out"))
+  }
+
+  test("golden layout: each written part-file holds exactly one region's key range, sorted") {
+    import graft.operators.RegionSort
+    // 200 rows spread over all 10 salt buckets (exact region boundaries)
+    val wide = (0 until 200).map { i =>
+      (0 until 9).map(c => s"v${i}_$c")
+    }.map(r => (r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7), r(8)))
+      .toDF((0 until 9).map(i => s"c$i"): _*)
+    val r = BulkLoad.fromPositional(wide, BulkLoad.emptyQuarantine(spark),
+      BulkLoad.Config(saltBuckets = Some(10)))
+    val out = tmpDir() + "/cells"
+    SortedParquetCellSink.write(r.cells, out)
+    r.sink.postCommit(out)
+
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(parts.nonEmpty)
+    val digits = parts.map { f =>
+      val rows = spark.read.parquet(f.getPath)
+        .select(col("row")).as[Array[Byte]].collect()
+      assert(rows.nonEmpty, s"empty part file ${f.getName}")
+      // file ⊆ one region: every key carries the same salt digit, and the
+      // salt digit IS the region boundary (saltSplits)
+      val digit = rows.head.head
+      assert(rows.forall(_.head == digit), f.getName)
+      // KeyValue order within the file (unsigned byte-lexicographic)
+      rows.sliding(2).foreach { w =>
+        if (w.length == 2)
+          assert(RegionSort.unsignedBytes.compare(w(0), w(1)) <= 0, f.getName)
+      }
+      digit
+    }
+    // file order = region order: salt digits strictly increase across files
+    assert(digits.toSeq === digits.sorted.toSeq)
+    assert(digits.distinct.length === digits.length)
+    assert(digits.length === 10) // 200 md5-salted rows hit all 10 buckets
   }
 
   test("salting spreads rows across buckets and keeps per-bucket sort") {
