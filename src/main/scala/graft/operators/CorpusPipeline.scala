@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+
+/** The end-to-end corpus-cleaning composition a training-data curator
+  * actually runs, as one declarative pipeline:
+  *
+  *   1. quality gate — drop documents below a token-count floor,
+  *   2. exact dedup — keep the FIRST (smallest doc_id) copy of each
+  *      byte-identical text,
+  *   3. cross-source decontamination — drop a document whose shingle-min
+  *      fingerprint collides with an EARLIER document from a DIFFERENT
+  *      source (the later copy is the contaminated one; the first
+  *      occurrence stays canonical).
+  *
+  * Scale shape: stage 2 is one shuffle on the md5 digest; stage 3 is the
+  * shingle-min fingerprint aggregation (explode → codegen'd md5 → map-side
+  * min) plus an equi-self-join on the fingerprint — no stage touches more
+  * than one corpus-wide exchange, and nothing is quadratic. Documents too
+  * short to shingle carry no fingerprint and pass stage 3 untouched
+  * (no contamination evidence). Output: (doc_id, source, n_tokens).
+  */
+object CorpusPipeline {
+
+  def cleanCorpus(docs: DataFrame, minTokens: Int = 5, shingleN: Int = 3): DataFrame = {
+    val q = docs.select(col("doc_id"), col("source"), col("text"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      .where(col("n_tokens") >= minTokens)
+    val kept = q.withColumn("h", TextOps.fingerprintMd5(col("text")))
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .where(col("doc_id") === col("keep_id"))
+      .drop("h", "keep_id")
+    val fp = kept.select(col("doc_id"), col("source"),
+        explode(TextOps.shingles(col("text"), shingleN)).as("sh"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(min(md5(col("sh").cast(BinaryType))).as("f"))
+    val contaminated = fp.as("x").join(fp.as("y"),
+        col("x.f") === col("y.f") && col("x.source") =!= col("y.source") &&
+          col("x.doc_id") > col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id")).distinct()
+    kept.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+}

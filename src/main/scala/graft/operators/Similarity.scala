@@ -135,6 +135,52 @@ object Similarity {
     topKByScore(scored, k)
   }
 
+  /** IVF-Flat ANN: coarse quantization into `nlist` cells, query probes its
+    * `nprobe` nearest cells, exact scoring only within probed cells.
+    *
+    * Centroids are the `nlist` corpus vectors with smallest
+    * md5(vec_id) — a deterministic, engine-mirrorable stand-in for k-means
+    * (random-subset centroids are the standard k-means init; training moves
+    * recall, not the plan shape, and determinism buys an exact DuckDB
+    * oracle). The 100 TB shape:
+    *  - assignment is one pass over the corpus against BROADCAST centroids
+    *    (O(n·nlist) codegen'd dot products, no corpus shuffle),
+    *  - each (query, probe) lands on its cell via an equi-join on cell id,
+    *    so scored pairs shrink from |Q|·|C| to |Q|·nprobe·E[cell size],
+    *  - top-k is the bounded [[TopKPairs]] partial aggregate.
+    * A corpus vector lives in exactly one cell and probe cells are
+    * distinct, so no pair is scored twice (no dedup step needed). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cent = corpus
+      .orderBy(md5(col("vec_id").cast(StringType).cast(BinaryType)), col("vec_id"))
+      .limit(nlist)
+      .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", norm2(col("cv")))
+    // nearest-centroid cells for a vector set: top-`n` centroids by
+    // (cosine DESC, cid ASC) — rank semantics identical to topKByScore
+    def cells(df: DataFrame, id: String, v: String, n: Int): DataFrame =
+      df.crossJoin(broadcast(cent))
+        .select(col(id), col(v),
+          round(dot(col(v), col("cv")) / (norm2(col(v)) * col("cn")), 6).as("sim"),
+          col("cid"))
+        .groupBy(col(id), col(v))
+        .agg(TopKPairs.topK(struct(col("sim"), col("cid")), n).as("top"))
+        .select(col(id), col(v), explode(col("top")).as("t"))
+        .select(col(id), col(v), col("t.payload").as("cell"))
+    val c = cells(
+      corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv")),
+      "nid", "nv", 1).withColumn("nn", norm2(col("nv")))
+    val q = cells(
+      queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv")),
+      "qid", "qv", nprobe).withColumn("qn", norm2(col("qv")))
+    val scored = c.join(broadcast(q), "cell")
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos_sim"))
+    topKByScore(scored, k)
+  }
+
   /** Near-dup pairs at scale: banded RP-sketch candidate generation + exact
     * cosine verify WITHIN buckets — the composition [[cosinePairs]]'s
     * scaladoc promises. Each band b hashes planes [b·r, b·r+r); a pair is a

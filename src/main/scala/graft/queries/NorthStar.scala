@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{CorpusPipeline, Dedup, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** North-star operator inventory: dedup + text analysis over `documents`
@@ -25,6 +25,11 @@ object NorthStar {
     "dedup_corpus" -> ((s, dir) =>
       Dedup.corpusDedup(t(s, dir, "documents"), N, 0.8)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
+
+    // the composed curation pipeline: quality gate → exact dedup →
+    // cross-source decontamination, in one declarative plan
+    "pipeline_clean_corpus" -> ((s, dir) =>
+      CorpusPipeline.cleanCorpus(t(s, dir, "documents"))),
 
     "text_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -92,6 +97,12 @@ object NorthStar {
     "ann_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.rpLshTopK(e, e.where(col("vec_id") < 5), 10, planes = 8, probes = 3)
+    }),
+    // IVF-Flat scale path: broadcast-centroid assignment, nprobe cells per
+    // query, exact scoring within probed cells only
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 5), 10)
     }),
   )
 
@@ -219,6 +230,53 @@ object NorthStar {
               FROM sc)
         SELECT qid, nid, cos_sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10"""
 
+  /** Literal mirror of [[CorpusPipeline.cleanCorpus]] (minTokens=5, n=3). */
+  private val cleanCorpusSql =
+    s"""WITH q AS (SELECT doc_id, source, text,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS INT) n_tokens
+           FROM documents
+           WHERE len(regexp_extract_all(text, '\\S+')) >= 5),
+        kept0 AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) keep_id FROM q),
+        k AS (SELECT doc_id, source, text, n_tokens FROM kept0 WHERE doc_id = keep_id),
+        fp AS (SELECT doc_id, source,
+                 list_min(list_transform($shingleExpr, s -> md5(s))) f
+               FROM (SELECT doc_id, source, string_split(text,' ') w FROM k)
+               WHERE len(w) >= $N),
+        contaminated AS (SELECT DISTINCT x.doc_id FROM fp x JOIN fp y
+                         ON x.f = y.f AND x.source <> y.source AND x.doc_id > y.doc_id)
+        SELECT doc_id, source, n_tokens FROM k
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)"""
+
+  /** Literal mirror of [[Similarity.ivfTopK]] (nlist=16, nprobe=4, k=10):
+    * deterministic md5-ordered centroid subset, round-6 cosine ranking with
+    * cid tiebreak for both assignment and probing. */
+  private val annIvfTopKSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       cent AS (SELECT vec_id cid, v cv FROM e
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       asn AS (SELECT nid, cell FROM (
+                SELECT e.vec_id nid, cent.cid cell,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY round(list_cosine_similarity(e.v, cent.cv), 6) DESC,
+                             cent.cid ASC) rn
+                FROM e, cent) WHERE rn = 1),
+       qp AS (SELECT qid, cell FROM (
+               SELECT q.vec_id qid, cent.cid cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.v, cent.cv), 6) DESC,
+                            cent.cid ASC) rn
+               FROM e q, cent WHERE q.vec_id < 5) WHERE rn <= 4),
+       sc AS (SELECT qp.qid, asn.nid,
+                round(list_cosine_similarity(eq.v, en.v), 6) cos_sim
+              FROM qp JOIN asn USING (cell)
+                JOIN e eq ON eq.vec_id = qp.qid
+                JOIN e en ON en.vec_id = asn.nid
+              WHERE qp.qid <> asn.nid),
+       r AS (SELECT qid, nid, cos_sim,
+              row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) rn
+             FROM sc)
+       SELECT qid, nid, cos_sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10"""
+
   private val simhashSql = {
     val terms = (0 until Dedup.SimHashBits).map { j =>
       val m = 1 << j
@@ -239,6 +297,7 @@ object NorthStar {
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashSql,
     "dedup_corpus" -> corpusDedupSql,
+    "pipeline_clean_corpus" -> cleanCorpusSql,
     "dedup_simhash" -> simhashSql,
     "text_token_count" ->
       """SELECT doc_id,
@@ -306,5 +365,6 @@ object NorthStar {
          SELECT qid, nid, cos_sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10""",
     "ann_cosine_pairs" -> annPairsBucketedSql,
     "ann_lsh_topk" -> annLshTopKSql,
+    "ann_ivf_topk" -> annIvfTopKSql,
   )
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{CorpusPipeline, Dedup, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the dedup + text-analysis operators on constructed docs
@@ -63,6 +63,23 @@ class DedupTextSpec extends SparkSuite {
     assert(preds(0L) === "en")
     assert(preds(4L) === "es")
     assert(preds(3L) === "en") // zero scores everywhere → tiebreak priority
+  }
+
+  test("cleanCorpus: quality gate, first-copy exact dedup, cross-source fp decontamination") {
+    // "a b c a b c a" and "b c a b c a b" differ as text but have the SAME
+    // distinct 3-gram set {a b c, b c a, c a b} — same shingle-min
+    // fingerprint, so the later one from a different source is contaminated
+    val corpus = Seq(
+      (10L, "web",   "a b c a b c a"),   // survives (canonical everywhere)
+      (11L, "books", "b c a b c a b"),   // fp-collides with 10 across sources → dropped
+      (12L, "web",   "x y"),             // 2 tokens < 5 → quality-gated
+      (13L, "web",   "a b c a b c a"),   // exact dup of 10 → dropped
+      (14L, "books", "p q r s t u v")    // survives
+    ).toDF("doc_id", "source", "text")
+    val out = CorpusPipeline.cleanCorpus(corpus)
+      .select("doc_id", "n_tokens").as[(Long, Int)].collect().toMap
+    assert(out.keySet === Set(10L, 14L))
+    assert(out(10L) === 7 && out(14L) === 7)
   }
 
   test("shingle-min fingerprint is edit-local: near-dups often collide, distinct docs don't") {

@@ -96,7 +96,9 @@ class PlanSpec extends SparkSuite {
     // (BroadcastNestedLoopJoin by design); q22 cross-joins a 1-row scalar agg.
     // ann_cosine_pairs and ann_lsh_topk are deliberately NOT here: their
     // declared forms are bucketed equi-joins and must stay BNLJ-free.
-    val intentional = Set("ann_cosine_topk", "q22_idle_balances")
+    // (ann_ivf_topk's BNLJ is the O(n·nlist) broadcast-centroid assignment
+    // pass, not an all-pairs join)
+    val intentional = Set("ann_cosine_topk", "ann_ivf_topk", "q22_idle_balances")
     // streaming query executes rather than explains statically
     val skip = Set("stream_windowed_agg")
     val offenders = SparkEntry.queries.keys.toSeq.sorted

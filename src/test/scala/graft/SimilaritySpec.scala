@@ -63,6 +63,33 @@ class SimilaritySpec extends SparkSuite {
     assert(pairs.forall(_._3 >= 0.4))
   }
 
+  test("ivfTopK: results are a subset of exact scores; planted near-dups recovered") {
+    // any (qid, nid, cos_sim) the IVF path emits must carry the same score
+    // the brute-force path assigns that pair (scoring is exact; only the
+    // candidate set is approximate)
+    val q = emb.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, q, 2000)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val ivf = Similarity.ivfTopK(emb, q, 10)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (qid, nid, s) => assert(exact((qid, nid)) === s) }
+
+    // a near-identical copy ranks centroids near-identically, so it lands
+    // in the query's own probed cells and must surface at rank 1
+    val planted = emb.where(col("vec_id") < 20).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+        (x, d) => x + (pmod(d, lit(7)) - lit(3)).cast("float") * lit(0.002f)).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").union(planted)
+    val top1 = Similarity.ivfTopK(corpus, emb.where(col("vec_id") < 20), 1)
+      .select("qid", "nid").as[(Long, Long)].collect()
+    val found = top1.count { case (qid, nid) => nid == qid + 100000 }
+    info(s"IVF planted near-dup recall@1 = $found/20")
+    assert(found >= 18, s"only $found/20 planted near-dups recovered")
+  }
+
   test("cosinePairsBucketed: subset of the exact pairs (zero false positives), full recall on planted near-dups") {
     val exact = Similarity.cosinePairs(emb, 0.4)
       .select("a", "b").as[(Long, Long)].collect().toSet
