@@ -46,7 +46,12 @@ object Dedup {
     * df-CAP (dropping too-common shingles) is the approximation beyond
     * this and is deliberately NOT applied here. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    // shingles join on their 16-byte md5 instead of the raw string: the
+    // inverted-index shuffle and self-join carry fixed-width binary keys
+    // rather than arbitrary-length n-grams (distinct-per-doc shingles map
+    // 1:1 to digests, so set sizes and intersections are unchanged)
     val sh = shingleIndex(docs, n)
+      .select(col("doc_id"), unhex(md5(col("s").cast(BinaryType))).as("s"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val shared = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .where(col("df") > 1).select(col("s"))
@@ -162,7 +167,9 @@ object Dedup {
     * O(|candidates| · shingles/doc), independent of corpus size. */
   def corpusDedup(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     val cand = minHashCandidates(minHashSignatures(docs, n))
+    // same fixed-width digest trick as [[ngramJaccardPairs]]
     val sh = shingleIndex(docs, n)
+      .select(col("doc_id"), unhex(md5(col("s").cast(BinaryType))).as("s"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val common = cand
       .join(sh.select(col("doc_id").as("a"), col("s")), "a")
