@@ -206,19 +206,67 @@ object Dedup {
     * per-bit majority counts map-side, assemble the signature — identical
     * values to [[simhashCol]], and the shuffle carries 17 ints per document
     * instead of evaluating nested interpreted lambdas per row. */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs: DataFrame): DataFrame = simhashSigs(docs, SimHashBits)
+
+  /** Parameterized-width SimHash (word hash = first bits/4 md5 hex chars).
+    * Values for bits=16 are identical to the original 16-bit form; wider
+    * signatures (32/64) buy smaller LSH buckets for the pair search. */
+  def simhashSigs(docs: DataFrame, bits: Int): DataFrame = {
     val words = docs.select(col("doc_id"),
         explode(TextOps.tokens(col("text"))).as("w"))
       .withColumn("h",
-        conv(substring(md5(col("w").cast(BinaryType)), 1, 4), 16, 10).cast(IntegerType))
-    val bitCounts = (0 until SimHashBits).map { j =>
-      sum(when(col("h").bitwiseAND(lit(1 << j)) =!= 0, 1).otherwise(0)).as(s"b$j")
+        conv(substring(md5(col("w").cast(BinaryType)), 1, bits / 4), 16, 10)
+          .cast(LongType))
+    val bitCounts = (0 until bits).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(0)).as(s"b$j")
     }
     val grouped = words.groupBy(col("doc_id"))
       .agg(bitCounts.head, (bitCounts.tail :+ count(lit(1)).as("n")): _*)
-    val sig = (0 until SimHashBits).map { j =>
+    val sig = (0 until bits).map { j =>
       when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     grouped.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  val SimHashPairBits = 32
+  val SimHashBands = 4
+  val SimHashBandBits = 8 // SimHashPairBits / SimHashBands
+
+  /** SimHash near-dup pairs via EXACT Hamming-ball banding: split a 32-bit
+    * signature into 4 bands of 8 bits; any pair within Hamming distance
+    * <= 3 differs in at most 3 bands, so by pigeonhole it COLLIDES in at
+    * least one band — banding loses nothing (100% recall for
+    * maxHamming <= bands-1), and the bit_count verify removes the false
+    * positives, so the result is exactly "all pairs with
+    * hamming(simhash32) <= maxHamming".
+    *
+    * Scale shape mirrors [[minHashCandidates]]: the self-join is an
+    * equi-join on (band, bkey) — never all-pairs — and carries only
+    * (doc_id, band, 8-bit key). Band width sets E[bucket size] = n/2^8 per
+    * band; at larger corpora, widen the signature again (64-bit, 4×16-bit
+    * bands) — the plan is unchanged. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= SimHashBands - 1,
+      s"banding is only exact for maxHamming <= ${SimHashBands - 1}")
+    val sig = simhashSigs(docs, SimHashPairBits)
+    val mask = (1L << SimHashBandBits) - 1
+    val banded = sig.select(col("doc_id"),
+      explode(array((0 until SimHashBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * SimHashBandBits)
+            .bitwiseAND(lit(mask)).as("bkey"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("a"), col("simhash").as("sa")), "a")
+      .join(sig.select(col("doc_id").as("b"), col("simhash").as("sb")), "b")
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
   }
 }

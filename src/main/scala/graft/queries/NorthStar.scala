@@ -25,6 +25,11 @@ object NorthStar {
     "dedup_corpus" -> ((s, dir) =>
       Dedup.corpusDedup(t(s, dir, "documents"), N, 0.8)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
+    // exact Hamming-ball banding: the 4×4-bit band join guarantees every
+    // pair with hamming <= 3 collides somewhere, so the oracle is the
+    // straightforward all-pairs form while the plan stays bucketed
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), 3)),
 
     // the composed curation pipeline: quality gate → exact dedup →
     // cross-source decontamination, in one declarative plan
@@ -289,6 +294,25 @@ object NorthStar {
         SELECT doc_id, $terms AS simhash FROM t0"""
   }
 
+  /** All-pairs Hamming form — legitimate as an oracle because the Spark
+    * plan's 4×8-bit banding over the 32-bit signature is exact for
+    * maxHamming <= 3 (pigeonhole). */
+  private val simhashPairsSql = {
+    val terms = (0 until Dedup.SimHashPairBits).map { j =>
+      val m = 1L << j
+      s"(CASE WHEN 2*len(list_filter(hs, h -> (h & $m) <> 0)) > len(hs) THEN CAST($m AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    s"""WITH t0 AS (SELECT doc_id,
+          list_transform(string_split(text,' '),
+            w2 -> CAST(('0x'||substr(md5(w2),1,${Dedup.SimHashPairBits / 4})) AS BIGINT)) hs
+        FROM documents),
+        sig AS (SELECT doc_id, $terms AS sh FROM t0)
+        SELECT x.doc_id a, y.doc_id b,
+          CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
+        FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.sh, y.sh)) <= 3"""
+  }
+
   private val stopSql = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
@@ -299,6 +323,7 @@ object NorthStar {
     "dedup_corpus" -> corpusDedupSql,
     "pipeline_clean_corpus" -> cleanCorpusSql,
     "dedup_simhash" -> simhashSql,
+    "dedup_simhash_pairs" -> simhashPairsSql,
     "text_token_count" ->
       """SELECT doc_id,
            CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,

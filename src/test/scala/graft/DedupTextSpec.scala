@@ -49,6 +49,20 @@ class DedupTextSpec extends SparkSuite {
     assert(hammingNear < hammingFar)
   }
 
+  test("simhashPairs: banded join is EXACT for hamming <= bands-1 (vs brute force)") {
+    val sigs = Dedup.simhashSigs(docs, Dedup.SimHashPairBits).as[(Long, Long)].collect()
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    val banded = Dedup.simhashPairs(docs, 3)
+      .as[(Long, Long, Int)].collect().map { case (a, b, h) => (a, b, h.toLong) }.toSet
+    assert(banded.map(x => (x._1, x._2, x._3.toInt)) ===
+      brute.map(x => (x._1, x._2, x._3)))
+    // the exact dup pair is found at distance 0
+    assert(banded.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L))
+  }
+
   test("token count is whitespace-run based; bpe estimate is ceil(len/4) sum") {
     val r = Seq((1L, "aa  bbbb cccccc")).toDF("doc_id", "text")
       .select(TextOps.tokenCount(col("text")), TextOps.bpeEstimate(col("text")))
