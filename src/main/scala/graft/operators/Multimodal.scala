@@ -39,6 +39,35 @@ object Multimodal {
   def withPayload(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 
+  /** Video-style frame sampling over a payload column, fully relational:
+    * the payload is segmented into fixed-size frames, every `everyK`-th
+    * frame is kept, and each kept frame is fingerprinted. Output:
+    * (doc_id, frame_idx, frame_md5, n_frames).
+    *
+    * This is the Spark-side plumbing of a frame-sample stage — schema,
+    * explode shape, per-frame hashing — with the frame decode left to the
+    * codec boundary exactly like [[FakeCodec]]: here a "frame" is a
+    * `frameChars`-character slice of the text stand-in (a real deployment
+    * slices `BinaryType` video at I-frame offsets inside the same plan).
+    * Everything stays inside codegen: sequence+explode fans out frame
+    * indices, `substr`+`md5` are native expressions, and the modulo filter
+    * is pushed below the explode output — no per-row driver logic, no UDF,
+    * so the stage scales linearly with total corpus bytes. */
+  def frameSample(docs: DataFrame, frameChars: Int, everyK: Int): DataFrame = {
+    val framed = docs.select(col("doc_id"), col("text"),
+        ceil(length(col("text")).cast(DoubleType) / frameChars)
+          .cast(IntegerType).as("n_frames"))
+      .where(col("n_frames") > 0)
+    framed
+      .select(col("doc_id"), col("text"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .where(col("frame_idx") % everyK === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        md5(col("text").substr(col("frame_idx") * frameChars + 1, lit(frameChars))
+          .cast(BinaryType)).as("frame_md5"),
+        col("n_frames"))
+  }
+
   /** Partition-wise feature extraction over binary payloads. One codec
     * instantiation per PARTITION (not per row) — the property that matters
     * when the decoder holds native resources; rows stream through without

@@ -35,6 +35,11 @@ object Pipelines {
     "multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(s, t(s, dir, "documents")).toDF()),
 
+    // multimodal: video-style frame sampling (128-char frames, every 2nd),
+    // fully relational — sequence/explode + substr + md5 inside codegen
+    "multimodal_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(t(s, dir, "documents"), 128, 2)),
+
     // sliding (overlapping) windows: each event lands in two 2h windows
     "sliding_window_counts" -> ((s, dir) =>
       t(s, dir, "events")
@@ -81,6 +86,14 @@ object Pipelines {
          x AS (SELECT h AS ws FROM e
                UNION ALL SELECT h - INTERVAL '1 hour' AS ws FROM e)
          SELECT ws AS window_start, COUNT(*) AS n FROM x GROUP BY 1""",
+    "multimodal_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+             CAST(ceil(length(text)/128.0) AS INT) n_frames
+           FROM documents WHERE length(text) > 0),
+         x AS (SELECT doc_id, text, n_frames, unnest(range(n_frames)) i FROM f)
+         SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           md5(substring(text, CAST(i*128+1 AS INT), 128)) AS frame_md5, n_frames
+         FROM x WHERE i % 2 = 0""",
     "multimodal_features" ->
       """SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

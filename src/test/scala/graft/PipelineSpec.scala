@@ -160,4 +160,19 @@ class PipelineSpec extends SparkSuite {
     assert(joined.count() === 0)
     assert(feats.where(col("n_bytes") <= 0).count() === 0)
   }
+
+  test("multimodal frameSample: frame boundaries, stride, and counts are exact") {
+    import spark.implicits._
+    // 10 chars, 4-char frames -> 3 frames (last one short); keep idx 0 and 2
+    val docs = Seq((7L, "abcdefghij")).toDF("doc_id", "text")
+    val got = Multimodal.frameSample(docs, 4, 2)
+      .orderBy("frame_idx").as[(Long, Int, String, Int)].collect()
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got === Array((7L, 0, h("abcd"), 3), (7L, 2, h("ij"), 3)))
+    // every frame hash covers disjoint slices: sampling everyK=1 over the
+    // same doc reproduces the full partition of the text
+    val all = Multimodal.frameSample(docs, 4, 1).as[(Long, Int, String, Int)].collect()
+    assert(all.map(_._3).toSeq === Seq(h("abcd"), h("efgh"), h("ij")))
+  }
 }
