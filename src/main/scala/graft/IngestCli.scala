@@ -16,7 +16,8 @@ import org.apache.spark.sql.SparkSession
   * regions). Plain args, dependency-free. */
 object IngestCli {
 
-  private val knownFlags = Set("--arity", "--salt", "--regions", "--conf")
+  private val knownFlags =
+    Set("--arity", "--salt", "--regions", "--conf", "--stream-checkpoint")
 
   /** Config file → ordered key/value pairs. `.xml` files use the Hadoop
     * configuration dialect — the reference's `hbase-site.xml` first CLI
@@ -55,7 +56,7 @@ object IngestCli {
   private def usageExit(): Nothing = {
     System.err.println(
       "usage: IngestCli <csv|csv-compat|hivetext|avro|rcfile|rcfile-compat> <input> <output> " +
-        "[--arity N] [--salt BUCKETS] [--regions N] [--conf FILE]")
+        "[--arity N] [--salt BUCKETS] [--regions N] [--conf FILE] [--stream-checkpoint DIR]")
     sys.exit(2)
   }
 
@@ -91,6 +92,23 @@ object IngestCli {
     spark.sparkContext.setLogLevel("WARN")
 
     try {
+      // continuous-ingestion mode: watch `input` as a file-source stream
+      // and bulk-load each micro-batch independently (csv-compat/hivetext
+      // parse semantics; exactly-once via the checkpoint)
+      opts.get("--stream-checkpoint").foreach { ckpt =>
+        val (cfg, delim) = format match {
+          case "csv-compat" => (base.copy(compatNaiveSplit = true), ",")
+          case "hivetext"   => (base, "")
+          case other =>
+            System.err.println(s"streaming supports csv-compat|hivetext, not: $other")
+            sys.exit(2)
+        }
+        val batches = graft.streaming.StreamingIngest.run(
+          spark, input, output, ckpt, cfg, delim)
+        println(s"""{"format":"$format","mode":"stream","batches":${batches.length},""" +
+          s""""cells":${batches.map(_.cells).sum}}""")
+        return // finally still stops the session
+      }
       val r = format match {
         case "csv"        => BulkLoad.csv(spark, input, base)
         case "csv-compat" => BulkLoad.csv(spark, input, base.copy(compatNaiveSplit = true))

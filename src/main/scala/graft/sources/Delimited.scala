@@ -39,8 +39,14 @@ object Delimited {
     * empty fields like Java's `String.split` with the reference's behavior
     * on the sample data. Returns (kept-with-positional-columns, rejectedRawLines). */
   def naiveSplit(spark: SparkSession, path: String, delim: String,
-                 arity: Int): (DataFrame, DataFrame) = {
-    val raw = spark.read.text(path)
+                 arity: Int): (DataFrame, DataFrame) =
+    naiveSplitLines(spark.read.text(path), delim, arity)
+
+  /** [[naiveSplit]] over an existing single-column `value` lines frame —
+    * the shared core, so a streaming micro-batch (foreachBatch hands over
+    * exactly such a frame) parses identically to the batch path. */
+  def naiveSplitLines(raw: DataFrame, delim: String,
+                      arity: Int): (DataFrame, DataFrame) = {
     val tok = raw.select(col("value"), split(col("value"), delim, -1).as("t"))
     val kept = tok.where(size(col("t")) === arity)
       .select((0 until arity).map(i => col("t").getItem(i).as(s"c$i")): _*)

@@ -264,4 +264,56 @@ class SourceDriversSpec extends SparkSuite {
     assert(r.cells.queryExecution.executedPlan
       .exists(_.isInstanceOf[graft.plans.RegionAlignedSortExec]))
   }
+
+  test("streaming ingest: micro-batches reproduce the batch pipeline; postCommit fires per batch") {
+    import graft.streaming.StreamingIngest
+    val in = tmpDir() + "/in"
+    new java.io.File(in).mkdirs()
+    // two files → two micro-batches at maxFilesPerTrigger=1; file 1 carries
+    // the quoted-comma row that naive split quarantines (10 tokens)
+    def put(name: String, rows: Seq[Product]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        rows.map(_.productIterator.mkString(",")).mkString("\n").getBytes("UTF-8"))
+    put("f1.txt", Seq(rows9(0), rows9(1)))
+    put("f2.txt", Seq(rows9(2)))
+
+    val log = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sink = new CellSink {
+      override def write(cells: org.apache.spark.sql.DataFrame, path: String): Unit = {
+        log.synchronized { log += s"write:$path" }
+        SortedParquetCellSink.write(cells, path)
+      }
+      override protected def chmodStep(path: String): Unit =
+        log.synchronized { log += s"chmod:$path" }
+      override protected def bulkLoadStep(path: String): Unit =
+        log.synchronized { log += s"bulkLoad:$path" }
+      override protected def cleanupStep(path: String): Unit =
+        log.synchronized { log += s"cleanup:$path" }
+    }
+    val out = tmpDir() + "/out"
+    val ckpt = tmpDir() + "/ckpt"
+    val batches = StreamingIngest.run(spark, in, out, ckpt,
+      cfg = BulkLoad.Config(compatNaiveSplit = true), sinkOverride = Some(sink))
+
+    assert(batches.map(_.batchId) === batches.map(_.batchId).sorted)
+    assert(batches.length === 2)
+    // per batch: write then the fixed postCommit tail, in order
+    batches.foreach { b =>
+      val steps = log.filter(_.endsWith(s":${b.path}")).map(_.takeWhile(_ != ':'))
+      assert(steps.toSeq === Seq("write", "chmod", "bulkLoad", "cleanup"), b.path)
+    }
+    // union of batch outputs == the batch pipeline on the same directory
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(hex(col("row")), hex(col("qualifier")), hex(col("value")))
+      .as[(String, String, String)].collect().sorted.toSeq
+    val streamed = batches.map(b => spark.read.parquet(b.path))
+      .reduce(_ unionByName _)
+    val batch = BulkLoad.csv(spark, in, BulkLoad.Config(compatNaiveSplit = true))
+    assert(key(streamed) === key(batch.cells))
+    // the quoted-comma row landed in exactly one batch quarantine
+    val quarantined = batches.map(b => spark.read.parquet(s"${b.path}.quarantine"))
+      .reduce(_ unionByName _)
+    assert(quarantined.count() === 1)
+    assert(quarantined.head().getString(0).contains("Utility, With Comma"))
+  }
 }
