@@ -34,16 +34,21 @@ object TextOps {
     aggregate(tokens(text), lit(0L),
       (acc, w) => acc + ceil(length(w) / lit(4.0)).cast(LongType))
 
+  /** Word n-gram shingles in POSITION order (one per starting token,
+    * duplicates kept) — the input to rolling/winnowing schemes. Docs with
+    * < n tokens yield an empty array. */
+  def positionalShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+      .otherwise(array())
+  }
+
   /** Distinct word n-gram shingles (order preserved, duplicates dropped).
     * Requires docs with >= n tokens (shorter docs yield an empty array). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
-        .otherwise(array()))
-  }
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(positionalShingles(text, n))
 
   /** Quality-score feature vector: token count, type-token ratio, average
     * word length, stopword ratio. */
@@ -95,4 +100,37 @@ object TextOps {
   def fingerprintMd5(text: Column): Column = md5(text.cast(BinaryType))
   def fingerprintShingleMin(text: Column, n: Int): Column =
     array_min(transform(shingles(text, n), s => md5(s.cast(BinaryType))))
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003): hash
+    * every POSITIONAL k-gram, slide a window of `w` consecutive hashes,
+    * keep each window's minimum; the distinct minima are the document's
+    * fingerprint set. Any shared token run of length >= w+k-1 between two
+    * documents forces at least one shared fingerprint — the local
+    * guarantee exact dedup lacks and shingle-min (global min) provides
+    * only probabilistically.
+    *
+    * Trailing windows are clamped (a window starting near the end spans
+    * the remaining hashes), so short documents still fingerprint — a
+    * superset of the paper's full-window selection, chosen because both
+    * engines clamp identically (Spark bounded row frames, DuckDB list
+    * slices).
+    *
+    * Relational 100 TB shape: posexplode positions → ONE codegen'd md5
+    * base hash per k-gram → bounded sliding-frame min (sort within the
+    * doc-partitioned exchange, no unbounded state) → per-doc distinct.
+    * One shuffle on doc_id, rows = k-grams (linear in corpus tokens).
+    * Output: (doc_id, fp) distinct. */
+  def winnowFingerprints(docs: org.apache.spark.sql.DataFrame,
+                         k: Int, w: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arr = docs.select(col("doc_id"), positionalShingles(col("text"), k).as("ss"))
+    val pos = arr.select(col("doc_id"), posexplode(col("ss")))
+      .withColumnRenamed("col", "s")
+      .withColumn("h",
+        conv(substring(md5(col("s").cast(BinaryType)), 1, 7), 16, 10).cast(LongType))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    pos.select(col("doc_id"), min(col("h")).over(frame).as("fp")).distinct()
+  }
 }

@@ -59,6 +59,11 @@ object NorthStar {
           "doc_id")
     }),
 
+    // rolling-hash winnowing fingerprints (SIGMOD'03): positional k-gram
+    // hashes, sliding-window minima, distinct — local-match guarantee
+    "doc_fingerprint_winnow" -> ((s, dir) =>
+      TextOps.winnowFingerprints(t(s, dir, "documents"), N, 4)),
+
     // corpus vocabulary statistics: bigram document frequency, top 50
     "text_top_bigrams" -> ((s, dir) => {
       val sh = t(s, dir, "documents")
@@ -122,9 +127,12 @@ object NorthStar {
 
   // ---- oracle SQL ----------------------------------------------------
 
+  /** DuckDB list expr for POSITIONAL word-3-gram shingles of tokens `w`. */
+  private val posShingleExpr =
+    "list_transform(range(len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3])"
+
   /** DuckDB list expr for distinct word-3-gram shingles of tokens `w`. */
-  private val shingleExpr =
-    "list_distinct(list_transform(range(len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]))"
+  private val shingleExpr = s"list_distinct($posShingleExpr)"
 
   private val ngramJaccardSql =
     s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
@@ -360,6 +368,16 @@ object NorthStar {
           SELECT doc_id, md5(text) AS fp_md5,
             list_min(list_transform($shingleExpr, s -> md5(s))) AS fp_shingle
           FROM t0 WHERE len(w) >= $N""",
+    "doc_fingerprint_winnow" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+          hs AS (SELECT doc_id,
+                  list_transform($posShingleExpr,
+                    s -> CAST(('0x'||substr(md5(s),1,7)) AS BIGINT)) h
+                 FROM t0 WHERE len(w) >= $N)
+          SELECT DISTINCT doc_id, fp FROM (
+            SELECT doc_id,
+              unnest(list_transform(range(len(h)), i -> list_min(h[i+1:i+4]))) AS fp
+            FROM hs)""",
     "text_top_bigrams" ->
       """WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
          sh AS (SELECT doc_id,

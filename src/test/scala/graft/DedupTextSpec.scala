@@ -63,6 +63,32 @@ class DedupTextSpec extends SparkSuite {
     assert(banded.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L))
   }
 
+  test("winnowing fingerprints: local-match guarantee and hand-checked minima") {
+    // shared run of w+k-1 = 6 tokens between docs 10 and 11 ⇒ at least one
+    // shared fingerprint; doc 12 shares nothing
+    val run = "alpha beta gamma delta epsilon zeta"
+    val d = Seq(
+      (10L, s"one two $run three four five six seven"),
+      (11L, s"nine ten $run eleven twelve thirteen fourteen"),
+      (12L, "entirely different tokens everywhere in this document body here")
+    ).toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(d, 3, 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(10L) intersect fps(11L)).nonEmpty)
+    assert((fps(10L) intersect fps(12L)).isEmpty)
+
+    // hand-computed: 5 tokens, k=3 ⇒ 3 positional hashes; w=4 clamps, so
+    // windows are {h0..h2},{h1,h2},{h2} ⇒ fingerprints = distinct minima
+    val tiny = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    def h(s: String) = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString.take(7), 16)
+    val hs = Seq(h("a b c"), h("b c d"), h("c d e"))
+    val expect = Set(hs.min, hs.drop(1).min, hs(2))
+    assert(TextOps.winnowFingerprints(tiny, 3, 4)
+      .as[(Long, Long)].collect().map(_._2).toSet === expect)
+  }
+
   test("token count is whitespace-run based; bpe estimate is ceil(len/4) sum") {
     val r = Seq((1L, "aa  bbbb cccccc")).toDF("doc_id", "text")
       .select(TextOps.tokenCount(col("text")), TextOps.bpeEstimate(col("text")))

@@ -119,6 +119,22 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Join") || p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("simhashPairs/corpusDedup: signature aggregate computed ONCE (exchange reuse)") {
+    // the signature frame feeds banding AND both verify sides; ReuseExchange
+    // must collapse those subtrees or the corpus is re-aggregated 3×. (AQE
+    // applies the same reuse at runtime stage-materialization; asserted here
+    // on the static planner where it is visible.)
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      for (q <- Seq("dedup_simhash_pairs", "dedup_corpus")) {
+        val p = plan(q)
+        assert(p.linesIterator.count(_.contains("ReusedExchange")) >= 2, s"$q:\n$p")
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("ann_cosine_pairs (bucketed): the O(n²) BNLJ is gone from the declared query") {
     val p = plan("ann_cosine_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
