@@ -184,6 +184,48 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-dup pair graph — the step that turns
+    * pairwise similarity into the dedup decision (one KEEPER per cluster).
+    * Output: (doc_id, cluster_id) for every doc appearing in `pairs`,
+    * cluster_id = smallest doc_id reachable through the pair graph (so the
+    * representative is canonical and deterministic).
+    *
+    * Hash-min label propagation: every iteration each node takes the min
+    * of its own label and its neighbors' labels; converges in
+    * graph-diameter iterations. Near-dup graphs are clique-ish (every
+    * member of a dup group pairs with most others), so the diameter — and
+    * the iteration count — is small and independent of corpus size; each
+    * iteration is one equi-join + min-agg, all executor-side, and
+    * `localCheckpoint` truncates the growing lineage. The driver holds
+    * only the per-iteration change COUNT, never row data. */
+  def clusters(pairs: DataFrame): DataFrame = {
+    // materialize the edge list ONCE — without this every fixpoint
+    // iteration re-runs the upstream pair pipeline (LSH + verify) from
+    // scratch inside its join
+    val und = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = und.select(col("a").as("id")).distinct()
+      .withColumn("cluster_id", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = und
+        .join(labels.select(col("id").as("b"), col("cluster_id")), "b")
+        .groupBy(col("a")).agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("a", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .where(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
   val SimHashBits = 16
 
   /** 16-bit SimHash over word unigrams: word hash = first 4 hex chars of

@@ -24,6 +24,11 @@ object NorthStar {
     // inverted-index self-join anywhere in the plan)
     "dedup_corpus" -> ((s, dir) =>
       Dedup.corpusDedup(t(s, dir, "documents"), N, 0.8)),
+    // near-dup pairs → connected components → canonical representative:
+    // the decision stage of corpus dedup (cluster_id = min reachable doc)
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(Dedup.corpusDedup(t(s, dir, "documents"), N, 0.8)
+        .select(col("a"), col("b")))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
     // exact Hamming-ball banding: the 4×4-bit band join guarantees every
     // pair with hamming <= 3 collides somewhere, so the oracle is the
@@ -302,6 +307,18 @@ object NorthStar {
         SELECT doc_id, $terms AS simhash FROM t0"""
   }
 
+  /** Transitive closure over the corpus-dedup pair graph (recursive CTE):
+    * cluster_id = min doc_id reachable — the same fixpoint hash-min label
+    * propagation converges to in [[graft.operators.Dedup.clusters]]. */
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE p AS (SELECT a, b FROM ($corpusDedupSql)),
+        edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        reach(id, r) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r)
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""
+
   /** All-pairs Hamming form — legitimate as an oracle because the Spark
     * plan's 4×8-bit banding over the 32-bit signature is exact for
     * maxHamming <= 3 (pigeonhole). */
@@ -329,6 +346,7 @@ object NorthStar {
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashSql,
     "dedup_corpus" -> corpusDedupSql,
+    "dedup_clusters" -> dedupClustersSql,
     "pipeline_clean_corpus" -> cleanCorpusSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,

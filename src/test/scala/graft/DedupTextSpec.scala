@@ -49,6 +49,14 @@ class DedupTextSpec extends SparkSuite {
     assert(hammingNear < hammingFar)
   }
 
+  test("clusters: hash-min label propagation = connected components, canonical min rep") {
+    // path 1-5-3 (needs 2 propagation hops for 3 to learn about 1),
+    // disjoint pair 8-9, pair ids deliberately unordered
+    val pairs = Seq((5L, 1L), (5L, 3L), (9L, 8L)).toDF("a", "b")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+
   test("simhashPairs: banded join is EXACT for hamming <= bands-1 (vs brute force)") {
     val sigs = Dedup.simhashSigs(docs, Dedup.SimHashPairBits).as[(Long, Long)].collect()
     val brute = (for {

@@ -265,6 +265,25 @@ class SourceDriversSpec extends SparkSuite {
       .exists(_.isInstanceOf[graft.plans.RegionAlignedSortExec]))
   }
 
+  test("jsonl: documents roundtrip losslessly (incl. CJK); malformed lines quarantine") {
+    import graft.sources.JsonLines
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val out = tmpDir() + "/corpus"
+    JsonLines.write(docs, out, shards = 4)
+    assert(new java.io.File(out).listFiles().count(_.getName.startsWith("part-")) === 4)
+    // poison one extra shard with garbage + a blank line
+    java.nio.file.Files.write(java.nio.file.Paths.get(out, "part-9999-bad.json"),
+      "not json at all\n\n{\"doc_id\":9999123,\"text\":\"ok\",\"lang\":\"en\",\"source\":\"s\",\"n_chars\":2}\n"
+        .getBytes("UTF-8"))
+    val (kept, rejected) = JsonLines.read(spark, out, docs.schema)
+    assert(rejected.as[String].collect().toSeq === Seq("not json at all"))
+    assert(kept.count() === docs.count() + 1)
+    // byte-exact text roundtrip, joined on doc_id (ordering-free)
+    val diff = kept.as("k").join(docs.as("d"), "doc_id")
+      .where(col("k.text") =!= col("d.text") || col("k.lang") =!= col("d.lang"))
+    assert(diff.count() === 0)
+  }
+
   test("streaming ingest: micro-batches reproduce the batch pipeline; postCommit fires per batch") {
     import graft.streaming.StreamingIngest
     val in = tmpDir() + "/in"
