@@ -75,6 +75,88 @@ object TpchShapes {
         .agg(revSum(rev).as("revenue"), count(lit(1)).as("n"))
     }),
 
+    // Q4 shape: EXISTS decorrelated to a left-semi join with a cross-table
+    // date predicate (no l_commitdate in this schema — "late" = shipped
+    // more than 60 days after the order date)
+    "q4_order_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      o.join(l,
+          o("o_orderkey") === l("l_orderkey") &&
+            l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // Q7 shape: 5-way join (lineitem-supplier-orders-customer-nation×2)
+    // with a nation-pair disjunction and per-year revenue
+    "q7_volume_shipping" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val n1 = n.select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = n.select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      val rev = money(col("l_extendedprice")) * factor(lit(1.0) - col("l_discount"))
+      l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .where((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+               (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(revSum(rev).as("revenue"))
+    }),
+
+    // Q10 shape: returned-item revenue, top 20 customers (agg + global
+    // top-N with a deterministic tiebreak — plans as TakeOrderedAndProject)
+    "q10_returned_items" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      val n = t(s, dir, "nation")
+      val rev = money(col("l_extendedprice")) * factor(lit(1.0) - col("l_discount"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(revSum(rev).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // Q13 shape: customer order-count distribution — outer join (so
+    // zero-order customers count) then a second aggregation over the counts
+    "q13_customer_distribution" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_orderpriority") =!= "1-URGENT")
+      val perCust = c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(c("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+    }),
+
+    // Q15 shape: top supplier by windowed revenue, TIES kept via a scalar
+    // max subquery (broadcast 1-row cross join) instead of LIMIT 1
+    "q15_top_supplier" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val rev = money(col("l_extendedprice")) * factor(lit(1.0) - col("l_discount"))
+      val revenue = l
+        .where(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+               col("l_shipdate") < lit("1996-07-01").cast(TimestampType))
+        .groupBy(col("l_suppkey")).agg(revSum(rev).as("total_revenue"))
+      revenue
+        .crossJoin(broadcast(revenue.agg(max(col("total_revenue")).as("mx"))))
+        .where(col("total_revenue") === col("mx"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    }),
+
     // Q22 shape: customers above the global average balance with no LARGE
     // orders (correlated NOT EXISTS; scalar subquery for the average)
     "q22_idle_balances" -> ((s, dir) => {
@@ -125,6 +207,54 @@ object TpchShapes {
           WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
              OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
              OR (p_type = 'PROMO' AND p_size BETWEEN 20 AND 50)""",
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority""",
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+            CAST(year(l_shipdate) AS INTEGER) AS l_year,
+            CAST(SUM($revSql) AS DOUBLE) AS revenue
+          FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+             OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+          GROUP BY 1, 2, 3""",
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+            CAST(SUM($revSql) AS DOUBLE) AS revenue
+          FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN nation ON c_nationkey = n_nationkey
+          WHERE l_returnflag = 'R'
+          GROUP BY 1, 2, 3, 4
+          ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+    "q13_customer_distribution" ->
+      """WITH c_orders AS (
+           SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+           FROM customer c LEFT JOIN
+             (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+             ON c.c_custkey = o.o_custkey
+           GROUP BY c.c_custkey)
+         SELECT c_count, COUNT(*) AS custdist FROM c_orders GROUP BY c_count""",
+    "q15_top_supplier" ->
+      s"""WITH revenue AS (
+            SELECT l_suppkey, CAST(SUM($revSql) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-07-01'
+            GROUP BY l_suppkey)
+          SELECT s_suppkey, s_name, total_revenue
+          FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+          WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""",
     "q22_idle_balances" ->
       s"""WITH ab AS (SELECT ${davgSql("c_acctbal")} AS ab
                       FROM customer WHERE c_acctbal > 0)
