@@ -5,8 +5,11 @@ import org.apache.spark.sql.types._
 
 /** Remaining classic TPC-H query shapes, adapted to the testdata star
   * schema: disjunctive multi-predicate scans (Q19), conditional-ratio aggs
-  * (Q12/Q14), correlated aggregate subqueries (Q2/Q17/Q22 style), and
-  * having-over-join (Q18). All Catalyst built-ins with the exact-decimal
+  * (Q12/Q14), correlated aggregate subqueries (Q2/Q17/Q22 style),
+  * having-over-join (Q18), EXISTS semi-joins (Q4), 5-way join with
+  * nation-pair disjunction (Q7), top-N aggregates (Q10), outer-join count
+  * distribution (Q13), scalar-max-with-ties (Q15), and double-correlated
+  * sole-late-supplier (Q21). All Catalyst built-ins with the exact-decimal
   * money arithmetic from [[Tables]]. */
 object TpchShapes {
   import Tables._
@@ -157,6 +160,31 @@ object TpchShapes {
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
     }),
 
+    // Q21 shape: suppliers who were the SOLE late supplier of a
+    // multi-supplier order (EXISTS another supplier's item + NOT EXISTS
+    // another late supplier's item, decorrelated to per-order distinct
+    // counts; "late" = shipped > 90 days after the order date)
+    "q21_sole_late_supplier" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val sup = t(s, dir, "supplier")
+      val l = t(s, dir, "lineitem")
+        .join(o.select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+            .cast(IntegerType))
+      val perOrder = l.groupBy(col("l_orderkey").as("k"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late") === 1, col("l_suppkey"))).as("n_late_supp"))
+        .where(col("n_supp") > 1 && col("n_late_supp") === 1)
+      l.where(col("late") === 1)
+        .join(perOrder, col("l_orderkey") === col("k"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
     // Q22 shape: customers above the global average balance with no LARGE
     // orders (correlated NOT EXISTS; scalar subquery for the average)
     "q22_idle_balances" -> ((s, dir) => {
@@ -255,6 +283,22 @@ object TpchShapes {
           SELECT s_suppkey, s_name, total_revenue
           FROM revenue JOIN supplier ON l_suppkey = s_suppkey
           WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""",
+    "q21_sole_late_supplier" ->
+      """WITH le AS (
+           SELECT l_orderkey, l_suppkey,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         po AS (
+           SELECT l_orderkey k, COUNT(DISTINCT l_suppkey) n_supp,
+             COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) n_late_supp
+           FROM le GROUP BY 1),
+         culprit AS (
+           SELECT DISTINCT le.l_orderkey, le.l_suppkey
+           FROM le JOIN po ON le.l_orderkey = po.k
+           WHERE le.late = 1 AND po.n_supp > 1 AND po.n_late_supp = 1)
+         SELECT s_name, COUNT(*) AS numwait
+         FROM culprit JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_name""",
     "q22_idle_balances" ->
       s"""WITH ab AS (SELECT ${davgSql("c_acctbal")} AS ab
                       FROM customer WHERE c_acctbal > 0)
