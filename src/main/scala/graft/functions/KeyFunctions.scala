@@ -43,6 +43,64 @@ case class IntToBigEndianBinary(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** First `hexChars` hex digits of md5(input) as an unsigned long — the
+  * fused form of `conv(substring(md5(x), 1, n), 16, 10)` that the dedup /
+  * fingerprint operators use as their base hash on every exploded shingle.
+  *
+  * The composed built-ins allocate the full 32-char hex string plus a
+  * substring per row and then re-parse the digits; at millions of shingles
+  * per corpus pass that dominates the map side. This expression goes
+  * digest-bytes → long directly (no intermediate strings) and stays inside
+  * whole-stage codegen. Values are BIT-IDENTICAL to the conv∘substring∘md5
+  * composition (top 4·n digest bits, big-endian nibbles), so oracle SQL is
+  * unchanged. */
+case class Md5PrefixLong(child: Expression, hexChars: Int) extends UnaryExpression {
+  require(hexChars >= 1 && hexChars <= 15, s"hexChars in [1,15], got $hexChars")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix64"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"md5_prefix64 requires a BINARY argument, got ${child.dataType.sql}")
+    }
+
+  /** Top `n` nibbles of the digest, big-endian. */
+  private def prefixOf(digest: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < hexChars) {
+      val b = digest(i >> 1) & 0xFF
+      v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0x0F)
+      i += 1
+    }
+    v
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    prefixOf(org.apache.commons.codec.digest.DigestUtils.md5(input.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val d = ctx.freshName("digest")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      s"""
+         |byte[] $d = org.apache.commons.codec.digest.DigestUtils.md5($c);
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $hexChars; $i++) {
+         |  int $b = $d[$i >> 1] & 0xFF;
+         |  ${ev.value} = (${ev.value} << 4) | ((($i & 1) == 0) ? ($b >>> 4) : ($b & 0x0F));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Md5PrefixLong =
+    copy(child = newChild)
+}
+
 /** Row-key / cell-key column builders.
   *
   * Reproduces the reference's two row-key strategies (RowKeyConverter.java:13-31,
@@ -89,4 +147,8 @@ object keys {
 
   /** UTF-8 bytes of a string column (qualifier/value encoding, reference P9/P11). */
   def utf8(c: Column): Column = encode(c.cast(StringType), "UTF-8")
+
+  /** Fused base hash for dedup/fingerprint operators — see [[Md5PrefixLong]]. */
+  def md5Prefix64(c: Column, hexChars: Int): Column =
+    Bridge.column(Md5PrefixLong(Bridge.expression(c), hexChars))
 }

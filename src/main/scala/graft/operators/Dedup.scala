@@ -104,8 +104,8 @@ object Dedup {
     * document regardless of document length. */
   def minHashSignatures(docs: DataFrame, n: Int): DataFrame = {
     val sh = docs.select(col("doc_id"), explode(TextOps.shingles(col("text"), n)).as("s"))
-      .withColumn("base", conv(substring(md5(col("s").cast(BinaryType)), 1, 7), 16, 10)
-        .cast(LongType))
+      .withColumn("base",
+        graft.functions.keys.md5Prefix64(col("s").cast(BinaryType), 7))
     val hashMins = (0 until MinHashK).map { i =>
       val (a, b) = (hashConstant(s"a$i"), hashConstant(s"b$i"))
       min(pmod(col("base") * lit(a) + lit(b), lit(MinHashPrime))).as(s"h$i")
@@ -257,8 +257,7 @@ object Dedup {
     val words = docs.select(col("doc_id"),
         explode(TextOps.tokens(col("text"))).as("w"))
       .withColumn("h",
-        conv(substring(md5(col("w").cast(BinaryType)), 1, bits / 4), 16, 10)
-          .cast(LongType))
+        graft.functions.keys.md5Prefix64(col("w").cast(BinaryType), bits / 4))
     val bitCounts = (0 until bits).map { j =>
       sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(0)).as(s"b$j")
     }

@@ -128,7 +128,7 @@ object TextOps {
     val pos = arr.select(col("doc_id"), posexplode(col("ss")))
       .withColumnRenamed("col", "s")
       .withColumn("h",
-        conv(substring(md5(col("s").cast(BinaryType)), 1, 7), 16, 10).cast(LongType))
+        graft.functions.keys.md5Prefix64(col("s").cast(BinaryType), 7))
     val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
     pos.select(col("doc_id"), min(col("h")).over(frame).as("fp")).distinct()

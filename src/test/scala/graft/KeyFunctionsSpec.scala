@@ -58,4 +58,18 @@ class KeyFunctionsSpec extends SparkSuite {
     assert(got.length === 17)
     assert(got(0) === '2'.toByte)
   }
+
+  test("md5Prefix64 is bit-identical to conv(substring(md5(x),1,n),16,10)") {
+    import org.apache.spark.sql.types.{BinaryType, LongType}
+    import spark.implicits._
+    val inputs = Seq("", "a", "hello world", "héllo 世界", "RFC 1321 test vector")
+      .toDF("s")
+    for (n <- Seq(4, 7, 8, 15)) {
+      val rows = inputs.select(
+        keys.md5Prefix64(col("s").cast(BinaryType), n).as("fused"),
+        conv(substring(md5(col("s").cast(BinaryType)), 1, n), 16, 10)
+          .cast(LongType).as("composed")).collect()
+      rows.foreach(r => assert(r.getLong(0) === r.getLong(1), s"n=$n"))
+    }
+  }
 }
