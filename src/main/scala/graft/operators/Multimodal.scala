@@ -68,6 +68,28 @@ object Multimodal {
         col("n_frames"))
   }
 
+  /** Deterministic "resize": nearest-neighbor downsampling of the payload
+    * stand-in — keep every `stride`-th character, fingerprint the result.
+    * Output: (doc_id, n_chars, r_chars, resized_md5).
+    *
+    * The real-media version replaces the character sampler with the codec's
+    * pixel resampler inside the same plan; what this pins is the Spark-side
+    * shape: per-row sampling is a pure column expression (no shuffle, no
+    * UDF serialization), so resize composes with scan pruning and runs at
+    * input bandwidth. The per-character lambda runs on ~len/stride chars
+    * per doc — small constants; swap in a native expression if a profile
+    * ever shows it hot. */
+  def resize(docs: DataFrame, stride: Int): DataFrame = {
+    val idx = sequence(lit(0), length(col("text")) - 1, lit(stride))
+    val sampled = concat_ws("",
+      transform(idx, i => col("text").substr(i + lit(1), lit(1))))
+    docs.where(length(col("text")) > 0)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(idx).as("r_chars"),
+        md5(sampled.cast(BinaryType)).as("resized_md5"))
+  }
+
   /** Partition-wise feature extraction over binary payloads. One codec
     * instantiation per PARTITION (not per row) — the property that matters
     * when the decoder holds native resources; rows stream through without

@@ -40,6 +40,11 @@ object Pipelines {
     "multimodal_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(t(s, dir, "documents"), 128, 2)),
 
+    // multimodal: deterministic nearest-neighbor "resize" (stride-4
+    // resample + fingerprint) — pure column expressions, no shuffle
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resize(t(s, dir, "documents"), 4)),
+
     // sliding (overlapping) windows: each event lands in two 2h windows
     "sliding_window_counts" -> ((s, dir) =>
       t(s, dir, "events")
@@ -94,6 +99,12 @@ object Pipelines {
          SELECT doc_id, CAST(i AS INT) AS frame_idx,
            md5(substring(text, CAST(i*128+1 AS INT), 128)) AS frame_md5, n_frames
          FROM x WHERE i % 2 = 0""",
+    "multimodal_resize" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+           CAST(len(range(0, length(text), 4)) AS INT) AS r_chars,
+           md5(array_to_string(list_transform(range(0, length(text), 4),
+             i -> substring(text, CAST(i+1 AS INT), 1)), '')) AS resized_md5
+         FROM documents WHERE length(text) > 0""",
     "multimodal_features" ->
       """SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

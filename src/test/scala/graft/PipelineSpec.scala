@@ -161,6 +161,15 @@ class PipelineSpec extends SparkSuite {
     assert(feats.where(col("n_bytes") <= 0).count() === 0)
   }
 
+  test("multimodal resize: stride-4 nearest-neighbor sample, exact fingerprint") {
+    import spark.implicits._
+    val docs = Seq((3L, "abcdefghij")).toDF("doc_id", "text") // samples a,e,i
+    val r = Multimodal.resize(docs, 4).as[(Long, Int, Int, String)].head()
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r === ((3L, 10, 3, h("aei"))))
+  }
+
   test("multimodal frameSample: frame boundaries, stride, and counts are exact") {
     import spark.implicits._
     // 10 chars, 4-char frames -> 3 frames (last one short); keep idx 0 and 2
