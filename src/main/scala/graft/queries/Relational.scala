@@ -129,13 +129,32 @@ object Relational {
         spreadOn = col("l_orderkey"),
         buckets = 16)),
 
-    // Approximate distinct (HLL sketch): benched rows-only — sketch
-    // estimates are engine-specific, so no value-level oracle exists.
-    "q_approx_distinct" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))),
+    // Approximate distinct (HLL++ sketch): estimates are engine-specific,
+    // so the DECLARED columns are the exact counts plus a deterministic
+    // error-bound flag (HLL++ is hash-based and order-independent, so the
+    // flag is reproducible) — the sketch runs and is oracle-GATED (the
+    // oracle asserts within_bound = 1 from its own exact counts) without
+    // comparing engine-specific estimate values.
+    "q_approx_distinct" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      // two countDistinct on DIFFERENT keys in one agg would plan an
+      // Expand (input ×3 through the shuffle); three independent
+      // single-purpose aggs + a 3-row join are far cheaper
+      def exact(key: String, as: String) =
+        l.select(col("l_returnflag"), col(key)).distinct()
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
+      val ap = l.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+      exact("l_partkey", "exact_parts")
+        .join(exact("l_orderkey", "exact_orders"), "l_returnflag")
+        .join(ap, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")).cast(DoubleType) <=
+             col("exact_parts") * 0.05 &&
+           abs(col("ao") - col("exact_orders")).cast(DoubleType) <=
+             col("exact_orders") * 0.05).cast(IntegerType).as("within_bound"))
+    }),
 
     // Window: running frame (rows between unbounded preceding and current).
     "q_window_running_sum" -> ((s, dir) => {
@@ -246,6 +265,12 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           1 AS within_bound
+         FROM lineitem GROUP BY l_returnflag""",
     "q6_filter_pushdown" ->
       s"""SELECT CAST(SUM(${moneySql("l_extendedprice")} * ${factorSql("l_discount")}) AS DOUBLE) AS revenue, COUNT(*) AS n
           FROM lineitem
