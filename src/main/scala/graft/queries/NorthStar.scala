@@ -29,6 +29,17 @@ object NorthStar {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.corpusDedup(t(s, dir, "documents"), N, 0.8)
         .select(col("a"), col("b")))),
+    // the end product a dedup run ships: the corpus with every
+    // non-representative cluster member dropped (anti-join on the
+    // cluster assignment; untouched docs pass through)
+    "dedup_keep_list" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val drop = Dedup.clusters(Dedup.corpusDedup(docs, N, 0.8)
+          .select(col("a"), col("b")))
+        .where(col("doc_id") =!= col("cluster_id"))
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("lang"))
+    }),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
     // exact Hamming-ball banding: the 4×4-bit band join guarantees every
     // pair with hamming <= 3 collides somewhere, so the oracle is the
@@ -347,6 +358,10 @@ object NorthStar {
     "dedup_minhash_lsh" -> minhashSql,
     "dedup_corpus" -> corpusDedupSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_keep_list" ->
+      s"""SELECT doc_id, source, lang FROM documents
+          WHERE doc_id NOT IN (
+            SELECT doc_id FROM ($dedupClustersSql) WHERE doc_id <> cluster_id)""",
     "pipeline_clean_corpus" -> cleanCorpusSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
