@@ -31,6 +31,13 @@ object Pipelines {
     // stateful sessionization (30-min inactivity gap)
     "sessionize_events" -> ((s, dir) => EventStream.sessionize(s, dir, 30)),
 
+    // the TRUE incremental sessionizer (flatMapGroupsWithState +
+    // event-time timeouts) run to completion with a sentinel-advanced
+    // watermark — same sessions as the batch form, emitted by the state
+    // store instead of a window
+    "stream_sessionize" -> ((s, dir) =>
+      EventStream.sessionizeIncrementalAll(s, dir, 30)),
+
     // multimodal: binary payloads + partition-wise stub decode
     "multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(s, t(s, dir, "documents")).toDF()),
@@ -86,6 +93,19 @@ object Pipelines {
                FROM y)
          SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start
          FROM z GROUP BY 1, 2""",
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts FROM events),
+         x AS (SELECT user_id, event_id, ts,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_ts FROM e),
+         y AS (SELECT user_id, event_id, ts,
+                CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END ns FROM x),
+         z AS (SELECT user_id, ts,
+                CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) session_id
+               FROM y)
+         SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+         FROM z GROUP BY user_id, session_id""",
     "sliding_window_counts" ->
       """WITH e AS (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) h FROM events),
          x AS (SELECT h AS ws FROM e

@@ -139,6 +139,49 @@ object EventStream {
     spark.read.parquet(outDir)
   }
 
+  /** Declared-query driver for [[sessionizeIncremental]] over a finite
+    * events table: stages the parquet file alongside a single
+    * watermark-advancing SENTINEL event (ts far past max(ts) + gap for a
+    * reserved user), streams the staging directory, and runs the
+    * flatMapGroupsWithState sessionizer to completion. The sentinel pushes
+    * the global watermark beyond every open session's timeout, so the
+    * no-data micro-batch that follows the final watermark advance closes
+    * and emits ALL sessions — making the true incremental operator
+    * value-comparable against the batch oracle (same sessions, minus the
+    * sentinel user, which never closes and is filtered).
+    * Output: (user_id, session_start, n_events). */
+  def sessionizeIncrementalAll(spark: SparkSession, dir: String,
+                               gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    // events.ts is TIMESTAMP(NANOS) — read as long, convert to micros
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val staging = java.nio.file.Files.createTempDirectory("graft_sess_stage")
+    java.nio.file.Files.copy(src, staging.resolve("events.parquet"))
+    val raw = spark.read.parquet(src.toString)
+    val maxTs = raw.agg(max(col("ts"))).head().getLong(0) // nanos
+    val sentinelTs = maxTs + (gapMinutes + 120L) * 60L * 1000000000L
+    val sentinelDir = staging.resolve("sentinel_build").toString
+    raw.limit(1).select(raw.columns.map {
+      case "user_id"  => lit(-1L).as("user_id")
+      case "event_id" => lit(-1L).as("event_id")
+      case "ts"       => lit(sentinelTs).as("ts")
+      case other      => col(other)
+    }.toIndexedSeq: _*).coalesce(1).write.parquet(sentinelDir)
+    val part = new java.io.File(sentinelDir).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, staging.resolve("sentinel.parquet"))
+    val stream = spark.readStream.schema(raw.schema).parquet(staging.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("event_id"), col("ts")).as[Ev]
+    val name = s"graft_sess_${counter.incrementAndGet()}"
+    val q = sessionizeIncremental(stream, gapMinutes).writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).where(col("user_id") >= 0)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+  }
+
   /** Stateful sessionization: groups each user's events into sessions
     * split on > `gapMinutes` inactivity, via flatMapGroupsWithState-style
     * semantics expressed with window functions on the batch table (the
