@@ -33,8 +33,14 @@ object Bench {
     try force(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
     catch { case _: Throwable => () }
 
+    // optional args = query-name subset (same contract as graft.Verify)
+    val subset = args.toSet
+    val picked =
+      if (subset.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => subset(n) }
+
     // min of 2 runs: first-run JIT/GC noise dominates single-shot numbers
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try { force(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }

@@ -34,7 +34,9 @@ object CorpusPipeline {
       .where(col("doc_id") === col("keep_id"))
       .drop("h", "keep_id")
     val fp = kept.select(col("doc_id"), col("source"),
-        explode(TextOps.shingles(col("text"), shingleN)).as("sh"))
+        explode(array_distinct(TextOps.shingleStructs(col("text"), shingleN))).as("t"))
+      .select(col("doc_id"), col("source"),
+        TextOps.shingleString(col("t"), shingleN).as("sh"))
       .groupBy(col("doc_id"), col("source"))
       .agg(min(md5(col("sh").cast(BinaryType))).as("f"))
     val contaminated = fp.as("x").join(fp.as("y"),

@@ -32,31 +32,37 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast(BinaryType)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
-  /** Distinct (doc_id, shingle) pairs — the inverted index. */
+  /** Distinct (doc_id, shingle) pairs — the inverted index. Built from the
+    * codegen struct shingles ([[TextOps.shingleStructs]]); the string form
+    * materializes only after explode, where concat_ws is codegen'd. */
   private def shingleIndex(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), explode(TextOps.shingles(col("text"), n)).as("s"))
+    docs.select(col("doc_id"),
+        explode(array_distinct(TextOps.shingleStructs(col("text"), n))).as("t"))
+      .select(col("doc_id"), TextOps.shingleString(col("t"), n).as("s"))
 
   /** Exact n-gram Jaccard near-dup pairs with similarity >= threshold.
     * Output: (a, b, jaccard), a < b.
     *
-    * The self-join runs only over shingles with document frequency > 1 —
-    * a singleton shingle can never produce a pair, so the pruning is
-    * EXACTNESS-PRESERVING (set sizes still count every shingle). On
-    * mostly-unique corpora this removes the bulk of the join input; the
-    * df-CAP (dropping too-common shingles) is the approximation beyond
-    * this and is deliberately NOT applied here. */
+    * The inverted-index self-join needs no singleton (df = 1) prefilter: a
+    * singleton shingle matches only itself and dies on `a < b`, so pruning
+    * it saves hash-probe work ONLY — the exchange on the shingle key is
+    * byte-identical with or without it — while costing a whole extra
+    * aggregate + join-back. Cost is quadratic in per-shingle document
+    * frequency, so at corpus scale this is the *verification* stage of
+    * [[corpusDedup]]; a df-CAP (dropping too-common shingles) is the
+    * approximation beyond this and is deliberately NOT applied here. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     // shingles join on their 16-byte md5 instead of the raw string: the
     // inverted-index shuffle and self-join carry fixed-width binary keys
     // rather than arbitrary-length n-grams (distinct-per-doc shingles map
-    // 1:1 to digests, so set sizes and intersections are unchanged)
+    // 1:1 to digests, so set sizes and intersections are unchanged).
+    // Materialized once — the size aggregate and both self-join sides read
+    // the ~24 B/row index instead of re-running scan → shingle → md5.
     val sh = shingleIndex(docs, n)
       .select(col("doc_id"), unhex(md5(col("s").cast(BinaryType))).as("s"))
+      .localCheckpoint()
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val shared = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .where(col("df") > 1).select(col("s"))
-    val sh2 = sh.join(shared, "s")
-    val common = sh2.as("x").join(sh2.as("y"),
+    val common = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("common"))
@@ -103,7 +109,7 @@ object Dedup {
     * min-agg combines map-side, so the shuffle carries one k-vector per
     * document regardless of document length. */
   def minHashSignatures(docs: DataFrame, n: Int): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(TextOps.shingles(col("text"), n)).as("s"))
+    val sh = shingleIndex(docs, n)
       .withColumn("base",
         graft.functions.keys.md5Prefix64(col("s").cast(BinaryType), 7))
     val hashMins = (0 until MinHashK).map { i =>
@@ -166,11 +172,30 @@ object Dedup {
     * the other side's (doc, shingle) index, so verify cost is
     * O(|candidates| · shingles/doc), independent of corpus size. */
   def corpusDedup(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val cand = minHashCandidates(minHashSignatures(docs, n))
-    // same fixed-width digest trick as [[ngramJaccardPairs]]
+    // ONE scan + explode + md5 pass, materialized: the signature aggregate
+    // and both verify join sides read the fixed-width digest index (~24
+    // B/row) instead of re-running scan → shingle → hash per consumer. The
+    // minhash base hash is the digest's first 7 hex chars, so it derives
+    // from the stored digest for free (no second hash pass). At cluster
+    // scale, swap localCheckpoint for a persisted/checkpointed dataset —
+    // the reuse structure is the point, the storage level is a knob.
     val sh = shingleIndex(docs, n)
       .select(col("doc_id"), unhex(md5(col("s").cast(BinaryType))).as("s"))
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      .localCheckpoint()
+    // set size fused into the SAME aggregate that computes the k minhash
+    // mins — one shuffle on doc_id serves candidate generation and verify
+    val hashMins = (0 until MinHashK).map { i =>
+      val (a, b) = (hashConstant(s"a$i"), hashConstant(s"b$i"))
+      min(pmod(col("base") * lit(a) + lit(b), lit(MinHashPrime))).as(s"h$i")
+    }
+    val sigsz = sh
+      .withColumn("base", conv(substring(hex(col("s")), 1, 7), 16, 10).cast(LongType))
+      .groupBy(col("doc_id"))
+      .agg(hashMins.head, (hashMins.tail :+ count(lit(1)).as("nsh")): _*)
+    val sigd = sigsz.select(col("doc_id"),
+      array((0 until MinHashK).map(i => col(s"h$i")): _*).as("sig"))
+    val cand = minHashCandidates(sigd)
+    val sz = sigsz.select(col("doc_id"), col("nsh"))
     val common = cand
       .join(sh.select(col("doc_id").as("a"), col("s")), "a")
       .join(sh.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
@@ -281,33 +306,34 @@ object Dedup {
     * positives, so the result is exactly "all pairs with
     * hamming(simhash32) <= maxHamming".
     *
-    * Scale shape mirrors [[minHashCandidates]]: the self-join is an
-    * equi-join on (band, bkey) — never all-pairs — and carries only
-    * (doc_id, band, 8-bit key). Band width sets E[bucket size] = n/2^8 per
-    * band; at larger corpora, widen the signature again (64-bit, 4×16-bit
-    * bands) — the plan is unchanged. */
+    * Scale shape mirrors [[minHashCandidates]], with one twist the minhash
+    * path can't afford: the WHOLE signature is a single long, so each
+    * banded row carries it through the self-join (8 extra bytes) and the
+    * Hamming verify runs inside the join projection. False positives die
+    * before anything else moves — the only post-join shuffle is the
+    * distinct over TRUE near-dup pairs (output-sized), versus a
+    * candidate-sized distinct plus two signature re-joins. Band width sets
+    * E[bucket size] = n/2^8 per band; at larger corpora, widen the
+    * signature again (64-bit, 4×16-bit bands) — the plan is unchanged. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= SimHashBands - 1,
       s"banding is only exact for maxHamming <= ${SimHashBands - 1}")
     val sig = simhashSigs(docs, SimHashPairBits)
     val mask = (1L << SimHashBandBits) - 1
-    val banded = sig.select(col("doc_id"),
+    val banded = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until SimHashBands).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * SimHashBandBits)
             .bitwiseAND(lit(mask)).as("bkey"))
       }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val cand = banded.as("x").join(banded.as("y"),
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    cand
-      .join(sig.select(col("doc_id").as("a"), col("simhash").as("sa")), "a")
-      .join(sig.select(col("doc_id").as("b"), col("simhash").as("sb")), "b")
-      .select(col("a"), col("b"),
-        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -50,6 +50,30 @@ object TextOps {
   def shingles(text: Column, n: Int): Column =
     array_distinct(positionalShingles(text, n))
 
+  /** Positional word n-grams as an array of n-field structs (w0..w{n-1}) —
+    * pure codegen (`arrays_zip` of the token array with its shifted
+    * selves + `slice`), unlike the column forms above whose `transform`
+    * lambdas Spark evaluates interpreted per position. Tokens are
+    * space-free (split on space), so struct equality ≡ space-joined
+    * string equality: `array_distinct` on the structs is shingle-SET
+    * semantics and [[shingleString]] recovers the canonical string AFTER
+    * explode, where `concat_ws` is codegen'd per row. */
+  def shingleStructs(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    // shifted copies use an EXACT remaining-length (size - i): an
+    // Int.MaxValue "rest of array" length overflows slice's start+length
+    // arithmetic into an empty array, which arrays_zip then NULL-pads
+    val z = arrays_zip((0 until n).map { i =>
+      (if (i == 0) toks
+       else slice(toks, lit(i + 1), greatest(size(toks) - i, lit(0)))).as(s"w$i")
+    }: _*)
+    slice(z, lit(1), greatest(size(toks) - (n - 1), lit(0)))
+  }
+
+  /** Space-joined string form of one [[shingleStructs]] element. */
+  def shingleString(sh: Column, n: Int): Column =
+    concat_ws(" ", (0 until n).map(i => sh.getField(s"w$i")): _*)
+
   /** Quality-score feature vector: token count, type-token ratio, average
     * word length, stopword ratio. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
@@ -124,9 +148,9 @@ object TextOps {
   def winnowFingerprints(docs: org.apache.spark.sql.DataFrame,
                          k: Int, w: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val arr = docs.select(col("doc_id"), positionalShingles(col("text"), k).as("ss"))
+    val arr = docs.select(col("doc_id"), shingleStructs(col("text"), k).as("ss"))
     val pos = arr.select(col("doc_id"), posexplode(col("ss")))
-      .withColumnRenamed("col", "s")
+      .select(col("doc_id"), col("pos"), shingleString(col("col"), k).as("s"))
       .withColumn("h",
         graft.functions.keys.md5Prefix64(col("s").cast(BinaryType), 7))
     val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

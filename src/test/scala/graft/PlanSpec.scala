@@ -119,9 +119,9 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Join") || p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
-  test("simhashPairs/corpusDedup: signature aggregate computed ONCE (exchange reuse)") {
-    // the signature frame feeds banding AND both verify sides; ReuseExchange
-    // must collapse those subtrees or the corpus is re-aggregated 3×. (AQE
+  test("simhashPairs/corpusDedup: shared frames computed ONCE (reuse / materialize)") {
+    // the banded self-join's two sides are the same subtree; ReuseExchange
+    // must collapse them or the signature frame is aggregated twice. (AQE
     // applies the same reuse at runtime stage-materialization; asserted here
     // on the static planner where it is visible.)
     val key = "spark.sql.adaptive.enabled"
@@ -130,8 +130,15 @@ class PlanSpec extends SparkSuite {
       spark.conf.set(key, "false")
       for (q <- Seq("dedup_simhash_pairs", "dedup_corpus")) {
         val p = plan(q)
-        assert(p.linesIterator.count(_.contains("ReusedExchange")) >= 2, s"$q:\n$p")
+        assert(p.linesIterator.count(_.contains("ReusedExchange")) >= 1, s"$q:\n$p")
       }
+      // corpusDedup materializes the shingle-digest index once; every
+      // consumer (fused sig/size aggregate, both verify join sides) reads
+      // the materialized RDD — the documents parquet is scanned ZERO times
+      // inside the declared plan
+      val p = plan("dedup_corpus")
+      assert(p.contains("ExistingRDD"), p)
+      assert(!p.contains("documents.parquet"), p)
     } finally spark.conf.set(key, prev)
   }
 
