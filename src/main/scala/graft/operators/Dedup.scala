@@ -238,15 +238,18 @@ object Dedup {
       val nbrMin = und
         .join(labels.select(col("id").as("b"), col("cluster_id")), "b")
         .groupBy(col("a")).agg(min(col("cluster_id")).as("nbr_min"))
+      // convergence flag computed INLINE (the old label is already in the
+      // row) — a join-based next-vs-old compare would cost an extra
+      // shuffle per iteration just to count changes
       val next = labels
         .join(nbrMin.withColumnRenamed("a", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("chg"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "id")
-        .where(col("n.cluster_id") =!= col("o.cluster_id")).count()
-      labels = next
+      changed = next.where(col("chg")).count()
+      labels = next.select(col("id"), col("cluster_id"))
     }
     labels.select(col("id").as("doc_id"), col("cluster_id"))
   }

@@ -118,6 +118,18 @@ object NorthStar {
     // Similarity.cosinePairs remains the test-side recall baseline)
     "ann_cosine_pairs" -> ((s, dir) =>
       Similarity.cosinePairsBucketed(t(s, dir, "embeddings"), 0.4)),
+    // embedding-cosine near-dup DEDUP end product: the bucketed pair graph
+    // above → connected components → keep-list (vectors minus
+    // non-representative cluster members) — the same decision stage
+    // dedup_keep_list runs for text, keyed on the embedding column
+    "dedup_embedding" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val drop = Dedup.clusters(
+          Similarity.cosinePairsBucketed(e, 0.4).select(col("a"), col("b")))
+        .where(col("doc_id") =!= col("cluster_id"))
+      e.join(drop.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label"))
+    }),
     // LSH-bucketed scale path — the hyperplanes are deterministic md5
     // literals and projections are rounded before the sign test, so the
     // DuckDB oracle mirrors the sketch exactly
@@ -443,6 +455,16 @@ object NorthStar {
                FROM sc)
          SELECT qid, nid, cos_sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10""",
     "ann_cosine_pairs" -> annPairsBucketedSql,
+    "dedup_embedding" ->
+      s"""WITH RECURSIVE p AS (SELECT a, b FROM ($annPairsBucketedSql)),
+          edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+          reach(id, r) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT re.id, e2.b FROM reach re JOIN edges e2 ON e2.a = re.r),
+          cl AS (SELECT id, min(r) cluster_id FROM reach GROUP BY id)
+          SELECT vec_id, label FROM embeddings
+          WHERE vec_id NOT IN (SELECT id FROM cl WHERE id <> cluster_id)""",
     "ann_lsh_topk" -> annLshTopKSql,
     "ann_ivf_topk" -> annIvfTopKSql,
   )
