@@ -26,7 +26,10 @@ object Pipelines {
     }),
 
     // Structured Streaming: tumbling 1h windows, run to completion
-    "stream_windowed_agg" -> ((s, dir) => EventStream.windowedAgg(s, dir)),
+    // append-mode file-sink form (watermark-driven emission, sentinel
+    // closes trailing windows) — the scale shape; the complete-mode
+    // memory-sink windowedAgg stays as the interactive operator
+    "stream_windowed_agg" -> ((s, dir) => EventStream.windowedAggAppendAll(s, dir)),
 
     // stateful sessionization (30-min inactivity gap)
     "sessionize_events" -> ((s, dir) => EventStream.sessionize(s, dir, 30)),

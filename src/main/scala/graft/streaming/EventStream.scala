@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StructType}
 
 /** Structured Streaming surface: the engine's stream path for the `events`
   * table (`readStream` → watermark → tumbling-window agg → sink).
@@ -153,14 +153,36 @@ object EventStream {
   def sessionizeIncrementalAll(spark: SparkSession, dir: String,
                                gapMinutes: Int): DataFrame = {
     import spark.implicits._
+    val (staging, _, schema) =
+      stageEventsWithSentinel(spark, dir, gapMinutes + 120L)
+    val stream = spark.readStream.schema(schema).parquet(staging)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("event_id"), col("ts")).as[Ev]
+    val name = s"graft_sess_${counter.incrementAndGet()}"
+    val q = sessionizeIncremental(stream, gapMinutes).writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).where(col("user_id") >= 0)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+  }
+
+  /** Stage the events table into a temp directory next to ONE
+    * watermark-advancing sentinel event (reserved user/event id -1, ts =
+    * max(ts) + `deltaMinutes`). Streaming the staging directory makes any
+    * watermarked operator over a FINITE table run to completion: the
+    * sentinel advances the global watermark past every open
+    * session/window, and the no-data micro-batch that follows flushes
+    * them. Returns (stagingDir, maxTsNanos, schema). */
+  private def stageEventsWithSentinel(spark: SparkSession, dir: String,
+                                      deltaMinutes: Long): (String, Long, StructType) = {
     // events.ts is TIMESTAMP(NANOS) — read as long, convert to micros
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val staging = java.nio.file.Files.createTempDirectory("graft_sess_stage")
+    val staging = java.nio.file.Files.createTempDirectory("graft_evt_stage")
     java.nio.file.Files.copy(src, staging.resolve("events.parquet"))
     val raw = spark.read.parquet(src.toString)
     val maxTs = raw.agg(max(col("ts"))).head().getLong(0) // nanos
-    val sentinelTs = maxTs + (gapMinutes + 120L) * 60L * 1000000000L
+    val sentinelTs = maxTs + deltaMinutes * 60L * 1000000000L
     val sentinelDir = staging.resolve("sentinel_build").toString
     raw.limit(1).select(raw.columns.map {
       case "user_id"  => lit(-1L).as("user_id")
@@ -171,15 +193,37 @@ object EventStream {
     val part = new java.io.File(sentinelDir).listFiles()
       .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
     java.nio.file.Files.move(part.toPath, staging.resolve("sentinel.parquet"))
-    val stream = spark.readStream.schema(raw.schema).parquet(staging.toString)
+    (staging.toString, maxTs, raw.schema)
+  }
+
+  /** The DECLARED scale-shaped form of [[windowedAgg]]: append output
+    * mode, parquet FILE sink, watermark-driven emission — no complete-mode
+    * driver materialization anywhere. The sentinel staged by
+    * [[stageEventsWithSentinel]] closes every real window (its own window
+    * stays open and is excluded by the `window_start <= max(ts)` filter),
+    * so on a finite table the file sink holds exactly the batch answer.
+    * Output: (window_start, event_type, n, sum_value). */
+  def windowedAggAppendAll(spark: SparkSession, dir: String): DataFrame = {
+    val (staging, maxTs, schema) = stageEventsWithSentinel(spark, dir, 240L)
+    val stream = spark.readStream.schema(schema).parquet(staging)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .select(col("user_id"), col("event_id"), col("ts")).as[Ev]
-    val name = s"graft_sess_${counter.incrementAndGet()}"
-    val q = sessionizeIncremental(stream, gapMinutes).writeStream
-      .outputMode("append").format("memory").queryName(name).start()
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    val sink = java.nio.file.Files.createTempDirectory("graft_evt_sink")
+    val out = sink.resolve("out").toString
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("checkpointLocation", sink.resolve("ckpt").toString)
+      .start(out)
     try q.processAllAvailable() finally q.stop()
-    spark.table(name).where(col("user_id") >= 0)
-      .select(col("user_id"), col("session_start"), col("n_events"))
+    spark.read.parquet(out)
+      .where(col("window_start") <= timestamp_micros(lit(maxTs / 1000L)))
   }
 
   /** Stateful sessionization: groups each user's events into sessions
