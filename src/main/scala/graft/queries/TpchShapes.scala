@@ -173,14 +173,19 @@ object TpchShapes {
         .withColumn("late",
           (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
             .cast(IntegerType))
-      val perOrder = l.groupBy(col("l_orderkey").as("k"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("late") === 1, col("l_suppkey"))).as("n_late_supp"))
+      // two-level aggregate instead of two countDistinct in one agg: a
+      // multi-distinct aggregate plans an Expand (×distincts data through
+      // the shuffle); per-(order, supplier) max(late) then per-order
+      // count/sum computes both distinct counts Expand-free, and the
+      // (order, supplier) grain IS the culprit set (no later distinct)
+      val pairs = l.groupBy(col("l_orderkey").as("k"), col("l_suppkey").as("sk"))
+        .agg(max(col("late")).as("late"))
+      val perOrder = pairs.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late_supp"))
         .where(col("n_supp") > 1 && col("n_late_supp") === 1)
-      l.where(col("late") === 1)
-        .join(perOrder, col("l_orderkey") === col("k"))
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      pairs.where(col("late") === 1)
+        .join(perOrder, Seq("k"))
+        .join(broadcast(sup), col("sk") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
     }),

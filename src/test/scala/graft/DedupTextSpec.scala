@@ -97,6 +97,31 @@ class DedupTextSpec extends SparkSuite {
       .as[(Long, Long)].collect().map(_._2).toSet === expect)
   }
 
+  test("codegen shingleStructs ≡ interpreted positionalShingles (incl. short/empty docs)") {
+    // the struct form (arrays_zip of shifted token arrays) must produce the
+    // exact positional n-gram strings of the HOF reference form for every
+    // length class — including len < n (empty) and len == n (one shingle);
+    // guards the slice remaining-length arithmetic (an overflowing length
+    // yields NULL-padded structs that concat_ws silently collapses)
+    val cases = Seq(
+      (1L, ""), (2L, "a"), (3L, "a b"), (4L, "a b c"), (5L, "a b c d"),
+      (6L, "the quick brown fox jumps over the lazy dog"),
+      (7L, "x x x x x"), (8L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    for (n <- Seq(2, 3, 4)) {
+      val ref = cases.select(col("doc_id"),
+          posexplode(TextOps.positionalShingles(col("text"), n)))
+        .select(col("doc_id"), col("pos"), col("col").as("s"))
+        .as[(Long, Int, String)].collect().sorted.toSeq
+      val got = cases.select(col("doc_id"),
+          posexplode(TextOps.shingleStructs(col("text"), n)))
+        .select(col("doc_id"), col("pos"),
+          TextOps.shingleString(col("col"), n).as("s"))
+        .as[(Long, Int, String)].collect().sorted.toSeq
+      assert(got === ref, s"n=$n")
+    }
+  }
+
   test("token count is whitespace-run based; bpe estimate is ceil(len/4) sum") {
     val r = Seq((1L, "aa  bbbb cccccc")).toDF("doc_id", "text")
       .select(TextOps.tokenCount(col("text")), TextOps.bpeEstimate(col("text")))
