@@ -78,12 +78,10 @@ object IngestCli {
       regions = opts.get("--regions").map(_.toInt).getOrElse(10),
       saltBuckets = opts.get("--salt").map(_.toInt))
 
-    val builder = SparkSession.builder()
+    val builder = GraftSession
+      .builder("graft-ingest",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName("graft-ingest")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // S5 config source: merge the properties file into the SparkConf
     opts.get("--conf").foreach(f =>

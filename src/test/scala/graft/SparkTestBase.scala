@@ -6,13 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all suites (one JVM-wide session; suites run in
   * the forked test JVM, `build.sbt` supplies the JDK-17 add-opens). */
 object SparkTestBase {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-tests")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // the library factory, so the suites exercise the exact session posture
+  // (extensions, AQE, skew-join, UTC) a deployment gets
+  lazy val spark: SparkSession = GraftSession.local("graft-tests", 4)
 }
 
 abstract class SparkSuite extends AnyFunSuite {
