@@ -41,6 +41,11 @@ object Pipelines {
     "stream_sessionize" -> ((s, dir) =>
       EventStream.sessionizeIncrementalAll(s, dir, 30)),
 
+    // stream-stream interval join (purchase→click attribution), both
+    // sides watermarked filters of one staged file stream, file sink
+    "stream_stream_join" -> ((s, dir) =>
+      EventStream.clickAttribution(s, dir)),
+
     // multimodal: binary payloads + partition-wise stub decode
     "multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(s, t(s, dir, "documents")).toDF()),
@@ -109,6 +114,13 @@ object Pipelines {
                FROM y)
          SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
          FROM z GROUP BY user_id, session_id""",
+    "stream_stream_join" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) ts, user_id, event_type, value FROM events),
+         c AS (SELECT user_id, event_id click_id, ts c_ts FROM e WHERE event_type = 'click'),
+         b AS (SELECT user_id, event_id purchase_id, ts b_ts, value amount FROM e WHERE event_type = 'purchase')
+         SELECT user_id, click_id, purchase_id, c_ts, b_ts, amount
+         FROM c JOIN b USING (user_id)
+         WHERE b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 30 MINUTE""",
     "sliding_window_counts" ->
       """WITH e AS (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) h FROM events),
          x AS (SELECT h AS ws FROM e

@@ -159,11 +159,28 @@ object EventStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("user_id"), col("event_id"), col("ts")).as[Ev]
     val name = s"graft_sess_${counter.incrementAndGet()}"
-    val q = sessionizeIncremental(stream, gapMinutes).writeStream
-      .outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamPartitions(spark, 8) {
+      val q = sessionizeIncremental(stream, gapMinutes).writeStream
+        .outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name).where(col("user_id") >= 0)
       .select(col("user_id"), col("session_start"), col("n_events"))
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered
+    * for a stream START: stateful operators pin their state-store
+    * partition count from this conf at the first batch (it lives in the
+    * checkpoint thereafter), and each state partition pays per-batch
+    * open/flush overhead — so the state partition count should be sized
+    * to the STREAM's key cardinality, not inherited from the batch
+    * session. The session value is restored afterwards; batch queries
+    * are unaffected. */
+  private def withStreamPartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
   }
 
   /** Stage the events table into a temp directory next to ONE
@@ -216,14 +233,57 @@ object EventStream {
         col("n"), col("sum_value"))
     val sink = java.nio.file.Files.createTempDirectory("graft_evt_sink")
     val out = sink.resolve("out").toString
-    val q = agg.writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("checkpointLocation", sink.resolve("ckpt").toString)
-      .start(out)
-    try q.processAllAvailable() finally q.stop()
+    withStreamPartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("checkpointLocation", sink.resolve("ckpt").toString)
+        .start(out)
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.read.parquet(out)
       .where(col("window_start") <= timestamp_micros(lit(maxTs / 1000L)))
+  }
+
+  /** Declared stream-stream INTERVAL JOIN over the finite events table:
+    * purchases attributed to the same user's click within the PRECEDING 30
+    * minutes. Both sides are watermarked filters of one staged file
+    * stream (the watermark operator sits UPSTREAM of the event_type
+    * filter, so every event — including the sentinel — advances both
+    * sides' watermarks and lets the join evict state); inner interval
+    * joins emit eagerly per micro-batch, so the file sink holds the exact
+    * batch answer once the input drains. Output:
+    * (user_id, click_id, purchase_id, c_ts, b_ts, amount). */
+  def clickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val (staging, _, schema) = stageEventsWithSentinel(spark, dir, 240L)
+    val ev = spark.readStream.schema(schema).parquet(staging)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = ev.withWatermark("ts", "1 hour")
+      .where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val buys = ev.withWatermark("ts", "1 hour")
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("event_id").as("purchase_id"),
+        col("ts").as("b_ts"), col("value").as("amount"))
+    val joined = clicks.join(buys,
+      col("c_user") === col("b_user") &&
+        col("b_ts") >= col("c_ts") &&
+        col("b_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+    val sink = java.nio.file.Files.createTempDirectory("graft_ssj_sink")
+    val out = sink.resolve("out").toString
+    withStreamPartitions(spark, 8) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("checkpointLocation", sink.resolve("ckpt").toString)
+        .start(out)
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(out)
+      .where(col("c_user") >= 0)
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("c_ts"), col("b_ts"), col("amount"))
   }
 
   /** Stateful sessionization: groups each user's events into sessions
