@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.keys
 import graft.operators.{CellOps, RegionSort}
-import graft.sources.{AvroSource, Delimited, RCFileSource}
+import graft.sources.{AvroSource, Delimited, OrcSource, RCFileSource}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -97,6 +97,13 @@ object BulkLoad {
     * normalized to in-range positions, [[ReferenceRcKeyFields]] opt-in. */
   def rcFile(spark: SparkSession, input: String, cfg: Config = Config()): Result = {
     val kept = RCFileSource.read(spark, input, cfg.arity)
+    fromPositional(kept, emptyQuarantine(spark), cfg)
+  }
+
+  /** ORC driver — the modern columnar input (vectorized scan + column
+    * pruning; the legacy RCFile shim covers reference parity). */
+  def orc(spark: SparkSession, input: String, cfg: Config = Config()): Result = {
+    val kept = OrcSource.read(spark, input, cfg.arity)
     fromPositional(kept, emptyQuarantine(spark), cfg)
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** CLI driver — the `ToolRunner` surface of the reference
   * (BulkImporterFromText.java:164-168, sample_run.sh) re-expressed:
   *
-  *   IngestCli <csv|csv-compat|hivetext|avro|rcfile|rcfile-compat> <input> <output>
+  *   IngestCli <csv|csv-compat|hivetext|avro|rcfile|rcfile-compat|orc> <input> <output>
   *             [--arity N] [--salt BUCKETS] [--regions N] [--conf FILE]
   *
   * `--conf FILE` merges a config file into the SparkConf: Hadoop-style XML
@@ -55,7 +55,7 @@ object IngestCli {
 
   private def usageExit(): Nothing = {
     System.err.println(
-      "usage: IngestCli <csv|csv-compat|hivetext|avro|rcfile|rcfile-compat> <input> <output> " +
+      "usage: IngestCli <csv|csv-compat|hivetext|avro|rcfile|rcfile-compat|orc> <input> <output> " +
         "[--arity N] [--salt BUCKETS] [--regions N] [--conf FILE] [--stream-checkpoint DIR]")
     sys.exit(2)
   }
@@ -113,6 +113,7 @@ object IngestCli {
         case "hivetext"   => BulkLoad.hiveText(spark, input, base)
         case "avro"       => BulkLoad.avro(spark, input, base.copy(qualifiers = BulkLoad.NameQualifiers))
         case "rcfile"     => BulkLoad.rcFile(spark, input, base)
+        case "orc"        => BulkLoad.orc(spark, input, base)
         // reference-literal RC keys (1,3,4,20) incl. the field-20 bug:
         // affected rows quarantine instead of killing the job
         case "rcfile-compat" =>

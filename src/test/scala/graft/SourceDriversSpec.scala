@@ -158,8 +158,20 @@ class SourceDriversSpec extends SparkSuite {
     val back = spark.read.orc(dir)
     assert(back.schema === df.schema)
     assert(back.count() === 3)
-    val r = BulkLoad.fromPositional(back, BulkLoad.emptyQuarantine(spark), BulkLoad.Config())
+    val r = BulkLoad.orc(spark, dir)
     assert(r.cells.count() === 27)
+
+    // a WIDER file projects its first `arity` columns in file order (the
+    // vectorized scan prunes the rest on disk); a narrower one fails fast
+    val wideDir = tmpDir() + "/orc_wide"
+    rows9.map { r =>
+      val s = r.productIterator.map(_.toString).toSeq
+      (s(0), s(1), s(2), s(3), s(4), s(5), s(6), s(7), s(8), "extra1", "extra2")
+    }.toDF((0 until 11).map(i => s"k$i"): _*).write.mode("overwrite").orc(wideDir)
+    assert(BulkLoad.orc(spark, wideDir).cells.count() === 27)
+    val narrowDir = tmpDir() + "/orc_narrow"
+    rows9.map(r => (r._1, r._2)).toDF("a", "b").write.mode("overwrite").orc(narrowDir)
+    intercept[IllegalArgumentException](BulkLoad.orc(spark, narrowDir))
   }
 
   test("cross-driver consistency: csv, hivetext and rcfile yield byte-identical cells") {
@@ -185,8 +197,14 @@ class SourceDriversSpec extends SparkSuite {
     val rcFilePath = writeRcFixture(rows9, tmpDir())
     val viaRc = cellSet(BulkLoad.rcFile(spark, rcFilePath.toString).cells)
 
+    // orc (modern columnar path through the same cell pipeline)
+    val orcDir = tmpDir() + "/orc"
+    rows9.toDF((0 until 9).map(i => s"c$i"): _*).write.mode("overwrite").orc(orcDir)
+    val viaOrc = cellSet(BulkLoad.orc(spark, orcDir).cells)
+
     assert(viaCsv === viaHive)
     assert(viaCsv === viaRc)
+    assert(viaCsv === viaOrc)
     assert(viaCsv.size === 27)
   }
 
