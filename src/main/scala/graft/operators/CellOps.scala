@@ -42,6 +42,29 @@ object CellOps {
         keys.utf8(col("v")).as("value"),
         lit(ts).as("ts"))
 
+  /** HBase read-path versioning semantics, expressed relationally: drop
+    * cells at or below the TTL cutoff, then keep the newest `maxVersions`
+    * per (row, family, qualifier) coordinate. The reference declares BOTH
+    * server-side (`create_table.rb:1` — `VERSIONS => 3, TTL => 7776000`)
+    * and never touches them in code; this operator makes the same
+    * semantics an explicit compaction pass any cell table can run before
+    * serving or re-writing.
+    *
+    * Scale shape: ONE shuffle on the cell coordinate; the rank window's
+    * per-key sort is bounded by the version count (one cell per load per
+    * coordinate — small by construction, unlike fact-table top-k where
+    * [[graft.functions.TopKPairs]] is the right tool). Ties on `ts` rank
+    * deterministically by value. */
+  def compactVersions(cells: DataFrame, maxVersions: Int, minTs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("row"), col("family"), col("qualifier"))
+      .orderBy(col("ts").desc, col("value").asc)
+    cells.where(col("ts") >= minTs)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= maxVersions)
+      .drop("rn")
+  }
+
   /** Wide row → cells with field-name qualifiers (Avro reference path;
     * BulkImporterFromAvro.java:62-67). Uses `Dataset.unpivot` (Spark 3.4+
     * melt) — the idiomatic declarative form of the mapper loop. */

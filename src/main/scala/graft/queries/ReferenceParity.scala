@@ -40,11 +40,26 @@ object ReferenceParity {
   /** Cell columns are emitted as lowercase hex (see [[Tables.hexBin]]):
     * family 'c' ↦ '63', indexed qualifiers ↦ 8 hex digits, named
     * qualifiers ↦ hex of the UTF-8 name, values ↦ hex of UTF-8 bytes. */
-  private def cellsIndexedSql: String = {
+  private def cellsIndexedSql: String = cellsIndexedSql(0L)
+
+  private def cellsIndexedSql(ts: Long): String = {
     val branches = custValueSqls.zipWithIndex.map { case (v, i) =>
-      s"""SELECT k AS "row", '63' AS "family", '${f"$i%08x"}' AS "qualifier", lower(hex($v)) AS "value", CAST(0 AS BIGINT) AS "ts" FROM src"""
+      s"""SELECT k AS "row", '63' AS "family", '${f"$i%08x"}' AS "qualifier", lower(hex($v)) AS "value", CAST($ts AS BIGINT) AS "ts" FROM src"""
     }
     s"WITH src AS (SELECT $custKeyHexSql AS k, * FROM customer) " + branches.mkString(" UNION ALL ")
+  }
+
+  /** Four loads at ts 100..400 → TTL cutoff 150 drops the first, keep-2
+    * versioning drops the second — mirror of CellOps.compactVersions. */
+  private def cellsCompactSql: String = {
+    val unions = Seq(100L, 200L, 300L, 400L)
+      .map(ts => s"SELECT * FROM (${cellsIndexedSql(ts)})").mkString(" UNION ALL ")
+    s"""SELECT "row", "family", "qualifier", "value", "ts" FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY "row", "family", "qualifier"
+            ORDER BY "ts" DESC, "value" ASC) rn
+          FROM ($unions) WHERE "ts" >= 150)
+        WHERE rn <= 2"""
   }
 
   private def cellsNamedSql: String = {
@@ -98,6 +113,17 @@ object ReferenceParity {
     "ingest_sorted_cells" -> ((s, dir) =>
       hexBin(RegionSort.sortedByRange(
         CellOps.explodeIndexed(t(s, dir, "customer"), custKey, "c", custValueCols), 10))),
+
+    // the reference's VERSIONS=>3 / TTL DDL semantics (create_table.rb:1)
+    // as an explicit relational compaction: four loads, TTL cutoff drops
+    // the oldest, keep-2 versioning drops the next
+    "cells_compact_versions" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val loads = Seq(100L, 200L, 300L, 400L)
+        .map(ts => CellOps.explodeIndexed(cust, custKey, "c", custValueCols, ts))
+      hexBin(CellOps.compactVersions(loads.reduce(_ unionByName _),
+        maxVersions = 2, minTs = 150L))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -115,5 +141,6 @@ object ReferenceParity {
         "string_split(p_name, ' ')[2] AS tok1 FROM part " +
         "WHERE len(string_split(p_name, ' ')) = 2"),
     "ingest_sorted_cells" -> cellsIndexedSql,
+    "cells_compact_versions" -> cellsCompactSql,
   )
 }

@@ -33,6 +33,26 @@ class CellPipelineSpec extends SparkSuite {
     assert(quals === Set("id", "name", "opt"))
   }
 
+  test("compactVersions: TTL boundary is inclusive, newest-k kept, ts ties break on value") {
+    val cells = Seq(
+      // one coordinate, four versions
+      ("r1", "q", "v100", 100L), ("r1", "q", "v150", 150L),
+      ("r1", "q", "v300", 300L), ("r1", "q", "v400", 400L),
+      // ts tie at the keep boundary: value ASC wins deterministically
+      ("r2", "q", "b", 200L), ("r2", "q", "a", 200L), ("r2", "q", "c", 300L)
+    ).toDF("r", "q", "v", "ts")
+      .select(col("r").cast("binary").as("row"),
+        lit("c").cast("binary").as("family"),
+        col("q").cast("binary").as("qualifier"),
+        col("v").cast("binary").as("value"), col("ts"))
+    val out = CellOps.compactVersions(cells, maxVersions = 2, minTs = 150L)
+      .select(col("row").cast("string"), col("value").cast("string"), col("ts"))
+      .as[(String, String, Long)].collect().toSet
+    assert(out === Set(
+      ("r1", "v400", 400L), ("r1", "v300", 300L), // ts=100 < TTL, 150 ranked out
+      ("r2", "c", 300L), ("r2", "a", 200L)))      // tie 200: "a" beats "b"
+  }
+
   test("naiveSplit keeps exact-arity rows and quarantines the rest") {
     val tmp = java.nio.file.Files.createTempDirectory("graft").toString
     Seq("a,b,c", "x,y", "p,q,r", "one,\"two,half\",three").toDF("value")
