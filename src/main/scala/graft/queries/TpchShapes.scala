@@ -7,10 +7,12 @@ import org.apache.spark.sql.types._
   * schema: disjunctive multi-predicate scans (Q19), conditional-ratio aggs
   * (Q12/Q14), correlated aggregate subqueries (Q2/Q17/Q22 style),
   * having-over-join (Q18), EXISTS semi-joins (Q4), 5-way join with
-  * nation-pair disjunction (Q7), top-N aggregates (Q10), outer-join count
-  * distribution (Q13), scalar-max-with-ties (Q15), and double-correlated
-  * sole-late-supplier (Q21). All Catalyst built-ins with the exact-decimal
-  * money arithmetic from [[Tables]]. */
+  * nation-pair disjunction (Q7), national market share over a 7-way join
+  * (Q8), LIKE-filtered product profit by nation and year (Q9), top-N
+  * aggregates (Q10), outer-join count distribution (Q13),
+  * scalar-max-with-ties (Q15), and double-correlated sole-late-supplier
+  * (Q21). All Catalyst built-ins with the exact-decimal money arithmetic
+  * from [[Tables]]. */
 object TpchShapes {
   import Tables._
 
@@ -94,6 +96,58 @@ object TpchShapes {
 
     // Q7 shape: 5-way join (lineitem-supplier-orders-customer-nation×2)
     // with a nation-pair disjunction and per-year revenue
+    // Q8 shape: national market share — one nation's fraction of a
+    // region's revenue for one part type, by order year (conditional
+    // ratio over a 7-way join; all dims broadcast, one fact shuffle)
+    "q8_market_share" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      val p = t(s, dir, "part")
+      val custNations = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .select(col("n_nationkey").as("c_nkey"))
+      val suppNations = n.select(col("n_nationkey").as("s_nkey"),
+        col("n_name").as("supp_nation"))
+      val rev = money(col("l_extendedprice")) * factor(lit(1.0) - col("l_discount"))
+      l.join(broadcast(p.where(col("p_type") === "STANDARD")),
+          col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .where(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+               col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custNations), col("c_nationkey") === col("c_nkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNations), col("s_nationkey") === col("s_nkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_2", rev).otherwise(lit(0)))
+          .cast(DoubleType) / sum(rev).cast(DoubleType)).as("mkt_share"))
+    }),
+
+    // Q9 shape: product-type profit by supplier nation and year — LIKE
+    // part filter, 5-way join, profit = revenue − cost·quantity (the
+    // testdata has no partsupp, so unit cost is 60% of p_retailprice:
+    // same shape, decimal-exact arithmetic)
+    "q9_product_profit" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val p = t(s, dir, "part")
+      val amount = money(col("l_extendedprice")) * factor(lit(1.0) - col("l_discount")) -
+        money(col("p_retailprice")) * factor(lit(0.6)) * money(col("l_quantity"))
+      l.join(broadcast(p.where(col("p_name").like("%gear%"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(amount).cast(DoubleType).as("sum_profit"))
+    }),
+
     "q7_volume_shipping" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
       val sup = t(s, dir, "supplier")
@@ -247,6 +301,32 @@ object TpchShapes {
                        WHERE l_orderkey = o_orderkey
                          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
          GROUP BY o_orderpriority""",
+    "q8_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+            CAST(SUM(CASE WHEN n2.n_name = 'NATION_2' THEN $revSql ELSE 0 END) AS DOUBLE)
+              / CAST(SUM($revSql) AS DOUBLE) AS mkt_share
+          FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+          GROUP BY 1""",
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+            CAST(SUM($revSql - ${moneySql("p_retailprice")} * ${factorSql("0.6")} * ${moneySql("l_quantity")}) AS DOUBLE) AS sum_profit
+          FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%gear%'
+          GROUP BY 1, 2""",
     "q7_volume_shipping" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
             CAST(year(l_shipdate) AS INTEGER) AS l_year,
