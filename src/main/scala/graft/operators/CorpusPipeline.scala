@@ -25,6 +25,31 @@ import org.apache.spark.sql.types.BinaryType
   */
 object CorpusPipeline {
 
+  /** Deterministic hash-stratified sampling — the corpus MIXING primitive
+    * (up/down-weighting sources into a training mix): each stratum keeps
+    * `rate` of its documents, selected by a hash bucket instead of an
+    * RNG. Reproducibility is the point: the same document set is kept
+    * across engines, runs, task retries and cluster sizes (an RNG-based
+    * sampleBy re-draws on task re-execution), and the DuckDB oracle can
+    * mirror the selection bit-for-bit. Shuffle-free — the predicate is a
+    * per-row filter that pushes down like any other.
+    *
+    * Bucket = first 7 md5 hex chars of the doc id, mod 10⁴; a document is
+    * kept iff bucket < round(rate·10⁴), so rates are exact to 1/10⁴ and
+    * a stratum's sample is a SUBSET of any higher-rate sample of itself
+    * (nested samples — raising a source's weight only adds documents). */
+  def sampleMix(docs: DataFrame, rates: Map[String, Double],
+                defaultRate: Double, stratumCol: String = "source"): DataFrame = {
+    val bucket = pmod(graft.functions.keys.md5Prefix64(
+      col("doc_id").cast(org.apache.spark.sql.types.StringType).cast(BinaryType), 7),
+      lit(10000L))
+    val threshold = rates.foldLeft(lit(math.round(defaultRate * 10000).toInt)) {
+      case (acc, (stratum, r)) =>
+        when(col(stratumCol) === stratum, lit(math.round(r * 10000).toInt)).otherwise(acc)
+    }
+    docs.where(bucket < threshold)
+  }
+
   def cleanCorpus(docs: DataFrame, minTokens: Int = 5, shingleN: Int = 3): DataFrame = {
     val q = docs.select(col("doc_id"), col("source"), col("text"),
         TextOps.tokenCount(col("text")).as("n_tokens"))

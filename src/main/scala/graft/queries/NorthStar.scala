@@ -52,6 +52,14 @@ object NorthStar {
     "pipeline_clean_corpus" -> ((s, dir) =>
       CorpusPipeline.cleanCorpus(t(s, dir, "documents"))),
 
+    // deterministic hash-stratified corpus mixing: per-source keep rates
+    // (src0 all, src1 half, src2 quarter, everything else 10%), selected
+    // by md5 bucket — reproducible across engines/runs/retries, no RNG
+    "corpus_sample_mix" -> ((s, dir) =>
+      CorpusPipeline.sampleMix(t(s, dir, "documents"),
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), 0.1)
+        .select(col("doc_id"), col("source"), col("lang"))),
+
     "text_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
@@ -378,6 +386,15 @@ object NorthStar {
           WHERE doc_id NOT IN (
             SELECT doc_id FROM ($dedupClustersSql) WHERE doc_id <> cluster_id)""",
     "pipeline_clean_corpus" -> cleanCorpusSql,
+    "corpus_sample_mix" ->
+      """WITH b AS (SELECT doc_id, source, lang,
+             CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,7)) AS BIGINT) % 10000 AS bucket
+           FROM documents)
+         SELECT doc_id, source, lang FROM b
+         WHERE bucket < (CASE source WHEN 'src0' THEN 10000
+                                     WHEN 'src1' THEN 5000
+                                     WHEN 'src2' THEN 2500
+                                     ELSE 1000 END)""",
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "text_token_count" ->

@@ -155,6 +155,25 @@ class DedupTextSpec extends SparkSuite {
     assert(out(10L) === 7 && out(14L) === 7)
   }
 
+  test("sampleMix: deterministic, rate-accurate, and nested (higher rate ⊇ lower rate)") {
+    val corpus = (0L until 2000L).map(i => (i, s"src${i % 2}", "en"))
+      .toDF("doc_id", "source", "lang")
+    def ids(rates: Map[String, Double], d: Double) =
+      CorpusPipeline.sampleMix(corpus, rates, d)
+        .select("doc_id").as[Long].collect().toSet
+    val half = ids(Map("src0" -> 0.5), 0.1)
+    val quarter = ids(Map("src0" -> 0.25), 0.1)
+    // nested: raising a stratum's rate only ADDS documents
+    assert(quarter.subsetOf(half))
+    // deterministic: same call, same set
+    assert(ids(Map("src0" -> 0.5), 0.1) === half)
+    // rate-accurate within hash-bucket tolerance (1000 docs/stratum)
+    val src0Half = half.count(_ % 2 == 0)
+    assert(src0Half > 400 && src0Half < 600, s"src0 kept $src0Half of 1000 at rate 0.5")
+    val src1Tenth = half.count(_ % 2 == 1)
+    assert(src1Tenth > 50 && src1Tenth < 150, s"src1 kept $src1Tenth of 1000 at rate 0.1")
+  }
+
   test("shingle-min fingerprint is edit-local: near-dups often collide, distinct docs don't") {
     val fp = docs.select(col("doc_id"), TextOps.fingerprintShingleMin(col("text"), 3).as("f"))
       .as[(Long, String)].collect().toMap
