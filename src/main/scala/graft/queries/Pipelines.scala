@@ -46,6 +46,11 @@ object Pipelines {
     "stream_stream_join" -> ((s, dir) =>
       EventStream.clickAttribution(s, dir)),
 
+    // exactly-once dedup of an at-least-once stream: every event staged
+    // twice, dropDuplicatesWithinWatermark collapses the redeliveries
+    "stream_dedup_events" -> ((s, dir) =>
+      EventStream.dedupEventsAll(s, dir)),
+
     // multimodal: binary payloads + partition-wise stub decode
     "multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(s, t(s, dir, "documents")).toDF()),
@@ -114,6 +119,8 @@ object Pipelines {
                FROM y)
          SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
          FROM z GROUP BY user_id, session_id""",
+    "stream_dedup_events" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events""",
     "stream_stream_join" ->
       """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) ts, user_id, event_type, value FROM events),
          c AS (SELECT user_id, event_id click_id, ts c_ts FROM e WHERE event_type = 'click'),

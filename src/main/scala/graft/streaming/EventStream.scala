@@ -191,12 +191,14 @@ object EventStream {
     * session/window, and the no-data micro-batch that follows flushes
     * them. Returns (stagingDir, maxTsNanos, schema). */
   private def stageEventsWithSentinel(spark: SparkSession, dir: String,
-                                      deltaMinutes: Long): (String, Long, StructType) = {
+                                      deltaMinutes: Long,
+                                      copies: Int = 1): (String, Long, StructType) = {
     // events.ts is TIMESTAMP(NANOS) — read as long, convert to micros
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val staging = java.nio.file.Files.createTempDirectory("graft_evt_stage")
-    java.nio.file.Files.copy(src, staging.resolve("events.parquet"))
+    (0 until copies).foreach(i =>
+      java.nio.file.Files.copy(src, staging.resolve(s"events_$i.parquet")))
     val raw = spark.read.parquet(src.toString)
     val maxTs = raw.agg(max(col("ts"))).head().getLong(0) // nanos
     val sentinelTs = maxTs + deltaMinutes * 60L * 1000000000L
@@ -284,6 +286,35 @@ object EventStream {
       .where(col("c_user") >= 0)
       .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
         col("c_ts"), col("b_ts"), col("amount"))
+  }
+
+  /** Declared EXACTLY-ONCE dedup over an at-least-once stream: the events
+    * table is staged TWICE (every event delivered twice, the way a
+    * replaying source or at-least-once producer would), and
+    * `dropDuplicatesWithinWatermark` on the event id collapses the
+    * redeliveries — state for an id is held only until the watermark
+    * passes its event time, so memory is bounded by the redelivery
+    * horizon, not the stream's history. The file sink then holds exactly
+    * the batch events table (sentinel filtered).
+    * Output: (event_id, user_id, ts, event_type). */
+  def dedupEventsAll(spark: SparkSession, dir: String): DataFrame = {
+    val (staging, _, schema) = stageEventsWithSentinel(spark, dir, 240L, copies = 2)
+    val ev = spark.readStream.schema(schema).parquet(staging)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val sink = java.nio.file.Files.createTempDirectory("graft_dup_sink")
+    val out = sink.resolve("out").toString
+    withStreamPartitions(spark, 8) {
+      val q = ev.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("checkpointLocation", sink.resolve("ckpt").toString)
+        .start(out)
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(out).where(col("event_id") >= 0)
   }
 
   /** Stateful sessionization: groups each user's events into sessions
