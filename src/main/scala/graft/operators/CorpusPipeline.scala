@@ -50,6 +50,24 @@ object CorpusPipeline {
     docs.where(bucket < threshold)
   }
 
+  /** Deterministic token-budget shard assignment — the sequence-packing
+    * prelude: documents are laid out in doc_id order within each source
+    * and a document belongs to the budget-block its first token falls in
+    * (shard = start_offset DIV budget). Exclusive prefix sums make the
+    * assignment a single bounded window per source partition —
+    * deterministic, engine-mirrorable, and one shuffle on the stratum
+    * key. Output: (doc_id, source, n_tokens, shard_id). */
+  def packShards(docs: DataFrame, budgetTokens: Long,
+                 stratumCol: String = "source"): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col(stratumCol),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col(stratumCol), col("n_tokens"),
+        expr(s"start_off div $budgetTokens").as("shard_id"))
+  }
+
   def cleanCorpus(docs: DataFrame, minTokens: Int = 5, shingleN: Int = 3): DataFrame = {
     val q = docs.select(col("doc_id"), col("source"), col("text"),
         TextOps.tokenCount(col("text")).as("n_tokens"))

@@ -60,6 +60,12 @@ object NorthStar {
           Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), 0.1)
         .select(col("doc_id"), col("source"), col("lang"))),
 
+    // deterministic token-budget shard packing (sequence-packing prelude):
+    // shard = which 500-token block a document's first token falls in,
+    // doc_id order within each source
+    "corpus_pack_shards" -> ((s, dir) =>
+      CorpusPipeline.packShards(t(s, dir, "documents"), 500L)),
+
     "text_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
@@ -386,6 +392,14 @@ object NorthStar {
           WHERE doc_id NOT IN (
             SELECT doc_id FROM ($dedupClustersSql) WHERE doc_id <> cluster_id)""",
     "pipeline_clean_corpus" -> cleanCorpusSql,
+    "corpus_pack_shards" ->
+      """WITH t0 AS (SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '\S+')) AS INT) n_tokens FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+                SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+               FROM t0)
+         SELECT doc_id, source, n_tokens, CAST(start_off // 500 AS BIGINT) AS shard_id FROM c""",
     "corpus_sample_mix" ->
       """WITH b AS (SELECT doc_id, source, lang,
              CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,7)) AS BIGINT) % 10000 AS bucket
