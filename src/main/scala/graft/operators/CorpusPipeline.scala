@@ -68,6 +68,21 @@ object CorpusPipeline {
         expr(s"start_off div $budgetTokens").as("shard_id"))
   }
 
+  /** Materialize the packed corpus as a training-ready layout: parquet
+    * partitioned by (stratum, shard_id), so a trainer reads one shard
+    * directory per step and partition pruning serves shard selection for
+    * free. Hive-style partition paths carry the assignment — no
+    * shard manifest to keep consistent. */
+  def writeShards(docs: DataFrame, budgetTokens: Long, outDir: String,
+                  stratumCol: String = "source"): Unit = {
+    val shards = packShards(docs, budgetTokens, stratumCol)
+      .select(col("doc_id"), col("shard_id"))
+    docs.join(shards, "doc_id")
+      .write.mode("overwrite")
+      .partitionBy(stratumCol, "shard_id")
+      .parquet(outDir)
+  }
+
   def cleanCorpus(docs: DataFrame, minTokens: Int = 5, shingleN: Int = 3): DataFrame = {
     val q = docs.select(col("doc_id"), col("source"), col("text"),
         TextOps.tokenCount(col("text")).as("n_tokens"))
