@@ -99,8 +99,9 @@ class PlanSpec extends SparkSuite {
     // (ann_ivf_topk's BNLJ is the O(n·nlist) broadcast-centroid assignment
     // pass, not an all-pairs join)
     val intentional = Set("ann_cosine_topk", "ann_ivf_topk", "q22_idle_balances")
-    // streaming query executes rather than explains statically
-    val skip = Set("stream_windowed_agg")
+    // streaming queries execute rather than explain statically
+    val skip = Set("stream_windowed_agg", "stream_sessionize",
+      "stream_stream_join", "stream_dedup_events")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip.contains).flatMap { name =>
         val p = SparkEntry.queries(name)(spark, sf001)
@@ -109,6 +110,28 @@ class PlanSpec extends SparkSuite {
         if (crossy && !intentional.contains(name)) Some(name) else None
       }
     assert(offenders.isEmpty, s"unintentional cross products in: $offenders")
+  }
+
+  test("global guard: Expand appears only where it IS the operator") {
+    // Expand multiplies every input row by the number of grouping sets /
+    // distinct aggregates / stack branches — the operator's own semantics
+    // for these queries, an accidental plan regression anywhere else
+    // (q_approx_distinct specifically was rewritten to avoid it)
+    val expandIsTheOperator = Set(
+      "q_cube", "q_rollup", "q_sql_grouping_sets", // grouping-set lattices
+      "q_distinct_agg",                            // native multi-distinct agg
+      "cells_explode_named",                       // unpivot/stack
+      "sliding_window_counts")                     // window-per-event expansion
+    val skip = Set("stream_windowed_agg", "stream_sessionize",
+      "stream_stream_join", "stream_dedup_events")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip.contains).flatMap { name =>
+        val p = SparkEntry.queries(name)(spark, sf001)
+          .queryExecution.explainString(ExplainMode.fromString("formatted"))
+        if (p.contains("Expand") && !expandIsTheOperator.contains(name)) Some(name)
+        else None
+      }
+    assert(offenders.isEmpty, s"unexpected Expand in: $offenders")
   }
 
   test("dedup_corpus: candidate-restricted verify — no all-pairs join in the plan") {
