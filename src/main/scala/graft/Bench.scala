@@ -31,17 +31,23 @@ object Bench {
       if (subset.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => subset(n) }
 
-    // min of 2 runs: first-run JIT/GC noise dominates single-shot numbers
-    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { force(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
-        }
+    // min of 2 runs, taken as two FULL alternating passes rather than
+    // back-to-back: first-run JIT/GC noise dominates single-shot numbers,
+    // and a transient machine-load spike poisons adjacent timings — the
+    // passes are minutes apart per query, so the min survives it
+    val names = picked.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to 2; (name, fn) <- names) {
+      val t0 = System.nanoTime()
+      try {
+        force(fn(spark, sfDir))
+        val t = (System.nanoTime() - t0) / 1e9
+        if (t < best.getOrElse(name, Double.MaxValue)) best(name) = t
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (if (times.nonEmpty) times.min else -1.0)
     }
+    val results = names.map { case (name, _) => name -> best.getOrElse(name, -1.0) }
 
     // Ingest throughput: reference CSV → sorted cells (compat parse).
     val refCsv = "/root/reference/src/main/resources/iouzipcodes2011.csv"
