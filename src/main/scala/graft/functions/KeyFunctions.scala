@@ -151,4 +151,29 @@ object keys {
   /** Fused base hash for dedup/fingerprint operators — see [[Md5PrefixLong]]. */
   def md5Prefix64(c: Column, hexChars: Int): Column =
     Bridge.column(Md5PrefixLong(Bridge.expression(c), hexChars))
+
+  /** Fixed-width big-endian rendering of a non-negative integral column:
+    * `unhex(lpad(hex(x)))` — all codegen built-ins. */
+  private def beN(c: Column, hexDigits: Int): Column =
+    unhex(lpad(hex(c), hexDigits, "0"))
+
+  /** HBase KeyValue WIRE serialization of one cell — the exact byte layout
+    * an HFile data block stores (public KeyValue format: 4B keylen ∥ 4B
+    * valuelen ∥ key, where key = 2B rowlen ∥ row ∥ 1B famlen ∥ family ∥
+    * qualifier ∥ 8B timestamp ∥ 1B type; type 0x04 = Put). This is what
+    * `HFileOutputFormat2` would write per cell — with it, the parquet
+    * stand-in sink carries the byte-exact payload and only the HFile
+    * CONTAINER (blocks, index, bloom) remains behind the hbase-jars seam.
+    * Pure codegen built-ins over the cell columns; `length` on BinaryType
+    * counts bytes, and all length/ts inputs are non-negative. */
+  def keyValueWire(row: Column, family: Column, qualifier: Column,
+                   value: Column, ts: Column): Column = {
+    val key = concat(
+      beN(length(row), 4), row,
+      beN(length(family), 2), family,
+      qualifier,
+      beN(ts.cast(LongType), 16),
+      unhex(lit("04")))
+    concat(beN(length(key), 8), beN(length(value), 8), key, value)
+  }
 }

@@ -49,6 +49,21 @@ object ReferenceParity {
     s"WITH src AS (SELECT $custKeyHexSql AS k, * FROM customer) " + branches.mkString(" UNION ALL ")
   }
 
+  /** Hex of the KeyValue wire image for the indexed customer cells:
+    * keylen=2+64+1+1+4+8+1=81 (0x51), rowlen=64 (0x0040), famlen=1,
+    * family 'c'=0x63, 8-hex-digit qualifier, ts=0, type Put=0x04. */
+  private def kvWireSql: String = {
+    val branches = custValueSqls.zipWithIndex.map { case (v, i) =>
+      s"""SELECT k AS "row",
+            '00000051' || lower(lpad(to_hex(strlen($v)), 8, '0')) ||
+            '0040' || k || '0163' || '${f"$i%08x"}' ||
+            '0000000000000000' || '04' || lower(hex($v)) AS "kv"
+          FROM src"""
+    }
+    s"WITH src AS (SELECT $custKeyHexSql AS k, * FROM customer) " +
+      branches.mkString(" UNION ALL ")
+  }
+
   /** Four loads at ts 100..400 → TTL cutoff 150 drops the first, keep-2
     * versioning drops the second — mirror of CellOps.compactVersions. */
   private def cellsCompactSql: String = {
@@ -114,6 +129,16 @@ object ReferenceParity {
       hexBin(RegionSort.sortedByRange(
         CellOps.explodeIndexed(t(s, dir, "customer"), custKey, "c", custValueCols), 10))),
 
+    // X3 payload fidelity: each cell serialized to the public HBase
+    // KeyValue WIRE layout — the exact bytes HFileOutputFormat2 stores
+    // per cell; only the HFile container stays behind the hbase-jars seam
+    "cells_keyvalue_wire" -> ((s, dir) => {
+      val cells = CellOps.explodeIndexed(t(s, dir, "customer"), custKey, "c", custValueCols)
+      hexBin(cells.select(col("row"),
+        keys.keyValueWire(col("row"), col("family"), col("qualifier"),
+          col("value"), col("ts")).as("kv")))
+    }),
+
     // the reference's VERSIONS=>3 / TTL DDL semantics (create_table.rb:1)
     // as an explicit relational compaction: four loads, TTL cutoff drops
     // the oldest, keep-2 versioning drops the next
@@ -142,5 +167,6 @@ object ReferenceParity {
         "WHERE len(string_split(p_name, ' ')) = 2"),
     "ingest_sorted_cells" -> cellsIndexedSql,
     "cells_compact_versions" -> cellsCompactSql,
+    "cells_keyvalue_wire" -> kvWireSql,
   )
 }

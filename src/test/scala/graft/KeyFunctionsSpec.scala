@@ -59,6 +59,25 @@ class KeyFunctionsSpec extends SparkSuite {
     assert(got(0) === '2'.toByte)
   }
 
+  test("keyValueWire: exact KeyValue byte layout for a hand-computed cell") {
+    // row="r", family="c", qualifier=BE int 1, value="v", ts=5:
+    // keylen = 2+1+1+1+4+8+1 = 18, valuelen = 1
+    val kv = bytesOf(keys.keyValueWire(
+      lit("r").cast("binary"), lit("c").cast("binary"),
+      keys.beInt4(lit(1)), lit("v").cast("binary"), lit(5L)))
+    val expect = Array[Int](
+      0, 0, 0, 18,            // keylen
+      0, 0, 0, 1,             // valuelen
+      0, 1, 'r',              // rowlen + row
+      1, 'c',                 // famlen + family
+      0, 0, 0, 1,             // qualifier
+      0, 0, 0, 0, 0, 0, 0, 5, // timestamp
+      4,                      // type = Put
+      'v'                     // value
+    ).map(_.toByte)
+    assert(kv.toSeq === expect.toSeq)
+  }
+
   test("md5Prefix64 is bit-identical to conv(substring(md5(x),1,n),16,10)") {
     import org.apache.spark.sql.types.{BinaryType, LongType}
     import spark.implicits._
