@@ -118,6 +118,34 @@ object TextOps {
     }
   }
 
+  /** PII redaction — the scrub pass every training-data pipeline runs
+    * before packing: emails, dotted-quad IPs, and long digit runs replaced
+    * with typed placeholders. Pure `regexp_replace` (codegen, per-doc,
+    * shuffle-free); patterns are deliberately simple/auditable — a
+    * production pass swaps in its own pattern set through the same shape. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email, "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\b\\d{7,}\\b", "<NUM>")
+  }
+
+  /** Repetition quality signals (the Gopher-rule family): the share of a
+    * document's positional bigrams taken by its single most-repeated
+    * bigram. Degenerate template/boilerplate text scores near 1, natural
+    * prose near 1/n. Built on the codegen struct shingles; one shuffle on
+    * (doc, bigram) then per-doc max/total. Docs with < 2 tokens have no
+    * bigrams and are excluded (no repetition evidence).
+    * Output: (doc_id, n_bigrams, top_bigram_frac). */
+  def repetitionScores(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+        explode(shingleStructs(col("text"), 2)).as("t"))
+      .select(col("doc_id"), shingleString(col("t"), 2).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        (max(col("c")).cast(DoubleType) / sum(col("c"))).as("top_bigram_frac"))
+
   /** Whole-document fingerprint (md5 of the exact text) plus a shingle-min
     * fingerprint (min of per-shingle md5s — a 1-hash MinHash, robust to
     * local edits the way winnowing fingerprints are). */

@@ -94,6 +94,21 @@ object NorthStar {
     "doc_fingerprint_winnow" -> ((s, dir) =>
       TextOps.winnowFingerprints(t(s, dir, "documents"), N, 4)),
 
+    // PII scrub: the corpus text decorated with synthetic PII (email, IP,
+    // long id — the testdata itself is clean words) then redacted; the
+    // oracle replays both the decoration and the redaction
+    "text_redact_pii" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.redactPii(concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com from 10.0."),
+          pmod(col("doc_id"), lit(256)), lit(".7 ref 12345678"),
+          col("doc_id"))).as("clean"))),
+
+    // Gopher-style repetition signal: the most-repeated bigram's share of
+    // each document's positional bigrams
+    "text_repetition" -> ((s, dir) =>
+      TextOps.repetitionScores(t(s, dir, "documents"))),
+
     // corpus vocabulary statistics: bigram document frequency, top 50
     "text_top_bigrams" -> ((s, dir) => {
       val sh = t(s, dir, "documents")
@@ -457,6 +472,25 @@ object NorthStar {
             SELECT doc_id,
               unnest(list_transform(range(len(h)), i -> list_min(h[i+1:i+4]))) AS fp
             FROM hs)""",
+    "text_redact_pii" ->
+      """WITH d AS (SELECT doc_id,
+           text || ' contact user' || doc_id || '@example.com from 10.0.' ||
+             (doc_id % 256) || '.7 ref 12345678' || doc_id AS t2
+          FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t2,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{7,}\b', '<NUM>', 'g') AS clean
+         FROM d""",
+    "text_repetition" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         b AS (SELECT doc_id, unnest(list_transform(range(len(w)-1), i -> w[i+1]||' '||w[i+2])) bg
+               FROM t0 WHERE len(w) >= 2),
+         c AS (SELECT doc_id, bg, count(*) c FROM b GROUP BY 1, 2)
+         SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(MAX(c) AS DOUBLE)/SUM(c) AS top_bigram_frac
+         FROM c GROUP BY doc_id""",
     "text_top_bigrams" ->
       """WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
          sh AS (SELECT doc_id,

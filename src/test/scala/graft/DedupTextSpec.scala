@@ -122,6 +122,21 @@ class DedupTextSpec extends SparkSuite {
     }
   }
 
+  test("redactPii replaces emails, IPs and long digit runs; short numbers survive") {
+    val out = Seq((1L, "mail a.b+c@ex-ample.co.uk ip 192.168.0.1 ref 0123456789 keep 123"))
+      .toDF("doc_id", "text")
+      .select(TextOps.redactPii(col("text"))).as[String].head()
+    assert(out === "mail <EMAIL> ip <IP> ref <NUM> keep 123")
+  }
+
+  test("repetitionScores: top bigram share on a constructed repetitive doc") {
+    val d = Seq((1L, "a b a b a b"), (2L, "w x y z")).toDF("doc_id", "text")
+    val m = TextOps.repetitionScores(d).as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1L) === ((5L, 3.0 / 5.0))) // "a b" ×3 of 5 positional bigrams
+    assert(m(2L) === ((3L, 1.0 / 3.0))) // all distinct
+  }
+
   test("token count is whitespace-run based; bpe estimate is ceil(len/4) sum") {
     val r = Seq((1L, "aa  bbbb cccccc")).toDF("doc_id", "text")
       .select(TextOps.tokenCount(col("text")), TextOps.bpeEstimate(col("text")))
