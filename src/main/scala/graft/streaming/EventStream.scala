@@ -164,9 +164,21 @@ object EventStream {
         .outputMode("append").format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     }
+    deleteStaging(staging)
     spark.table(name).where(col("user_id") >= 0)
       .select(col("user_id"), col("session_start"), col("n_events"))
   }
+
+  /** Best-effort recursive delete of a finished staging directory — the
+    * returned DataFrames read SINK output, never the staged input, so the
+    * copies are dead weight once the stream stops. */
+  private def deleteStaging(dir: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
 
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered
     * for a stream START: stateful operators pin their state-store
@@ -243,6 +255,7 @@ object EventStream {
         .start(out)
       try q.processAllAvailable() finally q.stop()
     }
+    deleteStaging(staging)
     spark.read.parquet(out)
       .where(col("window_start") <= timestamp_micros(lit(maxTs / 1000L)))
   }
@@ -282,6 +295,7 @@ object EventStream {
         .start(out)
       try q.processAllAvailable() finally q.stop()
     }
+    deleteStaging(staging)
     spark.read.parquet(out)
       .where(col("c_user") >= 0)
       .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
@@ -314,6 +328,7 @@ object EventStream {
         .start(out)
       try q.processAllAvailable() finally q.stop()
     }
+    deleteStaging(staging)
     spark.read.parquet(out).where(col("event_id") >= 0)
   }
 
