@@ -15,10 +15,12 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, StructType}
   * path, run incrementally. At scale the file source is swapped for Kafka;
   * the plan (watermark + windowed partial aggs + state store) is identical.
   *
-  * For deterministic testing the query drains a finite parquet directory
-  * through a memory sink in `complete` mode (append would hold back the
-  * final windows until a watermark beyond them arrives — which never
-  * happens on a finite source).
+  * The DECLARED queries run append-mode against file sinks: a finite
+  * table is staged next to one watermark-advancing sentinel event
+  * ([[stageEventsWithSentinel]]), so the closing no-data micro-batch
+  * flushes every open window/session/join-state and the sink holds the
+  * exact batch answer. The complete-mode memory-sink [[windowedAgg]]
+  * remains as the interactive form (no staging, results on the driver).
   */
 object EventStream {
 
