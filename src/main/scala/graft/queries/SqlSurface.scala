@@ -51,6 +51,23 @@ object SqlSurface {
         .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
           expr("percentile(l_extendedprice, 0.9)").as("p90_price"))),
 
+    // approximate quantiles (Greenwald-Khanna sketch): estimates are
+    // engine-specific, so — like q_approx_distinct — the DECLARED columns
+    // are the exact percentiles plus an error-bound flag; the sketch runs
+    // and is oracle-GATED (rank accuracy 1/1000 sits far inside the 5%
+    // value band) without comparing engine-specific estimates
+    "q_approx_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("aq"),
+          expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("ap"))
+        .select(col("l_returnflag"), col("median_qty"), col("p90_price"),
+          (abs(col("aq") - col("median_qty")) <= col("median_qty") * 0.05 &&
+           abs(col("ap") - col("p90_price")) <= col("p90_price") * 0.05)
+            .cast(IntegerType).as("within_bound"))),
+
     // JSON column extraction (events.props is a JSON string)
     "q_json_extract" -> ((s, dir) =>
       t(s, dir, "events")
@@ -177,6 +194,10 @@ object SqlSurface {
     "q_percentile" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
            quantile_cont(l_extendedprice, 0.9) AS p90_price
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_approx_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price, 1 AS within_bound
          FROM lineitem GROUP BY l_returnflag""",
     "q_json_extract" ->
       """SELECT event_type,
