@@ -19,6 +19,56 @@ class PropertySpec extends SparkSuite {
 
   private val asciiStr = Gen.asciiPrintableStr.map(_.take(80))
 
+  test("shingleStructs ≡ positionalShingles on random token lists (n = 2..4)") {
+    import graft.operators.TextOps
+    // word pool includes multi-byte UTF-8 and digits; list length spans the
+    // empty / shorter-than-n / equal-to-n / longer classes
+    val tokGen = Gen.choose(0, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "bb", "ccc", "dddd", "é文", "x1", "a")))
+    val texts = samples(tokGen, 150).map(_.mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (n <- 2 to 4) {
+      val ref = df.select(col("doc_id"), posexplode(TextOps.positionalShingles(col("text"), n)))
+        .select(col("doc_id"), col("pos"), col("col"))
+        .as[(Long, Int, String)].collect().sorted.toSeq
+      val got = df.select(col("doc_id"), posexplode(TextOps.shingleStructs(col("text"), n)))
+        .select(col("doc_id"), col("pos"), TextOps.shingleString(col("col"), n))
+        .as[(Long, Int, String)].collect().sorted.toSeq
+      assert(got === ref, s"n=$n")
+    }
+  }
+
+  test("keyValueWire layout invariants for arbitrary row/qualifier/value bytes") {
+    val bytes = Gen.choose(1, 40).flatMap(len =>
+      Gen.listOfN(len, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    val rows = samples(Gen.zip(bytes, bytes, bytes, Gen.chooseNum(0L, 1L << 40)), 120)
+    val kvs = rows.toDF("r", "q", "v", "ts")
+      .select(struct(col("r"), col("q"), col("v"), col("ts")).as("in"),
+        keys.keyValueWire(col("r"), lit("c").cast("binary"), col("q"),
+          col("v"), col("ts")).as("kv"))
+      .as[((Array[Byte], Array[Byte], Array[Byte], Long), Array[Byte])].collect()
+    def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    kvs.foreach { case ((r, q, v, ts), kv) =>
+      val keylen = be32(kv, 0)
+      val vallen = be32(kv, 4)
+      assert(keylen === 2 + r.length + 1 + 1 + q.length + 8 + 1)
+      assert(vallen === v.length)
+      assert(kv.length === 8 + keylen + vallen)
+      // rowlen short + row bytes recovered at their offsets
+      assert(((kv(8) & 0xff) << 8 | (kv(9) & 0xff)) === r.length)
+      assert(kv.slice(10, 10 + r.length).toSeq === r.toSeq)
+      // value is the tail
+      assert(kv.takeRight(vallen).toSeq === v.toSeq)
+      // type byte Put=4 sits just before the value
+      assert(kv(8 + keylen - 1) === 4.toByte)
+      // big-endian ts at its offset
+      val tsOff = 8 + keylen - 9
+      val gotTs = (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (kv(tsOff + i) & 0xffL))
+      assert(gotTs === ts)
+    }
+  }
+
   test("md5CompositeKey width = 16 × #fields for arbitrary strings") {
     val rows = samples(Gen.zip(asciiStr, asciiStr, asciiStr, asciiStr), 200)
     val widths = rows.toDF("a", "b", "c", "d")
