@@ -14,6 +14,13 @@ class SparkEntrySpec extends SparkSuite {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("every declared query has an oracle (no rows-only fallbacks)") {
+    // the driver downgrades an oracle-less query to a weaker rows>0 check;
+    // this inventory keeps the full-strength gate on EVERY query
+    val weak = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(weak.isEmpty, s"queries without an oracle: $weak")
+  }
+
   test("every declared query executes and returns rows at sf0.001") {
     val empty = SparkEntry.queries.flatMap { case (name, fn) =>
       val n = fn(spark, sf001).count()
