@@ -172,6 +172,15 @@ class SourceDriversSpec extends SparkSuite {
     val narrowDir = tmpDir() + "/orc_narrow"
     rows9.map(r => (r._1, r._2)).toDF("a", "b").write.mode("overwrite").orc(narrowDir)
     intercept[IllegalArgumentException](BulkLoad.orc(spark, narrowDir))
+
+    // column PRUNING reaches the ORC scan: the wide file's extra columns
+    // never leave disk (ReadSchema excludes them) — the property the
+    // reference's columnar-input choice was after
+    val plan = graft.sources.OrcSource.read(spark, wideDir, 9).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("k0") && !readSchema.contains("k9") &&
+      !readSchema.contains("k10"), plan)
   }
 
   test("cross-driver consistency: csv, hivetext and rcfile yield byte-identical cells") {
