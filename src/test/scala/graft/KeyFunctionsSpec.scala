@@ -59,6 +59,19 @@ class KeyFunctionsSpec extends SparkSuite {
     assert(got(0) === '2'.toByte)
   }
 
+  test("GraftExtensions injects SQL functions with no runtime registration") {
+    // newSession() rebuilds session state from the injected extensions and
+    // does NOT inherit temp functions registered elsewhere — resolving
+    // be_int4/array_dot here proves the spark.sql.extensions deployment
+    // path alone, as a cluster job using GraftSession would see it
+    val fresh = spark.newSession()
+    val r = fresh.sql(
+      "SELECT lower(hex(be_int4(7))) AS q, array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d"
+    ).head()
+    assert(r.getString(0) === "00000007")
+    assert(r.getDouble(1) === 11.0)
+  }
+
   test("keyValueWire: exact KeyValue byte layout for a hand-computed cell") {
     // row="r", family="c", qualifier=BE int 1, value="v", ts=5:
     // keylen = 2+1+1+1+4+8+1 = 18, valuelen = 1
