@@ -96,6 +96,26 @@ object TpchShapes {
 
     // Q7 shape: 5-way join (lineitem-supplier-orders-customer-nation×2)
     // with a nation-pair disjunction and per-year revenue
+    // Q20 shape: excess-share shipments — suppliers who shipped MORE THAN
+    // HALF of a part's 1996 volume (correlated fraction-of-group,
+    // decorrelated to a two-level aggregate; the share test runs in exact
+    // decimal, q·2 > total, so no float order noise anywhere)
+    "q20_excess_shipments" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+               col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
+      val perPS = l.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).as("q"))
+      val perP = perPS.groupBy(col("l_partkey"))
+        .agg(sum(col("q")).as("tq"), count(lit(1)).as("n_supp"))
+      perPS.join(perP, "l_partkey")
+        .where(col("n_supp") > 1 && col("q") * 2 > col("tq"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_dominated_parts"))
+    }),
+
     // Q8 shape: national market share — one nation's fraction of a
     // region's revenue for one part type, by order year (conditional
     // ratio over a 7-way join; all dims broadcast, one fact shuffle)
@@ -301,6 +321,19 @@ object TpchShapes {
                        WHERE l_orderkey = o_orderkey
                          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
          GROUP BY o_orderpriority""",
+    "q20_excess_shipments" ->
+      """WITH ps AS (
+           SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) q
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+           GROUP BY 1, 2),
+         p AS (SELECT l_partkey, SUM(q) tq, COUNT(*) n_supp FROM ps GROUP BY 1)
+         SELECT s_suppkey, s_name, COUNT(*) AS n_dominated_parts
+         FROM ps JOIN p USING (l_partkey)
+           JOIN supplier ON l_suppkey = s_suppkey
+         WHERE n_supp > 1 AND q * 2 > tq
+         GROUP BY 1, 2""",
     "q8_market_share" ->
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
             CAST(SUM(CASE WHEN n2.n_name = 'NATION_2' THEN $revSql ELSE 0 END) AS DOUBLE)
