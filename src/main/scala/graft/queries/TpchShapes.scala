@@ -96,6 +96,52 @@ object TpchShapes {
 
     // Q7 shape: 5-way join (lineitem-supplier-orders-customer-nation×2)
     // with a nation-pair disjunction and per-year revenue
+    // Q2 shape: min-cost supplier per part WITHIN a region, keeping ties —
+    // per-group argmin via a min-join (the testdata has no partsupp, so
+    // supplier cost = the supplier's average sale price from lineitem)
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val euro = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "EUROPE")
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      val cost = t(s, dir, "lineitem")
+        .join(broadcast(euro), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .agg(davg(money(col("l_extendedprice"))).as("cost"))
+      val minCost = cost.groupBy(col("pk")).agg(min(col("cost")).as("mc"))
+      cost.join(minCost, "pk").where(col("cost") === col("mc"))
+        .join(broadcast(euro), col("sk") === col("s_suppkey"))
+        .select(col("pk").as("p_partkey"), col("s_name"), col("n_name"), col("cost"))
+    }),
+
+    // Q11 shape: important share — parts whose total sale value exceeds
+    // 0.01% of the corpus total; value stays DECIMAL until the final cast
+    // so the scalar-threshold compare is exact (v·10⁴ > total)
+    "q11_important_share" -> ((s, dir) => {
+      val pv = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(money(col("l_extendedprice"))).as("v"))
+      val tot = pv.agg(sum(col("v")).as("t"))
+      pv.crossJoin(broadcast(tot))
+        .where(col("v") * 10000 > col("t"))
+        .select(col("l_partkey"), col("v").cast(DoubleType).as("part_value"))
+    }),
+
+    // Q16 shape: supplier variety per part attribute group, excluding a
+    // supplier denylist (NOT IN → anti join) — single distinct agg, no
+    // Expand
+    "q16_supplier_variety" -> ((s, dir) => {
+      val excl = t(s, dir, "supplier").where(col("s_name").like("%1%"))
+        .select(col("s_suppkey").as("xk"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").where(col("p_type") =!= "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excl), col("l_suppkey") === col("xk"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
     // Q20 shape: excess-share shipments — suppliers who shipped MORE THAN
     // HALF of a part's 1996 volume (correlated fraction-of-group,
     // decorrelated to a two-level aggregate; the share test runs in exact
@@ -321,6 +367,30 @@ object TpchShapes {
                        WHERE l_orderkey = o_orderkey
                          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
          GROUP BY o_orderpriority""",
+    "q2_min_cost_supplier" ->
+      s"""WITH es AS (SELECT s_suppkey, s_name, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'),
+          sc AS (SELECT l_partkey pk, l_suppkey sk,
+              ${davgSql(moneySql("l_extendedprice"))} AS "cost"
+            FROM lineitem JOIN es ON l_suppkey = s_suppkey GROUP BY 1, 2),
+          mc AS (SELECT pk, min("cost") mc FROM sc GROUP BY 1)
+          SELECT pk AS p_partkey, s_name, n_name, "cost"
+          FROM sc JOIN mc USING (pk) JOIN es ON sk = s_suppkey
+          WHERE "cost" = mc""",
+    "q11_important_share" ->
+      s"""WITH pv AS (SELECT l_partkey, SUM(${moneySql("l_extendedprice")}) v
+            FROM lineitem GROUP BY 1),
+          t AS (SELECT SUM(v) t FROM pv)
+          SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+          FROM pv, t WHERE v * 10000 > t""",
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_type <> 'PROMO'
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%1%')
+         GROUP BY 1, 2, 3""",
     "q20_excess_shipments" ->
       """WITH ps AS (
            SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) q

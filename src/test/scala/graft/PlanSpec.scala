@@ -97,8 +97,9 @@ class PlanSpec extends SparkSuite {
     // ann_cosine_pairs and ann_lsh_topk are deliberately NOT here: their
     // declared forms are bucketed equi-joins and must stay BNLJ-free.
     // (ann_ivf_topk's BNLJ is the O(n·nlist) broadcast-centroid assignment
-    // pass, not an all-pairs join)
-    val intentional = Set("ann_cosine_topk", "ann_ivf_topk", "q22_idle_balances")
+    // pass, not an all-pairs join; q11 and q22 cross-join a 1-row scalar agg)
+    val intentional = Set("ann_cosine_topk", "ann_ivf_topk",
+      "q22_idle_balances", "q11_important_share")
     // streaming queries execute rather than explain statically
     val skip = Set("stream_windowed_agg", "stream_sessionize",
       "stream_stream_join", "stream_dedup_events")
