@@ -53,6 +53,18 @@ object IngestCli {
     }.sortBy(_._1)
   }
 
+  /** Streaming-mode parse settings per format: (config, delimiter).
+    * `hivetext` streams with the SAME `\u0001` delimiter as the batch path
+    * (`Delimited.hiveText`); `csv-compat` with the naive comma split. Kept
+    * as a named function so tests pin the CLI mapping itself — a wrong
+    * delimiter here silently mis-parses every streamed line. */
+  def streamConfig(format: String, base: BulkLoad.Config): Option[(BulkLoad.Config, String)] =
+    format match {
+      case "csv-compat" => Some((base.copy(compatNaiveSplit = true), ","))
+      case "hivetext"   => Some((base, "\u0001"))
+      case _            => None
+    }
+
   private def usageExit(): Nothing = {
     System.err.println(
       "usage: IngestCli <csv|csv-compat|hivetext|avro|rcfile|rcfile-compat|orc> <input> <output> " +
@@ -94,12 +106,9 @@ object IngestCli {
       // and bulk-load each micro-batch independently (csv-compat/hivetext
       // parse semantics; exactly-once via the checkpoint)
       opts.get("--stream-checkpoint").foreach { ckpt =>
-        val (cfg, delim) = format match {
-          case "csv-compat" => (base.copy(compatNaiveSplit = true), ",")
-          case "hivetext"   => (base, "")
-          case other =>
-            System.err.println(s"streaming supports csv-compat|hivetext, not: $other")
-            sys.exit(2)
+        val (cfg, delim) = streamConfig(format, base).getOrElse {
+          System.err.println(s"streaming supports csv-compat|hivetext, not: $format")
+          sys.exit(2)
         }
         val batches = graft.streaming.StreamingIngest.run(
           spark, input, output, ckpt, cfg, delim)

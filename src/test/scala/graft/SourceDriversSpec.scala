@@ -60,7 +60,7 @@ class SourceDriversSpec extends SparkSuite {
 
   test("hiveText driver: \\u0001-delimited parse + 64-byte keys") {
     val dir = tmpDir()
-    rows9.map(r => r.productIterator.mkString(""))
+    rows9.map(r => r.productIterator.mkString("\u0001"))
       .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
     val r = BulkLoad.hiveText(spark, dir)
     assert(r.cells.count() === 27)
@@ -198,7 +198,7 @@ class SourceDriversSpec extends SparkSuite {
 
     // hive text
     val hiveDir = tmpDir()
-    rows9.map(r => r.productIterator.mkString(""))
+    rows9.map(r => r.productIterator.mkString("\u0001"))
       .toDF("value").coalesce(1).write.mode("overwrite").text(hiveDir)
     val viaHive = cellSet(BulkLoad.hiveText(spark, hiveDir).cells)
 
@@ -227,7 +227,7 @@ class SourceDriversSpec extends SparkSuite {
       override protected def cleanupStep(path: String): Unit = log += s"cleanup:$path"
     }
     val dir = tmpDir()
-    rows9.map(r => r.productIterator.mkString(""))
+    rows9.map(r => r.productIterator.mkString("\u0001"))
       .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
     val r = BulkLoad.hiveText(spark, dir)
     val out = tmpDir() + "/sinkout"
@@ -278,7 +278,7 @@ class SourceDriversSpec extends SparkSuite {
 
   test("salting spreads rows across buckets and keeps per-bucket sort") {
     val dir = tmpDir()
-    rows9.map(r => r.productIterator.mkString(""))
+    rows9.map(r => r.productIterator.mkString("\u0001"))
       .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
     val r = BulkLoad.hiveText(spark, dir, BulkLoad.Config(saltBuckets = Some(10)))
     // key = 1 salt byte + 64 key bytes
@@ -361,5 +361,36 @@ class SourceDriversSpec extends SparkSuite {
       .reduce(_ unionByName _)
     assert(quarantined.count() === 1)
     assert(quarantined.head().getString(0).contains("Utility, With Comma"))
+  }
+
+  test("streaming hivetext: CLI delimiter mapping parses \\u0001 lines byte-identically to the batch driver") {
+    import graft.streaming.StreamingIngest
+    val in = tmpDir() + "/in"
+    new java.io.File(in).mkdirs()
+    // \\u0001-joined lines, plus one short line that must quarantine (not
+    // explode into per-character tokens — the regression the CLI mapping
+    // test exists to catch: an empty delimiter splits per character)
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "f1.txt"),
+      (rows9.take(2).map(_.productIterator.mkString("\u0001")) :+ "short\u0001line")
+        .mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "f2.txt"),
+      rows9.drop(2).map(_.productIterator.mkString("\u0001")).mkString("\n").getBytes("UTF-8"))
+
+    // the CLI's own streaming mapping, not a hand-written delimiter
+    val Some((cfg, delim)) = IngestCli.streamConfig("hivetext", BulkLoad.Config())
+    val out = tmpDir() + "/out"
+    val batches = StreamingIngest.run(spark, in, out, tmpDir() + "/ckpt", cfg, delim)
+    assert(batches.length === 2)
+
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(hex(col("row")), hex(col("qualifier")), hex(col("value")))
+      .as[(String, String, String)].collect().sorted.toSeq
+    val streamed = batches.map(b => spark.read.parquet(b.path)).reduce(_ unionByName _)
+    val batch = BulkLoad.hiveText(spark, in)
+    assert(key(streamed) === key(batch.cells))
+    assert(streamed.count() === 27) // 3 arity-9 rows; the 2-token line is out
+    val quarantined = batches.map(b => spark.read.parquet(s"${b.path}.quarantine"))
+      .reduce(_ unionByName _)
+    assert(quarantined.as[String].collect().toSeq === Seq("short\u0001line"))
   }
 }
