@@ -44,7 +44,19 @@ object BulkLoad {
       saltBuckets: Option[Int] = None,
       qualifiers: QualifierStrategy = IndexQualifiers,
       compatNaiveSplit: Boolean = false,
-      loadTs: Long = 0L)
+      loadTs: Long = 0L,
+      /** Explicit region boundaries (first key of region i+1, unsigned
+        * byte order) — the `TotalOrderPartitioner` split-file analog of
+        * the reference's live `RegionLocator.getStartKeys` lookup
+        * (BulkImporterFromText.java:105-108). When set, the load is
+        * EXACTLY region-aligned via [[graft.plans.RegionAlignedSort]]
+        * even without salting; `regions` is ignored. Mutually exclusive
+        * with `saltBuckets`, whose salt digits define their own
+        * boundaries. */
+      splits: Option[Seq[Array[Byte]]] = None) {
+    require(splits.isEmpty || saltBuckets.isEmpty,
+      "explicit splits and salting are mutually exclusive: salt digits define their own region boundaries")
+  }
 
   /** Result: region-sorted cells + quarantined rows + the sink.
     * `quarantined` is a single string column `value`: the raw line for
@@ -143,15 +155,21 @@ object BulkLoad {
 
   /** Salted loads get EXACT region alignment (the salt digits ARE the
     * table's pre-split boundaries, create_table.rb:1) via the custom
-    * RegionAlignedSort operator; unsalted MD5 keys are uniform, where
-    * Catalyst's sampled range exchange is accurate and cheaper. */
+    * RegionAlignedSort operator; explicit `cfg.splits` boundaries get the
+    * same exact path without salting (adopting an EXISTING table's region
+    * layout). Unsalted loads with no boundary file fall back to
+    * Catalyst's sampled range exchange — accurate and cheaper for the
+    * uniform MD5 keyspace, but a straddling file may be split server-side
+    * at adoption time. */
   private def sorted(cells: DataFrame, cfg: Config): DataFrame =
-    cfg.saltBuckets match {
-      case Some(b) =>
+    (cfg.saltBuckets, cfg.splits) match {
+      case (Some(b), _) =>
         val salted = cells.withColumn("row",
           concat(keys.saltPrefix(crc32(col("row")), b), col("row")))
         graft.plans.RegionAlignedSort(salted, RegionSort.saltSplits(b))
-      case None =>
+      case (None, Some(s)) =>
+        graft.plans.RegionAlignedSort(cells, s.toArray)
+      case (None, None) =>
         RegionSort.sortedByRange(cells, cfg.regions)
     }
 }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Real-HFile terminal sink — the reference's
+  * `HFileOutputFormat2` + `LoadIncrementalHFiles` tail
+  * (BulkImporterFromCSVText.java:108-111,129-130) as a drop-in [[CellSink]].
+  *
+  * The build environment carries no HBase jars, so every HBase type is
+  * reached via reflection behind [[available]]: with `hbase-mapreduce` on
+  * the runtime classpath the sink writes one HFile per (already
+  * region-aligned, KeyValue-sorted) cell partition through
+  * `saveAsNewAPIHadoopFile`; without it, [[write]] falls back to
+  * [[SortedParquetCellSink]] — same partition/order contract, parquet
+  * container. Cell BYTE fidelity does not depend on this class either way:
+  * the exact KeyValue wire image is pinned engine-wide by
+  * `keys.keyValueWire` (declared query `cells_keyvalue_wire`), so only the
+  * HFile CONTAINER (blocks, index, bloom) rides on the HBase classes.
+  *
+  * Scale shape: no extra exchange — the input contract (file i = region i,
+  * rows in unsigned (row, family, qualifier) order) is exactly
+  * `HFileOutputFormat2`'s reducer contract, so the write is a pure
+  * per-partition streaming pass. Reflection cost is per-partition class
+  * lookup + boxed constructor calls per cell — the adapter tax only paid
+  * when the real container is requested.
+  */
+object HFileCellSink extends CellSink {
+
+  private val RequiredClasses = Seq(
+    "org.apache.hadoop.hbase.KeyValue",
+    "org.apache.hadoop.hbase.io.ImmutableBytesWritable",
+    "org.apache.hadoop.hbase.mapreduce.HFileOutputFormat2")
+
+  /** True iff the HBase mapreduce classes are loadable here. */
+  lazy val available: Boolean =
+    RequiredClasses.forall(c =>
+      scala.util.Try(Class.forName(c)).isSuccess)
+
+  /** The sink a pipeline should actually use: this one when the HBase
+    * classes are present, the parquet stand-in otherwise. */
+  def orFallback: CellSink = if (available) this else SortedParquetCellSink
+
+  override def write(cells: DataFrame, path: String): Unit =
+    if (!available) SortedParquetCellSink.write(cells, path)
+    else writeHFiles(cells, path)
+
+  /** The real container write. Only reachable with HBase jars present —
+    * untestable in this environment by construction, kept small and
+    * reflection-only so it compiles (and stays honest) without them. */
+  private def writeHFiles(cells: DataFrame, path: String): Unit = {
+    val rdd = cells.select("row", "family", "qualifier", "value", "ts").rdd
+      .mapPartitions { it =>
+        // resolve per PARTITION, not per cell
+        val kvCls = Class.forName("org.apache.hadoop.hbase.KeyValue")
+        val ibwCls = Class.forName("org.apache.hadoop.hbase.io.ImmutableBytesWritable")
+        val ba = classOf[Array[Byte]]
+        val kvCtor = kvCls.getConstructor(ba, ba, ba, classOf[Long], ba)
+        val ibwCtor = ibwCls.getConstructor(ba)
+        it.map { r =>
+          val row = r.getAs[Array[Byte]](0)
+          (ibwCtor.newInstance(row).asInstanceOf[AnyRef],
+            kvCtor.newInstance(row, r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2),
+              java.lang.Long.valueOf(r.getAs[Long](4)), r.getAs[Array[Byte]](3))
+              .asInstanceOf[AnyRef])
+        }
+      }
+    val conf = cells.sparkSession.sparkContext.hadoopConfiguration
+    rdd.saveAsNewAPIHadoopFile(
+      path,
+      Class.forName("org.apache.hadoop.hbase.io.ImmutableBytesWritable"),
+      Class.forName("org.apache.hadoop.hbase.KeyValue"),
+      Class.forName("org.apache.hadoop.hbase.mapreduce.HFileOutputFormat2")
+        .asInstanceOf[Class[org.apache.hadoop.mapreduce.OutputFormat[AnyRef, AnyRef]]],
+      conf)
+  }
+
+  /** X4: the reference's recursive chmod 777 walk over the staging dir
+    * (BulkImporterFromText.java:118-124) — plain Hadoop FS, no HBase
+    * classes needed. */
+  override protected def chmodStep(path: String): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    import org.apache.hadoop.fs.permission.FsPermission
+    val fs = FileSystem.get(new java.net.URI(path),
+      new org.apache.hadoop.conf.Configuration())
+    def walk(p: Path): Unit = {
+      fs.setPermission(p, new FsPermission("777"))
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).foreach(s => walk(s.getPath))
+    }
+    walk(new Path(path))
+  }
+
+  /** X5: `doBulkLoad` needs a live cluster connection; with HBase present
+    * the adoption call is
+    * `BulkLoadHFiles.create(conf).bulkLoad(tableName, path)` — left to the
+    * deployment (a cluster to adopt into cannot exist here), like the
+    * reference leaves zookeeper quorum config to hbase-site.xml. */
+  override protected def bulkLoadStep(path: String): Unit = ()
+}

@@ -17,7 +17,28 @@ import org.apache.spark.sql.SparkSession
 object IngestCli {
 
   private val knownFlags =
-    Set("--arity", "--salt", "--regions", "--conf", "--stream-checkpoint")
+    Set("--arity", "--salt", "--regions", "--conf", "--splits",
+      "--key-fields", "--family", "--qualifiers", "--stream-checkpoint")
+
+  /** Region-boundary file → split keys: one lowercase/uppercase hex row key
+    * per line (first key of region i+1), blanks and `#` comments ignored —
+    * the `TotalOrderPartitioner` split-file analog of the reference's live
+    * `RegionLocator.getStartKeys` call (BulkImporterFromText.java:105-108).
+    * Ordering/strictness is validated downstream by `RegionPartitioner`. */
+  def loadSplits(path: String): Seq[Array[Byte]] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
+      .asScala.iterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        require(l.length % 2 == 0 && l.forall(c => Character.digit(c, 16) >= 0),
+          s"split line is not even-length hex: $l")
+        java.util.HexFormat.of().parseHex(l.toLowerCase)
+      }
+      .toSeq
+  }
 
   /** Config file → ordered key/value pairs. `.xml` files use the Hadoop
     * configuration dialect — the reference's `hbase-site.xml` first CLI
@@ -65,10 +86,32 @@ object IngestCli {
       case _            => None
     }
 
+  /** Parsed flag map → pipeline Config — full key-spec parity with
+    * [[BulkLoad.Config]]: the reference RC driver's custom key fields
+    * (BulkImporterFromRC.java:54-56) become
+    * `--key-fields 1,3,4,20 --family c --qualifiers index`. */
+  def configFrom(opts: Map[String, String]): BulkLoad.Config =
+    BulkLoad.Config(
+      arity = opts.get("--arity").map(_.toInt).getOrElse(9),
+      regions = opts.get("--regions").map(_.toInt).getOrElse(10),
+      saltBuckets = opts.get("--salt").map(_.toInt),
+      splits = opts.get("--splits").map(loadSplits),
+      keyFields = opts.get("--key-fields")
+        .map(_.split(",").toSeq.map(_.trim.toInt))
+        .getOrElse(BulkLoad.Config().keyFields),
+      family = opts.getOrElse("--family", BulkLoad.Config().family),
+      qualifiers = opts.get("--qualifiers").map {
+        case "index" => BulkLoad.IndexQualifiers
+        case "name"  => BulkLoad.NameQualifiers
+        case other =>
+          throw new IllegalArgumentException(s"--qualifiers must be index|name, got: $other")
+      }.getOrElse(BulkLoad.Config().qualifiers))
+
   private def usageExit(): Nothing = {
     System.err.println(
       "usage: IngestCli <csv|csv-compat|hivetext|avro|rcfile|rcfile-compat|orc> <input> <output> " +
-        "[--arity N] [--salt BUCKETS] [--regions N] [--conf FILE] [--stream-checkpoint DIR]")
+        "[--arity N] [--salt BUCKETS] [--regions N] [--conf FILE] [--splits FILE] " +
+        "[--key-fields I,J,..] [--family NAME] [--qualifiers index|name] [--stream-checkpoint DIR]")
     sys.exit(2)
   }
 
@@ -85,10 +128,7 @@ object IngestCli {
       }
       k -> v
     }.toMap
-    val base = BulkLoad.Config(
-      arity = opts.get("--arity").map(_.toInt).getOrElse(9),
-      regions = opts.get("--regions").map(_.toInt).getOrElse(10),
-      saltBuckets = opts.get("--salt").map(_.toInt))
+    val base = configFrom(opts)
 
     val builder = GraftSession
       .builder("graft-ingest",

@@ -157,6 +157,53 @@ class CellPipelineSpec extends SparkSuite {
     assert(perPart.map(_._2).sum === 36992L * 3)
   }
 
+  test("explicit --splits boundaries: unsalted MD5 load is exactly region-aligned (file i in region i)") {
+    // the TotalOrderPartitioner split-file analog: 15 first-byte boundaries
+    // -> 16 regions over the uniform MD5 keyspace
+    val splitsFile = java.nio.file.Files.createTempFile("graft-splits", ".txt")
+    val lines = "# first key of region i+1, hex per line\n\n" +
+      (1 to 15).map(i => f"${i * 0x10}%02X").mkString("\n") + "\n"
+    java.nio.file.Files.write(splitsFile, lines.getBytes("UTF-8"))
+    val splits = IngestCli.loadSplits(splitsFile.toString)
+    assert(splits.length === 15)
+    assert(splits.head.toSeq === Seq(0x10.toByte)) // uppercase hex accepted
+    // comments/blanks dropped, bad hex rejected
+    intercept[IllegalArgumentException] {
+      val bad = java.nio.file.Files.createTempFile("graft-splits", ".txt")
+      java.nio.file.Files.write(bad, "xyz\n".getBytes("UTF-8"))
+      IngestCli.loadSplits(bad.toString)
+    }
+
+    val path = "/root/reference/src/main/resources/iouzipcodes2011.csv"
+    val r = BulkLoad.csv(spark, path,
+      BulkLoad.Config(compatNaiveSplit = true, splits = Some(splits)))
+    assert(r.cells.queryExecution.executedPlan
+      .exists(_.isInstanceOf[graft.plans.RegionAlignedSortExec]),
+      "explicit splits must plan through the exact-boundary operator")
+    val perPart = r.cells.rdd.mapPartitionsWithIndex { (i, it) =>
+      var prev: Array[Byte] = null
+      var ok = true
+      var n = 0L
+      for (row <- it) {
+        val k = row.getAs[Array[Byte]]("row")
+        // region i holds exactly first-byte range [i*0x10, (i+1)*0x10)
+        ok &&= (k(0) & 0xff) / 0x10 == i
+        if (prev != null) ok &&= RegionSort.unsignedBytes.compare(prev, k) <= 0
+        prev = k
+        n += 1
+      }
+      Iterator.single((ok, n))
+    }.collect()
+    assert(perPart.length === 16)
+    assert(perPart.forall(_._1), "file i must hold region i's range, KV-sorted")
+    assert(perPart.map(_._2).sum === 36992L * 9)
+
+    // salting and explicit splits are mutually exclusive boundary sources
+    intercept[IllegalArgumentException] {
+      BulkLoad.Config(saltBuckets = Some(10), splits = Some(splits))
+    }
+  }
+
   test("partitionByRegions: exact alignment + KV sort within each region") {
     val path = "/root/reference/src/main/resources/iouzipcodes2011.csv"
     val (kept, _) = Delimited.naiveSplit(spark, path, ",", 9)

@@ -311,6 +311,52 @@ class SourceDriversSpec extends SparkSuite {
     assert(diff.count() === 0)
   }
 
+  test("HFileCellSink: reflection guard falls back to parquet without hbase jars; chmod walk runs") {
+    // this environment has no hbase-mapreduce on the classpath
+    assert(!HFileCellSink.available)
+    assert(HFileCellSink.orFallback eq SortedParquetCellSink)
+    // write() through the guard still lands the sorted-cell contract
+    val dir = tmpDir()
+    rows9.map(r => r.productIterator.mkString(","))
+      .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val r = BulkLoad.csv(spark, dir, BulkLoad.Config(compatNaiveSplit = true))
+    val out = tmpDir() + "/hfile-fallback"
+    HFileCellSink.write(r.cells, out)
+    // the quoted-comma row quarantines under naive split: 2 rows × 9 cells
+    assert(spark.read.parquet(out).count() === 18)
+    // X4 chmod walk is real Hadoop-FS code (no hbase classes involved)
+    HFileCellSink.postCommit(out)
+    val st = java.nio.file.Files.getPosixFilePermissions(java.nio.file.Paths.get(out))
+    assert(st.contains(java.nio.file.attribute.PosixFilePermission.OTHERS_WRITE))
+  }
+
+  test("CLI key spec: --key-fields/--family/--qualifiers reach the pipeline (reference RC spec)") {
+    val cfg = IngestCli.configFrom(Map(
+      "--key-fields" -> "1,3,4,20", "--family" -> "fam", "--qualifiers" -> "name",
+      "--arity" -> "21"))
+    assert(cfg.keyFields === BulkLoad.ReferenceRcKeyFields)
+    assert(cfg.family === "fam")
+    assert(cfg.qualifiers === BulkLoad.NameQualifiers)
+    intercept[IllegalArgumentException](
+      IngestCli.configFrom(Map("--qualifiers" -> "bogus")))
+
+    // e2e: a custom 2-field key (32-byte md5 concat), custom family, named
+    // qualifiers, driven end to end through the csv driver
+    val dir = tmpDir()
+    Seq("35218,195,Alabama Power Co,AL",
+        "00601,196,Utility Two,PR").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(dir)
+    val r = BulkLoad.csv(spark, dir, IngestCli.configFrom(Map(
+      "--arity" -> "4", "--key-fields" -> "0,1", "--family" -> "f2",
+      "--qualifiers" -> "name")))
+    assert(r.cells.count() === 8) // 2 rows × 4 named cells
+    assert(r.cells.where(length(col("row")) =!= 32).count() === 0) // 2 digests
+    assert(r.cells.select(col("family").cast("string")).distinct()
+      .as[String].collect().toSeq === Seq("f2"))
+    assert(r.cells.select(col("qualifier").cast("string")).distinct()
+      .as[String].collect().toSet === Set("c0", "c1", "c2", "c3"))
+  }
+
   test("streaming ingest: micro-batches reproduce the batch pipeline; postCommit fires per batch") {
     import graft.streaming.StreamingIngest
     val in = tmpDir() + "/in"
