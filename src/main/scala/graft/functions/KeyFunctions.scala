@@ -55,7 +55,9 @@ case class IntToBigEndianBinary(child: Expression) extends UnaryExpression {
   * composition (top 4·n digest bits, big-endian nibbles), so oracle SQL is
   * unchanged. */
 case class Md5PrefixLong(child: Expression, hexChars: Int) extends UnaryExpression {
-  require(hexChars >= 1 && hexChars <= 15, s"hexChars in [1,15], got $hexChars")
+  // 16 nibbles fill the long exactly (the value is then the UNSIGNED
+  // 64-bit digest prefix in the long's bits — same wrap as Spark's `conv`)
+  require(hexChars >= 1 && hexChars <= 16, s"hexChars in [1,16], got $hexChars")
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_prefix64"
 
@@ -153,9 +155,17 @@ object keys {
     Bridge.column(Md5PrefixLong(Bridge.expression(c), hexChars))
 
   /** Fixed-width big-endian rendering of a non-negative integral column:
-    * `unhex(lpad(hex(x)))` — all codegen built-ins. */
-  private def beN(c: Column, hexDigits: Int): Column =
-    unhex(lpad(hex(c), hexDigits, "0"))
+    * `unhex(lpad(hex(x)))` — all codegen built-ins. `lpad` TRUNCATES an
+    * over-long rendering (a >65535-byte row key would serialize a corrupt
+    * KeyValue length prefix), so out-of-range values fail the task loudly
+    * via `raise_error` instead. */
+  private def beN(c: Column, hexDigits: Int): Column = {
+    val h = hex(c)
+    unhex(when(length(h) > hexDigits,
+        raise_error(concat(
+          lit(s"graft.keys: value does not fit $hexDigits hex digits (fixed-width wire field): 0x"), h)))
+      .otherwise(lpad(h, hexDigits, "0")))
+  }
 
   /** HBase KeyValue WIRE serialization of one cell — the exact byte layout
     * an HFile data block stores (public KeyValue format: 4B keylen ∥ 4B

@@ -49,18 +49,36 @@ object Dedup {
     * byte-identical with or without it — while costing a whole extra
     * aggregate + join-back. Cost is quadratic in per-shingle document
     * frequency, so at corpus scale this is the *verification* stage of
-    * [[corpusDedup]]; a df-CAP (dropping too-common shingles) is the
-    * approximation beyond this and is deliberately NOT applied here. */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    * [[corpusDedup]]. Running it standalone on a real corpus needs `maxDf`:
+    * shingles appearing in more than `maxDf` documents (boilerplate) are
+    * dropped from the index BEFORE the self-join — and symmetrically from
+    * the set sizes, so the result is the exact Jaccard over each document's
+    * df-filtered shingle set. A boilerplate shingle shared by d documents
+    * would otherwise alone contribute d·(d-1)/2 join rows.
+    *
+    * "Exact" is hash-exact: shingles are compared by md5 digest, so an
+    * adversarially constructed md5 collision could merge two distinct
+    * shingles (set sizes/intersections off by the collision count). Benign
+    * corpora are unaffected; swap in `sha2(…, 256)` if adversarial inputs
+    * are in scope. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                        maxDf: Option[Long] = None): DataFrame = {
     // shingles join on their 16-byte md5 instead of the raw string: the
     // inverted-index shuffle and self-join carry fixed-width binary keys
     // rather than arbitrary-length n-grams (distinct-per-doc shingles map
     // 1:1 to digests, so set sizes and intersections are unchanged).
     // Materialized once — the size aggregate and both self-join sides read
     // the ~24 B/row index instead of re-running scan → shingle → md5.
-    val sh = shingleIndex(docs, n)
+    val raw = shingleIndex(docs, n)
       .select(col("doc_id"), unhex(md5(col("s").cast(BinaryType))).as("s"))
-      .localCheckpoint()
+    val sh = maxDf.fold(raw) { cap =>
+      // df per digest over the SAME partitioning the self-join needs; the
+      // window avoids a groupBy + join-back on the digest key
+      import org.apache.spark.sql.expressions.Window
+      raw.withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+        .where(col("df") <= cap)
+        .drop("df")
+    }.localCheckpoint()
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val common = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -223,16 +241,37 @@ object Dedup {
     * iteration is one equi-join + min-agg, all executor-side, and
     * `localCheckpoint` truncates the growing lineage. The driver holds
     * only the per-iteration change COUNT, never row data. */
-  def clusters(pairs: DataFrame): DataFrame = {
+  /** Storage strategy for fixpoint intermediates. `LocalCheckpoint`
+    * (default) pins blocks to executor storage — fastest, but a lost
+    * executor kills the lineage-truncated dataset, so long cluster runs
+    * should pass `ReliableCheckpoint(hdfsDir)` to land iteration state on
+    * durable storage instead (survives executor loss; one write per
+    * iteration of one label row per node). */
+  sealed trait FixpointStorage
+  case object LocalCheckpoint extends FixpointStorage
+  final case class ReliableCheckpoint(dir: String) extends FixpointStorage
+
+  private def materialize(df: DataFrame, storage: FixpointStorage): DataFrame =
+    storage match {
+      case LocalCheckpoint => df.localCheckpoint()
+      case ReliableCheckpoint(dir) =>
+        val sc = df.sparkSession.sparkContext
+        // setCheckpointDir appends a UUID subdir — only (re)set when the
+        // current dir is not already under the requested root
+        if (!sc.getCheckpointDir.exists(_.startsWith(dir))) sc.setCheckpointDir(dir)
+        df.checkpoint()
+    }
+
+  def clusters(pairs: DataFrame,
+               storage: FixpointStorage = LocalCheckpoint): DataFrame = {
     // materialize the edge list ONCE — without this every fixpoint
     // iteration re-runs the upstream pair pipeline (LSH + verify) from
     // scratch inside its join
-    val und = pairs.select(col("a"), col("b"))
+    val und = materialize(pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .localCheckpoint()
-    var labels = und.select(col("a").as("id")).distinct()
-      .withColumn("cluster_id", col("id")).localCheckpoint()
+      .distinct(), storage)
+    var labels = materialize(und.select(col("a").as("id")).distinct()
+      .withColumn("cluster_id", col("id")), storage)
     var changed = 1L
     while (changed > 0) {
       val nbrMin = und
@@ -241,13 +280,13 @@ object Dedup {
       // convergence flag computed INLINE (the old label is already in the
       // row) — a join-based next-vs-old compare would cost an extra
       // shuffle per iteration just to count changes
-      val next = labels
+      val next = materialize(labels
         .join(nbrMin.withColumnRenamed("a", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"),
-          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("chg"))
-        .localCheckpoint()
+          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("chg")),
+        storage)
       changed = next.where(col("chg")).count()
       labels = next.select(col("id"), col("cluster_id"))
     }

@@ -17,6 +17,11 @@ object NorthStar {
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), N, 0.8)),
+    // the df-capped form a standalone corpus-wide run needs: boilerplate
+    // shingles (df > 2) leave the index before the self-join, bounding the
+    // quadratic blowup; Jaccard is exact over the capped shingle sets
+    "dedup_ngram_jaccard_capped" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), N, 0.8, maxDf = Some(2L))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashPairs(t(s, dir, "documents"), N, 0.5)),
     // the flagship corpus-dedup composition: LSH candidates → exact
@@ -193,6 +198,22 @@ object NorthStar {
 
   /** DuckDB list expr for distinct word-3-gram shingles of tokens `w`. */
   private val shingleExpr = s"list_distinct($posShingleExpr)"
+
+  /** [[ngramJaccardSql]] with the df > `cap` shingles dropped from both the
+    * self-join and the set sizes — the literal mirror of `maxDf`. */
+  private def ngramJaccardCappedSql(cap: Long) =
+    s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        sh0 AS (SELECT doc_id, $shingleExpr ss FROM t0 WHERE len(w) >= $N),
+        sh1 AS (SELECT doc_id, unnest(ss) s FROM sh0),
+        dfok AS (SELECT s FROM sh1 GROUP BY s HAVING count(*) <= $cap),
+        sh AS (SELECT sh1.doc_id, sh1.s FROM sh1 JOIN dfok USING (s)),
+        sz AS (SELECT doc_id, count(*) nsh FROM sh GROUP BY doc_id),
+        cm AS (SELECT x.doc_id a, y.doc_id b, count(*) common
+               FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+               GROUP BY 1, 2)
+        SELECT a, b, CAST(common AS DOUBLE)/(sa.nsh + sb.nsh - common) AS jaccard
+        FROM cm JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+        WHERE CAST(common AS DOUBLE)/(sa.nsh + sb.nsh - common) >= 0.8"""
 
   private val ngramJaccardSql =
     s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
@@ -399,6 +420,7 @@ object NorthStar {
     "dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, COUNT(*) AS n FROM documents GROUP BY md5(text)",
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_ngram_jaccard_capped" -> ngramJaccardCappedSql(2L),
     "dedup_minhash_lsh" -> minhashSql,
     "dedup_corpus" -> corpusDedupSql,
     "dedup_clusters" -> dedupClustersSql,

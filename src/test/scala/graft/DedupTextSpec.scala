@@ -31,6 +31,40 @@ class DedupTextSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("ngram jaccard maxDf cap keeps a boilerplate-heavy corpus sub-quadratic") {
+    // 40 docs sharing ONE boilerplate 3-gram, otherwise pairwise-distinct:
+    // uncapped, that single shingle alone feeds 40·39/2 = 780 rows through
+    // the inverted-index self-join; capped at df <= 5 it leaves the index
+    // before the join, so the join emits NOTHING for this corpus
+    val boiler = (0 until 40).map { i =>
+      (i.toLong, s"common boiler plate u${i}a u${i}b u${i}c u${i}d u${i}e")
+    }.toDF("doc_id", "text")
+
+    def joinOutputRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p match {
+          case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+          case _ => p +: p.children.flatMap(nodes)
+        }
+      nodes(df.queryExecution.executedPlan)
+        .filter(_.nodeName.toLowerCase.contains("join"))
+        .flatMap(_.metrics.get("numOutputRows").map(_.value))
+        .sum
+    }
+
+    val uncapped = Dedup.ngramJaccardPairs(boiler, 3, 0.01)
+    val capped = Dedup.ngramJaccardPairs(boiler, 3, 0.01, maxDf = Some(5L))
+    // semantics: uncapped sees every boilerplate pair; capped drops them
+    assert(uncapped.count() === 780L)
+    assert(capped.count() === 0L)
+    // plan-level: the capped self-join never materializes the 780
+    // boilerplate candidate rows (jaccard-filter pruning happens AFTER the
+    // join, so output-count equality alone would not prove this)
+    assert(joinOutputRows(capped.select(col("a"), col("b"))) === 0L)
+  }
+
   test("minhash LSH candidates match exact jaccard pairs on this corpus") {
     val mh = Dedup.minHashPairs(docs, 3, 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet
@@ -47,6 +81,30 @@ class DedupTextSpec extends SparkSuite {
     val hammingNear = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
     val hammingFar = java.lang.Long.bitCount(sh(0L) ^ sh(3L))
     assert(hammingNear < hammingFar)
+  }
+
+  test("clusters: ReliableCheckpoint storage lands fixpoint state on disk, same labels") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("a", "b")
+    val ckptRoot = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val reliable = Dedup.clusters(pairs, Dedup.ReliableCheckpoint(ckptRoot))
+      .as[(Long, Long)].collect().toMap
+    val default = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(reliable === default)
+    assert(reliable === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L))
+    // the durable path actually wrote RDD checkpoints under the root
+    def rddFiles(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).toSeq.flatten.flatMap(f =>
+        if (f.isDirectory) rddFiles(f) else Seq(f))
+    assert(rddFiles(new java.io.File(ckptRoot)).nonEmpty,
+      "reliable checkpoint must materialize files on durable storage")
+  }
+
+  test("simhashSigs widens to the full 64-bit signature the scaladoc advertises") {
+    // md5Prefix64(w, 16) — the widening the pair-search scaladoc points to
+    val sigs = Dedup.simhashSigs(docs, 64).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sigs(0L) === sigs(1L)) // identical docs, identical signature
+    assert(sigs(0L) !== sigs(3L)) // unrelated docs diverge somewhere
   }
 
   test("clusters: hash-min label propagation = connected components, canonical min rep") {

@@ -103,5 +103,39 @@ class KeyFunctionsSpec extends SparkSuite {
           .cast(LongType).as("composed")).collect()
       rows.foreach(r => assert(r.getLong(0) === r.getLong(1), s"n=$n"))
     }
+    // n=16 fills the long (unsigned wrap; conv→cast overflows to null
+    // there, so the expected value comes from the JVM digest directly)
+    val full = inputs.select(col("s"),
+      keys.md5Prefix64(col("s").cast(BinaryType), 16).as("fused")).collect()
+    full.foreach { r =>
+      val hex = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(r.getString(0).getBytes("UTF-8"))
+      val expected = java.lang.Long.parseUnsignedLong(hex.substring(0, 16), 16)
+      assert(r.getLong(1) === expected, r.getString(0))
+    }
+    intercept[IllegalArgumentException](keys.md5Prefix64(col("s"), 17))
+  }
+
+  test("keyValueWire fails fast on oversized fields instead of corrupting length prefixes") {
+    import org.apache.spark.sql.types.BinaryType
+    import spark.implicits._
+    // a 65,536-byte row key needs 5 hex digits — lpad would TRUNCATE the
+    // 2-byte rowlen prefix; the guard raises instead
+    val df = Seq(1).toDF("x").select(
+      keys.keyValueWire(
+        encode(lpad(lit("r"), 65536, "r"), "UTF-8"),
+        encode(lit("c"), "UTF-8"),
+        encode(lit("q"), "UTF-8"),
+        encode(lit("v"), "UTF-8"),
+        lit(0L)).as("kv"))
+    val e = intercept[Exception](df.collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("does not fit")), e.toString)
+    // in-range cells still serialize (same call shape, 1-byte row)
+    val ok = Seq(1).toDF("x").select(keys.keyValueWire(
+      encode(lit("r"), "UTF-8"), encode(lit("c"), "UTF-8"),
+      encode(lit("q"), "UTF-8"), encode(lit("v"), "UTF-8"), lit(0L)).as("kv"))
+    assert(ok.head().getAs[Array[Byte]](0).length > 0)
   }
 }
