@@ -158,14 +158,18 @@ object Similarity {
       .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
       .withColumn("cn", norm2(col("cv")))
     // nearest-centroid cells for a vector set: top-`n` centroids by
-    // (cosine DESC, cid ASC) — rank semantics identical to topKByScore
+    // (cosine DESC, cid ASC) — rank semantics identical to topKByScore.
+    // Grouping is by the 8-byte id ONLY; the vector rides as a first()
+    // aggregate (constant within the group), so the assignment exchange
+    // hashes/compares scalar keys instead of the ~512 B embedding array
     def cells(df: DataFrame, id: String, v: String, n: Int): DataFrame =
       df.crossJoin(broadcast(cent))
         .select(col(id), col(v),
           round(dot(col(v), col("cv")) / (norm2(col(v)) * col("cn")), 6).as("sim"),
           col("cid"))
-        .groupBy(col(id), col(v))
-        .agg(TopKPairs.topK(struct(col("sim"), col("cid")), n).as("top"))
+        .groupBy(col(id))
+        .agg(TopKPairs.topK(struct(col("sim"), col("cid")), n).as("top"),
+          first(col(v)).as(v))
         .select(col(id), col(v), explode(col("top")).as("t"))
         .select(col(id), col(v), col("t.payload").as("cell"))
     val c = cells(

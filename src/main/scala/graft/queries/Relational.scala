@@ -216,6 +216,22 @@ object Relational {
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
              countDistinct(col("l_orderkey")).as("n_orders"))),
 
+    // The scale form of the same answer: two countDistinct on DIFFERENT
+    // keys in one agg plan an Expand (every input row duplicated per
+    // distinct column); two independent two-level aggregates joined on the
+    // group key read the input once each with map-side partial dedup and
+    // shuffle only distinct pairs — the q21/q_approx_distinct rewrite
+    // pattern, declared so the inventory carries the naive AND scale form.
+    "q_distinct_agg_fast" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def level2(key: String, out: String) = li
+        .select(col("l_suppkey"), col(key)).distinct()
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as(out))
+      level2("l_partkey", "n_parts")
+        .join(level2("l_orderkey", "n_orders"), "l_suppkey")
+        .select(col("l_suppkey"), col("n_parts"), col("n_orders"))
+    }),
+
     // GROUP BY + HAVING.
     "q_having" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -340,6 +356,10 @@ object Relational {
            UNION
            (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey AS nk FROM supplier))""",
     "q_distinct_agg" ->
+      """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts,
+                COUNT(DISTINCT l_orderkey) AS n_orders
+         FROM lineitem GROUP BY l_suppkey""",
+    "q_distinct_agg_fast" ->
       """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts,
                 COUNT(DISTINCT l_orderkey) AS n_orders
          FROM lineitem GROUP BY l_suppkey""",
