@@ -266,10 +266,14 @@ object Dedup {
                storage: FixpointStorage = LocalCheckpoint): DataFrame = {
     // materialize the edge list ONCE — without this every fixpoint
     // iteration re-runs the upstream pair pipeline (LSH + verify) from
-    // scratch inside its join
+    // scratch inside its join. Partitioned by the JOIN key before the
+    // checkpoint: hashpartitioning(b) survives materialization, so each
+    // iteration's equi-join exchanges only the label rows — the (usually
+    // much larger) edge list never moves again.
     val und = materialize(pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .distinct(), storage)
+      .distinct()
+      .repartition(col("b")), storage)
     var labels = materialize(und.select(col("a").as("id")).distinct()
       .withColumn("cluster_id", col("id")), storage)
     var changed = 1L

@@ -91,6 +91,24 @@ class PlanSpec extends SparkSuite {
     assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange.*""")) === 1, p)
   }
 
+  test("CC fixpoint: checkpointed edge partitioning survives, iteration join shuffles labels only") {
+    // the Dedup.clusters iteration shape: edges repartitioned by the join
+    // key and checkpointed ONCE; each iteration's equi-join must exchange
+    // only the (small) label side, never the edge list again. AQE hides
+    // runtime reuse, so assert on the static plan with adaptive off.
+    withSQLConf("spark.sql.adaptive.enabled" -> "false",
+                "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("a", "b")
+        .repartition(col("b")).localCheckpoint()
+      val labels = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "cluster_id")
+      val joined = edges.join(
+        labels.select(col("id").as("b"), col("cluster_id")), "b")
+      val p = joined.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange.*""")) === 1, p)
+    }
+  }
+
   test("global guard: no unintentional cross products anywhere in the inventory") {
     // intentional: ANN brute force broadcasts the query set over the corpus
     // (BroadcastNestedLoopJoin by design); q22 cross-joins a 1-row scalar agg.

@@ -18,4 +18,15 @@ abstract class SparkSuite extends AnyFunSuite {
     s
   }
   val sf001 = "/root/testdata/sf0.001"
+
+  /** Run `body` with SQL confs set, restoring previous values after. */
+  def withSQLConf[A](confs: (String, String)*)(body: => A): A = {
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
