@@ -83,6 +83,44 @@ object CorpusPipeline {
       .parquet(outDir)
   }
 
+  /** Leakage-safe train/validation/test split: deterministic hash
+    * assignment made CONSISTENT within near-duplicate clusters, so two
+    * near-identical documents can never land in different splits (the
+    * train/test contamination a naive per-document hash split produces
+    * whenever the corpus still carries near-dups).
+    *
+    * The split hash is computed on each document's cluster REPRESENTATIVE
+    * (min doc_id reachable through the near-dup pair graph; unpaired
+    * documents represent themselves), with the same nested md5-bucket
+    * scheme as [[sampleMix]]: train gets buckets [0, train·10⁴),
+    * validation the next valRate·10⁴, test the rest — so rates are exact
+    * to 1/10⁴ and growing a split only moves whole clusters.
+    *
+    * Scale shape: the pair graph is whatever candidate generator the
+    * caller ran (LSH-verified pairs — corpus-size-safe); clustering is
+    * the [[Dedup.clusters]] fixpoint; the assignment itself is one
+    * left join (docs against the cluster table, output-sized) plus a
+    * per-row hash — no extra corpus exchange.
+    * Output: (doc_id, rep, split). */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       trainRate: Double, valRate: Double,
+                       storage: Dedup.FixpointStorage = Dedup.LocalCheckpoint): DataFrame = {
+    require(trainRate >= 0 && valRate >= 0 && trainRate + valRate <= 1.0,
+      s"rates must be non-negative and sum <= 1, got ($trainRate, $valRate)")
+    val cl = Dedup.clusters(pairs.select(col("a"), col("b")), storage)
+    val bucket = pmod(graft.functions.keys.md5Prefix64(
+      col("rep").cast(org.apache.spark.sql.types.StringType).cast(BinaryType), 7),
+      lit(10000L))
+    val tr = math.round(trainRate * 10000).toInt
+    val va = tr + math.round(valRate * 10000).toInt
+    docs.join(cl, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+      .select(col("doc_id"), col("rep"),
+        when(bucket < tr, lit("train"))
+          .when(bucket < va, lit("validation"))
+          .otherwise(lit("test")).as("split"))
+  }
+
   def cleanCorpus(docs: DataFrame, minTokens: Int = 5, shingleN: Int = 3): DataFrame = {
     val q = docs.select(col("doc_id"), col("source"), col("text"),
         TextOps.tokenCount(col("text")).as("n_tokens"))

@@ -146,6 +146,84 @@ object TextOps {
       .agg(sum(col("c")).as("n_bigrams"),
         (max(col("c")).cast(DoubleType) / sum(col("c"))).as("top_bigram_frac"))
 
+  /** TF-IDF top-k terms per document — the classic term-weighting operator
+    * (corpus-level inverse document frequency × per-document term
+    * frequency), used for keyword extraction and near-duplicate
+    * EXPLANATION (which terms make a document distinctive).
+    *
+    * Scale shape: tf is one shuffle on (doc, term) with map-side partial
+    * counts; df is the standard two-level distinct aggregate on the term;
+    * the document count joins as a broadcast 1-row scalar; top-k per doc
+    * is a window over per-doc DISTINCT terms only (bounded groups — the
+    * full token stream never reaches the window sort). idf uses the
+    * smoothed ln((N+1)/(df+1)) form, rounded to 6 decimals after the
+    * multiply so ranking is engine-stable.
+    * Output: (doc_id, term, tfidf, rank), rank 1..k per doc. */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df_ = words.select(col("doc_id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df_, "w")
+      .crossJoin(broadcast(n)) // 1-row scalar, documented BNLJ pattern
+      .select(col("doc_id"), col("w").as("term"),
+        round(col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6)
+          .as("tfidf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term").asc)))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tfidf"),
+        col("rank").cast(IntegerType).as("rank"))
+  }
+
+  /** Corpus-bigram language-model quality score — the CCNet-style
+    * perplexity proxy: train add-one-smoothed bigram probabilities on the
+    * corpus itself, score each document by its mean log-probability.
+    * Boilerplate and in-distribution text score high, gibberish and
+    * out-of-distribution noise score low; filtering on the score is the
+    * standard LM quality gate with the corpus standing in for the
+    * reference LM.
+    *
+    * logP(w1|w0) = ln((c(w0,w1) + 1) / (c(w0,·) + V)), V = bigram-vocab
+    * size (distinct second words). Determinism: each per-bigram log term
+    * is rounded to 6 decimals and summed as DECIMAL(18,6) — exact,
+    * order-independent addition, so the result is bit-stable across
+    * engines and partitionings (a double sum would drift with fold
+    * order). The mean is the exact micro-unit integer divided in IEEE
+    * double — deterministic with NO final rounding step (a round() after
+    * a double division lands on tie boundaries where engines' rounding
+    * modes disagree).
+    *
+    * Scale shape: one bigram explode feeding three aggregates (pair
+    * counts, context counts, vocab scalar), then two equi-joins of the
+    * positional bigram stream against the count tables and one per-doc
+    * aggregate — every join is on a fixed-width key, nothing quadratic.
+    * Docs with < 2 tokens have no bigrams and are excluded.
+    * Output: (doc_id, n_bigrams, avg_logp). */
+  def lmBigramScores(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bg = docs.select(col("doc_id"),
+        explode(shingleStructs(col("text"), 2)).as("t"))
+      .select(col("doc_id"), col("t.w0").as("w0"), col("t.w1").as("w1"))
+    val c2 = bg.groupBy(col("w0"), col("w1")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w0")).agg(count(lit(1)).as("c1"))
+    val vocab = bg.select(col("w1")).distinct()
+      .agg(count(lit(1)).as("v"))
+    bg.join(c2, Seq("w0", "w1"))
+      .join(c1, Seq("w0"))
+      .crossJoin(broadcast(vocab)) // 1-row scalar, documented BNLJ pattern
+      .select(col("doc_id"),
+        round(log((col("c2") + lit(1.0)) / (col("c1") + col("v"))), 6)
+          .cast(DecimalType(18, 6)).as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("sum_logp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        ((col("sum_logp") * lit(1000000)).cast(LongType).cast(DoubleType) /
+          (col("n_bigrams") * lit(1000000L)).cast(DoubleType)).as("avg_logp"))
+  }
+
   /** Whole-document fingerprint (md5 of the exact text) plus a shingle-min
     * fingerprint (min of per-shingle md5s — a 1-hash MinHash, robust to
     * local edits the way winnowing fingerprints are). */

@@ -71,6 +71,26 @@ object NorthStar {
     "corpus_pack_shards" -> ((s, dir) =>
       CorpusPipeline.packShards(t(s, dir, "documents"), 500L)),
 
+    // leakage-safe train/val/test split: hash assignment on the near-dup
+    // cluster REPRESENTATIVE, so no cluster ever straddles a split
+    // boundary (the train/test contamination a per-doc hash produces)
+    "corpus_split_leakage_safe" -> ((s, dir) =>
+      CorpusPipeline.leakageSafeSplit(
+        t(s, dir, "documents"),
+        Dedup.corpusDedup(t(s, dir, "documents"), N, 0.8),
+        trainRate = 0.8, valRate = 0.1)),
+
+    // TF-IDF top-5 terms per document (smoothed idf, window over per-doc
+    // distinct terms only)
+    "text_tfidf_topk" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(t(s, dir, "documents"), 5)),
+
+    // corpus-bigram LM quality score (CCNet-style perplexity proxy):
+    // add-one-smoothed bigram logP averaged per document, decimal-summed
+    // for order-independent parity
+    "text_lm_score" -> ((s, dir) =>
+      TextOps.lmBigramScores(t(s, dir, "documents"))),
+
     "text_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
@@ -414,6 +434,56 @@ object NorthStar {
         WHERE bit_count(xor(x.sh, y.sh)) <= 3"""
   }
 
+  /** Leakage-safe split: the recursive-CTE cluster closure + the same
+    * md5-bucket assignment on the representative. */
+  private val leakageSafeSplitSql =
+    s"""WITH RECURSIVE p AS (SELECT a, b FROM ($corpusDedupSql)),
+        edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        reach(id, r) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT re.id, e2.b FROM reach re JOIN edges e2 ON e2.a = re.r),
+        cl AS (SELECT id, min(r) cluster_id FROM reach GROUP BY id),
+        rep AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) rep
+                FROM documents d LEFT JOIN cl ON d.doc_id = cl.id),
+        bk AS (SELECT doc_id, rep,
+                CAST(('0x'||substr(md5(CAST(rep AS VARCHAR)),1,7)) AS BIGINT) % 10000 bucket
+               FROM rep)
+        SELECT doc_id, rep,
+          CASE WHEN bucket < 8000 THEN 'train'
+               WHEN bucket < 9000 THEN 'validation'
+               ELSE 'test' END AS split
+        FROM bk"""
+
+  private val tfidfTopKSql =
+    """WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+       words AS (SELECT doc_id, unnest(w) tw FROM t0),
+       tf AS (SELECT doc_id, tw, count(*) tf FROM words GROUP BY 1, 2),
+       df AS (SELECT tw, count(DISTINCT doc_id) df FROM words GROUP BY 1),
+       n AS (SELECT count(*) nd FROM documents),
+       sc AS (SELECT doc_id, tw AS term, round(tf * ln((nd + 1.0)/(df + 1.0)), 6) tfidf
+              FROM tf JOIN df USING (tw), n),
+       r AS (SELECT doc_id, term, tfidf,
+              row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) rn
+             FROM sc)
+       SELECT doc_id, term, tfidf, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 5"""
+
+  private val lmScoreSql =
+    """WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+       bg AS (SELECT doc_id, w[i+1] w0, w[i+2] w1
+              FROM (SELECT doc_id, w, unnest(range(len(w)-1)) i FROM t0)
+              WHERE len(w) >= 2),
+       c2 AS (SELECT w0, w1, count(*) c2 FROM bg GROUP BY 1, 2),
+       c1 AS (SELECT w0, count(*) c1 FROM bg GROUP BY 1),
+       v AS (SELECT count(DISTINCT w1) v FROM bg),
+       term AS (SELECT doc_id,
+                 CAST(round(ln((c2 + 1.0)/(c1 + v)), 6) AS DECIMAL(18,6)) logp
+                FROM bg JOIN c2 USING (w0, w1) JOIN c1 USING (w0), v)
+       SELECT doc_id, count(*) AS n_bigrams,
+         CAST(CAST(sum(logp) * 1000000 AS BIGINT) AS DOUBLE) /
+           CAST(count(*) * 1000000 AS DOUBLE) AS avg_logp
+       FROM term GROUP BY doc_id"""
+
   private val stopSql = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
@@ -448,6 +518,9 @@ object NorthStar {
                                      ELSE 1000 END)""",
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
+    "corpus_split_leakage_safe" -> leakageSafeSplitSql,
+    "text_tfidf_topk" -> tfidfTopKSql,
+    "text_lm_score" -> lmScoreSql,
     "text_token_count" ->
       """SELECT doc_id,
            CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,

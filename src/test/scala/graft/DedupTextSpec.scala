@@ -268,6 +268,58 @@ class DedupTextSpec extends SparkSuite {
     assert(back.where(col("source") === "src0" && col("shard_id") === 0).count() === 4)
   }
 
+  test("leakageSafeSplit: near-dup clusters never straddle a split boundary") {
+    // 0,1,2 form one near-dup cluster; 3 and 4 are singletons
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5).select(col("a"), col("b"))
+    val split = CorpusPipeline.leakageSafeSplit(docs, pairs, 0.6, 0.2)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rep"), r.getAs[String]("split")))
+    assert(split.length === 5)
+    // the cluster {0,1,2} shares rep 0 and thus ONE split label
+    val cluster = split.filter(s => Set(0L, 1L, 2L).contains(s._1))
+    assert(cluster.map(_._2).toSet === Set(0L))
+    assert(cluster.map(_._3).toSet.size === 1)
+    // singletons represent themselves
+    assert(split.find(_._1 == 3L).get._2 === 3L)
+    assert(split.map(_._3).toSet.subsetOf(Set("train", "validation", "test")))
+    // rates must be sane
+    intercept[IllegalArgumentException](
+      CorpusPipeline.leakageSafeSplit(docs, pairs, 0.9, 0.3))
+  }
+
+  test("tfidfTopTerms: distinctive words outrank corpus-wide ones; rank bounded by k") {
+    val tf = TextOps.tfidfTopTerms(docs, 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+        r.getAs[Double]("tfidf"), r.getAs[Int]("rank")))
+    assert(tf.groupBy(_._1).forall(_._2.length <= 3))
+    assert(tf.forall(t => t._4 >= 1 && t._4 <= 3))
+    // doc 3's vocabulary is unique to it — its top term must be one of its
+    // own words, with strictly positive weight
+    val d3 = tf.filter(_._1 == 3L).minBy(_._4)
+    assert("completely different words altogether here now friends".split(" ")
+      .contains(d3._2))
+    assert(d3._3 > 0.0)
+    // "the" appears in 3 of 5 docs — lower idf than doc-3-only words
+    val theScore = tf.find(t => t._1 == 0L && t._2 == "the").map(_._3)
+    assert(theScore.forall(_ < d3._3))
+  }
+
+  test("lmBigramScores: in-distribution repeats outscore one-off word sequences") {
+    val lm = TextOps.lmBigramScores(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("avg_logp"))).sortBy(_._1)
+    assert(lm.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    val byId = lm.map(t => t._1 -> t).toMap
+    // identical docs score identically
+    assert(byId(0L)._3 === byId(1L)._3)
+    assert(byId(0L)._2 === 8L) // 9 tokens -> 8 positional bigrams
+    // doc 0/1's bigrams occur 2-3x in the corpus; doc 3's exactly once —
+    // the corpus LM must prefer the repeated text
+    assert(byId(0L)._3 > byId(3L)._3)
+    // scores are log-probabilities: strictly negative
+    assert(lm.forall(_._3 < 0.0))
+  }
+
   test("shingle-min fingerprint is edit-local: near-dups often collide, distinct docs don't") {
     val fp = docs.select(col("doc_id"), TextOps.fingerprintShingleMin(col("text"), 3).as("f"))
       .as[(Long, String)].collect().toMap
