@@ -185,6 +185,105 @@ object Similarity {
     topKByScore(scored, k)
   }
 
+  val PqM = 8     // subspaces
+  val PqKsub = 16 // codes per subspace
+
+  /** PQ codebook: per subspace j, the `ksub` deterministic sample vectors'
+    * j-th subvector slices, code = the vector's rank in md5 order (the
+    * same random-subset stand-in for trained k-means centroids as
+    * [[ivfTopK]] — training moves quantization error, not plan shape, and
+    * determinism buys an exact oracle). Output: (j, code, cv), m·ksub rows
+    * — driver-small, always broadcast. */
+  private def pqCentroids(corpus: DataFrame, m: Int, ksub: Int, dims: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(md5(col("vec_id").cast(StringType).cast(BinaryType)), col("vec_id"))
+    val sub = dims / m
+    corpus
+      .orderBy(ord: _*)
+      .limit(ksub)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      // ksub rows total: the unpartitioned window is a single tiny task
+      .withColumn("code", row_number().over(Window.orderBy(ord: _*)) - 1)
+      .select(col("code"), explode(array((0 until m).map { j =>
+        struct(lit(j).as("j"), slice(col("v"), j * sub + 1, sub).as("cv"))
+      }: _*)).as("t"))
+      .select(col("t.j").as("j"), col("code"), col("t.cv").as("cv"))
+  }
+
+  /** Rounded squared L2 between two double arrays (‖x‖² − 2x·c + ‖c‖²,
+    * codegen'd dots; round 6 keeps argmin engine-stable). */
+  private def l2sq(x: Column, c: Column): Column =
+    round(dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c), 6)
+
+  /** Product-quantization codes — the memory-scale ANN representation:
+    * each `dims`-dim vector compresses to `m` small codes (one nearest
+    * sub-centroid per subspace), m·log2(ksub) bits instead of dims·32 —
+    * at 100 TB the difference between an index that fits executor memory
+    * and one that doesn't.
+    *
+    * Scale shape: the codebook (m·ksub subvectors) broadcasts; assignment
+    * is one corpus pass — explode into m subvector rows, broadcast-join
+    * the codebook, codegen'd squared-L2 per candidate, bounded
+    * [[graft.functions.TopKPairs]] argmin with map-side partials. No
+    * corpus shuffle wider than (vec_id, j).
+    * Output tall: (vec_id, j, code), code ∈ [0, ksub). */
+  def pqCodes(corpus: DataFrame, m: Int = PqM, ksub: Int = PqKsub,
+              dims: Int = 64): DataFrame = {
+    val sub = dims / m
+    val cb = pqCentroids(corpus, m, ksub, dims)
+    val vecs = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), explode(array((0 until m).map { j =>
+        struct(lit(j).as("j"), slice(col("v"), j * sub + 1, sub).as("sv"))
+      }: _*)).as("t"))
+      .select(col("vec_id"), col("t.j").as("j"), col("t.sv").as("sv"))
+    vecs.join(broadcast(cb), "j")
+      .select(col("vec_id"), col("j"),
+        (-l2sq(col("sv"), col("cv"))).as("nd2"), col("code"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(TopKPairs.topK(struct(col("nd2"), col("code").cast(LongType)), 1).as("top"))
+      .select(col("vec_id"), col("j"),
+        col("top").getItem(0).getField("payload").cast(IntegerType).as("code"))
+  }
+
+  /** Asymmetric-distance (ADC) approximate top-k over PQ codes: the query
+    * stays exact, every corpus vector is its code tuple, and distance is
+    * the sum of per-subspace query→centroid distances looked up from a
+    * tiny table — the classic Jégou et al. (TPAMI 2011) search shape.
+    *
+    * Scale shape: the per-query distance table (|Q|·m·ksub rounded
+    * DECIMAL entries) broadcasts; the corpus side joins it on (j, code) —
+    * an equi-join against the CODES, never the vectors — then one
+    * (qid, nid) aggregate sums the m exact decimal terms
+    * (order-independent addition, so the score is bit-stable) and the
+    * bounded top-k ships k pairs per query. The raw embedding column is
+    * read ONCE (to code the corpus); the search itself touches only
+    * m-code rows. Output: (qid, nid, adc, rank), adc ascending. */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                m: Int = PqM, ksub: Int = PqKsub, dims: Int = 64): DataFrame = {
+    val sub = dims / m
+    val cb = pqCentroids(corpus, m, ksub, dims)
+    val codes = pqCodes(corpus, m, ksub, dims)
+      .select(col("vec_id").as("nid"), col("j"), col("code"))
+    val qsub = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      .select(col("qid"), explode(array((0 until m).map { j =>
+        struct(lit(j).as("j"), slice(col("qv"), j * sub + 1, sub).as("sv"))
+      }: _*)).as("t"))
+      .select(col("qid"), col("t.j").as("j"), col("t.sv").as("sv"))
+    val dtab = qsub.join(broadcast(cb), "j")
+      .select(col("qid"), col("j"), col("code"),
+        l2sq(col("sv"), col("cv")).cast(DecimalType(18, 6)).as("pd"))
+    val scored = codes.join(broadcast(dtab), Seq("j", "code"))
+      .where(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("pd")).as("adcd"))
+      .select(col("qid"), col("nid"), col("adcd").cast(DoubleType).as("adc"))
+    scored.groupBy(col("qid"))
+      .agg(TopKPairs.topK(struct((-col("adc")).as("ord"), col("nid")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.payload").as("nid"), (-col("col.ord")).as("adc"),
+        (col("pos") + 1).cast(IntegerType).as("rank"))
+  }
+
   /** Near-dup pairs at scale: banded RP-sketch candidate generation + exact
     * cosine verify WITHIN buckets — the composition [[cosinePairs]]'s
     * scaladoc promises. Each band b hashes planes [b·r, b·r+r); a pair is a

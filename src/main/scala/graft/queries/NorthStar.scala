@@ -197,6 +197,16 @@ object NorthStar {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.where(col("vec_id") < 5), 10)
     }),
+    // product quantization: each vector as m nearest-sub-centroid codes —
+    // the memory-scale ANN representation (m·log2(ksub) bits per vector)
+    "ann_pq_codes" -> ((s, dir) =>
+      Similarity.pqCodes(t(s, dir, "embeddings"))),
+    // asymmetric-distance search over the codes: broadcast per-query
+    // distance tables, equi-join on (subspace, code), decimal-exact sums
+    "ann_pq_adc_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pqAdcTopK(e, e.where(col("vec_id") < 5), 10)
+    }),
   )
 
   /** Shingle-min fingerprint (1-hash MinHash) per group, relationally:
@@ -390,6 +400,54 @@ object NorthStar {
               row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) rn
              FROM sc)
        SELECT qid, nid, cos_sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10"""
+
+  /** Shared PQ codebook/assignment CTE prefix — the literal mirror of
+    * [[Similarity.pqCentroids]]/[[Similarity.pqCodes]] (md5-ordered
+    * centroid subset, 8 subspaces × 16 codes, round-6 squared L2 with
+    * code-asc tiebreak). */
+  private val pqCommonSql =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       cent0 AS (SELECT vec_id, v FROM e
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       cent AS (SELECT v, row_number() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+                FROM cent0),
+       js AS (SELECT unnest(range(8)) j),
+       cb AS (SELECT j, code, v[j*8+1 : j*8+8] cv FROM cent, js),
+       sub AS (SELECT vec_id, j, v[j*8+1 : j*8+8] sv FROM e, js),
+       d AS (SELECT s.vec_id, s.j, cb.code,
+              round(list_dot_product(s.sv, s.sv)
+                    - 2*list_dot_product(s.sv, cb.cv)
+                    + list_dot_product(cb.cv, cb.cv), 6) d2
+             FROM sub s JOIN cb ON s.j = cb.j),
+       codes AS (SELECT vec_id, j, code FROM (
+                  SELECT vec_id, j, code,
+                    row_number() OVER (PARTITION BY vec_id, j
+                      ORDER BY d2 ASC, code ASC) rn
+                  FROM d) WHERE rn = 1)"""
+
+  private val pqCodesSql =
+    s"""WITH $pqCommonSql
+        SELECT vec_id, CAST(j AS INTEGER) AS j, CAST(code AS INTEGER) AS code
+        FROM codes"""
+
+  private val pqAdcTopKSql =
+    s"""WITH $pqCommonSql,
+        q AS (SELECT vec_id qid, v FROM e WHERE vec_id < 5),
+        qsub AS (SELECT qid, j, v[j*8+1 : j*8+8] sv FROM q, js),
+        dtab AS (SELECT qid, qs.j, cb.code,
+                  CAST(round(list_dot_product(qs.sv, qs.sv)
+                             - 2*list_dot_product(qs.sv, cb.cv)
+                             + list_dot_product(cb.cv, cb.cv), 6)
+                    AS DECIMAL(18,6)) pd
+                 FROM qsub qs JOIN cb ON qs.j = cb.j),
+        sc AS (SELECT qid, c.vec_id nid, CAST(sum(pd) AS DOUBLE) adc
+               FROM codes c JOIN dtab ON c.j = dtab.j AND c.code = dtab.code
+               WHERE qid <> c.vec_id GROUP BY 1, 2),
+        r AS (SELECT qid, nid, adc,
+               row_number() OVER (PARTITION BY qid ORDER BY adc ASC, nid ASC) rn
+              FROM sc)
+        SELECT qid, nid, adc, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10"""
 
   private val simhashSql = {
     val terms = (0 until Dedup.SimHashBits).map { j =>
@@ -627,5 +685,7 @@ object NorthStar {
           WHERE vec_id NOT IN (SELECT id FROM cl WHERE id <> cluster_id)""",
     "ann_lsh_topk" -> annLshTopKSql,
     "ann_ivf_topk" -> annIvfTopKSql,
+    "ann_pq_codes" -> pqCodesSql,
+    "ann_pq_adc_topk" -> pqAdcTopKSql,
   )
 }

@@ -90,6 +90,31 @@ class SimilaritySpec extends SparkSuite {
     assert(found >= 18, s"only $found/20 planted near-dups recovered")
   }
 
+  test("pqCodes/pqAdcTopK: complete code tuples in range; planted twins win the ADC search") {
+    val codes = Similarity.pqCodes(emb)
+      .select("vec_id", "j", "code").as[(Long, Int, Int)].collect()
+    val nVec = emb.count()
+    // every vector gets exactly one code per subspace, codes in [0, ksub)
+    assert(codes.length === nVec * Similarity.PqM)
+    assert(codes.forall(c => c._3 >= 0 && c._3 < Similarity.PqKsub))
+    assert(codes.groupBy(c => (c._1, c._2)).values.forall(_.length == 1))
+    // quantization actually uses the codebook: >1 distinct code per subspace
+    assert(codes.groupBy(_._2).values.forall(_.map(_._3).distinct.length > 1))
+
+    // a near-identical copy quantizes to (nearly) the query's own code
+    // tuple, which minimizes the asymmetric distance — rank 1 by ADC
+    val planted = emb.where(col("vec_id") < 20).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+        (x, d) => x + (pmod(d, lit(7)) - lit(3)).cast("float") * lit(0.002f)).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").union(planted)
+    val top1 = Similarity.pqAdcTopK(corpus, emb.where(col("vec_id") < 20), 1)
+      .select("qid", "nid").as[(Long, Long)].collect()
+    val found = top1.count { case (qid, nid) => nid == qid + 100000 }
+    info(s"PQ/ADC planted near-dup recall@1 = $found/20")
+    assert(found >= 14, s"only $found/20 planted near-dups recovered")
+  }
+
   test("cosinePairsBucketed: subset of the exact pairs (zero false positives), full recall on planted near-dups") {
     val exact = Similarity.cosinePairs(emb, 0.4)
       .select("a", "b").as[(Long, Long)].collect().toSet
