@@ -121,6 +121,33 @@ object CorpusPipeline {
           .otherwise(lit("test")).as("split"))
   }
 
+  /** Benchmark decontamination by n-gram overlap — the GPT-3/PaLM-style
+    * eval-set filter: drop every training document that shares ANY word
+    * n-gram with the held-out evaluation set (the published recipes use
+    * n=8..13 on real corpora; n is a parameter here).
+    *
+    * Scale shape: the eval side is an evaluation BENCHMARK — small by
+    * definition — so its distinct n-gram set broadcasts and the
+    * contamination scan is a broadcast semi-join against the corpus
+    * n-gram stream: ONE pass over the corpus, no corpus-wide exchange at
+    * all before the output-sized anti-join. For an unusually large eval
+    * set, drop the broadcast hint and the same plan runs as a shuffled
+    * semi-join. Output: the surviving documents (all input columns). */
+  def evalNgramDecontaminate(docs: DataFrame, evalDocs: DataFrame,
+                             n: Int): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(array_distinct(TextOps.shingleStructs(col("text"), n))).as("t"))
+      .select(TextOps.shingleString(col("t"), n).as("s"))
+      .distinct()
+    val contaminated = docs
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.shingleStructs(col("text"), n))).as("t"))
+      .select(col("doc_id"), TextOps.shingleString(col("t"), n).as("s"))
+      .join(broadcast(evalGrams), Seq("s"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   def cleanCorpus(docs: DataFrame, minTokens: Int = 5, shingleN: Int = 3): DataFrame = {
     val q = docs.select(col("doc_id"), col("source"), col("text"),
         TextOps.tokenCount(col("text")).as("n_tokens"))

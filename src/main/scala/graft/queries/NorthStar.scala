@@ -80,6 +80,18 @@ object NorthStar {
         Dedup.corpusDedup(t(s, dir, "documents"), N, 0.8),
         trainRate = 0.8, valRate = 0.1)),
 
+    // eval-set decontamination by n-gram overlap (the GPT-3/PaLM recipe):
+    // every 50th document plays the held-out benchmark; training docs
+    // sharing ANY word 3-gram with it are dropped via a broadcast
+    // semi-join over the corpus n-gram stream
+    "corpus_decontaminate_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusPipeline.evalNgramDecontaminate(
+          docs.where(pmod(col("doc_id"), lit(50)) =!= 0),
+          docs.where(pmod(col("doc_id"), lit(50)) === 0), N)
+        .select(col("doc_id"), col("source"), col("lang"))
+    }),
+
     // TF-IDF top-5 terms per document (smoothed idf, window over per-doc
     // distinct terms only)
     "text_tfidf_topk" -> ((s, dir) =>
@@ -577,6 +589,18 @@ object NorthStar {
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "corpus_split_leakage_safe" -> leakageSafeSplitSql,
+    "corpus_decontaminate_eval" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+          ev AS (SELECT DISTINCT unnest(ss) s
+                 FROM (SELECT $shingleExpr ss FROM t0
+                       WHERE doc_id % 50 = 0 AND len(w) >= $N)),
+          dg AS (SELECT doc_id, unnest(ss) s
+                 FROM (SELECT doc_id, $shingleExpr ss FROM t0
+                       WHERE doc_id % 50 <> 0 AND len(w) >= $N)),
+          cont AS (SELECT DISTINCT doc_id FROM dg JOIN ev USING (s))
+          SELECT doc_id, source, lang FROM documents
+          WHERE doc_id % 50 <> 0
+            AND doc_id NOT IN (SELECT doc_id FROM cont)""",
     "text_tfidf_topk" -> tfidfTopKSql,
     "text_lm_score" -> lmScoreSql,
     "text_token_count" ->

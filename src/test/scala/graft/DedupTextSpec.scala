@@ -287,6 +287,22 @@ class DedupTextSpec extends SparkSuite {
       CorpusPipeline.leakageSafeSplit(docs, pairs, 0.9, 0.3))
   }
 
+  test("evalNgramDecontaminate: any shared n-gram disqualifies; clean docs survive") {
+    // doc 2 is the "benchmark"; docs 0/1 share 3-grams with it, 3/4 don't
+    val evalSet = docs.where(col("doc_id") === 2)
+    val train = docs.where(col("doc_id") =!= 2)
+    val kept = CorpusPipeline.evalNgramDecontaminate(train, evalSet, 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(3L, 4L))
+    // the contamination scan must be a BROADCAST semi-join (one corpus
+    // pass, no corpus-wide exchange for candidate generation)
+    val p = CorpusPipeline.evalNgramDecontaminate(train, evalSet, 3)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("tfidfTopTerms: distinctive words outrank corpus-wide ones; rank bounded by k") {
     val tf = TextOps.tfidfTopTerms(docs, 3).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
