@@ -140,13 +140,10 @@ object Dedup {
         array((0 until MinHashK).map(i => col(s"h$i")): _*).as("sig"))
   }
 
-  /** LSH band candidate pairs (a < b, distinct) from MinHash signatures.
-    * Band key = md5 of the band's r signature values joined with '|'.
-    * The band join carries ONLY (doc_id, band, bkey) — signatures are
-    * re-attached after candidate dedup, so the hot self-join shuffles
-    * ~50 bytes per (doc, band) instead of the full k-vector. */
-  def minHashCandidates(sigd: DataFrame): DataFrame = {
-    val banded = sigd.select(col("doc_id"),
+  /** (doc_id, band, bkey) band keys from MinHash signatures. Band key =
+    * md5 of the band's r signature values joined with '|'. */
+  def bandKeys(sigd: DataFrame): DataFrame =
+    sigd.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(Bands - 1)),
         j => struct(j.as("band"),
           md5(concat_ws("|",
@@ -154,11 +151,53 @@ object Dedup {
               x => x.cast(StringType)))
             .cast(BinaryType)).as("bkey")))).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+  /** LSH band candidate pairs (a < b, distinct) from MinHash signatures.
+    * The band join carries ONLY (doc_id, band, bkey) — signatures are
+    * re-attached after candidate dedup, so the hot self-join shuffles
+    * ~50 bytes per (doc, band) instead of the full k-vector. */
+  def minHashCandidates(sigd: DataFrame): DataFrame = {
+    val banded = bandKeys(sigd)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
+  }
+
+  /** INCREMENTAL near-dup detection — the operational form of corpus
+    * dedup at 100 TB: a new batch is checked against the EXISTING corpus
+    * without ever touching the existing corpus' text again. The corpus is
+    * represented by its persisted signature index ([[minHashSignatures]]
+    * output — k longs per document, ~0.1% of corpus bytes); each
+    * incoming batch computes its own signatures, band-joins against
+    * index ∪ batch, and emits every near-dup pair with at least one NEW
+    * side (new-vs-old contamination and new-vs-new dups in one pass).
+    *
+    * Per-batch cost: |batch| signature passes + a band equi-join whose
+    * left side is batch-sized — independent of corpus text size; the
+    * index side shuffles band keys only (fixed-width digests). Equals
+    * `minHashPairs(existing ∪ new)` restricted to pairs touching a new
+    * doc (band collision is symmetric), which is exactly the declared
+    * oracle. Output: (a, b, est_jaccard), a < b. */
+  def incrementalMinHashPairs(newDocs: DataFrame, index: DataFrame,
+                              n: Int, minEst: Double): DataFrame = {
+    val newSig = minHashSignatures(newDocs, n)
+    val allSig = index.union(newSig)
+    val cand = bandKeys(newSig).as("x").join(bandKeys(allSig).as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+      .distinct()
+    cand
+      .join(allSig.select(col("doc_id").as("a"), col("sig").as("siga")), "a")
+      .join(allSig.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
+      .select(col("a"), col("b"),
+        (size(filter(sequence(lit(0), lit(MinHashK - 1)),
+          i => element_at(col("siga"), i + lit(1)) === element_at(col("sigb"), i + lit(1))))
+          .cast(DoubleType) / lit(MinHashK.toDouble)).as("est_jaccard"))
+      .where(col("est_jaccard") >= minEst)
   }
 
   /** LSH candidate pairs + signature-estimated Jaccard.

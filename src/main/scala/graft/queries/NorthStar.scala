@@ -24,6 +24,18 @@ object NorthStar {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), N, 0.8, maxDf = Some(2L))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashPairs(t(s, dir, "documents"), N, 0.5)),
+    // incremental dedup — the operational 100 TB form: every 10th doc
+    // plays the incoming batch, the rest the existing corpus represented
+    // ONLY by its persisted signature index; output = near-dup pairs
+    // touching a new doc (new-vs-old and new-vs-new in one pass)
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val index = Dedup.minHashSignatures(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0), N)
+      Dedup.incrementalMinHashPairs(
+        docs.where(pmod(col("doc_id"), lit(10)) === 0), index, N, 0.5)
+    }),
+
     // the flagship corpus-dedup composition: LSH candidates → exact
     // Jaccard verify restricted to candidates (no corpus-wide
     // inverted-index self-join anywhere in the plan)
@@ -562,6 +574,10 @@ object NorthStar {
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_ngram_jaccard_capped" -> ngramJaccardCappedSql(2L),
     "dedup_minhash_lsh" -> minhashSql,
+    // band collision is symmetric, so the incremental batch-vs-index run
+    // equals the full-corpus LSH restricted to pairs touching a new doc
+    "dedup_incremental" ->
+      s"SELECT a, b, est_jaccard FROM ($minhashSql) WHERE a % 10 = 0 OR b % 10 = 0",
     "dedup_corpus" -> corpusDedupSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keep_list" ->

@@ -287,6 +287,30 @@ class DedupTextSpec extends SparkSuite {
       CorpusPipeline.leakageSafeSplit(docs, pairs, 0.9, 0.3))
   }
 
+  test("incrementalMinHashPairs: batch-vs-index equals full LSH restricted to new-side pairs") {
+    val sf001docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val existing = sf001docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+    val batch = sf001docs.where(pmod(col("doc_id"), lit(10)) === 0)
+    val index = Dedup.minHashSignatures(existing, 3)
+    val inc = Dedup.incrementalMinHashPairs(batch, index, 3, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val full = Dedup.minHashPairs(sf001docs, 3, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+      .filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+    assert(inc === full)
+    assert(inc.nonEmpty, "testdata plants near-dups across the batch boundary")
+    // feeding the batch in two halves against the SAME index finds the
+    // same new-vs-old pairs (index reuse is sound batch over batch)
+    val h1 = Dedup.incrementalMinHashPairs(
+      batch.where(col("doc_id") % 20 === 0), index, 3, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val h2 = Dedup.incrementalMinHashPairs(
+      batch.where(col("doc_id") % 20 =!= 0), index, 3, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val crossBatch = inc.filter(p => (p._1 % 10 == 0) != (p._2 % 10 == 0))
+    assert(crossBatch.subsetOf(h1 ++ h2))
+  }
+
   test("evalNgramDecontaminate: any shared n-gram disqualifies; clean docs survive") {
     // doc 2 is the "benchmark"; docs 0/1 share 3-grams with it, 3/4 don't
     val evalSet = docs.where(col("doc_id") === 2)
