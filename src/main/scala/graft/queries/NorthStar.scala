@@ -291,7 +291,7 @@ object NorthStar {
     s"[$terms]"
   }
 
-  private val minhashSql =
+  private[queries] val minhashSql =
     s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
         shd AS (SELECT doc_id, $shingleExpr ss FROM t0 WHERE len(w) >= $N),
         based AS (SELECT doc_id,

@@ -51,6 +51,14 @@ object Pipelines {
     "stream_dedup_events" -> ((s, dir) =>
       EventStream.dedupEventsAll(s, dir)),
 
+    // streaming incremental dedup: the documents table streamed in 4
+    // micro-batches against a cold, per-batch-growing signature index —
+    // union of batch outputs provably equals the one-shot LSH pair
+    // search (each pair surfaces exactly once, when its later member
+    // arrives), which IS the oracle
+    "stream_dedup_incremental" -> ((s, dir) =>
+      graft.streaming.CorpusStream.dedupIncrementalAll(s, dir, 3, 0.5)),
+
     // multimodal: binary payloads + partition-wise stub decode
     "multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(s, t(s, dir, "documents")).toDF()),
@@ -121,6 +129,9 @@ object Pipelines {
          FROM z GROUP BY user_id, session_id""",
     "stream_dedup_events" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events""",
+    // pairs surface exactly once across micro-batches, so the streamed
+    // union equals the one-shot LSH pair search
+    "stream_dedup_incremental" -> NorthStar.minhashSql,
     "stream_stream_join" ->
       """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) ts, user_id, event_type, value FROM events),
          c AS (SELECT user_id, event_id click_id, ts c_ts FROM e WHERE event_type = 'click'),

@@ -151,6 +151,27 @@ class PipelineSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: each pair surfaces in exactly one micro-batch; union = one-shot LSH") {
+    import graft.streaming.CorpusStream
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val staging = java.nio.file.Files.createTempDirectory("graft-cs").toString
+    docs.repartition(4).write.mode("overwrite").parquet(s"$staging/in")
+    val batches = CorpusStream.run(spark, s"$staging/in", s"$staging/out",
+      s"$staging/ckpt", n = 3, minEst = 0.5)
+    assert(batches.length === 4)
+    val perBatch = batches.map(b => spark.read.parquet(b.path)
+      .select("a", "b").as[(Long, Long)].collect().toSet)
+    // disjoint: a pair is emitted only when its LATER member arrives
+    perBatch.combinations(2).foreach { case Seq(x, y) =>
+      assert((x & y).isEmpty, "a pair surfaced in two micro-batches")
+    }
+    val streamed = perBatch.reduce(_ ++ _)
+    val oneShot = graft.operators.Dedup.minHashPairs(docs, 3, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(streamed === oneShot)
+    assert(streamed.nonEmpty)
+  }
+
   test("multimodal: per-partition codec, md5 matches builtin, stub dims deterministic") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val feats = Multimodal.extractFeatures(spark, docs)

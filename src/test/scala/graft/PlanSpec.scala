@@ -123,7 +123,7 @@ class PlanSpec extends SparkSuite {
       "text_tfidf_topk", "text_lm_score")
     // streaming queries execute rather than explain statically
     val skip = Set("stream_windowed_agg", "stream_sessionize",
-      "stream_stream_join", "stream_dedup_events")
+      "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip.contains).flatMap { name =>
         val p = SparkEntry.queries(name)(spark, sf001)
@@ -145,7 +145,7 @@ class PlanSpec extends SparkSuite {
       "cells_explode_named",                       // unpivot/stack
       "sliding_window_counts")                     // window-per-event expansion
     val skip = Set("stream_windowed_agg", "stream_sessionize",
-      "stream_stream_join", "stream_dedup_events")
+      "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip.contains).flatMap { name =>
         val p = SparkEntry.queries(name)(spark, sf001)
