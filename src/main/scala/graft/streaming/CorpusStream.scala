@@ -76,15 +76,17 @@ object CorpusStream {
     results.sortBy(_.batchId).toSeq
   }
 
-  /** Declared-query driver: stage the documents table as several parquet
+  /** Declared-query driver: stage the documents table as two parquet
     * files, stream them through [[run]] from a cold index, and return the
     * union of per-batch pair outputs — value-equal to the one-shot LSH
-    * pair search over the whole table. */
+    * pair search over the whole table. Two micro-batches exercise the
+    * cross-batch index handoff with minimal fixed stream overhead; the
+    * PipelineSpec test drives the 4-batch form. */
   def dedupIncrementalAll(spark: SparkSession, dir: String,
                           n: Int, minEst: Double): DataFrame = {
     val staging = java.nio.file.Files.createTempDirectory("graft-docs-stream").toString
     spark.read.parquet(s"$dir/documents.parquet")
-      .repartition(4).write.mode("overwrite").parquet(s"$staging/in")
+      .repartition(2).write.mode("overwrite").parquet(s"$staging/in")
     val batches = run(spark, s"$staging/in", s"$staging/out", s"$staging/ckpt",
       n, minEst)
     batches.map(b => spark.read.parquet(b.path)).reduce(_ unionByName _)
