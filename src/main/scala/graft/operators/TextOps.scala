@@ -197,16 +197,20 @@ object TextOps {
     * a double division lands on tie boundaries where engines' rounding
     * modes disagree).
     *
-    * Scale shape: one bigram explode feeding three aggregates (pair
-    * counts, context counts, vocab scalar), then two equi-joins of the
-    * positional bigram stream against the count tables and one per-doc
-    * aggregate — every join is on a fixed-width key, nothing quadratic.
-    * Docs with < 2 tokens have no bigrams and are excluded.
+    * Scale shape: the positional bigram stream is exploded ONCE and
+    * materialized; the three aggregates (pair counts, context counts,
+    * vocab scalar) and the scoring join all read the materialized frame
+    * instead of re-running scan → explode per consumer (without this the
+    * optimizer plans four corpus explodes). Then two equi-joins against
+    * the count tables and one per-doc aggregate — every join is on a
+    * fixed-width key, nothing quadratic. Docs with < 2 tokens have no
+    * bigrams and are excluded.
     * Output: (doc_id, n_bigrams, avg_logp). */
   def lmBigramScores(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val bg = docs.select(col("doc_id"),
         explode(shingleStructs(col("text"), 2)).as("t"))
       .select(col("doc_id"), col("t.w0").as("w0"), col("t.w1").as("w1"))
+      .localCheckpoint()
     val c2 = bg.groupBy(col("w0"), col("w1")).agg(count(lit(1)).as("c2"))
     val c1 = bg.groupBy(col("w0")).agg(count(lit(1)).as("c1"))
     val vocab = bg.select(col("w1")).distinct()
