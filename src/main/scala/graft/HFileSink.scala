@@ -44,15 +44,24 @@ object HFileCellSink extends CellSink {
     if (!available) SortedParquetCellSink.write(cells, path)
     else writeHFiles(cells, path)
 
-  /** The real container write. Only reachable with HBase jars present —
-    * untestable in this environment by construction, kept small and
-    * reflection-only so it compiles (and stays honest) without them. */
-  private def writeHFiles(cells: DataFrame, path: String): Unit = {
+  /** The real container write: `RequiredClasses` resolved by name,
+    * cell rows mapped to (rowkey-writable, KeyValue) pairs, handed to
+    * `saveAsNewAPIHadoopFile`. The class-name seam exists so the FULL
+    * wiring — per-partition constructor resolution, row mapping, Hadoop
+    * job write — is exercised in tests through structurally identical
+    * stand-in classes even though this environment has no HBase jars
+    * (with them, the production names bind unchanged). */
+  private def writeHFiles(cells: DataFrame, path: String): Unit =
+    writeVia(cells, path, RequiredClasses(0), RequiredClasses(1), RequiredClasses(2))
+
+  private[graft] def writeVia(cells: DataFrame, path: String,
+                              kvClass: String, ibwClass: String,
+                              outputFormatClass: String): Unit = {
     val rdd = cells.select("row", "family", "qualifier", "value", "ts").rdd
       .mapPartitions { it =>
         // resolve per PARTITION, not per cell
-        val kvCls = Class.forName("org.apache.hadoop.hbase.KeyValue")
-        val ibwCls = Class.forName("org.apache.hadoop.hbase.io.ImmutableBytesWritable")
+        val kvCls = Class.forName(kvClass)
+        val ibwCls = Class.forName(ibwClass)
         val ba = classOf[Array[Byte]]
         val kvCtor = kvCls.getConstructor(ba, ba, ba, classOf[Long], ba)
         val ibwCtor = ibwCls.getConstructor(ba)
@@ -67,9 +76,9 @@ object HFileCellSink extends CellSink {
     val conf = cells.sparkSession.sparkContext.hadoopConfiguration
     rdd.saveAsNewAPIHadoopFile(
       path,
-      Class.forName("org.apache.hadoop.hbase.io.ImmutableBytesWritable"),
-      Class.forName("org.apache.hadoop.hbase.KeyValue"),
-      Class.forName("org.apache.hadoop.hbase.mapreduce.HFileOutputFormat2")
+      Class.forName(ibwClass),
+      Class.forName(kvClass),
+      Class.forName(outputFormatClass)
         .asInstanceOf[Class[org.apache.hadoop.mapreduce.OutputFormat[AnyRef, AnyRef]]],
       conf)
   }

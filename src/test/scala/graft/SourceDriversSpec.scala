@@ -328,6 +328,21 @@ class SourceDriversSpec extends SparkSuite {
     HFileCellSink.postCommit(out)
     val st = java.nio.file.Files.getPosixFilePermissions(java.nio.file.Paths.get(out))
     assert(st.contains(java.nio.file.attribute.PosixFilePermission.OTHERS_WRITE))
+
+    // the container write path itself, driven through structurally
+    // identical stand-in classes (same constructor shapes the reflection
+    // resolves): every cell byte must reach the output format
+    val out2 = tmpDir() + "/hfile-write"
+    HFileCellSink.writeVia(r.cells, out2,
+      "graft.fakehbase.KeyValue", "graft.fakehbase.BytesKey",
+      "graft.fakehbase.CellTextOutputFormat")
+    val written = spark.read.text(out2).as[String].collect().sorted.toSeq
+    val expected = r.cells
+      .select(concat_ws(",", lower(hex(col("row"))), lower(hex(col("family"))),
+        lower(hex(col("qualifier"))), col("ts"), lower(hex(col("value")))))
+      .as[String].collect().sorted.toSeq
+    assert(written === expected)
+    assert(written.size === 18)
   }
 
   test("CLI key spec: --key-fields/--family/--qualifiers reach the pipeline (reference RC spec)") {

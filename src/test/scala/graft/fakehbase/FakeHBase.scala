@@ -1,0 +1,37 @@
+package graft.fakehbase
+
+import org.apache.hadoop.mapreduce.{RecordWriter, TaskAttemptContext}
+import org.apache.hadoop.mapreduce.lib.output.FileOutputFormat
+
+/** Structural stand-ins for the HBase classes `HFileCellSink` resolves by
+  * name (same constructor shapes), so the sink's full write wiring —
+  * per-partition reflective constructor lookup, cell-row mapping,
+  * `saveAsNewAPIHadoopFile` job — runs end to end in a jars-free
+  * environment. The production class names bind to the real HBase types
+  * unchanged; only the names differ here. */
+class KeyValue(val row: Array[Byte], val family: Array[Byte],
+               val qualifier: Array[Byte], val ts: Long,
+               val value: Array[Byte])
+
+class BytesKey(val get: Array[Byte])
+
+/** Writes one CSV-of-hex line per cell — enough to assert every byte the
+  * sink handed to the output format. */
+class CellTextOutputFormat extends FileOutputFormat[AnyRef, AnyRef] {
+  override def getRecordWriter(ctx: TaskAttemptContext): RecordWriter[AnyRef, AnyRef] = {
+    val file = getDefaultWorkFile(ctx, ".txt")
+    val out = file.getFileSystem(ctx.getConfiguration).create(file, false)
+    new RecordWriter[AnyRef, AnyRef] {
+      private def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+      override def write(k: AnyRef, v: AnyRef): Unit = {
+        val kv = v.asInstanceOf[KeyValue]
+        // the key must be the row-key writable built from the same row
+        require(java.util.Arrays.equals(k.asInstanceOf[BytesKey].get, kv.row),
+          "key writable must carry the cell's row key")
+        out.writeBytes(
+          s"${hex(kv.row)},${hex(kv.family)},${hex(kv.qualifier)},${kv.ts},${hex(kv.value)}\n")
+      }
+      override def close(c: TaskAttemptContext): Unit = out.close()
+    }
+  }
+}
