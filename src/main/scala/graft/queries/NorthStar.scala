@@ -69,6 +69,22 @@ object NorthStar {
     "pipeline_clean_corpus" -> ((s, dir) =>
       CorpusPipeline.cleanCorpus(t(s, dir, "documents"))),
 
+    // the FULL curation DAG a training run ships, one declarative plan:
+    // quality gate → exact dedup → cross-source screen → eval n-gram
+    // decontamination (every 50th doc = the benchmark) → hash-stratified
+    // mixing → token-budget shard packing
+    "pipeline_curate_full" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+      val train = docs.where(pmod(col("doc_id"), lit(50)) =!= 0)
+      val clean = CorpusPipeline.cleanCorpus(train)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      val decon = CorpusPipeline.evalNgramDecontaminate(clean, evalSet, N)
+      val mixed = CorpusPipeline.sampleMix(decon,
+        Map("src0" -> 1.0, "src1" -> 0.5), 0.25)
+      CorpusPipeline.packShards(mixed, 500L)
+    }),
+
     // deterministic hash-stratified corpus mixing: per-source keep rates
     // (src0 all, src1 half, src2 quarter, everything else 10%), selected
     // by md5 bucket — reproducible across engines/runs/retries, no RNG
@@ -516,6 +532,49 @@ object NorthStar {
         WHERE bit_count(xor(x.sh, y.sh)) <= 3"""
   }
 
+  /** The full curation DAG, assembled from the per-stage oracle
+    * fragments: quality gate + first-copy dedup + cross-source screen
+    * (= cleanCorpus), eval n-gram decontamination, md5-bucket mixing,
+    * prefix-sum shard packing. */
+  private val curateFullSql =
+    s"""WITH q AS (SELECT doc_id, source, text,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS INT) n_tokens
+           FROM documents
+           WHERE doc_id % 50 <> 0 AND len(regexp_extract_all(text, '\\S+')) >= 5),
+        kept0 AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) keep_id FROM q),
+        k AS (SELECT doc_id, source, text, n_tokens FROM kept0 WHERE doc_id = keep_id),
+        fp AS (SELECT doc_id, source,
+                 list_min(list_transform($shingleExpr, s -> md5(s))) f
+               FROM (SELECT doc_id, source, string_split(text,' ') w FROM k)
+               WHERE len(w) >= $N),
+        contaminated AS (SELECT DISTINCT x.doc_id FROM fp x JOIN fp y
+                         ON x.f = y.f AND x.source <> y.source AND x.doc_id > y.doc_id),
+        clean AS (SELECT doc_id, source, text, n_tokens FROM k
+                  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        ev AS (SELECT DISTINCT unnest(ss) s FROM (
+                SELECT $shingleExpr ss
+                FROM (SELECT string_split(text,' ') w FROM documents WHERE doc_id % 50 = 0)
+                WHERE len(w) >= $N)),
+        dg AS (SELECT doc_id, unnest(ss) s FROM (
+                SELECT doc_id, $shingleExpr ss
+                FROM (SELECT doc_id, string_split(text,' ') w FROM clean)
+                WHERE len(w) >= $N)),
+        cont AS (SELECT DISTINCT doc_id FROM dg JOIN ev USING (s)),
+        decon AS (SELECT * FROM clean WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        mixed AS (SELECT doc_id, source, text FROM (
+                   SELECT *, CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,7)) AS BIGINT) % 10000 bucket
+                   FROM decon)
+                  WHERE bucket < (CASE source WHEN 'src0' THEN 10000
+                                              WHEN 'src1' THEN 5000
+                                              ELSE 2500 END)),
+        t0 AS (SELECT doc_id, source,
+                CAST(len(regexp_extract_all(text, '\\S+')) AS INT) n_tokens FROM mixed),
+        c AS (SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+              FROM t0)
+        SELECT doc_id, source, n_tokens, CAST(start_off // 500 AS BIGINT) AS shard_id FROM c"""
+
   /** Leakage-safe split: the recursive-CTE cluster closure + the same
     * md5-bucket assignment on the representative. */
   private val leakageSafeSplitSql =
@@ -585,6 +644,7 @@ object NorthStar {
           WHERE doc_id NOT IN (
             SELECT doc_id FROM ($dedupClustersSql) WHERE doc_id <> cluster_id)""",
     "pipeline_clean_corpus" -> cleanCorpusSql,
+    "pipeline_curate_full" -> curateFullSql,
     "corpus_pack_shards" ->
       """WITH t0 AS (SELECT doc_id, source,
              CAST(len(regexp_extract_all(text, '\S+')) AS INT) n_tokens FROM documents),
