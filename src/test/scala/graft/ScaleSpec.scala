@@ -42,6 +42,33 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("robustness: every batch query survives EMPTY input tables (0 rows, no crash)") {
+    // empty mirrors of all ten tables with the exact sf schemas — empty
+    // aggregates, empty LSH codebooks, zero-pair fixpoints, empty windows
+    // are classic operator crash sites at 3am on a real cluster
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    // the real events.parquet is TIMESTAMP(NANOS) — schema-read needs the
+    // same legacy conf Tables.events sets
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val names = Seq("customer", "documents", "embeddings", "events", "lineitem",
+      "nation", "orders", "part", "region", "supplier")
+    names.foreach { n =>
+      val schema = spark.read.parquet(s"$sf001/$n.parquet").schema
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode("overwrite").parquet(s"$dir/$n.parquet")
+    }
+    // streaming drivers need staged streams; everything else must run
+    val skip = Set("stream_windowed_agg", "stream_sessionize", "stream_stream_join",
+      "stream_dedup_events", "stream_dedup_incremental", "sessionize_events")
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => skip.contains(q._1))
+      .flatMap { case (name, fn) =>
+        try { fn(spark, dir).collect(); None }
+        catch { case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(100)}") }
+      }
+    assert(failures.isEmpty, s"queries crashed on empty inputs:\n${failures.mkString("\n")}")
+  }
+
   test("partition pruning: year-partitioned writes are pruned by the filter") {
     val dirPath = java.nio.file.Files.createTempDirectory("graft-part")
     try {
