@@ -114,6 +114,49 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("loadSplits: hex round-trip, comment/blank tolerance, bad-hex rejection") {
+    val hexLine = Gen.choose(1, 6).flatMap(pairs =>
+      Gen.listOfN(pairs * 2, Gen.oneOf("0123456789abcdefABCDEF".toSeq)).map(_.mkString))
+    val linesSample = samples(Gen.listOfN(8, hexLine), 40)
+    linesSample.foreach { lines =>
+      val f = java.nio.file.Files.createTempFile("graft-prop-splits", ".txt")
+      java.nio.file.Files.write(f,
+        ("# header\n" + lines.mkString("\n") + "\n\n# tail\n").getBytes("UTF-8"))
+      val parsed = IngestCli.loadSplits(f.toString)
+      assert(parsed.length === lines.length)
+      // parse is value-preserving: re-hex gives the lowercased input
+      parsed.zip(lines).foreach { case (bytes, line) =>
+        assert(bytes.map("%02x".format(_)).mkString === line.toLowerCase)
+      }
+      java.nio.file.Files.delete(f)
+    }
+    // odd length and non-hex both fail fast
+    for (badLine <- Seq("0g", "abc")) {
+      intercept[IllegalArgumentException] {
+        val bad = java.nio.file.Files.createTempFile("graft-prop-splits", ".txt")
+        java.nio.file.Files.write(bad, s"$badLine\n".getBytes("UTF-8"))
+        IngestCli.loadSplits(bad.toString)
+      }
+    }
+  }
+
+  test("md5Prefix64 equals BigInteger reference for arbitrary bytes and widths 1..16") {
+    import org.apache.spark.sql.types.BinaryType
+    val bytes = Gen.choose(0, 60).flatMap(len =>
+      Gen.listOfN(len, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    val inputs = samples(bytes, 80)
+    val df = inputs.zipWithIndex.map { case (b, i) => (i, b) }.toDF("i", "b")
+    for (n <- Seq(1, 7, 8, 15, 16)) {
+      val got = df.select(col("i"), keys.md5Prefix64(col("b").cast(BinaryType), n))
+        .as[(Int, Long)].collect().toMap
+      inputs.zipWithIndex.foreach { case (b, i) =>
+        val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(b)
+        val expected = new java.math.BigInteger(hex.substring(0, n), 16).longValue()
+        assert(got(i) === expected, s"n=$n i=$i")
+      }
+    }
+  }
+
   test("cells explode: count = Σ non-null fields, for arbitrary null patterns") {
     val rows = samples(Gen.listOfN(5, Gen.option(asciiStr)), 100)
     val df = rows.map(f => (f(0).orNull, f(1).orNull, f(2).orNull, f(3).orNull, f(4).orNull))
