@@ -77,8 +77,12 @@ object NorthStar {
       val docs = t(s, dir, "documents")
       val evalSet = docs.where(pmod(col("doc_id"), lit(50)) === 0)
       val train = docs.where(pmod(col("doc_id"), lit(50)) =!= 0)
+      // stage boundary: decontamination consumes the cleaned corpus twice
+      // (n-gram stream + anti-join), and the mix/pack tail reads it again —
+      // materialize once instead of re-running the clean stage per consumer
       val clean = CorpusPipeline.cleanCorpus(train)
         .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .localCheckpoint()
       val decon = CorpusPipeline.evalNgramDecontaminate(clean, evalSet, N)
       val mixed = CorpusPipeline.sampleMix(decon,
         Map("src0" -> 1.0, "src1" -> 0.5), 0.25)
