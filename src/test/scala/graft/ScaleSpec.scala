@@ -42,6 +42,26 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("partitioning invariance: scores/codes are bit-identical under adversarial repartitioning") {
+    // the determinism claim the decimal-sum / round-6 / fixed-tiebreak
+    // designs make: results cannot depend on how the cluster happened to
+    // split the data (partial-agg combine order, task scheduling)
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+
+    import graft.operators.{Dedup, Similarity, TextOps}
+    assert(rows(TextOps.lmBigramScores(docs.repartition(17))) ===
+      rows(TextOps.lmBigramScores(docs)))
+    assert(rows(TextOps.tfidfTopTerms(docs.repartition(17), 5)) ===
+      rows(TextOps.tfidfTopTerms(docs, 5)))
+    assert(rows(Similarity.pqCodes(emb.repartition(13))) ===
+      rows(Similarity.pqCodes(emb)))
+    assert(rows(Dedup.minHashSignatures(docs.repartition(17), 3)) ===
+      rows(Dedup.minHashSignatures(docs, 3)))
+  }
+
   test("robustness: every batch query survives EMPTY input tables (0 rows, no crash)") {
     // empty mirrors of all ten tables with the exact sf schemas — empty
     // aggregates, empty LSH codebooks, zero-pair fixpoints, empty windows
