@@ -20,7 +20,15 @@ object GraftFunctions {
 
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "be_int4" -> (es => IntToBigEndianBinary(es.head)),
-    "array_dot" -> (es => ArrayDotProduct(es.head, es(1))))
+    "array_dot" -> (es => ArrayDotProduct(es.head, es(1))),
+    // second argument must be an integer literal (the width is a codegen
+    // constant, like a cast's target type)
+    "md5_prefix64" -> (es => Md5PrefixLong(es.head, es(1).eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"md5_prefix64 width must be an integer literal, got: $other")
+    })))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -164,6 +164,13 @@ object SqlSurface {
         """SELECT p_partkey, lower(hex(be_int4(p_size))) AS size_be FROM part
            WHERE p_size >= 0""")
     }),
+    "q_sql_md5_prefix" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(
+        """SELECT doc_id, md5_prefix64(CAST(text AS BINARY), 7) AS h
+           FROM documents""")
+    }),
     "q_sql_array_dot" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
@@ -252,6 +259,9 @@ object SqlSurface {
     "q_sql_custom_funcs" ->
       """SELECT p_partkey, lower(lpad(to_hex(p_size), 8, '0')) AS size_be
          FROM part WHERE p_size >= 0""",
+    "q_sql_md5_prefix" ->
+      """SELECT doc_id, CAST(('0x'||substr(md5(text),1,7)) AS BIGINT) AS h
+         FROM documents""",
     "q_sql_array_dot" ->
       """SELECT vec_id,
            round(list_dot_product(CAST(embedding AS DOUBLE[]),
