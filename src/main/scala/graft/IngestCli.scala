@@ -7,6 +7,8 @@ import org.apache.spark.sql.SparkSession
   *
   *   IngestCli <csv|csv-compat|hivetext|avro|rcfile|rcfile-compat|orc> <input> <output>
   *             [--arity N] [--salt BUCKETS] [--regions N] [--conf FILE]
+  *             [--splits FILE] [--key-fields I,J,..] [--family NAME]
+  *             [--qualifiers index|name] [--load-ts TS] [--stream-checkpoint DIR]
   *
   * `--conf FILE` merges a config file into the SparkConf: Hadoop-style XML
   * (the reference's `hbase-site.xml` first argument,
@@ -18,7 +20,8 @@ object IngestCli {
 
   private val knownFlags =
     Set("--arity", "--salt", "--regions", "--conf", "--splits",
-      "--key-fields", "--family", "--qualifiers", "--stream-checkpoint")
+      "--key-fields", "--family", "--qualifiers", "--load-ts",
+      "--stream-checkpoint")
 
   /** Region-boundary file → split keys: one lowercase/uppercase hex row key
     * per line (first key of region i+1), blanks and `#` comments ignored —
@@ -105,13 +108,15 @@ object IngestCli {
         case "name"  => BulkLoad.NameQualifiers
         case other =>
           throw new IllegalArgumentException(s"--qualifiers must be index|name, got: $other")
-      }.getOrElse(BulkLoad.Config().qualifiers))
+      }.getOrElse(BulkLoad.Config().qualifiers),
+      loadTs = opts.get("--load-ts").map(_.toLong).getOrElse(0L))
 
   private def usageExit(): Nothing = {
     System.err.println(
       "usage: IngestCli <csv|csv-compat|hivetext|avro|rcfile|rcfile-compat|orc> <input> <output> " +
         "[--arity N] [--salt BUCKETS] [--regions N] [--conf FILE] [--splits FILE] " +
-        "[--key-fields I,J,..] [--family NAME] [--qualifiers index|name] [--stream-checkpoint DIR]")
+        "[--key-fields I,J,..] [--family NAME] [--qualifiers index|name] " +
+        "[--load-ts TS] [--stream-checkpoint DIR]")
     sys.exit(2)
   }
 

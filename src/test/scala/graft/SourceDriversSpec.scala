@@ -352,6 +352,7 @@ class SourceDriversSpec extends SparkSuite {
     assert(cfg.keyFields === BulkLoad.ReferenceRcKeyFields)
     assert(cfg.family === "fam")
     assert(cfg.qualifiers === BulkLoad.NameQualifiers)
+    assert(IngestCli.configFrom(Map("--load-ts" -> "1723500000000")).loadTs === 1723500000000L)
     intercept[IllegalArgumentException](
       IngestCli.configFrom(Map("--qualifiers" -> "bogus")))
 
