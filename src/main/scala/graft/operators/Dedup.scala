@@ -181,8 +181,19 @@ object Dedup {
     * doc (band collision is symmetric), which is exactly the declared
     * oracle. Output: (a, b, est_jaccard), a < b. */
   def incrementalMinHashPairs(newDocs: DataFrame, index: DataFrame,
-                              n: Int, minEst: Double): DataFrame = {
-    val newSig = minHashSignatures(newDocs, n)
+                              n: Int, minEst: Double): DataFrame =
+    // materialize the batch signatures once: the band join reads them on
+    // both sides and the estimate re-attaches them twice more — without
+    // this the full shingle+hash pipeline of the batch runs ~4x
+    incrementalMinHashPairsFromSigs(
+      minHashSignatures(newDocs, n).localCheckpoint(), index, minEst)
+
+  /** [[incrementalMinHashPairs]] from ALREADY-COMPUTED batch signatures —
+    * the entry point for callers that also need the signatures afterwards
+    * (e.g. to merge them into the index: the streaming form computes them
+    * exactly once per batch). `newSig` should be materialized. */
+  def incrementalMinHashPairsFromSigs(newSig: DataFrame, index: DataFrame,
+                                      minEst: Double): DataFrame = {
     val allSig = index.union(newSig)
     val cand = bandKeys(newSig).as("x").join(bandKeys(allSig).as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&

@@ -60,12 +60,13 @@ object CorpusStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val idx = index.get()
-        val pairs = Dedup.incrementalMinHashPairs(batch, idx, n, minEst)
+        // ONE signature pass per batch: the pair search reads it from the
+        // checkpoint and the same materialization merges into the index
+        val sig = Dedup.minHashSignatures(batch, n).localCheckpoint()
+        val pairs = Dedup.incrementalMinHashPairsFromSigs(sig, idx, minEst)
         val dest = f"$outDir/batch_$batchId%05d"
         pairs.write.mode("overwrite").parquet(dest)
-        // merge this batch's signatures so later batches see them; the
-        // localCheckpoint truncates the growing union lineage
-        index.set(idx.union(Dedup.minHashSignatures(batch, n)).localCheckpoint())
+        index.set(idx.union(sig).localCheckpoint())
         results.synchronized {
           results += BatchResult(batchId, dest, spark.read.parquet(dest).count())
         }
