@@ -228,9 +228,15 @@ object Similarity {
     * corpus shuffle wider than (vec_id, j).
     * Output tall: (vec_id, j, code), code ∈ [0, ksub). */
   def pqCodes(corpus: DataFrame, m: Int = PqM, ksub: Int = PqKsub,
-              dims: Int = 64): DataFrame = {
+              dims: Int = 64): DataFrame =
+    pqCodesWith(corpus, pqCentroids(corpus, m, ksub, dims), m, dims)
+
+  /** [[pqCodes]] against an already-built codebook — the codebook
+    * derivation is a corpus-wide TakeOrdered scan, so callers needing
+    * both codes and the codebook (the ADC search) build it once. */
+  private def pqCodesWith(corpus: DataFrame, cb: DataFrame,
+                          m: Int, dims: Int): DataFrame = {
     val sub = dims / m
-    val cb = pqCentroids(corpus, m, ksub, dims)
     val vecs = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .select(col("vec_id"), explode(array((0 until m).map { j =>
         struct(lit(j).as("j"), slice(col("v"), j * sub + 1, sub).as("sv"))
@@ -262,7 +268,7 @@ object Similarity {
                 m: Int = PqM, ksub: Int = PqKsub, dims: Int = 64): DataFrame = {
     val sub = dims / m
     val cb = pqCentroids(corpus, m, ksub, dims)
-    val codes = pqCodes(corpus, m, ksub, dims)
+    val codes = pqCodesWith(corpus, cb, m, dims)
       .select(col("vec_id").as("nid"), col("j"), col("code"))
     val qsub = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
       .select(col("qid"), explode(array((0 until m).map { j =>
