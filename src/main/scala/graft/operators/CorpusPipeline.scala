@@ -83,6 +83,33 @@ object CorpusPipeline {
       .parquet(outDir)
   }
 
+  /** Deterministic global training shuffle: every document gets a
+    * reproducible pseudo-random position, materialized as
+    * (shard, pos-within-shard) — the layout a data loader consumes
+    * (read shard s, iterate in pos order) with none of an RNG's
+    * re-draw-on-retry nondeterminism. Varying `seed` re-shuffles for a
+    * new epoch; the same seed gives the same order on any engine,
+    * cluster size, or retry.
+    *
+    * Scale shape: shard assignment is a per-row md5 bucket (shuffle-free
+    * predicate), and position is a row_number window PARTITIONED BY
+    * shard — the global order is realized as `shards` independent
+    * in-partition sorts, never a single total-order sort; pick `shards`
+    * ≥ cluster cores so no reducer sorts more than one shard's worth.
+    * Output: (doc_id, shard, pos). */
+  def globalShuffle(docs: DataFrame, shards: Int,
+                    seed: String = "epoch0"): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val keyBytes = concat_ws(":", lit(seed),
+      col("doc_id").cast(org.apache.spark.sql.types.StringType)).cast(BinaryType)
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    docs.select(col("doc_id"), md5(keyBytes).as("skey"),
+        pmod(graft.functions.keys.md5Prefix64(keyBytes, 7), lit(shards.toLong))
+          .as("shard"))
+      .select(col("doc_id"), col("shard"),
+        (row_number().over(w) - 1).cast(org.apache.spark.sql.types.LongType).as("pos"))
+  }
+
   /** Leakage-safe train/validation/test split: deterministic hash
     * assignment made CONSISTENT within near-duplicate clusters, so two
     * near-identical documents can never land in different splits (the

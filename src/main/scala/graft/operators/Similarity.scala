@@ -290,6 +290,46 @@ object Similarity {
         (col("pos") + 1).cast(IntegerType).as("rank"))
   }
 
+  /** Per-label mean embedding — the class-centroid primitive behind
+    * SemDeDup-style pruning, cluster-conditioned curation and
+    * nearest-centroid classification.
+    *
+    * Scale shape: the explode multiplies rows by `dims`, but the aggregate
+    * is keyed on (label, dim) so map-side partial aggregation collapses
+    * each partition to |labels|·dims rows BEFORE the exchange — the
+    * shuffle is codebook-sized, not corpus-sized. Sums go through
+    * DECIMAL(28,12) (exact, order-independent) so the mean is bit-stable
+    * across partial-agg orders and engines; each component is rounded to
+    * 6 decimals so downstream cosine math is engine-mirrorable.
+    * Output tall: (label, dim, c), dim ∈ [0, dims). */
+  def labelCentroids(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(
+        sum(col("v").cast(DecimalType(28, 12))).cast(DoubleType) / count(col("v")),
+        6).as("c"))
+
+  /** Cosine of every vector to its OWN label centroid — the per-item
+    * "prototypicality" score SemDeDup-style pruning thresholds on (drop
+    * the near-centroid redundant mass, keep the tails).
+    *
+    * Scale shape: centroids are |labels|·dims rows — always broadcast —
+    * re-assembled into arrays by a tiny post-aggregate sort, so scoring
+    * is ONE corpus pass of codegen'd dot products with no corpus
+    * exchange at all. Output: (vec_id, label, cos_centroid). */
+  def centroidSim(corpus: DataFrame): DataFrame = {
+    val cent = labelCentroids(corpus)
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        t => t.getField("c")).as("cv"))
+    corpus.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"),
+        round(dot(col("v"), col("cv")) / (norm2(col("v")) * norm2(col("cv"))), 6)
+          .as("cos_centroid"))
+  }
+
   /** Near-dup pairs at scale: banded RP-sketch candidate generation + exact
     * cosine verify WITHIN buckets — the composition [[cosinePairs]]'s
     * scaladoc promises. Each band b hashes planes [b·r, b·r+r); a pair is a

@@ -103,6 +103,12 @@ object NorthStar {
     "corpus_pack_shards" -> ((s, dir) =>
       CorpusPipeline.packShards(t(s, dir, "documents"), 500L)),
 
+    // deterministic global training shuffle: md5-bucket shard + in-shard
+    // rank — a reproducible epoch permutation realized as independent
+    // per-shard sorts (never one total-order sort); seed varies per epoch
+    "corpus_global_shuffle" -> ((s, dir) =>
+      CorpusPipeline.globalShuffle(t(s, dir, "documents"), 16)),
+
     // leakage-safe train/val/test split: hash assignment on the near-dup
     // cluster REPRESENTATIVE, so no cluster ever straddles a split
     // boundary (the train/test contamination a per-doc hash produces)
@@ -241,6 +247,16 @@ object NorthStar {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.where(col("vec_id") < 5), 10)
     }),
+    // per-label mean embedding (SemDeDup/cluster-curation primitive):
+    // decimal-summed means, map-side partial agg — codebook-sized shuffle
+    "emb_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(t(s, dir, "embeddings"))),
+    // each vector's cosine to its OWN label centroid — the
+    // prototypicality score semantic pruning thresholds on; broadcast
+    // centroids, one codegen'd corpus pass, no corpus exchange
+    "emb_centroid_similarity" -> ((s, dir) =>
+      Similarity.centroidSim(t(s, dir, "embeddings"))),
+
     // product quantization: each vector as m nearest-sub-centroid codes —
     // the memory-scale ANN representation (m·log2(ksub) bits per vector)
     "ann_pq_codes" -> ((s, dir) =>
@@ -666,6 +682,36 @@ object NorthStar {
                                      WHEN 'src1' THEN 5000
                                      WHEN 'src2' THEN 2500
                                      ELSE 1000 END)""",
+    "corpus_global_shuffle" ->
+      """WITH k AS (SELECT doc_id, md5('epoch0:'||CAST(doc_id AS VARCHAR)) skey
+           FROM documents),
+         s AS (SELECT doc_id, skey,
+                CAST(('0x'||substr(skey,1,7)) AS BIGINT) % 16 AS shard FROM k)
+         SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+                AS BIGINT) - 1 AS pos
+         FROM s""",
+    "emb_label_centroids" ->
+      """WITH ex AS (SELECT label,
+             unnest(list_transform(range(len(embedding)),
+               i -> {'dim': i, 'v': CAST(embedding[i+1] AS DOUBLE)})) t
+           FROM embeddings)
+         SELECT label, CAST(t.dim AS INT) AS dim,
+           round(CAST(SUM(CAST(t.v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(t.v), 6) AS c
+         FROM ex GROUP BY 1, 2""",
+    "emb_centroid_similarity" ->
+      """WITH ex AS (SELECT label,
+             unnest(list_transform(range(len(embedding)),
+               i -> {'dim': i, 'v': CAST(embedding[i+1] AS DOUBLE)})) t
+           FROM embeddings),
+         c AS (SELECT label, t.dim dim,
+                round(CAST(SUM(CAST(t.v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(t.v), 6) c
+               FROM ex GROUP BY 1, 2),
+         cv AS (SELECT label, list(c ORDER BY dim) cv FROM c GROUP BY label)
+         SELECT vec_id, e.label,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cv), 6)
+             AS cos_centroid
+         FROM embeddings e JOIN cv ON e.label = cv.label""",
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "corpus_split_leakage_safe" -> leakageSafeSplitSql,

@@ -172,6 +172,22 @@ object Relational {
             .cast(DoubleType).as("running_qty"))
     }),
 
+    // Window: time-RANGE frame (all rows within the trailing 10 minutes by
+    // event time, not a fixed row count) — the frame ties-safe by
+    // construction: peers at the same second are in or out together, so
+    // no tiebreak column is needed.
+    "q_window_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"))
+        .rangeBetween(-600, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast(LongType).as("tsec"), col("value"))
+        .select(col("event_id"), col("user_id"), col("tsec"),
+          count(lit(1)).over(w).as("n_10m"),
+          sum(col("value").cast(DecimalType(18, 4))).over(w)
+            .cast(DoubleType).as("sum_10m"))
+    }),
+
     // ROLLUP grouping sets (subtotals + grand total).
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -341,6 +357,16 @@ object Relational {
                    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
          FROM lineitem""",
+    "q_window_range_frame" ->
+      """WITH e AS (SELECT event_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS tsec, value
+           FROM events)
+         SELECT event_id, user_id, tsec,
+           COUNT(*) OVER w AS n_10m,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_10m
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+                      RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)""",
     "q_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
           FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",

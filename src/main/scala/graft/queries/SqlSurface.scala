@@ -51,6 +51,20 @@ object SqlSurface {
         .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
           expr("percentile(l_extendedprice, 0.9)").as("p90_price"))),
 
+    // outlier winsorization: per-type exact p01/p99 bounds (3 groups —
+    // always broadcast back), then a clip pass over the raw stream. The
+    // training-data form of robust scaling: two aggregate rows per type
+    // cross the exchange, the clip itself is a shuffle-free projection.
+    "events_clip_outliers" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val bounds = e.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.01)"), 6).as("p01"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      e.join(broadcast(bounds), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          least(greatest(col("value"), col("p01")), col("p99")).as("clipped"))
+    }),
+
     // approximate quantiles (Greenwald-Khanna sketch): estimates are
     // engine-specific, so — like q_approx_distinct — the DECLARED columns
     // are the exact percentiles plus an error-bound flag; the sketch runs
@@ -206,6 +220,14 @@ object SqlSurface {
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
            quantile_cont(l_extendedprice, 0.9) AS p90_price, 1 AS within_bound
          FROM lineitem GROUP BY l_returnflag""",
+    "events_clip_outliers" ->
+      """WITH b AS (SELECT event_type,
+             round(quantile_cont(value, 0.01), 6) p01,
+             round(quantile_cont(value, 0.99), 6) p99
+           FROM events GROUP BY 1)
+         SELECT event_id, e.event_type, value,
+           least(greatest(value, p01), p99) AS clipped
+         FROM events e JOIN b USING (event_type)""",
     "q_json_extract" ->
       """SELECT event_type,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,

@@ -287,6 +287,32 @@ class DedupTextSpec extends SparkSuite {
       CorpusPipeline.leakageSafeSplit(docs, pairs, 0.9, 0.3))
   }
 
+  test("globalShuffle: a deterministic permutation — dense per-shard positions, seed-dependent order") {
+    val corpus = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = CorpusPipeline.globalShuffle(corpus, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.length === 1000)
+    // every doc appears once; (shard, pos) is a bijection
+    assert(a.map(_._1).toSet.size === 1000)
+    assert(a.map(t => (t._2, t._3)).toSet.size === 1000)
+    // positions are dense 0..n-1 within each shard
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // all shards populated and roughly balanced (md5 buckets, 125 expected)
+    val sizes = a.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.keys.toSet === (0L until 8L).toSet)
+    assert(sizes.values.forall(n => n > 60 && n < 190), sizes.toMap.toString)
+    // deterministic across invocations; a different seed permutes
+    val b = CorpusPipeline.globalShuffle(corpus, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq)
+    val c = CorpusPipeline.globalShuffle(corpus, 8, seed = "epoch1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(c.sortBy(_._1).toSeq !== a.sortBy(_._1).toSeq)
+  }
+
   test("incrementalMinHashPairs: batch-vs-index equals full LSH restricted to new-side pairs") {
     val sf001docs = spark.read.parquet(s"$sf001/documents.parquet")
     val existing = sf001docs.where(pmod(col("doc_id"), lit(10)) =!= 0)

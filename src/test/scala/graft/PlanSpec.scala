@@ -198,6 +198,32 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("runtime bloom-filter join pruning: a selective dim filter injects might_contain on the fact scan") {
+    // The 100 TB shape: a shuffle join whose small side carries a selective
+    // filter should push a runtime bloom filter into the fact-side scan, so
+    // the shuffle only carries rows that can match. The feature thresholds
+    // are sized for clusters (10 GB application side) — lowered here to
+    // demonstrate the injection on test-scale data; on a real corpus the
+    // defaults fire on their own.
+    withSQLConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val o = spark.read.parquet(s"$sf001/orders.parquet")
+        .where(col("o_orderpriority") === "1-URGENT")
+      val l = spark.read.parquet(s"$sf001/lineitem.parquet")
+      val joined = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("might_contain"), p)
+      // and the result is unaffected by the pruning filter
+      val n = joined.collect().map(_.getLong(1)).sum
+      val expect = l.join(o.hint("broadcast"), col("l_orderkey") === col("o_orderkey")).count()
+      assert(n === expect)
+    }
+  }
+
   test("semi/anti joins never materialize right-side payload columns") {
     val p = plan("q_semi_join")
     assert(p.contains("LeftSemi"), p)

@@ -138,4 +138,33 @@ class SimilaritySpec extends SparkSuite {
     info(s"planted near-dup pair recall = $found/20")
     assert(found >= 19, s"only $found/20 planted near-dup pairs recovered")
   }
+
+  test("labelCentroids: hand-checked means; centroidSim = 1 for a vector AT its centroid") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), 0),  // label 0 centroid = (0.5, 0.5)
+      (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(2.0f, 2.0f), 1)   // label 1 centroid = its only member
+    ).toDF("vec_id", "embedding", "label")
+    val cent = Similarity.labelCentroids(corpus)
+      .as[(Int, Int, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(cent((0, 0)) === 0.5 && cent((0, 1)) === 0.5)
+    assert(cent((1, 0)) === 2.0 && cent((1, 1)) === 2.0)
+
+    val sims = Similarity.centroidSim(corpus)
+      .select("vec_id", "cos_centroid").as[(Long, Double)].collect().toMap
+    // vec 3 IS its centroid → cosine exactly 1; vecs 1/2 are 45° off the
+    // (0.5, 0.5) centroid → cos = 1/sqrt(2)
+    assert(sims(3L) === 1.0)
+    assert(math.abs(sims(1L) - 1.0 / math.sqrt(2)) < 1e-5)
+    assert(math.abs(sims(2L) - 1.0 / math.sqrt(2)) < 1e-5)
+  }
+
+  test("centroidSim on the fixture: one score per vector, all in [-1, 1]") {
+    val got = Similarity.centroidSim(emb)
+    assert(got.count() === emb.count())
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    val (lo, hi) = got.agg(fmin(col("cos_centroid")), fmax(col("cos_centroid")))
+      .as[(Double, Double)].head()
+    assert(lo >= -1.0 && hi <= 1.0)
+  }
 }
