@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization over an event stream: resample irregular
+  * per-key events onto a fixed time grid with forward fill — the shape a
+  * feature-store / training pipeline needs before it can treat activity as
+  * a dense tensor (reference has no temporal surface at all; this extends
+  * the engine's as-of/sessionize family).
+  */
+object TimeSeries {
+
+  /** Hourly resample with last-observation-carried-forward:
+    *
+    *   1. bucket events into hours; per (key, hour) keep the event count
+    *      and the hour's max value (a deterministic aggregate — LOCF over
+    *      a reduced bucket must not depend on intra-bucket row order),
+    *   2. expand each key's [first, last] hour span into a dense grid
+    *      (`sequence` + explode — per-key, never a global calendar), and
+    *   3. forward-fill empty hours from the latest preceding bucket via a
+    *      running `last(ignoreNulls)` window.
+    *
+    * Scale shape: one map-side-combined aggregate reduces the stream to
+    * (key, hour) buckets BEFORE any join; the grid explode is output-sized
+    * (span hours per key); the fill window is hash-partitioned by key —
+    * there is no global sort and no driver-side calendar. Gaps longer than
+    * the whole span cannot occur by construction (the grid starts at each
+    * key's own first event). Output: (user_id, hour_start, n_events,
+    * v_fill) — n_events = 0 marks filled gap rows. */
+  def resampleHourlyLocf(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("value"))
+      .groupBy(col("user_id"), col("h"))
+      .agg(count(lit(1)).as("n_events"), max(col("value")).as("v_max"))
+    val grid = hourly
+      .groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h").as("hour_start"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("v_max"), ignoreNulls = true).over(w).as("v_fill"))
+  }
+}

@@ -73,6 +73,11 @@ object Pipelines {
     "multimodal_resize" -> ((s, dir) =>
       Multimodal.resize(t(s, dir, "documents"), 4)),
 
+    // time-series regularization: irregular events → dense per-user hourly
+    // grid with forward fill (n_events = 0 marks the filled gap rows)
+    "events_resample_locf" -> ((s, dir) =>
+      graft.operators.TimeSeries.resampleHourlyLocf(t(s, dir, "events"))),
+
     // sliding (overlapping) windows: each event lands in two 2h windows
     "sliding_window_counts" -> ((s, dir) =>
       t(s, dir, "events")
@@ -139,6 +144,20 @@ object Pipelines {
          SELECT user_id, click_id, purchase_id, c_ts, b_ts, amount
          FROM c JOIN b USING (user_id)
          WHERE b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 30 MINUTE""",
+    "events_resample_locf" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) h, value
+           FROM events),
+         hr AS (SELECT user_id, h, COUNT(*) n_events, MAX(value) v_max
+                FROM e GROUP BY 1, 2),
+         span AS (SELECT user_id, MIN(h) h0, MAX(h) h1 FROM e GROUP BY 1),
+         grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 hour)) h
+                  FROM span)
+         SELECT g.user_id, g.h AS hour_start,
+           COALESCE(n_events, 0) AS n_events,
+           last_value(v_max IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+         FROM grid g LEFT JOIN hr ON g.user_id = hr.user_id AND g.h = hr.h""",
     "sliding_window_counts" ->
       """WITH e AS (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) h FROM events),
          x AS (SELECT h AS ws FROM e

@@ -205,4 +205,26 @@ class PipelineSpec extends SparkSuite {
     val all = Multimodal.frameSample(docs, 4, 1).as[(Long, Int, String, Int)].collect()
     assert(all.map(_._3).toSeq === Seq(h("abcd"), h("efgh"), h("ij")))
   }
+
+  test("resampleHourlyLocf: dense hourly grid, gaps carry the last bucket's value forward") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1: events at 00:10, 00:40 (same bucket) and 03:05 — hours 01
+    // and 02 are gaps; user 2: a single event (grid of one row, no fill)
+    val events = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 5.0),
+      (1L, ts("2024-01-01 00:40:00"), 7.0),
+      (1L, ts("2024-01-01 03:05:00"), 2.0),
+      (2L, ts("2024-01-01 10:30:00"), 9.0)
+    ).toDF("user_id", "ts", "value")
+    val got = graft.operators.TimeSeries.resampleHourlyLocf(events)
+      .orderBy("user_id", "hour_start")
+      .as[(Long, Timestamp, Long, Double)].collect()
+    assert(got === Array(
+      (1L, ts("2024-01-01 00:00:00"), 2L, 7.0), // bucket max of 5.0/7.0
+      (1L, ts("2024-01-01 01:00:00"), 0L, 7.0), // gap: carried forward
+      (1L, ts("2024-01-01 02:00:00"), 0L, 7.0),
+      (1L, ts("2024-01-01 03:00:00"), 1L, 2.0),
+      (2L, ts("2024-01-01 10:00:00"), 1L, 9.0)))
+  }
 }
