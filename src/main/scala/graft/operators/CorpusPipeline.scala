@@ -175,6 +175,36 @@ object CorpusPipeline {
     docs.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** Contamination SCORING — the graded companion to
+    * [[evalNgramDecontaminate]]: instead of dropping on any shared
+    * n-gram, report per training document what fraction of its distinct
+    * n-grams appear in the eval set, so a curator can threshold (the
+    * published recipes drop at a high-overlap cutoff rather than
+    * any-hit) and audit what the filter would remove.
+    *
+    * Same scale shape as the filter: eval n-grams broadcast, one corpus
+    * n-gram pass, the aggregate is keyed per doc with map-side partials.
+    * Documents too short to shingle carry no score (no evidence).
+    * Output: (doc_id, n_grams, n_shared, overlap_frac). */
+  def evalNgramOverlap(docs: DataFrame, evalDocs: DataFrame, n: Int): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(array_distinct(TextOps.shingleStructs(col("text"), n))).as("t"))
+      .select(TextOps.shingleString(col("t"), n).as("s"))
+      .distinct()
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.shingleStructs(col("text"), n))).as("t"))
+      .select(col("doc_id"), TextOps.shingleString(col("t"), n).as("s"))
+      .join(broadcast(evalGrams.withColumn("hit", lit(1))), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast(org.apache.spark.sql.types.LongType)
+          .as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        round(col("n_shared").cast(org.apache.spark.sql.types.DoubleType) / col("n_grams"), 6)
+          .as("overlap_frac"))
+  }
+
   def cleanCorpus(docs: DataFrame, minTokens: Int = 5, shingleN: Int = 3): DataFrame = {
     val q = docs.select(col("doc_id"), col("source"), col("text"),
         TextOps.tokenCount(col("text")).as("n_tokens"))

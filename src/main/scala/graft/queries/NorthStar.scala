@@ -130,6 +130,16 @@ object NorthStar {
         .select(col("doc_id"), col("source"), col("lang"))
     }),
 
+    // graded contamination: per training doc, the fraction of its distinct
+    // 3-grams found in the eval set — the threshold/audit companion to the
+    // any-hit filter above (same broadcast shape)
+    "corpus_contamination_scores" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusPipeline.evalNgramOverlap(
+        docs.where(pmod(col("doc_id"), lit(50)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(50)) === 0), N)
+    }),
+
     // TF-IDF top-5 terms per document (smoothed idf, window over per-doc
     // distinct terms only)
     "text_tfidf_topk" -> ((s, dir) =>
@@ -727,6 +737,20 @@ object NorthStar {
           SELECT doc_id, source, lang FROM documents
           WHERE doc_id % 50 <> 0
             AND doc_id NOT IN (SELECT doc_id FROM cont)""",
+    "corpus_contamination_scores" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+          ev AS (SELECT DISTINCT unnest(ss) s
+                 FROM (SELECT $shingleExpr ss FROM t0
+                       WHERE doc_id % 50 = 0 AND len(w) >= $N)),
+          dg AS (SELECT doc_id, unnest(list_distinct(ss)) s
+                 FROM (SELECT doc_id, $shingleExpr ss FROM t0
+                       WHERE doc_id % 50 <> 0 AND len(w) >= $N)),
+          j AS (SELECT dg.doc_id, CASE WHEN ev.s IS NULL THEN 0 ELSE 1 END hit
+                FROM dg LEFT JOIN ev ON dg.s = ev.s)
+          SELECT doc_id, COUNT(*) AS n_grams,
+            CAST(SUM(hit) AS BIGINT) AS n_shared,
+            round(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS overlap_frac
+          FROM j GROUP BY doc_id""",
     "text_tfidf_topk" -> tfidfTopKSql,
     "text_lm_score" -> lmScoreSql,
     "text_token_count" ->

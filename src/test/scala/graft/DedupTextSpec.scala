@@ -353,6 +353,28 @@ class DedupTextSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("evalNgramOverlap: fractions agree with the any-hit filter; bounds are exact") {
+    val evalSet = docs.where(col("doc_id") === 2)
+    val train = docs.where(col("doc_id") =!= 2)
+    val scores = CorpusPipeline.evalNgramOverlap(train, evalSet, 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_shared"),
+         r.getAs[Double]("overlap_frac"))).toMap
+    // graded score ⊃ binary filter: exactly the docs the any-hit filter
+    // drops have overlap_frac > 0
+    val dropped = train.select("doc_id").as[Long].collect().toSet --
+      CorpusPipeline.evalNgramDecontaminate(train, evalSet, 3)
+        .select("doc_id").as[Long].collect().toSet
+    assert(scores.filter(_._2._3 > 0).keySet === dropped)
+    // fraction arithmetic: shared/total, within [0, 1], shared <= total
+    scores.values.foreach { case (n, sh, f) =>
+      assert(sh >= 0 && sh <= n)
+      val expect = BigDecimal(sh.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(f === expect)
+    }
+  }
+
   test("tfidfTopTerms: distinctive words outrank corpus-wide ones; rank bounded by k") {
     val tf = TextOps.tfidfTopTerms(docs, 3).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),

@@ -198,6 +198,26 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("round-3 additions keep the declared plan posture (broadcast dims, bounded exchanges)") {
+    // centroid scoring: the codebook-sized centroid table broadcasts; the
+    // corpus side is never shuffle-joined
+    val cs = plan("emb_centroid_similarity")
+    assert(cs.contains("BroadcastHashJoin") && !cs.contains("SortMergeJoin"), cs)
+    // global shuffle: ONE corpus exchange (hash by shard for the window);
+    // no global total-order sort anywhere
+    val gs = plan("corpus_global_shuffle")
+    assert(gs.linesIterator.count(_.matches("""\(\d+\) Exchange.*""")) === 1, gs)
+    assert(!gs.contains("rangepartitioning"), gs)
+    // winsorization: the 3-row bounds side broadcasts back onto the stream
+    val cl = plan("events_clip_outliers")
+    assert(cl.contains("BroadcastHashJoin") && !cl.contains("SortMergeJoin"), cl)
+    // resample: bucket aggregate has a map-side partial phase before its
+    // exchange; the grid join is keyed, never a cross product
+    val rs = plan("events_resample_locf")
+    assert(rs.linesIterator.count(_.contains("HashAggregate")) >= 2, rs)
+    assert(!rs.contains("CartesianProduct") && !rs.contains("BroadcastNestedLoopJoin"), rs)
+  }
+
   test("runtime bloom-filter join pruning: a selective dim filter injects might_contain on the fact scan") {
     // The 100 TB shape: a shuffle join whose small side carries a selective
     // filter should push a runtime bloom filter into the fact-side scan, so
