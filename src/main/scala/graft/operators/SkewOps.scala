@@ -35,4 +35,26 @@ object SkewOps {
       .agg(sum(col("__psum")).cast(DoubleType).as(alias),
         sum(col("__pn")).as("n"))
   }
+
+  /** Salted equi-join for a hot join key: the big/skewed side gets a
+    * deterministic salt from a high-cardinality spreading column, the
+    * small side is replicated once per salt bucket, and the join runs on
+    * (key, salt) — each hot key's rows spread over `buckets` reducers
+    * instead of stalling one. Result = the plain inner equi-join exactly
+    * (every (row, match) pair survives with one salt value).
+    *
+    * This is the explicit form for when AQE's skew-join split cannot
+    * apply — a non-broadcastable-but-modest build side, a sort-merge
+    * join whose skew emerges only at the reducer, or an engine stage
+    * with AQE off. Replication costs |small|·buckets rows through the
+    * exchange; size `buckets` to the hot key's concentration, not the
+    * cluster. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 spreadOn: Column, buckets: Int): DataFrame = {
+    val b = big.withColumn("__salt",
+      pmod(crc32(spreadOn.cast("string")), lit(buckets)))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit((buckets - 1).toLong))))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -129,6 +129,21 @@ object Relational {
         spreadOn = col("l_orderkey"),
         buckets = 16)),
 
+    // Skew-safe salted JOIN: orders ⋈ a 5-row priority dim on a 5-value
+    // hot key — the explicit spread for when AQE's skew split can't apply.
+    // The salted join is exactly the plain join, so the oracle is the
+    // unsalted form; the aggregate keeps the declared result small.
+    "q_join_salted_skew" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val dim = o.select(col("o_orderpriority")).distinct()
+        .withColumn("plen", length(col("o_orderpriority")))
+      graft.operators.SkewOps.saltedJoin(o, dim, "o_orderpriority",
+          spreadOn = col("o_orderkey"), buckets = 16)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+          max(col("plen")).as("plen"))
+    }),
+
     // Approximate distinct (HLL++ sketch): estimates are engine-specific,
     // so the DECLARED columns are the exact counts plus a deterministic
     // error-bound flag (HLL++ is hash-based and order-independent, so the
@@ -350,6 +365,13 @@ object Relational {
     "q_skew_salted_agg" ->
       s"""SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
           FROM lineitem GROUP BY l_returnflag""",
+    "q_join_salted_skew" ->
+      s"""WITH dim AS (SELECT DISTINCT o_orderpriority,
+              CAST(length(o_orderpriority) AS INTEGER) AS plen FROM orders)
+          SELECT o_orderpriority, COUNT(*) AS n,
+            ${dsumSql("o_totalprice")} AS sum_price, MAX(plen) AS plen
+          FROM orders JOIN dim USING (o_orderpriority)
+          GROUP BY o_orderpriority""",
     "q_window_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))

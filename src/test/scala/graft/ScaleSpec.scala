@@ -89,6 +89,30 @@ class ScaleSpec extends SparkSuite {
     assert(failures.isEmpty, s"queries crashed on empty inputs:\n${failures.mkString("\n")}")
   }
 
+  test("saltedJoin: exactly the plain join, and the hot key spreads across reducers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one pathological key: 10k of 10.2k rows share key "hot"
+    val big = ((0 until 10000).map(i => ("hot", i.toLong)) ++
+      (0 until 200).map(i => (s"k$i", i.toLong))).toDF("k", "payload")
+    val small = (Seq("hot") ++ (0 until 200).map(i => s"k$i"))
+      .map(k => (k, s"dim_$k")).toDF("k", "dimval")
+    val salted = graft.operators.SkewOps.saltedJoin(
+      big, small, "k", spreadOn = col("payload"), buckets = 8)
+    val plain = big.join(small, "k")
+    // exact equality, row multiset included
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // the spread is real: under a forced shuffle join, the hot key's rows
+    // arrive via 8 distinct (key, salt) buckets
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val buckets = big
+        .withColumn("__salt", pmod(crc32(col("payload").cast("string")), lit(8)))
+        .where(col("k") === "hot").select("__salt").distinct().count()
+      assert(buckets === 8)
+    }
+  }
+
   test("partition pruning: year-partitioned writes are pruned by the filter") {
     val dirPath = java.nio.file.Files.createTempDirectory("graft-part")
     try {
