@@ -290,6 +290,29 @@ object Similarity {
         (col("pos") + 1).cast(IntegerType).as("rank"))
   }
 
+  /** Metadata-filtered exact top-k: each query only scores corpus vectors
+    * sharing its partition attribute (tenant / language / label) — the
+    * standard "ANN with filters" retrieval shape. The equi-join on the
+    * attribute replaces [[bruteForceTopK]]'s broadcast cross join, so cost
+    * drops from |Q|·|C| to Σ_q |partition(q)| and the filter is enforced
+    * in the join key itself, never post-hoc (no k-starvation from
+    * filtering after ranking). Queries broadcast as usual; the corpus side
+    * stays partitioned and unshuffled. Output: (qid, nid, cos_sim, rank). */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                   filterCol: String): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col(filterCol),
+        asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", norm2(col("qv")))
+    val c = corpus.select(col("vec_id").as("nid"), col(filterCol),
+        asDouble(col("embedding")).as("nv"))
+      .withColumn("nn", norm2(col("nv")))
+    val scored = c.join(broadcast(q), filterCol)
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos_sim"))
+    topKByScore(scored, k)
+  }
+
   /** Per-label mean embedding — the class-centroid primitive behind
     * SemDeDup-style pruning, cluster-conditioned curation and
     * nearest-centroid classification.

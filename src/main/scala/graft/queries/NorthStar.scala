@@ -257,6 +257,14 @@ object NorthStar {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.where(col("vec_id") < 5), 10)
     }),
+    // metadata-filtered retrieval ("ANN with filters"): each query ranks
+    // only vectors sharing its label — filter enforced in the join key,
+    // never post-hoc, so no k-starvation
+    "ann_filtered_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.filteredTopK(e, e.where(col("vec_id") < 5), 10, "label")
+    }),
+
     // per-label mean embedding (SemDeDup/cluster-curation primitive):
     // decimal-summed means, map-side partial agg — codebook-sized shuffle
     "emb_label_centroids" -> ((s, dir) =>
@@ -842,6 +850,16 @@ object NorthStar {
          c AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) nv FROM embeddings),
          sc AS (SELECT qid, nid, round(list_cosine_similarity(qv, nv), 6) cos_sim
                 FROM q, c WHERE qid <> nid),
+         r AS (SELECT qid, nid, cos_sim,
+                row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) rn
+               FROM sc)
+         SELECT qid, nid, cos_sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10""",
+    "ann_filtered_topk" ->
+      """WITH q AS (SELECT vec_id qid, label, CAST(embedding AS DOUBLE[]) qv
+           FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id nid, label, CAST(embedding AS DOUBLE[]) nv FROM embeddings),
+         sc AS (SELECT qid, nid, round(list_cosine_similarity(qv, nv), 6) cos_sim
+                FROM q JOIN c USING (label) WHERE qid <> nid),
          r AS (SELECT qid, nid, cos_sim,
                 row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) rn
                FROM sc)

@@ -139,6 +139,27 @@ class SimilaritySpec extends SparkSuite {
     assert(found >= 19, s"only $found/20 planted near-dup pairs recovered")
   }
 
+  test("filteredTopK: every neighbor shares the query's label; equals per-label brute force") {
+    val queries = emb.where(col("vec_id") < 5)
+    val got = Similarity.filteredTopK(emb, queries, 10, "label")
+      .select("qid", "nid", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val labels = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    assert(got.nonEmpty)
+    got.foreach { case (qid, nid, _, _) =>
+      assert(labels(qid) === labels(nid), s"$qid (label ${labels(qid)}) matched $nid")
+    }
+    // per query: identical to brute force over ONLY that label's vectors
+    for (qid <- 0L until 5L) {
+      val expect = Similarity.bruteForceTopK(
+          emb.where(col("label") === labels(qid)), queries.where(col("vec_id") === qid), 10)
+        .select("qid", "nid", "cos_sim", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(got.filter(_._1 == qid).toSet === expect)
+    }
+  }
+
   test("labelCentroids: hand-checked means; centroidSim = 1 for a vector AT its centroid") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f), 0),  // label 0 centroid = (0.5, 0.5)
