@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Behavioral analytics over an event stream: ordered funnels, cohort
+  * retention, and changelog→snapshot maintenance (the CDC "apply" step).
+  * The reference has no temporal surface; these extend the engine's
+  * sessionize/as-of family with the remaining standard event-warehouse
+  * shapes.
+  */
+object EventAnalytics {
+
+  /** Ordered conversion funnel: a user reaches stage i+1 when an event of
+    * that stage's type occurs at-or-after their stage-i conversion time
+    * (first qualifying event wins; `>=` keeps same-instant progressions).
+    *
+    * Scale shape: one aggregate per stage, each over events FILTERED to
+    * that stage's type — the type predicate pushes to the parquet scan, so
+    * a 5-stage funnel reads ~5 type-partitions, not 5× the corpus. The
+    * per-user conversion times aggregate map-side (min), and each stage's
+    * survivor set (≤ one row per user, shrinking monotonically) broadcasts
+    * into the next stage's join — the event stream itself is never
+    * shuffled or rescanned unfiltered. Output: (stage, stage_name, users,
+    * conv_rate), conv_rate relative to stage 1, rounded to 6 decimals. */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val perStage = stages.tail.scanLeft(
+      events.where(col("event_type") === stages.head)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))) { (prev, s) =>
+      events.where(col("event_type") === s)
+        .join(broadcast(prev.select(col("user_id"), col("t").as("t0"))), "user_id")
+        .where(col("ts") >= col("t0"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    }
+    val counts = perStage.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("stage"), lit(stages(i)).as("stage_name"), col("users"))
+    }.reduce(_ unionAll _)
+    val top = perStage.head.agg(count(lit(1)).as("top_users"))
+    counts.crossJoin(broadcast(top))
+      .select(col("stage"), col("stage_name"), col("users"),
+        round(col("users").cast(DoubleType) / col("top_users").cast(DoubleType), 6)
+          .as("conv_rate"))
+  }
+
+  /** Weekly cohort retention: users are cohorted by the week of their first
+    * event; a cohort is "active at week n" when any member emits an event n
+    * weeks after the cohort week.
+    *
+    * Scale shape: the first-seen aggregate reduces events to one row per
+    * user map-side; that user→cohort map is dimension-sized (users ≪
+    * events) and broadcasts into the activity pass, so the event stream is
+    * scanned once and shuffled once — on the (cohort_week, week_no) group
+    * key with a per-partition distinct partial (countDistinct expands to a
+    * two-phase exact distinct, never a driver collect). Output:
+    * (cohort_week, week_no, active_users). */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val cohort = events.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    events.select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      .join(broadcast(cohort), "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("w"), col("cohort_week")) / 7).cast(IntegerType).as("week_no"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
+  /** Changelog→snapshot merge (the CDC apply / SCD-type-1 compaction):
+    * per key, the operation with the greatest (ts, seq) wins; keys whose
+    * winning operation is the tombstone type are absent from the snapshot.
+    *
+    * Scale shape: `max_by` over a struct ordering key is a two-phase hash
+    * aggregate — each partition keeps one candidate row per key before the
+    * exchange, so the shuffle carries |keys| rows, not |changelog| — and
+    * there is no per-key window sort anywhere (the row_number formulation
+    * would sort every key group). (ts, seq) must be unique per key for a
+    * deterministic winner; seq is the log's own sequence column (here
+    * event_id), exactly the LSN/offset a real CDC feed carries.
+    * Output: (user_id, last_ts, last_type, last_value). */
+  def latestSnapshot(changelog: DataFrame, tombstoneType: String): DataFrame =
+    changelog.groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("ts"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .where(col("last.event_type") =!= tombstoneType)
+      .select(col("user_id"), col("last.ts").as("last_ts"),
+        col("last.event_type").as("last_type"), col("last.value").as("last_value"))
+}

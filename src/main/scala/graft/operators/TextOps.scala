@@ -179,6 +179,38 @@ object TextOps {
         col("rank").cast(IntegerType).as("rank"))
   }
 
+  /** Inverted index (term → sorted posting list), the text-search /
+    * audit-lookup primitive over a corpus: for every term its document
+    * frequency, and for sub-stoplist terms the comma-joined sorted doc-id
+    * posting list ("which documents contain X" without a corpus scan).
+    *
+    * Scale shape: the (term, doc_id) stream dedups with a map-side partial
+    * distinct; document frequencies are one hash aggregate over it. The
+    * posting-list collect runs ONLY for terms at-or-under `maxDf` —
+    * stopword-grade terms (df in the millions at 100 TB) keep their df row
+    * but a NULL posting list, so no unbounded list ever materializes in an
+    * aggregation buffer (the same df-cap posture as
+    * [[Dedup.ngramJaccardPairs]]). Lists sort numerically BEFORE the
+    * string join, and every join/aggregate here is keyed on the term, so
+    * the heavy frames meet each other co-partitioned.
+    * Output: (term, df, postings), postings NULL ⇔ df > maxDf. */
+  def invertedIndex(docs: org.apache.spark.sql.DataFrame,
+                    maxDf: Long): org.apache.spark.sql.DataFrame = {
+    val posting = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+      .distinct()
+    val dfs = posting.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val lists = posting
+      .join(dfs.where(col("df") <= maxDf).select(col("term")), "term")
+      .groupBy(col("term"))
+      .agg(array_join(
+        transform(array_sort(collect_list(col("doc_id"))), _.cast(StringType)),
+        ",").as("postings"))
+    dfs.join(lists, Seq("term"), "left")
+      .select(col("term"), col("df"), col("postings"))
+  }
+
   /** Corpus-bigram language-model quality score — the CCNet-style
     * perplexity proxy: train add-one-smoothed bigram probabilities on the
     * corpus itself, score each document by its mean log-probability.

@@ -156,6 +156,12 @@ object NorthStar {
         TextOps.tokenCount(col("text")).as("n_tokens"),
         TextOps.bpeEstimate(col("text")).as("bpe_est"))),
 
+    // inverted index: term → df + sorted posting list; stoplist-grade
+    // terms (df > cap) keep their df row with NULL postings, so no
+    // unbounded collect buffer exists anywhere in the plan
+    "text_inverted_index" -> ((s, dir) =>
+      TextOps.invertedIndex(t(s, dir, "documents"), maxDf = 50)),
+
     "text_quality" -> ((s, dir) => {
       val cols = TextOps.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
       t(s, dir, "documents").select(col("doc_id") +: cols: _*)
@@ -767,6 +773,18 @@ object NorthStar {
            CAST(list_sum(list_transform(string_split(text,' '),
              w2 -> CAST(ceil(length(w2)/4.0) AS BIGINT))) AS BIGINT) AS bpe_est
          FROM documents""",
+    "text_inverted_index" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         p AS (SELECT DISTINCT doc_id, term
+               FROM (SELECT doc_id, unnest(w) term FROM t0)
+               WHERE length(term) > 0),
+         d AS (SELECT term, count(*) df FROM p GROUP BY 1),
+         l AS (SELECT term,
+                 string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) postings
+               FROM p
+               WHERE term IN (SELECT term FROM d WHERE df <= 50)
+               GROUP BY 1)
+         SELECT d.term, d.df, l.postings FROM d LEFT JOIN l USING (term)""",
     "text_quality" ->
       s"""SELECT doc_id,
            CAST(len(string_split(text,' ')) AS INT) AS n_tokens,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsOf, Multimodal}
+import graft.operators.{AsOf, EventAnalytics, Multimodal}
 import graft.streaming.EventStream
 import org.apache.spark.sql.functions._
 
@@ -84,6 +84,21 @@ object Pipelines {
         .groupBy(window(col("ts"), "2 hours", "1 hour"))
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").as("window_start"), col("n"))),
+
+    // ordered conversion funnel view → click → purchase: per-stage filters
+    // push to the scan, survivor sets broadcast forward
+    "events_funnel" -> ((s, dir) =>
+      EventAnalytics.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))),
+
+    // weekly cohort retention: first-seen cohort map broadcasts back over
+    // one events pass, exact distinct users per (cohort, week offset)
+    "events_cohort_retention" -> ((s, dir) =>
+      EventAnalytics.cohortRetention(t(s, dir, "events"))),
+
+    // CDC apply: events as a keyed changelog ('error' = tombstone),
+    // latest-wins snapshot via a two-phase max_by — no per-key window sort
+    "events_cdc_snapshot" -> ((s, dir) =>
+      EventAnalytics.latestSnapshot(t(s, dir, "events"), tombstoneType = "error")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -177,6 +192,39 @@ object Pipelines {
            md5(array_to_string(list_transform(range(0, length(text), 4),
              i -> substring(text, CAST(i+1 AS INT), 1)), '')) AS resized_md5
          FROM documents WHERE length(text) > 0""",
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type FROM events),
+         s1 AS (SELECT user_id, min(ts) t FROM e WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) t FROM e
+                JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+                WHERE e.event_type = 'click' GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) t FROM e
+                JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+                WHERE e.event_type = 'purchase' GROUP BY 1),
+         c AS (SELECT 1 AS stage, 'view' AS stage_name, count(*) AS users FROM s1
+               UNION ALL SELECT 2, 'click', count(*) FROM s2
+               UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+         SELECT stage, stage_name, users,
+           round(CAST(users AS DOUBLE) /
+             (SELECT CAST(count(*) AS DOUBLE) FROM s1), 6) AS conv_rate
+         FROM c""",
+    "events_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events),
+         c AS (SELECT user_id, date_trunc('week', min(ts)) cohort_week FROM e GROUP BY 1)
+         SELECT c.cohort_week,
+           CAST(date_diff('day', CAST(c.cohort_week AS DATE),
+             CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT) AS week_no,
+           count(DISTINCT e.user_id) AS active_users
+         FROM e JOIN c USING (user_id)
+         GROUP BY 1, 2""",
+    "events_cdc_snapshot" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type, value, event_id
+           FROM events),
+         r AS (SELECT user_id, ts, event_type, value,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) rn FROM e)
+         SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+         FROM r WHERE rn = 1 AND event_type <> 'error'""",
     "multimodal_features" ->
       """SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.keys
-import graft.operators.{CellOps, RegionSort}
+import graft.operators.{CellOps, Layout, RegionSort}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -149,6 +149,15 @@ object ReferenceParity {
       hexBin(CellOps.compactVersions(loads.reduce(_ unionByName _),
         maxVersions = 2, minTs = 150L))
     }),
+
+    // multi-dimensional layout: Morton code over (partkey, suppkey) — the
+    // data-skipping complement to the single-key region sort; clustering
+    // itself (range exchange + local sort + both-dims file pruning) is
+    // asserted by CellPipelineSpec on Layout.clusterZ
+    "layout_zorder" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        Layout.zorder2(col("l_partkey"), col("l_suppkey")).as("zval"))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -168,5 +177,9 @@ object ReferenceParity {
     "ingest_sorted_cells" -> cellsIndexedSql,
     "cells_compact_versions" -> cellsCompactSql,
     "cells_keyvalue_wire" -> kvWireSql,
+    "layout_zorder" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+        s"CAST(${Layout.zorder2Sql("l_partkey", "l_suppkey")} AS BIGINT) AS zval " +
+        "FROM lineitem"),
   )
 }

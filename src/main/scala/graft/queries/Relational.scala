@@ -203,6 +203,20 @@ object Relational {
             .cast(DoubleType).as("sum_10m"))
     }),
 
+    // Window: distribution analytics — percent_rank / cume_dist / ntile
+    // over a tie-free per-type ordering (value, event_id). The ratios are
+    // exact integer-over-integer divisions done once in double, so both
+    // engines produce bit-identical results with no rounding step.
+    "q_window_percentiles" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          ntile(4).over(w).as("quartile"))
+    }),
+
     // ROLLUP grouping sets (subtotals + grand total).
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -389,6 +403,13 @@ object Relational {
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY tsec
                       RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)""",
+    "q_window_percentiles" ->
+      """SELECT event_id, event_type, value,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)""",
     "q_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
           FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",

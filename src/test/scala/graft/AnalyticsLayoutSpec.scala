@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.{EventAnalytics, Layout}
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Event-analytics semantics (funnel ordering, cohort offsets, CDC
+  * latest-wins/tombstones) and z-order layout locality. */
+class AnalyticsLayoutSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel: stage order enforced, same-instant progression counts, first event wins") {
+    // u1 full path; u2's click precedes its view (stage 2 not reached);
+    // u3 view+click at the same instant (>= keeps it); u4 purchase only
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:10"), "view"),
+      (2L, 1L, ts("2024-01-01 00:00:20"), "click"),
+      (3L, 1L, ts("2024-01-01 00:00:30"), "purchase"),
+      (4L, 2L, ts("2024-01-01 00:00:05"), "click"),
+      (5L, 2L, ts("2024-01-01 00:00:10"), "view"),
+      (6L, 3L, ts("2024-01-01 00:00:10"), "view"),
+      (7L, 3L, ts("2024-01-01 00:00:10"), "click"),
+      (8L, 4L, ts("2024-01-01 00:00:05"), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics.funnel(events, Seq("view", "click", "purchase"))
+      .orderBy("stage").as[(Int, String, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1, "view", 3L, 1.0), (2, "click", 2L, 0.666667), (3, "purchase", 1L, 0.333333)))
+  }
+
+  test("cohortRetention: first-seen week cohorts, week offsets, distinct actives") {
+    // 2024-01-01 is a Monday; u1 active weeks 0 and 2, u2 week 0 only
+    // (twice — distinct must collapse it)
+    val events = Seq(
+      (1L, ts("2024-01-01 08:00:00")),
+      (1L, ts("2024-01-17 09:00:00")),
+      (2L, ts("2024-01-03 10:00:00")),
+      (2L, ts("2024-01-04 11:00:00"))
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.cohortRetention(events)
+      .select(col("cohort_week").cast("string"), col("week_no"), col("active_users"))
+      .orderBy("week_no").as[(String, Int, Long)].collect().toSeq
+    assert(got === Seq(
+      ("2024-01-01 00:00:00", 0, 2L), ("2024-01-01 00:00:00", 2, 1L)))
+  }
+
+  test("latestSnapshot: latest-wins on (ts, seq), tombstone removes the key") {
+    // u1's latest op is the tombstone → absent; u2 has a same-ts tie the
+    // higher event_id (log sequence) must win; u3 is a plain upsert
+    val log = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:10"), "view", 1.0),
+      (2L, 1L, ts("2024-01-01 00:00:20"), "error", 2.0),
+      (3L, 2L, ts("2024-01-01 00:00:10"), "error", 3.0),
+      (4L, 2L, ts("2024-01-01 00:00:10"), "purchase", 4.0),
+      (5L, 3L, ts("2024-01-01 00:00:10"), "view", 5.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventAnalytics.latestSnapshot(log, "error")
+      .select(col("user_id"), col("last_type"), col("last_value"))
+      .orderBy("user_id").as[(Long, String, Double)].collect().toSeq
+    assert(got === Seq((2L, "purchase", 4.0), (3L, "view", 5.0)))
+    // scale shape: two-phase hash aggregate, no per-key window sort
+    val p = EventAnalytics.latestSnapshot(log, "error")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"), p)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) (Hash|Sort)Aggregate.*""")) >= 2, p)
+  }
+
+  test("zorder2: exact bit interleave, x on odd bits, y on even bits") {
+    val got = Seq((3L, 5L), (0L, 0L), (1L, 0L), (0L, 1L), (7L, 7L))
+      .toDF("x", "y")
+      .select(Layout.zorder2(col("x"), col("y"), 3).as("z"))
+      .as[Long].collect().toSeq
+    // x=0b011→bits 1,3 = 10; y=0b101→bits 0,4 = 17
+    assert(got === Seq(27L, 0L, 2L, 1L, 63L))
+  }
+
+  test("clusterZ: range-disjoint z partitions, BOTH dimensions stay narrow per partition") {
+    // full 32×32 grid; 16 z-clustered partitions ≈ 8×8 blocks
+    val grid = (0 until 32).flatMap(x => (0 until 32).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val clustered = Layout.clusterZ(grid, col("x"), col("y"), 16, bits = 5)
+    assert(clustered.rdd.getNumPartitions === 16)
+    // no rows lost or duplicated by the exchange
+    assert(clustered.count() === 1024)
+    val boxes = clustered
+      .select(spark_partition_id().as("p"), col("x"), col("y"))
+      .groupBy("p")
+      .agg(min("x").as("x0"), max("x").as("x1"), min("y").as("y0"), max("y").as("y1"))
+      .collect()
+      .map(r => (r.getAs[Long]("x1") - r.getAs[Long]("x0"),
+                 r.getAs[Long]("y1") - r.getAs[Long]("y0")))
+    // a single-dimension sort leaves the other dimension's span at 31 in
+    // every partition; z-order keeps the average worst-dimension span small
+    val avgWorst = boxes.map { case (xs, ys) => math.max(xs, ys).toDouble }.sum / boxes.length
+    assert(avgWorst <= 20.0, s"avg worst-dim span $avgWorst; boxes=${boxes.toSeq}")
+    // the data-skipping claim: a y-range filter prunes most partitions from
+    // min/max stats alone (x-sorted layout would intersect all 16)
+    val hit = boxes.count { case _ => true }
+    val yHit = clustered
+      .select(spark_partition_id().as("p"), col("y"))
+      .groupBy("p").agg(min("y").as("y0"), max("y").as("y1"))
+      .collect().count(r => r.getAs[Long]("y0") <= 7 && r.getAs[Long]("y1") >= 0)
+    assert(yHit < hit, s"y∈[0,7] should prune some of the $hit partitions, hit $yHit")
+  }
+}

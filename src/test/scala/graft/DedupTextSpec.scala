@@ -408,6 +408,21 @@ class DedupTextSpec extends SparkSuite {
     assert(lm.forall(_._3 < 0.0))
   }
 
+  test("invertedIndex: sorted postings, df kept but postings NULL above the cap") {
+    val corpus = Seq(
+      (10L, "alpha beta"), (7L, "beta gamma alpha"), (3L, "beta beta delta")
+    ).toDF("doc_id", "text")
+    val idx = TextOps.invertedIndex(corpus, maxDf = 2).collect()
+      .map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("df"), Option(r.getAs[String]("postings")))).toMap
+    // numeric sort (7 before 10), within-doc repeats collapse to one posting
+    assert(idx("alpha") === (2L, Some("7,10")))
+    assert(idx("gamma") === (1L, Some("7")))
+    assert(idx("delta") === (1L, Some("3")))
+    // "beta" is in all 3 docs > cap: df stays, posting list is never built
+    assert(idx("beta") === (3L, None))
+  }
+
   test("shingle-min fingerprint is edit-local: near-dups often collide, distinct docs don't") {
     val fp = docs.select(col("doc_id"), TextOps.fingerprintShingleMin(col("text"), 3).as("f"))
       .as[(Long, String)].collect().toMap
