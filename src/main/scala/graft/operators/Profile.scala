@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table profiling — the data-quality census a pipeline runs before it
+  * trusts a new 100 TB drop: per column, row/null/distinct counts and a
+  * normalized min/max rendering.
+  */
+object Profile {
+
+  /** Engine-portable string rendering for min/max: integers and strings
+    * verbatim, floating point via DECIMAL(18,2) (both engines render
+    * decimals identically; raw double→string formatting differs), and
+    * timestamps via an explicit pattern. */
+  private def render(c: Column, dt: DataType): Column = dt match {
+    case DoubleType | FloatType => c.cast(DecimalType(18, 2)).cast(StringType)
+    case _: TimestampType       => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    case _                      => c.cast(StringType)
+  }
+
+  /** One profile row per requested column: (column, n_rows, n_null,
+    * n_distinct, min_v, max_v).
+    *
+    * Scale shape: one aggregate branch per column, each reading ONLY its
+    * own column (columnar pruning makes C single-column passes the same
+    * scanned bytes as one C-column pass), so the exact per-column distinct
+    * is a plain two-phase aggregate — never the Expand-multiplied
+    * multi-distinct a single combined aggregate would plan, whose blowup
+    * is C× the corpus. Each branch's partial aggregate collapses
+    * partitions to one row before the exchange; the union is
+    * profile-sized. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    cols.map { name =>
+      val dt = byName(name)
+      df.agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col(name).isNull, lit(1))).as("n_null"),
+          countDistinct(col(name)).as("n_distinct"),
+          render(min(col(name)), dt).as("min_v"),
+          render(max(col(name)), dt).as("max_v"))
+        .select(lit(name).as("column"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_v"), col("max_v"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** The DuckDB rendering of one [[profile]] branch (oracle builder). */
+  def profileSql(table: String, column: String, dt: DataType): String = {
+    def r(e: String) = dt match {
+      case DoubleType | FloatType =>
+        s"CAST(CAST($e AS DECIMAL(18,2)) AS VARCHAR)"
+      case _: TimestampType => s"strftime($e, '%Y-%m-%d %H:%M:%S')"
+      case _                => s"CAST($e AS VARCHAR)"
+    }
+    s"""SELECT '$column' AS "column", count(*) AS n_rows,
+        count(CASE WHEN $column IS NULL THEN 1 END) AS n_null,
+        count(DISTINCT $column) AS n_distinct,
+        ${r(s"min($column)")} AS min_v, ${r(s"max($column)")} AS max_v
+        FROM $table"""
+  }
+}

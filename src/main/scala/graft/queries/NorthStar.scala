@@ -162,6 +162,18 @@ object NorthStar {
     "text_inverted_index" -> ((s, dir) =>
       TextOps.invertedIndex(t(s, dir, "documents"), maxDf = 50)),
 
+    // PageRank centrality over the part↔supplier bipartite graph (the
+    // crawl-graph/domain-ranking primitive for source prioritization):
+    // 3 power iterations, edges derived once, fixed-point integer units
+    // so ranks are bit-exact across engines
+    "graph_pagerank" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem").select(
+          concat(lit("p"), col("l_partkey").cast("string")).as("a"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        .distinct()
+      graft.operators.GraphOps.pageRank(e, 3)
+    }),
+
     "text_quality" -> ((s, dir) => {
       val cols = TextOps.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
       t(s, dir, "documents").select(col("doc_id") +: cols: _*)
@@ -773,6 +785,9 @@ object NorthStar {
            CAST(list_sum(list_transform(string_split(text,' '),
              w2 -> CAST(ceil(length(w2)/4.0) AS BIGINT))) AS BIGINT) AS bpe_est
          FROM documents""",
+    "graph_pagerank" -> graft.operators.GraphOps.pageRankSql(
+      "SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS a, " +
+        "'s' || CAST(l_suppkey AS VARCHAR) AS b FROM lineitem", 3),
     "text_inverted_index" ->
       """WITH t0 AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
          p AS (SELECT DISTINCT doc_id, term

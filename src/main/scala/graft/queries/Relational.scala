@@ -18,7 +18,23 @@ import org.apache.spark.sql.types._
 object Relational {
   import Tables._
 
+  /** lineitem columns + types for the profiling census (kept static so the
+    * oracle SQL is derivable without a Spark session). */
+  private val profileCols: Seq[(String, DataType)] = Seq(
+    "l_orderkey" -> LongType, "l_partkey" -> LongType, "l_suppkey" -> LongType,
+    "l_linenumber" -> IntegerType, "l_quantity" -> DoubleType,
+    "l_extendedprice" -> DoubleType, "l_discount" -> DoubleType,
+    "l_tax" -> DoubleType, "l_returnflag" -> StringType,
+    "l_linestatus" -> StringType, "l_shipdate" -> TimestampType)
+
   val defs: Map[String, Q] = Map(
+    // data-quality census: per-column row/null/distinct counts + min/max;
+    // one single-column aggregate branch per column (columnar pruning makes
+    // that the same scanned bytes as one wide pass, with no multi-distinct
+    // Expand anywhere)
+    "table_profile" -> ((s, dir) =>
+      graft.operators.Profile.profile(t(s, dir, "lineitem"), profileCols.map(_._1))),
+
     // TPC-H Q1 shape: scan-heavy agg; partial agg map-side, 6k→4 groups.
     "q1_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -329,6 +345,9 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    "table_profile" -> profileCols.map { case (n, d) =>
+      graft.operators.Profile.profileSql("lineitem", n, d)
+    }.mkString(" UNION ALL "),
     "q1_pricing_summary" -> q1Sql,
     "q_approx_distinct" ->
       """SELECT l_returnflag,

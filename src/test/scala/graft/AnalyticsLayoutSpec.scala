@@ -69,6 +69,30 @@ class AnalyticsLayoutSpec extends SparkSuite {
     assert(p.linesIterator.count(_.matches("""\(\d+\) (Hash|Sort)Aggregate.*""")) >= 2, p)
   }
 
+  test("profile: null/distinct counts and portable min/max rendering") {
+    val df = Seq(
+      (Some(1L), Some(1.5), "b"), (Some(2L), None, "a"), (None, Some(2.0), "a")
+    ).toDF("k", "v", "s")
+    val got = graft.operators.Profile.profile(df, Seq("k", "v", "s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    assert(got("k") === (3L, 1L, 2L, "1", "2"))
+    // doubles render via DECIMAL(18,2): "1.50", not double formatting
+    assert(got("v") === (3L, 1L, 2L, "1.50", "2.00"))
+    assert(got("s") === (3L, 0L, 2L, "a", "b"))
+  }
+
+  test("pageRank: symmetric nodes tie, hubs dominate, mass is conserved") {
+    // path graph a–b–c: b is the hub; a and c are interchangeable
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("a", "b")
+    val r = graft.operators.GraphOps.pageRank(edges, iters = 3)
+      .as[(String, Double)].collect().toMap
+    assert(r.keySet === Set("a", "b", "c"))
+    assert(r("a") === r("c"))
+    assert(r("b") > r("a"))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
   test("zorder2: exact bit interleave, x on odd bits, y on even bits") {
     val got = Seq((3L, 5L), (0L, 0L), (1L, 0L), (0L, 1L), (7L, 7L))
       .toDF("x", "y")

@@ -118,10 +118,10 @@ class PlanSpec extends SparkSuite {
     // pass, not an all-pairs join; q11 and q22 cross-join a 1-row scalar agg)
     // text_tfidf_topk / text_lm_score broadcast a 1-row corpus scalar
     // (document count / vocab size) — the q22 pattern
-    // events_funnel cross-joins its 1-row stage-1 count (the q22 pattern)
+    // events_funnel / graph_pagerank cross-join a 1-row count (q22 pattern)
     val intentional = Set("ann_cosine_topk", "ann_ivf_topk",
       "q22_idle_balances", "q11_important_share",
-      "text_tfidf_topk", "text_lm_score", "events_funnel")
+      "text_tfidf_topk", "text_lm_score", "events_funnel", "graph_pagerank")
     // streaming queries execute rather than explain statically
     val skip = Set("stream_windowed_agg", "stream_sessionize",
       "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental")
