@@ -432,4 +432,43 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Edit-distance fuzzy pairs over short strings (entity / catalog-name
+    * resolution): block on each string's RAREST token (global document
+    * frequency, ties on the token), verify candidates with the exact
+    * `levenshtein` inside the join projection. Output: (a, b, dist) with
+    * a < b and dist <= maxDist.
+    *
+    * Blocking semantics: a pair is reported iff the two strings agree on
+    * their rarest token — the single-key instance of the PPJoin prefix
+    * filter. Near-identical strings usually share their rarest token
+    * (an edit inside that one token is the miss case); raising recall
+    * means blocking on the K rarest tokens at K× the candidate volume —
+    * same plan, wider explode. The choice is deliberate: blocking is
+    * what makes the join linear-ish, and the oracle mirrors the exact
+    * same candidate rule, so approximation lives in the DECLARED
+    * semantics, not in engine drift.
+    *
+    * Scale shape: token dfs are one map-side-combined aggregate; the
+    * rarest-token pick is a min(struct) aggregate (no per-string window
+    * sort); candidates come from an equi-join on that token, skew-bounded
+    * because the blocking key is by construction each string's RAREST
+    * token — hot tokens are nobody's rarest when any rarer one exists.
+    * False positives die in the join projection (codegen'd levenshtein)
+    * before the output-sized distinct. */
+  def editDistancePairs(strs: DataFrame, maxDist: Int): DataFrame = {
+    val tok = strs.select(col("id"),
+      explode(graft.operators.TextOps.tokens(col("name"))).as("tk"))
+    val dfs = tok.groupBy(col("tk")).agg(count(lit(1)).as("tdf"))
+    val rare = tok.join(dfs, "tk")
+      .groupBy(col("id"))
+      .agg(min(struct(col("tdf"), col("tk"))).as("m"))
+      .select(col("id"), col("m.tk").as("tk"))
+    val keyed = rare.join(strs, "id")
+    keyed.as("x").join(keyed.as("y"),
+        col("x.tk") === col("y.tk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        levenshtein(col("x.name"), col("y.name")).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
 }

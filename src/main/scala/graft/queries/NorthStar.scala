@@ -162,6 +162,15 @@ object NorthStar {
     "text_inverted_index" -> ((s, dir) =>
       TextOps.invertedIndex(t(s, dir, "documents"), maxDf = 50)),
 
+    // edit-distance fuzzy pairs over the distinct part-name catalog
+    // (entity resolution): block on the rarest token, verify exact
+    // levenshtein in the join projection
+    "dedup_fuzzy_names" -> ((s, dir) => {
+      val names = t(s, dir, "part")
+        .select(col("p_name").as("id"), col("p_name").as("name")).distinct()
+      Dedup.editDistancePairs(names, maxDist = 4)
+    }),
+
     // PageRank centrality over the part↔supplier bipartite graph (the
     // crawl-graph/domain-ranking primitive for source prioritization):
     // 3 power iterations, edges derived once, fixed-point integer units
@@ -785,6 +794,19 @@ object NorthStar {
            CAST(list_sum(list_transform(string_split(text,' '),
              w2 -> CAST(ceil(length(w2)/4.0) AS BIGINT))) AS BIGINT) AS bpe_est
          FROM documents""",
+    "dedup_fuzzy_names" ->
+      """WITH t0 AS (SELECT DISTINCT p_name FROM part),
+         c AS (SELECT p_name AS id, p_name AS nm, string_split(p_name, ' ') w FROM t0),
+         tok AS (SELECT id, unnest(w) tk FROM c),
+         dfs AS (SELECT tk, count(*) tdf FROM tok GROUP BY 1),
+         rare AS (SELECT id, tk FROM (
+           SELECT t.id, t.tk,
+             row_number() OVER (PARTITION BY t.id ORDER BY d.tdf, t.tk) rn
+           FROM tok t JOIN dfs d USING (tk)) WHERE rn = 1),
+         k AS (SELECT r.id, r.tk, c.nm FROM rare r JOIN c USING (id))
+         SELECT x.id AS a, y.id AS b, levenshtein(x.nm, y.nm) AS dist
+         FROM k x JOIN k y ON x.tk = y.tk AND x.id < y.id
+         WHERE levenshtein(x.nm, y.nm) <= 4""",
     "graph_pagerank" -> graft.operators.GraphOps.pageRankSql(
       "SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS a, " +
         "'s' || CAST(l_suppkey AS VARCHAR) AS b FROM lineitem", 3),

@@ -423,6 +423,18 @@ class DedupTextSpec extends SparkSuite {
     assert(idx("beta") === (3L, None))
   }
 
+  test("editDistancePairs: rarest-token blocking, exact levenshtein verify") {
+    // quantum/iron/steel are each string's rarest token (bolt/gear have
+    // df 3); pairs share a block iff they share that token
+    val catalog = Seq(
+      (1L, "quantum bolt"), (2L, "quantum gear"), (3L, "iron bolt"),
+      (4L, "steel bolt"), (5L, "iron gear"), (6L, "steel gear")
+    ).toDF("id", "name")
+    val got = Dedup.editDistancePairs(catalog, maxDist = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 2L, 4), (3L, 5L, 4), (4L, 6L, 4)))
+  }
+
   test("shingle-min fingerprint is edit-local: near-dups often collide, distinct docs don't") {
     val fp = docs.select(col("doc_id"), TextOps.fingerprintShingleMin(col("text"), 3).as("f"))
       .as[(Long, String)].collect().toMap
