@@ -66,6 +66,29 @@ object EventAnalytics {
       .agg(countDistinct(col("user_id")).as("active_users"))
   }
 
+  /** Rolling active-user counts: for every day with direct activity, the
+    * distinct users active that day (DAU) and over the trailing `window`
+    * days (WAU/MAU by parameter).
+    *
+    * Scale shape: events reduce to distinct (user, day) FIRST (map-side
+    * partial distinct — the stream's volume never reaches the window
+    * logic); the trailing window is the explode-forward trick (each
+    * user-day feeds days d..d+window-1), so the rolling distinct is a
+    * plain two-phase aggregate instead of a per-day range self-join —
+    * explode volume is window × |user-days|, linear in users, not
+    * events. Output: (day, dau, wau); `day` renders as a midnight
+    * timestamp (DATE columns are not portable through every consumer). */
+  def activeUsers(events: DataFrame, window: Int): DataFrame = {
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), window - 1))).as("day"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day").cast(TimestampType).as("day"), col("dau"), col("wau"))
+  }
+
   /** Changelog→snapshot merge (the CDC apply / SCD-type-1 compaction):
     * per key, the operation with the greatest (ts, seq) wins; keys whose
     * winning operation is the tombstone type are absent from the snapshot.

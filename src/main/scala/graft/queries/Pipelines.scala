@@ -99,6 +99,19 @@ object Pipelines {
     // latest-wins snapshot via a two-phase max_by — no per-key window sort
     "events_cdc_snapshot" -> ((s, dir) =>
       EventAnalytics.latestSnapshot(t(s, dir, "events"), tombstoneType = "error")),
+
+    // rolling engagement: DAU + trailing-7-day WAU per active day, the
+    // rolling distinct via explode-forward (no per-day range self-join)
+    "events_active_users" -> ((s, dir) =>
+      EventAnalytics.activeUsers(t(s, dir, "events"), window = 7)),
+
+    // market-basket mining: part pairs co-ordered in ≥ 3 orders; the
+    // within-basket self-join is bounded by the basket-size cap
+    "basket_item_pairs" -> ((s, dir) =>
+      graft.operators.Affinity.itemPairs(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
+          col("l_partkey").as("item")),
+        minSupport = 3, maxBasketSize = 20)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -225,6 +238,26 @@ object Pipelines {
                   ORDER BY ts DESC, event_id DESC) rn FROM e)
          SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
          FROM r WHERE rn = 1 AND event_type <> 'error'""",
+    "events_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+         dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+         ex AS (SELECT user_id,
+                 CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+                   CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+                   INTERVAL 1 DAY)) AS DATE) AS day
+                FROM ud),
+         wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM ex GROUP BY 1)
+         SELECT CAST(d.day AS TIMESTAMP) AS day, d.dau, w.wau
+         FROM dau d JOIN wau w USING (day)""",
+    "basket_item_pairs" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+           FROM lineitem),
+         keep AS (SELECT basket FROM d GROUP BY basket HAVING count(*) <= 20)
+         SELECT x.item AS item_a, y.item AS item_b, count(*) AS support
+         FROM d x JOIN keep USING (basket)
+         JOIN d y ON x.basket = y.basket AND x.item < y.item
+         GROUP BY 1, 2 HAVING count(*) >= 3""",
     "multimodal_features" ->
       """SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

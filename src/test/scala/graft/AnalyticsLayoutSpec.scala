@@ -69,6 +69,33 @@ class AnalyticsLayoutSpec extends SparkSuite {
     assert(p.linesIterator.count(_.matches("""\(\d+\) (Hash|Sort)Aggregate.*""")) >= 2, p)
   }
 
+  test("activeUsers: DAU exact, WAU covers the trailing window, repeats collapse") {
+    // u1 active day 1 and day 3 (twice); u2 active day 1 only
+    val events = Seq(
+      (1L, ts("2024-01-01 08:00:00")), (1L, ts("2024-01-03 09:00:00")),
+      (1L, ts("2024-01-03 10:00:00")), (2L, ts("2024-01-01 12:00:00"))
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.activeUsers(events, window = 7)
+      .select(col("day").cast("string"), col("dau"), col("wau"))
+      .orderBy("day").as[(String, Long, Long)].collect().toSeq
+    // day 1: both active; day 3: only u1 that day, both within trailing 7
+    assert(got === Seq(
+      ("2024-01-01 00:00:00", 2L, 2L), ("2024-01-03 00:00:00", 1L, 2L)))
+  }
+
+  test("itemPairs: support counts baskets, the size cap drops mega-baskets before the join") {
+    val baskets = Seq(
+      (1L, 10L), (1L, 20L), (1L, 20L),       // dup within basket collapses
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 30L),
+      (4L, 10L), (4L, 20L), (4L, 30L), (4L, 40L) // over cap → ignored
+    ).toDF("basket", "item")
+    val got = graft.operators.Affinity
+      .itemPairs(baskets, minSupport = 2, maxBasketSize = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((10L, 20L, 3L)))
+  }
+
   test("profile: null/distinct counts and portable min/max rendering") {
     val df = Seq(
       (Some(1L), Some(1.5), "b"), (Some(2L), None, "a"), (None, Some(2.0), "a")
