@@ -41,7 +41,7 @@ object EventAnalytics {
     val top = perStage.head.agg(count(lit(1)).as("top_users"))
     counts.crossJoin(broadcast(top))
       .select(col("stage"), col("stage_name"), col("users"),
-        round(col("users").cast(DoubleType) / col("top_users").cast(DoubleType), 6)
+        round(try_divide(col("users").cast(DoubleType), col("top_users").cast(DoubleType)), 6)
           .as("conv_rate"))
   }
 
@@ -109,4 +109,30 @@ object EventAnalytics {
       .where(col("last.event_type") =!= tombstoneType)
       .select(col("user_id"), col("last.ts").as("last_ts"),
         col("last.event_type").as("last_type"), col("last.value").as("last_value"))
+
+  /** SCD-type-2 history build (the companion to [[latestSnapshot]]'s
+    * type-1 compaction): the changelog becomes one validity interval per
+    * observed state run — a row opens when the tracked attribute CHANGES
+    * (no-op updates collapse into the run they extend) and closes when the
+    * next distinct state opens; the live state has `valid_to` NULL.
+    *
+    * Scale shape: one hash exchange on the key, then both window passes
+    * (the change-detection `lag` and the interval-closing `lead`) run over
+    * the SAME (key × (ts, seq)) sort — the filter between them preserves
+    * ordering, so Catalyst plans a single exchange + single sort, and the
+    * `lead` works on the already-shrunk change rows. (ts, seq) must be
+    * unique per key (seq = the log's own sequence column), same contract
+    * as [[latestSnapshot]]. Output: (user_id, state, valid_from,
+    * valid_to). */
+  def scd2History(changelog: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    changelog
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .where(col("prev").isNull || col("event_type") =!= col("prev"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"))
+  }
 }
