@@ -62,7 +62,18 @@ object Dedup {
     * corpora are unaffected; swap in `sha2(…, 256)` if adversarial inputs
     * are in scope. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-                        maxDf: Option[Long] = None): DataFrame = {
+                        maxDf: Option[Long] = None): DataFrame =
+    overlapCounts(docs, n, maxDf)
+      .select(col("a"), col("b"),
+        (col("common").cast(DoubleType) /
+          (col("nsh_a") + col("nsh_b") - col("common"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+
+  /** The shared inverted-index machinery of [[ngramJaccardPairs]] and
+    * [[containmentPairs]]: (a, b, common, nsh_a, nsh_b), a < b, over the
+    * (optionally df-capped) distinct-shingle sets. */
+  private def overlapCounts(docs: DataFrame, n: Int,
+                            maxDf: Option[Long]): DataFrame = {
     // shingles join on their 16-byte md5 instead of the raw string: the
     // inverted-index shuffle and self-join carry fixed-width binary keys
     // rather than arbitrary-length n-grams (distinct-per-doc shingles map
@@ -87,11 +98,29 @@ object Dedup {
     common
       .join(sz.as("sa"), col("a") === col("sa.doc_id"))
       .join(sz.as("sb"), col("b") === col("sb.doc_id"))
-      .select(col("a"), col("b"),
-        (col("common").cast(DoubleType) /
-          (col("sa.nsh") + col("sb.nsh") - col("common"))).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("common"),
+        col("sa.nsh").as("nsh_a"), col("sb.nsh").as("nsh_b"))
   }
+
+  /** Exact n-gram CONTAINMENT pairs: C(A→B) = |A∩B| / |A|. Jaccard misses
+    * the quote/excerpt case — a short document wholly embedded in a long
+    * one scores |A|/|B| ≈ 0 — while containment scores it 1.0 from the
+    * short side. Pairs where either direction reaches `threshold` survive:
+    * (a, b, cont_a, cont_b), a < b, cont_a = share of a's shingles also in
+    * b.
+    *
+    * Same inverted-index shape (and the same md5 hash-exactness caveat and
+    * `maxDf` boilerplate cap — applied to both the self-join and the set
+    * sizes) as [[ngramJaccardPairs]]; the two differ only in the final
+    * ratio projection, so the scale posture is identical: candidate cost
+    * quadratic in per-shingle df, which `maxDf` bounds. */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
+                       maxDf: Option[Long] = None): DataFrame =
+    overlapCounts(docs, n, maxDf)
+      .select(col("a"), col("b"),
+        (col("common").cast(DoubleType) / col("nsh_a")).as("cont_a"),
+        (col("common").cast(DoubleType) / col("nsh_b")).as("cont_b"))
+      .where(greatest(col("cont_a"), col("cont_b")) >= threshold)
 
   val MinHashK = 32
   val Bands = 8
@@ -301,7 +330,7 @@ object Dedup {
   case object LocalCheckpoint extends FixpointStorage
   final case class ReliableCheckpoint(dir: String) extends FixpointStorage
 
-  private def materialize(df: DataFrame, storage: FixpointStorage): DataFrame =
+  private[operators] def materializeFixpoint(df: DataFrame, storage: FixpointStorage): DataFrame =
     storage match {
       case LocalCheckpoint => df.localCheckpoint()
       case ReliableCheckpoint(dir) =>
@@ -320,11 +349,11 @@ object Dedup {
     // checkpoint: hashpartitioning(b) survives materialization, so each
     // iteration's equi-join exchanges only the label rows — the (usually
     // much larger) edge list never moves again.
-    val und = materialize(pairs.select(col("a"), col("b"))
+    val und = materializeFixpoint(pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .repartition(col("b")), storage)
-    var labels = materialize(und.select(col("a").as("id")).distinct()
+    var labels = materializeFixpoint(und.select(col("a").as("id")).distinct()
       .withColumn("cluster_id", col("id")), storage)
     var changed = 1L
     while (changed > 0) {
@@ -334,7 +363,7 @@ object Dedup {
       // convergence flag computed INLINE (the old label is already in the
       // row) — a join-based next-vs-old compare would cost an extra
       // shuffle per iteration just to count changes
-      val next = materialize(labels
+      val next = materializeFixpoint(labels
         .join(nbrMin.withColumnRenamed("a", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))

@@ -35,13 +35,24 @@ object GraphOps {
     * broadcast 1-row scalar. `iters` is fixed, not converged — rank
     * deltas shrink geometrically and a fixed unrolling keeps the plan
     * finite and oracle-mirrorable. Output: (id, rank), Σ rank = 1 − the
-    * shed floor remainders. */
+    * shed floor remainders.
+    *
+    * The edge and degree frames are materialized once via `storage` (same
+    * knob as [[Dedup.clusters]]): without it, every iteration's join would
+    * re-run the upstream edge derivation through lineage, and the N-times-
+    * nested plan defeats exchange reuse across the iteration boundary.
+    * Both are partitioned by their join key (`src`) before materializing,
+    * so each iteration exchanges only the nodes-sized rank frame. */
   def pageRank(edges: DataFrame, iters: Int,
-               dampNum: Int = 17, dampDen: Int = 20): DataFrame = {
+               dampNum: Int = 17, dampDen: Int = 20,
+               storage: Dedup.FixpointStorage = Dedup.LocalCheckpoint): DataFrame = {
     require(0 < dampNum && dampNum < dampDen, "damping must be in (0,1)")
-    val und = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
-    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val und = Dedup.materializeFixpoint(
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src")), storage)
+    val deg = Dedup.materializeFixpoint(
+      und.groupBy(col("src")).agg(count(lit(1)).as("deg")), storage)
     val n = deg.agg(count(lit(1)).as("n_nodes"))
     // teleport mass per node, in units: (S·(1-d)) div n
     val tele = s"((${RankScale}L * ${dampDen - dampNum}) div $dampDen) div n_nodes"
@@ -86,4 +97,55 @@ object GraphOps {
     (base +: steps).mkString(",\n") +
       s"\nSELECT id, CAST(units AS DOUBLE) / $RankScale.0 AS rank FROM r$iters"
   }
+
+  /** Exact triangle count over an undirected edge list (a, b) — the
+    * clustering/community signal (and the classic "does your join strategy
+    * survive power-law graphs" benchmark).
+    *
+    * Degree-ordered orientation (Latapy / Schank-Wagner): each canonical
+    * edge points from its lower (degree, id) endpoint to the higher, so
+    * every node's out-degree is O(√m) even on power-law graphs — the wedge
+    * self-join on the center vertex, the only superlinear step, is bounded
+    * by Σ outdeg² = O(m^1.5) instead of Σ deg² (quadratic in the hub
+    * degree). Each triangle {x ≺ y ≺ z} materializes as exactly one wedge
+    * (x→y, x→z) and survives exactly one closure probe, the equi-join of
+    * the id-canonical wedge pair against the canonical edge set — no
+    * OR-condition join, no DISTINCT over triangle triples. Output: one row
+    * (n_triangles). */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("a"), col("b")).as("x"), greatest(col("a"), col("b")).as("y"))
+      .where(col("x") =!= col("y")).distinct()
+    val deg = canon.select(col("x").as("v")).unionAll(canon.select(col("y").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val withDeg = canon
+      .join(deg.select(col("v").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("v").as("y"), col("d").as("dy")), "y")
+    val fwd = struct(col("dx"), col("x")) < struct(col("dy"), col("y"))
+    val oriented = withDeg.select(
+      when(fwd, col("x")).otherwise(col("y")).as("u"),
+      when(fwd, col("y")).otherwise(col("x")).as("v"))
+    val wedges = oriented.as("p").join(oriented.as("q"),
+        col("p.u") === col("q.u") && col("p.v") < col("q.v"))
+      .select(col("p.v").as("wx"), col("q.v").as("wy"))
+    wedges.join(canon, col("wx") === col("x") && col("wy") === col("y"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** DuckDB mirror of [[triangleCount]]: `edgesSql` must yield (a, b). */
+  def triangleCountSql(edgesSql: String): String =
+    s"""WITH edges AS ($edgesSql),
+        canon AS (SELECT DISTINCT least(a, b) x, greatest(a, b) y
+                  FROM edges WHERE a <> b),
+        deg AS (SELECT v, count(*) d
+                FROM (SELECT x v FROM canon UNION ALL SELECT y FROM canon)
+                GROUP BY 1),
+        o AS (SELECT CASE WHEN (dx.d, c.x) < (dy.d, c.y) THEN c.x ELSE c.y END u,
+                     CASE WHEN (dx.d, c.x) < (dy.d, c.y) THEN c.y ELSE c.x END v
+              FROM canon c JOIN deg dx ON dx.v = c.x JOIN deg dy ON dy.v = c.y),
+        w AS (SELECT p.v wx, q.v wy FROM o p JOIN o q
+              ON p.u = q.u AND p.v < q.v)
+        SELECT count(*) AS n_triangles
+        FROM w WHERE EXISTS (SELECT 1 FROM canon c
+                             WHERE c.x = w.wx AND c.y = w.wy)"""
 }

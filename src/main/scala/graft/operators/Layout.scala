@@ -48,4 +48,34 @@ object Layout {
       .repartitionByRange(n, col("zval"))
       .sortWithinPartitions(col("zval"))
       .drop("zval")
+
+  /** Write `df` as a hash-BUCKETED, per-bucket-sorted table: the layout
+    * that amortizes a join/aggregation shuffle across every future reader.
+    * Two tables bucketed on their join key with the same bucket count
+    * sort-merge-join with ZERO exchanges on either side (Spark's bucket id
+    * is the same `pmod(murmur3, n)` as its hash partitioning, so the scan's
+    * output partitioning already satisfies the join's distribution
+    * requirement) — at 100 TB the nightly fact-table write pays the shuffle
+    * once instead of every downstream query re-paying it.
+    *
+    * The pre-write `repartition(buckets, key)` aligns the task partitioning
+    * with the bucket spec, so each bucket is exactly one file and the
+    * `sortBy` metadata lets the reader skip the merge-join sort too. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    key: String, buckets: Int): Unit =
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** The bucketed table named `table`, staging it via [[writeBucketed]] on
+    * first use (idempotent per session — the catalog remembers). */
+  def bucketedTable(spark: org.apache.spark.sql.SparkSession, table: String,
+                    path: String, key: String, buckets: Int)
+                   (df: => DataFrame): DataFrame = {
+    if (!spark.catalog.tableExists(table)) writeBucketed(df, table, path, key, buckets)
+    spark.table(table)
+  }
 }

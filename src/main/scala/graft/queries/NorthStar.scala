@@ -183,6 +183,24 @@ object NorthStar {
       graft.operators.GraphOps.pageRank(e, 3)
     }),
 
+    // exact triangle count over the co-purchase graph (parts co-ordered in
+    // ≥ 3 baskets): degree-ordered orientation bounds the wedge self-join
+    // by O(√m) out-degrees even on power-law graphs
+    "graph_triangles" -> ((s, dir) => {
+      val edges = graft.operators.Affinity.itemPairs(
+          t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
+            col("l_partkey").as("item")),
+          minSupport = 3, maxBasketSize = 20)
+        .select(col("item_a").as("a"), col("item_b").as("b"))
+      graft.operators.GraphOps.triangleCount(edges)
+    }),
+
+    // asymmetric near-dup: containment C(A→B) = |A∩B|/|A| catches the
+    // quote/excerpt case Jaccard misses (short doc embedded in a long one);
+    // same df-capped inverted index as the capped Jaccard run
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), N, 0.5, maxDf = Some(2L))),
+
     "text_quality" -> ((s, dir) => {
       val cols = TextOps.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
       t(s, dir, "documents").select(col("doc_id") +: cols: _*)
@@ -334,9 +352,10 @@ object NorthStar {
   /** DuckDB list expr for distinct word-3-gram shingles of tokens `w`. */
   private val shingleExpr = s"list_distinct($posShingleExpr)"
 
-  /** [[ngramJaccardSql]] with the df > `cap` shingles dropped from both the
-    * self-join and the set sizes — the literal mirror of `maxDf`. */
-  private def ngramJaccardCappedSql(cap: Long) =
+  /** The df-capped overlap CTEs (shingle sets, sizes, pairwise common
+    * counts) — the literal mirror of `Dedup.overlapCounts` with `maxDf`;
+    * shared by the capped-Jaccard and containment oracles. */
+  private def cappedOverlapCte(cap: Long) =
     s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
         sh0 AS (SELECT doc_id, $shingleExpr ss FROM t0 WHERE len(w) >= $N),
         sh1 AS (SELECT doc_id, unnest(ss) s FROM sh0),
@@ -345,10 +364,24 @@ object NorthStar {
         sz AS (SELECT doc_id, count(*) nsh FROM sh GROUP BY doc_id),
         cm AS (SELECT x.doc_id a, y.doc_id b, count(*) common
                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-               GROUP BY 1, 2)
+               GROUP BY 1, 2)"""
+
+  /** [[ngramJaccardSql]] with the df > `cap` shingles dropped from both the
+    * self-join and the set sizes — the literal mirror of `maxDf`. */
+  private def ngramJaccardCappedSql(cap: Long) =
+    s"""${cappedOverlapCte(cap)}
         SELECT a, b, CAST(common AS DOUBLE)/(sa.nsh + sb.nsh - common) AS jaccard
         FROM cm JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
         WHERE CAST(common AS DOUBLE)/(sa.nsh + sb.nsh - common) >= 0.8"""
+
+  /** Containment mirror over the same capped shingle sets. */
+  private def containmentCappedSql(cap: Long, threshold: Double) =
+    s"""${cappedOverlapCte(cap)}
+        SELECT a, b, CAST(common AS DOUBLE)/sa.nsh AS cont_a,
+          CAST(common AS DOUBLE)/sb.nsh AS cont_b
+        FROM cm JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+        WHERE greatest(CAST(common AS DOUBLE)/sa.nsh,
+                       CAST(common AS DOUBLE)/sb.nsh) >= $threshold"""
 
   private val ngramJaccardSql =
     s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
@@ -810,6 +843,16 @@ object NorthStar {
     "graph_pagerank" -> graft.operators.GraphOps.pageRankSql(
       "SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS a, " +
         "'s' || CAST(l_suppkey AS VARCHAR) AS b FROM lineitem", 3),
+    "graph_triangles" -> graft.operators.GraphOps.triangleCountSql(
+      """SELECT item_a AS a, item_b AS b FROM (
+           WITH d AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                      FROM lineitem),
+           keep AS (SELECT basket FROM d GROUP BY basket HAVING count(*) <= 20)
+           SELECT x.item AS item_a, y.item AS item_b
+           FROM d x JOIN keep USING (basket)
+           JOIN d y ON x.basket = y.basket AND x.item < y.item
+           GROUP BY 1, 2 HAVING count(*) >= 3)"""),
+    "dedup_containment" -> containmentCappedSql(2L, 0.5),
     "text_inverted_index" ->
       """WITH t0 AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
          p AS (SELECT DISTINCT doc_id, term

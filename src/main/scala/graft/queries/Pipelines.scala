@@ -112,6 +112,12 @@ object Pipelines {
         t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
           col("l_partkey").as("item")),
         minSupport = 3, maxBasketSize = 20)),
+
+    // SCD-type-2 history: the changelog as validity intervals (row opens on
+    // state CHANGE, closes when the next distinct state opens) — the
+    // type-2 companion to events_cdc_snapshot's latest-wins compaction
+    "events_scd2" -> ((s, dir) =>
+      EventAnalytics.scd2History(t(s, dir, "events"))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -258,6 +264,17 @@ object Pipelines {
          FROM d x JOIN keep USING (basket)
          JOIN d y ON x.basket = y.basket AND x.item < y.item
          GROUP BY 1, 2 HAVING count(*) >= 3""",
+    "events_scd2" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_id, event_type
+           FROM events),
+         x AS (SELECT user_id, ts, event_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) prev FROM e),
+         m AS (SELECT user_id, ts, event_id, event_type FROM x
+               WHERE prev IS NULL OR event_type <> prev)
+         SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+         FROM m""",
     "multimodal_features" ->
       """SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

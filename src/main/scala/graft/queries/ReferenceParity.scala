@@ -158,6 +158,30 @@ object ReferenceParity {
       t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"),
         Layout.zorder2(col("l_partkey"), col("l_suppkey")).as("zval"))),
+
+    // bucketed layout: lineitem and orders pre-bucketed (and per-bucket
+    // sorted) on the join key sort-merge-join with ZERO exchanges on
+    // either side — the write amortizes the shuffle across every future
+    // join (AnalyticsLayoutSpec pins the exchange-free plan); staged once
+    // per session, then read back through the catalog's bucket metadata
+    "layout_bucketed_join" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_bucketed_$tag")
+      val li = Layout.bucketedTable(s, s"li_bkt_$tag",
+          new java.io.File(base, "lineitem").getPath, "l_orderkey", 8)(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
+      val ord = Layout.bucketedTable(s, s"ord_bkt_$tag",
+          new java.io.File(base, "orders").getPath, "o_orderkey", 8)(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(revSum(money(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(4, 2)) - factor(col("l_discount"))))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -181,5 +205,13 @@ object ReferenceParity {
       ("SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
         s"CAST(${Layout.zorder2Sql("l_partkey", "l_suppkey")} AS BIGINT) AS zval " +
         "FROM lineitem"),
+    "layout_bucketed_join" ->
+      s"""SELECT o_orderpriority,
+            CAST(SUM(${moneySql("l_extendedprice")} *
+              (CAST(1 AS DECIMAL(4,2)) - ${factorSql("l_discount")})) AS DOUBLE)
+              AS revenue,
+            count(*) AS n_items
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1""",
   )
 }

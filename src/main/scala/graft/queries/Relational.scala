@@ -35,6 +35,26 @@ object Relational {
     "table_profile" -> ((s, dir) =>
       graft.operators.Profile.profile(t(s, dir, "lineitem"), profileCols.map(_._1))),
 
+    // exact equi-depth histogram without a global sort: the 7 inner octile
+    // boundaries come from one percentile_disc aggregate (pure selection —
+    // no interpolation arithmetic to diverge between engines), broadcast as
+    // a 1-row scalar frame into a shuffle-free bucket-assignment pass; a
+    // global-ntile formulation would funnel the table through ONE partition
+    "q_histogram_equidepth" -> ((s, dir) => {
+      val v = t(s, dir, "lineitem")
+        .select(col("l_extendedprice").cast(DecimalType(12, 2)).as("x"))
+      val cuts = (1 to 7).map(i =>
+        expr(s"percentile_disc(0.${125 * i}) WITHIN GROUP (ORDER BY x)").as(s"b$i"))
+      val b = v.agg(cuts.head, cuts.tail: _*)
+      v.crossJoin(broadcast(b))
+        .select(col("x"), (lit(1) + (1 to 7).map(i =>
+          (col("x") > col(s"b$i")).cast(IntegerType)).reduce(_ + _)).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).cast(DoubleType).as("lo"),
+          max(col("x")).cast(DoubleType).as("hi"))
+    }),
+
     // TPC-H Q1 shape: scan-heavy agg; partial agg map-side, 6k→4 groups.
     "q1_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -348,6 +368,15 @@ object Relational {
     "table_profile" -> profileCols.map { case (n, d) =>
       graft.operators.Profile.profileSql("lineitem", n, d)
     }.mkString(" UNION ALL "),
+    "q_histogram_equidepth" -> {
+      val bs = (1 to 7).map(i => s"quantile_disc(x, 0.${125 * i}) b$i").mkString(", ")
+      val cmp = (1 to 7).map(i => s"CAST(x > b$i AS INT)").mkString(" + ")
+      s"""WITH v AS (SELECT CAST(l_extendedprice AS DECIMAL(12,2)) x FROM lineitem),
+          b AS (SELECT $bs FROM v)
+          SELECT 1 + $cmp AS bucket, count(*) AS n,
+            CAST(min(x) AS DOUBLE) AS lo, CAST(max(x) AS DOUBLE) AS hi
+          FROM v, b GROUP BY 1"""
+    },
     "q1_pricing_summary" -> q1Sql,
     "q_approx_distinct" ->
       """SELECT l_returnflag,

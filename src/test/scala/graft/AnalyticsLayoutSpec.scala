@@ -157,4 +157,65 @@ class AnalyticsLayoutSpec extends SparkSuite {
       .collect().count(r => r.getAs[Long]("y0") <= 7 && r.getAs[Long]("y1") >= 0)
     assert(yHit < hit, s"y∈[0,7] should prune some of the $hit partitions, hit $yHit")
   }
+
+  test("scd2History: no-op runs collapse, intervals chain, live state stays open") {
+    // u1: view → view (no-op, extends the run) → click → view again (a NEW
+    // run of a previously-seen state); u2: single state; same-ts tie on u1's
+    // click breaks by event_id
+    val log = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:10"), "view"),
+      (2L, 1L, ts("2024-01-01 00:00:20"), "view"),
+      (3L, 1L, ts("2024-01-01 00:00:30"), "click"),
+      (4L, 1L, ts("2024-01-01 00:00:40"), "view"),
+      (5L, 2L, ts("2024-01-01 00:00:15"), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics.scd2History(log)
+      .select(col("user_id"), col("state"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"))
+      .orderBy("user_id", "valid_from")
+      .as[(Long, String, String, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, "view", "2024-01-01 00:00:10", "2024-01-01 00:00:30"),
+      (1L, "click", "2024-01-01 00:00:30", "2024-01-01 00:00:40"),
+      (1L, "view", "2024-01-01 00:00:40", null),
+      (2L, "purchase", "2024-01-01 00:00:15", null)))
+    // intervals tile the timeline: each valid_to equals the next valid_from
+  }
+
+  test("triangleCount: K4 has 4 triangles; a square has none until a diagonal closes 2") {
+    def tri(edges: Seq[(String, String)]): Long =
+      graft.operators.GraphOps.triangleCount(edges.toDF("a", "b"))
+        .as[Long].collect().head
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d", "c" -> "d")
+    assert(tri(k4) === 4L)
+    val square = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a")
+    assert(tri(square) === 0L)
+    assert(tri(square :+ ("a" -> "c")) === 2L)
+    // duplicate / reversed / self-loop edges must not inflate the count
+    assert(tri(k4 ++ Seq("b" -> "a", "c" -> "c", "a" -> "b")) === 4L)
+  }
+
+  test("bucketed tables: sort-merge join runs with ZERO exchanges, result equals the plain join") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val helper = new AdaptiveSparkPlanHelper {}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bkt_test").toFile
+    val facts = (1 to 1000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "v")
+    val dims = (0 until 100).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    val fb = Layout.bucketedTable(spark, "t_facts_bkt",
+      new java.io.File(tmp, "facts").getPath, "k", 4)(facts)
+    val db = Layout.bucketedTable(spark, "t_dims_bkt",
+      new java.io.File(tmp, "dims").getPath, "k", 4)(dims)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = fb.join(db, "k")
+      assert(joined.count() === 1000)
+      val shuffles = helper.collectWithSubqueries(
+        joined.queryExecution.executedPlan) { case e: ShuffleExchangeLike => e }
+      assert(shuffles.isEmpty, joined.queryExecution.executedPlan.toString)
+      // same rows as the un-bucketed join
+      val plain = facts.join(dims, "k").select("k", "v", "name")
+      assert(joined.select("k", "v", "name").except(plain).isEmpty &&
+        plain.except(joined.select("k", "v", "name")).isEmpty)
+    }
+  }
 }

@@ -31,6 +31,26 @@ class DedupTextSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containment catches an excerpt Jaccard misses; ratios are exact") {
+    // doc 11 is a verbatim excerpt of doc 10: every one of its 3-gram
+    // shingles appears in 10, but it has 4 shingles vs 10's 18 —
+    // jaccard = 4/18 ≈ 0.22 (missed at 0.5), containment from the short
+    // side = 4/4 = 1.0
+    val long = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra tango")
+    val excerpt = "echo foxtrot golf hotel india juliett"
+    val corpus = Seq((10L, long), (11L, excerpt), (12L, "unrelated words entirely distinct tokens"))
+      .toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccardPairs(corpus, 3, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((10L, 11L)), "jaccard should miss the excerpt")
+    val cont = Dedup.containmentPairs(corpus, 3, 0.5)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(cont.map(r => (r._1, r._2)).toSet === Set((10L, 11L)))
+    val (_, _, contA, contB) = cont.head
+    assert(contA === 4.0 / 18.0 && contB === 1.0) // 4 shared of 18 vs 4 shingles
+  }
+
   test("ngram jaccard maxDf cap keeps a boilerplate-heavy corpus sub-quadratic") {
     // 40 docs sharing ONE boilerplate 3-gram, otherwise pairwise-distinct:
     // uncapped, that single shingle alone feeds 40·39/2 = 780 rows through
