@@ -47,12 +47,15 @@ object GraphOps {
                dampNum: Int = 17, dampDen: Int = 20,
                storage: Dedup.FixpointStorage = Dedup.LocalCheckpoint): DataFrame = {
     require(0 < dampNum && dampNum < dampDen, "damping must be in (0,1)")
-    val und = Dedup.materializeFixpoint(
-      edges.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
-        .repartition(col("src")), storage)
+    val raw = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
     val deg = Dedup.materializeFixpoint(
-      und.groupBy(col("src")).agg(count(lit(1)).as("deg")), storage)
+      raw.groupBy(col("src")).agg(count(lit(1)).as("deg")), storage)
+    // degree rides each edge row, so the per-iteration step is ONE
+    // equi-join (ranks against this frame) + one long-sum — no separate
+    // degree join inside the loop
+    val und = Dedup.materializeFixpoint(
+      raw.join(deg, "src").repartition(col("src")), storage)
     val n = deg.agg(count(lit(1)).as("n_nodes"))
     // teleport mass per node, in units: (S·(1-d)) div n
     val tele = s"((${RankScale}L * ${dampDen - dampNum}) div $dampDen) div n_nodes"
@@ -60,8 +63,7 @@ object GraphOps {
       .select(col("src").as("id"), expr(s"${RankScale}L div n_nodes").as("units"))
     for (_ <- 1 to iters) {
       val contrib = ranks
-        .join(deg.select(col("src").as("id"), col("deg")), "id")
-        .join(und.select(col("src").as("id"), col("dst")), "id")
+        .join(und.select(col("src").as("id"), col("dst"), col("deg")), "id")
         .select(col("dst"), expr("units div deg").as("c"))
       ranks = contrib.groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
