@@ -353,6 +353,98 @@ object Similarity {
           .as("cos_centroid"))
   }
 
+  /** Lloyd's k-means over the embedding column — the clustering primitive
+    * behind cluster-conditioned curation (SemDeDup partitions, diversity
+    * sampling, per-cluster quality thresholds) when no label column exists
+    * for [[labelCentroids]].
+    *
+    * Deterministic end to end, no RNG state: init picks the `k` vectors
+    * first in (md5(vec_id), vec_id) order — a seedless pseudo-random
+    * spread, the [[pqCentroids]] trick — and every assignment breaks
+    * distance ties by centroid id. Squared L2 is computed as
+    * ‖v‖² − 2·v·c + ‖c‖² with the codegen'd [[dot]] and rounded to 6
+    * decimals (fold-order float noise cannot reorder an argmin), centroid
+    * recomputation is the decimal-exact [[labelCentroids]] mean — so the
+    * whole fixpoint is bit-reproducible across engines and partitionings,
+    * and the DuckDB oracle ([[kMeansSql]]) mirrors it literally.
+    *
+    * Scale shape: centroids are k·dims doubles — always broadcast — so
+    * each iteration is ONE unshuffled corpus pass (k codegen'd dot
+    * products per row, map-side argmin) plus a codebook-sized centroid
+    * aggregate (the explode is collapsed by partial aggregation before
+    * the exchange, exactly [[labelCentroids]]). The corpus is never
+    * exchanged; `iters` is fixed, not converged, keeping the plan finite
+    * and oracle-mirrorable. An emptied cluster drops out of the codebook
+    * (both engines identically). Output: (vec_id, cluster, d2) — the
+    * final assignment with its rounded squared distance. */
+  def kMeans(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("vv", dot(col("v"), col("v")))
+    val seedOrder = Window.orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+    var cent = e.orderBy(md5(col("vec_id").cast(StringType)), col("vec_id")).limit(k)
+      .select((row_number().over(seedOrder) - 1).as("cid"), col("v").as("cv"))
+      .withColumn("cc", dot(col("cv"), col("cv")))
+    def assign = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("v"),
+        round(col("vv") - lit(2) * dot(col("v"), col("cv")) + col("cc"), 6).as("d2"),
+        col("cid"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cid"), col("v"), col("d2")),
+        struct(col("d2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"),
+        col("best.v").as("v"), col("best.d2").as("d2"))
+    for (_ <- 1 until iters) {
+      cent = assign
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(round(
+          sum(col("x").cast(DecimalType(28, 12))).cast(DoubleType) / count(col("x")),
+          6).as("c"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          t => t.getField("c")).as("cv"))
+        .withColumn("cc", dot(col("cv"), col("cv")))
+    }
+    assign.select(col("vec_id"), col("cid").cast(IntegerType).as("cluster"), col("d2"))
+  }
+
+  /** The unrolled DuckDB mirror of [[kMeans]] over the `embeddings` table
+    * (oracle builder). */
+  def kMeansSql(k: Int, iters: Int): String = {
+    require(iters >= 1)
+    def assignCte(name: String, centCte: String) =
+      s"""$name AS (SELECT vec_id, v, cid, d2 FROM (
+            SELECT e.vec_id, e.v, c.cid,
+              round(list_dot_product(e.v, e.v)
+                    - 2*list_dot_product(e.v, c.cv)
+                    + list_dot_product(c.cv, c.cv), 6) d2,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY round(list_dot_product(e.v, e.v)
+                    - 2*list_dot_product(e.v, c.cv)
+                    + list_dot_product(c.cv, c.cv), 6) ASC, c.cid ASC) rn
+            FROM e, $centCte c) WHERE rn = 1)"""
+    def centCte(name: String, assignCteName: String) =
+      s"""$name AS (SELECT cid, list(c ORDER BY dim) cv FROM (
+            SELECT cid, t.dim dim,
+              round(CAST(SUM(CAST(t.v AS DECIMAL(28,12))) AS DOUBLE)
+                / COUNT(t.v), 6) c
+            FROM (SELECT cid, unnest(list_transform(range(len(v)),
+                    i -> {'dim': i, 'v': v[i+1]})) t
+                  FROM $assignCteName) GROUP BY 1, 2) GROUP BY cid)"""
+    val base =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+          c0 AS (SELECT row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 cid, v cv
+                 FROM (SELECT vec_id, v FROM e
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k))"""
+    val steps = (1 until iters).flatMap(i =>
+      Seq(assignCte(s"a$i", s"c${i - 1}"), centCte(s"c$i", s"a$i")))
+    val fin = assignCte(s"a$iters", s"c${iters - 1}")
+    (Seq(base) ++ steps :+ fin).mkString(",\n") +
+      s"\nSELECT vec_id, CAST(cid AS INT) AS cluster, d2 FROM a$iters"
+  }
+
   /** Near-dup pairs at scale: banded RP-sketch candidate generation + exact
     * cosine verify WITHIN buckets — the composition [[cosinePairs]]'s
     * scaladoc promises. Each band b hashes planes [b·r, b·r+r); a pair is a

@@ -320,6 +320,12 @@ object NorthStar {
     "emb_centroid_similarity" -> ((s, dir) =>
       Similarity.centroidSim(t(s, dir, "embeddings"))),
 
+    // Lloyd k-means (k=8, 2 assignment passes): label-free cluster
+    // structure for cluster-conditioned curation; broadcast centroids, one
+    // unshuffled corpus pass per iteration, decimal-exact recomputation
+    "emb_kmeans" -> ((s, dir) =>
+      Similarity.kMeans(t(s, dir, "embeddings"), 8, 2)),
+
     // product quantization: each vector as m nearest-sub-centroid codes —
     // the memory-scale ANN representation (m·log2(ksub) bits per vector)
     "ann_pq_codes" -> ((s, dir) =>
@@ -769,6 +775,7 @@ object NorthStar {
            CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
                 AS BIGINT) - 1 AS pos
          FROM s""",
+    "emb_kmeans" -> Similarity.kMeansSql(8, 2),
     "emb_label_centroids" ->
       """WITH ex AS (SELECT label,
              unnest(list_transform(range(len(embedding)),

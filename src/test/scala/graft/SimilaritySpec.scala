@@ -188,4 +188,24 @@ class SimilaritySpec extends SparkSuite {
       .as[(Double, Double)].head()
     assert(lo >= -1.0 && hi <= 1.0)
   }
+
+  test("kMeans: recovers well-separated planted clusters, deterministic across runs") {
+    // three tight blobs far apart; any reasonable k=3 run must put each
+    // blob in one cluster regardless of which members seed the init
+    val blobs = Seq(0.0f, 100.0f, 200.0f).zipWithIndex.flatMap { case (c, b) =>
+      (0 until 10).map(i => ((b * 10 + i).toLong, Array(c + i * 0.1f, c - i * 0.1f)))
+    }
+    val corpus = blobs.toDF("vec_id", "embedding")
+    val got = Similarity.kMeans(corpus, 3, iters = 3)
+      .select("vec_id", "cluster").as[(Long, Int)].collect()
+    assert(got.length === 30)
+    val byBlob = got.groupBy(_._1 / 10).map { case (b, m) => b -> m.map(_._2).toSet }
+    // each blob maps to exactly one cluster, and the three clusters differ
+    assert(byBlob.values.forall(_.size === 1), s"split blob: $byBlob")
+    assert(byBlob.values.flatten.toSet.size === 3, s"merged blobs: $byBlob")
+    // determinism: a second run yields the identical assignment
+    val again = Similarity.kMeans(corpus, 3, iters = 3)
+      .select("vec_id", "cluster").as[(Long, Int)].collect()
+    assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
 }
