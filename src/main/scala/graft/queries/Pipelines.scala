@@ -118,6 +118,26 @@ object Pipelines {
     // type-2 companion to events_cdc_snapshot's latest-wins compaction
     "events_scd2" -> ((s, dir) =>
       EventAnalytics.scd2History(t(s, dir, "events"))),
+
+    // incremental aggregate maintenance: the standing per-user aggregate is
+    // kept by MERGING yesterday's aggregate with the new day's delta
+    // (counts add, decimal sums add exactly) — at 100 TB the rollup is
+    // never recomputed from the full history; the oracle's one-shot
+    // aggregate over everything proves the merge law
+    "events_incremental_agg" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val cut = lit("2024-01-24 00:00:00").cast(org.apache.spark.sql.types.TimestampType)
+      def part(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("v"))
+      val hist = part(e.where(col("ts") < cut))
+      val delta = part(e.where(col("ts") >= cut))
+      hist.as("h").join(delta.as("d"), Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("h.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n_events"),
+          (coalesce(col("h.v"), lit(0)) + coalesce(col("d.v"), lit(0)))
+            .cast(org.apache.spark.sql.types.DoubleType).as("v_sum"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -264,6 +284,10 @@ object Pipelines {
          FROM d x JOIN keep USING (basket)
          JOIN d y ON x.basket = y.basket AND x.item < y.item
          GROUP BY 1, 2 HAVING count(*) >= 3""",
+    "events_incremental_agg" ->
+      s"""SELECT user_id, count(*) AS n_events,
+            ${Tables.dsumSql("value")} AS v_sum
+          FROM events GROUP BY 1""",
     "events_scd2" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_id, event_type
            FROM events),

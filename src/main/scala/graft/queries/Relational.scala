@@ -359,6 +359,32 @@ object Relational {
         .where(col("max_order") > col("c_acctbal"))
         .select(col("c_custkey"), col("max_order"))
     }),
+
+    // MERGE INTO semantics, relationally: target upserted from a source
+    // (matched → update, matched + condition → delete, source-only →
+    // insert, target-only → keep) in ONE full-outer join pass — no
+    // row-at-a-time mutation; at scale this is the nightly dimension
+    // merge, shuffling each side once on the key
+    "q_merge_upsert" -> ((s, dir) => {
+      val target = t(s, dir, "customer").where(col("c_custkey") <= 1000)
+        .select(col("c_custkey").as("mkey"), money(col("c_acctbal")).as("bal"))
+      val source = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey"))
+        .agg(sum(money(col("o_totalprice"))).as("spend"))
+        .select(col("o_custkey").as("mkey"), col("spend"))
+      target.as("tg").join(source.as("sr"), Seq("mkey"), "full_outer")
+        .where(!(col("tg.bal").isNotNull && col("sr.spend").isNotNull &&
+          col("sr.spend") > lit(500000)))
+        .select(col("mkey"),
+          when(col("tg.bal").isNull, col("sr.spend"))
+            .when(col("sr.spend").isNull, col("tg.bal"))
+            .otherwise(col("tg.bal") + col("sr.spend"))
+            .cast(DoubleType).as("bal"),
+          when(col("tg.bal").isNull, lit("insert"))
+            .when(col("sr.spend").isNull, lit("keep"))
+            .otherwise(lit("update")).as("action"))
+    }),
   )
 
   private val q1Sql = {
@@ -382,6 +408,21 @@ object Relational {
     "table_profile" -> profileCols.map { case (n, d) =>
       graft.operators.Profile.profileSql("lineitem", n, d)
     }.mkString(" UNION ALL "),
+    "q_merge_upsert" ->
+      """WITH tgt AS (SELECT c_custkey mkey, CAST(c_acctbal AS DECIMAL(12,2)) bal
+           FROM customer WHERE c_custkey <= 1000),
+         src AS (SELECT o_custkey mkey,
+                  SUM(CAST(o_totalprice AS DECIMAL(12,2))) spend
+                 FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+         SELECT mkey,
+           CAST(CASE WHEN bal IS NULL THEN spend
+                     WHEN spend IS NULL THEN bal
+                     ELSE bal + spend END AS DOUBLE) AS bal,
+           CASE WHEN bal IS NULL THEN 'insert'
+                WHEN spend IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+         FROM tgt FULL OUTER JOIN src USING (mkey)
+         WHERE NOT (bal IS NOT NULL AND spend IS NOT NULL AND spend > 500000)""",
     "q_histogram_equidepth" -> {
       val bs = (1 to 7).map(i => s"quantile_disc(x, 0.${125 * i}) b$i").mkString(", ")
       val cmp = (1 to 7).map(i => s"CAST(x > b$i AS INT)").mkString(" + ")
