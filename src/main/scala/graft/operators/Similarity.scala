@@ -409,6 +409,42 @@ object Similarity {
     assign.select(col("vec_id"), col("cid").cast(IntegerType).as("cluster"), col("d2"))
   }
 
+  /** SemDeDup-shaped semantic near-dup candidates: [[kMeans]] partitions
+    * the corpus into k cells, and exact cosine pairs are computed WITHIN
+    * cells only — the O(n²) pair search becomes k·O((n/k)²), and because
+    * near-duplicates land in the same cell (they are near the same
+    * centroid), recall concentrates where the mass is. At 100 TB, k scales
+    * with corpus size to bound E[cell size]; the pair join is an equi-join
+    * on the cluster id, never a corpus-wide cross product. Output:
+    * (cluster, a, b, cos_sim), a < b, cos_sim ≥ threshold. */
+  def semanticPairs(corpus: DataFrame, k: Int, iters: Int,
+                    threshold: Double): DataFrame = {
+    // the assignment feeds both self-join sides — materialize once
+    val assign = kMeans(corpus, k, iters)
+      .select(col("vec_id"), col("cluster")).localCheckpoint()
+    val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nn", norm2(col("v")))
+      .join(assign, "vec_id")
+    e.as("x").join(e.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.cluster").as("cluster"),
+        col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(dot(col("x.v"), col("y.v")) / (col("x.nn") * col("y.nn")), 6)
+          .as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
+  /** DuckDB mirror of [[semanticPairs]] (oracle builder). */
+  def semanticPairsSql(k: Int, iters: Int, threshold: Double): String =
+    s"""WITH km AS (SELECT * FROM (${kMeansSql(k, iters)})),
+        ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        j AS (SELECT km.vec_id, km.cluster, ee.v
+              FROM km JOIN ee USING (vec_id))
+        SELECT x.cluster AS cluster, x.vec_id a, y.vec_id b,
+          round(list_cosine_similarity(x.v, y.v), 6) cos_sim
+        FROM j x JOIN j y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        WHERE round(list_cosine_similarity(x.v, y.v), 6) >= $threshold"""
+
   /** The unrolled DuckDB mirror of [[kMeans]] over the `embeddings` table
     * (oracle builder). */
   def kMeansSql(k: Int, iters: Int): String = {

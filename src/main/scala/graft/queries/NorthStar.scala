@@ -326,6 +326,12 @@ object NorthStar {
     "emb_kmeans" -> ((s, dir) =>
       Similarity.kMeans(t(s, dir, "embeddings"), 8, 2)),
 
+    // SemDeDup shape: exact cosine pairs WITHIN k-means cells — k·O((n/k)²)
+    // instead of O(n²), equi-join on the cluster id, near-dups concentrate
+    // in the same cell by construction
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticPairs(t(s, dir, "embeddings"), 8, 2, 0.35)),
+
     // product quantization: each vector as m nearest-sub-centroid codes —
     // the memory-scale ANN representation (m·log2(ksub) bits per vector)
     "ann_pq_codes" -> ((s, dir) =>
@@ -776,6 +782,7 @@ object NorthStar {
                 AS BIGINT) - 1 AS pos
          FROM s""",
     "emb_kmeans" -> Similarity.kMeansSql(8, 2),
+    "dedup_semantic" -> Similarity.semanticPairsSql(8, 2, 0.35),
     "emb_label_centroids" ->
       """WITH ex AS (SELECT label,
              unnest(list_transform(range(len(embedding)),

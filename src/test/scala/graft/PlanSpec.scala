@@ -119,9 +119,13 @@ class PlanSpec extends SparkSuite {
     // text_tfidf_topk / text_lm_score broadcast a 1-row corpus scalar
     // (document count / vocab size) — the q22 pattern
     // events_funnel / graph_pagerank cross-join a 1-row count (q22 pattern)
+    // q_histogram_equidepth broadcasts the 1-row boundary frame;
+    // emb_kmeans / dedup_semantic broadcast the k-row centroid codebook
+    // into the unshuffled assignment pass
     val intentional = Set("ann_cosine_topk", "ann_ivf_topk",
       "q22_idle_balances", "q11_important_share",
-      "text_tfidf_topk", "text_lm_score", "events_funnel", "graph_pagerank")
+      "text_tfidf_topk", "text_lm_score", "events_funnel", "graph_pagerank",
+      "q_histogram_equidepth", "emb_kmeans", "dedup_semantic")
     // streaming queries execute rather than explain statically
     val skip = Set("stream_windowed_agg", "stream_sessionize",
       "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental")
