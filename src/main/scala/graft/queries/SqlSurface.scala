@@ -194,6 +194,23 @@ object SqlSurface {
                              CAST(embedding AS ARRAY<DOUBLE>)), 6) AS norm_sq
            FROM embeddings""")
     }),
+
+    // SQL layer: RECURSIVE CTE (Spark 4's WITH RECURSIVE) — ancestor walk
+    // over the implicit binary tree parent(n) = n div 2, a bounded
+    // hierarchy traversal neither engine can express non-recursively
+    // without unrolling
+    "q_sql_recursive_cte" -> ((s, dir) => {
+      registerViews(s, dir)
+      s.sql(
+        """WITH RECURSIVE anc AS (
+             SELECT CAST(n_nationkey AS BIGINT) AS node,
+                    CAST(n_nationkey AS BIGINT) AS anc, 0 AS depth
+             FROM nation
+             UNION ALL
+             SELECT node, anc div 2, CAST(depth + 1 AS INT) FROM anc WHERE anc > 0)
+           SELECT node, max(depth) AS depth_to_root, count(*) AS chain_len
+           FROM anc GROUP BY node""")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -289,5 +306,15 @@ object SqlSurface {
            round(list_dot_product(CAST(embedding AS DOUBLE[]),
                                   CAST(embedding AS DOUBLE[])), 6) AS norm_sq
          FROM embeddings""",
+    "q_sql_recursive_cte" ->
+      """WITH RECURSIVE anc AS (
+           SELECT CAST(n_nationkey AS BIGINT) AS node,
+                  CAST(n_nationkey AS BIGINT) AS anc, 0 AS depth
+           FROM nation
+           UNION ALL
+           SELECT node, anc // 2, CAST(depth + 1 AS INT) FROM anc WHERE anc > 0)
+         SELECT node, CAST(max(depth) AS INT) AS depth_to_root,
+           count(*) AS chain_len
+         FROM anc GROUP BY node""",
   )
 }
