@@ -23,15 +23,23 @@ object EventAnalytics {
     * survivor set (≤ one row per user, shrinking monotonically) broadcasts
     * into the next stage's join — the event stream itself is never
     * shuffled or rescanned unfiltered. Output: (stage, stage_name, users,
-    * conv_rate), conv_rate relative to stage 1, rounded to 6 decimals. */
-  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    * conv_rate), conv_rate relative to stage 1, rounded to 6 decimals.
+    *
+    * `withinMinutes` bounds each stage-to-stage gap (a conversion WINDOW:
+    * stage i+1 counts only within that horizon of the stage-i time) —
+    * the condition rides the same broadcast join, so the plan shape is
+    * unchanged. */
+  def funnel(events: DataFrame, stages: Seq[String],
+             withinMinutes: Option[Int] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    val inWindow = withinMinutes.fold(lit(true))(m =>
+      col("ts") <= col("t0") + expr(s"INTERVAL $m MINUTES"))
     val perStage = stages.tail.scanLeft(
       events.where(col("event_type") === stages.head)
         .groupBy(col("user_id")).agg(min(col("ts")).as("t"))) { (prev, s) =>
       events.where(col("event_type") === s)
         .join(broadcast(prev.select(col("user_id"), col("t").as("t0"))), "user_id")
-        .where(col("ts") >= col("t0"))
+        .where(col("ts") >= col("t0") && inWindow)
         .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
     }
     val counts = perStage.zipWithIndex.map { case (df, i) =>

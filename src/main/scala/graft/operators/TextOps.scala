@@ -179,6 +179,60 @@ object TextOps {
         col("rank").cast(IntegerType).as("rank"))
   }
 
+  /** BM25 relevance of every document to a fixed term set — the lexical
+    * ranking half of hybrid retrieval (Robertson/Spärck Jones; k1 = 1.2,
+    * b = 0.75, the +1 idf variant that stays positive at high df).
+    *
+    * Scale shape: the token stream filters to the QUERY terms right after
+    * the explode (pushdown makes the per-doc work |terms|-bounded, not
+    * |vocabulary|), term frequencies and document frequencies are
+    * map-side-combined hash aggregates, and the df/N/avgdl side inputs are
+    * a |terms|-row + 1-row broadcast — the corpus is never shuffled. All
+    * arithmetic is double over integer tf/df/dl with one final round-6, so
+    * ranking is engine-stable (the [[Similarity]] cosine convention).
+    * Output: (doc_id, bm25) for documents containing ≥ 1 query term. */
+  def bm25Scores(docs: org.apache.spark.sql.DataFrame,
+                 terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val (k1, b) = (1.2, 0.75)
+    val toks = docs.select(col("doc_id"), size(tokens(col("text"))).as("dl"),
+        explode(tokens(col("text"))).as("t"))
+      .where(col("t").isInCollection(terms))
+    val tfs = toks.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfs = tfs.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val st = docs.agg(count(lit(1)).as("n"),
+      (sum(size(tokens(col("text")))).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    tfs.join(broadcast(dfs), "t")
+      .crossJoin(broadcast(st)) // 1-row scalar, documented BNLJ pattern
+      .select(col("doc_id"),
+        (log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * (lit(k1) + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("s"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 6).as("bm25"))
+  }
+
+  /** The DuckDB mirror of [[bm25Scores]] as a CTE body over `documents`
+    * (oracle builder); yields columns (doc_id, bm25). */
+  def bm25Sql(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, len(string_split(text, ' ')) dl,
+            unnest(string_split(text, ' ')) t FROM documents),
+        tfs AS (SELECT doc_id, t, count(*) tf, max(dl) dl FROM toks
+                WHERE t IN ($inList) GROUP BY 1, 2),
+        dfs AS (SELECT t, count(*) df FROM tfs GROUP BY 1),
+        st AS (SELECT count(*) n,
+                CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*) avgdl
+               FROM documents)
+        SELECT doc_id,
+          round(SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+            * (tf * (1.2 + 1)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6)
+            AS bm25
+        FROM tfs JOIN dfs USING (t), st GROUP BY doc_id"""
+  }
+
   /** Inverted index (term → sorted posting list), the text-search /
     * audit-lookup primitive over a corpus: for every term its document
     * frequency, and for sub-stoplist terms the comma-joined sorted doc-id

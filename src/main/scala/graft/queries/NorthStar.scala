@@ -12,6 +12,7 @@ object NorthStar {
   import Tables._
 
   private val N = 3 // word-shingle width
+  private val Bm25Terms = Seq("spark", "join", "fast") // fixed retrieval query
 
   val defs: Map[String, Q] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -331,6 +332,34 @@ object NorthStar {
     // in the same cell by construction
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semanticPairs(t(s, dir, "embeddings"), 8, 2, 0.35)),
+
+    // BM25 lexical ranking against a fixed query-term set: the token
+    // stream filters to query terms at the explode, df/N/avgdl broadcast —
+    // the corpus is never shuffled
+    "text_bm25_topk" -> ((s, dir) =>
+      TextOps.bm25Scores(t(s, dir, "documents"), Bm25Terms)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)),
+
+    // hybrid retrieval (the RAG ranking shape): max-normalized BM25 fused
+    // 50/50 with cosine-to-query-vector; lexical misses contribute 0, the
+    // score join is id-keyed, the query vector and the max are broadcast
+    "ann_hybrid_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val lex = TextOps.bm25Scores(t(s, dir, "documents"), Bm25Terms)
+      val mx = lex.agg(max(col("bm25")).as("mx"))
+      val qv = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qv"))
+      val cos = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          round(Similarity.cosineSim(col("v"), col("qv")), 6).as("cos_q"))
+      cos.join(lex, cos("vec_id") === lex("doc_id"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("vec_id"),
+          round(lit(0.5) * coalesce(col("bm25"), lit(0.0)) / col("mx") +
+            lit(0.5) * col("cos_q"), 6).as("hybrid"))
+        .orderBy(col("hybrid").desc, col("vec_id")).limit(20)
+    }),
 
     // product quantization: each vector as m nearest-sub-centroid codes —
     // the memory-scale ANN representation (m·log2(ksub) bits per vector)
@@ -783,6 +812,20 @@ object NorthStar {
          FROM s""",
     "emb_kmeans" -> Similarity.kMeansSql(8, 2),
     "dedup_semantic" -> Similarity.semanticPairsSql(8, 2, 0.35),
+    "text_bm25_topk" ->
+      s"""SELECT doc_id, bm25 FROM (${TextOps.bm25Sql(Bm25Terms)})
+          ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    "ann_hybrid_topk" ->
+      s"""WITH lex AS (SELECT * FROM (${TextOps.bm25Sql(Bm25Terms)})),
+          mx AS (SELECT max(bm25) mx FROM lex),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+          qvec AS (SELECT v qv FROM e WHERE vec_id = 0),
+          cosq AS (SELECT vec_id, round(list_cosine_similarity(v, qv), 6) cos_q
+                   FROM e, qvec)
+          SELECT cosq.vec_id,
+            round(0.5 * COALESCE(bm25, 0.0) / mx + 0.5 * cos_q, 6) AS hybrid
+          FROM cosq LEFT JOIN lex ON cosq.vec_id = lex.doc_id, mx
+          ORDER BY hybrid DESC, vec_id LIMIT 20""",
     "emb_label_centroids" ->
       """WITH ex AS (SELECT label,
              unnest(list_transform(range(len(embedding)),

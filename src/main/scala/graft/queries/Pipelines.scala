@@ -90,6 +90,12 @@ object Pipelines {
     "events_funnel" -> ((s, dir) =>
       EventAnalytics.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))),
 
+    // the funnel with a CONVERSION WINDOW: each stage must happen within
+    // 60 min of the previous stage's conversion (same broadcast-join plan)
+    "events_funnel_windowed" -> ((s, dir) =>
+      EventAnalytics.funnel(t(s, dir, "events"),
+        Seq("view", "click", "purchase"), withinMinutes = Some(60))),
+
     // weekly cohort retention: first-seen cohort map broadcasts back over
     // one events pass, exact distinct users per (cohort, week offset)
     "events_cohort_retention" -> ((s, dir) =>
@@ -239,6 +245,24 @@ object Pipelines {
                 WHERE e.event_type = 'click' GROUP BY 1),
          s3 AS (SELECT e.user_id, min(e.ts) t FROM e
                 JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+                WHERE e.event_type = 'purchase' GROUP BY 1),
+         c AS (SELECT 1 AS stage, 'view' AS stage_name, count(*) AS users FROM s1
+               UNION ALL SELECT 2, 'click', count(*) FROM s2
+               UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+         SELECT stage, stage_name, users,
+           round(CAST(users AS DOUBLE) /
+             (SELECT CAST(count(*) AS DOUBLE) FROM s1), 6) AS conv_rate
+         FROM c""",
+    "events_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type FROM events),
+         s1 AS (SELECT user_id, min(ts) t FROM e WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) t FROM e
+                JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+                  AND e.ts <= s1.t + INTERVAL 60 MINUTE
+                WHERE e.event_type = 'click' GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) t FROM e
+                JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+                  AND e.ts <= s2.t + INTERVAL 60 MINUTE
                 WHERE e.event_type = 'purchase' GROUP BY 1),
          c AS (SELECT 1 AS stage, 'view' AS stage_name, count(*) AS users FROM s1
                UNION ALL SELECT 2, 'click', count(*) FROM s2

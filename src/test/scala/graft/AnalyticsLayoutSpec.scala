@@ -32,6 +32,22 @@ class AnalyticsLayoutSpec extends SparkSuite {
       (1, "view", 3L, 1.0), (2, "click", 2L, 0.666667), (3, "purchase", 1L, 0.333333)))
   }
 
+  test("funnel conversion window: a stage past the horizon stops counting") {
+    // u1 clicks 90 min after the view: converts in the unwindowed funnel,
+    // not in the 60-min one; u2 clicks 10 min after the view: both count
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 01:30:00"), "click"),
+      (3L, 2L, ts("2024-01-01 00:00:00"), "view"),
+      (4L, 2L, ts("2024-01-01 00:10:00"), "click")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    def users(w: Option[Int]) =
+      EventAnalytics.funnel(events, Seq("view", "click"), w)
+        .orderBy("stage").select("users").as[Long].collect().toSeq
+    assert(users(None) === Seq(2L, 2L))
+    assert(users(Some(60)) === Seq(2L, 1L))
+  }
+
   test("cohortRetention: first-seen week cohorts, week offsets, distinct actives") {
     // 2024-01-01 is a Monday; u1 active weeks 0 and 2, u2 week 0 only
     // (twice — distinct must collapse it)

@@ -51,6 +51,25 @@ class DedupTextSpec extends SparkSuite {
     assert(contA === 4.0 / 18.0 && contB === 1.0) // 4 shared of 18 vs 4 shingles
   }
 
+  test("bm25Scores: hand-computed scores, absent-term docs excluded") {
+    val corpus = Seq(
+      (1L, "cat dog"),
+      (2L, "dog bird"),
+      (3L, "cat cat mouse horse")
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25Scores(corpus, Seq("cat"))
+      .as[(Long, Double)].collect().toMap
+    // n=3, df=2, avgdl=8/3; idf = ln((3-2+0.5)/(2+0.5)+1) = ln(1.6)
+    def expected(tf: Double, dl: Double): Double = {
+      val raw = math.log(1.6) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (8.0 / 3)))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.keySet === Set(1L, 3L)) // doc 2 has no query term
+    assert(math.abs(got(1L) - expected(1, 2)) < 1e-9)
+    assert(math.abs(got(3L) - expected(2, 4)) < 1e-9)
+    assert(got(3L) > got(1L)) // higher tf on a comparable length wins
+  }
+
   test("ngram jaccard maxDf cap keeps a boilerplate-heavy corpus sub-quadratic") {
     // 40 docs sharing ONE boilerplate 3-gram, otherwise pairwise-distinct:
     // uncapped, that single shingle alone feeds 40·39/2 = 780 rows through
