@@ -25,6 +25,58 @@ object Pipelines {
           col("asof.o_totalprice").as("asof_totalprice"))
     }),
 
+    // as-of with a STALENESS BOUND (pandas merge_asof tolerance): a match
+    // older than 7 days yields NULL — same one-exchange plan
+    "asof_join_tolerance" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val o = t(s, dir, "orders")
+      AsOf.asOfJoin(e, o,
+          leftKey = col("user_id"), rightKey = col("o_custkey"),
+          leftTime = col("ts"), rightTime = col("o_orderdate"),
+          rightValues = Seq(col("o_orderkey"), col("o_totalprice")),
+          rightTiebreak = col("o_orderkey"),
+          tolerance = Some(expr("INTERVAL 7 DAYS")))
+        .select(col("event_id"), col("user_id"),
+          col("asof.o_orderkey").as("asof_orderkey"),
+          col("asof.o_totalprice").as("asof_totalprice"))
+    }),
+
+    // sequence mining: per-session ordered event-type paths, top-20 most
+    // frequent — sessions from the 30-min-gap rule, the path string built
+    // by an in-group sort of (ts, seq)-keyed structs (no per-row UDF)
+    "events_top_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = e
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("ns", when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("ns")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy(col("user_id"), col("session_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path").asc).limit(20)
+    }),
+
+    // gaps & islands: per-user runs of consecutive active DAYS via the
+    // day - row_number() grouping constant — the classic streak analysis
+    "events_activity_islands" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      ud.withColumn("grp", date_sub(col("day"), row_number().over(w)))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(min(col("day")).cast("timestamp").as("streak_start"),
+          max(col("day")).cast("timestamp").as("streak_end"),
+          count(lit(1)).as("n_days"))
+        .drop("grp")
+    }),
+
     // Structured Streaming: tumbling 1h windows, run to completion
     // append-mode file-sink form (watermark-driven emission, sentinel
     // closes trailing windows) — the scale shape; the complete-mode
@@ -161,6 +213,47 @@ object Pipelines {
          SELECT event_id, user_id, k AS asof_orderkey,
            (SELECT o.o_totalprice FROM orders o WHERE o.o_orderkey = pick.k) AS asof_totalprice
          FROM pick""",
+    "asof_join_tolerance" ->
+      """WITH latest AS (
+           SELECT e.event_id, e.user_id, e.ts,
+             (SELECT max(o2.o_orderdate) FROM orders o2
+              WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts
+                AND o2.o_orderdate >= e.ts - INTERVAL 7 DAY) d
+           FROM events e),
+         pick AS (
+           SELECT event_id, user_id, ts, d,
+             (SELECT max(o.o_orderkey) FROM orders o
+              WHERE o.o_custkey = pick0.user_id AND o.o_orderdate = pick0.d) k
+           FROM latest pick0)
+         SELECT event_id, user_id, k AS asof_orderkey,
+           (SELECT o.o_totalprice FROM orders o WHERE o.o_orderkey = pick.k) AS asof_totalprice
+         FROM pick""",
+    "events_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts, event_type FROM events),
+         x AS (SELECT user_id, event_id, ts, event_type,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev FROM e),
+         y AS (SELECT user_id, event_id, ts, event_type,
+                CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                     THEN 1 ELSE 0 END ns FROM x),
+         z AS (SELECT user_id, event_id, ts, event_type,
+                SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) session_id
+               FROM y),
+         p AS (SELECT user_id, session_id,
+                string_agg(event_type, '>' ORDER BY ts, event_id) path
+               FROM z GROUP BY 1, 2)
+         SELECT path, count(*) AS n FROM p GROUP BY 1
+         ORDER BY n DESC, path ASC LIMIT 20""",
+    "events_activity_islands" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) d FROM events),
+         g AS (SELECT user_id, d,
+                d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INT) grp
+               FROM ud)
+         SELECT user_id, CAST(min(d) AS TIMESTAMP) AS streak_start,
+           CAST(max(d) AS TIMESTAMP) AS streak_end, count(*) AS n_days
+         FROM g GROUP BY user_id, grp""",
     "stream_windowed_agg" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type, COUNT(*) AS n,

@@ -195,6 +195,21 @@ object SqlSurface {
            FROM embeddings""")
     }),
 
+    // SQL layer: NOT IN three-valued-logic semantics — one NULL in the
+    // subquery empties the NOT IN result (x <> NULL is UNKNOWN for every
+    // x), while the null-free variant anti-joins normally; both engines
+    // must agree on the ANSI behavior, not just the happy path
+    "q_sql_not_in_nulls" -> ((s, dir) => {
+      registerViews(s, dir)
+      s.sql(
+        """SELECT
+             (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+               (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                            ELSE o_custkey END FROM orders)) AS n_with_null_semantics,
+             (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+               (SELECT o_custkey FROM orders)) AS n_null_free""")
+    }),
+
     // SQL layer: RECURSIVE CTE (Spark 4's WITH RECURSIVE) — ancestor walk
     // over the implicit binary tree parent(n) = n div 2, a bounded
     // hierarchy traversal neither engine can express non-recursively
@@ -306,6 +321,13 @@ object SqlSurface {
            round(list_dot_product(CAST(embedding AS DOUBLE[]),
                                   CAST(embedding AS DOUBLE[])), 6) AS norm_sq
          FROM embeddings""",
+    "q_sql_not_in_nulls" ->
+      """SELECT
+           (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+             (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                          ELSE o_custkey END FROM orders)) AS n_with_null_semantics,
+           (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM orders)) AS n_null_free""",
     "q_sql_recursive_cte" ->
       """WITH RECURSIVE anc AS (
            SELECT CAST(n_nationkey AS BIGINT) AS node,
