@@ -121,11 +121,14 @@ class PlanSpec extends SparkSuite {
     // events_funnel / graph_pagerank cross-join a 1-row count (q22 pattern)
     // q_histogram_equidepth broadcasts the 1-row boundary frame;
     // emb_kmeans / dedup_semantic broadcast the k-row centroid codebook
-    // into the unshuffled assignment pass
+    // into the unshuffled assignment pass; text_bm25_topk / ann_hybrid_topk
+    // broadcast the 1-row corpus stats / query vector / max-score scalars;
+    // events_funnel_windowed is the funnel's 1-row top-of-funnel count
     val intentional = Set("ann_cosine_topk", "ann_ivf_topk",
       "q22_idle_balances", "q11_important_share",
       "text_tfidf_topk", "text_lm_score", "events_funnel", "graph_pagerank",
-      "q_histogram_equidepth", "emb_kmeans", "dedup_semantic")
+      "q_histogram_equidepth", "emb_kmeans", "dedup_semantic",
+      "text_bm25_topk", "ann_hybrid_topk", "events_funnel_windowed")
     // streaming queries execute rather than explain statically
     val skip = Set("stream_windowed_agg", "stream_sessionize",
       "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental")
