@@ -65,6 +65,20 @@ object SqlSurface {
           least(greatest(col("value"), col("p01")), col("p99")).as("clipped"))
     }),
 
+    // robust anomaly detection: per-type median/IQR (outlier-immune, unlike
+    // mean/stddev) broadcast into a shuffle-free scoring pass; rows with
+    // |robust z| > 1.5 surface as anomalies
+    "events_anomaly_robust" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val st = e.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("med"),
+          round(expr("percentile(value, 0.75) - percentile(value, 0.25)"), 6).as("iqr"))
+      e.join(broadcast(st), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          round((col("value") - col("med")) / col("iqr"), 6).as("rz"))
+        .where(abs(col("rz")) > lit(1.5))
+    }),
+
     // approximate quantiles (Greenwald-Khanna sketch): estimates are
     // engine-specific, so — like q_approx_distinct — the DECLARED columns
     // are the exact percentiles plus an error-bound flag; the sketch runs
@@ -260,6 +274,15 @@ object SqlSurface {
          SELECT event_id, e.event_type, value,
            least(greatest(value, p01), p99) AS clipped
          FROM events e JOIN b USING (event_type)""",
+    "events_anomaly_robust" ->
+      """WITH st AS (SELECT event_type,
+             round(quantile_cont(value, 0.5), 6) med,
+             round(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6) iqr
+           FROM events GROUP BY 1)
+         SELECT event_id, e.event_type, value,
+           round((value - med) / iqr, 6) AS rz
+         FROM events e JOIN st USING (event_type)
+         WHERE abs(round((value - med) / iqr, 6)) > 1.5""",
     "q_json_extract" ->
       """SELECT event_type,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
