@@ -46,4 +46,30 @@ object TimeSeries {
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         last(col("v_max"), ignoreNulls = true).over(w).as("v_fill"))
   }
+
+  /** Interval OVERLAP join without a cross product: both interval sets
+    * explode onto a coarse time-bucket grid (one row per bucket an
+    * interval touches), candidates meet in an EQUI-join on the bucket, the
+    * exact predicate `aStart <= bEnd ∧ bStart <= aEnd` verifies each
+    * candidate, and a distinct on the id pair collapses multi-bucket
+    * matches. A naive formulation is a cartesian product with a residual
+    * filter — |A|·|B| at any scale; here cost is Σ buckets(A) join-matched
+    * against Σ buckets(B) per bucket, i.e. proportional to temporal
+    * OVERLAP DENSITY, and the bucket width trades explode volume against
+    * candidate fan-in (this implementation fixes it at 1 hour — suited to
+    * minute-to-hours intervals like sessions). Both frames must carry
+    * (id, start, end); output: one row per overlapping (aId, bId) with
+    * both intervals. */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame): DataFrame = {
+    def exploded(df: DataFrame, p: String) = df.select(
+        col("id").as(s"${p}_id"), col("start").as(s"${p}_start"),
+        col("end").as(s"${p}_end"),
+        explode(sequence(date_trunc("hour", col("start")),
+          date_trunc("hour", col("end")), expr("interval 1 hour"))).as("bk"))
+    exploded(a, "a").join(exploded(b, "b"), "bk")
+      .where(col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .select(col("a_id"), col("b_id"), col("a_start"), col("a_end"),
+        col("b_start"), col("b_end"))
+      .distinct()
+  }
 }

@@ -62,6 +62,33 @@ object Pipelines {
         .orderBy(col("n").desc, col("path").asc).limit(20)
     }),
 
+    // interval OVERLAP join without a cross product: user sessions ×
+    // error-incident ±30-min windows meet in an hour-bucket EQUI-join
+    // (explode to touched buckets → exact predicate → pair distinct) —
+    // cost tracks temporal overlap density, not |A|·|B|
+    "events_incident_overlap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = e
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("ns", when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1).otherwise(0))
+        .withColumn("sid", sum(col("ns")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts")).as("start"), max(col("ts")).as("end"))
+        .select(concat(col("user_id"), lit(":"), col("sid")).as("id"),
+          col("start"), col("end"))
+      val incidents = e.where(col("event_type") === "error")
+        .select(col("event_id").cast("string").as("id"),
+          (col("ts") - expr("INTERVAL 30 MINUTES")).as("start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("end"))
+      graft.operators.TimeSeries.intervalOverlapJoin(sess, incidents)
+        .select(col("a_id").as("session_id"), col("b_id").cast("long").as("error_id"),
+          col("a_start").as("s_start"), col("a_end").as("s_end"))
+    }),
+
     // gaps & islands: per-user runs of consecutive active DAYS via the
     // day - row_number() grouping constant — the classic streak analysis
     "events_activity_islands" -> ((s, dir) => {
@@ -244,6 +271,24 @@ object Pipelines {
                FROM z GROUP BY 1, 2)
          SELECT path, count(*) AS n FROM p GROUP BY 1
          ORDER BY n DESC, path ASC LIMIT 20""",
+    "events_incident_overlap" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts, event_type FROM events),
+         x AS (SELECT user_id, event_id, ts,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev FROM e),
+         y AS (SELECT user_id, event_id, ts,
+                CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                     THEN 1 ELSE 0 END ns FROM x),
+         z AS (SELECT user_id, ts,
+                CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) sid
+               FROM y),
+         sess AS (SELECT user_id, sid, min(ts) st, max(ts) en FROM z GROUP BY 1, 2),
+         inc AS (SELECT event_id, ts - INTERVAL 30 MINUTE st, ts + INTERVAL 30 MINUTE en
+                 FROM e WHERE event_type = 'error')
+         SELECT CAST(sess.user_id AS VARCHAR) || ':' || CAST(sess.sid AS VARCHAR)
+             AS session_id,
+           inc.event_id AS error_id, sess.st AS s_start, sess.en AS s_end
+         FROM sess JOIN inc ON sess.st <= inc.en AND inc.st <= sess.en""",
     "events_activity_islands" ->
       """WITH ud AS (SELECT DISTINCT user_id,
              CAST(CAST(ts AS TIMESTAMP) AS DATE) d FROM events),

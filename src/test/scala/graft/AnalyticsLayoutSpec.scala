@@ -174,6 +174,27 @@ class AnalyticsLayoutSpec extends SparkSuite {
     assert(yHit < hit, s"y∈[0,7] should prune some of the $hit partitions, hit $yHit")
   }
 
+  test("intervalOverlapJoin: equals the quadratic join; multi-bucket pairs collapse to one row") {
+    val a = Seq(
+      ("a1", ts("2024-01-01 00:10:00"), ts("2024-01-01 03:50:00")), // spans 4 buckets
+      ("a2", ts("2024-01-01 05:00:00"), ts("2024-01-01 05:30:00"))
+    ).toDF("id", "start", "end")
+    val b = Seq(
+      ("b1", ts("2024-01-01 01:30:00"), ts("2024-01-01 02:30:00")), // shares 2 buckets with a1
+      ("b2", ts("2024-01-01 03:50:00"), ts("2024-01-01 04:10:00")), // touches a1's end instant
+      ("b3", ts("2024-01-01 04:20:00"), ts("2024-01-01 04:40:00"))  // overlaps nothing
+    ).toDF("id", "start", "end")
+    val got = graft.operators.TimeSeries.intervalOverlapJoin(a, b)
+    val pairs = got.select("a_id", "b_id").as[(String, String)].collect().toSeq
+    // one row per pair even though (a1, b1) met in two buckets
+    assert(pairs.sorted === Seq(("a1", "b1"), ("a1", "b2")))
+    // cross-check against the naive quadratic formulation
+    val naive = a.as("x").crossJoin(b.as("y"))
+      .where(col("x.start") <= col("y.end") && col("y.start") <= col("x.end"))
+      .select(col("x.id"), col("y.id")).as[(String, String)].collect().toSeq
+    assert(pairs.sorted === naive.sorted)
+  }
+
   test("scd2History: no-op runs collapse, intervals chain, live state stays open") {
     // u1: view → view (no-op, extends the run) → click → view again (a NEW
     // run of a previously-seen state); u2: single state; same-ts tie on u1's
