@@ -89,6 +89,22 @@ object Pipelines {
           col("a_start").as("s_start"), col("a_end").as("s_end"))
     }),
 
+    // first-order Markov transitions: P(next event type | type) from
+    // per-user (ts, seq)-ordered successor pairs — one window pass over
+    // the keyed stream, the row-count normalizer is a per-from window over
+    // the |types|² transition matrix, not the data
+    "events_markov_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = t(s, dir, "events")
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      trans.withColumn("p", round(col("n") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))), 6))
+    }),
+
     // gaps & islands: per-user runs of consecutive active DAYS via the
     // day - row_number() grouping constant — the classic streak analysis
     "events_activity_islands" -> ((s, dir) => {
@@ -289,6 +305,18 @@ object Pipelines {
              AS session_id,
            inc.event_id AS error_id, sess.st AS s_start, sess.en AS s_end
          FROM sess JOIN inc ON sess.st <= inc.en AND inc.st <= sess.en""",
+    "events_markov_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts, event_type FROM events),
+         x AS (SELECT event_type AS from_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) to_type
+               FROM e),
+         c AS (SELECT from_type, to_type, count(*) n FROM x
+               WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE) /
+             SUM(n) OVER (PARTITION BY from_type), 6) AS p
+         FROM c""",
     "events_activity_islands" ->
       """WITH ud AS (SELECT DISTINCT user_id,
              CAST(CAST(ts AS TIMESTAMP) AS DATE) d FROM events),
