@@ -165,4 +165,69 @@ class PropertySpec extends SparkSuite {
       df, keys.md5Raw(lit("k")), "c", (0 until 5).map(i => col(s"c$i"))).count()
     assert(cellCount === rows.map(_.count(_.isDefined)).sum)
   }
+
+  test("intervalOverlapJoin ≡ quadratic overlap join on random interval sets") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // starts across ~3 days, lengths from sub-bucket (minutes) to
+    // multi-bucket (up to 8 h) — exercises same-bucket, spanning, and
+    // touching-endpoint geometries
+    val iv = Gen.zip(Gen.chooseNum(0L, 72L * 3600), Gen.chooseNum(60L, 8L * 3600))
+    def frame(n: Int, seedOff: Int, tag: String) =
+      samples(iv, n).zipWithIndex.map { case ((off, len), i) =>
+        (s"$tag$i", new java.sql.Timestamp(base + (off + seedOff) * 1000L),
+          new java.sql.Timestamp(base + (off + seedOff + len) * 1000L))
+      }.toDF("id", "start", "end")
+    val a = frame(60, 0, "a")
+    val b = frame(60, 1234, "b")
+    val got = graft.operators.TimeSeries.intervalOverlapJoin(a, b)
+      .select("a_id", "b_id").as[(String, String)].collect().toSeq
+    val naive = a.as("x").crossJoin(b.as("y"))
+      .where(col("x.start") <= col("y.end") && col("y.start") <= col("x.end"))
+      .select(col("x.id"), col("y.id")).as[(String, String)].collect().toSeq
+    assert(got.sorted === naive.sorted)
+    assert(got.size === got.distinct.size, "pair emitted more than once")
+  }
+
+  test("triangleCount is invariant under edge direction, duplication and permutation") {
+    val edgeGen = Gen.zip(Gen.chooseNum(0, 14), Gen.chooseNum(0, 14))
+      .map { case (x, y) => (s"n$x", s"n$y") }
+    val edges = samples(edgeGen, 60)
+    def count(es: Seq[(String, String)]): Long =
+      graft.operators.GraphOps.triangleCount(es.toDF("a", "b"))
+        .as[Long].collect().head
+    val baseline = count(edges)
+    assert(count(edges.map(_.swap)) === baseline, "direction must not matter")
+    assert(count(edges ++ edges.take(20)) === baseline, "duplicates must not matter")
+    assert(count(scala.util.Random.javaRandomToRandom(
+      new java.util.Random(7)).shuffle(edges)) === baseline, "order must not matter")
+  }
+
+  test("kMeans: every vector lands on its genuinely nearest centroid (argmin law)") {
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-100, 100).map(_ / 10.0f)).map(_.toArray)
+    val vecs = samples(vecGen, 80).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    // iters = 1 assigns against the INITIAL centroids, which the test can
+    // reconstruct exactly: the k vectors first in (md5(id), id) order
+    val assign = graft.operators.Similarity.kMeans(corpus, 5, iters = 1)
+      .as[(Long, Int, Double)].collect()
+    val k = 5
+    val init = vecs
+      .sortBy { case (id, _) =>
+        (org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString), id)
+      }.take(k).map(_._2.map(_.toDouble)).zipWithIndex
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i)) // sequential fold
+    def d2(v: Array[Double], c: Array[Double]) = {
+      val raw = dot(v, v) - 2 * dot(v, c) + dot(c, c)
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byId = vecs.toMap
+    assert(assign.length === 80)
+    assign.foreach { case (id, cluster, dist) =>
+      val v = byId(id).map(_.toDouble)
+      val best = init.map { case (c, cid) => (d2(v, c), cid) }.min // (d2, cid) tie order
+      assert((best._2, best._1) === (cluster, dist),
+        s"vec $id: got cluster $cluster d2 $dist, argmin says $best")
+    }
+  }
 }
