@@ -360,6 +360,32 @@ object Relational {
         .select(col("c_custkey"), col("max_order"))
     }),
 
+    // 2-D skyline (Pareto frontier, minimize both dims) in two window
+    // passes: bucket-LOCAL skylines first (partitioned window — removing
+    // locally dominated points is globally sound since dominance is
+    // transitive), then the exact frontier over the few survivors; the
+    // naive formulation is a quadratic NOT EXISTS self-join (which is
+    // exactly the independent oracle). For sorted-by-x points, dominated ⟺
+    // min(y) over all earlier rows <= y — a running-min window, no join
+    "q_skyline_pareto" -> ((s, dir) => {
+      val pts = t(s, dir, "part")
+        .select(col("p_retailprice").cast(DecimalType(12, 2)).as("x"),
+          col("p_size").cast(IntegerType).as("y"))
+        .distinct()
+      def frontier(df: org.apache.spark.sql.DataFrame,
+                   part: Seq[org.apache.spark.sql.Column]) = {
+        val w = Window.partitionBy(part: _*).orderBy(col("x"), col("y"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        df.withColumn("pm", min(col("y")).over(w))
+          .where(col("pm").isNull || col("y") < col("pm"))
+          .drop("pm")
+      }
+      val local = frontier(pts.withColumn("bx", floor(col("x") / 100)),
+        Seq(col("bx"))).drop("bx")
+      frontier(local, Seq.empty)
+        .select(col("x").cast(DoubleType).as("x"), col("y"))
+    }),
+
     // MERGE INTO semantics, relationally: target upserted from a source
     // (matched → update, matched + condition → delete, source-only →
     // insert, target-only → keep) in ONE full-outer join pass — no
@@ -408,6 +434,12 @@ object Relational {
     "table_profile" -> profileCols.map { case (n, d) =>
       graft.operators.Profile.profileSql("lineitem", n, d)
     }.mkString(" UNION ALL "),
+    "q_skyline_pareto" ->
+      """WITH p AS (SELECT DISTINCT CAST(p_retailprice AS DECIMAL(12,2)) x,
+             CAST(p_size AS INT) y FROM part)
+         SELECT CAST(x AS DOUBLE) AS x, y FROM p a
+         WHERE NOT EXISTS (SELECT 1 FROM p b
+           WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y))""",
     "q_merge_upsert" ->
       """WITH tgt AS (SELECT c_custkey mkey, CAST(c_acctbal AS DECIMAL(12,2)) bal
            FROM customer WHERE c_custkey <= 1000),
