@@ -65,6 +65,31 @@ object CellOps {
       .drop("rn")
   }
 
+  /** MAJOR compaction with DELETE-marker semantics (the HBase read/flush
+    * model [[compactVersions]] leaves out): an `op = 'delete'` cell at a
+    * coordinate shadows every put at that coordinate with `ts` at or
+    * before the marker (HBase DeleteColumn), and a major compaction then
+    * DROPS the markers themselves — the output is pure surviving puts,
+    * version-trimmed and TTL-cut like [[compactVersions]].
+    *
+    * Scale shape: the shadow horizon is a map-side-combinable `max(ts)`
+    * aggregate per coordinate (markers are a small minority, so the
+    * aggregate frame is tiny), re-attached with a left join keyed
+    * EXACTLY like the compaction window — one partitioning serves the
+    * join and the rank. */
+  def compactWithTombstones(cells: DataFrame, maxVersions: Int,
+                            minTs: Long): DataFrame = {
+    val key = Seq(col("row"), col("family"), col("qualifier"))
+    val horizon = cells.where(col("op") === "delete")
+      .groupBy(key: _*).agg(max(col("ts")).as("del_ts"))
+    compactVersions(
+      cells.where(col("op") =!= "delete")
+        .join(horizon, Seq("row", "family", "qualifier"), "left")
+        .where(col("del_ts").isNull || col("ts") > col("del_ts"))
+        .drop("del_ts", "op"),
+      maxVersions, minTs)
+  }
+
   /** Wide row → cells with field-name qualifiers (Avro reference path;
     * BulkImporterFromAvro.java:62-67). Uses `Dataset.unpivot` (Spark 3.4+
     * melt) — the idiomatic declarative form of the mapper loop. */

@@ -86,6 +86,24 @@ object ReferenceParity {
       branches.mkString(" UNION ALL ")
   }
 
+  /** [[cellsCompactSql]] plus DELETE markers at ts 350 on every qualifier
+    * of the `c_custkey % 7 = 0` rows: those coordinates lose the 100..300
+    * puts (shadowed) and keep only the 400 load; unmarked coordinates keep
+    * {400, 300} — mirror of CellOps.compactWithTombstones. */
+  private def cellsTombstonesSql: String = {
+    val unions = Seq(100L, 200L, 300L, 400L)
+      .map(ts => s"SELECT * FROM (${cellsIndexedSql(ts)})").mkString(" UNION ALL ")
+    s"""WITH del AS (SELECT $custKeyHexSql AS k FROM customer WHERE c_custkey % 7 = 0)
+        SELECT "row", "family", "qualifier", "value", "ts" FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY "row", "family", "qualifier"
+            ORDER BY "ts" DESC, "value" ASC) rn
+          FROM ($unions)
+          WHERE "ts" >= 150
+            AND NOT ("row" IN (SELECT k FROM del) AND "ts" <= 350))
+        WHERE rn <= 2"""
+  }
+
   val defs: Map[String, Q] = Map(
     // P5-P7: composite MD5 row key (text/CSV/RC reference paths)
     "rowkey_md5_composite" -> ((s, dir) =>
@@ -150,6 +168,23 @@ object ReferenceParity {
         maxVersions = 2, minTs = 150L))
     }),
 
+    // HBase DELETE-marker semantics under major compaction: markers at
+    // ts 350 shadow every older put at their coordinate and are then
+    // dropped themselves; TTL + keep-2 versioning run on the survivors
+    "cells_compact_tombstones" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val puts = Seq(100L, 200L, 300L, 400L)
+        .map(ts => CellOps.explodeIndexed(cust, custKey, "c", custValueCols, ts)
+          .withColumn("op", lit("put")))
+        .reduce(_ unionByName _)
+      val markers = CellOps.explodeIndexed(
+          cust.where(pmod(col("c_custkey"), lit(7)) === 0),
+          custKey, "c", custValueCols, 350L)
+        .withColumn("op", lit("delete"))
+      hexBin(CellOps.compactWithTombstones(puts.unionByName(markers),
+        maxVersions = 2, minTs = 150L))
+    }),
+
     // multi-dimensional layout: Morton code over (partkey, suppkey) — the
     // data-skipping complement to the single-key region sort; clustering
     // itself (range exchange + local sort + both-dims file pruning) is
@@ -200,6 +235,7 @@ object ReferenceParity {
         "WHERE len(string_split(p_name, ' ')) = 2"),
     "ingest_sorted_cells" -> cellsIndexedSql,
     "cells_compact_versions" -> cellsCompactSql,
+    "cells_compact_tombstones" -> cellsTombstonesSql,
     "cells_keyvalue_wire" -> kvWireSql,
     "layout_zorder" ->
       ("SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, " +

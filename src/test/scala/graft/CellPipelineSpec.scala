@@ -53,6 +53,33 @@ class CellPipelineSpec extends SparkSuite {
       ("r2", "c", 300L), ("r2", "a", 200L)))      // tie 200: "a" beats "b"
   }
 
+  test("compactWithTombstones: marker shadows at-or-before, newer put survives, marker dropped") {
+    def cell(r: String, v: String, ts: Long, op: String) =
+      (r, "q", v, ts, op)
+    val cells = Seq(
+      // r1: delete at 250 shadows 100/250-inclusive... puts 100, 200 and
+      // the AT-marker-ts put 250 all go; 300 survives
+      cell("r1", "v100", 100L, "put"), cell("r1", "v200", 200L, "put"),
+      cell("r1", "v250", 250L, "put"), cell("r1", "x", 250L, "delete"),
+      cell("r1", "v300", 300L, "put"),
+      // r2: no marker — plain keep-2 over TTL survivors
+      cell("r2", "v100", 100L, "put"), cell("r2", "v200", 200L, "put"),
+      cell("r2", "v300", 300L, "put")
+    ).toDF("r", "q", "v", "ts", "op")
+      .select(col("r").cast("binary").as("row"),
+        lit("c").cast("binary").as("family"),
+        col("q").cast("binary").as("qualifier"),
+        col("v").cast("binary").as("value"), col("ts"), col("op"))
+    val out = CellOps.compactWithTombstones(cells, maxVersions = 2, minTs = 0L)
+      .select(col("row").cast("string"), col("value").cast("string"), col("ts"))
+      .as[(String, String, Long)].collect().toSet
+    assert(out === Set(
+      ("r1", "v300", 300L),                       // everything <= 250 shadowed
+      ("r2", "v300", 300L), ("r2", "v200", 200L)))
+    // no marker row (and no op column) leaks into the compacted output
+    assert(!CellOps.compactWithTombstones(cells, 2, 0L).columns.contains("op"))
+  }
+
   test("naiveSplit keeps exact-arity rows and quarantines the rest") {
     val tmp = java.nio.file.Files.createTempDirectory("graft").toString
     Seq("a,b,c", "x,y", "p,q,r", "one,\"two,half\",three").toDF("value")
