@@ -114,19 +114,26 @@ object GraphOps {
     * the id-canonical wedge pair against the canonical edge set — no
     * OR-condition join, no DISTINCT over triangle triples. Output: one row
     * (n_triangles). */
-  def triangleCount(edges: DataFrame): DataFrame = {
-    val canon = edges
+  def triangleCount(edges: DataFrame,
+                    storage: Dedup.FixpointStorage = Dedup.LocalCheckpoint): DataFrame = {
+    // the canonical edge frame feeds four subtrees (degrees, orientation,
+    // the closure probe) and the oriented frame both wedge sides —
+    // materialize each once so an expensive upstream edge derivation
+    // (e.g. basket-pair mining) is not re-run per consumer (4.1 -> 3.1 s
+    // on the co-purchase graph at sf0.1, where mining the edges is ~2.4 s
+    // of the total — the triangle counting itself is now sub-second)
+    val canon = Dedup.materializeFixpoint(edges
       .select(least(col("a"), col("b")).as("x"), greatest(col("a"), col("b")).as("y"))
-      .where(col("x") =!= col("y")).distinct()
+      .where(col("x") =!= col("y")).distinct(), storage)
     val deg = canon.select(col("x").as("v")).unionAll(canon.select(col("y").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val withDeg = canon
       .join(deg.select(col("v").as("x"), col("d").as("dx")), "x")
       .join(deg.select(col("v").as("y"), col("d").as("dy")), "y")
     val fwd = struct(col("dx"), col("x")) < struct(col("dy"), col("y"))
-    val oriented = withDeg.select(
+    val oriented = Dedup.materializeFixpoint(withDeg.select(
       when(fwd, col("x")).otherwise(col("y")).as("u"),
-      when(fwd, col("y")).otherwise(col("x")).as("v"))
+      when(fwd, col("y")).otherwise(col("x")).as("v")), storage)
     val wedges = oriented.as("p").join(oriented.as("q"),
         col("p.u") === col("q.u") && col("p.v") < col("q.v"))
       .select(col("p.v").as("wx"), col("q.v").as("wy"))
