@@ -118,6 +118,25 @@ object EventAnalytics {
       .select(col("user_id"), col("last.ts").as("last_ts"),
         col("last.event_type").as("last_type"), col("last.value").as("last_value"))
 
+  /** The batch 30-min-gap sessionizer's id assignment, shared by every
+    * batch consumer (path mining, interval attribution): events gain a
+    * per-user `session_id` — a new session opens when the gap since the
+    * previous event exceeds `gapMinutes` (microsecond-exact, matching the
+    * oracle's epoch_us convention), ordered by the (ts, event_id) log
+    * order. One exchange on the key; both windows share its sort. */
+  def sessionIds(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__ns", when(col("__prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("__prev")) >
+          gapMinutes * 60000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("__ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev", "__ns")
+  }
+
   /** SCD-type-2 history build (the companion to [[latestSnapshot]]'s
     * type-1 compaction): the changelog becomes one validity interval per
     * observed state run — a row opens when the tracked attribute CHANGES

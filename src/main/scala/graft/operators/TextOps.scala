@@ -217,7 +217,7 @@ object TextOps {
   /** The DuckDB mirror of [[bm25Scores]] as a CTE body over `documents`
     * (oracle builder); yields columns (doc_id, bm25). */
   def bm25Sql(terms: Seq[String]): String = {
-    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val inList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
     s"""WITH toks AS (SELECT doc_id, len(string_split(text, ' ')) dl,
             unnest(string_split(text, ' ')) t FROM documents),
         tfs AS (SELECT doc_id, t, count(*) tf, max(dl) dl FROM toks

@@ -345,7 +345,10 @@ object NorthStar {
     // score join is id-keyed, the query vector and the max are broadcast
     "ann_hybrid_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // materialized once: the max scalar and the score join would
+      // otherwise each re-run the whole BM25 pipeline from lineage
       val lex = TextOps.bm25Scores(t(s, dir, "documents"), Bm25Terms)
+        .localCheckpoint()
       val mx = lex.agg(max(col("bm25")).as("mx"))
       val qv = emb.where(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>").as("qv"))

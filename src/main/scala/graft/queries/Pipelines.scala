@@ -45,16 +45,8 @@ object Pipelines {
     // frequent — sessions from the 30-min-gap rule, the path string built
     // by an in-group sort of (ts, seq)-keyed structs (no per-row UDF)
     "events_top_paths" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = t(s, dir, "events")
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val sess = e
-        .withColumn("prev", lag(col("ts"), 1).over(w))
-        .withColumn("ns", when(col("prev").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1).otherwise(0))
-        .withColumn("session_id", sum(col("ns")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      sess.groupBy(col("user_id"), col("session_id"))
+      EventAnalytics.sessionIds(t(s, dir, "events"), gapMinutes = 30)
+        .groupBy(col("user_id"), col("session_id"))
         .agg(array_join(transform(
           array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
           x => x.getField("event_type")), ">").as("path"))
@@ -67,18 +59,11 @@ object Pipelines {
     // (explode to touched buckets → exact predicate → pair distinct) —
     // cost tracks temporal overlap density, not |A|·|B|
     "events_incident_overlap" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val e = t(s, dir, "events")
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val sess = e
-        .withColumn("prev", lag(col("ts"), 1).over(w))
-        .withColumn("ns", when(col("prev").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1).otherwise(0))
-        .withColumn("sid", sum(col("ns")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("user_id"), col("sid"))
+      val sess = EventAnalytics.sessionIds(e, gapMinutes = 30)
+        .groupBy(col("user_id"), col("session_id"))
         .agg(min(col("ts")).as("start"), max(col("ts")).as("end"))
-        .select(concat(col("user_id"), lit(":"), col("sid")).as("id"),
+        .select(concat(col("user_id"), lit(":"), col("session_id")).as("id"),
           col("start"), col("end"))
       val incidents = e.where(col("event_type") === "error")
         .select(col("event_id").cast("string").as("id"),

@@ -200,7 +200,9 @@ object ReferenceParity {
     // join (AnalyticsLayoutSpec pins the exchange-free plan); staged once
     // per session, then read back through the catalog's bucket metadata
     "layout_bucketed_join" -> ((s, dir) => {
-      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      // collision-free per-dir table names (a 32-bit hash could alias two
+      // data dirs within one session and serve the wrong staged table)
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val base = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft_bucketed_$tag")
       val li = Layout.bucketedTable(s, s"li_bkt_$tag",

@@ -73,9 +73,12 @@ object SqlSurface {
       val st = e.groupBy(col("event_type"))
         .agg(round(expr("percentile(value, 0.5)"), 6).as("med"),
           round(expr("percentile(value, 0.75) - percentile(value, 0.25)"), 6).as("iqr"))
+      // try_divide: a degenerate type (iqr = 0) scores NULL and filters
+      // out — matching DuckDB's divide-by-zero-is-NULL, instead of the
+      // ANSI DIVIDE_BY_ZERO error
       e.join(broadcast(st), "event_type")
         .select(col("event_id"), col("event_type"), col("value"),
-          round((col("value") - col("med")) / col("iqr"), 6).as("rz"))
+          round(try_divide(col("value") - col("med"), col("iqr")), 6).as("rz"))
         .where(abs(col("rz")) > lit(1.5))
     }),
 
