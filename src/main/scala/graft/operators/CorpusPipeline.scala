@@ -38,6 +38,37 @@ object CorpusPipeline {
     * kept iff bucket < round(rate·10⁴), so rates are exact to 1/10⁴ and
     * a stratum's sample is a SUBSET of any higher-rate sample of itself
     * (nested samples — raising a source's weight only adds documents). */
+  /** Deterministic WEIGHTED sampling without replacement, `perSource`
+    * docs per stratum (Efraimidis–Spirakis A-ES): rank by u^(1/w) — in
+    * log space, ln(u)/w — where the uniform u derives from md5(doc_id)
+    * (52-bit prefix → an exactly-representable dyadic rational), so the
+    * selection is reproducible across runs/retries/engines like
+    * [[sampleMix]], but inclusion probability scales with the WEIGHT
+    * (sample long documents more, or by quality score). The key is
+    * rounded to 9 decimals before ranking so libm last-ulp differences
+    * cannot flip an order; ties break on doc_id. Rows with weight <= 0
+    * are excluded (A-ES requires positive weights).
+    *
+    * Scale shape: one codegen'd projection computes the key, and the
+    * per-stratum top-k is the only exchange — at large k swap the rank
+    * window for [[graft.functions.TopKPairs]]. Output: (doc_id, source,
+    * skey, rk), rk 1..perSource per source. */
+  def weightedSample(docs: DataFrame, perSource: Int,
+                     weight: org.apache.spark.sql.Column): DataFrame = {
+    val u = (graft.functions.keys.md5Prefix64(
+        col("doc_id").cast(org.apache.spark.sql.types.StringType).cast(BinaryType), 13)
+      + lit(1L)).cast(org.apache.spark.sql.types.DoubleType) /
+      lit(4503599627370496.0) // 2^52
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("skey").desc, col("doc_id").asc)
+    docs.where(weight > 0)
+      .withColumn("skey", round(log(u) / weight, 9))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= perSource)
+      .select(col("doc_id"), col("source"), col("skey"),
+        col("rk").cast(org.apache.spark.sql.types.IntegerType).as("rk"))
+  }
+
   def sampleMix(docs: DataFrame, rates: Map[String, Double],
                 defaultRate: Double, stratumCol: String = "source"): DataFrame = {
     val bucket = pmod(graft.functions.keys.md5Prefix64(

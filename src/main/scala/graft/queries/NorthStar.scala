@@ -110,6 +110,12 @@ object NorthStar {
     "corpus_global_shuffle" -> ((s, dir) =>
       CorpusPipeline.globalShuffle(t(s, dir, "documents"), 16)),
 
+    // deterministic weighted sampling (Efraimidis-Spirakis, md5-derived
+    // uniforms): 50 docs per source, inclusion odds proportional to
+    // n_chars — longer documents sample in more often, reproducibly
+    "corpus_weighted_sample" -> ((s, dir) =>
+      CorpusPipeline.weightedSample(t(s, dir, "documents"), 20, col("n_chars"))),
+
     // leakage-safe train/val/test split: hash assignment on the near-dup
     // cluster REPRESENTATIVE, so no cluster ever straddles a split
     // boundary (the train/test contamination a per-doc hash produces)
@@ -853,6 +859,19 @@ object NorthStar {
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "corpus_split_leakage_safe" -> leakageSafeSplitSql,
+    "corpus_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, source, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) pre
+           FROM documents WHERE n_chars > 0),
+         k AS (SELECT doc_id, source,
+                round(ln((pre + 1) / 4503599627370496.0) / n_chars, 9) skey
+               FROM d),
+         r AS (SELECT doc_id, source, skey,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY skey DESC, doc_id ASC) rk
+               FROM k)
+         SELECT doc_id, source, skey, CAST(rk AS INT) AS rk
+         FROM r WHERE rk <= 20""",
     "corpus_decontaminate_eval" ->
       s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
           ev AS (SELECT DISTINCT unnest(ss) s

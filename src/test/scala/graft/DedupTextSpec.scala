@@ -51,6 +51,27 @@ class DedupTextSpec extends SparkSuite {
     assert(contA === 4.0 / 18.0 && contB === 1.0) // 4 shared of 18 vs 4 shingles
   }
 
+  test("weightedSample: heavy docs dominate the sample; selection is deterministic") {
+    // 10 docs at weight 10000 vs 90 at weight 10 — A-ES inclusion odds
+    // track the weight, so the top-10 should be nearly all heavies
+    val corpus = ((0 until 10).map(i => (i.toLong, "s", 10000L)) ++
+      (10 until 100).map(i => (i.toLong, "s", 10L)))
+      .toDF("doc_id", "source", "n_chars")
+    val got = CorpusPipeline.weightedSample(corpus, 10, col("n_chars"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.size === 10)
+    val heavies = got.count(_ < 10)
+    assert(heavies >= 8, s"only $heavies/10 heavy docs sampled: $got")
+    // reproducible: an identical second run selects the identical set
+    val again = CorpusPipeline.weightedSample(corpus, 10, col("n_chars"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === got)
+    // zero/negative weights are excluded, not divide-by-zero crashes
+    val withZero = corpus.unionAll(Seq((100L, "s", 0L)).toDF("doc_id", "source", "n_chars"))
+    assert(!CorpusPipeline.weightedSample(withZero, 200, col("n_chars"))
+      .select("doc_id").as[Long].collect().contains(100L))
+  }
+
   test("bm25Scores: hand-computed scores, absent-term docs excluded") {
     val corpus = Seq(
       (1L, "cat dog"),
