@@ -25,19 +25,6 @@ import org.apache.spark.sql.types.BinaryType
   */
 object CorpusPipeline {
 
-  /** Deterministic hash-stratified sampling — the corpus MIXING primitive
-    * (up/down-weighting sources into a training mix): each stratum keeps
-    * `rate` of its documents, selected by a hash bucket instead of an
-    * RNG. Reproducibility is the point: the same document set is kept
-    * across engines, runs, task retries and cluster sizes (an RNG-based
-    * sampleBy re-draws on task re-execution), and the DuckDB oracle can
-    * mirror the selection bit-for-bit. Shuffle-free — the predicate is a
-    * per-row filter that pushes down like any other.
-    *
-    * Bucket = first 7 md5 hex chars of the doc id, mod 10⁴; a document is
-    * kept iff bucket < round(rate·10⁴), so rates are exact to 1/10⁴ and
-    * a stratum's sample is a SUBSET of any higher-rate sample of itself
-    * (nested samples — raising a source's weight only adds documents). */
   /** Deterministic WEIGHTED sampling without replacement, `perSource`
     * docs per stratum (Efraimidis–Spirakis A-ES): rank by u^(1/w) — in
     * log space, ln(u)/w — where the uniform u derives from md5(doc_id)
@@ -69,6 +56,19 @@ object CorpusPipeline {
         col("rk").cast(org.apache.spark.sql.types.IntegerType).as("rk"))
   }
 
+  /** Deterministic hash-stratified sampling — the corpus MIXING primitive
+    * (up/down-weighting sources into a training mix): each stratum keeps
+    * `rate` of its documents, selected by a hash bucket instead of an
+    * RNG. Reproducibility is the point: the same document set is kept
+    * across engines, runs, task retries and cluster sizes (an RNG-based
+    * sampleBy re-draws on task re-execution), and the DuckDB oracle can
+    * mirror the selection bit-for-bit. Shuffle-free — the predicate is a
+    * per-row filter that pushes down like any other.
+    *
+    * Bucket = first 7 md5 hex chars of the doc id, mod 10⁴; a document is
+    * kept iff bucket < round(rate·10⁴), so rates are exact to 1/10⁴ and
+    * a stratum's sample is a SUBSET of any higher-rate sample of itself
+    * (nested samples — raising a source's weight only adds documents). */
   def sampleMix(docs: DataFrame, rates: Map[String, Double],
                 defaultRate: Double, stratumCol: String = "source"): DataFrame = {
     val bucket = pmod(graft.functions.keys.md5Prefix64(

@@ -71,7 +71,13 @@ object Layout {
       .saveAsTable(table)
 
   /** The bucketed table named `table`, staging it via [[writeBucketed]] on
-    * first use (idempotent per session — the catalog remembers). */
+    * first use (idempotent per session — the catalog remembers).
+    *
+    * ASSUMES the source `df`'s data is immutable for the session: a
+    * previously staged table is served as-is, so regenerated input data
+    * would silently be answered from the stale staged copy. If the input
+    * can change within a session, key `table` on a content/version tag of
+    * the source (or drop the table first). */
   def bucketedTable(spark: org.apache.spark.sql.SparkSession, table: String,
                     path: String, key: String, buckets: Int)
                    (df: => DataFrame): DataFrame = {

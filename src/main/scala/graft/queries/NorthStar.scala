@@ -111,7 +111,7 @@ object NorthStar {
       CorpusPipeline.globalShuffle(t(s, dir, "documents"), 16)),
 
     // deterministic weighted sampling (Efraimidis-Spirakis, md5-derived
-    // uniforms): 50 docs per source, inclusion odds proportional to
+    // uniforms): 20 docs per source, inclusion odds proportional to
     // n_chars — longer documents sample in more often, reproducibly
     "corpus_weighted_sample" -> ((s, dir) =>
       CorpusPipeline.weightedSample(t(s, dir, "documents"), 20, col("n_chars"))),

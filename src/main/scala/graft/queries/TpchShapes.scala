@@ -318,7 +318,7 @@ object TpchShapes {
       val avgBal = c.where(col("c_acctbal") > 0)
         .agg(davg(col("c_acctbal")).as("ab"))
       c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
-        .crossJoin(avgBal)
+        .crossJoin(broadcast(avgBal))
         .where(col("c_acctbal") > col("ab"))
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))

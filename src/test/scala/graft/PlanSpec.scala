@@ -206,6 +206,14 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("q22 scalar average joins as a broadcast, never a cartesian") {
+    // the 1-row avg-balance side carries an explicit broadcast() hint (the
+    // same posture as every other scalar-subquery site) — the plan must
+    // realize it as BroadcastNestedLoopJoin, not CartesianProduct
+    val p = plan("q22_idle_balances")
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("round-3 additions keep the declared plan posture (broadcast dims, bounded exchanges)") {
     // centroid scoring: the codebook-sized centroid table broadcasts; the
     // corpus side is never shuffle-joined
