@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -37,29 +38,39 @@ object GraphOps {
     * finite and oracle-mirrorable. Output: (id, rank), Σ rank = 1 − the
     * shed floor remainders.
     *
-    * The edge and degree frames are materialized once via `storage` (same
-    * knob as [[Dedup.clusters]]): without it, every iteration's join would
-    * re-run the upstream edge derivation through lineage, and the N-times-
-    * nested plan defeats exchange reuse across the iteration boundary.
-    * Both are partitioned by their join key (`src`) before materializing,
-    * so each iteration exchanges only the nodes-sized rank frame. */
+    * The expanded edge frame is computed and materialized EXACTLY ONCE via
+    * `storage` (same knob as [[Dedup.clusters]]): the doubling is an
+    * explode of a 2-element struct array (one scan of `edges` — a unionAll
+    * of two selects would evaluate an expensive upstream edge derivation
+    * once per branch), the per-node degree rides each edge row via one
+    * count window over the src-hash exchange (a separate checkpointed
+    * degree table, as in round 3, re-ran the edge derivation a second time
+    * for its join), and the frame is src-partitioned before materializing,
+    * so each iteration exchanges only the nodes-sized rank frame. The node
+    * list and count derive from the checkpointed frame — cheap rescans, no
+    * second materialization. */
   def pageRank(edges: DataFrame, iters: Int,
                dampNum: Int = 17, dampDen: Int = 20,
                storage: Dedup.FixpointStorage = Dedup.LocalCheckpoint): DataFrame = {
     require(0 < dampNum && dampNum < dampDen, "damping must be in (0,1)")
-    val raw = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
-    val deg = Dedup.materializeFixpoint(
-      raw.groupBy(col("src")).agg(count(lit(1)).as("deg")), storage)
+    val raw = edges.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     // degree rides each edge row, so the per-iteration step is ONE
     // equi-join (ranks against this frame) + one long-sum — no separate
     // degree join inside the loop
     val und = Dedup.materializeFixpoint(
-      raw.join(deg, "src").repartition(col("src")), storage)
-    val n = deg.agg(count(lit(1)).as("n_nodes"))
+      raw.repartition(col("src"))
+        .select(col("src"), col("dst"),
+          count(lit(1)).over(Window.partitionBy(col("src"))).as("deg")),
+      storage)
+    // no exchange: und is already src-partitioned
+    val nodes = und.select(col("src")).distinct()
+    val n = nodes.agg(count(lit(1)).as("n_nodes"))
     // teleport mass per node, in units: (S·(1-d)) div n
     val tele = s"((${RankScale}L * ${dampDen - dampNum}) div $dampDen) div n_nodes"
-    var ranks = deg.crossJoin(broadcast(n)) // 1-row scalar, documented pattern
+    var ranks = nodes.crossJoin(broadcast(n)) // 1-row scalar, documented pattern
       .select(col("src").as("id"), expr(s"${RankScale}L div n_nodes").as("units"))
     for (_ <- 1 to iters) {
       val contrib = ranks
