@@ -36,24 +36,38 @@ object CorpusPipeline {
     * cannot flip an order; ties break on doc_id. Rows with weight <= 0
     * are excluded (A-ES requires positive weights).
     *
-    * Scale shape: one codegen'd projection computes the key, and the
-    * per-stratum top-k is the only exchange — at large k swap the rank
-    * window for [[graft.functions.TopKPairs]]. Output: (doc_id, source,
-    * skey, rk), rk 1..perSource per source. */
+    * Scale shape: one codegen'd projection computes the key, then the
+    * per-stratum selection is the bounded [[graft.functions.TopKPairs]]
+    * partial aggregate — each map task ships at most `perSource` pairs
+    * per source through the one exchange, so a stratum's cost is
+    * O(perSource), not a full sort of its documents (the `row_number`
+    * window form plans one single-task sort PER SOURCE — a handful of
+    * giant sorts on a real corpus). `doc_id` must be integral (it rides
+    * as the aggregate's long payload).
+    *
+    * Practical weight bound: the key is round(ln(u)/w, 9), so once
+    * w ≳ 10⁸ all keys collapse onto a ~37-value grid of the 9-decimal
+    * rounding and selection degrades to doc_id tie-order. Weights at
+    * document scale (chars, tokens, quality scores) are fine; normalize
+    * anything larger (divide by its max) before passing it in.
+    *
+    * Output: (doc_id, source, skey, rk), rk 1..perSource per source. */
   def weightedSample(docs: DataFrame, perSource: Int,
                      weight: org.apache.spark.sql.Column): DataFrame = {
     val u = (graft.functions.keys.md5Prefix64(
         col("doc_id").cast(org.apache.spark.sql.types.StringType).cast(BinaryType), 13)
       + lit(1L)).cast(org.apache.spark.sql.types.DoubleType) /
       lit(4503599627370496.0) // 2^52
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("skey").desc, col("doc_id").asc)
     docs.where(weight > 0)
-      .withColumn("skey", round(log(u) / weight, 9))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= perSource)
-      .select(col("doc_id"), col("source"), col("skey"),
-        col("rk").cast(org.apache.spark.sql.types.IntegerType).as("rk"))
+      .select(col("source"),
+        struct(round(log(u) / weight, 9).as("skey"),
+          col("doc_id").cast(org.apache.spark.sql.types.LongType).as("doc_id")).as("pair"))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKPairs.topK(col("pair"), perSource).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("col.payload").as("doc_id"), col("source"),
+        col("col.ord").as("skey"),
+        (col("pos") + 1).cast(org.apache.spark.sql.types.IntegerType).as("rk"))
   }
 
   /** Deterministic hash-stratified sampling — the corpus MIXING primitive

@@ -206,6 +206,14 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("weighted sampling: bounded TopKPairs partial aggregate, no per-source window sort") {
+    // the row_number window form plans one single-task sort per source —
+    // the bounded aggregate ships at most perSource pairs per map task
+    val p = plan("corpus_weighted_sample")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) ObjectHashAggregate.*""")) >= 2, p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q22 scalar average joins as a broadcast, never a cartesian") {
     // the 1-row avg-balance side carries an explicit broadcast() hint (the
     // same posture as every other scalar-subquery site) — the plan must
