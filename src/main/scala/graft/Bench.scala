@@ -31,13 +31,16 @@ object Bench {
       if (subset.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => subset(n) }
 
-    // min of 2 runs, taken as two FULL alternating passes rather than
+    // min of 3 runs, taken as three FULL alternating passes rather than
     // back-to-back: first-run JIT/GC noise dominates single-shot numbers,
     // and a transient machine-load spike poisons adjacent timings — the
-    // passes are minutes apart per query, so the min survives it
+    // passes are minutes apart per query, so the min survives it. Round 3's
+    // 2-pass min still showed 2-3x ambient artifacts (q21/q22) inside the
+    // full pass that vanished in isolated re-runs; a third interleaved
+    // sample prices one spike per query out of the min.
     val names = picked.toSeq.sortBy(_._1)
     val best = scala.collection.mutable.Map.empty[String, Double]
-    for (_ <- 1 to 2; (name, fn) <- names) {
+    for (_ <- 1 to 3; (name, fn) <- names) {
       val t0 = System.nanoTime()
       try {
         force(fn(spark, sfDir))
