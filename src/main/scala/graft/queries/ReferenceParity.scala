@@ -104,7 +104,102 @@ object ReferenceParity {
         WHERE rn <= 2"""
   }
 
+  // ---- non-text source formats under the oracle gate (S3/S4 + ORC) ----
+  // Each query stages a small fixture DERIVED FROM the sf supplier table
+  // in the format under test (once per data dir; content is a pure
+  // function of the driver-fixed parquet, so the staged copy never goes
+  // stale), reads it back through the engine's source driver, and runs
+  // the full cell pipeline. The oracle computes the same cells straight
+  // from the parquet table — a green row proves the format round-trip
+  // AND the pipeline are byte-identical to the text drivers.
+
+  /** supplier as deterministic positional strings (doubles via
+    * DECIMAL(18,2), the custValueCols convention). */
+  private def supplierPositional(df: org.apache.spark.sql.DataFrame) = df.select(
+    col("s_suppkey").cast(StringType).as("c0"),
+    col("s_name").as("c1"),
+    col("s_nationkey").cast(StringType).as("c2"),
+    col("s_acctbal").cast(DecimalType(18, 2)).cast(StringType).as("c3"))
+
+  private val suppValueSqls = Seq(
+    "CAST(s_suppkey AS VARCHAR)", "s_name", "CAST(s_nationkey AS VARCHAR)",
+    "CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR)")
+
+  /** Indexed cells of the 4-column supplier fixture: key = md5 concat of
+    * all four fields (Config default keyFields 0..3 at arity 4). */
+  private def suppCellsIndexedSql: String = {
+    val k = suppValueSqls.map(v => s"md5($v)").mkString(" || ")
+    val branches = suppValueSqls.zipWithIndex.map { case (v, i) =>
+      s"""SELECT k AS "row", '63' AS "family", '${f"$i%08x"}' AS "qualifier", lower(hex($v)) AS "value", CAST(0 AS BIGINT) AS "ts" FROM src"""
+    }
+    s"WITH src AS (SELECT $k AS k, * FROM supplier) " + branches.mkString(" UNION ALL ")
+  }
+
+  /** Named cells of the avro supplier fixture: reversed-id key, field-name
+    * qualifiers, and a NULLABLE acctbal (negative balances write as avro
+    * nulls → the null-cell guard emits no cell, the reference S3 path). */
+  private def suppCellsAvroSql: String = {
+    val cols = Seq(
+      "id" -> "id", "name" -> "name", "nationkey" -> "nk", "acctbal" -> "ab")
+    val branches = cols.map { case (n, v) =>
+      val guard = if (n == "acctbal") " WHERE ab IS NOT NULL" else ""
+      s"""SELECT lower(hex(reverse(id))) AS "row", '63' AS "family", '${hexOf(n)}' AS "qualifier", lower(hex($v)) AS "value", CAST(0 AS BIGINT) AS "ts" FROM src$guard"""
+    }
+    """WITH src AS (SELECT CAST(s_suppkey AS VARCHAR) AS id, s_name AS name,
+         CAST(s_nationkey AS VARCHAR) AS nk,
+         CASE WHEN s_acctbal < 0 THEN NULL
+              ELSE CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) END AS ab
+       FROM supplier) """ + branches.mkString(" UNION ALL ")
+  }
+
+  /** Staging guard: run `write` once per fixture path (deterministic
+    * content — same immutable-input contract as [[Layout.bucketedTable]]). */
+  private def staged(path: String)(write: => Unit): String = {
+    if (!new java.io.File(path).exists()) write
+    path
+  }
+
+  private def fixturePath(dir: String, fmt: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_src_${fmt}_${dir.replaceAll("[^A-Za-z0-9]", "_")}").getPath
+
   val defs: Map[String, Q] = Map(
+    // S3: avro container round-trip → reversed-id key + name qualifiers +
+    // nullable-field cell guard, byte-checked against the oracle
+    "source_avro_cells" -> ((s, dir) => {
+      val path = staged(fixturePath(dir, "avro")) {
+        graft.sources.AvroSource.write(t(s, dir, "supplier").select(
+          col("s_suppkey").cast(StringType).as("id"),
+          col("s_name").as("name"),
+          col("s_nationkey").cast(StringType).as("nationkey"),
+          when(col("s_acctbal") < 0, lit(null).cast(StringType))
+            .otherwise(col("s_acctbal").cast(DecimalType(18, 2)).cast(StringType))
+            .as("acctbal")), fixturePath(dir, "avro"))
+      }
+      hexBin(graft.BulkLoad.avro(s, path).cells)
+    }),
+
+    // S4 (legacy): RCFile columnar round-trip through the positional
+    // pipeline — same cells as the csv/hivetext drivers on this content
+    "source_rcfile_cells" -> ((s, dir) => {
+      val path = staged(fixturePath(dir, "rcfile")) {
+        graft.sources.RCFileSource.write(
+          supplierPositional(t(s, dir, "supplier")), fixturePath(dir, "rcfile"))
+      }
+      hexBin(graft.BulkLoad.rcFile(s, path,
+        graft.BulkLoad.Config(arity = 4)).cells)
+    }),
+
+    // S4 (modern): ORC round-trip through the same positional pipeline
+    "source_orc_cells" -> ((s, dir) => {
+      val path = staged(fixturePath(dir, "orc")) {
+        graft.sources.OrcSource.write(
+          supplierPositional(t(s, dir, "supplier")), fixturePath(dir, "orc"))
+      }
+      hexBin(graft.BulkLoad.orc(s, path,
+        graft.BulkLoad.Config(arity = 4)).cells)
+    }),
+
     // P5-P7: composite MD5 row key (text/CSV/RC reference paths)
     "rowkey_md5_composite" -> ((s, dir) =>
       hexBin(t(s, dir, "customer").select(col("c_custkey"), custKey.as("rowkey")))),
@@ -222,6 +317,9 @@ object ReferenceParity {
   )
 
   val oracle: Map[String, String] = Map(
+    "source_avro_cells" -> suppCellsAvroSql,
+    "source_rcfile_cells" -> suppCellsIndexedSql,
+    "source_orc_cells" -> suppCellsIndexedSql,
     "rowkey_md5_composite" ->
       s"SELECT c_custkey, $custKeyHexSql AS rowkey FROM customer",
     "rowkey_reversed" ->

@@ -124,6 +124,23 @@ class SourceDriversSpec extends SparkSuite {
     assert(got === Seq("hbase.zookeeper.quorum" -> "zk1,zk2", "spark.x" -> "trimmed"))
   }
 
+  test("RCFileSource.write: distributed writer roundtrips through read, one file per partition") {
+    val dir = tmpDir() + "/rcw"
+    val df = rows9.toDF((0 until 9).map(i => s"c$i"): _*).repartition(2)
+    graft.sources.RCFileSource.write(df, dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("part-")) === 2)
+    val back = graft.sources.RCFileSource.read(spark, dir, 9)
+    assert(back.orderBy("c0").collect().map(_.toSeq).toSeq ===
+      rows9.sortBy(_._1).map(_.productIterator.toSeq).toSeq)
+    // null cells write as empty bytes and read back as "" (the serde's
+    // empty-string representation, same as the Writer-fixture path)
+    val withNull = Seq(("1", null: String, "x")).toDF("c0", "c1", "c2")
+    val nd = tmpDir() + "/rcn"
+    graft.sources.RCFileSource.write(withNull, nd)
+    assert(graft.sources.RCFileSource.read(spark, nd, 3).collect().map(_.toSeq).toSeq ===
+      Seq(Seq("1", "", "x")))
+  }
+
   test("rcfile-compat keys (1,3,4,20): field 20 out of range quarantines every row instead of crashing") {
     // the reference reads value.get(20) on a 9-column row and dies
     // (BulkImporterFromRC.java:54-56); the compat flag reproduces the key
