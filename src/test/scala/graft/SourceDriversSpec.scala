@@ -362,6 +362,50 @@ class SourceDriversSpec extends SparkSuite {
     assert(written.size === 18)
   }
 
+  test("bulkLoadStep: postCommit drives the adoption tool through the reflection seam") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set(HFileCellSink.TableKey, "transactions")
+    conf.set(HFileCellSink.ToolClassKey, "graft.fakehbase.BulkLoadHFiles")
+    conf.set(HFileCellSink.TableNameClassKey, "graft.fakehbase.TableName")
+    try {
+      graft.fakehbase.RecordedBulkLoads.calls.clear()
+      val dir = tmpDir()
+      rows9.map(r => r.productIterator.mkString("\u0001"))
+        .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+      val r = BulkLoad.hiveText(spark, dir)
+      val out = tmpDir() + "/adopt"
+      HFileCellSink.write(r.cells, out)
+      HFileCellSink.postCommit(out)
+      // the adoption call reached the (stand-in) tool with the configured
+      // table and the staging path — the full create→valueOf→bulkLoad
+      // wiring, not a stub
+      assert(graft.fakehbase.RecordedBulkLoads.calls.toArray.toSeq ===
+        Seq(("transactions", out)))
+      // and X4 had already run by then (postCommit order is final in the
+      // trait; the chmod walk's effect is visible after the sequence)
+      val st = java.nio.file.Files.getPosixFilePermissions(java.nio.file.Paths.get(out))
+      assert(st.contains(java.nio.file.attribute.PosixFilePermission.OTHERS_WRITE))
+    } finally {
+      conf.unset(HFileCellSink.TableKey)
+      conf.unset(HFileCellSink.ToolClassKey)
+      conf.unset(HFileCellSink.TableNameClassKey)
+    }
+  }
+
+  test("bulkLoadStep: unset table key or unloadable tool classes degrade to a no-op") {
+    graft.fakehbase.RecordedBulkLoads.calls.clear()
+    val out = tmpDir() + "/noop"
+    new java.io.File(out).mkdirs()
+    // no table configured → nothing attempted
+    HFileCellSink.postCommit(out)
+    // table set but production class names unloadable here → still a no-op
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set(HFileCellSink.TableKey, "transactions")
+    try HFileCellSink.postCommit(out)
+    finally conf.unset(HFileCellSink.TableKey)
+    assert(graft.fakehbase.RecordedBulkLoads.calls.isEmpty)
+  }
+
   test("CLI key spec: --key-fields/--family/--qualifiers reach the pipeline (reference RC spec)") {
     val cfg = IngestCli.configFrom(Map(
       "--key-fields" -> "1,3,4,20", "--family" -> "fam", "--qualifiers" -> "name",

@@ -15,6 +15,29 @@ class KeyValue(val row: Array[Byte], val family: Array[Byte],
 
 class BytesKey(val get: Array[Byte])
 
+/** Call log for the stand-in adoption tool (X5). */
+object RecordedBulkLoads {
+  val calls = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+}
+
+/** Stand-in for `org.apache.hadoop.hbase.TableName` (static `valueOf`). */
+class TableName private (val name: String)
+object TableName {
+  def valueOf(s: String): TableName = new TableName(s)
+}
+
+/** Stand-in for `org.apache.hadoop.hbase.tool.BulkLoadHFiles`: static
+  * `create(Configuration)` factory, instance `bulkLoad(TableName, Path)` —
+  * the exact shape `HFileCellSink.bulkLoadVia` resolves by name. */
+class BulkLoadHFiles private (conf: org.apache.hadoop.conf.Configuration) {
+  def bulkLoad(table: TableName, dir: org.apache.hadoop.fs.Path): Unit =
+    RecordedBulkLoads.calls.add((table.name, dir.toString))
+}
+object BulkLoadHFiles {
+  def create(conf: org.apache.hadoop.conf.Configuration): BulkLoadHFiles =
+    new BulkLoadHFiles(conf)
+}
+
 /** Writes one CSV-of-hex line per cell — enough to assert every byte the
   * sink handed to the output format. */
 class CellTextOutputFormat extends FileOutputFormat[AnyRef, AnyRef] {
