@@ -345,12 +345,18 @@ object Dedup {
                storage: FixpointStorage = LocalCheckpoint): DataFrame = {
     // materialize the edge list ONCE — without this every fixpoint
     // iteration re-runs the upstream pair pipeline (LSH + verify) from
-    // scratch inside its join. Partitioned by the JOIN key before the
-    // checkpoint: hashpartitioning(b) survives materialization, so each
-    // iteration's equi-join exchanges only the label rows — the (usually
-    // much larger) edge list never moves again.
-    val und = materializeFixpoint(pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    // scratch inside its join. The undirected doubling is an explode of a
+    // 2-element struct array, NOT a union of two selects: each union
+    // branch would evaluate the (expensive) upstream pair pipeline once
+    // per branch. Partitioned by the JOIN key before the checkpoint:
+    // hashpartitioning(b) survives materialization, so each iteration's
+    // equi-join exchanges only the label rows — the (usually much larger)
+    // edge list never moves again.
+    val und = materializeFixpoint(pairs
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
       .repartition(col("b")), storage)
     var labels = materializeFixpoint(und.select(col("a").as("id")).distinct()
