@@ -146,6 +146,44 @@ object TextOps {
       .agg(sum(col("c")).as("n_bigrams"),
         (max(col("c")).cast(DoubleType) / sum(col("c"))).as("top_bigram_frac"))
 
+  /** Per-document duplicated-n-gram fraction — the substring-duplication
+    * signal of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (arXiv:2107.06499): the fraction of a document's
+    * positional word n-grams that ALSO occur in at least one other
+    * document. Whole-doc dedup ([[Dedup]]) misses boilerplate shared
+    * across otherwise-distinct pages; a high dup_fraction flags exactly
+    * those templated/licensed/navigational spans for span-level cleaning
+    * or down-weighting.
+    *
+    * Scale shape: the positional n-gram stream reduces to (doc, gram,
+    * count) grain in ONE map-side-combined exchange before anything is
+    * joined, so the cross-doc evidence join runs at distinct-gram grain,
+    * not token grain; the "duplicated" gram keys come from a second
+    * map-side-combined count over that same grain. Skew note: the join
+    * probe side is (doc, gram)-distinct, so a boilerplate gram appearing
+    * in a million docs contributes a million PROBE rows but only one
+    * build row — a plain semi-join handles it; no gram ever needs the
+    * full positional stream again. Per-doc totals are one further
+    * doc-keyed aggregate. Output: (doc_id, n_ngrams, n_dup,
+    * dup_fraction), docs with >= n tokens; division happens once from
+    * exact counts with a final round-6, so the oracle matches bit-exact. */
+  def dupNgramStats(docs: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame = {
+    val grams = docs.select(col("doc_id"),
+        explode(shingleStructs(col("text"), n)).as("t"))
+      .select(col("doc_id"), shingleString(col("t"), n).as("g"))
+    val occ = grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+    val dupGrams = occ.groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
+      .where(col("ndocs") >= 2).select(col("g"))
+    val dupCnt = occ.join(dupGrams, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_dup"))
+    occ.groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_ngrams"))
+      .join(dupCnt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)).cast(DoubleType) /
+          col("n_ngrams").cast(DoubleType), 6).as("dup_fraction"))
+  }
+
   /** TF-IDF top-k terms per document — the classic term-weighting operator
     * (corpus-level inverse document frequency × per-document term
     * frequency), used for keyword extraction and near-duplicate

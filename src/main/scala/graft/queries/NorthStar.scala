@@ -246,6 +246,12 @@ object NorthStar {
     "text_repetition" -> ((s, dir) =>
       TextOps.repetitionScores(t(s, dir, "documents"))),
 
+    // substring-duplication signal (Lee et al. 2021): per doc, the share
+    // of its positional word 3-grams that also occur in another document
+    // — boilerplate that whole-doc dedup can't see
+    "text_dup_ngram_fraction" -> ((s, dir) =>
+      TextOps.dupNgramStats(t(s, dir, "documents"), N)),
+
     // corpus vocabulary statistics: bigram document frequency, top 50
     "text_top_bigrams" -> ((s, dir) => {
       val sh = t(s, dir, "documents")
@@ -1003,6 +1009,19 @@ object NorthStar {
          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
            CAST(MAX(c) AS DOUBLE)/SUM(c) AS top_bigram_frac
          FROM c GROUP BY doc_id""",
+    "text_dup_ngram_fraction" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         g AS (SELECT doc_id, unnest($posShingleExpr) g
+               FROM t0 WHERE len(w) >= $N),
+         occ AS (SELECT doc_id, g, count(*) cnt FROM g GROUP BY 1, 2),
+         nd AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
+         dup AS (SELECT doc_id, SUM(cnt) n_dup FROM occ JOIN nd USING (g) GROUP BY 1),
+         tot AS (SELECT doc_id, SUM(cnt) n_ngrams FROM occ GROUP BY 1)
+         SELECT t.doc_id, CAST(t.n_ngrams AS BIGINT) AS n_ngrams,
+           CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup,
+           round(CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / CAST(t.n_ngrams AS DOUBLE), 6)
+             AS dup_fraction
+         FROM tot t LEFT JOIN dup d USING (doc_id)""",
     "text_top_bigrams" ->
       """WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
          sh AS (SELECT doc_id,

@@ -51,6 +51,27 @@ class DedupTextSpec extends SparkSuite {
     assert(contA === 4.0 / 18.0 && contB === 1.0) // 4 shared of 18 vs 4 shingles
   }
 
+  test("dupNgramStats: cross-doc grams counted positionally, within-doc repeats alone don't count") {
+    import graft.operators.TextOps
+    val corpus = Seq(
+      // shares "a b c" and "b c d" with doc 2 → 2 of its 3 trigrams dup
+      (1L, "a b c d x"),
+      (2L, "a b c d y"),
+      // repeats its own trigram twice but shares nothing → 0 dup (cross-
+      // doc evidence requires >= 2 DISTINCT docs, not >= 2 occurrences)
+      (3L, "p q r p q r p q"),
+      // too short for a trigram → excluded entirely
+      (4L, "s t")).toDF("doc_id", "text")
+    val got = TextOps.dupNgramStats(corpus, 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // doc 1: trigrams {a b c, b c d, c d x}; first two occur in doc 2
+    // doc 3: 6 positional trigrams, none shared with another doc
+    assert(got === Seq(
+      (1L, 3L, 2L, 0.666667),
+      (2L, 3L, 2L, 0.666667),
+      (3L, 6L, 0L, 0.0)))
+  }
+
   test("weightedSample: heavy docs dominate the sample; selection is deterministic") {
     // 10 docs at weight 10000 vs 90 at weight 10 — A-ES inclusion odds
     // track the weight, so the top-10 should be nearly all heavies
