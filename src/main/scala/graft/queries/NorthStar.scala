@@ -280,6 +280,29 @@ object NorthStar {
           col("x.source").as("source_a"), col("y.source").as("source_b"))
     }),
 
+    // the source-pair contamination MATRIX: which sources copy from which
+    // (count of cross-source fingerprint collisions per ordered source
+    // pair) — the aggregate a curator reads before deciding which feed to
+    // cut; same fingerprint grain as dedup_cross_source
+    "corpus_source_overlap" -> ((s, dir) => {
+      val fp = shingleMinFp(t(s, dir, "documents"), Seq("doc_id", "source"))
+      fp.as("x").join(fp.as("y"),
+          col("x.fp") === col("y.fp") && col("x.source") < col("y.source"))
+        .select(col("x.source").as("source_a"), col("y.source").as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // near-dup cluster SIZE histogram — the shape report a dedup run
+    // ships (how much mass sits in big boilerplate clusters vs pairs);
+    // singletons never enter the pair stream, so sizes start at 2
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      val cl = Dedup.clusters(Dedup.corpusDedup(t(s, dir, "documents"), N, 0.8)
+        .select(col("a"), col("b")))
+      cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+    }),
+
     // exact cosine top-10 for the first 5 vectors as queries
     "ann_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1041,6 +1064,20 @@ object NorthStar {
           SELECT x.doc_id a, y.doc_id b, x.source source_a, y.source source_b
           FROM fp x JOIN fp y
             ON x.f = y.f AND x.doc_id < y.doc_id AND x.source <> y.source""",
+    "corpus_source_overlap" ->
+      s"""WITH t0 AS (SELECT doc_id, source, string_split(text,' ') w FROM documents),
+          fp AS (SELECT doc_id, source,
+                  list_min(list_transform($shingleExpr, s -> md5(s))) f
+                 FROM t0 WHERE len(w) >= $N)
+          SELECT x.source AS source_a, y.source AS source_b,
+            CAST(count(*) AS BIGINT) AS n_pairs
+          FROM fp x JOIN fp y ON x.f = y.f AND x.source < y.source
+          GROUP BY 1, 2""",
+    "dedup_cluster_sizes" ->
+      s"""SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters FROM (
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM ($dedupClustersSql) GROUP BY cluster_id)
+          GROUP BY cluster_size""",
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 5),
          c AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) nv FROM embeddings),
