@@ -152,30 +152,11 @@ object Similarity {
     * distinct, so no pair is scored twice (no dedup step needed). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cent = corpus
-      .orderBy(md5(col("vec_id").cast(StringType).cast(BinaryType)), col("vec_id"))
-      .limit(nlist)
-      .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
-      .withColumn("cn", norm2(col("cv")))
-    // nearest-centroid cells for a vector set: top-`n` centroids by
-    // (cosine DESC, cid ASC) — rank semantics identical to topKByScore.
-    // Grouping is by the 8-byte id ONLY; the vector rides as a first()
-    // aggregate (constant within the group), so the assignment exchange
-    // hashes/compares scalar keys instead of the ~512 B embedding array
-    def cells(df: DataFrame, id: String, v: String, n: Int): DataFrame =
-      df.crossJoin(broadcast(cent))
-        .select(col(id), col(v),
-          round(dot(col(v), col("cv")) / (norm2(col(v)) * col("cn")), 6).as("sim"),
-          col("cid"))
-        .groupBy(col(id))
-        .agg(TopKPairs.topK(struct(col("sim"), col("cid")), n).as("top"),
-          first(col(v)).as(v))
-        .select(col(id), col(v), explode(col("top")).as("t"))
-        .select(col(id), col(v), col("t.payload").as("cell"))
-    val c = cells(
+    val cent = coarseCentroids(corpus, nlist)
+    val c = nearestCells(cent)(
       corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv")),
       "nid", "nv", 1).withColumn("nn", norm2(col("nv")))
-    val q = cells(
+    val q = nearestCells(cent)(
       queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv")),
       "qid", "qv", nprobe).withColumn("qn", norm2(col("qv")))
     val scored = c.join(broadcast(q), "cell")
@@ -184,6 +165,34 @@ object Similarity {
         round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos_sim"))
     topKByScore(scored, k)
   }
+
+  /** The `nlist` coarse-quantizer centroids: smallest-md5(vec_id) corpus
+    * vectors (deterministic random-subset stand-in for trained k-means —
+    * training moves recall, not plan shape; see [[ivfTopK]]). */
+  private def coarseCentroids(corpus: DataFrame, nlist: Int): DataFrame =
+    corpus
+      .orderBy(md5(col("vec_id").cast(StringType).cast(BinaryType)), col("vec_id"))
+      .limit(nlist)
+      .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", norm2(col("cv")))
+
+  /** Nearest-centroid cells for a vector set: top-`n` centroids by
+    * (cosine DESC, cid ASC) — rank semantics identical to topKByScore.
+    * Grouping is by the 8-byte id ONLY; the vector rides as a first()
+    * aggregate (constant within the group), so the assignment exchange
+    * hashes/compares scalar keys instead of the ~512 B embedding array.
+    * Output: (id, v, cell), `n` rows per input vector. */
+  private def nearestCells(cent: DataFrame)(
+      df: DataFrame, id: String, v: String, n: Int): DataFrame =
+    df.crossJoin(broadcast(cent))
+      .select(col(id), col(v),
+        round(dot(col(v), col("cv")) / (norm2(col(v)) * col("cn")), 6).as("sim"),
+        col("cid"))
+      .groupBy(col(id))
+      .agg(TopKPairs.topK(struct(col("sim"), col("cid")), n).as("top"),
+        first(col(v)).as(v))
+      .select(col(id), col(v), explode(col("top")).as("t"))
+      .select(col(id), col(v), col("t.payload").as("cell"))
 
   val PqM = 8     // subspaces
   val PqKsub = 16 // codes per subspace
@@ -280,6 +289,60 @@ object Similarity {
         l2sq(col("sv"), col("cv")).cast(DecimalType(18, 6)).as("pd"))
     val scored = codes.join(broadcast(dtab), Seq("j", "code"))
       .where(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("pd")).as("adcd"))
+      .select(col("qid"), col("nid"), col("adcd").cast(DoubleType).as("adc"))
+    scored.groupBy(col("qid"))
+      .agg(TopKPairs.topK(struct((-col("adc")).as("ord"), col("nid")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.payload").as("nid"), (-col("col.ord")).as("adc"),
+        (col("pos") + 1).cast(IntegerType).as("rank"))
+  }
+
+  /** IVF-ADC: the billion-scale ANN configuration — coarse cells bound
+    * WHICH vectors a query scores ([[ivfTopK]]'s inverted lists), PQ codes
+    * bound what each score COSTS ([[pqAdcTopK]]'s table lookups). This is
+    * the non-residual IVFADC variant (codes quantize raw vectors, not
+    * cell residuals — Jégou et al. TPAMI 2011 §IV notes the residual
+    * refinement as optional): cell structure and codebook stay
+    * independent, which keeps the DuckDB oracle exact.
+    *
+    * Scale shape: candidate pairs come from the cell equi-join
+    * (|Q|·nprobe·E[cell size], never |Q|·|C|); each candidate then costs
+    * m code lookups against the BROADCAST per-query distance table
+    * instead of a dims-wide dot product, and the only corpus-sized
+    * exchange is the (nid)-keyed join of candidates to codes. Raw
+    * embeddings are read once each for assignment and coding; the search
+    * itself never touches them. Output: (qid, nid, adc, rank). */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 nlist: Int = 16, nprobe: Int = 4,
+                 m: Int = PqM, ksub: Int = PqKsub, dims: Int = 64): DataFrame = {
+    val sub = dims / m
+    val cent = coarseCentroids(corpus, nlist)
+    val cand = nearestCells(cent)(
+        corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv")),
+        "nid", "nv", 1)
+      .select(col("nid"), col("cell"))
+      .join(broadcast(nearestCells(cent)(
+          queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv")),
+          "qid", "qv", nprobe)
+        .select(col("qid"), col("cell"))), "cell")
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+    val cb = pqCentroids(corpus, m, ksub, dims)
+    val codes = pqCodesWith(corpus, cb, m, dims)
+      .select(col("vec_id").as("nid"), col("j"), col("code"))
+    val dtab = queries
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      .select(col("qid"), explode(array((0 until m).map { j =>
+        struct(lit(j).as("j"), slice(col("qv"), j * sub + 1, sub).as("sv"))
+      }: _*)).as("t"))
+      .select(col("qid"), col("t.j").as("j"), col("t.sv").as("sv"))
+      .join(broadcast(cb), "j")
+      .select(col("qid"), col("j"), col("code"),
+        l2sq(col("sv"), col("cv")).cast(DecimalType(18, 6)).as("pd"))
+    val scored = cand.join(codes, "nid")
+      .join(broadcast(dtab), Seq("qid", "j", "code"))
       .groupBy(col("qid"), col("nid"))
       .agg(sum(col("pd")).as("adcd"))
       .select(col("qid"), col("nid"), col("adcd").cast(DoubleType).as("adc"))

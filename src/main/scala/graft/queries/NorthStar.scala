@@ -338,6 +338,13 @@ object NorthStar {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.where(col("vec_id") < 5), 10)
     }),
+    // IVF-ADC: the billion-scale composition — coarse cells bound WHICH
+    // vectors a query scores, PQ codes bound what each score costs
+    // (non-residual IVFADC; search never touches raw embeddings)
+    "ann_ivf_adc_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfAdcTopK(e, e.where(col("vec_id") < 5), 10)
+    }),
     // metadata-filtered retrieval ("ANN with filters"): each query ranks
     // only vectors sharing its label — filter enforced in the join key,
     // never post-hoc, so no k-starvation
@@ -661,6 +668,45 @@ object NorthStar {
         sc AS (SELECT qid, c.vec_id nid, CAST(sum(pd) AS DOUBLE) adc
                FROM codes c JOIN dtab ON c.j = dtab.j AND c.code = dtab.code
                WHERE qid <> c.vec_id GROUP BY 1, 2),
+        r AS (SELECT qid, nid, adc,
+               row_number() OVER (PARTITION BY qid ORDER BY adc ASC, nid ASC) rn
+              FROM sc)
+        SELECT qid, nid, adc, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10"""
+
+  /** Non-residual IVFADC mirror: [[annIvfTopKSql]]'s cell CTEs (renamed to
+    * avoid clashing with the PQ prefix's `cent`) feeding [[pqAdcTopKSql]]'s
+    * table-lookup scoring, restricted to candidate (query, cell) pairs. */
+  private val annIvfAdcTopKSql =
+    s"""WITH $pqCommonSql,
+        icent AS (SELECT vec_id cid, v cv FROM e
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        asn AS (SELECT nid, cell FROM (
+                 SELECT e.vec_id nid, icent.cid cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.v, icent.cv), 6) DESC,
+                              icent.cid ASC) rn
+                 FROM e, icent) WHERE rn = 1),
+        qp AS (SELECT qid, cell FROM (
+                SELECT q.vec_id qid, icent.cid cell,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY round(list_cosine_similarity(q.v, icent.cv), 6) DESC,
+                             icent.cid ASC) rn
+                FROM e q, icent WHERE q.vec_id < 5) WHERE rn <= 4),
+        cand AS (SELECT qp.qid, asn.nid FROM qp JOIN asn USING (cell)
+                 WHERE qp.qid <> asn.nid),
+        q AS (SELECT vec_id qid, v FROM e WHERE vec_id < 5),
+        qsub AS (SELECT qid, j, v[j*8+1 : j*8+8] sv FROM q, js),
+        dtab AS (SELECT qid, qs.j, cb.code,
+                  CAST(round(list_dot_product(qs.sv, qs.sv)
+                             - 2*list_dot_product(qs.sv, cb.cv)
+                             + list_dot_product(cb.cv, cb.cv), 6)
+                    AS DECIMAL(18,6)) pd
+                 FROM qsub qs JOIN cb ON qs.j = cb.j),
+        sc AS (SELECT cand.qid, cand.nid, CAST(sum(pd) AS DOUBLE) adc
+               FROM cand JOIN codes c ON c.vec_id = cand.nid
+                 JOIN dtab ON dtab.qid = cand.qid
+                   AND dtab.j = c.j AND dtab.code = c.code
+               GROUP BY 1, 2),
         r AS (SELECT qid, nid, adc,
                row_number() OVER (PARTITION BY qid ORDER BY adc ASC, nid ASC) rn
               FROM sc)
@@ -1112,5 +1158,6 @@ object NorthStar {
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_pq_codes" -> pqCodesSql,
     "ann_pq_adc_topk" -> pqAdcTopKSql,
+    "ann_ivf_adc_topk" -> annIvfAdcTopKSql,
   )
 }

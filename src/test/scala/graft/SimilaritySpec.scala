@@ -115,6 +115,25 @@ class SimilaritySpec extends SparkSuite {
     assert(found >= 14, s"only $found/20 planted near-dups recovered")
   }
 
+  test("ivfAdcTopK: probing ALL cells reproduces the unrestricted ADC ranking") {
+    // with nprobe = nlist the candidate set is every (query, vector) pair,
+    // so the composed IVF-ADC search must equal plain ADC exactly — the
+    // invariant that pins the composition to its two verified pieces
+    val q = emb.where(col("vec_id") < 3)
+    val composed = Similarity.ivfAdcTopK(emb, q, 5, nlist = 4, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val plain = Similarity.pqAdcTopK(emb, q, 5)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(composed === plain)
+    // with a selective probe, results are a SUBSET of the scored universe:
+    // every neighbor still carries the exact ADC score plain ADC computes
+    val narrow = Similarity.ivfAdcTopK(emb, q, 5, nlist = 8, nprobe = 2)
+      .select("qid", "nid", "adc").as[(Long, Long, Double)].collect().toSet
+    val all = Similarity.pqAdcTopK(emb, q, emb.count().toInt)
+      .select("qid", "nid", "adc").as[(Long, Long, Double)].collect().toSet
+    assert(narrow.subsetOf(all))
+  }
+
   test("cosinePairsBucketed: subset of the exact pairs (zero false positives), full recall on planted near-dups") {
     val exact = Similarity.cosinePairs(emb, 0.4)
       .select("a", "b").as[(Long, Long)].collect().toSet
