@@ -338,6 +338,23 @@ object NorthStar {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.where(col("vec_id") < 5), 10)
     }),
+    // retrieval QUALITY as a query: recall@10 of the IVF search vs the
+    // exact ranking — the evaluation loop a retrieval stack runs after
+    // every index rebuild, here one semi-join of two declared pipelines
+    "ann_ivf_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(e, q, 10).select(col("qid"), col("nid"))
+      val approx = Similarity.ivfTopK(e, q, 10).select(col("qid"), col("nid"))
+      val hits = exact.join(approx, Seq("qid", "nid"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+      exact.select(col("qid")).distinct()
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / lit(10.0), 6)
+            .as("recall"))
+    }),
     // IVF-ADC: the billion-scale composition — coarse cells bound WHICH
     // vectors a query scores, PQ codes bound what each score costs
     // (non-residual IVFADC; search never touches raw embeddings)
@@ -598,6 +615,31 @@ object NorthStar {
   /** Literal mirror of [[Similarity.ivfTopK]] (nlist=16, nprobe=4, k=10):
     * deterministic md5-ordered centroid subset, round-6 cosine ranking with
     * cid tiebreak for both assignment and probing. */
+  private val annCosineTopKSql =
+    """WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) nv FROM embeddings),
+       sc AS (SELECT qid, nid, round(list_cosine_similarity(qv, nv), 6) cos_sim
+              FROM q, c WHERE qid <> nid),
+       r AS (SELECT qid, nid, cos_sim,
+              row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) rn
+             FROM sc)
+       SELECT qid, nid, cos_sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10"""
+
+  /** Recall@10 of the IVF search against the exact ranking — retrieval
+    * quality measured as a relational join of the two declared pipelines
+    * (both CTE-nested subqueries; DuckDB allows WITH inside FROM).
+    * Lazy: refers to [[annIvfTopKSql]], declared below. */
+  private lazy val annIvfRecallSql =
+    s"""WITH exact AS (SELECT qid, nid FROM ($annCosineTopKSql)),
+        approx AS (SELECT qid, nid FROM ($annIvfTopKSql)),
+        hits AS (SELECT e.qid, count(*) n_hit FROM exact e
+                 JOIN approx a ON a.qid = e.qid AND a.nid = e.nid
+                 GROUP BY 1)
+        SELECT q.qid, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+          round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 10.0, 6) AS recall
+        FROM (SELECT DISTINCT qid FROM exact) q
+        LEFT JOIN hits h ON h.qid = q.qid"""
+
   private val annIvfTopKSql =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
        cent AS (SELECT vec_id cid, v cv FROM e
@@ -1159,5 +1201,6 @@ object NorthStar {
     "ann_pq_codes" -> pqCodesSql,
     "ann_pq_adc_topk" -> pqAdcTopKSql,
     "ann_ivf_adc_topk" -> annIvfAdcTopKSql,
+    "ann_ivf_recall" -> annIvfRecallSql,
   )
 }

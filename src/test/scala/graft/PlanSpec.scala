@@ -124,8 +124,10 @@ class PlanSpec extends SparkSuite {
     // into the unshuffled assignment pass; text_bm25_topk / ann_hybrid_topk
     // broadcast the 1-row corpus stats / query vector / max-score scalars;
     // events_funnel_windowed is the funnel's 1-row top-of-funnel count
-    // ann_ivf_adc_topk shares ann_ivf_topk's broadcast-centroid assignment
+    // ann_ivf_adc_topk shares ann_ivf_topk's broadcast-centroid assignment;
+    // ann_ivf_recall composes brute-force (broadcast query set) + IVF
     val intentional = Set("ann_cosine_topk", "ann_ivf_topk", "ann_ivf_adc_topk",
+      "ann_ivf_recall",
       "q22_idle_balances", "q11_important_share",
       "text_tfidf_topk", "text_lm_score", "events_funnel", "graph_pagerank",
       "q_histogram_equidepth", "emb_kmeans", "dedup_semantic",
