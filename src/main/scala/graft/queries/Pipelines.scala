@@ -139,6 +139,12 @@ object Pipelines {
     "stream_dedup_incremental" -> ((s, dir) =>
       graft.streaming.CorpusStream.dedupIncrementalAll(s, dir, 3, 0.5)),
 
+    // streaming corpus-quality monitor: per (hour, source) doc counts,
+    // mean token length and short-doc fraction over a watermarked
+    // document stream (ingest clock = doc_id minutes past a fixed epoch)
+    "stream_quality_monitor" -> ((s, dir) =>
+      graft.streaming.CorpusStream.qualityMonitor(s, dir)),
+
     // multimodal: binary payloads + partition-wise stub decode
     "multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(s, t(s, dir, "documents")).toDF()),
@@ -317,6 +323,17 @@ object Pipelines {
            event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "stream_quality_monitor" ->
+      """WITH d AS (SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) n_tokens,
+             TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE ts
+           FROM documents)
+         SELECT date_trunc('hour', ts) AS window_start, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_tokens AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS avg_tokens,
+           round(CAST(SUM(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*), 6)
+             AS short_frac
+         FROM d GROUP BY 1, 2""",
     "sessionize_events" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts FROM events),
          x AS (SELECT user_id, event_id, ts,

@@ -92,4 +92,83 @@ object CorpusStream {
       n, minEst)
     batches.map(b => spark.read.parquet(b.path)).reduce(_ unionByName _)
   }
+
+  /** Epoch base of [[qualityMonitor]]'s synthetic ingest clock (micros). */
+  val EpochBaseMicros: Long = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    .toInstant.getEpochSecond * 1000000L
+
+  /** Tokens-below-this count as a "short" (low-quality) document. */
+  val ShortDocTokens = 20
+
+  /** Streaming corpus-QUALITY monitor — the ingest-time drift dashboard a
+    * training-data pipeline runs while a crawl feed lands: per (hour,
+    * source) document counts, mean token length and short-doc fraction,
+    * computed incrementally with a watermark instead of nightly batch
+    * (the [[EventStream]] append-mode pattern applied to documents).
+    *
+    * Documents carry no timestamp, so the synthetic ingest clock is
+    * doc_id minutes past a fixed epoch (a real feed supplies its own
+    * event time; the plan — watermark + tumbling window + map-side
+    * partial aggregates — is unchanged). A sentinel document staged past
+    * every real window's close lets the final no-data micro-batch flush
+    * all state, so on a finite table the file sink holds exactly the
+    * batch answer the DuckDB oracle computes.
+    *
+    * Scale shape: the only state is open (hour, source) windows —
+    * bounded by the watermark horizon, not corpus size; token counting
+    * is a pure codegen'd projection ahead of the aggregate's map-side
+    * partials. Sums go through DECIMAL so emitted means are bit-stable.
+    * Output: (window_start, source, n_docs, avg_tokens, short_frac). */
+  def qualityMonitor(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val staging = java.nio.file.Files.createTempDirectory("graft_doc_stage")
+    java.nio.file.Files.copy(src, staging.resolve("docs.parquet"))
+    val raw = spark.read.parquet(src.toString)
+    val maxId = raw.agg(max(col("doc_id"))).head().getLong(0)
+    // sentinel doc far enough ahead (id minutes >> watermark + window) to
+    // close every real window; excluded from results by the maxTs filter
+    val sentinelDir = staging.resolve("sentinel_build").toString
+    raw.limit(1).select(raw.columns.map {
+      case "doc_id" => lit(maxId + 10000L).as("doc_id")
+      case "source" => lit("__sentinel__").as("source")
+      case "text"   => lit("").as("text")
+      case other    => col(other)
+    }.toIndexedSeq: _*).coalesce(1).write.parquet(sentinelDir)
+    val part = new java.io.File(sentinelDir).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, staging.resolve("sentinel.parquet"))
+
+    def ingestTs(id: org.apache.spark.sql.Column) =
+      timestamp_micros(lit(EpochBaseMicros) + id * lit(60000000L))
+    val maxTs = ingestTs(lit(maxId))
+
+    val stream = spark.readStream.schema(raw.schema).parquet(staging.toString)
+      .withColumn("ts", ingestTs(col("doc_id")))
+      .withColumn("n_tokens",
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long"))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("n_tokens").cast(DecimalType(18, 4))).cast(DoubleType) /
+          count(lit(1))).as("avg_tokens"),
+        round(sum(when(col("n_tokens") < ShortDocTokens, 1).otherwise(0))
+          .cast(DoubleType) / count(lit(1)), 6).as("short_frac"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_docs"), col("avg_tokens"), col("short_frac"))
+
+    val sink = java.nio.file.Files.createTempDirectory("graft_doc_sink")
+    val out = sink.resolve("out").toString
+    EventStream.withStreamPartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("checkpointLocation", sink.resolve("ckpt").toString)
+        .start(out)
+      try q.processAllAvailable() finally q.stop()
+    }
+    EventStream.deleteStaging(staging.toString)
+    spark.read.parquet(out).where(col("window_start") <= maxTs)
+  }
 }

@@ -174,7 +174,7 @@ object EventStream {
   /** Best-effort recursive delete of a finished staging directory — the
     * returned DataFrames read SINK output, never the staged input, so the
     * copies are dead weight once the stream stops. */
-  private def deleteStaging(dir: String): Unit =
+  private[streaming] def deleteStaging(dir: String): Unit =
     try {
       import scala.jdk.CollectionConverters._
       val root = java.nio.file.Paths.get(dir)
@@ -190,7 +190,7 @@ object EventStream {
     * to the STREAM's key cardinality, not inherited from the batch
     * session. The session value is restored afterwards; batch queries
     * are unaffected. */
-  private def withStreamPartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+  private[streaming] def withStreamPartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)

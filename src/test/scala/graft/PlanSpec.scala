@@ -134,7 +134,8 @@ class PlanSpec extends SparkSuite {
       "text_bm25_topk", "ann_hybrid_topk", "events_funnel_windowed")
     // streaming queries execute rather than explain statically
     val skip = Set("stream_windowed_agg", "stream_sessionize",
-      "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental")
+      "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental",
+      "stream_quality_monitor")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip.contains).flatMap { name =>
         val p = SparkEntry.queries(name)(spark, sf001)
@@ -156,7 +157,8 @@ class PlanSpec extends SparkSuite {
       "cells_explode_named", "source_avro_cells",  // unpivot/stack
       "sliding_window_counts")                     // window-per-event expansion
     val skip = Set("stream_windowed_agg", "stream_sessionize",
-      "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental")
+      "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental",
+      "stream_quality_monitor")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip.contains).flatMap { name =>
         val p = SparkEntry.queries(name)(spark, sf001)
