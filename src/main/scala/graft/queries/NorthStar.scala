@@ -252,6 +252,20 @@ object NorthStar {
     "text_dup_ngram_fraction" -> ((s, dir) =>
       TextOps.dupNgramStats(t(s, dir, "documents"), N)),
 
+    // tokenizer-fertility stats per language: subword-estimate tokens per
+    // whitespace token — the "how expensive is this language to tokenize"
+    // budget metric a multilingual mix is balanced against
+    "text_token_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("ws"),
+          TextOps.bpeEstimate(col("text")).as("bpe"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("ws_tokens"),
+          sum(col("bpe")).as("bpe_tokens"),
+          round(try_divide(sum(col("bpe")).cast("double"),
+            sum(col("ws")).cast("double")), 6).as("fertility"))),
+
     // corpus vocabulary statistics: bigram document frequency, top 50
     "text_top_bigrams" -> ((s, dir) => {
       val sh = t(s, dir, "documents")
@@ -1120,6 +1134,18 @@ object NorthStar {
          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
            CAST(MAX(c) AS DOUBLE)/SUM(c) AS top_bigram_frac
          FROM c GROUP BY doc_id""",
+    "text_token_stats" ->
+      """WITH d AS (SELECT lang,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) ws,
+             CAST(list_sum(list_transform(string_split(text, ' '),
+               w2 -> CAST(ceil(length(w2)/4.0) AS BIGINT))) AS BIGINT) bpe
+           FROM documents)
+         SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+           round(CAST(SUM(bpe) AS DOUBLE) / NULLIF(CAST(SUM(ws) AS DOUBLE), 0), 6)
+             AS fertility
+         FROM d GROUP BY lang""",
     "text_dup_ngram_fraction" ->
       s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
          g AS (SELECT doc_id, unnest($posShingleExpr) g

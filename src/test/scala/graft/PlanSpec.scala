@@ -219,6 +219,18 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("ivf-adc: bounded aggregates rank the search; windows only derive the tiny codebook") {
+    // assignment, coding, ADC sum and final top-k are all partial
+    // aggregates (TopKPairs/HashAggregate); the only Window nodes are
+    // pqCentroids' ksub-row single-task code numbering — every one must
+    // sit directly over a ksub-bounded GlobalLimit, never corpus data
+    val p = plan("ann_ivf_adc_topk")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) ObjectHashAggregate.*""")) >= 2, p)
+    val windows = p.linesIterator.count(_.matches("""\(\d+\) Window.*"""))
+    val limits = p.linesIterator.count(_.matches("""\(\d+\) GlobalLimit.*"""))
+    assert(windows <= limits, s"corpus-sized window sort suspected:\n$p")
+  }
+
   test("q22 scalar average joins as a broadcast, never a cartesian") {
     // the 1-row avg-balance side carries an explicit broadcast() hint (the
     // same posture as every other scalar-subquery site) — the plan must
