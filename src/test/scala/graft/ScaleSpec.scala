@@ -60,6 +60,11 @@ class ScaleSpec extends SparkSuite {
       rows(Similarity.pqCodes(emb)))
     assert(rows(Dedup.minHashSignatures(docs.repartition(17), 3)) ===
       rows(Dedup.minHashSignatures(docs, 3)))
+    assert(rows(TextOps.dupNgramStats(docs.repartition(17), 3)) ===
+      rows(TextOps.dupNgramStats(docs, 3)))
+    assert(rows(Similarity.ivfAdcTopK(emb.repartition(13),
+        emb.where(col("vec_id") < 3), 5)) ===
+      rows(Similarity.ivfAdcTopK(emb, emb.where(col("vec_id") < 3), 5)))
   }
 
   test("robustness: every batch query survives EMPTY input tables (0 rows, no crash)") {
