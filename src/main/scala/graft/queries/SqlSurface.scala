@@ -145,6 +145,43 @@ object SqlSurface {
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(count(lit(1)))),
 
+    // the inverse reshape: wide→long melt of the four lineitem measures.
+    // Dataset.unpivot plans ONE Expand over a single scan (no
+    // union-of-selects re-reading the table per measure — the union form
+    // evaluates the upstream subtree once per branch); the rollup after it
+    // keeps the declared output at 4 rows regardless of scale
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "mval")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"), dsum(col("mval")).as("total"))),
+
+    // time-decay smoothing (EWMA, alpha = 0.5) of each user's value
+    // stream: the truncated 10-term form Σ_{j<10} α(1-α)^j·x_{t-j} is a
+    // pure lag-chain projection over one per-user window — no iteration,
+    // no state. Cross-engine determinism comes from integer fixed-point:
+    // the 2-decimal value scales to cents (exact — double error on v·100
+    // is ~1e-13, never near a rounding midpoint), the decay weights are
+    // the integers 2^(9-j), and the single final division by 2^10·100
+    // is one identical double op on identical integers, so no round()
+    // is needed at all. Missing history zero-fills (the sum's early
+    // terms), matching the oracle exactly.
+    "events_ewma" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val cents = round(col("value") * 100).cast(LongType)
+      val terms = (0 until 10).map(j =>
+        lit(1L << (9 - j)) * coalesce(lag(cents, j).over(w), lit(0L)))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          (terms.reduceLeft(_ + _) / lit(102400.0)).as("ewma"))
+    }),
+
     // window-function breadth: lag/lead offsets, dense_rank, ntile
     "q_window_lag_lead" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -316,6 +353,30 @@ object SqlSurface {
            CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS "O",
            CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS "P"
          FROM orders GROUP BY o_orderpriority""",
+    "q_unpivot" ->
+      s"""WITH m AS (
+           SELECT 'l_quantity' AS measure, l_quantity AS mval FROM lineitem
+           UNION ALL
+           SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+           UNION ALL
+           SELECT 'l_discount', l_discount FROM lineitem
+           UNION ALL
+           SELECT 'l_tax', l_tax FROM lineitem)
+         SELECT measure, COUNT(*) AS n, ${dsumSql("mval")} AS total
+         FROM m GROUP BY measure""",
+    "events_ewma" -> {
+      // the identical integer fixed-point chain: cents × 2^(9-j) weights,
+      // one final double division — bit-exact without any round()
+      val terms = (0 until 10).map { j =>
+        s"${1L << (9 - j)} * COALESCE(lag(cents, $j) OVER w, 0)"
+      }
+      s"""WITH e AS (SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+         SELECT user_id, event_id,
+           (${terms.mkString(" + ")}) / 102400.0 AS ewma
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""
+    },
     "q_window_lag_lead" ->
       """SELECT o_custkey, o_orderkey,
            lag(o_totalprice, 1) OVER w AS prev_price,

@@ -155,6 +155,7 @@ class PlanSpec extends SparkSuite {
       "q_cube", "q_rollup", "q_sql_grouping_sets", // grouping-set lattices
       "q_distinct_agg",                            // native multi-distinct agg
       "cells_explode_named", "source_avro_cells",  // unpivot/stack
+      "q_unpivot",                                 // wide→long melt IS an Expand
       "sliding_window_counts")                     // window-per-event expansion
     val skip = Set("stream_windowed_agg", "stream_sessionize",
       "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental",
