@@ -20,6 +20,7 @@ object GraftFunctions {
 
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "be_int4" -> (es => IntToBigEndianBinary(es.head)),
+    "norm_text" -> (es => NormalizeText(es.head)),
     "array_dot" -> (es => ArrayDotProduct(es.head, es(1))),
     // second argument must be an integer literal (the width is a codegen
     // constant, like a cast's target type)

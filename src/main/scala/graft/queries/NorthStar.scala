@@ -14,6 +14,11 @@ object NorthStar {
   private val N = 3 // word-shingle width
   private val Bm25Terms = Seq("spark", "join", "fast") // fixed retrieval query
 
+  /** Shared Spark/oracle adornment for text_normalize: tab + space run +
+    * "e"+U+0301 (NFC composes to é) + precomposed É + ß + uppercase — the
+    * one constant makes every normalizer stage fire in BOTH engines. */
+  private val normProbe = " \tRedundant  SPACE é É STRAßE "
+
   val defs: Map[String, Q] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -162,6 +167,18 @@ object NorthStar {
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
         TextOps.bpeEstimate(col("text")).as("bpe_est"))),
+
+    // canonical normalization (NFC → lower → whitespace collapse → trim)
+    // as ONE fused codegen expression — the first pass of every cleaning
+    // pipeline. The corpus is ASCII, so `norm_probe` adorns each document
+    // with normProbe (tabs, double spaces, a combining accent, ß,
+    // uppercase) to force the oracle to exercise every normalization
+    // stage, not just the identity path.
+    "text_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.NormalizeText.normText(col("text")).as("norm_text"),
+        graft.functions.NormalizeText.normText(
+          concat(col("text"), lit(normProbe))).as("norm_probe"))),
 
     // inverted index: term → df + sorted posting list; stoplist-grade
     // terms (df > cap) keep their df row with NULL postings, so no
@@ -1037,6 +1054,15 @@ object NorthStar {
            CAST(list_sum(list_transform(string_split(text,' '),
              w2 -> CAST(ceil(length(w2)/4.0) AS BIGINT))) AS BIGINT) AS bpe_est
          FROM documents""",
+    "text_normalize" -> {
+      // the regex class mirrors NormalizeText.isWs character by character
+      val norm = (e: String) =>
+        s"trim(regexp_replace(lower(nfc_normalize($e)), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))"
+      s"""SELECT doc_id,
+           ${norm("text")} AS norm_text,
+           ${norm(s"text || '$normProbe'")} AS norm_probe
+         FROM documents"""
+    },
     "dedup_fuzzy_names" ->
       """WITH t0 AS (SELECT DISTINCT p_name FROM part),
          c AS (SELECT p_name AS id, p_name AS nm, string_split(p_name, ' ') w FROM t0),

@@ -72,6 +72,27 @@ class KeyFunctionsSpec extends SparkSuite {
     assert(r.getDouble(1) === 11.0)
   }
 
+  test("norm_text: NFC composes, ROOT lowercases, whitespace collapses, edges trim") {
+    import graft.functions.NormalizeText.normText
+    val r = spark.range(1).select(
+      // A+combining-acute composes to Á before lowercasing; TAB/NL/VT and
+      // space runs collapse to single spaces; edges trim away
+      normText(lit("\t Á  b\n\nC ")).as("a"),
+      normText(lit("STRAßE éÉ")).as("b"),
+      normText(lit(" \t\n ")).as("c"),
+      normText(lit(null).cast("string")).as("d")).head()
+    assert(r.getString(0) === "á b c")
+    assert(r.getString(1) === "straße éé")
+    assert(r.getString(2) === "")
+    assert(r.isNullAt(3))
+  }
+
+  test("norm_text resolves through the extensions-injected SQL registry") {
+    val r = spark.newSession()
+      .sql("SELECT norm_text('  Mixed   CASE\ttext ') AS x").head()
+    assert(r.getString(0) === "mixed case text")
+  }
+
   test("keyValueWire: exact KeyValue byte layout for a hand-computed cell") {
     // row="r", family="c", qualifier=BE int 1, value="v", ts=5:
     // keylen = 2+1+1+1+4+8+1 = 18, valuelen = 1
