@@ -64,6 +64,48 @@ object Similarity {
       .select(col("qid"), col("col.payload").as("nid"), col("col.ord").as("cos_sim"),
         (col("pos") + 1).cast(IntegerType).as("rank"))
 
+  /** int8 scalar-quantization (SQ8) ANN: each vector compresses to a
+    * per-vector scale plus int8 codes — 4× fewer bytes than float32, the
+    * regime that matters when a 100 TB candidate scan is memory-bandwidth
+    * bound — then the top `rerank` candidates per query are re-scored
+    * with the exact double cosine and cut to `k`.
+    *
+    * Cross-engine determinism: codes are `floor(x/scale + 0.5)` (floor of
+    * an IEEE double is engine-agnostic, unlike decimal-repr `round`), the
+    * code dot product is exact integer arithmetic in doubles (|code| ≤
+    * 127, far inside the 2^53 exact-integer range), and the approx score
+    * `qs*ns*dot` multiplies in one fixed order — so the candidate SET is
+    * bit-identical in the oracle, and the exact rerank inherits
+    * [[bruteForceTopK]]'s proven round-6 cosine parity.
+    *
+    * Plan shape: quantized queries broadcast over the corpus (same
+    * no-corpus-shuffle BNLJ as brute force, reading quarter-width codes),
+    * bounded [[TopKPairs]] candidate cut, then an equi-join back to the
+    * two full-precision sides restricted to `rerank` rows per query.
+    * Output: (qid, nid, cos_sim, rank), rank 1..k per qid. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int, rerank: Int): DataFrame = {
+    def quant(df: DataFrame, id: String, v: String, s: String, codes: String) =
+      df.select(col("vec_id").as(id), asDouble(col("embedding")).as(v))
+        .withColumn(s,
+          greatest(array_max(transform(col(v), x => abs(x))), lit(1e-30)) / lit(127.0))
+        .withColumn(codes,
+          transform(col(v), x => floor(x / col(s) + lit(0.5)).cast(DoubleType)))
+    val q = quant(queries, "qid", "qv", "qs", "qa").withColumn("qn", norm2(col("qv")))
+    val c = quant(corpus, "nid", "nv", "ns", "na").withColumn("nn", norm2(col("nv")))
+    val approx = c.select(col("nid"), col("ns"), col("na"))
+      .crossJoin(broadcast(q.select(col("qid"), col("qs"), col("qa"))))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (col("qs") * col("ns") * dot(col("qa"), col("na"))).as("cos_sim"))
+    val cand = topKByScore(approx, rerank).select(col("qid"), col("nid"))
+    val exact = cand
+      .join(q.select(col("qid"), col("qv"), col("qn")), Seq("qid"))
+      .join(c.select(col("nid"), col("nv"), col("nn")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos_sim"))
+    topKByScore(exact, k)
+  }
+
   /** All pairs with cosine >= threshold (embedding near-dup detection).
     * Exact O(n²) form — at scale, run [[rpLshTopK]]-style bucketing first
     * and this as the verify stage within buckets. */

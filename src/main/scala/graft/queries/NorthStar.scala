@@ -363,6 +363,13 @@ object NorthStar {
       val e = t(s, dir, "embeddings")
       Similarity.rpLshTopK(e, e.where(col("vec_id") < 5), 10, planes = 8, probes = 3)
     }),
+    // int8 scalar-quantization path: 4×-compressed candidate scan (exact
+    // integer code dot products), top-30 candidates per query re-scored
+    // with the exact double cosine
+    "ann_sq8_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.sq8TopK(e, e.where(col("vec_id") < 5), 10, rerank = 30)
+    }),
     // IVF-Flat scale path: broadcast-centroid assignment, nprobe cells per
     // query, exact scoring within probed cells only
     "ann_ivf_topk" -> ((s, dir) => {
@@ -1249,6 +1256,30 @@ object NorthStar {
           SELECT vec_id, label FROM embeddings
           WHERE vec_id NOT IN (SELECT id FROM cl WHERE id <> cluster_id)""",
     "ann_lsh_topk" -> annLshTopKSql,
+    "ann_sq8_topk" ->
+      """WITH q0 AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv
+             FROM embeddings WHERE vec_id < 5),
+         c0 AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) nv FROM embeddings),
+         q1 AS (SELECT qid, qv,
+             greatest(list_max(list_transform(qv, x -> abs(x))), 1e-30)/127.0 AS qs
+           FROM q0),
+         q2 AS (SELECT qid, qs, list_transform(qv, x -> floor(x/qs + 0.5)) AS qa FROM q1),
+         c1 AS (SELECT nid, nv,
+             greatest(list_max(list_transform(nv, x -> abs(x))), 1e-30)/127.0 AS ns
+           FROM c0),
+         c2 AS (SELECT nid, ns, list_transform(nv, x -> floor(x/ns + 0.5)) AS na FROM c1),
+         sc AS (SELECT qid, nid, qs * ns * list_dot_product(qa, na) AS approx
+                FROM c2, q2 WHERE qid <> nid),
+         cand AS (SELECT qid, nid FROM (
+             SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY approx DESC, nid ASC) rn
+             FROM sc) WHERE rn <= 30),
+         ex AS (SELECT qid, nid, round(list_cosine_similarity(qv, nv), 6) cos_sim
+                FROM cand JOIN q0 USING (qid) JOIN c0 USING (nid)),
+         r AS (SELECT qid, nid, cos_sim,
+                row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) rn
+               FROM ex)
+         SELECT qid, nid, cos_sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10""",
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_pq_codes" -> pqCodesSql,
     "ann_pq_adc_topk" -> pqAdcTopKSql,

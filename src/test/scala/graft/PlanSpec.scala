@@ -127,7 +127,7 @@ class PlanSpec extends SparkSuite {
     // ann_ivf_adc_topk shares ann_ivf_topk's broadcast-centroid assignment;
     // ann_ivf_recall composes brute-force (broadcast query set) + IVF
     val intentional = Set("ann_cosine_topk", "ann_ivf_topk", "ann_ivf_adc_topk",
-      "ann_ivf_recall",
+      "ann_ivf_recall", "ann_sq8_topk",
       "q22_idle_balances", "q11_important_share",
       "text_tfidf_topk", "text_lm_score", "events_funnel", "graph_pagerank",
       "q_histogram_equidepth", "emb_kmeans", "dedup_semantic",

@@ -29,6 +29,24 @@ class SimilaritySpec extends SparkSuite {
     assert(topk.where(col("qid") === col("nid")).count() === 0)
   }
 
+  test("sq8TopK: full-width rerank reproduces brute force exactly; tight rerank stays close") {
+    val queries = emb.where(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("qid", "nid", "cos_sim", "rank").as[(Long, Long, Double, Int)]
+      .collect().toSet
+    // rerank = |corpus|: every vector survives the candidate cut, so the
+    // exact-rerank stage IS brute force — results must be identical
+    val full = Similarity.sq8TopK(emb, queries, 10, rerank = emb.count().toInt)
+      .select("qid", "nid", "cos_sim", "rank").as[(Long, Long, Double, Int)]
+      .collect().toSet
+    assert(full === brute)
+    // the declared tight-rerank form keeps high recall on real data
+    val tight = Similarity.sq8TopK(emb, queries, 10, rerank = 30)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = tight.count(p => brute.exists(b => (b._1, b._2) == p)) / 50.0
+    assert(recall >= 0.9, s"sq8 rerank=30 recall $recall")
+  }
+
   test("rpLshTopK: planted near-duplicates are recovered (the LSH guarantee)") {
     // plant a perturbed copy of each query vector: cos(v, v') ≈ 0.9999
     val planted = emb.where(col("vec_id") < 20).select(
