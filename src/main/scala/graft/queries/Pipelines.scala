@@ -111,6 +111,11 @@ object Pipelines {
     // memory-sink windowedAgg stays as the interactive operator
     "stream_windowed_agg" -> ((s, dir) => EventStream.windowedAggAppendAll(s, dir)),
 
+    // stream-static enrichment: broadcast dim join on the stream, then the
+    // windowed revenue-per-nation aggregate (stateless join, same window
+    // state as stream_windowed_agg)
+    "stream_static_join" -> ((s, dir) => EventStream.enrichedWindowedAgg(s, dir)),
+
     // stateful sessionization (30-min inactivity gap)
     "sessionize_events" -> ((s, dir) => EventStream.sessionize(s, dir, 30)),
 
@@ -323,6 +328,12 @@ object Pipelines {
            event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "stream_static_join" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           c_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1, 2""",
     "stream_quality_monitor" ->
       """WITH d AS (SELECT doc_id, source,
              CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) n_tokens,

@@ -262,6 +262,46 @@ object EventStream {
       .where(col("window_start") <= timestamp_micros(lit(maxTs / 1000L)))
   }
 
+  /** Declared STREAM-STATIC enrichment join: the event stream picks up
+    * its customer's nation from the static dimension, then aggregates
+    * revenue per (hour window, nation). Stream-static inner joins are
+    * STATELESS — the dim is just re-read (and here explicitly broadcast)
+    * each micro-batch, nothing is buffered in the state store — so this
+    * is the canonical shape for enriching a 100 TB/day event stream
+    * against reference data: no stream-side shuffle before the join, and
+    * the watermark/window state is the same as the plain windowed agg.
+    * The sentinel (user_id = -1) matches no customer and its window is
+    * excluded by the `window_start <= max(ts)` filter.
+    * Output: (window_start, c_nationkey, n, sum_value). */
+  def enrichedWindowedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val (staging, maxTs, schema) = stageEventsWithSentinel(spark, dir, 240L)
+    val stream = spark.readStream.schema(schema).parquet(staging)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dim = broadcast(spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("c_nationkey"),
+        col("n"), col("sum_value"))
+    val sink = java.nio.file.Files.createTempDirectory("graft_enr_sink")
+    val out = sink.resolve("out").toString
+    withStreamPartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("checkpointLocation", sink.resolve("ckpt").toString)
+        .start(out)
+      try q.processAllAvailable() finally q.stop()
+    }
+    deleteStaging(staging)
+    spark.read.parquet(out)
+      .where(col("window_start") <= timestamp_micros(lit(maxTs / 1000L)))
+  }
+
   /** Declared stream-stream INTERVAL JOIN over the finite events table:
     * purchases attributed to the same user's click within the PRECEDING 30
     * minutes. Both sides are watermarked filters of one staged file
