@@ -220,6 +220,45 @@ object CorpusPipeline {
     docs.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** [[evalNgramDecontaminate]] with a BLOOM PREFILTER in front of the
+    * exact join — the form that survives an eval/contamination set too
+    * large to broadcast as a hash relation. A full benchmark suite's
+    * n-gram set runs to hundreds of millions of entries (tens of GB as
+    * strings — unbroadcastable), but its Bloom image (`numBits/8` bytes,
+    * ~1.2 GB per 10⁹ grams at 1% fpp) still ships to every executor.
+    * The corpus n-gram stream probes the image INSIDE the scan's codegen
+    * span and only the ~fpp false-positive residue plus the true hits —
+    * orders of magnitude fewer rows — reach the exact semi-join that
+    * removes false positives, so the result is BIT-IDENTICAL to the
+    * plain form: the filter changes the plan, never the answer.
+    *
+    * Both sides key the filter on the md5 image of the shingle string
+    * ([[graft.functions.keys.md5Raw]]) — one digest supplies all
+    * `numHashes` probe positions (Kirsch–Mitzenmacher), deterministic
+    * across runs, partitionings and engines. The bloom rides a 1-row
+    * broadcast nested-loop join, the engine's standard broadcast-scalar
+    * shape. Output: the surviving documents (all input columns). */
+  def evalNgramDecontaminateBloom(docs: DataFrame, evalDocs: DataFrame,
+                                  n: Int, numBits: Int = 1 << 20,
+                                  numHashes: Int = 5): DataFrame = {
+    import graft.functions.{keys, BloomSet}
+    val evalGrams = evalDocs
+      .select(explode(array_distinct(TextOps.shingleStructs(col("text"), n))).as("t"))
+      .select(TextOps.shingleString(col("t"), n).as("s"))
+      .distinct()
+    val bloomRow = evalGrams.agg(
+      BloomSet.bloomAgg(keys.md5Raw(col("s")), numBits, numHashes).as("bloom"))
+    val contaminated = docs
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.shingleStructs(col("text"), n))).as("t"))
+      .select(col("doc_id"), TextOps.shingleString(col("t"), n).as("s"))
+      .crossJoin(broadcast(bloomRow))
+      .where(BloomSet.mightContain(col("bloom"), keys.md5Raw(col("s")), numHashes))
+      .join(broadcast(evalGrams), Seq("s"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** Contamination SCORING — the graded companion to
     * [[evalNgramDecontaminate]]: instead of dropping on any shared
     * n-gram, report per training document what fraction of its distinct

@@ -142,6 +142,19 @@ object NorthStar {
         .select(col("doc_id"), col("source"), col("lang"))
     }),
 
+    // the same decontamination behind a Bloom prefilter — the plan that
+    // survives an eval n-gram set too big to broadcast exactly: the
+    // 128 KiB bloom image rides a 1-row broadcast, the corpus stream
+    // probes it inside codegen, and the exact semi-join sees only
+    // hits + fp residue. Answer is bit-identical to the plain form.
+    "corpus_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusPipeline.evalNgramDecontaminateBloom(
+          docs.where(pmod(col("doc_id"), lit(50)) =!= 0),
+          docs.where(pmod(col("doc_id"), lit(50)) === 0), N)
+        .select(col("doc_id"), col("source"), col("lang"))
+    }),
+
     // graded contamination: per training doc, the fraction of its distinct
     // 3-grams found in the eval set — the threshold/audit companion to the
     // any-hit filter above (same broadcast shape)
@@ -1028,6 +1041,20 @@ object NorthStar {
          SELECT doc_id, source, skey, CAST(rk AS INT) AS rk
          FROM r WHERE rk <= 20""",
     "corpus_decontaminate_eval" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+          ev AS (SELECT DISTINCT unnest(ss) s
+                 FROM (SELECT $shingleExpr ss FROM t0
+                       WHERE doc_id % 50 = 0 AND len(w) >= $N)),
+          dg AS (SELECT doc_id, unnest(ss) s
+                 FROM (SELECT doc_id, $shingleExpr ss FROM t0
+                       WHERE doc_id % 50 <> 0 AND len(w) >= $N)),
+          cont AS (SELECT DISTINCT doc_id FROM dg JOIN ev USING (s))
+          SELECT doc_id, source, lang FROM documents
+          WHERE doc_id % 50 <> 0
+            AND doc_id NOT IN (SELECT doc_id FROM cont)""",
+    // the bloom prefilter is plan-only: the exact oracle is the same
+    // semi-join answer as the plain decontamination
+    "corpus_decontaminate_bloom" ->
       s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
           ev AS (SELECT DISTINCT unnest(ss) s
                  FROM (SELECT $shingleExpr ss FROM t0
