@@ -289,6 +289,49 @@ object CorpusPipeline {
           .as("overlap_frac"))
   }
 
+  /** Filter-funnel AUDIT — the "why did my corpus shrink" report every
+    * curation run needs before anyone trusts it: each document is
+    * attributed to the FIRST gate that rejects it (gates in pipeline
+    * order: token-count floor → language allowlist → stopword-density
+    * floor → exact dedup), survivors count under `kept`, and the
+    * per-(source, stage) totals are the funnel. Attribution to the first
+    * gate makes the stages a partition of the corpus: the counts sum to
+    * the input row count, so the report reconciles exactly.
+    *
+    * The dedup gate is evaluated on the SURVIVORS of the content gates
+    * (true funnel semantics, matching [[cleanCorpus]]'s stage order):
+    * keep_id is the min doc_id among same-md5 docs that passed gates
+    * 1–3, computed as a conditional window min — no second pass, no
+    * self-join. The stopword gate compares n_stop·denom < n_tokens in
+    * INTEGER arithmetic, so no float threshold can disagree across
+    * engines.
+    *
+    * Scale shape: ONE corpus scan, one hash exchange on the md5 digest
+    * (the exchange exact dedup pays anyway), then a tiny
+    * (source × stage) aggregate. Output: (source, stage, n_docs). */
+  def filterAudit(docs: DataFrame, minTokens: Int = 5,
+                  keepLangs: Seq[String] = Seq("en"),
+                  stopDenom: Int = 20): DataFrame = {
+    val w = TextOps.tokens(col("text"))
+    val flagged = docs.select(col("doc_id"), col("source"),
+        TextOps.fingerprintMd5(col("text")).as("h"),
+        (size(w) < minTokens).as("g1"),
+        (!col("lang").isin(keepLangs.map(x => x: Any): _*)).as("g2"),
+        (size(filter(w, t => t.isin(TextOps.stopwords.map(x => x: Any): _*)))
+          * stopDenom < size(w)).as("g3"))
+    val keyed = flagged.withColumn("keep_id",
+      min(when(!col("g1") && !col("g2") && !col("g3"), col("doc_id")))
+        .over(Window.partitionBy(col("h"))))
+    keyed.select(col("source"),
+        when(col("g1"), lit("too_short"))
+          .when(col("g2"), lit("lang_other"))
+          .when(col("g3"), lit("low_stopword"))
+          .when(col("doc_id") =!= col("keep_id"), lit("exact_dup"))
+          .otherwise(lit("kept")).as("stage"))
+      .groupBy(col("source"), col("stage"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   def cleanCorpus(docs: DataFrame, minTokens: Int = 5, shingleN: Int = 3): DataFrame = {
     val q = docs.select(col("doc_id"), col("source"), col("text"),
         TextOps.tokenCount(col("text")).as("n_tokens"))

@@ -142,6 +142,13 @@ object NorthStar {
         .select(col("doc_id"), col("source"), col("lang"))
     }),
 
+    // the filter FUNNEL: every document attributed to the first gate
+    // that drops it (length → language → stopword density → exact dup),
+    // per source — the reconciliation report for a curation run (stage
+    // counts sum to the corpus row count)
+    "pipeline_audit_filters" -> ((s, dir) =>
+      CorpusPipeline.filterAudit(t(s, dir, "documents"))),
+
     // the same decontamination behind a Bloom prefilter — the plan that
     // survives an eval n-gram set too big to broadcast exactly: the
     // 128 KiB bloom image rides a 1-row broadcast, the corpus stream
@@ -1052,6 +1059,25 @@ object NorthStar {
           SELECT doc_id, source, lang FROM documents
           WHERE doc_id % 50 <> 0
             AND doc_id NOT IN (SELECT doc_id FROM cont)""",
+    "pipeline_audit_filters" ->
+      s"""WITH d AS (SELECT doc_id, source, lang, string_split(text,' ') w,
+                 md5(text) h FROM documents),
+          f AS (SELECT doc_id, source, h,
+                 len(w) < 5 AS g1,
+                 lang NOT IN ('en') AS g2,
+                 len(list_filter(w, t2 -> t2 IN ($stopSql))) * 20 < len(w) AS g3
+                FROM d),
+          k AS (SELECT *, min(CASE WHEN NOT g1 AND NOT g2 AND NOT g3
+                                   THEN doc_id END)
+                            OVER (PARTITION BY h) AS keep_id FROM f)
+          SELECT source,
+            CASE WHEN g1 THEN 'too_short'
+                 WHEN g2 THEN 'lang_other'
+                 WHEN g3 THEN 'low_stopword'
+                 WHEN doc_id <> keep_id THEN 'exact_dup'
+                 ELSE 'kept' END AS stage,
+            COUNT(*) AS n_docs
+          FROM k GROUP BY 1, 2""",
     // the bloom prefilter is plan-only: the exact oracle is the same
     // semi-join answer as the plain decontamination
     "corpus_decontaminate_bloom" ->

@@ -227,4 +227,35 @@ class PipelineSpec extends SparkSuite {
       (1L, ts("2024-01-01 03:00:00"), 1L, 2.0),
       (2L, ts("2024-01-01 10:00:00"), 1L, 9.0)))
   }
+
+  test("filterAudit: stages partition the corpus and dedup matches cleanCorpus order") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val audit = graft.operators.CorpusPipeline.filterAudit(docs)
+      .as[(String, String, Long)].collect()
+    // first-gate attribution partitions the corpus: counts reconcile exactly
+    assert(audit.map(_._3).sum === docs.count())
+    val stages = audit.map(_._2).toSet
+    assert(stages.contains("kept"))
+    assert(stages.subsetOf(Set("too_short", "lang_other", "low_stopword",
+      "exact_dup", "kept")), s"unknown stage in $stages")
+    // every source reports a kept row (the synthetic corpus has survivors
+    // in each source)
+    val keptSources = audit.filter(_._2 == "kept").map(_._1).toSet
+    assert(keptSources === docs.select("source").distinct().as[String].collect().toSet)
+
+    // constructed funnel: the dup gate fires only among gate-survivors and
+    // keeps the min doc_id; a dup of a NON-survivor is itself kept
+    val base = "the cat sat of a mat and it is to be in"
+    val fx = Seq(
+      (1L, base, "en", "s1"),          // kept (canonical copy)
+      (2L, base, "en", "s1"),          // exact_dup of 1
+      (3L, "tiny", "en", "s1"),        // too_short
+      (4L, base, "fr", "s1"),          // lang_other (same text, wrong lang)
+      (5L, "x y z q r s t u v w", "en", "s1") // low_stopword (0 stopwords)
+    ).toDF("doc_id", "text", "lang", "source")
+    val byStage = graft.operators.CorpusPipeline.filterAudit(fx)
+      .as[(String, String, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(byStage === Map("kept" -> 1L, "exact_dup" -> 1L, "too_short" -> 1L,
+      "lang_other" -> 1L, "low_stopword" -> 1L))
+  }
 }
