@@ -12,24 +12,27 @@ object Affinity {
     * (basket, item) incidence list; duplicates within a basket collapse
     * first. Output: (item_a, item_b, support), item_a < item_b.
     *
-    * Scale shape: the within-basket self-join is an equi-join on the
-    * basket key, so candidate volume is Σ |basket|² — governed by basket
-    * SIZE, not corpus size. `maxBasketSize` drops oversized baskets
-    * before the join (bots/feeds/aggregator accounts in practice): the
-    * size census is one map-side-combined count, and with the cap in
-    * place no join key can fan out past cap² — the skew guard is
-    * structural, not a salting afterthought. The support aggregate is a
-    * two-phase count on the pair key. */
+    * Scale shape: ONE exchange on the basket key folds each basket into
+    * its sorted distinct item array (dedup, the size census and the skew
+    * guard all ride that same aggregate — `maxBasketSize` drops
+    * bot/feed/aggregator baskets before any pair exists), then pair
+    * expansion is a per-row ordered-combinations projection — candidate
+    * volume is Σ |basket|², governed by basket SIZE (≤ cap², structural,
+    * not a salting afterthought), never corpus size — and the support
+    * count is the second, pair-keyed exchange with map-side partials.
+    * The former within-basket self-JOIN form paid two extra incidence
+    * exchanges (distinct + census join) to reach the same candidates. */
   def itemPairs(baskets: DataFrame, minSupport: Long,
                 maxBasketSize: Long): DataFrame = {
-    val d = baskets.select(col("basket"), col("item")).distinct()
-    val sized = d.groupBy(col("basket")).agg(count(lit(1)).as("sz"))
-      .where(col("sz") <= maxBasketSize)
-      .select(col("basket"))
-    val kept = d.join(sized, "basket")
-    kept.as("x").join(kept.as("y"),
-        col("x.basket") === col("y.basket") && col("x.item") < col("y.item"))
-      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+    val grouped = baskets.groupBy(col("basket"))
+      .agg(sort_array(collect_set(col("item"))).as("items"))
+      .where(size(col("items")) <= maxBasketSize && size(col("items")) >= 2)
+    grouped
+      .select(explode(flatten(transform(col("items"), (x, i) =>
+        transform(slice(col("items"), i + lit(2), size(col("items"))),
+          y => struct(x.as("a"), y.as("b"))))))
+        .as("p"))
+      .groupBy(col("p.a").as("item_a"), col("p.b").as("item_b"))
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
   }
