@@ -391,4 +391,49 @@ object TextOps {
       .rowsBetween(Window.currentRow, w - 1)
     pos.select(col("doc_id"), min(col("h")).over(frame).as("fp")).distinct()
   }
+
+  /** Cross-document BOILERPLATE REMOVAL with text reassembly — the
+    * RefinedWeb/CCNet "drop lines shared across many pages" pass (nav
+    * bars, cookie banners, license footers), generalized to fixed
+    * `blockTokens`-token blocks since the unit of repetition is a
+    * parameter, not an engine assumption. A block whose document
+    * frequency reaches `dfCap` is boilerplate; every document is
+    * REWRITTEN with its surviving blocks re-joined in original order —
+    * the one text operator here that produces a cleaned corpus rather
+    * than a signal.
+    *
+    * Scale shape: block df is a distinct-(doc, block) count (map-side
+    * partials); the boilerplate set — the df ≥ cap TAIL of the block
+    * distribution, small by Zipf — broadcasts into the block stream, and
+    * reassembly is ONE doc_id exchange (collect_list skips the nulled
+    * hot blocks, sort_array restores block order — no second pass, no
+    * anti-join). For a boilerplate set too large to broadcast, put the
+    * [[graft.functions.BloomSet]] image in front of the same join.
+    * `blockTokens` stays a power of two so the block-count division is
+    * exact in both engines. Output: (doc_id, clean_text, n_kept,
+    * n_dropped); clean_text = '' when every block was boilerplate. */
+  def removeBoilerplateBlocks(docs: org.apache.spark.sql.DataFrame,
+                              blockTokens: Int = 8,
+                              dfCap: Long = 2): org.apache.spark.sql.DataFrame = {
+    require((blockTokens & (blockTokens - 1)) == 0, "blockTokens must be a power of two")
+    val w = tokens(col("text"))
+    val nBlocks = ((size(w) + lit(blockTokens - 1)) / lit(blockTokens))
+      .cast(org.apache.spark.sql.types.IntegerType)
+    val blockArr = transform(sequence(lit(0), nBlocks - 1),
+      i => array_join(slice(w, i * blockTokens + 1, lit(blockTokens)), " "))
+    val blocks = docs.select(col("doc_id"), posexplode(blockArr).as(Seq("pos", "block")))
+    val hot = blocks.select(col("doc_id"), col("block")).distinct()
+      .groupBy(col("block")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= dfCap)
+      .select(col("block"), lit(1).as("hot"))
+    blocks.join(broadcast(hot), Seq("block"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+            sort_array(collect_list(when(col("hot").isNull,
+              struct(col("pos"), col("block"))))),
+            p => p.getField("block")), " ").as("clean_text"),
+        count(when(col("hot").isNull, 1)).as("n_kept"),
+        count(col("hot")).as("n_dropped"))
+  }
 }

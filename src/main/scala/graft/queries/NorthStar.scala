@@ -289,6 +289,13 @@ object NorthStar {
     "text_dup_ngram_fraction" -> ((s, dir) =>
       TextOps.dupNgramStats(t(s, dir, "documents"), N)),
 
+    // boilerplate REMOVAL with reassembly (RefinedWeb/CCNet line dedup,
+    // block = 8 tokens here): blocks shared by >= 2 docs are cut and each
+    // document is rewritten from its surviving blocks in order — the one
+    // text op that outputs a cleaned corpus, not a signal
+    "text_remove_boilerplate" -> ((s, dir) =>
+      TextOps.removeBoilerplateBlocks(t(s, dir, "documents"))),
+
     // tokenizer-fertility stats per language: subword-estimate tokens per
     // whitespace token — the "how expensive is this language to tokenize"
     // budget metric a multilingual mix is balanced against
@@ -1245,6 +1252,26 @@ object NorthStar {
            round(CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / CAST(t.n_ngrams AS DOUBLE), 6)
              AS dup_fraction
          FROM tot t LEFT JOIN dup d USING (doc_id)""",
+    "text_remove_boilerplate" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         c AS (SELECT doc_id,
+                list_transform(range((len(w)+7)//8),
+                  i -> array_to_string(w[i*8+1:i*8+8], ' ')) chunks
+               FROM t0),
+         b AS (SELECT doc_id, CAST(i AS INT) pos, chunks[CAST(i AS INT)+1] block
+               FROM (SELECT doc_id, chunks, unnest(range(len(chunks))) i FROM c)),
+         hot AS (SELECT block
+                 FROM (SELECT block, count(*) df
+                       FROM (SELECT DISTINCT doc_id, block FROM b) GROUP BY 1)
+                 WHERE df >= 2),
+         j AS (SELECT b.doc_id, b.pos, b.block, h.block IS NOT NULL AS hot
+               FROM b LEFT JOIN hot h ON b.block = h.block)
+         SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT hot THEN block END, ' ' ORDER BY pos), '')
+             AS clean_text,
+           count(CASE WHEN NOT hot THEN 1 END) AS n_kept,
+           count(CASE WHEN hot THEN 1 END) AS n_dropped
+         FROM j GROUP BY doc_id""",
     "text_top_bigrams" ->
       """WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
          sh AS (SELECT doc_id,

@@ -522,4 +522,21 @@ class DedupTextSpec extends SparkSuite {
     assert(fp(0L) === fp(1L))
     assert(fp(0L) !== fp(3L))
   }
+
+  test("removeBoilerplateBlocks: shared blocks cut, order kept, full-boilerplate doc empties") {
+    // block = 4 tokens; "ad ad ad ad" is the boilerplate shared by all
+    val fx = Seq(
+      (1L, "ad ad ad ad alpha beta gamma delta one two"), // boiler + 2 own blocks
+      (2L, "epsilon zeta eta theta ad ad ad ad"),         // own block + boiler
+      (3L, "ad ad ad ad")                                 // only boilerplate
+    ).toDF("doc_id", "text")
+    val got = TextOps.removeBoilerplateBlocks(fx, blockTokens = 4, dfCap = 2)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1: boiler block dropped, the two remaining blocks re-join in order
+    assert(got(1L) === ((1L, "alpha beta gamma delta one two", 2L, 1L)))
+    // doc 2: boilerplate at the END is dropped, own block survives
+    assert(got(2L) === ((2L, "epsilon zeta eta theta", 1L, 1L)))
+    // doc 3: everything was boilerplate -> empty rewrite, nothing kept
+    assert(got(3L) === ((3L, "", 0L, 1L)))
+  }
 }
