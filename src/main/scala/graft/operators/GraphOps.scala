@@ -111,6 +111,70 @@ object GraphOps {
       s"\nSELECT id, CAST(units AS DOUBLE) / $RankScale.0 AS rank FROM r$iters"
   }
 
+  /** Synchronous LABEL PROPAGATION over an undirected edge list (a, b) —
+    * the near-linear community-detection pass (Raghavan et al. 2007)
+    * that groups a co-occurrence graph into behavioral communities where
+    * [[Dedup.clusters]]' connected components would merge everything
+    * touching anything.
+    *
+    * Determinism: every node starts as its own label; each round a node
+    * adopts the most frequent label among its neighbors, ties broken by
+    * SMALLEST label — realized as `max(struct(cnt, -lbl))`, a plain
+    * map-side-combinable aggregate, so no RNG, no visit order, no
+    * async drift: the assignment is a pure function of the graph and
+    * `iters`. Fixed iterations (not convergence-polled) keep the plan
+    * finite and oracle-mirrorable; synchronous LPA can 2-cycle on
+    * bipartite structures, which a fixed even/odd horizon simply
+    * freezes, deterministically.
+    *
+    * Scale shape (the [[pageRank]] posture): the doubled edge frame is
+    * derived once via one explode-of-struct-array scan, src-partitioned
+    * and materialized through `storage`; each round is ONE equi-join of
+    * the nodes-sized label frame against it plus two grouped aggregates
+    * ((dst, lbl) count, then the argmax) — the edges never re-shuffle,
+    * and nothing is windowed (a per-dst row_number would sort every
+    * message on the exchange). Output: (id, lbl). */
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       storage: Dedup.FixpointStorage = Dedup.LocalCheckpoint): DataFrame = {
+    val und = Dedup.materializeFixpoint(
+      edges.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .repartition(col("src")),
+      storage)
+    var labels = und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to iters) {
+      labels = labels
+        .join(und.select(col("src").as("id"), col("dst")), "id")
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("dst").as("id"), (-col("m.nl")).as("lbl"))
+    }
+    labels
+  }
+
+  /** The unrolled DuckDB mirror of [[labelPropagation]] (oracle builder):
+    * `edgesSql` must yield columns (a, b). */
+  def labelPropagationSql(edgesSql: String, iters: Int): String = {
+    val base =
+      s"""WITH edges AS ($edgesSql),
+          und AS (SELECT a AS src, b AS dst FROM edges
+                  UNION ALL SELECT b, a FROM edges),
+          r0 AS (SELECT DISTINCT src AS id, src AS lbl FROM und)"""
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT id, lbl FROM (
+            SELECT u.dst AS id, r.lbl, count(*) AS cnt,
+              row_number() OVER (PARTITION BY u.dst
+                ORDER BY count(*) DESC, r.lbl ASC) AS rn
+            FROM r${i - 1} r JOIN und u ON u.src = r.id
+            GROUP BY 1, 2) WHERE rn = 1)"""
+    }
+    (base +: steps).mkString(",\n") + s"\nSELECT id, lbl FROM r$iters"
+  }
+
   /** Exact triangle count over an undirected edge list (a, b) — the
     * clustering/community signal (and the classic "does your join strategy
     * survive power-law graphs" benchmark).

@@ -227,6 +227,19 @@ object NorthStar {
       graft.operators.GraphOps.pageRank(e, 3)
     }),
 
+    // deterministic label-propagation communities over the co-purchase
+    // graph: 4 synchronous rounds, most-frequent neighbor label with
+    // smallest-label tie-break as a map-side-combinable argmax — no RNG,
+    // no visit order, no per-node window sort
+    "graph_communities" -> ((s, dir) => {
+      val edges = graft.operators.Affinity.itemPairs(
+          t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
+            col("l_partkey").as("item")),
+          minSupport = 3, maxBasketSize = 20)
+        .select(col("item_a").as("a"), col("item_b").as("b"))
+      graft.operators.GraphOps.labelPropagation(edges, 4)
+    }),
+
     // exact triangle count over the co-purchase graph (parts co-ordered in
     // ≥ 3 baskets): degree-ordered orientation bounds the wedge self-join
     // by O(√m) out-degrees even on power-law graphs
@@ -1146,6 +1159,15 @@ object NorthStar {
     "graph_pagerank" -> graft.operators.GraphOps.pageRankSql(
       "SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS a, " +
         "'s' || CAST(l_suppkey AS VARCHAR) AS b FROM lineitem", 3),
+    "graph_communities" -> graft.operators.GraphOps.labelPropagationSql(
+      """SELECT item_a AS a, item_b AS b FROM (
+           WITH d AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                      FROM lineitem),
+           keep AS (SELECT basket FROM d GROUP BY basket HAVING count(*) <= 20)
+           SELECT x.item AS item_a, y.item AS item_b
+           FROM d x JOIN keep USING (basket)
+           JOIN d y ON x.basket = y.basket AND x.item < y.item
+           GROUP BY 1, 2 HAVING count(*) >= 3)""", 4),
     "graph_triangles" -> graft.operators.GraphOps.triangleCountSql(
       """SELECT item_a AS a, item_b AS b FROM (
            WITH d AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item

@@ -232,6 +232,26 @@ class AnalyticsLayoutSpec extends SparkSuite {
     assert(tri(k4 ++ Seq("b" -> "a", "c" -> "c", "a" -> "b")) === 4L)
   }
 
+  test("labelPropagation: two cliques converge to their min-id labels; bridge node joins one") {
+    // cliques {1,2,3} and {10,11,12}, plus bridge 3-10 (each endpoint has
+    // 2 in-clique neighbors vs 1 cross neighbor, so the cliques hold)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (3L, 10L)
+    ).toDF("a", "b")
+    val got = graft.operators.GraphOps.labelPropagation(edges, 4)
+      .as[(Long, Long)].collect().toMap
+    // round 1 from self-labels: node 1 sees {2,3}→2; node 2 sees {1,3}→1;
+    // node 3 sees {1,2,10}→1 … repeated rounds settle each clique on its
+    // min reachable label; the deterministic tie-break keeps it stable
+    assert(got.size === 6)
+    assert(got(10L) === got(11L) && got(11L) === got(12L),
+      s"right clique split: $got")
+    assert(Set(got(1L), got(2L), got(3L)).size <= 2, s"left clique scattered: $got")
+    assert(got(1L) <= 3L && got(10L) <= 10L, s"labels escaped their cliques: $got")
+  }
+
   test("bucketed tables: sort-merge join runs with ZERO exchanges, result equals the plain join") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
