@@ -102,6 +102,60 @@ object Dedup {
         col("sa.nsh").as("nsh_a"), col("sb.nsh").as("nsh_b"))
   }
 
+  /** PREFIX-FILTERED exact Jaccard pairs (the PPJoin family's prefix
+    * principle — Chaudhuri et al. 2006, Xiao et al. 2008): for
+    * J(A,B) ≥ t, A and B MUST share a shingle within the first
+    * |d| − ⌈t·|d|⌉ + 1 entries of their df-ascending-sorted shingle
+    * lists — so only that PREFIX enters the candidate self-join, and
+    * recall is exactly 100% by the pigeonhole bound, not a tuning
+    * accident. Rarest-first ordering makes prefixes collide on the
+    * rarest evidence available: candidate volume is quadratic in the
+    * df of PREFIX shingles only — the df-cap variant's sub-quadratic
+    * bound without its "verify stage only" asterisk, since no true
+    * pair is ever dropped.
+    *
+    * The threshold is the rational tNum/tDen and the prefix length and
+    * final acceptance (`common·tDen ≥ (|A|+|B|−common)·tNum`) are pure
+    * integer arithmetic — nothing about candidate generation or
+    * acceptance touches a float (the reported jaccard double is render
+    * only). Verification joins each candidate pair against the two
+    * full digest sets restricted to the pair — cost |cand|·avg-set,
+    * never corpus². Output: (a, b, jaccard), a < b — identical rows to
+    * [[ngramJaccardPairs]] at threshold = tNum/tDen. */
+  def ngramJaccardPrefixPairs(docs: DataFrame, n: Int,
+                              tNum: Int, tDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(0 < tNum && tNum < tDen, "threshold must be in (0,1)")
+    // digest index feeds the df window, the prefix join and both verify
+    // sides — materialized once (the overlapCounts posture)
+    val sh = shingleIndex(docs, n)
+      .select(col("doc_id"), unhex(md5(col("s").cast(BinaryType))).as("s"))
+      .localCheckpoint()
+    val ranked = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val prefix = ranked
+      .where(col("rn") <= expr(s"nsh - ((nsh * $tNum + ${tDen - 1}) div $tDen) + 1"))
+      .select(col("doc_id"), col("s"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val common = cand
+      .join(sh.as("xa"), col("a") === col("xa.doc_id"))
+      .join(sh.as("xb"), col("b") === col("xb.doc_id") && col("xa.s") === col("xb.s"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    common
+      .join(sz.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("b") === col("sb.doc_id"))
+      .where(col("common") * tDen >= (col("sa.nsh") + col("sb.nsh") - col("common")) * tNum)
+      .select(col("a"), col("b"),
+        (col("common").cast(DoubleType) /
+          (col("sa.nsh") + col("sb.nsh") - col("common"))).as("jaccard"))
+  }
+
   /** Exact n-gram CONTAINMENT pairs: C(A→B) = |A∩B| / |A|. Jaccard misses
     * the quote/excerpt case — a short document wholly embedded in a long
     * one scores |A|/|B| ≈ 0 — while containment scores it 1.0 from the

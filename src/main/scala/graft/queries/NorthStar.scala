@@ -28,6 +28,12 @@ object NorthStar {
     // quadratic blowup; Jaccard is exact over the capped shingle sets
     "dedup_ngram_jaccard_capped" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), N, 0.8, maxDf = Some(2L))),
+    // prefix filtering (PPJoin principle): only the rarest
+    // |d|-ceil(0.8|d|)+1 shingles of each doc enter the candidate join —
+    // 100% recall by pigeonhole, so the rows EQUAL dedup_ngram_jaccard
+    // while the quadratic term shrinks to prefix-shingle df
+    "dedup_jaccard_prefix" -> ((s, dir) =>
+      Dedup.ngramJaccardPrefixPairs(t(s, dir, "documents"), N, 4, 5)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashPairs(t(s, dir, "documents"), N, 0.5)),
     // incremental dedup — the operational 100 TB form: every 10th doc
@@ -975,6 +981,30 @@ object NorthStar {
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, COUNT(*) AS n FROM documents GROUP BY md5(text)",
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_ngram_jaccard_capped" -> ngramJaccardCappedSql(2L),
+    // literal prefix-filter mirror; integer prefix length and acceptance,
+    // digests as md5 hex strings (hex order == Spark's binary order)
+    "dedup_jaccard_prefix" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+          sh0 AS (SELECT doc_id, $shingleExpr ss FROM t0 WHERE len(w) >= $N),
+          shd AS (SELECT doc_id, md5(s) s
+                  FROM (SELECT doc_id, unnest(ss) s FROM sh0)),
+          d AS (SELECT *, count(*) OVER (PARTITION BY s) df FROM shd),
+          r AS (SELECT *,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY df, s) rn,
+                 count(*) OVER (PARTITION BY doc_id) nsh FROM d),
+          p AS (SELECT doc_id, s FROM r
+                WHERE rn <= nsh - ((nsh * 4 + 4) // 5) + 1),
+          cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b
+                   FROM p x JOIN p y ON x.s = y.s AND x.doc_id < y.doc_id),
+          cm AS (SELECT a, b, count(*) common
+                 FROM cand c JOIN shd xa ON xa.doc_id = c.a
+                 JOIN shd xb ON xb.doc_id = c.b AND xb.s = xa.s
+                 GROUP BY 1, 2),
+          sz AS (SELECT doc_id, count(*) nsh FROM shd GROUP BY 1)
+          SELECT a, b,
+            CAST(common AS DOUBLE)/(sa.nsh + sb.nsh - common) AS jaccard
+          FROM cm JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+          WHERE common * 5 >= (sa.nsh + sb.nsh - common) * 4""",
     "dedup_minhash_lsh" -> minhashSql,
     // band collision is symmetric, so the incremental batch-vs-index run
     // equals the full-corpus LSH restricted to pairs touching a new doc

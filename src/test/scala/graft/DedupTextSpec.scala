@@ -523,6 +523,16 @@ class DedupTextSpec extends SparkSuite {
     assert(fp(0L) !== fp(3L))
   }
 
+  test("ngramJaccardPrefixPairs: rows equal the full inverted-index join (100% recall)") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val full = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val pref = Dedup.ngramJaccardPrefixPairs(docs, 3, 4, 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pref === full, "prefix filtering changed the answer")
+    assert(full.nonEmpty)
+  }
+
   test("removeBoilerplateBlocks: shared blocks cut, order kept, full-boilerplate doc empties") {
     // block = 4 tokens; "ad ad ad ad" is the boilerplate shared by all
     val fx = Seq(
