@@ -49,6 +49,28 @@ object Layout {
       .sortWithinPartitions(col("zval"))
       .drop("zval")
 
+  /** Write `df` Hive-partitioned by `partCol` — the directory layout that
+    * turns a time/tenant predicate into a LISTING operation instead of a
+    * scan. Two pruning tiers come free from the reader:
+    *
+    *   - STATIC: a literal filter on `partCol` prunes directories during
+    *     planning (`PartitionFilters` in the scan, zero data touched for
+    *     excluded partitions);
+    *   - DYNAMIC (DPP): when a query joins this table on `partCol`
+    *     against a selectively-filtered dimension, Spark builds the
+    *     partition keep-set from the dim side AT RUNTIME and prunes
+    *     before the fact scan — the decisive plan feature for
+    *     star-schema queries over a date-partitioned 100 TB fact table,
+    *     where the date list comes from a dimension predicate no static
+    *     planner can see. Both tiers are pinned in AnalyticsLayoutSpec.
+    *
+    * Partition count discipline is the caller's: partition by LOW
+    * cardinality columns (a date, a tenant) — per-key directories of a
+    * high-cardinality key create the small-file problem bucketing solves
+    * instead ([[writeBucketed]]). */
+  def writeDatePartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
   /** Write `df` as a hash-BUCKETED, per-bucket-sorted table: the layout
     * that amortizes a join/aggregation shuffle across every future reader.
     * Two tables bucketed on their join key with the same bucket count

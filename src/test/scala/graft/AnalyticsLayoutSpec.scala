@@ -232,6 +232,50 @@ class AnalyticsLayoutSpec extends SparkSuite {
     assert(tri(k4 ++ Seq("b" -> "a", "c" -> "c", "a" -> "b")) === 4L)
   }
 
+  test("date-partitioned layout: static filters and dim joins both prune partitions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp_test").toString
+    val events = graft.queries.Tables.events(spark, sf001)
+      .withColumn("event_date", to_date(col("ts")))
+    graft.operators.Layout.writeDatePartitioned(events, tmp, "event_date")
+    val fact = spark.read.parquet(tmp)
+
+    // STATIC tier: a literal date predicate must land in PartitionFilters
+    // (directory pruning at planning), not PushedFilters (row skipping)
+    val oneDate = fact.select(col("event_date")).distinct().limit(1)
+      .collect().head.getDate(0)
+    val static = fact.where(col("event_date") === lit(oneDate))
+    val staticPlan = static.queryExecution.executedPlan.toString
+    assert(staticPlan.contains("PartitionFilters") &&
+      staticPlan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("event_date"),
+      s"static date predicate did not become a partition filter:\n$staticPlan")
+
+    // DYNAMIC tier (DPP): joining on the partition column against a dim
+    // filtered on a NON-key attribute must plan a runtime pruning
+    // subquery (a key-column dim filter would be propagated statically
+    // by constraint inference and prove nothing)
+    val allDates = fact.select(col("event_date")).distinct()
+      .orderBy(col("event_date")).as[java.sql.Date].collect()
+    // the dim must be a real scan with a real Filter: a local Seq would be
+    // constant-folded into a filterless LocalRelation and DPP needs a
+    // selective predicate on the dim side
+    val dimPath = s"$tmp-dim"
+    allDates.zipWithIndex.toSeq.toDF("event_date", "idx")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+      .where(col("idx") === allDates.indexOf(oneDate))
+      .select(col("event_date"))
+    val joined = fact.join(dim, "event_date").groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val dppPlan = joined.queryExecution.executedPlan.toString.toLowerCase
+    assert(dppPlan.contains("dynamicpruning"),
+      s"dim join on the partition key planned no dynamic partition pruning:\n$dppPlan")
+    // and the pruned result equals the statically filtered aggregate
+    val expect = static.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(joined.as[(String, Long)].collect().toMap === expect)
+  }
+
   test("labelPropagation: two cliques converge to their min-id labels; bridge node joins one") {
     // cliques {1,2,3} and {10,11,12}, plus bridge 3-10 (each endpoint has
     // 2 in-clique neighbors vs 1 cross neighbor, so the cliques hold)
