@@ -148,6 +148,29 @@ object NorthStar {
         .select(col("doc_id"), col("source"), col("lang"))
     }),
 
+    // MIXTURE PLANNING: given a token budget and per-source weights, the
+    // sampling rate and repeat factor (epochs) each source needs — the
+    // design sheet a training mix is built from. Integer budget split
+    // ((B·w) div Σw) and ceil-division epochs, so the plan is bit-exact;
+    // weights derive from the source name (no RNG, mirrorable)
+    "corpus_mixture_plan" -> ((s, dir) => {
+      val B = 100000L
+      val per = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast(org.apache.spark.sql.types.LongType))
+            .as("tokens_avail"))
+        .withColumn("weight", expr("CAST(substring(source, 4) AS BIGINT) % 4 + 1"))
+      per.crossJoin(broadcast(per.agg(sum(col("weight")).as("sumw"))))
+        .select(col("source"), col("n_docs"), col("tokens_avail"), col("weight"),
+          expr(s"(${B}L * weight) div sumw").as("target_tokens"),
+          round(expr(s"(${B}L * weight) div sumw")
+              .cast(org.apache.spark.sql.types.DoubleType) / col("tokens_avail"), 6)
+            .as("rate"),
+          expr(s"(((${B}L * weight) div sumw) + tokens_avail - 1) div tokens_avail")
+            .as("epochs"))
+    }),
+
     // the filter FUNNEL: every document attributed to the first gate
     // that drops it (length → language → stopword density → exact dup),
     // per source — the reconciliation report for a curation run (stage
@@ -1109,6 +1132,17 @@ object NorthStar {
           SELECT doc_id, source, lang FROM documents
           WHERE doc_id % 50 <> 0
             AND doc_id NOT IN (SELECT doc_id FROM cont)""",
+    "corpus_mixture_plan" ->
+      """WITH per AS (SELECT source, count(*) n_docs,
+             CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) tokens_avail,
+             CAST(substr(source, 4) AS BIGINT) % 4 + 1 weight
+           FROM documents GROUP BY source),
+         t AS (SELECT CAST(SUM(weight) AS BIGINT) sumw FROM per)
+         SELECT source, n_docs, tokens_avail, weight,
+           (100000 * weight) // sumw AS target_tokens,
+           round(CAST((100000 * weight) // sumw AS DOUBLE) / tokens_avail, 6) AS rate,
+           ((100000 * weight) // sumw + tokens_avail - 1) // tokens_avail AS epochs
+         FROM per, t""",
     "pipeline_audit_filters" ->
       s"""WITH d AS (SELECT doc_id, source, lang, string_split(text,' ') w,
                  md5(text) h FROM documents),

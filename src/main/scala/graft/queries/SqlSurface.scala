@@ -82,6 +82,41 @@ object SqlSurface {
         .where(abs(col("rz")) > lit(1.5))
     }),
 
+    // deterministic A/B test report: assignment is the md5 parity of
+    // user_id (no RNG — the same user lands in the same arm on every
+    // engine and every rerun), metric = purchase value. One conditional
+    // aggregation pass yields both arms' count/mean/variance and the
+    // two-sample z-score — no pivot, no second scan, no shuffle beyond
+    // the single 1-row aggregate
+    "events_ab_test" -> ((s, dir) => {
+      val e = t(s, dir, "events").where(col("event_type") === "purchase")
+      val arm = pmod(graft.functions.keys.md5Prefix64(
+        col("user_id").cast(StringType).cast(BinaryType), 7), lit(2L))
+      val vdec = col("value").cast(DecimalType(18, 4))
+      val a = e.select(arm.as("arm"), vdec.as("v"), (vdec * vdec).as("v2"))
+        .agg(
+          count(when(col("arm") === 0, 1)).as("n_c"),
+          count(when(col("arm") === 1, 1)).as("n_t"),
+          sum(when(col("arm") === 0, col("v"))).as("sv_c"),
+          sum(when(col("arm") === 1, col("v"))).as("sv_t"),
+          sum(when(col("arm") === 0, col("v2"))).as("sv2_c"),
+          sum(when(col("arm") === 1, col("v2"))).as("sv2_t"))
+      val meanC = col("sv_c").cast(DoubleType) / col("n_c")
+      val meanT = col("sv_t").cast(DoubleType) / col("n_t")
+      val varC = (col("sv2_c").cast(DoubleType) -
+        col("sv_c").cast(DoubleType) * col("sv_c").cast(DoubleType) / col("n_c")) /
+        (col("n_c") - 1)
+      val varT = (col("sv2_t").cast(DoubleType) -
+        col("sv_t").cast(DoubleType) * col("sv_t").cast(DoubleType) / col("n_t")) /
+        (col("n_t") - 1)
+      a.select(
+        col("n_c").as("n_control"), col("n_t").as("n_treatment"),
+        round(meanC, 6).as("mean_control"), round(meanT, 6).as("mean_treatment"),
+        round(meanT - meanC, 6).as("lift"),
+        round((meanT - meanC) / sqrt(varC / col("n_c") + varT / col("n_t")), 6)
+          .as("z_score"))
+    }),
+
     // approximate quantiles (Greenwald-Khanna sketch): estimates are
     // engine-specific, so — like q_approx_distinct — the DECLARED columns
     // are the exact percentiles plus an error-bound flag; the sketch runs
@@ -323,6 +358,31 @@ object SqlSurface {
            round((value - med) / iqr, 6) AS rz
          FROM events e JOIN st USING (event_type)
          WHERE abs(round((value - med) / iqr, 6)) > 1.5""",
+    "events_ab_test" ->
+      """WITH p AS (SELECT
+             CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,7)) AS BIGINT) % 2 arm,
+             CAST(value AS DECIMAL(18,4)) v,
+             CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)) v2
+           FROM events WHERE event_type = 'purchase'),
+         a AS (SELECT
+             count(CASE WHEN arm = 0 THEN 1 END) n_c,
+             count(CASE WHEN arm = 1 THEN 1 END) n_t,
+             SUM(CASE WHEN arm = 0 THEN v END) sv_c,
+             SUM(CASE WHEN arm = 1 THEN v END) sv_t,
+             SUM(CASE WHEN arm = 0 THEN v2 END) sv2_c,
+             SUM(CASE WHEN arm = 1 THEN v2 END) sv2_t
+           FROM p)
+         SELECT n_c AS n_control, n_t AS n_treatment,
+           round(CAST(sv_c AS DOUBLE)/n_c, 6) AS mean_control,
+           round(CAST(sv_t AS DOUBLE)/n_t, 6) AS mean_treatment,
+           round(CAST(sv_t AS DOUBLE)/n_t - CAST(sv_c AS DOUBLE)/n_c, 6) AS lift,
+           round((CAST(sv_t AS DOUBLE)/n_t - CAST(sv_c AS DOUBLE)/n_c) /
+             sqrt(((CAST(sv2_c AS DOUBLE)
+                    - CAST(sv_c AS DOUBLE)*CAST(sv_c AS DOUBLE)/n_c)/(n_c - 1))/n_c
+                + ((CAST(sv2_t AS DOUBLE)
+                    - CAST(sv_t AS DOUBLE)*CAST(sv_t AS DOUBLE)/n_t)/(n_t - 1))/n_t),
+             6) AS z_score
+         FROM a""",
     "q_json_extract" ->
       """SELECT event_type,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
