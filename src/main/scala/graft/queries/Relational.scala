@@ -35,6 +35,53 @@ object Relational {
     "table_profile" -> ((s, dir) =>
       graft.operators.Profile.profile(t(s, dir, "lineitem"), profileCols.map(_._1))),
 
+    // declarative CONSTRAINT report (the Deequ-style quality gate a
+    // nightly load publishes before downstream jobs trust the data):
+    // uniqueness, referential integrity, range and null-rate checks, one
+    // row per constraint. Per-table checks fold into ONE aggregate per
+    // scan (explode of a 1-row struct array); the two FK checks are
+    // broadcast anti-join counts against the parent key sets — nothing
+    // here exceeds one exchange per constraint family
+    "quality_constraint_report" -> ((s, dir) => {
+      def rows(branch: org.apache.spark.sql.DataFrame) = branch.select(
+        explode(col("cs")).as("c")).select(
+        col("c.check_name").as("check_name"), col("c.n_checked").as("n_checked"),
+        col("c.n_violations").as("n_violations"),
+        (col("c.n_violations") === 0L).as("pass"))
+      def c(name: String, checked: org.apache.spark.sql.Column,
+            viol: org.apache.spark.sql.Column) =
+        struct(lit(name).as("check_name"), checked.as("n_checked"),
+          viol.cast(LongType).as("n_violations"))
+      val li = t(s, dir, "lineitem")
+      val od = t(s, dir, "orders")
+      val cu = t(s, dir, "customer")
+      val liAgg = li.agg(array(
+        c("lineitem.quantity_in_1_50", count(lit(1)),
+          count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1))),
+        c("lineitem.discount_in_0_0.1", count(lit(1)),
+          count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1)))).as("cs"))
+      val odAgg = od.agg(array(
+        c("orders.orderkey_unique", count(lit(1)),
+          count(lit(1)) - countDistinct(col("o_orderkey"))),
+        c("orders.totalprice_positive", count(lit(1)),
+          count(when(col("o_totalprice") <= 0, 1)))).as("cs"))
+      val cuAgg = cu.agg(array(
+        c("customer.acctbal_not_null", count(lit(1)),
+          count(lit(1)) - count(col("c_acctbal")))).as("cs"))
+      val fkLi = li.select(col("l_orderkey"))
+        .join(broadcast(od.select(col("o_orderkey"))),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(array(c("lineitem.orderkey_fk_orders",
+          lit(null).cast(LongType), count(lit(1)))).as("cs"))
+      val fkCu = cu.select(col("c_nationkey"))
+        .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"), "left_anti")
+        .agg(array(c("customer.nationkey_fk_nation",
+          lit(null).cast(LongType), count(lit(1)))).as("cs"))
+      rows(liAgg).unionAll(rows(odAgg)).unionAll(rows(cuAgg))
+        .unionAll(rows(fkLi)).unionAll(rows(fkCu))
+    }),
+
     // exact equi-depth histogram without a global sort OR a full-table
     // percentile aggregate: the table first reduces to per-VALUE counts
     // (map-side partial, one hash exchange on the value), the octile
@@ -434,6 +481,42 @@ object Relational {
     "table_profile" -> profileCols.map { case (n, d) =>
       graft.operators.Profile.profileSql("lineitem", n, d)
     }.mkString(" UNION ALL "),
+    "quality_constraint_report" ->
+      """SELECT 'lineitem.quantity_in_1_50' AS check_name, COUNT(*) AS n_checked,
+           CAST(COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS BIGINT)
+             AS n_violations,
+           COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) = 0 AS pass
+         FROM lineitem
+         UNION ALL
+         SELECT 'lineitem.discount_in_0_0.1', COUNT(*),
+           CAST(COUNT(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END) AS BIGINT),
+           COUNT(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END) = 0
+         FROM lineitem
+         UNION ALL
+         SELECT 'orders.orderkey_unique', COUNT(*),
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           COUNT(*) = COUNT(DISTINCT o_orderkey)
+         FROM orders
+         UNION ALL
+         SELECT 'orders.totalprice_positive', COUNT(*),
+           CAST(COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT),
+           COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) = 0
+         FROM orders
+         UNION ALL
+         SELECT 'customer.acctbal_not_null', COUNT(*),
+           CAST(COUNT(*) - COUNT(c_acctbal) AS BIGINT),
+           COUNT(*) = COUNT(c_acctbal)
+         FROM customer
+         UNION ALL
+         SELECT 'lineitem.orderkey_fk_orders', CAST(NULL AS BIGINT),
+           CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+         FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_orderkey IS NULL
+         UNION ALL
+         SELECT 'customer.nationkey_fk_nation', CAST(NULL AS BIGINT),
+           CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+         FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE n.n_nationkey IS NULL""",
     "q_skyline_pareto" ->
       """WITH p AS (SELECT DISTINCT CAST(p_retailprice AS DECIMAL(12,2)) x,
              CAST(p_size AS INT) y FROM part)
