@@ -218,6 +218,17 @@ object Similarity {
       .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
       .withColumn("cn", norm2(col("cv")))
 
+  /** Public top-1 cell assignment against `corpus`-derived coarse
+    * centroids — the IVF index-MAINTENANCE primitive: a new vector batch
+    * (e.g. one streaming micro-batch) is routed to its inverted list with
+    * one broadcast-centroid pass and no corpus shuffle, exactly the
+    * assignment [[ivfTopK]] performs on its corpus side. Output:
+    * (vec_id, cell). */
+  def ivfAssign(corpus: DataFrame, vectors: DataFrame, nlist: Int): DataFrame =
+    nearestCells(coarseCentroids(corpus, nlist))(
+      vectors.select(col("vec_id"), asDouble(col("embedding")).as("v")), "vec_id", "v", 1)
+      .select(col("vec_id"), col("cell"))
+
   /** Nearest-centroid cells for a vector set: top-`n` centroids by
     * (cosine DESC, cid ASC) — rank semantics identical to topKByScore.
     * Grouping is by the 8-byte id ONLY; the vector rides as a first()

@@ -116,6 +116,13 @@ object Pipelines {
     // state as stream_windowed_agg)
     "stream_static_join" -> ((s, dir) => EventStream.enrichedWindowedAgg(s, dir)),
 
+    // streaming IVF index maintenance: embedding micro-batches routed to
+    // their coarse cell against broadcast centroids and appended to the
+    // inverted-list store; declared result = the per-cell occupancy
+    // census, equal to one-shot assignment by construction
+    "stream_ann_assign" -> ((s, dir) =>
+      graft.streaming.CorpusStream.annAssignAll(s, dir, 16)),
+
     // stateful sessionization (30-min inactivity gap)
     "sessionize_events" -> ((s, dir) => EventStream.sessionize(s, dir, 30)),
 
@@ -328,6 +335,17 @@ object Pipelines {
            event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "stream_ann_assign" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         cent AS (SELECT vec_id cid, v cv FROM e
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         asn AS (SELECT nid, cell FROM (
+                  SELECT e.vec_id nid, cent.cid cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY round(list_cosine_similarity(e.v, cent.cv), 6) DESC,
+                               cent.cid ASC) rn
+                  FROM e, cent) WHERE rn = 1)
+         SELECT cell, COUNT(*) AS n_vecs FROM asn GROUP BY 1""",
     "stream_static_join" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
            c_nationkey, COUNT(*) AS n,

@@ -171,4 +171,45 @@ object CorpusStream {
     EventStream.deleteStaging(staging.toString)
     spark.read.parquet(out).where(col("window_start") <= maxTs)
   }
+
+  /** Streaming IVF index MAINTENANCE: embedding micro-batches are routed
+    * to their coarse cell against BROADCAST centroids inside
+    * `foreachBatch` and appended to the inverted-list store — the shape
+    * that keeps an ANN index current while vectors land, instead of
+    * rebuilding it nightly. The centroid codebook is pinned from the
+    * static corpus (re-training mid-stream would silently re-route
+    * history); each batch is one unshuffled scan + the nodes-sized
+    * assignment exchange, and the store only ever APPENDS. Returns the
+    * per-cell occupancy census — batch-order independent, and equal to
+    * one-shot assignment of the whole table by construction (assignment
+    * is per-vector, so batching cannot change any answer).
+    * Output: (cell, n_vecs). */
+  def annAssignAll(spark: SparkSession, dir: String, nlist: Int): DataFrame = {
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+    val staging = java.nio.file.Files.createTempDirectory("graft-emb-stream").toString
+    corpus.repartition(2).write.mode("overwrite").parquet(s"$staging/in")
+    val schema = spark.read.parquet(s"$staging/in").schema
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema(schema).parquet(s"$staging/in")
+    val store = s"$staging/index"
+    EventStream.withStreamPartitions(spark, 8) {
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$staging/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.operators.Similarity.ivfAssign(corpus, batch, nlist)
+            .write.mode("append").parquet(store)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // materialize BEFORE the staging dir (which holds the store) is
+    // deleted — the lazy plan must not outlive its input files
+    val census = spark.read.parquet(store)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      .localCheckpoint()
+    EventStream.deleteStaging(staging)
+    census
+  }
 }

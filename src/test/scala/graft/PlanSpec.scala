@@ -138,7 +138,7 @@ class PlanSpec extends SparkSuite {
     // streaming queries execute rather than explain statically
     val skip = Set("stream_windowed_agg", "stream_sessionize",
       "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental",
-      "stream_quality_monitor", "stream_static_join")
+      "stream_quality_monitor", "stream_static_join", "stream_ann_assign")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip.contains).flatMap { name =>
         val p = SparkEntry.queries(name)(spark, sf001)
@@ -162,7 +162,7 @@ class PlanSpec extends SparkSuite {
       "sliding_window_counts")                     // window-per-event expansion
     val skip = Set("stream_windowed_agg", "stream_sessionize",
       "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental",
-      "stream_quality_monitor", "stream_static_join")
+      "stream_quality_monitor", "stream_static_join", "stream_ann_assign")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip.contains).flatMap { name =>
         val p = SparkEntry.queries(name)(spark, sf001)
