@@ -53,6 +53,29 @@ object Similarity {
     topKByScore(scored, k)
   }
 
+  /** HARD-NEGATIVE mining for contrastive training: per query vector, the
+    * top-k most similar corpus vectors carrying a DIFFERENT label — the
+    * negatives closest to the decision boundary, which are the ones a
+    * contrastive loss learns most from (random negatives are trivially
+    * separable and teach almost nothing). Same broadcast-query scan shape
+    * as [[bruteForceTopK]], with the label inequality applied BEFORE
+    * scoring so disqualified pairs never reach the dot product, and the
+    * bounded top-k aggregate shipping k pairs per query through the one
+    * exchange. Output: (qid, nid, cos_sim, rank), rank 1..k. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"),
+        asDouble(col("embedding")).as("qv"), col("label").as("qlbl"))
+      .withColumn("qn", norm2(col("qv")))
+    val c = corpus.select(col("vec_id").as("nid"),
+        asDouble(col("embedding")).as("nv"), col("label").as("nlbl"))
+      .withColumn("nn", norm2(col("nv")))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("qlbl") =!= col("nlbl"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos_sim"))
+    topKByScore(scored, k)
+  }
+
   /** Per-qid top-k of (cos_sim DESC, nid ASC) via the bounded [[TopKPairs]]
     * aggregate: map-side partial top-k means the exchange carries at most k
     * pairs per qid instead of every scored pair landing on |Q| window

@@ -425,6 +425,13 @@ object NorthStar {
       e.join(drop.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("label"))
     }),
+    // hard-negative mining (contrastive training): per query, the top-10
+    // most similar vectors with a DIFFERENT label — boundary negatives,
+    // label filter applied before any dot product is computed
+    "ann_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegatives(e, e.where(col("vec_id") < 5), 10)
+    }),
     // LSH-bucketed scale path — the hyperplanes are deterministic md5
     // literals and projections are rounded before the sign test, so the
     // DuckDB oracle mirrors the sketch exactly
@@ -1445,6 +1452,17 @@ object NorthStar {
          r AS (SELECT qid, nid, cos_sim,
                 row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) rn
                FROM ex)
+         SELECT qid, nid, cos_sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10""",
+    "ann_hard_negatives" ->
+      """WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv, label qlbl
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) nv, label nlbl
+               FROM embeddings),
+         sc AS (SELECT qid, nid, round(list_cosine_similarity(qv, nv), 6) cos_sim
+                FROM q, c WHERE qlbl <> nlbl),
+         r AS (SELECT qid, nid, cos_sim,
+                row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) rn
+               FROM sc)
          SELECT qid, nid, cos_sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10""",
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_pq_codes" -> pqCodesSql,

@@ -128,9 +128,10 @@ class PlanSpec extends SparkSuite {
     // ann_ivf_recall composes brute-force (broadcast query set) + IVF
     // corpus_decontaminate_bloom broadcasts the 1-row bloom image (q22
     // shape); corpus_mixture_plan the 1-row weight-sum scalar
+    // ann_hard_negatives shares ann_cosine_topk's broadcast-query scan
     val intentional = Set("ann_cosine_topk", "ann_ivf_topk", "ann_ivf_adc_topk",
-      "ann_ivf_recall", "ann_sq8_topk", "corpus_decontaminate_bloom",
-      "corpus_mixture_plan",
+      "ann_ivf_recall", "ann_sq8_topk", "ann_hard_negatives",
+      "corpus_decontaminate_bloom", "corpus_mixture_plan",
       "q22_idle_balances", "q11_important_share",
       "text_tfidf_topk", "text_lm_score", "events_funnel", "graph_pagerank",
       "q_histogram_equidepth", "emb_kmeans", "dedup_semantic",
