@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{CorpusPipeline, Dedup, Similarity, TextOps}
+import graft.operators.{Bpe, CorpusPipeline, Dedup, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** North-star operator inventory: dedup + text analysis over `documents`
@@ -362,6 +362,11 @@ object NorthStar {
         .limit(50)
     }),
 
+    // distributed BPE tokenizer induction (Sennrich et al. 2016): 6 merge
+    // rounds over the word-frequency table — ONE corpus scan, then every
+    // iteration is vocab-sized with a 1-row broadcast merge rule
+    "text_bpe_merges" -> ((s, dir) => Bpe.merges(t(s, dir, "documents"), 6)),
+
     // length-distribution histogram (100-char buckets)
     "text_length_histogram" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -614,6 +619,40 @@ object NorthStar {
 
   /** DuckDB literal mirror of the universal-hash family: one md5 base per
     * shingle, k affine transforms with the same md5-derived constants. */
+  /** DuckDB mirror of [[graft.operators.Bpe.merges]]: the 6-round merge
+    * loop unrolled as a w0→t1→w1→…→t6 CTE chain; replace applied 3× per
+    * round exactly as the Spark side, same lexicographic tie-break. */
+  private val bpeMergesSql: String = {
+    val sep = "chr(31)"
+    val rounds = 6
+    // RE2 has no backreferences, so the no-triple-run filter is spelled
+    // as 26 LIKE clauses (kept words are [a-z]+ only — equivalent to
+    // Spark's rlike "(.)\1\1" rejection)
+    val noTriple = ('a' to 'z').map(c => s"word NOT LIKE '%$c$c$c%'").mkString(" AND ")
+    val roundsSql = (1 to rounds).map { r =>
+      val prev = s"w${r - 1}"
+      val pat = s"$sep || lhs || $sep || rhs || $sep"
+      val rep = s"$sep || lhs || rhs || $sep"
+      s"""p$r AS (SELECT l[i] lhs, l[i+1] rhs, freq FROM (
+         |      SELECT freq, l, unnest(generate_series(1, len(l)-1)) i FROM (
+         |        SELECT freq, list_filter(string_split(syms, $sep), x -> x <> '') l FROM $prev))),
+         |  t$r AS (SELECT $r AS rank, lhs, rhs, SUM(freq) pair_freq FROM p$r GROUP BY lhs, rhs
+         |          ORDER BY pair_freq DESC, lhs, rhs LIMIT 1),
+         |  w$r AS (SELECT replace(replace(replace(syms, $pat, $rep), $pat, $rep), $pat, $rep) syms, freq
+         |          FROM $prev, t$r)""".stripMargin
+    }
+    val union = (1 to rounds).map(r => s"SELECT * FROM t$r").mkString(" UNION ALL ")
+    s"""WITH wf AS (
+       |    SELECT word, COUNT(*) freq FROM (
+       |      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word FROM documents)
+       |    WHERE len(word) BETWEEN 2 AND 20 AND $noTriple
+       |    GROUP BY word),
+       |  w0 AS (SELECT $sep || regexp_replace(word, '(.)', '\\1' || $sep, 'g') syms, freq FROM wf),
+       |  ${roundsSql.mkString(",\n  ")}
+       |SELECT CAST(rank AS INT) AS rank, lhs, rhs, CAST(pair_freq AS BIGINT) AS pair_freq
+       |FROM ($union)""".stripMargin
+  }
+
   private val minhashSigSql = {
     val terms = (0 until Dedup.MinHashK).map { i =>
       val (a, b) = (Dedup.hashConstant(s"a$i"), Dedup.hashConstant(s"b$i"))
@@ -1372,6 +1411,7 @@ object NorthStar {
                 FROM t0 WHERE len(w) >= 2)
          SELECT b AS bigram, COUNT(*) AS df FROM sh
          GROUP BY 1 ORDER BY df DESC, bigram ASC LIMIT 50""",
+    "text_bpe_merges" -> bpeMergesSql,
     "text_length_histogram" ->
       """SELECT CAST(floor(length(text)/100) AS BIGINT) AS bucket, COUNT(*) AS n,
            CAST(SUM(length(text)) AS DOUBLE)/COUNT(*) AS avg_len
