@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.sql.types.{BinaryType, DecimalType, DoubleType, IntegerType, LongType}
 
 /** The end-to-end corpus-cleaning composition a training-data curator
   * actually runs, as one declarative pipeline:
@@ -330,6 +330,57 @@ object CorpusPipeline {
           .otherwise(lit("kept")).as("stage"))
       .groupBy(col("source"), col("stage"))
       .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): rank raw documents by
+    * how target-domain-like they are, using hashed n-gram importance
+    * weights. Features are word unigrams + bigrams hashed into `buckets`
+    * md5 buckets; the target distribution is fitted from `targetSource`'s
+    * documents and the raw distribution from the whole corpus, both
+    * add-1-smoothed; a document's score is the sum of its features'
+    * log-likelihood ratios ln(p̂(b)/q̂(b)). The top-k highest-scoring
+    * documents are the ones importance resampling keeps.
+    *
+    * Determinism/parity: the feature hash is md5-derived (no RNG), each
+    * bucket's log-ratio is rounded to 6dp ONCE (absorbing libm last-ulp
+    * differences), and per-doc scores sum those rounded values in
+    * DECIMAL(18,6) — bit-exact across engines; ranking ties break on
+    * doc_id via the bounded [[graft.functions.TopKPairs]] aggregate.
+    *
+    * Scale shape: two corpus passes BY DESIGN, matching the paper's
+    * two-phase estimator — pass 1 fits the two distributions (one
+    * explode → B-bucket aggregate, map-side combined), pass 2 scores
+    * (explode → broadcast join against the B-row weight table → per-doc
+    * partial sum). Everything crossing the passes is B rows; the final
+    * top-k ships k pairs per map task through one exchange — no global
+    * sort, no full-corpus shuffle anywhere. */
+  def dsirTopK(docs: DataFrame, targetSource: String, buckets: Int,
+               k: Int): DataFrame = {
+    val w = filter(split(lower(col("text")), "[^a-z]+"), _ =!= "")
+    val bigrams = zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val feats = docs.select(col("doc_id"), col("source"),
+      explode(concat(w, bigrams)).as("f"))
+    val b = feats.select(col("doc_id"), col("source"),
+      pmod(graft.functions.keys.md5Prefix64(col("f").cast(BinaryType), 13),
+        lit(buckets.toLong)).as("bkt"))
+    val dist = b.groupBy("bkt").agg(
+      count(when(col("source") === targetSource, 1)).as("pc"),
+      count(lit(1)).as("qc"))
+    val tot = dist.agg(sum("pc").as("np"), sum("qc").as("nq"))
+    val lw = dist.crossJoin(broadcast(tot)).select(col("bkt"),
+      round(log((col("pc") + lit(1.0)) * (col("nq") + lit(buckets)) /
+        ((col("qc") + lit(1.0)) * (col("np") + lit(buckets)))), 6).as("lw"))
+    val sc = b.join(broadcast(lw), Seq("bkt"))
+      .groupBy("doc_id")
+      .agg(sum(col("lw").cast(DecimalType(18, 6))).cast(DoubleType).as("score"))
+    sc.select(struct(col("score").as("ord"),
+        col("doc_id").cast(LongType).as("payload")).as("pair"))
+      .agg(graft.functions.TopKPairs.topK(col("pair"), k).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.payload").as("doc_id"), col("col.ord").as("score"),
+        (col("pos") + 1).cast(IntegerType).as("rk"))
   }
 
   def cleanCorpus(docs: DataFrame, minTokens: Int = 5, shingleN: Int = 3): DataFrame = {

@@ -127,6 +127,12 @@ object NorthStar {
     "corpus_weighted_sample" -> ((s, dir) =>
       CorpusPipeline.weightedSample(t(s, dir, "documents"), 20, col("n_chars"))),
 
+    // DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+    // log-likelihood-ratio scores against the src0 target domain, top-50
+    // most target-like documents
+    "corpus_dsir_topk" -> ((s, dir) =>
+      CorpusPipeline.dsirTopK(t(s, dir, "documents"), "src0", 256, 50)),
+
     // leakage-safe train/val/test split: hash assignment on the near-dup
     // cluster REPRESENTATIVE, so no cluster ever straddles a split
     // boundary (the train/test contamination a per-doc hash produces)
@@ -1166,6 +1172,31 @@ object NorthStar {
                FROM k)
          SELECT doc_id, source, skey, CAST(rk AS INT) AS rk
          FROM r WHERE rk <= 20""",
+    "corpus_dsir_topk" ->
+      """WITH t0 AS (SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') w
+           FROM documents),
+         feats AS (SELECT doc_id, source,
+             unnest(list_concat(w,
+               list_transform(range(len(w)-1), i -> w[i+1] || ' ' || w[i+2]))) f
+           FROM t0),
+         b AS (SELECT doc_id, source,
+             CAST(('0x' || substr(md5(f), 1, 13)) AS BIGINT) % 256 bkt
+           FROM feats),
+         dist AS (SELECT bkt, COUNT(CASE WHEN source = 'src0' THEN 1 END) pc,
+                 COUNT(*) qc
+               FROM b GROUP BY bkt),
+         tot AS (SELECT SUM(pc) np, SUM(qc) nq FROM dist),
+         w8 AS (SELECT bkt,
+                 round(ln((pc + 1.0) * (nq + 256) / ((qc + 1.0) * (np + 256))), 6) lw
+               FROM dist, tot),
+         sc AS (SELECT doc_id,
+                 CAST(SUM(CAST(lw AS DECIMAL(18,6))) AS DOUBLE) score
+               FROM b JOIN w8 USING (bkt) GROUP BY doc_id),
+         r AS (SELECT doc_id, score,
+                row_number() OVER (ORDER BY score DESC, doc_id ASC) rk
+               FROM sc)
+         SELECT doc_id, score, CAST(rk AS INT) AS rk FROM r WHERE rk <= 50""",
     "corpus_decontaminate_eval" ->
       s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
           ev AS (SELECT DISTINCT unnest(ss) s

@@ -258,4 +258,24 @@ class PipelineSpec extends SparkSuite {
     assert(byStage === Map("kept" -> 1L, "exact_dup" -> 1L, "too_short" -> 1L,
       "lang_other" -> 1L, "low_stopword" -> 1L))
   }
+
+  test("dsirTopK: target-vocabulary docs outrank off-domain docs") {
+    // target (src0) is "spark data" vocabulary; among the raw docs, the
+    // one sharing that vocabulary must importance-rank above the
+    // off-domain one — the whole point of DSIR selection
+    val docs = Seq(
+      (1L, "spark engine fast data shuffle", "src0"),
+      (2L, "spark data join broadcast engine", "src0"),
+      (3L, "spark data engine shuffle broadcast", "raw"), // target-like
+      (4L, "zebra yak quagga wombat okapi", "raw")        // off-domain
+    ).toDF("doc_id", "text", "source")
+    val got = graft.operators.CorpusPipeline.dsirTopK(docs, "src0", 64, 10)
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+    assert(got.map(_._1).toSet === Set(1L, 2L, 3L, 4L))
+    val rkOf = got.map(r => r._1 -> r._3).toMap
+    assert(rkOf(3L) < rkOf(4L),
+      s"target-like doc 3 should outrank off-domain doc 4: $got")
+    // scores are monotone in rank (TopKPairs contract: ord DESC, id ASC)
+    assert(got.map(_._2).toSeq === got.map(_._2).toSeq.sorted.reverse)
+  }
 }

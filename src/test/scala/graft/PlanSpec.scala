@@ -131,8 +131,10 @@ class PlanSpec extends SparkSuite {
     // ann_hard_negatives shares ann_cosine_topk's broadcast-query scan
     // text_bpe_merges cross-joins each round's 1-row merge rule into the
     // vocab rewrite (broadcast-scalar pattern)
+    // corpus_dsir_topk cross-joins the 1-row (np, nq) totals into the
+    // B-row weight table (broadcast-scalar pattern)
     val intentional = Set("ann_cosine_topk", "ann_ivf_topk", "ann_ivf_adc_topk",
-      "text_bpe_merges",
+      "text_bpe_merges", "corpus_dsir_topk",
       "ann_ivf_recall", "ann_sq8_topk", "ann_hard_negatives",
       "corpus_decontaminate_bloom", "corpus_mixture_plan",
       "q22_idle_balances", "q11_important_share",
