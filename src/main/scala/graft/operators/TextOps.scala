@@ -28,6 +28,33 @@ object TextOps {
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\S+"), lit(0)))
 
+  /** Context-window chunking — split each document into token windows of
+    * `width` tokens advancing by `stride` (overlap = width − stride), the
+    * standard preprocessing for RAG passage indexing and for packing long
+    * documents into a model's context length. One window starts at every
+    * stride multiple below the token count, so the final windows may be
+    * short (a document never loses its tail) and every document emits at
+    * least one chunk. Pure per-document explode — no shuffle, no state;
+    * at 100 TB this is a map-only pass whose output partitioning simply
+    * inherits the input's.
+    *
+    * Output: (doc_id, chunk_id, start_tok, n_tok, chunk_text), where
+    * chunk_id = start_tok / stride. */
+  def chunkWindows(docs: org.apache.spark.sql.DataFrame, width: Int,
+                   stride: Int): org.apache.spark.sql.DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      "need 0 < stride <= width")
+    docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - 1, lit(stride))).as("start_tok"))
+      .select(col("doc_id"),
+        (col("start_tok") / stride).cast(IntegerType).as("chunk_id"),
+        col("start_tok"),
+        least(lit(width), size(col("w")) - col("start_tok")).as("n_tok"),
+        array_join(slice(col("w"), col("start_tok") + 1, lit(width)), " ")
+          .as("chunk_text"))
+  }
+
   /** BPE-ish subword estimate: ceil(len/4) units per word (a cheap proxy
     * for byte-pair-encoded token counts; ~4 chars/token heuristic). */
   def bpeEstimate(text: Column): Column =
@@ -254,16 +281,16 @@ object TextOps {
 
   /** The DuckDB mirror of [[bm25Scores]] as a CTE body over `documents`
     * (oracle builder); yields columns (doc_id, bm25). */
-  def bm25Sql(terms: Seq[String]): String = {
+  def bm25Sql(terms: Seq[String], table: String = "documents"): String = {
     val inList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
     s"""WITH toks AS (SELECT doc_id, len(string_split(text, ' ')) dl,
-            unnest(string_split(text, ' ')) t FROM documents),
+            unnest(string_split(text, ' ')) t FROM $table),
         tfs AS (SELECT doc_id, t, count(*) tf, max(dl) dl FROM toks
                 WHERE t IN ($inList) GROUP BY 1, 2),
         dfs AS (SELECT t, count(*) df FROM tfs GROUP BY 1),
         st AS (SELECT count(*) n,
                 CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*) avgdl
-               FROM documents)
+               FROM $table)
         SELECT doc_id,
           round(SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0)
             * (tf * (1.2 + 1)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6)

@@ -373,6 +373,30 @@ object NorthStar {
     // iteration is vocab-sized with a 1-row broadcast merge rule
     "text_bpe_merges" -> ((s, dir) => Bpe.merges(t(s, dir, "documents"), 6)),
 
+    // context-window chunking: 40-token windows advancing by 30 (10-token
+    // overlap) — RAG/context-packing preprocessing, pure map-side explode
+    "text_chunk_windows" -> ((s, dir) =>
+      TextOps.chunkWindows(t(s, dir, "documents"), 40, 30)),
+
+    // RAG passage retrieval: BM25 over chunk windows (passage surrogate
+    // id = doc_id·10⁴ + chunk_id; chunk counts are bounded far below 10⁴
+    // by tokens/stride), top-10 passages for the fixed query, attributed
+    // back to (doc_id, chunk_id)
+    "rag_passage_topk" -> ((s, dir) => {
+      val ch = TextOps.chunkWindows(t(s, dir, "documents"), 40, 30)
+      val passages = ch.select(
+        (col("doc_id") * 10000 + col("chunk_id")).as("doc_id"),
+        col("chunk_text").as("text"))
+      TextOps.bm25Scores(passages, Bm25Terms)
+        .select(struct(col("bm25").as("ord"), col("doc_id").as("payload")).as("pair"))
+        .agg(graft.functions.TopKPairs.topK(col("pair"), 10).as("top"))
+        .select(posexplode(col("top")))
+        .select(expr("CAST(col.payload DIV 10000 AS BIGINT)").as("doc_id"),
+          expr("CAST(col.payload % 10000 AS INT)").as("chunk_id"),
+          col("col.ord").as("bm25"),
+          (col("pos") + 1).cast("int").as("rank"))
+    }),
+
     // length-distribution histogram (100-char buckets)
     "text_length_histogram" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -625,6 +649,18 @@ object NorthStar {
 
   /** DuckDB literal mirror of the universal-hash family: one md5 base per
     * shingle, k affine transforms with the same md5-derived constants. */
+  /** DuckDB mirror of [[graft.operators.TextOps.chunkWindows]] at
+    * width 40 / stride 30: one window per stride multiple below the token
+    * count, tail windows short, 1-based inclusive list slice clamps. */
+  private val chunkWindowsSql =
+    """WITH t0 AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       s AS (SELECT doc_id, w, unnest(generate_series(0, len(w)-1, 30)) start_tok FROM t0)
+       SELECT doc_id, CAST(start_tok / 30 AS INT) AS chunk_id,
+         CAST(start_tok AS INT) AS start_tok,
+         CAST(least(40, len(w) - start_tok) AS INT) AS n_tok,
+         array_to_string(w[start_tok+1 : start_tok+40], ' ') AS chunk_text
+       FROM s"""
+
   /** DuckDB mirror of [[graft.operators.Bpe.merges]]: the 6-round merge
     * loop unrolled as a w0→t1→w1→…→t6 CTE chain; replace applied 3× per
     * round exactly as the Spark side, same lexicographic tie-break. */
@@ -1135,6 +1171,22 @@ object NorthStar {
             round(0.5 * COALESCE(bm25, 0.0) / mx + 0.5 * cos_q, 6) AS hybrid
           FROM cosq LEFT JOIN lex ON cosq.vec_id = lex.doc_id, mx
           ORDER BY hybrid DESC, vec_id LIMIT 20""",
+    "text_chunk_windows" -> chunkWindowsSql,
+    "rag_passage_topk" -> {
+      // passages as a parenthesized CTE subquery spliced in as the BM25
+      // "table" (bm25Sql references it twice — fine for the oracle)
+      val passages = s"""(WITH t0 AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+           st0 AS (SELECT doc_id, w, unnest(generate_series(0, len(w)-1, 30)) s FROM t0)
+           SELECT doc_id*10000 + CAST(s/30 AS INT) AS doc_id,
+             array_to_string(w[s+1 : s+40], ' ') AS text
+           FROM st0)"""
+      s"""WITH bm AS (${TextOps.bm25Sql(Bm25Terms, passages)}),
+          r AS (SELECT doc_id pid, bm25,
+                 row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) rn FROM bm)
+          SELECT CAST(pid // 10000 AS BIGINT) AS doc_id,
+            CAST(pid % 10000 AS INT) AS chunk_id, bm25, CAST(rn AS INT) AS rank
+          FROM r WHERE rn <= 10"""
+    },
     "emb_label_centroids" ->
       """WITH ex AS (SELECT label,
              unnest(list_transform(range(len(embedding)),

@@ -549,4 +549,18 @@ class DedupTextSpec extends SparkSuite {
     // doc 3: everything was boilerplate -> empty rewrite, nothing kept
     assert(got(3L) === ((3L, "", 0L, 1L)))
   }
+
+  test("chunkWindows: stride starts, short tail windows, one chunk minimum") {
+    // 7 tokens, width 5, stride 3 → starts 0,3,6 with 5,4,1 tokens
+    val d = Seq((1L, "t0 t1 t2 t3 t4 t5 t6"), (2L, "solo")).toDF("doc_id", "text")
+    val got = TextOps.chunkWindows(d, 5, 3)
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq(
+      (1L, 0, 0, 5, "t0 t1 t2 t3 t4"),
+      (1L, 1, 3, 4, "t3 t4 t5 t6"),
+      (1L, 2, 6, 1, "t6"),
+      (2L, 0, 0, 1, "solo")))
+    // overlap invariant: consecutive windows share width - stride tokens
+    assert(got(0)._5.split(" ").drop(3).toSeq === got(1)._5.split(" ").take(2).toSeq)
+  }
 }
