@@ -383,6 +383,49 @@ object CorpusPipeline {
         (col("pos") + 1).cast(IntegerType).as("rk"))
   }
 
+  /** Curriculum schedule — order the corpus easy→hard for training while
+    * keeping every difficulty level present throughout (Bengio et al.
+    * 2009-style curriculum, realized as round-robin interleave): each
+    * document lands in a difficulty bin (token-count bands, capped at
+    * `bins`), is deterministically md5-shuffled WITHIN its bin, and gets
+    * a global step = pos_in_bin·bins + bin — consecutive steps cycle
+    * through the bins while each bin's internal order is a reproducible
+    * permutation. Bins exhaust at different times, so `step` is ordinal,
+    * not dense — training consumes in step order.
+    *
+    * Scale shape: the within-bin permutation is NEVER one global sort —
+    * documents hash into `shards` md5 shards per bin, each (bin, shard)
+    * partition sorts independently (corpus/(bins·shards) rows — pick
+    * `shards` to bound partition size), and shard offsets come from a
+    * bins·shards-row count table broadcast back (same two-level scheme as
+    * [[globalShuffle]]). The count pass re-reads only (doc_id, text-length)
+    * — column-pruned; at 100 TB derive it from footer metadata or cache
+    * the projected base.
+    *
+    * Output: (doc_id, bin, pos_in_bin, step). */
+  def curriculumSchedule(docs: DataFrame, bins: Int, binWidth: Int,
+                         shards: Int): DataFrame = {
+    val keyBytes = col("doc_id").cast(org.apache.spark.sql.types.StringType).cast(BinaryType)
+    val base = docs.select(col("doc_id"),
+      least(lit(bins - 1), floor(TextOps.tokenCount(col("text")) / binWidth))
+        .cast(IntegerType).as("bin"),
+      md5(keyBytes).as("skey"),
+      pmod(graft.functions.keys.md5Prefix64(keyBytes, 7), lit(shards.toLong))
+        .cast(IntegerType).as("shard"))
+    val ranked = base.withColumn("rk",
+      row_number().over(Window.partitionBy(col("bin"), col("shard"))
+        .orderBy(col("skey"), col("doc_id"))))
+    val offsets = base.groupBy(col("bin"), col("shard")).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(Window.partitionBy(col("bin")).orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bin"), col("shard"), col("off"))
+    ranked.join(broadcast(offsets), Seq("bin", "shard"))
+      .select(col("doc_id"), col("bin"),
+        (col("off") + col("rk") - 1).as("pos_in_bin"),
+        ((col("off") + col("rk") - 1) * bins + col("bin")).as("step"))
+  }
+
   def cleanCorpus(docs: DataFrame, minTokens: Int = 5, shingleN: Int = 3): DataFrame = {
     val q = docs.select(col("doc_id"), col("source"), col("text"),
         TextOps.tokenCount(col("text")).as("n_tokens"))

@@ -127,6 +127,12 @@ object NorthStar {
     "corpus_weighted_sample" -> ((s, dir) =>
       CorpusPipeline.weightedSample(t(s, dir, "documents"), 20, col("n_chars"))),
 
+    // curriculum schedule: token-count difficulty bins (4 bins, 20-token
+    // bands) round-robin-interleaved; within-bin order is a two-level
+    // (md5 shard, in-shard sort) permutation — never one global sort
+    "corpus_curriculum" -> ((s, dir) =>
+      CorpusPipeline.curriculumSchedule(t(s, dir, "documents"), 4, 20, 8)),
+
     // DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
     // log-likelihood-ratio scores against the src0 target domain, top-50
     // most target-like documents
@@ -1224,6 +1230,24 @@ object NorthStar {
                FROM k)
          SELECT doc_id, source, skey, CAST(rk AS INT) AS rk
          FROM r WHERE rk <= 20""",
+    "corpus_curriculum" ->
+      """WITH base AS (SELECT doc_id,
+             CAST(least(3, floor(len(regexp_extract_all(text, '\S+')) / 20)) AS INT) bin,
+             md5(CAST(doc_id AS VARCHAR)) skey,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 8
+               AS INT) shard
+           FROM documents),
+         ranked AS (SELECT doc_id, bin, shard,
+             row_number() OVER (PARTITION BY bin, shard ORDER BY skey, doc_id) rk
+           FROM base),
+         counts AS (SELECT bin, shard, COUNT(*) c FROM base GROUP BY 1, 2),
+         offs AS (SELECT bin, shard,
+             CAST(COALESCE(SUM(c) OVER (PARTITION BY bin ORDER BY shard
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) shard_off
+           FROM counts)
+         SELECT doc_id, bin, shard_off + rk - 1 AS pos_in_bin,
+           (shard_off + rk - 1) * 4 + bin AS step
+         FROM ranked JOIN offs USING (bin, shard)""",
     "corpus_dsir_topk" ->
       """WITH t0 AS (SELECT doc_id, source,
              list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') w

@@ -259,6 +259,28 @@ class PipelineSpec extends SparkSuite {
       "lang_other" -> 1L, "low_stopword" -> 1L))
   }
 
+  test("curriculumSchedule: dense per-bin positions, round-robin steps, stable binning") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val got = graft.operators.CorpusPipeline.curriculumSchedule(docs, 4, 20, 8)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(got.length === docs.count())
+    // every doc scheduled exactly once, steps are unique
+    assert(got.map(_._1).distinct.length === got.length)
+    assert(got.map(_._4).distinct.length === got.length)
+    // pos_in_bin is dense 0..n-1 within each bin
+    got.groupBy(_._2).foreach { case (bin, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq,
+        s"bin $bin positions not dense")
+    }
+    // step encodes (pos, bin) round-robin: step = pos*4 + bin
+    got.foreach { case (_, bin, pos, step) => assert(step === pos * 4 + bin) }
+    // binning is the documented token-band rule (spot-check via recompute)
+    val bins = docs.select(col("doc_id"), least(lit(3),
+        floor(size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))) / 20))
+        .cast("int").as("b")).as[(Long, Int)].collect().toMap
+    got.foreach { case (id, bin, _, _) => assert(bin === bins(id)) }
+  }
+
   test("dsirTopK: target-vocabulary docs outrank off-domain docs") {
     // target (src0) is "spark data" vocabulary; among the raw docs, the
     // one sharing that vocabulary must importance-rank above the
