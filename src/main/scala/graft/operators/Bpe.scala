@@ -56,11 +56,12 @@ object Bpe {
         !col("word").rlike("(.)\\1\\1"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
-  /** Top-k BPE merges over the corpus. Each returned row is one merge
-    * rule in application order with the pair frequency that won it. */
-  def merges(docs: DataFrame, rounds: Int,
-             storage: Dedup.FixpointStorage = Dedup.LocalCheckpoint): DataFrame = {
-    val base = wordFreq(docs).select(
+  /** The shared train loop: returns (final vocab (word, syms, freq), one
+    * 1-row merge table per round). Each round's vocab and winning pair
+    * are re-materialized so the lazy plan does not double per iteration. */
+  private def run(docs: DataFrame, rounds: Int,
+                  storage: Dedup.FixpointStorage): (DataFrame, Seq[DataFrame]) = {
+    val base = wordFreq(docs).select(col("word"),
       concat(lit(SEP), regexp_replace(col("word"), "(.)", "$1" + SEP)).as("syms"),
       col("freq"))
     var vocab = Dedup.materializeFixpoint(base, storage)
@@ -83,10 +84,47 @@ object Bpe {
       val once = (s: Column) => replace(s, pat, rep)
       vocab = Dedup.materializeFixpoint(
         vocab.crossJoin(broadcast(top1.select(col("lhs"), col("rhs"))))
-          .select(once(once(once(col("syms")))).as("syms"), col("freq")),
+          .select(col("word"), once(once(once(col("syms")))).as("syms"), col("freq")),
         storage)
     }
-    merges.result().reduce(_ unionByName _)
+    (vocab, merges.result())
+  }
+
+  /** Top-k BPE merges over the corpus. Each returned row is one merge
+    * rule in application order with the pair frequency that won it. */
+  def merges(docs: DataFrame, rounds: Int,
+             storage: Dedup.FixpointStorage = Dedup.LocalCheckpoint): DataFrame =
+    run(docs, rounds, storage)._2.reduce(_ unionByName _)
       .select(col("rank"), col("lhs"), col("rhs"), col("pair_freq"))
+
+  /** The trained tokenizer itself: each vocab word with its final symbol
+    * string after `rounds` merges — (word, syms, freq). */
+  def encodedVocab(docs: DataFrame, rounds: Int,
+                   storage: Dedup.FixpointStorage = Dedup.LocalCheckpoint): DataFrame =
+    run(docs, rounds, storage)._1
+
+  /** Train → APPLY: per-document subword fertility under the vocab the
+    * corpus itself induced — n_subwords/n_words after `rounds` merges,
+    * the metric tokenizer teams track (lower = better compression; 1.0 =
+    * every word is a single token). Words outside the vocab filter
+    * (length, triple-run junk) are excluded from both counts.
+    *
+    * Scale shape: the apply side is an equi-join of exploded corpus words
+    * against the word-keyed vocab (map-side combinable per-doc agg after
+    * it); the vocab is corpus-derived and checkpointed by the train loop,
+    * so applying costs one more corpus scan + one word-hash shuffle. */
+  def fertility(docs: DataFrame, rounds: Int,
+                storage: Dedup.FixpointStorage = Dedup.LocalCheckpoint): DataFrame = {
+    val vocab = encodedVocab(docs, rounds, storage).select(col("word"),
+      size(filter(split(col("syms"), SEP), _ =!= "")).as("n_sub"))
+    val words = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .where(length(col("word")).between(2, 20) &&
+        !col("word").rlike("(.)\\1\\1"))
+    words.join(vocab, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        round(col("n_subwords") / col("n_words"), 6).as("fertility"))
   }
 }

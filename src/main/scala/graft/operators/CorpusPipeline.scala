@@ -53,19 +53,20 @@ object CorpusPipeline {
     *
     * Output: (doc_id, source, skey, rk), rk 1..perSource per source. */
   def weightedSample(docs: DataFrame, perSource: Int,
-                     weight: org.apache.spark.sql.Column): DataFrame = {
+                     weight: org.apache.spark.sql.Column,
+                     stratumCol: String = "source"): DataFrame = {
     val u = (graft.functions.keys.md5Prefix64(
         col("doc_id").cast(org.apache.spark.sql.types.StringType).cast(BinaryType), 13)
       + lit(1L)).cast(org.apache.spark.sql.types.DoubleType) /
       lit(4503599627370496.0) // 2^52
     docs.where(weight > 0)
-      .select(col("source"),
+      .select(col(stratumCol),
         struct(round(log(u) / weight, 9).as("skey"),
           col("doc_id").cast(org.apache.spark.sql.types.LongType).as("doc_id")).as("pair"))
-      .groupBy(col("source"))
+      .groupBy(col(stratumCol))
       .agg(graft.functions.TopKPairs.topK(col("pair"), perSource).as("top"))
-      .select(col("source"), posexplode(col("top")))
-      .select(col("col.payload").as("doc_id"), col("source"),
+      .select(col(stratumCol), posexplode(col("top")))
+      .select(col("col.payload").as("doc_id"), col(stratumCol),
         col("col.ord").as("skey"),
         (col("pos") + 1).cast(org.apache.spark.sql.types.IntegerType).as("rk"))
   }

@@ -127,6 +127,12 @@ object NorthStar {
     "corpus_weighted_sample" -> ((s, dir) =>
       CorpusPipeline.weightedSample(t(s, dir, "documents"), 20, col("n_chars"))),
 
+    // per-language quota sampling (language-balanced corpus): exactly
+    // min(30, |lang|) docs per language, uniform (weight 1) A-ES keys,
+    // bounded TopKPairs aggregate — no per-stratum window sort
+    "corpus_lang_quota" -> ((s, dir) =>
+      CorpusPipeline.weightedSample(t(s, dir, "documents"), 30, lit(1.0), "lang")),
+
     // curriculum schedule: token-count difficulty bins (4 bins, 20-token
     // bands) round-robin-interleaved; within-bin order is a two-level
     // (md5 shard, in-shard sort) permutation — never one global sort
@@ -378,6 +384,11 @@ object NorthStar {
     // rounds over the word-frequency table — ONE corpus scan, then every
     // iteration is vocab-sized with a 1-row broadcast merge rule
     "text_bpe_merges" -> ((s, dir) => Bpe.merges(t(s, dir, "documents"), 6)),
+
+    // train → apply: per-doc subword fertility under the corpus's own
+    // 6-merge BPE vocab (n_subwords / n_words over vocab-eligible words)
+    "text_bpe_fertility" -> ((s, dir) =>
+      Bpe.fertility(t(s, dir, "documents"), 6)),
 
     // context-window chunking: 40-token windows advancing by 30 (10-token
     // overlap) — RAG/context-packing preprocessing, pure map-side explode
@@ -667,17 +678,21 @@ object NorthStar {
          array_to_string(w[start_tok+1 : start_tok+40], ' ') AS chunk_text
        FROM s"""
 
-  /** DuckDB mirror of [[graft.operators.Bpe.merges]]: the 6-round merge
-    * loop unrolled as a w0→t1→w1→…→t6 CTE chain; replace applied 3× per
-    * round exactly as the Spark side, same lexicographic tie-break. */
-  private val bpeMergesSql: String = {
+  // RE2 has no backreferences, so the no-triple-run filter is spelled
+  // as 26 LIKE clauses (kept words are [a-z]+ only — equivalent to
+  // Spark's rlike "(.)\1\1" rejection)
+  private val bpeNoTriple =
+    ('a' to 'z').map(c => s"word NOT LIKE '%$c$c$c%'").mkString(" AND ")
+
+  /** DuckDB mirror of [[graft.operators.Bpe]]'s train loop: the 6-round
+    * merge loop unrolled as a w0→t1→w1→…→t6→w6 CTE chain; replace applied
+    * 3× per round exactly as the Spark side, same lexicographic
+    * tie-break. Returns the WITH-prefix shared by the merges and
+    * fertility oracles. */
+  private val BpeRounds = 6
+  private val bpeChainSql: String = {
     val sep = "chr(31)"
-    val rounds = 6
-    // RE2 has no backreferences, so the no-triple-run filter is spelled
-    // as 26 LIKE clauses (kept words are [a-z]+ only — equivalent to
-    // Spark's rlike "(.)\1\1" rejection)
-    val noTriple = ('a' to 'z').map(c => s"word NOT LIKE '%$c$c$c%'").mkString(" AND ")
-    val roundsSql = (1 to rounds).map { r =>
+    val roundsSql = (1 to BpeRounds).map { r =>
       val prev = s"w${r - 1}"
       val pat = s"$sep || lhs || $sep || rhs || $sep"
       val rep = s"$sep || lhs || rhs || $sep"
@@ -686,20 +701,39 @@ object NorthStar {
          |        SELECT freq, list_filter(string_split(syms, $sep), x -> x <> '') l FROM $prev))),
          |  t$r AS (SELECT $r AS rank, lhs, rhs, SUM(freq) pair_freq FROM p$r GROUP BY lhs, rhs
          |          ORDER BY pair_freq DESC, lhs, rhs LIMIT 1),
-         |  w$r AS (SELECT replace(replace(replace(syms, $pat, $rep), $pat, $rep), $pat, $rep) syms, freq
+         |  w$r AS (SELECT word, replace(replace(replace(syms, $pat, $rep), $pat, $rep), $pat, $rep) syms, freq
          |          FROM $prev, t$r)""".stripMargin
     }
-    val union = (1 to rounds).map(r => s"SELECT * FROM t$r").mkString(" UNION ALL ")
     s"""WITH wf AS (
        |    SELECT word, COUNT(*) freq FROM (
        |      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word FROM documents)
-       |    WHERE len(word) BETWEEN 2 AND 20 AND $noTriple
+       |    WHERE len(word) BETWEEN 2 AND 20 AND $bpeNoTriple
        |    GROUP BY word),
-       |  w0 AS (SELECT $sep || regexp_replace(word, '(.)', '\\1' || $sep, 'g') syms, freq FROM wf),
-       |  ${roundsSql.mkString(",\n  ")}
+       |  w0 AS (SELECT word, $sep || regexp_replace(word, '(.)', '\\1' || $sep, 'g') syms, freq FROM wf),
+       |  ${roundsSql.mkString(",\n  ")}""".stripMargin
+  }
+
+  private val bpeMergesSql: String = {
+    val union = (1 to BpeRounds).map(r => s"SELECT * FROM t$r").mkString(" UNION ALL ")
+    s"""$bpeChainSql
        |SELECT CAST(rank AS INT) AS rank, lhs, rhs, CAST(pair_freq AS BIGINT) AS pair_freq
        |FROM ($union)""".stripMargin
   }
+
+  /** Train → apply mirror: per-doc subword fertility under the learned
+    * w6 vocab (inner join on the same filtered word stream). */
+  private val bpeFertilitySql: String =
+    s"""$bpeChainSql,
+       |  vocab AS (SELECT word,
+       |      len(list_filter(string_split(syms, chr(31)), x -> x <> '')) n_sub
+       |    FROM w$BpeRounds),
+       |  fw AS (SELECT doc_id, word FROM (
+       |      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+       |      FROM documents)
+       |    WHERE len(word) BETWEEN 2 AND 20 AND $bpeNoTriple)
+       |SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+       |  round(SUM(n_sub) / COUNT(*), 6) AS fertility
+       |FROM fw JOIN vocab USING (word) GROUP BY doc_id""".stripMargin
 
   private val minhashSigSql = {
     val terms = (0 until Dedup.MinHashK).map { i =>
@@ -1230,6 +1264,19 @@ object NorthStar {
                FROM k)
          SELECT doc_id, source, skey, CAST(rk AS INT) AS rk
          FROM r WHERE rk <= 20""",
+    "corpus_lang_quota" ->
+      """WITH d AS (SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) pre
+           FROM documents),
+         k AS (SELECT doc_id, lang,
+                round(ln((pre + 1) / 4503599627370496.0) / 1.0, 9) skey
+               FROM d),
+         r AS (SELECT doc_id, lang, skey,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY skey DESC, doc_id ASC) rk
+               FROM k)
+         SELECT doc_id, lang, skey, CAST(rk AS INT) AS rk
+         FROM r WHERE rk <= 30""",
     "corpus_curriculum" ->
       """WITH base AS (SELECT doc_id,
              CAST(least(3, floor(len(regexp_extract_all(text, '\S+')) / 20)) AS INT) bin,
@@ -1519,6 +1566,7 @@ object NorthStar {
          SELECT b AS bigram, COUNT(*) AS df FROM sh
          GROUP BY 1 ORDER BY df DESC, bigram ASC LIMIT 50""",
     "text_bpe_merges" -> bpeMergesSql,
+    "text_bpe_fertility" -> bpeFertilitySql,
     "text_length_histogram" ->
       """SELECT CAST(floor(length(text)/100) AS BIGINT) AS bucket, COUNT(*) AS n,
            CAST(SUM(length(text)) AS DOUBLE)/COUNT(*) AS avg_len

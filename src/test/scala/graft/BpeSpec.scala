@@ -38,6 +38,19 @@ class BpeSpec extends SparkSuite {
     assert(wf === Map("ok" -> 2L))
   }
 
+  test("fertility applies the learned merges back to the corpus") {
+    // after 3 merges (h,e)(t,he)(a,t): the→[the], then→[the,n],
+    // cat→[c,at], hat→[h,at]
+    val docs = Seq((0L, "the cat"), (1L, "the hat"), (2L, "then"))
+      .toDF("doc_id", "text")
+    val got = Bpe.fertility(docs, 3).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (0L, 2L, 3L, 1.5),   // the=1 sub, cat=2 subs
+      (1L, 2L, 3L, 1.5),   // the=1, hat=2
+      (2L, 1L, 2L, 2.0)))  // then=[the, n]
+  }
+
   test("empty corpus yields zero merges") {
     val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Bpe.merges(docs, 2).count() === 0L)
