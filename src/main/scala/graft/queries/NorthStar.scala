@@ -127,6 +127,33 @@ object NorthStar {
     "corpus_weighted_sample" -> ((s, dir) =>
       CorpusPipeline.weightedSample(t(s, dir, "documents"), 20, col("n_chars"))),
 
+    // corpus diversity: per-source bigram type-token ratio — repetitive
+    // or templated sources score low. Exact two-level distinct (group by
+    // (source, ngram) then count) — both levels map-side combinable, no
+    // approx sketch needed
+    "text_ngram_diversity" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("source"), explode(TextOps.shingleStructs(col("text"), 2)).as("g"))
+        .select(col("source"), TextOps.shingleString(col("g"), 2).as("g"))
+      sh.groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("distinct_ngrams"), sum("c").as("total_ngrams"),
+          round(count(lit(1)) / sum("c"), 6).as("ttr"))
+    }),
+
+    // packing/planning stats: per-source token-count percentiles (choose
+    // max_seq_len, budget packing). Exact percentile buffers per group —
+    // the 100-TB path swaps in approx_percentile (q_approx_percentile)
+    "corpus_length_percentiles" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), TextOps.tokenCount(col("text")).as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("total_tokens"),
+          round(expr("percentile(n_tok, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n_tok, 0.9)"), 6).as("p90"),
+          round(expr("percentile(n_tok, 0.99)"), 6).as("p99"))),
+
     // per-language quota sampling (language-balanced corpus): exactly
     // min(30, |lang|) docs per language, uniform (weight 1) A-ES keys,
     // bounded TopKPairs aggregate — no per-stratum window sort
@@ -1264,6 +1291,24 @@ object NorthStar {
                FROM k)
          SELECT doc_id, source, skey, CAST(rk AS INT) AS rk
          FROM r WHERE rk <= 20""",
+    "text_ngram_diversity" ->
+      """WITH t0 AS (SELECT source, string_split(text, ' ') w FROM documents),
+         sh AS (SELECT source,
+                 unnest(list_transform(range(len(w)-1), i -> w[i+1] || ' ' || w[i+2])) g
+               FROM t0),
+         per AS (SELECT source, g, COUNT(*) c FROM sh GROUP BY 1, 2)
+         SELECT source, COUNT(*) AS distinct_ngrams,
+           CAST(SUM(c) AS BIGINT) AS total_ngrams,
+           round(COUNT(*) / SUM(c), 6) AS ttr
+         FROM per GROUP BY source""",
+    "corpus_length_percentiles" ->
+      """WITH d AS (SELECT source, len(regexp_extract_all(text, '\S+')) n_tok
+           FROM documents)
+         SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           round(quantile_cont(n_tok, 0.5), 6) AS p50,
+           round(quantile_cont(n_tok, 0.9), 6) AS p90,
+           round(quantile_cont(n_tok, 0.99), 6) AS p99
+         FROM d GROUP BY source""",
     "corpus_lang_quota" ->
       """WITH d AS (SELECT doc_id, lang,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) pre

@@ -315,6 +315,20 @@ object SqlSurface {
            SELECT node, max(depth) AS depth_to_root, count(*) AS chain_len
            FROM anc GROUP BY node""")
     }),
+
+    // SQL layer: correlated LATERAL subquery — per-customer top-2 orders
+    // by price, the "top-n per key via lateral" idiom; inner lateral
+    // drops order-less customers in both engines
+    "q_sql_lateral" -> ((s, dir) => {
+      registerViews(s, dir)
+      s.sql(
+        """SELECT c_custkey, o_orderkey, o_totalprice
+           FROM customer,
+           LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                    WHERE o_custkey = c_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+           WHERE c_custkey < 100""")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -485,5 +499,12 @@ object SqlSurface {
          SELECT node, CAST(max(depth) AS INT) AS depth_to_root,
            count(*) AS chain_len
          FROM anc GROUP BY node""",
+    "q_sql_lateral" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+         FROM customer,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_custkey = c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+         WHERE c_custkey < 100""",
   )
 }
