@@ -30,11 +30,14 @@ import org.apache.spark.sql.functions._
   * occurrence of an ...lrlrlr... chain; a second pass catches the
   * skipped ones (symbols ≤20 chars bound the chain length), the third is
   * margin. Words with a triple-repeated character are dropped up front
-  * (junk like "aaaa", and it pins replace ≡ the canonical leftmost
-  * greedy fold — same-symbol runs, the one case where the replace
-  * schedule diverges from the fold, are capped at length 2; runs of a
-  * MERGED symbol, e.g. ababab → [ab,ab,ab], stay ≤3 where both
-  * schedules still agree).
+  * (junk like "aaaa", and it caps same-symbol CHAR runs at 2, which
+  * makes replace ≡ the canonical leftmost greedy fold for every
+  * single-char-symbol round — property-hammered over the full filtered
+  * {a,b,c} word space in PropertySpec). In later rounds a run of ≥4
+  * identical MERGED symbols (degenerate words like "ababababab" →
+  * [ab]×5) can group merges differently from the fold; the Spark and
+  * oracle sides still agree exactly (same replace schedule), only
+  * fidelity to textbook BPE on such words is approximate.
   *
   * Scale shape: stage 1 is the only corpus-wide shuffle (word hash).
   * Each round is one vocab-sized pair aggregation + a 1-row top-1

@@ -230,4 +230,38 @@ class PropertySpec extends SparkSuite {
         s"vec $id: got cluster $cluster d2 $dist, argmin says $best")
     }
   }
+
+  test("BPE merge rewrite ≡ canonical leftmost-greedy fold on filtered words") {
+    // Bpe's merge step is sentinel-string replace applied 3×; the claim
+    // (Bpe.scala scaladoc) is that on triple-run-filtered words with
+    // single-char symbols this equals the canonical non-overlapping
+    // leftmost fold for EVERY candidate pair. Hammer it with the full
+    // {a,b,c} word space the filter admits.
+    val sep = ''
+    def foldMerge(syms: List[String], l: String, r: String): List[String] =
+      syms.foldLeft(List.empty[String]) {
+        case (acc, x) if acc.nonEmpty && acc.last == l && x == r =>
+          acc.init :+ (l + r)
+        case (acc, x) => acc :+ x
+      }
+    def replaceMerge(syms: List[String], l: String, r: String): List[String] = {
+      val s0 = syms.mkString(sep.toString, sep.toString, sep.toString)
+      val pat = s"$sep$l$sep$r$sep"
+      val rep = s"$sep$l$r$sep"
+      val s3 = s0.replace(pat, rep).replace(pat, rep).replace(pat, rep)
+      s3.split(sep).filter(_.nonEmpty).toList
+    }
+    val word = for {
+      n <- Gen.chooseNum(2, 20)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val cases = samples(word, 4000)
+      .filter(w => !w.matches(".*(.)\\1\\1.*")) // the wordFreq filter
+    assert(cases.size > 2000) // the filter must not hollow out the sample
+    for (w <- cases; l <- Seq("a", "b", "c"); r <- Seq("a", "b", "c")) {
+      val syms = w.map(_.toString).toList
+      assert(replaceMerge(syms, l, r) === foldMerge(syms, l, r),
+        s"word=$w pair=($l,$r)")
+    }
+  }
 }
