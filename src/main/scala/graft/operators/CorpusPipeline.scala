@@ -96,6 +96,25 @@ object CorpusPipeline {
     docs.where(bucket < threshold)
   }
 
+  /** Shard manifest — the reproducibility artifact a training run records
+    * next to its data: one row per (source, shard) with document count,
+    * token total, and a content fingerprint (md5 of the comma-joined
+    * ascending doc_id list). Re-running the pipeline must reproduce the
+    * fingerprints bit-for-bit; a changed fingerprint pinpoints exactly
+    * which shard's membership drifted. Shard membership comes from
+    * [[packShards]], so a shard holds ~budget/avg_tokens documents — the
+    * per-shard collect is budget-bounded, never corpus-bounded. */
+  def shardManifest(docs: DataFrame, budgetTokens: Long,
+                    stratumCol: String = "source"): DataFrame =
+    packShards(docs, budgetTokens, stratumCol)
+      .groupBy(col(stratumCol), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast(LongType)).as("n_tokens"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(col("doc_id"))),
+            _.cast(org.apache.spark.sql.types.StringType)))
+          .cast(BinaryType)).as("fingerprint"))
+
   /** Deterministic token-budget shard assignment — the sequence-packing
     * prelude: documents are laid out in doc_id order within each source
     * and a document belongs to the budget-block its first token falls in

@@ -115,6 +115,12 @@ object NorthStar {
     "corpus_pack_shards" -> ((s, dir) =>
       CorpusPipeline.packShards(t(s, dir, "documents"), 500L)),
 
+    // shard manifest: per-(source, shard) doc/token counts + md5
+    // membership fingerprint — the reproducibility record a training run
+    // stores next to its data
+    "corpus_shard_manifest" -> ((s, dir) =>
+      CorpusPipeline.shardManifest(t(s, dir, "documents"), 500L)),
+
     // deterministic global training shuffle: md5-bucket shard + in-shard
     // rank — a reproducible epoch permutation realized as independent
     // per-shard sorts (never one total-order sort); seed varies per epoch
@@ -1204,6 +1210,20 @@ object NorthStar {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
                FROM t0)
          SELECT doc_id, source, n_tokens, CAST(start_off // 500 AS BIGINT) AS shard_id FROM c""",
+    "corpus_shard_manifest" ->
+      """WITH t0 AS (SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '\S+')) AS INT) n_tokens FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+                SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+               FROM t0),
+         p AS (SELECT doc_id, source, n_tokens,
+                CAST(start_off // 500 AS BIGINT) AS shard_id FROM c)
+         SELECT source, shard_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS fingerprint
+         FROM p GROUP BY source, shard_id""",
     "corpus_sample_mix" ->
       """WITH b AS (SELECT doc_id, source, lang,
              CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,7)) AS BIGINT) % 10000 AS bucket

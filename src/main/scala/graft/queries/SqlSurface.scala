@@ -316,6 +316,20 @@ object SqlSurface {
            FROM anc GROUP BY node""")
     }),
 
+    // SQL layer: IGNORE NULLS window — forward-fill the last purchase
+    // value across a user's event stream (LOCF over sparse observations),
+    // the standard gap-fill idiom; one exchange + sort per user partition
+    "q_window_ignore_nulls" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events")
+      s.sql(
+        """SELECT event_id, user_id,
+             CASE WHEN event_type = 'purchase' THEN value END AS v,
+             last_value(CASE WHEN event_type = 'purchase' THEN value END)
+               IGNORE NULLS OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+           FROM events""")
+    }),
+
     // SQL layer: correlated LATERAL subquery — per-customer top-2 orders
     // by price, the "top-n per key via lateral" idiom; inner lateral
     // drops order-less customers in both engines
@@ -499,6 +513,13 @@ object SqlSurface {
          SELECT node, CAST(max(depth) AS INT) AS depth_to_root,
            count(*) AS chain_len
          FROM anc GROUP BY node""",
+    "q_window_ignore_nulls" ->
+      """SELECT event_id, user_id,
+           CASE WHEN event_type = 'purchase' THEN value END AS v,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         FROM events""",
     "q_sql_lateral" ->
       """SELECT c_custkey, o_orderkey, o_totalprice
          FROM customer,
