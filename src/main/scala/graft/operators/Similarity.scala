@@ -584,6 +584,72 @@ object Similarity {
         FROM j x JOIN j y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
         WHERE round(list_cosine_similarity(x.v, y.v), 6) >= $threshold"""
 
+  /** Top principal component of the embedding corpus by the power method
+    * — the PCA direction used for embedding whitening / anisotropy
+    * correction before cosine-based dedup (dominant-direction removal is
+    * why "all-embeddings-look-alike" collapses). Fixed `iters` iterations
+    * from the exact all-0.125 start (1/√64 for dim 64 — exact in binary,
+    * so the init needs no rounding): vₖ₊₁ = normalize(Σᵢ (xᵢ·vₖ)·xᵢ).
+    *
+    * Determinism: per-row projections are the codegen'd sequential [[dot]]
+    * rounded to 6dp; the per-dimension Σᵢ goes through DECIMAL(28,12) (sum
+    * order cannot matter); the norm is decimal-summed the same way; each
+    * new component is rounded once. Bit-identical across engines,
+    * partitionings, and retries — [[topPcSql]] mirrors it literally.
+    *
+    * Scale shape: the candidate vector is dim doubles — always broadcast —
+    * so each iteration is ONE unshuffled corpus pass (a dot product and a
+    * d·xᵢ explode collapsed by partial aggregation) plus a dim-row
+    * exchange; the corpus itself is never shuffled. Output:
+    * (dim, loading). */
+  def topPrincipalComponent(corpus: DataFrame, dim: Int, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val e = corpus.select(asDouble(col("embedding")).as("v"))
+    var cur = e.sparkSession.range(1)
+      .select(array((0 until dim).map(_ =>
+        lit(BigDecimal(1.0 / math.sqrt(dim.toDouble)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)): _*).as("pc"))
+    for (_ <- 1 to iters) {
+      val scored = e.crossJoin(broadcast(cur))
+        .select(col("v"), round(dot(col("v"), col("pc")), 6).as("d"))
+      val w = scored
+        .select(col("d"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("dim"))
+        .agg(sum((col("d") * col("x")).cast(DecimalType(28, 12)))
+          .cast(DoubleType).as("w"))
+      val n2 = w.agg(sum((col("w") * col("w")).cast(DecimalType(28, 12)))
+        .cast(DoubleType).as("n2"))
+      cur = w.crossJoin(broadcast(n2))
+        .select(col("dim"), round(col("w") / sqrt(col("n2")), 6).as("c"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          t => t.getField("c")).as("pc"))
+    }
+    cur.select(posexplode(col("pc")).as(Seq("dim", "loading")))
+  }
+
+  /** The unrolled DuckDB mirror of [[topPrincipalComponent]] over the
+    * `embeddings` table (oracle builder). */
+  def topPcSql(dim: Int, iters: Int): String = {
+    require(iters >= 1)
+    val v0 = BigDecimal(1.0 / math.sqrt(dim.toDouble)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val iterCtes = (1 to iters).map { r =>
+      val prev = if (r == 1) "v0" else s"v${r - 1}"
+      s"""d$r AS (SELECT v, round(list_dot_product(v, pc), 6) d FROM e, $prev),
+         |w$r AS (SELECT i AS dim,
+         |          CAST(SUM(CAST(d * v[i+1] AS DECIMAL(28,12))) AS DOUBLE) w
+         |        FROM d$r, (SELECT unnest(range($dim)) i) GROUP BY i),
+         |n$r AS (SELECT CAST(SUM(CAST(w*w AS DECIMAL(28,12))) AS DOUBLE) n2 FROM w$r),
+         |v$r AS (SELECT list(round(w / sqrt(n2), 6) ORDER BY dim) pc
+         |        FROM w$r, n$r)""".stripMargin
+    }
+    s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |  v0 AS (SELECT list_transform(range($dim), i -> $v0) pc),
+       |  ${iterCtes.mkString(",\n  ")}
+       |SELECT CAST(i AS INT) AS dim, pc[i+1] AS loading
+       |FROM v$iters, (SELECT unnest(range($dim)) i)""".stripMargin
+  }
+
   /** The unrolled DuckDB mirror of [[kMeans]] over the `embeddings` table
     * (oracle builder). */
   def kMeansSql(k: Int, iters: Int): String = {

@@ -582,6 +582,12 @@ object NorthStar {
     // Lloyd k-means (k=8, 2 assignment passes): label-free cluster
     // structure for cluster-conditioned curation; broadcast centroids, one
     // unshuffled corpus pass per iteration, decimal-exact recomputation
+    // top principal component by 4 power iterations — the whitening /
+    // anisotropy-removal direction; candidate vector always broadcast,
+    // corpus never shuffled
+    "emb_top_pc" -> ((s, dir) =>
+      Similarity.topPrincipalComponent(t(s, dir, "embeddings"), 64, 4)),
+
     "emb_kmeans" -> ((s, dir) =>
       Similarity.kMeans(t(s, dir, "embeddings"), 8, 2)),
 
@@ -1242,6 +1248,7 @@ object NorthStar {
            CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
                 AS BIGINT) - 1 AS pos
          FROM s""",
+    "emb_top_pc" -> Similarity.topPcSql(64, 4),
     "emb_kmeans" -> Similarity.kMeansSql(8, 2),
     "dedup_semantic" -> Similarity.semanticPairsSql(8, 2, 0.35),
     "text_bm25_topk" ->

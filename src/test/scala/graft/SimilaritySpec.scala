@@ -245,4 +245,20 @@ class SimilaritySpec extends SparkSuite {
       .select("vec_id", "cluster").as[(Long, Int)].collect()
     assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
+
+  test("topPrincipalComponent: recovers a planted dominant axis, unit norm") {
+    // variance concentrated on axis 1: loadings must peak there and the
+    // component must be (rounded-)unit-length
+    val corpus = (0 until 40).map { i =>
+      val sign = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array(0.1f * (i % 3), sign * (5.0f + i % 7), 0.2f * (i % 2)))
+    }.toDF("vec_id", "embedding")
+    val pc = Similarity.topPrincipalComponent(corpus, 3, 4)
+      .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    assert(pc.length === 3)
+    assert(math.abs(pc(1)) > math.abs(pc(0)) && math.abs(pc(1)) > math.abs(pc(2)),
+      s"axis 1 should dominate: ${pc.toSeq}")
+    assert(math.abs(pc.map(x => x * x).sum - 1.0) < 1e-4)
+    assert(math.abs(pc(1)) > 0.99)
+  }
 }
