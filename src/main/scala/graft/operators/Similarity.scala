@@ -627,9 +627,35 @@ object Similarity {
     cur.select(posexplode(col("pc")).as(Seq("dim", "loading")))
   }
 
-  /** The unrolled DuckDB mirror of [[topPrincipalComponent]] over the
-    * `embeddings` table (oracle builder). */
-  def topPcSql(dim: Int, iters: Int): String = {
+  /** Whitened ANN: remove the [[topPrincipalComponent]] direction from
+    * every vector (w = v − (v·pc)·pc, the anisotropy / "common direction"
+    * correction) and run the broadcast-query cosine top-k on the
+    * residuals — similarity after discounting what ALL embeddings share.
+    * The pc is a dim-double 1-row broadcast; the whitening itself is a
+    * shuffle-free projection, so the plan shape is [[bruteForceTopK]]'s
+    * plus the power-iteration passes. */
+  def whitenedTopK(corpus: DataFrame, dim: Int, iters: Int,
+                   queryId: Long, k: Int): DataFrame = {
+    val pcArr = topPrincipalComponent(corpus, dim, iters)
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("loading")))),
+        t => t.getField("loading")).as("pc"))
+    val ew = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(pcArr))
+      .withColumn("d", round(dot(col("v"), col("pc")), 6))
+      .select(col("vec_id"),
+        zip_with(col("v"), col("pc"), (a, p) => a - col("d") * p).as("w"))
+      .withColumn("wn", norm2(col("w")))
+    val q = ew.where(col("vec_id") === queryId)
+      .select(lit(queryId).as("qid"), col("w").as("qw"), col("wn").as("qn"))
+    val scored = ew.crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(dot(col("w"), col("qw")) / (col("wn") * col("qn")), 6).as("cos_sim"))
+    topKByScore(scored, k)
+  }
+
+  /** The power-iteration CTE chain (e, v0..v`iters`) shared by the
+    * [[topPcSql]] and [[whitenedTopKSql]] oracles. */
+  private def topPcChainSql(dim: Int, iters: Int): String = {
     require(iters >= 1)
     val v0 = BigDecimal(1.0 / math.sqrt(dim.toDouble)).setScale(6,
       BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -643,12 +669,32 @@ object Similarity {
          |v$r AS (SELECT list(round(w / sqrt(n2), 6) ORDER BY dim) pc
          |        FROM w$r, n$r)""".stripMargin
     }
-    s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
        |  v0 AS (SELECT list_transform(range($dim), i -> $v0) pc),
-       |  ${iterCtes.mkString(",\n  ")}
+       |  ${iterCtes.mkString(",\n  ")}""".stripMargin
+  }
+
+  /** The unrolled DuckDB mirror of [[topPrincipalComponent]] over the
+    * `embeddings` table (oracle builder). */
+  def topPcSql(dim: Int, iters: Int): String =
+    s"""${topPcChainSql(dim, iters)}
        |SELECT CAST(i AS INT) AS dim, pc[i+1] AS loading
        |FROM v$iters, (SELECT unnest(range($dim)) i)""".stripMargin
-  }
+
+  /** The DuckDB mirror of [[whitenedTopK]] (oracle builder). */
+  def whitenedTopKSql(dim: Int, iters: Int, queryId: Long, k: Int): String =
+    s"""${topPcChainSql(dim, iters)},
+       |  ew AS (SELECT vec_id,
+       |          list_transform(range($dim),
+       |            j -> v[j+1] - round(list_dot_product(v, pc), 6) * pc[j+1]) w
+       |        FROM e, v$iters),
+       |  q AS (SELECT w qw FROM ew WHERE vec_id = $queryId),
+       |  sc AS (SELECT $queryId AS qid, vec_id nid,
+       |          round(list_cosine_similarity(w, qw), 6) cos_sim FROM ew, q),
+       |  r AS (SELECT qid, nid, cos_sim,
+       |         row_number() OVER (ORDER BY cos_sim DESC, nid ASC) rn FROM sc)
+       |SELECT qid, nid, cos_sim, CAST(rn AS INTEGER) AS rank
+       |FROM r WHERE rn <= $k""".stripMargin
 
   /** The unrolled DuckDB mirror of [[kMeans]] over the `embeddings` table
     * (oracle builder). */

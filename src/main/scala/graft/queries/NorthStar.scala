@@ -588,6 +588,11 @@ object NorthStar {
     "emb_top_pc" -> ((s, dir) =>
       Similarity.topPrincipalComponent(t(s, dir, "embeddings"), 64, 4)),
 
+    // whitened ANN: cosine top-10 on dominant-direction residuals —
+    // similarity after discounting what all embeddings share
+    "ann_whitened_topk" -> ((s, dir) =>
+      Similarity.whitenedTopK(t(s, dir, "embeddings"), 64, 4, 0L, 10)),
+
     "emb_kmeans" -> ((s, dir) =>
       Similarity.kMeans(t(s, dir, "embeddings"), 8, 2)),
 
@@ -1249,6 +1254,7 @@ object NorthStar {
                 AS BIGINT) - 1 AS pos
          FROM s""",
     "emb_top_pc" -> Similarity.topPcSql(64, 4),
+    "ann_whitened_topk" -> Similarity.whitenedTopKSql(64, 4, 0L, 10),
     "emb_kmeans" -> Similarity.kMeansSql(8, 2),
     "dedup_semantic" -> Similarity.semanticPairsSql(8, 2, 0.35),
     "text_bm25_topk" ->

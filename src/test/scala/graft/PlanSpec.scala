@@ -136,7 +136,7 @@ class PlanSpec extends SparkSuite {
     // rag_passage_topk inherits bm25Scores' 1-row (n, avgdl) cross join
     val intentional = Set("ann_cosine_topk", "ann_ivf_topk", "ann_ivf_adc_topk",
       "text_bpe_merges", "text_bpe_fertility", "corpus_dsir_topk", "rag_passage_topk",
-      "emb_top_pc",
+      "emb_top_pc", "ann_whitened_topk",
       "ann_ivf_recall", "ann_sq8_topk", "ann_hard_negatives",
       "corpus_decontaminate_bloom", "corpus_mixture_plan",
       "q22_idle_balances", "q11_important_share",
