@@ -463,4 +463,68 @@ object TextOps {
         count(when(col("hot").isNull, 1)).as("n_kept"),
         count(col("hot")).as("n_dropped"))
   }
+
+  /** Count-Min-Sketch heavy hitters (Cormode & Muthukrishnan 2005): a
+    * `d`×`w` counter grid where row j counts token occurrences under hash
+    * h_j, and a token's estimate is the MIN over its d cells — always ≥
+    * the true count, over by at most the collision mass in its lightest
+    * cell. The query reports the top-`k` tokens by estimate next to their
+    * exact counts, so the over-count is itself an oracle-checked column.
+    *
+    * Hashes are md5-derived (`md5_prefix64("j:token")` mod w) — no seeds,
+    * bit-identical in DuckDB. Scale shape: the sketch is d·w cells
+    * REGARDLESS of corpus size — map-side partial sums then one tiny
+    * exchange — and estimation broadcasts those cells back over the
+    * candidate stream. Here both sketch and candidates are built from one
+    * vocabulary aggregate (one corpus scan); a production stream updates
+    * the same grid per batch without ever materializing the vocabulary
+    * (see [[graft.streaming.CorpusStream]] for the incremental pattern).
+    *
+    * Output: (token, est, exact, over_count), top k by est desc. */
+  def cmsHeavyHitters(docs: org.apache.spark.sql.DataFrame, d: Int = 4,
+                      w: Int = 512, k: Int = 40): org.apache.spark.sql.DataFrame = {
+    import graft.functions.KeyFunctions
+    val exact = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact"))
+    // each (token, row j) pair owns one cell: bucket = md5("j:token") % w
+    val cells = exact.select(col("token"), col("exact"),
+        explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .withColumn("bucket",
+        pmod(KeyFunctions.md5Long(
+          KeyFunctions.utf8(concat_ws(":", col("j"), col("token"))), 7), lit(w)))
+    val sketch = cells.groupBy(col("j"), col("bucket"))
+      .agg(sum(col("exact")).as("cnt"))
+    cells.join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy(col("token"))
+      .agg(min(col("cnt")).as("est"), min(col("exact")).as("exact"))
+      .select(col("token"), col("est"), col("exact"),
+        (col("est") - col("exact")).as("over_count"))
+      .orderBy(col("est").desc, col("token").asc)
+      .limit(k)
+  }
+
+  /** Vocabulary growth curve (Heaps' law empirically): how many NEW
+    * distinct tokens each successive tenth of the corpus contributes, and
+    * the cumulative vocabulary size — the "is more data still buying new
+    * vocabulary" diagnostic a tokenizer-training run reads before fixing
+    * its vocab size. A token belongs to the decile of its FIRST document
+    * (min doc_id), so the whole curve is one token→min(doc_id) aggregate
+    * plus a 10-row cumulative window — no ordered scan of the corpus, no
+    * state; at 100 TB this is a single vocab-sized exchange.
+    *
+    * Output: (decile 0-9, new_tokens, vocab_size). */
+  def vocabGrowth(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.agg((max(col("doc_id")) + 1).as("n_docs"))
+    val firstDoc = docs.select(explode(tokens(col("text"))).as("token"), col("doc_id"))
+      .groupBy(col("token")).agg(min(col("doc_id")).as("fd"))
+    val byDecile = firstDoc.crossJoin(broadcast(n))
+      .select(floor(col("fd") * 10 / col("n_docs")).as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("new_tokens"))
+    // 10 rows: a single-partition running sum is the right plan, not a smell
+    byDecile.select(col("decile"), col("new_tokens"),
+      sum(col("new_tokens")).over(
+        Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, 0))
+        .as("vocab_size"))
+  }
 }
