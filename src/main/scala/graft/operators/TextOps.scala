@@ -483,15 +483,15 @@ object TextOps {
     * Output: (token, est, exact, over_count), top k by est desc. */
   def cmsHeavyHitters(docs: org.apache.spark.sql.DataFrame, d: Int = 4,
                       w: Int = 512, k: Int = 40): org.apache.spark.sql.DataFrame = {
-    import graft.functions.KeyFunctions
+    import graft.functions.keys
     val exact = docs.select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("exact"))
     // each (token, row j) pair owns one cell: bucket = md5("j:token") % w
     val cells = exact.select(col("token"), col("exact"),
         explode(sequence(lit(0), lit(d - 1))).as("j"))
       .withColumn("bucket",
-        pmod(KeyFunctions.md5Long(
-          KeyFunctions.utf8(concat_ws(":", col("j"), col("token"))), 7), lit(w)))
+        pmod(keys.md5Prefix64(
+          keys.utf8(concat_ws(":", col("j"), col("token"))), 7), lit(w.toLong)))
     val sketch = cells.groupBy(col("j"), col("bucket"))
       .agg(sum(col("exact")).as("cnt"))
     cells.join(broadcast(sketch), Seq("j", "bucket"))
@@ -504,19 +504,22 @@ object TextOps {
   }
 
   /** Vocabulary growth curve (Heaps' law empirically): how many NEW
-    * distinct tokens each successive tenth of the corpus contributes, and
+    * distinct bigrams each successive tenth of the corpus contributes, and
     * the cumulative vocabulary size — the "is more data still buying new
     * vocabulary" diagnostic a tokenizer-training run reads before fixing
-    * its vocab size. A token belongs to the decile of its FIRST document
-    * (min doc_id), so the whole curve is one token→min(doc_id) aggregate
-    * plus a 10-row cumulative window — no ordered scan of the corpus, no
-    * state; at 100 TB this is a single vocab-sized exchange.
+    * its vocab size. Bigrams (not unigrams) so the curve stays informative
+    * on bounded-vocab corpora. A bigram belongs to the decile of its FIRST
+    * document (min doc_id), so the whole curve is one bigram→min(doc_id)
+    * aggregate plus a 10-row cumulative window — no ordered scan of the
+    * corpus, no state; at 100 TB this is a single vocab-sized exchange.
     *
     * Output: (decile 0-9, new_tokens, vocab_size). */
   def vocabGrowth(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = docs.agg((max(col("doc_id")) + 1).as("n_docs"))
-    val firstDoc = docs.select(explode(tokens(col("text"))).as("token"), col("doc_id"))
+    val firstDoc = docs
+      .select(explode(shingleStructs(col("text"), 2)).as("sh"), col("doc_id"))
+      .select(shingleString(col("sh"), 2).as("token"), col("doc_id"))
       .groupBy(col("token")).agg(min(col("doc_id")).as("fd"))
     val byDecile = firstDoc.crossJoin(broadcast(n))
       .select(floor(col("fd") * 10 / col("n_docs")).as("decile"))

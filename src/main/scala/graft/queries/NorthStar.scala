@@ -286,6 +286,17 @@ object NorthStar {
     "text_inverted_index" -> ((s, dir) =>
       TextOps.invertedIndex(t(s, dir, "documents"), maxDf = 50)),
 
+    // Count-Min-Sketch heavy hitters: d×w md5-hashed counter grid, token
+    // estimate = MIN over its d cells, reported next to the exact count so
+    // the over-estimate is itself an oracle-checked column
+    "text_cms_heavy_hitters" -> ((s, dir) =>
+      TextOps.cmsHeavyHitters(t(s, dir, "documents"))),
+
+    // Heaps'-law vocabulary growth: new distinct tokens contributed by each
+    // corpus decile (token owned by its FIRST document) + cumulative vocab
+    "text_vocab_growth" -> ((s, dir) =>
+      TextOps.vocabGrowth(t(s, dir, "documents"))),
+
     // edit-distance fuzzy pairs over the distinct part-name catalog
     // (entity resolution): block on the rarest token, verify exact
     // levenshtein in the join projection
@@ -1532,6 +1543,35 @@ object NorthStar {
                WHERE term IN (SELECT term FROM d WHERE df <= 50)
                GROUP BY 1)
          SELECT d.term, d.df, l.postings FROM d LEFT JOIN l USING (term)""",
+    "text_cms_heavy_hitters" ->
+      """WITH ex AS (SELECT token, count(*) AS exact
+             FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             GROUP BY 1),
+         cells AS (SELECT token, exact, j,
+             CAST(('0x'||substr(md5(CAST(j AS VARCHAR)||':'||token),1,7)) AS BIGINT)
+               % 512 AS bucket
+             FROM ex, (SELECT unnest(generate_series(0, 3)) AS j)),
+         sk AS (SELECT j, bucket, CAST(sum(exact) AS BIGINT) AS cnt
+                FROM cells GROUP BY 1, 2),
+         est AS (SELECT c.token, min(sk.cnt) AS est, CAST(min(c.exact) AS BIGINT) AS exact
+                 FROM cells c JOIN sk USING (j, bucket) GROUP BY 1)
+         SELECT token, est, exact, est - exact AS over_count
+         FROM est ORDER BY est DESC, token ASC LIMIT 40""",
+    "text_vocab_growth" ->
+      """WITH n AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
+         tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                  generate_subscripts(string_split(text, ' '), 1) AS i
+                FROM documents),
+         bg AS (SELECT doc_id, w AS w1,
+                  lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2 FROM tk),
+         fd AS (SELECT w1 || ' ' || w2 AS token, min(doc_id) AS fd
+                FROM bg WHERE w2 IS NOT NULL GROUP BY 1),
+         b AS (SELECT CAST(fd.fd * 10 // n.n_docs AS BIGINT) AS decile,
+                      count(*) AS new_tokens
+               FROM fd, n GROUP BY 1)
+         SELECT decile, new_tokens,
+           CAST(sum(new_tokens) OVER (ORDER BY decile) AS BIGINT) AS vocab_size
+         FROM b""",
     "text_quality" ->
       s"""SELECT doc_id,
            CAST(len(string_split(text,' ')) AS INT) AS n_tokens,

@@ -22,14 +22,23 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default; read nanos as long and normalize to microsecond timestamps
-    * (`div 1000` in integer math — a double roundtrip would lose precision
-    * on 1.7e18-scale values). */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (which Spark 4
+    * refuses by default — read nanos as long under the legacy conf and
+    * normalize in integer math; a double roundtrip would lose precision on
+    * 1.7e18-scale values) and as plain timestamp[us] (read as
+    * TIMESTAMP_NTZ — cast to the session-tz type; session tz is pinned
+    * UTC, so the wall-clock is preserved). Branch on the observed type so
+    * both fixture generations read identically. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.withColumn("ts", normTs(raw.schema("ts").dataType))
+  }
+
+  /** Normalized session-tz micro-precision `ts` for either raw encoding. */
+  def normTs(dt: DataType): Column = dt match {
+    case LongType => timestamp_micros(expr("ts div 1000"))
+    case _        => col("ts").cast(TimestampType)
   }
 
   /** Exact, order-independent sum of a double expression (see above). */

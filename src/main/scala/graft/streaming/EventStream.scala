@@ -92,7 +92,7 @@ object EventStream {
     // down to the events table
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.queries.Tables.normTs(schema("ts").dataType))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -158,7 +158,7 @@ object EventStream {
     val (staging, _, schema) =
       stageEventsWithSentinel(spark, dir, gapMinutes + 120L)
     val stream = spark.readStream.schema(schema).parquet(staging)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.queries.Tables.normTs(schema("ts").dataType))
       .select(col("user_id"), col("event_id"), col("ts")).as[Ev]
     val name = s"graft_sess_${counter.incrementAndGet()}"
     withStreamPartitions(spark, 8) {
@@ -203,24 +203,32 @@ object EventStream {
     * watermarked operator over a FINITE table run to completion: the
     * sentinel advances the global watermark past every open
     * session/window, and the no-data micro-batch that follows flushes
-    * them. Returns (stagingDir, maxTsNanos, schema). */
+    * them. Returns (stagingDir, maxTsMicros, schema). */
   private def stageEventsWithSentinel(spark: SparkSession, dir: String,
                                       deltaMinutes: Long,
                                       copies: Int = 1): (String, Long, StructType) = {
-    // events.ts is TIMESTAMP(NANOS) — read as long, convert to micros
+    // legacy fixtures ship ts as TIMESTAMP(NANOS) — read as long; newer
+    // ones as timestamp[us]. Normalize via Tables.normTs; the sentinel row
+    // is written back in the RAW encoding so it streams with the copies.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val staging = java.nio.file.Files.createTempDirectory("graft_evt_stage")
     (0 until copies).foreach(i =>
       java.nio.file.Files.copy(src, staging.resolve(s"events_$i.parquet")))
     val raw = spark.read.parquet(src.toString)
-    val maxTs = raw.agg(max(col("ts"))).head().getLong(0) // nanos
-    val sentinelTs = maxTs + deltaMinutes * 60L * 1000000000L
+    val tsType = raw.schema("ts").dataType
+    val maxTs = raw // epoch micros
+      .agg(unix_micros(max(graft.queries.Tables.normTs(tsType)))).head().getLong(0)
+    val sentinelUs = maxTs + deltaMinutes * 60L * 1000000L
+    val sentinelTs = tsType match {
+      case org.apache.spark.sql.types.LongType => lit(sentinelUs * 1000L) // nanos
+      case other => timestamp_micros(lit(sentinelUs)).cast(other)
+    }
     val sentinelDir = staging.resolve("sentinel_build").toString
     raw.limit(1).select(raw.columns.map {
       case "user_id"  => lit(-1L).as("user_id")
       case "event_id" => lit(-1L).as("event_id")
-      case "ts"       => lit(sentinelTs).as("ts")
+      case "ts"       => sentinelTs.as("ts")
       case other      => col(other)
     }.toIndexedSeq: _*).coalesce(1).write.parquet(sentinelDir)
     val part = new java.io.File(sentinelDir).listFiles()
@@ -239,7 +247,7 @@ object EventStream {
   def windowedAggAppendAll(spark: SparkSession, dir: String): DataFrame = {
     val (staging, maxTs, schema) = stageEventsWithSentinel(spark, dir, 240L)
     val stream = spark.readStream.schema(schema).parquet(staging)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.queries.Tables.normTs(schema("ts").dataType))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -259,7 +267,7 @@ object EventStream {
     }
     deleteStaging(staging)
     spark.read.parquet(out)
-      .where(col("window_start") <= timestamp_micros(lit(maxTs / 1000L)))
+      .where(col("window_start") <= timestamp_micros(lit(maxTs)))
   }
 
   /** Declared STREAM-STATIC enrichment join: the event stream picks up
@@ -276,7 +284,7 @@ object EventStream {
   def enrichedWindowedAgg(spark: SparkSession, dir: String): DataFrame = {
     val (staging, maxTs, schema) = stageEventsWithSentinel(spark, dir, 240L)
     val stream = spark.readStream.schema(schema).parquet(staging)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.queries.Tables.normTs(schema("ts").dataType))
     val dim = broadcast(spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_nationkey")))
     val agg = stream
@@ -299,7 +307,7 @@ object EventStream {
     }
     deleteStaging(staging)
     spark.read.parquet(out)
-      .where(col("window_start") <= timestamp_micros(lit(maxTs / 1000L)))
+      .where(col("window_start") <= timestamp_micros(lit(maxTs)))
   }
 
   /** Declared stream-stream INTERVAL JOIN over the finite events table:
@@ -314,7 +322,7 @@ object EventStream {
   def clickAttribution(spark: SparkSession, dir: String): DataFrame = {
     val (staging, _, schema) = stageEventsWithSentinel(spark, dir, 240L)
     val ev = spark.readStream.schema(schema).parquet(staging)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.queries.Tables.normTs(schema("ts").dataType))
     val clicks = ev.withWatermark("ts", "1 hour")
       .where(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
@@ -356,7 +364,7 @@ object EventStream {
   def dedupEventsAll(spark: SparkSession, dir: String): DataFrame = {
     val (staging, _, schema) = stageEventsWithSentinel(spark, dir, 240L, copies = 2)
     val ev = spark.readStream.schema(schema).parquet(staging)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.queries.Tables.normTs(schema("ts").dataType))
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")

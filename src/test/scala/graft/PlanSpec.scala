@@ -134,7 +134,9 @@ class PlanSpec extends SparkSuite {
     // corpus_dsir_topk cross-joins the 1-row (np, nq) totals into the
     // B-row weight table (broadcast-scalar pattern)
     // rag_passage_topk inherits bm25Scores' 1-row (n, avgdl) cross join
-    val intentional = Set("ann_cosine_topk", "ann_ivf_topk", "ann_ivf_adc_topk",
+    // text_vocab_growth broadcasts the 1-row corpus doc count (q22 pattern)
+    val intentional = Set(
+      "text_vocab_growth","ann_cosine_topk", "ann_ivf_topk", "ann_ivf_adc_topk",
       "text_bpe_merges", "text_bpe_fertility", "corpus_dsir_topk", "rag_passage_topk",
       "emb_top_pc", "ann_whitened_topk",
       "ann_ivf_recall", "ann_sq8_topk", "ann_hard_negatives",
