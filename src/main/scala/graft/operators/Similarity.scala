@@ -636,18 +636,25 @@ object Similarity {
     * plus the power-iteration passes. */
   def whitenedTopK(corpus: DataFrame, dim: Int, iters: Int,
                    queryId: Long, k: Int): DataFrame = {
+    // the PC is one dim-double row consumed by BOTH the query-row whitening
+    // and the corpus whitening — checkpoint it so the power-iteration chain
+    // (iters corpus passes) runs exactly once, not once per consumer
     val pcArr = topPrincipalComponent(corpus, dim, iters)
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("loading")))),
         t => t.getField("loading")).as("pc"))
-    val ew = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .localCheckpoint()
+    def whiten(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .crossJoin(broadcast(pcArr))
       .withColumn("d", round(dot(col("v"), col("pc")), 6))
       .select(col("vec_id"),
         zip_with(col("v"), col("pc"), (a, p) => a - col("d") * p).as("w"))
       .withColumn("wn", norm2(col("w")))
-    val q = ew.where(col("vec_id") === queryId)
+    // whiten the single query row on its own pushed-down scan, so the
+    // full-corpus whitening is consumed exactly once by the scoring pass
+    val q = whiten(corpus.where(col("vec_id") === queryId))
       .select(lit(queryId).as("qid"), col("w").as("qw"), col("wn").as("qn"))
-    val scored = ew.crossJoin(broadcast(q))
+    val scored = whiten(corpus).crossJoin(broadcast(q))
       .select(col("qid"), col("vec_id").as("nid"),
         round(dot(col("w"), col("qw")) / (col("wn") * col("qn")), 6).as("cos_sim"))
     topKByScore(scored, k)
