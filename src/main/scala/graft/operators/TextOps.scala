@@ -439,16 +439,24 @@ object TextOps {
     * `blockTokens` stays a power of two so the block-count division is
     * exact in both engines. Output: (doc_id, clean_text, n_kept,
     * n_dropped); clean_text = '' when every block was boilerplate. */
-  def removeBoilerplateBlocks(docs: org.apache.spark.sql.DataFrame,
-                              blockTokens: Int = 8,
-                              dfCap: Long = 2): org.apache.spark.sql.DataFrame = {
+  /** (doc_id, pos, block): each document split into fixed `blockTokens`-token
+    * blocks in order — the shared explode under [[removeBoilerplateBlocks]]
+    * and [[dedupParagraphs]]. */
+  private def tokenBlocks(docs: org.apache.spark.sql.DataFrame,
+                          blockTokens: Int): org.apache.spark.sql.DataFrame = {
     require((blockTokens & (blockTokens - 1)) == 0, "blockTokens must be a power of two")
     val w = tokens(col("text"))
     val nBlocks = ((size(w) + lit(blockTokens - 1)) / lit(blockTokens))
       .cast(org.apache.spark.sql.types.IntegerType)
     val blockArr = transform(sequence(lit(0), nBlocks - 1),
       i => array_join(slice(w, i * blockTokens + 1, lit(blockTokens)), " "))
-    val blocks = docs.select(col("doc_id"), posexplode(blockArr).as(Seq("pos", "block")))
+    docs.select(col("doc_id"), posexplode(blockArr).as(Seq("pos", "block")))
+  }
+
+  def removeBoilerplateBlocks(docs: org.apache.spark.sql.DataFrame,
+                              blockTokens: Int = 8,
+                              dfCap: Long = 2): org.apache.spark.sql.DataFrame = {
+    val blocks = tokenBlocks(docs, blockTokens)
     val hot = blocks.select(col("doc_id"), col("block")).distinct()
       .groupBy(col("block")).agg(count(lit(1)).as("df"))
       .where(col("df") >= dfCap)
@@ -462,6 +470,41 @@ object TextOps {
             p => p.getField("block")), " ").as("clean_text"),
         count(when(col("hot").isNull, 1)).as("n_kept"),
         count(col("hot")).as("n_dropped"))
+  }
+
+  /** PARAGRAPH-LEVEL exact dedup with reassembly (the substring-granularity
+    * pass of Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better", at fixed-block granularity): every repeated
+    * `blockTokens`-token block keeps exactly its FIRST occurrence in corpus
+    * order (min doc_id, then min pos) and every other occurrence is
+    * dropped; each document is rewritten from its surviving blocks. Unlike
+    * [[removeBoilerplateBlocks]] (which deletes ALL copies of high-df
+    * blocks), this keeps one canonical copy — dedup, not boilerplate
+    * stripping.
+    *
+    * Scale shape: one exchange keyed on the block text (map-side partial
+    * min of the (doc_id, pos) struct — the canonical-occurrence frame is
+    * vocabulary-sized), one equi-join of the block stream against it on
+    * the same key (co-partitioned by AQE, no second shuffle of the
+    * stream), then ONE doc_id exchange for reassembly. No window sorts, no
+    * driver state. Output: (doc_id, clean_text, n_kept, n_dropped). */
+  def dedupParagraphs(docs: org.apache.spark.sql.DataFrame,
+                      blockTokens: Int = 8): org.apache.spark.sql.DataFrame = {
+    val blocks = tokenBlocks(docs, blockTokens)
+    val first = blocks
+      .groupBy(col("block"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("block"), col("f.doc_id").as("fdoc"), col("f.pos").as("fpos"))
+    blocks.join(first, Seq("block"))
+      .withColumn("keep", col("doc_id") === col("fdoc") && col("pos") === col("fpos"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+            sort_array(collect_list(when(col("keep"),
+              struct(col("pos"), col("block"))))),
+            p => p.getField("block")), " ").as("clean_text"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        count(when(!col("keep"), 1)).as("n_dropped"))
   }
 
   /** Count-Min-Sketch heavy hitters (Cormode & Muthukrishnan 2005): a

@@ -222,6 +222,38 @@ object NorthStar {
             .as("epochs"))
     }),
 
+    // TEMPERATURE-scaled mixture (the multilingual-LM up/down-sampling rule,
+    // p_s ∝ n_s^α with α = 0.5): flattens the source distribution so head
+    // sources stop drowning the tail without discarding their mass ordering.
+    // α = 0.5 is computed as sqrt — IEEE-correctly-rounded in BOTH engines,
+    // unlike general pow — then rounded once; the α-mass total is
+    // decimal-summed so partial-agg order can't perturb the shares
+    "corpus_temperature_mix" -> ((s, dir) => {
+      val B = 10000L // document budget to apportion
+      val per = t(s, dir, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w_alpha",
+          round(sqrt(col("n_docs").cast(org.apache.spark.sql.types.DoubleType)), 6))
+      val tot = per.agg(
+        sum(col("w_alpha").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_alpha"),
+        sum(col("n_docs")).as("n_total"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          round(col("n_docs").cast(org.apache.spark.sql.types.DoubleType) /
+            col("n_total"), 6).as("raw_share"),
+          round(col("w_alpha") / col("sum_alpha"), 6).as("temp_share"),
+          floor(lit(B.toDouble) * round(col("w_alpha") / col("sum_alpha"), 6))
+            .cast(org.apache.spark.sql.types.LongType).as("planned_docs"))
+    }),
+
+    // paragraph-granularity exact dedup: every repeated 8-token block keeps
+    // its FIRST corpus occurrence only, documents rewritten from surviving
+    // blocks — the substring-level pass of Lee et al. 2022, vs
+    // text_remove_boilerplate which deletes ALL copies of high-df blocks
+    "corpus_paragraph_dedup" -> ((s, dir) =>
+      TextOps.dedupParagraphs(t(s, dir, "documents"))),
+
     // the filter FUNNEL: every document attributed to the first gate
     // that drops it (length → language → stopword density → exact dup),
     // per source — the reconciliation report for a curation run (stage
@@ -1676,6 +1708,34 @@ object NorthStar {
            count(CASE WHEN NOT hot THEN 1 END) AS n_kept,
            count(CASE WHEN hot THEN 1 END) AS n_dropped
          FROM j GROUP BY doc_id""",
+    "corpus_temperature_mix" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         t AS (SELECT CAST(SUM(CAST(round(sqrt(n_docs), 6) AS DECIMAL(18,6)))
+                        AS DOUBLE) AS sum_alpha,
+                      CAST(SUM(n_docs) AS BIGINT) AS n_total FROM per)
+         SELECT source, n_docs,
+           round(CAST(n_docs AS DOUBLE) / n_total, 6) AS raw_share,
+           round(round(sqrt(n_docs), 6) / sum_alpha, 6) AS temp_share,
+           CAST(floor(10000 * round(round(sqrt(n_docs), 6) / sum_alpha, 6))
+             AS BIGINT) AS planned_docs
+         FROM per, t""",
+    "corpus_paragraph_dedup" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         c AS (SELECT doc_id,
+                list_transform(range((len(w)+7)//8),
+                  i -> array_to_string(w[i*8+1:i*8+8], ' ')) chunks
+               FROM t0),
+         b AS (SELECT doc_id, CAST(i AS INT) pos, chunks[CAST(i AS INT)+1] block
+               FROM (SELECT doc_id, chunks, unnest(range(len(chunks))) i FROM c)),
+         r AS (SELECT doc_id, pos, block,
+                row_number() OVER (PARTITION BY block ORDER BY doc_id, pos) rn
+               FROM b)
+         SELECT doc_id,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN block END, ' ' ORDER BY pos), '')
+             AS clean_text,
+           count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+           count(CASE WHEN rn > 1 THEN 1 END) AS n_dropped
+         FROM r GROUP BY doc_id""",
     "text_top_bigrams" ->
       """WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
          sh AS (SELECT doc_id,
