@@ -298,6 +298,96 @@ object TextOps {
         FROM tfs JOIN dfs USING (t), st GROUP BY doc_id"""
   }
 
+  /** MMR-diversified retrieval (Carbonell & Goldstein 1998 maximal marginal
+    * relevance): take the BM25 top-`pool` candidates, then greedily select
+    * `k` of them by `λ·rel − (1−λ)·max_sim_to_selected` — the rerank every
+    * RAG stack runs so the retrieved context isn't five copies of the same
+    * passage. Relevance is max-normalized BM25; inter-candidate similarity
+    * is distinct-token Jaccard (text-native — no embedding dependency).
+    *
+    * Determinism: rel, sim, and each mmr score round to 6dp; λ and 1−λ are
+    * passed as decimal-literal doubles (computing 1−0.7 in binary would
+    * diverge from the SQL literal 0.3). Ties break on doc_id.
+    *
+    * Scale shape: the corpus-sized work is [[bm25Scores]] (token stream
+    * filtered to query terms at the explode) + one semi-join to fetch the
+    * `pool` candidate token sets; everything after — pairwise Jaccard and
+    * the k-step greedy loop — runs on a pool-sized frame (checkpointed,
+    * so each of the k tiny argmax jobs reuses it instead of re-running
+    * retrieval). Output: (rank 1..k, doc_id, bm25, mmr). */
+  def mmrRerank(docs: org.apache.spark.sql.DataFrame, terms: Seq[String],
+                k: Int = 5, pool: Int = 10,
+                lam: Double = 0.7, oneMinusLam: Double = 0.3): org.apache.spark.sql.DataFrame = {
+    val cand = bm25Scores(docs, terms)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(pool)
+      .localCheckpoint()
+    val rel = cand.crossJoin(broadcast(cand.agg(max(col("bm25")).as("mx"))))
+      .select(col("doc_id"), col("bm25"), round(col("bm25") / col("mx"), 6).as("rel"))
+      .localCheckpoint()
+    val ct = docs.join(broadcast(cand.select(col("doc_id"))), Seq("doc_id"))
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
+    val sz = ct.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+    val sim = ct.as("x").join(ct.as("y"), Seq("t"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .where(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("a"), col("nt").as("na")), Seq("a"))
+      .join(sz.select(col("doc_id").as("b"), col("nt").as("nb")), Seq("b"))
+      .select(col("a"), col("b"), round(col("inter").cast(DoubleType) /
+        (col("na") + col("nb") - col("inter")), 6).as("sim"))
+      .localCheckpoint()
+    var sel = rel.orderBy(col("rel").desc, col("doc_id").asc).limit(1)
+      .select(col("doc_id"), col("bm25"), lit(1).as("rank"), col("rel").as("mmr"))
+      .localCheckpoint()
+    for (i <- 2 to k) {
+      val msim = sim.join(sel.select(col("doc_id").as("b")), Seq("b"))
+        .groupBy(col("a")).agg(max(col("sim")).as("msim"))
+        .withColumnRenamed("a", "doc_id")
+      val next = rel.join(sel.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .join(msim, Seq("doc_id"), "left").na.fill(0.0, Seq("msim"))
+        .select(col("doc_id"), col("bm25"), lit(i).as("rank"),
+          round(lit(lam) * col("rel") - lit(oneMinusLam) * col("msim"), 6).as("mmr"))
+        .orderBy(col("mmr").desc, col("doc_id").asc).limit(1)
+      sel = sel.unionByName(next).localCheckpoint()
+    }
+    sel.select(col("rank"), col("doc_id"), col("bm25"), col("mmr"))
+  }
+
+  /** The DuckDB mirror of [[mmrRerank]] (oracle builder, k/pool unrolled). */
+  def mmrSql(terms: Seq[String], k: Int = 5, pool: Int = 10): String = {
+    val steps = (2 to k).map { i =>
+      s"""m$i AS (SELECT r.doc_id, r.bm25,
+         |        round(0.7*r.rel - 0.3*coalesce(ms.msim, 0), 6) mmr
+         |      FROM rel r LEFT JOIN (
+         |        SELECT a AS doc_id, max(sim) msim FROM sim
+         |        WHERE b IN (SELECT doc_id FROM sel${i - 1}) GROUP BY 1) ms
+         |        USING (doc_id)
+         |      WHERE r.doc_id NOT IN (SELECT doc_id FROM sel${i - 1})),
+         |s$i AS (SELECT doc_id, bm25, $i AS rank, mmr FROM m$i
+         |       ORDER BY mmr DESC, doc_id LIMIT 1),
+         |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
+    }
+    s"""WITH cand AS (SELECT doc_id, bm25 FROM (${bm25Sql(terms)})
+       |              ORDER BY bm25 DESC, doc_id LIMIT $pool),
+       |  rel AS (SELECT doc_id, bm25, round(bm25/mx, 6) rel
+       |          FROM cand, (SELECT max(bm25) mx FROM cand)),
+       |  ct AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) t
+       |         FROM documents WHERE doc_id IN (SELECT doc_id FROM cand)),
+       |  sz AS (SELECT doc_id, count(*) nt FROM ct GROUP BY 1),
+       |  pr AS (SELECT x.doc_id a, y.doc_id b, count(*) inter
+       |         FROM ct x JOIN ct y USING (t)
+       |         WHERE x.doc_id <> y.doc_id GROUP BY 1, 2),
+       |  sim AS (SELECT a, b,
+       |           round(CAST(inter AS DOUBLE)/(na.nt + nb.nt - inter), 6) sim
+       |          FROM pr JOIN sz na ON pr.a = na.doc_id
+       |                  JOIN sz nb ON pr.b = nb.doc_id),
+       |  s1 AS (SELECT doc_id, bm25, 1 AS rank, rel AS mmr FROM rel
+       |         ORDER BY rel DESC, doc_id LIMIT 1),
+       |  sel1 AS (SELECT * FROM s1),
+       |  ${steps.mkString(",\n  ")}
+       |SELECT rank, doc_id, bm25, mmr FROM sel$k""".stripMargin
+  }
+
   /** Inverted index (term → sorted posting list), the text-search /
     * audit-lookup primitive over a corpus: for every term its document
     * frequency, and for sub-stoplist terms the comma-joined sorted doc-id

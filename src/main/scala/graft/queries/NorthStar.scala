@@ -490,6 +490,12 @@ object NorthStar {
           (col("pos") + 1).cast("int").as("rank"))
     }),
 
+    // MMR-diversified rerank of the BM25 top-10: greedy λ·rel − (1−λ)·max
+    // token-Jaccard-to-selected selection of 5 — the diversity rerank a RAG
+    // stack runs so retrieved context isn't five copies of one passage
+    "rag_mmr_topk" -> ((s, dir) =>
+      TextOps.mmrRerank(t(s, dir, "documents"), Bm25Terms)),
+
     // length-distribution histogram (100-char buckets)
     "text_length_histogram" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1330,6 +1336,7 @@ object NorthStar {
             CAST(pid % 10000 AS INT) AS chunk_id, bm25, CAST(rn AS INT) AS rank
           FROM r WHERE rn <= 10"""
     },
+    "rag_mmr_topk" -> TextOps.mmrSql(Bm25Terms),
     "emb_label_centroids" ->
       """WITH ex AS (SELECT label,
              unnest(list_transform(range(len(embedding)),
