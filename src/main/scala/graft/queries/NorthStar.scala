@@ -48,6 +48,31 @@ object NorthStar {
         docs.where(pmod(col("doc_id"), lit(10)) === 0), index, N, 0.5)
     }),
 
+    // LSH tuning eval: recall of the banded MinHash candidate generator
+    // against EXACT n-gram Jaccard truth, per similarity decile — the
+    // S-curve check a dedup stack runs before committing band/row
+    // parameters (the dedup analogue of ann_ivf_recall). The exact truth
+    // join is the eval stage, not the production path (dedup_corpus never
+    // runs it corpus-wide); truth is checkpointed so the quadratic index
+    // join feeds both the totals and the hit counts once.
+    "dedup_lsh_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val truth = Dedup.ngramJaccardPairs(docs, N, 0.05)
+        .select(col("a"), col("b"),
+          least(floor(round(col("jaccard"), 6) * 10), lit(9))
+            .cast("int").as("sim_band"))
+        .localCheckpoint()
+      val cand = Dedup.minHashCandidates(Dedup.minHashSignatures(docs, N))
+      val hits = truth.join(cand, Seq("a", "b"), "left_semi")
+        .groupBy(col("sim_band")).agg(count(lit(1)).as("n_hit"))
+      truth.groupBy(col("sim_band")).agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("sim_band"), "left")
+        .select(col("sim_band"), col("n_true"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_true"), 6).as("recall"))
+    }),
+
     // the flagship corpus-dedup composition: LSH candidates → exact
     // Jaccard verify restricted to candidates (no corpus-wide
     // inverted-index self-join anywhere in the plan)
@@ -1254,6 +1279,38 @@ object NorthStar {
     // equals the full-corpus LSH restricted to pairs touching a new doc
     "dedup_incremental" ->
       s"SELECT a, b, est_jaccard FROM ($minhashSql) WHERE a % 10 = 0 OR b % 10 = 0",
+    "dedup_lsh_recall" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+          sh0 AS (SELECT doc_id, $shingleExpr ss FROM t0 WHERE len(w) >= $N),
+          sh AS (SELECT doc_id, unnest(ss) s FROM sh0),
+          sz AS (SELECT doc_id, count(*) nsh FROM sh GROUP BY doc_id),
+          cm AS (SELECT x.doc_id a, y.doc_id b, count(*) common
+                 FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2),
+          truth AS (SELECT a, b,
+              CAST(least(floor(round(CAST(common AS DOUBLE) /
+                (sa.nsh + sb.nsh - common), 6) * 10), 9) AS INT) sim_band
+            FROM cm JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+            WHERE CAST(common AS DOUBLE)/(sa.nsh + sb.nsh - common) >= 0.05),
+          based AS (SELECT doc_id,
+                     list_transform(ss, s -> CAST(('0x'||substr(md5(s),1,7)) AS BIGINT)) bs
+                    FROM sh0),
+          sig AS (SELECT doc_id, $minhashSigSql sg FROM based),
+          bands AS (SELECT doc_id, sg, unnest(range(${Dedup.Bands})) j FROM sig),
+          bk AS (SELECT doc_id, j,
+                  md5(array_to_string(list_transform(
+                    sg[j*${Dedup.RowsPerBand}+1:j*${Dedup.RowsPerBand}+${Dedup.RowsPerBand}],
+                    x -> CAST(x AS VARCHAR)), '|')) bkey
+                 FROM bands),
+          cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b
+                   FROM bk x JOIN bk y
+                   ON x.j = y.j AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+          tt AS (SELECT sim_band, count(*) n_true FROM truth GROUP BY 1),
+          hh AS (SELECT sim_band, count(*) n_hit
+                 FROM truth JOIN cand USING (a, b) GROUP BY 1)
+          SELECT sim_band, n_true, coalesce(n_hit, 0) AS n_hit,
+            round(CAST(coalesce(n_hit, 0) AS DOUBLE)/n_true, 6) AS recall
+          FROM tt LEFT JOIN hh USING (sim_band)""",
     "dedup_corpus" -> corpusDedupSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keep_list" ->
