@@ -415,6 +415,54 @@ object NorthStar {
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
         TextOps.langId(col("text")).as("pred_lang"))),
 
+    // per-source QUALITY FLOOR at the exact 25th percentile — drop each
+    // source's worst quartile by type-token ratio. The quantile is the
+    // equi-depth-histogram trick, NOT a per-source sort: scores aggregate
+    // to a (source, score) histogram (bounded by distinct rounded scores),
+    // the cum-dist window runs over that histogram, and the threshold
+    // broadcasts back — per-group quantiles with no group-sized sort
+    // partition anywhere, the shape that survives a 10-source 100 TB corpus
+    "corpus_quality_floor" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = TextOps.tokens(col("text"))
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        round(size(array_distinct(toks)).cast("double") / size(toks), 6).as("score"))
+      val cum = scored.groupBy(col("source"), col("score"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("source")).orderBy(col("score"))))
+      val ns = scored.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val thr = cum.join(ns, Seq("source"))
+        .where(col("cum") >= ceil(col("n_docs") * 0.25))
+        .groupBy(col("source")).agg(min(col("score")).as("threshold"))
+      val kept = scored.join(thr, Seq("source"))
+        .where(col("score") > col("threshold"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      ns.join(thr, Seq("source")).join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("threshold"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    }),
+
+    // TERM PROXIMITY: the phrase-nearness signal BM25 is blind to — for
+    // docs containing BOTH query terms, the minimum token distance between
+    // their occurrences (positions self-join per doc, bounded by
+    // occurrences of the two terms, not doc length), plus the 1/(1+span)
+    // proximity score. Top-20 by nearest span.
+    "text_term_proximity" -> ((s, dir) => {
+      val terms = Seq("spark", "join")
+      val pos = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("p", "tk")))
+        .where(col("tk").isInCollection(terms))
+      pos.as("x").join(pos.as("y"),
+          col("x.doc_id") === col("y.doc_id") && col("x.tk") < col("y.tk"))
+        .groupBy(col("x.doc_id").as("doc_id"))
+        .agg(min(abs(col("x.p") - col("y.p"))).cast("int").as("min_span"))
+        .select(col("doc_id"), col("min_span"),
+          round(lit(1.0) / (lit(1.0) + col("min_span")), 6).as("prox"))
+        .orderBy(col("min_span").asc, col("doc_id").asc)
+        .limit(20)
+    }),
+
     // relational form: explode shingles → codegen'd md5 → map-side min agg
     // (the HOF column form TextOps.fingerprintShingleMin runs interpreted)
     "doc_fingerprint" -> ((s, dir) => {
@@ -1668,6 +1716,34 @@ object NorthStar {
          SELECT decile, new_tokens,
            CAST(sum(new_tokens) OVER (ORDER BY decile) AS BIGINT) AS vocab_size
          FROM b""",
+    "corpus_quality_floor" ->
+      """WITH s AS (SELECT doc_id, source,
+             round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) /
+               len(string_split(text,' ')), 6) AS score
+           FROM documents),
+         h AS (SELECT source, score, count(*) c FROM s GROUP BY 1, 2),
+         cum AS (SELECT source, score,
+                  sum(c) OVER (PARTITION BY source ORDER BY score) cum FROM h),
+         ns AS (SELECT source, count(*) n_docs FROM s GROUP BY 1),
+         thr AS (SELECT source, min(score) threshold
+                 FROM cum JOIN ns USING (source)
+                 WHERE cum >= ceil(n_docs * 0.25) GROUP BY 1),
+         kept AS (SELECT source, count(*) n_kept FROM s JOIN thr USING (source)
+                  WHERE score > threshold GROUP BY 1)
+         SELECT source, n_docs, threshold, coalesce(n_kept, 0) AS n_kept
+         FROM ns JOIN thr USING (source) LEFT JOIN kept USING (source)""",
+    "text_term_proximity" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         p AS (SELECT doc_id, CAST(i AS INT) p, w[CAST(i AS INT)+1] tk
+               FROM (SELECT doc_id, w, unnest(range(len(w))) i FROM t0)
+               WHERE w[CAST(i AS INT)+1] IN ('spark', 'join')),
+         m AS (SELECT x.doc_id, min(abs(x.p - y.p)) ms
+               FROM p x JOIN p y ON x.doc_id = y.doc_id AND x.tk < y.tk
+               GROUP BY 1)
+         SELECT doc_id, CAST(ms AS INT) AS min_span,
+           round(CAST(1.0 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + CAST(ms AS INT)), 6)
+             AS prox
+         FROM m ORDER BY min_span ASC, doc_id ASC LIMIT 20""",
     "text_quality" ->
       s"""SELECT doc_id,
            CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
