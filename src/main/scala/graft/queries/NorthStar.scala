@@ -695,6 +695,29 @@ object NorthStar {
     // decimal-summed means, map-side partial agg — codebook-sized shuffle
     "emb_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(t(s, dir, "embeddings"))),
+    // EMBEDDING DRIFT between two corpus snapshots (vec_id parity plays
+    // old/new): per label, L2 and cosine between the snapshot centroids —
+    // the "did the encoder or the corpus move" monitor an embedding
+    // pipeline alarms on before any index rebuild. Two decimal-exact
+    // centroid aggregates (|labels|·dims rows each) + a label-keyed merge;
+    // the corpus is scanned twice and never shuffled.
+    "emb_source_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = Similarity.labelCentroids(e.where(pmod(col("vec_id"), lit(2)) === 0))
+        .withColumnRenamed("c", "ca")
+      val b = Similarity.labelCentroids(e.where(pmod(col("vec_id"), lit(2)) === 1))
+        .withColumnRenamed("c", "cb")
+      val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+      a.join(b, Seq("label", "dim"))
+        .groupBy(col("label"))
+        .agg(
+          round(sqrt(sum(((col("ca") - col("cb")) * (col("ca") - col("cb")))
+            .cast(dec)).cast("double")), 6).as("l2_drift"),
+          round(sum((col("ca") * col("cb")).cast(dec)).cast("double") /
+            (sqrt(sum((col("ca") * col("ca")).cast(dec)).cast("double")) *
+             sqrt(sum((col("cb") * col("cb")).cast(dec)).cast("double"))), 6)
+            .as("cos_drift"))
+    }),
     // each vector's cosine to its OWN label centroid — the
     // prototypicality score semantic pruning thresholds on; broadcast
     // centroids, one codegen'd corpus pass, no corpus exchange
@@ -1442,6 +1465,25 @@ object NorthStar {
           FROM r WHERE rn <= 10"""
     },
     "rag_mmr_topk" -> TextOps.mmrSql(Bm25Terms),
+    "emb_source_drift" ->
+      """WITH ce AS (SELECT label, vec_id % 2 AS half,
+             unnest(list_transform(range(len(embedding)),
+               i -> {'dim': i, 'v': CAST(embedding[i+1] AS DOUBLE)})) t
+           FROM embeddings),
+         cent AS (SELECT label, half, t.dim AS dim,
+                   round(CAST(SUM(CAST(t.v AS DECIMAL(28,12))) AS DOUBLE)/count(*), 6) c
+                  FROM ce GROUP BY 1, 2, 3),
+         j AS (SELECT a.label, a.c ca, b.c cb FROM cent a JOIN cent b
+               ON a.label = b.label AND a.dim = b.dim
+                  AND a.half = 0 AND b.half = 1)
+         SELECT label,
+           round(sqrt(CAST(SUM(CAST((ca-cb)*(ca-cb) AS DECIMAL(28,12))) AS DOUBLE)), 6)
+             AS l2_drift,
+           round(CAST(SUM(CAST(ca*cb AS DECIMAL(28,12))) AS DOUBLE) /
+             (sqrt(CAST(SUM(CAST(ca*ca AS DECIMAL(28,12))) AS DOUBLE)) *
+              sqrt(CAST(SUM(CAST(cb*cb AS DECIMAL(28,12))) AS DOUBLE))), 6)
+             AS cos_drift
+         FROM j GROUP BY label""",
     "emb_label_centroids" ->
       """WITH ex AS (SELECT label,
              unnest(list_transform(range(len(embedding)),
