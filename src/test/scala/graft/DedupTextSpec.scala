@@ -550,6 +550,61 @@ class DedupTextSpec extends SparkSuite {
     assert(got(3L) === ((3L, "", 0L, 1L)))
   }
 
+  test("dedupParagraphs: repeated block keeps only its FIRST occurrence, order kept") {
+    val A = "a1 a2 a3 a4"
+    val C = "c1 c2 c3 c4"
+    val fx = Seq(
+      (0L, s"$A b1 b2 b3 b4"), // blocks A, B — both first occurrences
+      (1L, s"$A $C"),          // A repeats (dropped), C first (kept)
+      (2L, C)                  // C repeats -> dropped, doc empties
+    ).toDF("doc_id", "text")
+    val got = TextOps.dedupParagraphs(fx, blockTokens = 4)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) === ((0L, s"$A b1 b2 b3 b4", 2L, 0L)))
+    assert(got(1L) === ((1L, C, 1L, 1L)))
+    assert(got(2L) === ((2L, "", 0L, 1L)))
+    // corpus-level invariant: every distinct block survives exactly once
+    val n = got.values.map(_._3).sum
+    assert(n === 3L) // A, B, C
+  }
+
+  test("cmsHeavyHitters: estimate never undercounts; true top token ranks first") {
+    val r = TextOps.cmsHeavyHitters(docs, d = 4, w = 512, k = 10)
+      .as[(String, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (tok, est, exact, over) =>
+      assert(est >= exact, s"CMS undercounted $tok")
+      assert(over === est - exact)
+    }
+    // 'the' appears 4x across the fixture, strictly more than any other token
+    assert(r.head._1 === "the" || r.head._2 === r.find(_._1 == "the").get._2)
+  }
+
+  test("vocabGrowth: cumulative vocab equals the running sum and ends at the bigram vocab size") {
+    val r = TextOps.vocabGrowth(docs)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.map(_._2).sum === r.last._3) // sum of new_tokens = final vocab
+    val running = r.map(_._2).scanLeft(0L)(_ + _).drop(1)
+    assert(r.map(_._3).toSeq === running.toSeq)
+    val trueVocab = docs.select(explode(TextOps.shingleStructs(col("text"), 2)).as("s"))
+      .select(TextOps.shingleString(col("s"), 2)).distinct().count()
+    assert(r.last._3 === trueVocab)
+  }
+
+  test("mmrRerank: rank 2 prefers the diverse relevant doc over a near-duplicate") {
+    // equal BM25 mass (same tf/dl) -> rel ties at 1.0; diversity decides
+    val fx = Seq(
+      (0L, "spark join a b c d"),
+      (1L, "spark join a b c e"), // near-dup of 0 (Jaccard 5/7)
+      (2L, "spark join v w x y")  // diverse (Jaccard 2/10 vs 0)
+    ).toDF("doc_id", "text")
+    val r = TextOps.mmrRerank(fx, Seq("spark", "join"), k = 3, pool = 3)
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    assert(r(0)._2 === 0L) // ties break on doc_id
+    assert(r(1)._2 === 2L) // diversity beats the near-dup
+    assert(r(2)._2 === 1L)
+  }
+
   test("chunkWindows: stride starts, short tail windows, one chunk minimum") {
     // 7 tokens, width 5, stride 3 → starts 0,3,6 with 5,4,1 tokens
     val d = Seq((1L, "t0 t1 t2 t3 t4 t5 t6"), (2L, "solo")).toDF("doc_id", "text")
