@@ -56,9 +56,13 @@ object Bench {
     val refCsv = "/root/reference/src/main/resources/iouzipcodes2011.csv"
     val ingest = if (new java.io.File(refCsv).exists()) {
       val inputRows = spark.read.text(refCsv).count() // throughput basis: input lines
-      val t0 = System.nanoTime()
-      force(BulkLoad.csv(spark, refCsv, BulkLoad.Config(compatNaiveSplit = true)).cells)
-      val secs = (System.nanoTime() - t0) / 1e9
+      // best of 3: the queries above take a min over interleaved passes for
+      // ambient-noise immunity — a one-shot ingest number deserves the same
+      val secs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        force(BulkLoad.csv(spark, refCsv, BulkLoad.Config(compatNaiveSplit = true)).cells)
+        (System.nanoTime() - t0) / 1e9
+      }.min
       Some(inputRows / secs)
     } else None
 

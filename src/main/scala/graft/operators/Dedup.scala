@@ -360,6 +360,56 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** LSH parameter-tuning evaluation: recall of the banded MinHash
+    * candidate generator against EXACT n-gram Jaccard truth, per Jaccard
+    * decile (capped at band 9) — the S-curve a dedup stack checks before
+    * committing band/row parameters. The exact truth join is EVAL-ONLY
+    * (quadratic in shingle df; the production path stays
+    * candidate-restricted — [[corpusDedup]]).
+    *
+    * One scan + explode + md5 pass feeds BOTH pipelines: the checkpointed
+    * digest index serves the truth self-join, the set sizes, and the
+    * minhash signature aggregate (base hash = the digest's first 7 hex
+    * chars), so no upstream stage runs twice; banded truth is checkpointed
+    * once for the totals and the candidate semi-join.
+    * Output: (sim_band, n_true, n_hit, recall). */
+  def lshRecallCurve(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
+    val sh = shingleIndex(docs, n)
+      .select(col("doc_id"), unhex(md5(col("s").cast(BinaryType))).as("s"))
+      .localCheckpoint()
+    val hashMins = (0 until MinHashK).map { i =>
+      val (a, b) = (hashConstant(s"a$i"), hashConstant(s"b$i"))
+      min(pmod(col("base") * lit(a) + lit(b), lit(MinHashPrime))).as(s"h$i")
+    }
+    val sigsz = sh
+      .withColumn("base", conv(substring(hex(col("s")), 1, 7), 16, 10).cast(LongType))
+      .groupBy(col("doc_id"))
+      .agg(hashMins.head, (hashMins.tail :+ count(lit(1)).as("nsh")): _*)
+    val cand = minHashCandidates(sigsz.select(col("doc_id"),
+      array((0 until MinHashK).map(i => col(s"h$i")): _*).as("sig")))
+    val sz = sigsz.select(col("doc_id"), col("nsh"))
+    val truth = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sz.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"), (col("common").cast(DoubleType) /
+        (col("sa.nsh") + col("sb.nsh") - col("common"))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"),
+        least(floor(round(col("jaccard"), 6) * 10), lit(9)).cast("int").as("sim_band"))
+      .localCheckpoint()
+    val hits = truth.join(cand, Seq("a", "b"), "left_semi")
+      .groupBy(col("sim_band")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("sim_band")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("sim_band"), "left")
+      .select(col("sim_band"), col("n_true"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_true"), 6).as("recall"))
+  }
+
   /** Connected components over a near-dup pair graph — the step that turns
     * pairwise similarity into the dedup decision (one KEEPER per cluster).
     * Output: (doc_id, cluster_id) for every doc appearing in `pairs`,

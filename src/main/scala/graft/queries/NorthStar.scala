@@ -55,23 +55,8 @@ object NorthStar {
     // join is the eval stage, not the production path (dedup_corpus never
     // runs it corpus-wide); truth is checkpointed so the quadratic index
     // join feeds both the totals and the hit counts once.
-    "dedup_lsh_recall" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val truth = Dedup.ngramJaccardPairs(docs, N, 0.05)
-        .select(col("a"), col("b"),
-          least(floor(round(col("jaccard"), 6) * 10), lit(9))
-            .cast("int").as("sim_band"))
-        .localCheckpoint()
-      val cand = Dedup.minHashCandidates(Dedup.minHashSignatures(docs, N))
-      val hits = truth.join(cand, Seq("a", "b"), "left_semi")
-        .groupBy(col("sim_band")).agg(count(lit(1)).as("n_hit"))
-      truth.groupBy(col("sim_band")).agg(count(lit(1)).as("n_true"))
-        .join(hits, Seq("sim_band"), "left")
-        .select(col("sim_band"), col("n_true"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          round(coalesce(col("n_hit"), lit(0L)).cast("double") /
-            col("n_true"), 6).as("recall"))
-    }),
+    "dedup_lsh_recall" -> ((s, dir) =>
+      Dedup.lshRecallCurve(t(s, dir, "documents"), N, 0.05)),
 
     // the flagship corpus-dedup composition: LSH candidates → exact
     // Jaccard verify restricted to candidates (no corpus-wide
