@@ -216,6 +216,60 @@ object GraphOps {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** LINK PREDICTION by neighbor-set Jaccard (Liben-Nowell & Kleinberg
+    * 2003): score every NON-adjacent pair with ≥1 common neighbor by
+    * |Γ(a)∩Γ(b)| / |Γ(a)∪Γ(b)| and return the top `k` — "products bought
+    * together with the same things but never together yet", the
+    * recommendation/graph-completion primitive.
+    *
+    * Scale shape: common neighbors come from the same wedge join as
+    * [[triangleCount]] (self-join of the adjacency list on the shared
+    * neighbor — quadratic in per-node degree, which the upstream
+    * min-support mining already bounds); existing edges leave via one
+    * anti-join against the canonical edge frame; the ranking is a bounded
+    * top-k. The adjacency frame is materialized once and feeds both wedge
+    * sides and the degree aggregate. Output: (a, b, cn, score). */
+  def linkPrediction(edges: DataFrame, k: Int,
+                     storage: Dedup.FixpointStorage = Dedup.LocalCheckpoint): DataFrame = {
+    val canon = Dedup.materializeFixpoint(edges
+      .select(least(col("a"), col("b")).as("x"), greatest(col("a"), col("b")).as("y"))
+      .where(col("x") =!= col("y")).distinct(), storage)
+    val adj = Dedup.materializeFixpoint(
+      canon.select(col("x").as("v"), col("y").as("n"))
+        .unionAll(canon.select(col("y").as("v"), col("x").as("n"))), storage)
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val common = adj.as("p").join(adj.as("q"),
+        col("p.n") === col("q.n") && col("p.v") < col("q.v"))
+      .groupBy(col("p.v").as("a"), col("q.v").as("b"))
+      .agg(count(lit(1)).as("cn"))
+    common
+      .join(canon, col("a") === col("x") && col("b") === col("y"), "left_anti")
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"), col("cn"),
+        round(col("cn").cast(org.apache.spark.sql.types.DoubleType) /
+          (col("da") + col("db") - col("cn")), 6).as("score"))
+      .orderBy(col("score").desc, col("a").asc, col("b").asc)
+      .limit(k)
+  }
+
+  /** DuckDB mirror of [[linkPrediction]]: `edgesSql` must yield (a, b). */
+  def linkPredictionSql(edgesSql: String, k: Int): String =
+    s"""WITH edges AS ($edgesSql),
+        canon AS (SELECT DISTINCT least(a, b) x, greatest(a, b) y
+                  FROM edges WHERE a <> b),
+        adj AS (SELECT x v, y n FROM canon UNION ALL SELECT y v, x n FROM canon),
+        deg AS (SELECT v, count(*) d FROM adj GROUP BY 1),
+        cm AS (SELECT p.v a, q.v b, count(*) cn FROM adj p JOIN adj q
+               ON p.n = q.n AND p.v < q.v GROUP BY 1, 2),
+        cand AS (SELECT a, b, cn,
+                  round(CAST(cn AS DOUBLE)/(da.d + db.d - cn), 6) score
+                 FROM cm JOIN deg da ON da.v = cm.a JOIN deg db ON db.v = cm.b
+                 WHERE NOT EXISTS (SELECT 1 FROM canon c
+                                   WHERE c.x = cm.a AND c.y = cm.b))
+        SELECT a, b, cn, score FROM cand
+        ORDER BY score DESC, a, b LIMIT $k"""
+
   /** DuckDB mirror of [[triangleCount]]: `edgesSql` must yield (a, b). */
   def triangleCountSql(edgesSql: String): String =
     s"""WITH edges AS ($edgesSql),

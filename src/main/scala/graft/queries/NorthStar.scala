@@ -385,6 +385,19 @@ object NorthStar {
       graft.operators.GraphOps.triangleCount(edges)
     }),
 
+    // link prediction over the co-purchase graph: top-20 NON-adjacent pairs
+    // by neighbor-set Jaccard — "bought with the same things, never
+    // together yet", the graph-completion/recommendation primitive; wedge
+    // join + anti-join against the canonical edge frame
+    "graph_link_prediction" -> ((s, dir) => {
+      val edges = graft.operators.Affinity.itemPairs(
+          t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
+            col("l_partkey").as("item")),
+          minSupport = 3, maxBasketSize = 20)
+        .select(col("item_a").as("a"), col("item_b").as("b"))
+      graft.operators.GraphOps.linkPrediction(edges, 20)
+    }),
+
     // asymmetric near-dup: containment C(A→B) = |A∩B|/|A| catches the
     // quote/excerpt case Jaccard misses (short doc embedded in a long one);
     // same df-capped inverted index as the capped Jaccard run
@@ -1701,6 +1714,15 @@ object NorthStar {
            FROM d x JOIN keep USING (basket)
            JOIN d y ON x.basket = y.basket AND x.item < y.item
            GROUP BY 1, 2 HAVING count(*) >= 3)"""),
+    "graph_link_prediction" -> graft.operators.GraphOps.linkPredictionSql(
+      """SELECT item_a AS a, item_b AS b FROM (
+           WITH d AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                      FROM lineitem),
+           keep AS (SELECT basket FROM d GROUP BY basket HAVING count(*) <= 20)
+           SELECT x.item AS item_a, y.item AS item_b
+           FROM d x JOIN keep USING (basket)
+           JOIN d y ON x.basket = y.basket AND x.item < y.item
+           GROUP BY 1, 2 HAVING count(*) >= 3)""", 20),
     "dedup_containment" -> containmentCappedSql(2L, 0.5),
     "text_inverted_index" ->
       """WITH t0 AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
