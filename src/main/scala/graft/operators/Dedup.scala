@@ -333,19 +333,8 @@ object Dedup {
     val sh = shingleIndex(docs, n)
       .select(col("doc_id"), unhex(md5(col("s").cast(BinaryType))).as("s"))
       .localCheckpoint()
-    // set size fused into the SAME aggregate that computes the k minhash
-    // mins — one shuffle on doc_id serves candidate generation and verify
-    val hashMins = (0 until MinHashK).map { i =>
-      val (a, b) = (hashConstant(s"a$i"), hashConstant(s"b$i"))
-      min(pmod(col("base") * lit(a) + lit(b), lit(MinHashPrime))).as(s"h$i")
-    }
-    val sigsz = sh
-      .withColumn("base", conv(substring(hex(col("s")), 1, 7), 16, 10).cast(LongType))
-      .groupBy(col("doc_id"))
-      .agg(hashMins.head, (hashMins.tail :+ count(lit(1)).as("nsh")): _*)
-    val sigd = sigsz.select(col("doc_id"),
-      array((0 until MinHashK).map(i => col(s"h$i")): _*).as("sig"))
-    val cand = minHashCandidates(sigd)
+    val sigsz = digestSignatures(sh)
+    val cand = minHashCandidates(sigsz.select(col("doc_id"), sigArray))
     val sz = sigsz.select(col("doc_id"), col("nsh"))
     val common = cand
       .join(sh.select(col("doc_id").as("a"), col("s")), "a")
@@ -359,6 +348,26 @@ object Dedup {
           (col("sa.nsh") + col("sb.nsh") - col("common"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** MinHash signature aggregate over a checkpointed digest index
+    * (doc_id, s = 16-byte md5): the k universal-hash minima per doc over
+    * the digest's 7-hex-char prefix, FUSED with the shingle-set size —
+    * one doc_id exchange serves candidate generation and exact verify.
+    * Shared by [[corpusDedup]] and [[lshRecallCurve]] so the recall eval
+    * always measures the generator production runs. */
+  private def digestSignatures(sh: DataFrame): DataFrame = {
+    val hashMins = (0 until MinHashK).map { i =>
+      val (a, b) = (hashConstant(s"a$i"), hashConstant(s"b$i"))
+      min(pmod(col("base") * lit(a) + lit(b), lit(MinHashPrime))).as(s"h$i")
+    }
+    sh.withColumn("base", conv(substring(hex(col("s")), 1, 7), 16, 10).cast(LongType))
+      .groupBy(col("doc_id"))
+      .agg(hashMins.head, (hashMins.tail :+ count(lit(1)).as("nsh")): _*)
+  }
+
+  /** The h0..h(k-1) signature columns re-assembled as one array column. */
+  private def sigArray: Column =
+    array((0 until MinHashK).map(i => col(s"h$i")): _*).as("sig")
 
   /** LSH parameter-tuning evaluation: recall of the banded MinHash
     * candidate generator against EXACT n-gram Jaccard truth, per Jaccard
@@ -377,16 +386,10 @@ object Dedup {
     val sh = shingleIndex(docs, n)
       .select(col("doc_id"), unhex(md5(col("s").cast(BinaryType))).as("s"))
       .localCheckpoint()
-    val hashMins = (0 until MinHashK).map { i =>
-      val (a, b) = (hashConstant(s"a$i"), hashConstant(s"b$i"))
-      min(pmod(col("base") * lit(a) + lit(b), lit(MinHashPrime))).as(s"h$i")
-    }
-    val sigsz = sh
-      .withColumn("base", conv(substring(hex(col("s")), 1, 7), 16, 10).cast(LongType))
-      .groupBy(col("doc_id"))
-      .agg(hashMins.head, (hashMins.tail :+ count(lit(1)).as("nsh")): _*)
-    val cand = minHashCandidates(sigsz.select(col("doc_id"),
-      array((0 until MinHashK).map(i => col(s"h$i")): _*).as("sig")))
+    // the PRODUCTION signature aggregate — sharing it is the point: the
+    // eval must measure the generator corpusDedup actually runs
+    val sigsz = digestSignatures(sh)
+    val cand = minHashCandidates(sigsz.select(col("doc_id"), sigArray))
     val sz = sigsz.select(col("doc_id"), col("nsh"))
     val truth = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))

@@ -318,6 +318,10 @@ object TextOps {
   def mmrRerank(docs: org.apache.spark.sql.DataFrame, terms: Seq[String],
                 k: Int = 5, pool: Int = 10,
                 lam: Double = 0.7, oneMinusLam: Double = 0.3): org.apache.spark.sql.DataFrame = {
+    // both weights are caller-supplied decimal literals (computing 1−λ in
+    // binary would diverge from the SQL literal) — but they must still BE
+    // the MMR identity, and must match what mmrSql renders
+    require(lam + oneMinusLam == 1.0, s"MMR weights must sum to 1 ($lam + $oneMinusLam)")
     val cand = bm25Scores(docs, terms)
       .orderBy(col("bm25").desc, col("doc_id").asc).limit(pool)
       .localCheckpoint()
@@ -353,11 +357,14 @@ object TextOps {
     sel.select(col("rank"), col("doc_id"), col("bm25"), col("mmr"))
   }
 
-  /** The DuckDB mirror of [[mmrRerank]] (oracle builder, k/pool unrolled). */
-  def mmrSql(terms: Seq[String], k: Int = 5, pool: Int = 10): String = {
+  /** The DuckDB mirror of [[mmrRerank]] (oracle builder, k/pool unrolled);
+    * the λ weights render from the same parameters the Spark side takes. */
+  def mmrSql(terms: Seq[String], k: Int = 5, pool: Int = 10,
+             lam: Double = 0.7, oneMinusLam: Double = 0.3): String = {
+    require(lam + oneMinusLam == 1.0, s"MMR weights must sum to 1 ($lam + $oneMinusLam)")
     val steps = (2 to k).map { i =>
       s"""m$i AS (SELECT r.doc_id, r.bm25,
-         |        round(0.7*r.rel - 0.3*coalesce(ms.msim, 0), 6) mmr
+         |        round($lam*r.rel - $oneMinusLam*coalesce(ms.msim, 0), 6) mmr
          |      FROM rel r LEFT JOIN (
          |        SELECT a AS doc_id, max(sim) msim FROM sim
          |        WHERE b IN (SELECT doc_id FROM sel${i - 1}) GROUP BY 1) ms
@@ -509,6 +516,22 @@ object TextOps {
     pos.select(col("doc_id"), min(col("h")).over(frame).as("fp")).distinct()
   }
 
+  /** (doc_id, pos, block): each document split into fixed
+    * `blockTokens`-token blocks in order — the shared explode under
+    * [[removeBoilerplateBlocks]] and [[dedupParagraphs]]. `blockTokens`
+    * stays a power of two so the block-count division is exact in both
+    * engines. */
+  private def tokenBlocks(docs: org.apache.spark.sql.DataFrame,
+                          blockTokens: Int): org.apache.spark.sql.DataFrame = {
+    require((blockTokens & (blockTokens - 1)) == 0, "blockTokens must be a power of two")
+    val w = tokens(col("text"))
+    val nBlocks = ((size(w) + lit(blockTokens - 1)) / lit(blockTokens))
+      .cast(org.apache.spark.sql.types.IntegerType)
+    val blockArr = transform(sequence(lit(0), nBlocks - 1),
+      i => array_join(slice(w, i * blockTokens + 1, lit(blockTokens)), " "))
+    docs.select(col("doc_id"), posexplode(blockArr).as(Seq("pos", "block")))
+  }
+
   /** Cross-document BOILERPLATE REMOVAL with text reassembly — the
     * RefinedWeb/CCNet "drop lines shared across many pages" pass (nav
     * bars, cookie banners, license footers), generalized to fixed
@@ -526,23 +549,8 @@ object TextOps {
     * hot blocks, sort_array restores block order — no second pass, no
     * anti-join). For a boilerplate set too large to broadcast, put the
     * [[graft.functions.BloomSet]] image in front of the same join.
-    * `blockTokens` stays a power of two so the block-count division is
-    * exact in both engines. Output: (doc_id, clean_text, n_kept,
-    * n_dropped); clean_text = '' when every block was boilerplate. */
-  /** (doc_id, pos, block): each document split into fixed `blockTokens`-token
-    * blocks in order — the shared explode under [[removeBoilerplateBlocks]]
-    * and [[dedupParagraphs]]. */
-  private def tokenBlocks(docs: org.apache.spark.sql.DataFrame,
-                          blockTokens: Int): org.apache.spark.sql.DataFrame = {
-    require((blockTokens & (blockTokens - 1)) == 0, "blockTokens must be a power of two")
-    val w = tokens(col("text"))
-    val nBlocks = ((size(w) + lit(blockTokens - 1)) / lit(blockTokens))
-      .cast(org.apache.spark.sql.types.IntegerType)
-    val blockArr = transform(sequence(lit(0), nBlocks - 1),
-      i => array_join(slice(w, i * blockTokens + 1, lit(blockTokens)), " "))
-    docs.select(col("doc_id"), posexplode(blockArr).as(Seq("pos", "block")))
-  }
-
+    * Output: (doc_id, clean_text, n_kept, n_dropped); clean_text = ''
+    * when every block was boilerplate. */
   def removeBoilerplateBlocks(docs: org.apache.spark.sql.DataFrame,
                               blockTokens: Int = 8,
                               dfCap: Long = 2): org.apache.spark.sql.DataFrame = {

@@ -14,6 +14,27 @@ object NorthStar {
   private val N = 3 // word-shingle width
   private val Bm25Terms = Seq("spark", "join", "fast") // fixed retrieval query
 
+  /** The co-purchase graph every graph_* query runs over: item pairs from
+    * size-capped baskets at min-support 3 — ONE definition, so communities,
+    * triangles and link prediction can never silently diverge. */
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.operators.Affinity.itemPairs(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
+          col("l_partkey").as("item")),
+        minSupport = 3, maxBasketSize = 20)
+      .select(col("item_a").as("a"), col("item_b").as("b"))
+
+  /** DuckDB mirror of [[coPurchaseEdges]] (yields (a, b)). */
+  private val coPurchaseEdgesSql =
+    """SELECT item_a AS a, item_b AS b FROM (
+           WITH d AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                      FROM lineitem),
+           keep AS (SELECT basket FROM d GROUP BY basket HAVING count(*) <= 20)
+           SELECT x.item AS item_a, y.item AS item_b
+           FROM d x JOIN keep USING (basket)
+           JOIN d y ON x.basket = y.basket AND x.item < y.item
+           GROUP BY 1, 2 HAVING count(*) >= 3)"""
+
   /** Shared Spark/oracle adornment for text_normalize: tab + space run +
     * "e"+U+0301 (NFC composes to é) + precomposed É + ß + uppercase — the
     * one constant makes every normalizer stage fire in BOTH engines. */
@@ -365,11 +386,7 @@ object NorthStar {
     // smallest-label tie-break as a map-side-combinable argmax — no RNG,
     // no visit order, no per-node window sort
     "graph_communities" -> ((s, dir) => {
-      val edges = graft.operators.Affinity.itemPairs(
-          t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
-            col("l_partkey").as("item")),
-          minSupport = 3, maxBasketSize = 20)
-        .select(col("item_a").as("a"), col("item_b").as("b"))
+      val edges = coPurchaseEdges(s, dir)
       graft.operators.GraphOps.labelPropagation(edges, 4)
     }),
 
@@ -377,11 +394,7 @@ object NorthStar {
     // ≥ 3 baskets): degree-ordered orientation bounds the wedge self-join
     // by O(√m) out-degrees even on power-law graphs
     "graph_triangles" -> ((s, dir) => {
-      val edges = graft.operators.Affinity.itemPairs(
-          t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
-            col("l_partkey").as("item")),
-          minSupport = 3, maxBasketSize = 20)
-        .select(col("item_a").as("a"), col("item_b").as("b"))
+      val edges = coPurchaseEdges(s, dir)
       graft.operators.GraphOps.triangleCount(edges)
     }),
 
@@ -390,11 +403,7 @@ object NorthStar {
     // together yet", the graph-completion/recommendation primitive; wedge
     // join + anti-join against the canonical edge frame
     "graph_link_prediction" -> ((s, dir) => {
-      val edges = graft.operators.Affinity.itemPairs(
-          t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
-            col("l_partkey").as("item")),
-          minSupport = 3, maxBasketSize = 20)
-        .select(col("item_a").as("a"), col("item_b").as("b"))
+      val edges = coPurchaseEdges(s, dir)
       graft.operators.GraphOps.linkPrediction(edges, 20)
     }),
 
@@ -1697,32 +1706,11 @@ object NorthStar {
       "SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS a, " +
         "'s' || CAST(l_suppkey AS VARCHAR) AS b FROM lineitem", 3),
     "graph_communities" -> graft.operators.GraphOps.labelPropagationSql(
-      """SELECT item_a AS a, item_b AS b FROM (
-           WITH d AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
-                      FROM lineitem),
-           keep AS (SELECT basket FROM d GROUP BY basket HAVING count(*) <= 20)
-           SELECT x.item AS item_a, y.item AS item_b
-           FROM d x JOIN keep USING (basket)
-           JOIN d y ON x.basket = y.basket AND x.item < y.item
-           GROUP BY 1, 2 HAVING count(*) >= 3)""", 4),
+      coPurchaseEdgesSql, 4),
     "graph_triangles" -> graft.operators.GraphOps.triangleCountSql(
-      """SELECT item_a AS a, item_b AS b FROM (
-           WITH d AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
-                      FROM lineitem),
-           keep AS (SELECT basket FROM d GROUP BY basket HAVING count(*) <= 20)
-           SELECT x.item AS item_a, y.item AS item_b
-           FROM d x JOIN keep USING (basket)
-           JOIN d y ON x.basket = y.basket AND x.item < y.item
-           GROUP BY 1, 2 HAVING count(*) >= 3)"""),
+      coPurchaseEdgesSql),
     "graph_link_prediction" -> graft.operators.GraphOps.linkPredictionSql(
-      """SELECT item_a AS a, item_b AS b FROM (
-           WITH d AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
-                      FROM lineitem),
-           keep AS (SELECT basket FROM d GROUP BY basket HAVING count(*) <= 20)
-           SELECT x.item AS item_a, y.item AS item_b
-           FROM d x JOIN keep USING (basket)
-           JOIN d y ON x.basket = y.basket AND x.item < y.item
-           GROUP BY 1, 2 HAVING count(*) >= 3)""", 20),
+      coPurchaseEdgesSql, 20),
     "dedup_containment" -> containmentCappedSql(2L, 0.5),
     "text_inverted_index" ->
       """WITH t0 AS (SELECT doc_id, string_split(text, ' ') w FROM documents),

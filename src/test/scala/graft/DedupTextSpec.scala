@@ -577,7 +577,9 @@ class DedupTextSpec extends SparkSuite {
       assert(over === est - exact)
     }
     // 'the' appears 4x across the fixture, strictly more than any other token
-    assert(r.head._1 === "the" || r.head._2 === r.find(_._1 == "the").get._2)
+    val theEst = r.find(_._1 == "the").map(_._2)
+    assert(r.head._1 === "the" || theEst.contains(r.head._2),
+      s"'the' not at/tied with the top: head=${r.head}, theEst=$theEst")
   }
 
   test("vocabGrowth: cumulative vocab equals the running sum and ends at the bigram vocab size") {
