@@ -2,19 +2,47 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Benchmark main — one JSON line with per-query wall-clock.
+/** Benchmark main — per-query wall-clock over the declared query set.
   *
   * Queries are forced through the `noop` sink (full computation of every
   * output column; a bare `count()` would let Catalyst prune most of the
   * work — e.g. the md5 rowkeys are dead code under count). A warmup pass
   * runs first so JIT/codegen compilation is not billed to the first query.
-  * Also reports ingest throughput (rows/s) on the reference's 37,791-row
-  * CSV when present.
+  *
+  * Output contract (the driver captures a BOUNDED stdout tail, so size
+  * matters — round 1's and round 7's full per-query lines both clipped
+  * past parseability):
+  *   - `bench_out.json` on disk: the FULL artifact — per-query seconds,
+  *     per-pass ingest times, methodology notes.
+  *   - stdout LAST line: one short (<500 char) JSON summary — total,
+  *     per-family subtotals, query count, ingest rows/s — always within
+  *     the driver's tail window.
+  *
+  * Bench-session hygiene: ~40 of the queries materialize fixpoint /
+  * multi-consumer frames via `localCheckpoint`; across 3 × 200+
+  * executions in one SparkSession the pinned blocks compound into
+  * storage-memory pressure that hits checkpoint-heavy iterative queries
+  * hardest (round 7's `graph_pagerank` artifact: 15.8 s vs 5.7 s
+  * isolated). Every forced query is therefore followed by an unpersist
+  * of all accumulated RDDs — each query builds a fresh plan, so nothing
+  * is recomputed from a dropped block.
   */
 object Bench {
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  /** Drop every pinned block (localCheckpoint RDDs, persisted frames)
+    * left behind by a completed query so timings stay independent. */
+  private def unpersistAll(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+
+  /** Family key for the summary line: leading name segment, with the 22
+    * TPC-H shapes (`q1`..`q22`) folded into the `q` family. */
+  private def family(name: String): String = {
+    val head = name.takeWhile(_ != '_')
+    if (head.matches("q\\d+")) "q" else head
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -24,6 +52,7 @@ object Bench {
     // Warmup: JIT, codegen cache, parquet footer reads.
     try force(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
     catch { case _: Throwable => () }
+    unpersistAll(spark)
 
     // optional args = query-name subset (same contract as graft.Verify)
     val subset = args.toSet
@@ -49,36 +78,61 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      unpersistAll(spark)
     }
     val results = names.map { case (name, _) => name -> best.getOrElse(name, -1.0) }
 
-    // Ingest throughput: reference CSV → sorted cells (compat parse).
+    // Ingest throughput: reference CSV replicated 100x (~3.8M rows, ~414 MB)
+    // → sorted cells (compat parse). The raw 37,791-row file saturates in
+    // ~2 s of fixed plan/scheduling cost, so its rows/s number measured
+    // scheduling, not throughput (5.8k vs 18.5k across rounds on unchanged
+    // code). 100 part files also give the scan real parallelism on 32 cores.
+    // Reported as min of 3 passes (ambient-noise immunity, same rationale
+    // as the query min); per-pass times go to bench_out.json so the ambient
+    // signal the one-shot number used to carry stays readable.
     val refCsv = "/root/reference/src/main/resources/iouzipcodes2011.csv"
-    val ingest = if (new java.io.File(refCsv).exists()) {
-      val inputRows = spark.read.text(refCsv).count() // throughput basis: input lines
-      // best of 3: the queries above take a min over interleaved passes for
-      // ambient-noise immunity — a one-shot ingest number deserves the same
-      val secs = (1 to 3).map { _ =>
+    val (ingest, ingestPasses) = if (new java.io.File(refCsv).exists()) {
+      import java.nio.file.{Files, Paths}
+      val dir = Files.createTempDirectory("graft-bench-ingest")
+      val bytes = Files.readAllBytes(Paths.get(refCsv))
+      (0 until 100).foreach(i => Files.write(dir.resolve(f"part-$i%03d.csv"), bytes))
+      val inputRows = spark.read.text(dir.toString).count() // throughput basis: input lines
+      val passes = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        force(BulkLoad.csv(spark, refCsv, BulkLoad.Config(compatNaiveSplit = true)).cells)
+        force(BulkLoad.csv(spark, dir.toString, BulkLoad.Config(compatNaiveSplit = true)).cells)
+        unpersistAll(spark)
         (System.nanoTime() - t0) / 1e9
-      }.min
-      Some(inputRows / secs)
-    } else None
+      }
+      Files.list(dir).forEach(p => Files.delete(p))
+      Files.delete(dir)
+      (Some(inputRows / passes.min), passes)
+    } else (None, Seq.empty[Double])
 
-    // millisecond precision keeps the JSON line ~40% shorter — the driver
-    // captures a bounded stdout tail, and round 1's full-precision line got
-    // clipped past parseability (BENCH_r01.json "parsed": null)
     def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val extra = ingest.map(r => s""","ingest_rows_per_sec":${r.round}""").getOrElse("")
-    val json =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
-    println(json)
-    // belt and braces: also durable on disk next to the repo artifacts
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
+
+    // Full artifact → disk only (a 200-query map exceeds the driver's tail).
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    val ingestFull = ingest.map { r =>
+      val pp = ingestPasses.map(ms).mkString("[", ",", "]")
+      s""","ingest_rows_per_sec":${r.round},"ingest_pass_secs":$pp,"ingest_method":"min-of-3 over 100x-replicated reference CSV""""
+    }.getOrElse("")
+    val full =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$ingestFull,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), full + "\n")
     catch { case _: Throwable => () }
+
+    // Short summary → LAST stdout line (the artifact the driver records).
+    val famTotals = results.filter(_._2 >= 0)
+      .groupBy { case (n, _) => family(n) }
+      .map { case (f, xs) => f -> xs.map(_._2).sum }
+      .toSeq.sortBy(_._1)
+    val fams = famTotals.map { case (f, v) => "\"" + f + "\":" + f"$v%.1f" }.mkString("{", ",", "}")
+    val ingestShort = ingest.map(r => s""","ingest_rows_per_sec":${r.round}""").getOrElse("")
+    val nFail = results.count(_._2 < 0)
+    val summary =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"families":$fams$ingestShort,"full":"bench_out.json","sf":"$sfDir"}"""
+    println(summary)
     spark.stop()
   }
 }
