@@ -96,14 +96,14 @@ object Bpe {
   /** Top-k BPE merges over the corpus. Each returned row is one merge
     * rule in application order with the pair frequency that won it. */
   def merges(docs: DataFrame, rounds: Int,
-             storage: Dedup.FixpointStorage = Dedup.LocalCheckpoint): DataFrame =
+             storage: Dedup.FixpointStorage = Dedup.SessionDefault): DataFrame =
     run(docs, rounds, storage)._2.reduce(_ unionByName _)
       .select(col("rank"), col("lhs"), col("rhs"), col("pair_freq"))
 
   /** The trained tokenizer itself: each vocab word with its final symbol
     * string after `rounds` merges — (word, syms, freq). */
   def encodedVocab(docs: DataFrame, rounds: Int,
-                   storage: Dedup.FixpointStorage = Dedup.LocalCheckpoint): DataFrame =
+                   storage: Dedup.FixpointStorage = Dedup.SessionDefault): DataFrame =
     run(docs, rounds, storage)._1
 
   /** Train → APPLY: per-document subword fertility under the vocab the
@@ -117,7 +117,7 @@ object Bpe {
     * it); the vocab is corpus-derived and checkpointed by the train loop,
     * so applying costs one more corpus scan + one word-hash shuffle. */
   def fertility(docs: DataFrame, rounds: Int,
-                storage: Dedup.FixpointStorage = Dedup.LocalCheckpoint): DataFrame = {
+                storage: Dedup.FixpointStorage = Dedup.SessionDefault): DataFrame = {
     val vocab = encodedVocab(docs, rounds, storage).select(col("word"),
       size(filter(split(col("syms"), SEP), _ =!= "")).as("n_sub"))
     val words = docs

@@ -133,6 +133,46 @@ object CorpusPipeline {
         expr(s"start_off div $budgetTokens").as("shard_id"))
   }
 
+  /** Context-window SEQUENCE packing — the "packed examples" a trainer
+    * consumes: documents laid out in doc_id order within each source are
+    * grouped into packs whose token totals NEVER exceed `maxLen`, each
+    * document in exactly one pack, with its within-pack token offset.
+    *
+    * First-fit greedy packing is a sequential recurrence (each pack
+    * boundary depends on every previous remainder), so at corpus scale
+    * this uses its order-preserving parallel form, BLOCK packing: the
+    * exclusive prefix sum lays all documents on one virtual token tape,
+    * block b is tape range [b·maxLen, (b+1)·maxLen), a document fully
+    * inside its block joins that block's pack (id 2b), and a document
+    * straddling a block boundary gets the block's overflow pack (id
+    * 2b+1). Disjoint tape intervals mean AT MOST ONE document can
+    * contain any boundary point, so an overflow pack holds at most one
+    * document — both pack kinds are ≤ maxLen by construction (documents
+    * longer than maxLen are truncated to it, the trainer's semantics).
+    * Utilization trades ≥50% worst-case for exact prefix-sum
+    * parallelism: two windows (stratum tape, then within-pack offset),
+    * zero sequential state, bit-identical on any engine or cluster.
+    * Output: (doc_id, source, n_tokens, pack_id, seq_off); n_tokens is
+    * the truncated count, seq_off the exclusive within-pack offset. */
+  def packSequences(docs: DataFrame, maxLen: Int,
+                    stratumCol: String = "source"): DataFrame = {
+    val tape = Window.partitionBy(col(stratumCol)).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blocked = docs.select(col("doc_id"), col(stratumCol),
+        least(TextOps.tokenCount(col("text")), lit(maxLen)).as("n_tokens"))
+      .withColumn("start_off", sum(col("n_tokens")).over(tape) - col("n_tokens"))
+      .withColumn("pack_id",
+        when(pmod(col("start_off"), lit(maxLen)) + col("n_tokens") <= maxLen,
+          expr(s"start_off div $maxLen") * 2)
+        .otherwise(expr(s"start_off div $maxLen") * 2 + 1))
+    val inPack = Window.partitionBy(col(stratumCol), col("pack_id"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    blocked.select(col("doc_id"), col(stratumCol), col("n_tokens"),
+      col("pack_id"),
+      (sum(col("n_tokens")).over(inPack) - col("n_tokens")).as("seq_off"))
+  }
+
   /** Materialize the packed corpus as a training-ready layout: parquet
     * partitioned by (stratum, shard_id), so a trainer reads one shard
     * directory per step and partition pruning serves shard selection for
@@ -196,7 +236,7 @@ object CorpusPipeline {
     * Output: (doc_id, rep, split). */
   def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
                        trainRate: Double, valRate: Double,
-                       storage: Dedup.FixpointStorage = Dedup.LocalCheckpoint): DataFrame = {
+                       storage: Dedup.FixpointStorage = Dedup.SessionDefault): DataFrame = {
     require(trainRate >= 0 && valRate >= 0 && trainRate + valRate <= 1.0,
       s"rates must be non-negative and sum <= 1, got ($trainRate, $valRate)")
     val cl = Dedup.clusters(pairs.select(col("a"), col("b")), storage)

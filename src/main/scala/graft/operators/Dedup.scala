@@ -89,7 +89,7 @@ object Dedup {
       raw.withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
         .where(col("df") <= cap)
         .drop("df")
-    }.localCheckpoint()
+    }.materialized
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val common = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -130,7 +130,7 @@ object Dedup {
     // sides — materialized once (the overlapCounts posture)
     val sh = shingleIndex(docs, n)
       .select(col("doc_id"), unhex(md5(col("s").cast(BinaryType))).as("s"))
-      .localCheckpoint()
+      .materialized
     val ranked = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .withColumn("rn", row_number().over(
@@ -269,7 +269,7 @@ object Dedup {
     // both sides and the estimate re-attaches them twice more — without
     // this the full shingle+hash pipeline of the batch runs ~4x
     incrementalMinHashPairsFromSigs(
-      minHashSignatures(newDocs, n).localCheckpoint(), index, minEst)
+      minHashSignatures(newDocs, n).materialized, index, minEst)
 
   /** [[incrementalMinHashPairs]] from ALREADY-COMPUTED batch signatures —
     * the entry point for callers that also need the signatures afterwards
@@ -332,7 +332,7 @@ object Dedup {
     // the reuse structure is the point, the storage level is a knob.
     val sh = shingleIndex(docs, n)
       .select(col("doc_id"), unhex(md5(col("s").cast(BinaryType))).as("s"))
-      .localCheckpoint()
+      .materialized
     val sigsz = digestSignatures(sh)
     val cand = minHashCandidates(sigsz.select(col("doc_id"), sigArray))
     val sz = sigsz.select(col("doc_id"), col("nsh"))
@@ -385,7 +385,7 @@ object Dedup {
   def lshRecallCurve(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
     val sh = shingleIndex(docs, n)
       .select(col("doc_id"), unhex(md5(col("s").cast(BinaryType))).as("s"))
-      .localCheckpoint()
+      .materialized
     // the PRODUCTION signature aggregate — sharing it is the point: the
     // eval must measure the generator corpusDedup actually runs
     val sigsz = digestSignatures(sh)
@@ -402,7 +402,7 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"),
         least(floor(round(col("jaccard"), 6) * 10), lit(9)).cast("int").as("sim_band"))
-      .localCheckpoint()
+      .materialized
     val hits = truth.join(cand, Seq("a", "b"), "left_semi")
       .groupBy(col("sim_band")).agg(count(lit(1)).as("n_hit"))
     truth.groupBy(col("sim_band")).agg(count(lit(1)).as("n_true"))
@@ -427,18 +427,42 @@ object Dedup {
     * iteration is one equi-join + min-agg, all executor-side, and
     * `localCheckpoint` truncates the growing lineage. The driver holds
     * only the per-iteration change COUNT, never row data. */
-  /** Storage strategy for fixpoint intermediates. `LocalCheckpoint`
-    * (default) pins blocks to executor storage — fastest, but a lost
-    * executor kills the lineage-truncated dataset, so long cluster runs
-    * should pass `ReliableCheckpoint(hdfsDir)` to land iteration state on
-    * durable storage instead (survives executor loss; one write per
-    * iteration of one label row per node). */
+  /** Storage strategy for fixpoint intermediates. `LocalCheckpoint` pins
+    * blocks to executor storage — fastest, but a lost executor kills the
+    * lineage-truncated dataset, so long cluster runs should use
+    * `ReliableCheckpoint(hdfsDir)` to land iteration state on durable
+    * storage instead (survives executor loss; one write per iteration of
+    * one label row per node).
+    *
+    * `SessionDefault` (the default everywhere) resolves from the session:
+    * when `graft.fixpoint.dir` is set (SparkConf or `spark.conf.set`),
+    * every materialization in the engine — fixpoint loops, multi-consumer
+    * frames, incremental indexes — lands there as a reliable checkpoint;
+    * unset means `LocalCheckpoint`. One conf line is the cluster
+    * deployment's durability switch; local runs need nothing. */
   sealed trait FixpointStorage
+  case object SessionDefault extends FixpointStorage
   case object LocalCheckpoint extends FixpointStorage
   final case class ReliableCheckpoint(dir: String) extends FixpointStorage
 
-  private[operators] def materializeFixpoint(df: DataFrame, storage: FixpointStorage): DataFrame =
+  /** The `graft.fixpoint.dir`-aware materializer for single-frame call
+    * sites (checkpoint-once shared frames, streaming index state). */
+  private[graft] def materialize(df: DataFrame): DataFrame =
+    materializeFixpoint(df, SessionDefault)
+
+  /** [[materialize]] as postfix syntax (`df.materialized`) so
+    * checkpoint-once sites keep their operator-chain shape. */
+  private[graft] implicit class MaterializeSyntax(private val df: DataFrame) extends AnyVal {
+    def materialized: DataFrame = Dedup.materialize(df)
+  }
+
+  private[graft] def materializeFixpoint(df: DataFrame, storage: FixpointStorage): DataFrame =
     storage match {
+      case SessionDefault =>
+        df.sparkSession.conf.getOption("graft.fixpoint.dir").filter(_.nonEmpty) match {
+          case Some(dir) => materializeFixpoint(df, ReliableCheckpoint(dir))
+          case None      => materializeFixpoint(df, LocalCheckpoint)
+        }
       case LocalCheckpoint => df.localCheckpoint()
       case ReliableCheckpoint(dir) =>
         val sc = df.sparkSession.sparkContext
@@ -449,7 +473,7 @@ object Dedup {
     }
 
   def clusters(pairs: DataFrame,
-               storage: FixpointStorage = LocalCheckpoint): DataFrame = {
+               storage: FixpointStorage = SessionDefault): DataFrame = {
     // materialize the edge list ONCE — without this every fixpoint
     // iteration re-runs the upstream pair pipeline (LSH + verify) from
     // scratch inside its join. The undirected doubling is an explode of a

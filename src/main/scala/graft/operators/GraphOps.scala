@@ -51,7 +51,7 @@ object GraphOps {
     * second materialization. */
   def pageRank(edges: DataFrame, iters: Int,
                dampNum: Int = 17, dampDen: Int = 20,
-               storage: Dedup.FixpointStorage = Dedup.LocalCheckpoint): DataFrame = {
+               storage: Dedup.FixpointStorage = Dedup.SessionDefault): DataFrame = {
     require(0 < dampNum && dampNum < dampDen, "damping must be in (0,1)")
     val raw = edges.select(explode(array(
         struct(col("a").as("src"), col("b").as("dst")),
@@ -135,7 +135,7 @@ object GraphOps {
     * and nothing is windowed (a per-dst row_number would sort every
     * message on the exchange). Output: (id, lbl). */
   def labelPropagation(edges: DataFrame, iters: Int,
-                       storage: Dedup.FixpointStorage = Dedup.LocalCheckpoint): DataFrame = {
+                       storage: Dedup.FixpointStorage = Dedup.SessionDefault): DataFrame = {
     val und = Dedup.materializeFixpoint(
       edges.select(explode(array(
           struct(col("a").as("src"), col("b").as("dst")),
@@ -190,7 +190,7 @@ object GraphOps {
     * OR-condition join, no DISTINCT over triangle triples. Output: one row
     * (n_triangles). */
   def triangleCount(edges: DataFrame,
-                    storage: Dedup.FixpointStorage = Dedup.LocalCheckpoint): DataFrame = {
+                    storage: Dedup.FixpointStorage = Dedup.SessionDefault): DataFrame = {
     // the canonical edge frame feeds four subtrees (degrees, orientation,
     // the closure probe) and the oriented frame both wedge sides —
     // materialize each once so an expensive upstream edge derivation
@@ -230,7 +230,7 @@ object GraphOps {
     * top-k. The adjacency frame is materialized once and feeds both wedge
     * sides and the degree aggregate. Output: (a, b, cn, score). */
   def linkPrediction(edges: DataFrame, k: Int,
-                     storage: Dedup.FixpointStorage = Dedup.LocalCheckpoint): DataFrame = {
+                     storage: Dedup.FixpointStorage = Dedup.SessionDefault): DataFrame = {
     val canon = Dedup.materializeFixpoint(edges
       .select(least(col("a"), col("b")).as("x"), greatest(col("a"), col("b")).as("y"))
       .where(col("x") =!= col("y")).distinct(), storage)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.TopKPairs
+import graft.operators.Dedup.MaterializeSyntax
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -560,7 +561,7 @@ object Similarity {
                     threshold: Double): DataFrame = {
     // the assignment feeds both self-join sides — materialize once
     val assign = kMeans(corpus, k, iters)
-      .select(col("vec_id"), col("cluster")).localCheckpoint()
+      .select(col("vec_id"), col("cluster")).materialized
     val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nn", norm2(col("v")))
       .join(assign, "vec_id")
@@ -642,7 +643,7 @@ object Similarity {
     val pcArr = topPrincipalComponent(corpus, dim, iters)
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("loading")))),
         t => t.getField("loading")).as("pc"))
-      .localCheckpoint()
+      .materialized
     def whiten(df: DataFrame): DataFrame = df
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .crossJoin(broadcast(pcArr))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Dedup.MaterializeSyntax
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -324,10 +325,10 @@ object TextOps {
     require(lam + oneMinusLam == 1.0, s"MMR weights must sum to 1 ($lam + $oneMinusLam)")
     val cand = bm25Scores(docs, terms)
       .orderBy(col("bm25").desc, col("doc_id").asc).limit(pool)
-      .localCheckpoint()
+      .materialized
     val rel = cand.crossJoin(broadcast(cand.agg(max(col("bm25")).as("mx"))))
       .select(col("doc_id"), col("bm25"), round(col("bm25") / col("mx"), 6).as("rel"))
-      .localCheckpoint()
+      .materialized
     val ct = docs.join(broadcast(cand.select(col("doc_id"))), Seq("doc_id"))
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
     val sz = ct.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
@@ -339,10 +340,10 @@ object TextOps {
       .join(sz.select(col("doc_id").as("b"), col("nt").as("nb")), Seq("b"))
       .select(col("a"), col("b"), round(col("inter").cast(DoubleType) /
         (col("na") + col("nb") - col("inter")), 6).as("sim"))
-      .localCheckpoint()
+      .materialized
     var sel = rel.orderBy(col("rel").desc, col("doc_id").asc).limit(1)
       .select(col("doc_id"), col("bm25"), lit(1).as("rank"), col("rel").as("mmr"))
-      .localCheckpoint()
+      .materialized
     for (i <- 2 to k) {
       val msim = sim.join(sel.select(col("doc_id").as("b")), Seq("b"))
         .groupBy(col("a")).agg(max(col("sim")).as("msim"))
@@ -352,7 +353,7 @@ object TextOps {
         .select(col("doc_id"), col("bm25"), lit(i).as("rank"),
           round(lit(lam) * col("rel") - lit(oneMinusLam) * col("msim"), 6).as("mmr"))
         .orderBy(col("mmr").desc, col("doc_id").asc).limit(1)
-      sel = sel.unionByName(next).localCheckpoint()
+      sel = sel.unionByName(next).materialized
     }
     sel.select(col("rank"), col("doc_id"), col("bm25"), col("mmr"))
   }
@@ -458,7 +459,7 @@ object TextOps {
     val bg = docs.select(col("doc_id"),
         explode(shingleStructs(col("text"), 2)).as("t"))
       .select(col("doc_id"), col("t.w0").as("w0"), col("t.w1").as("w1"))
-      .localCheckpoint()
+      .materialized
     val c2 = bg.groupBy(col("w0"), col("w1")).agg(count(lit(1)).as("c2"))
     val c1 = bg.groupBy(col("w0")).agg(count(lit(1)).as("c1"))
     val vocab = bg.select(col("w1")).distinct()

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.operators.{Bpe, CorpusPipeline, Dedup, Similarity, TextOps}
+import graft.operators.Dedup.MaterializeSyntax
 import org.apache.spark.sql.functions._
 
 /** North-star operator inventory: dedup + text analysis over `documents`
@@ -125,7 +126,7 @@ object NorthStar {
       // materialize once instead of re-running the clean stage per consumer
       val clean = CorpusPipeline.cleanCorpus(train)
         .join(docs.select(col("doc_id"), col("text")), "doc_id")
-        .localCheckpoint()
+        .materialized
       val decon = CorpusPipeline.evalNgramDecontaminate(clean, evalSet, N)
       val mixed = CorpusPipeline.sampleMix(decon,
         Map("src0" -> 1.0, "src1" -> 0.5), 0.25)
@@ -145,6 +146,14 @@ object NorthStar {
     // doc_id order within each source
     "corpus_pack_shards" -> ((s, dir) =>
       CorpusPipeline.packShards(t(s, dir, "documents"), 500L)),
+
+    // context-window sequence packing (the trainer-facing "packed
+    // examples"): per-pack token sums NEVER exceed 512, every doc in
+    // exactly one pack with its within-pack offset — block packing, the
+    // prefix-sum-parallel form of greedy fill (overflow doc per block
+    // boundary gets the odd pack id)
+    "corpus_pack_sequences" -> ((s, dir) =>
+      CorpusPipeline.packSequences(t(s, dir, "documents"), 512)),
 
     // shard manifest: per-(source, shard) doc/token counts + md5
     // membership fingerprint — the reproducibility record a training run
@@ -442,8 +451,11 @@ object NorthStar {
       val thr = cum.join(ns, Seq("source"))
         .where(col("cum") >= ceil(col("n_docs") * 0.25))
         .groupBy(col("source")).agg(min(col("score")).as("threshold"))
+      // >= keeps threshold-tied docs: the floor drops only STRICTLY-worse
+      // scores, so a source whose scores are all equal keeps everything
+      // (with >, the degenerate all-ties source kept nothing)
       val kept = scored.join(thr, Seq("source"))
-        .where(col("score") > col("threshold"))
+        .where(col("score") >= col("threshold"))
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
       ns.join(thr, Seq("source")).join(kept, Seq("source"), "left")
         .select(col("source"), col("n_docs"), col("threshold"),
@@ -769,7 +781,7 @@ object NorthStar {
       // materialized once: the max scalar and the score join would
       // otherwise each re-run the whole BM25 pipeline from lineage
       val lex = TextOps.bm25Scores(t(s, dir, "documents"), Bm25Terms)
-        .localCheckpoint()
+        .materialized
       val mx = lex.agg(max(col("bm25")).as("mx"))
       val qv = emb.where(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>").as("qv"))
@@ -1405,6 +1417,24 @@ object NorthStar {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
                FROM t0)
          SELECT doc_id, source, n_tokens, CAST(start_off // 500 AS BIGINT) AS shard_id FROM c""",
+    "corpus_pack_sequences" ->
+      """WITH t0 AS (SELECT doc_id, source,
+             least(CAST(len(regexp_extract_all(text, '\S+')) AS INT), 512) n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+                SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+               FROM t0),
+         b AS (SELECT doc_id, source, n_tokens,
+                CASE WHEN start_off % 512 + n_tokens <= 512
+                     THEN (start_off // 512) * 2
+                     ELSE (start_off // 512) * 2 + 1 END AS pack_id
+               FROM c)
+         SELECT doc_id, source, n_tokens, CAST(pack_id AS BIGINT) AS pack_id,
+           CAST(SUM(n_tokens) OVER (PARTITION BY source, pack_id ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+             AS seq_off
+         FROM b""",
     "corpus_shard_manifest" ->
       """WITH t0 AS (SELECT doc_id, source,
              CAST(len(regexp_extract_all(text, '\S+')) AS INT) n_tokens FROM documents),
@@ -1766,7 +1796,7 @@ object NorthStar {
                  FROM cum JOIN ns USING (source)
                  WHERE cum >= ceil(n_docs * 0.25) GROUP BY 1),
          kept AS (SELECT source, count(*) n_kept FROM s JOIN thr USING (source)
-                  WHERE score > threshold GROUP BY 1)
+                  WHERE score >= threshold GROUP BY 1)
          SELECT source, n_docs, threshold, coalesce(n_kept, 0) AS n_kept
          FROM ns JOIN thr USING (source) LEFT JOIN kept USING (source)""",
     "text_term_proximity" ->

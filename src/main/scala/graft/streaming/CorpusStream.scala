@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.operators.Dedup
+import graft.operators.Dedup.MaterializeSyntax
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -62,11 +63,11 @@ object CorpusStream {
         val idx = index.get()
         // ONE signature pass per batch: the pair search reads it from the
         // checkpoint and the same materialization merges into the index
-        val sig = Dedup.minHashSignatures(batch, n).localCheckpoint()
+        val sig = Dedup.minHashSignatures(batch, n).materialized
         val pairs = Dedup.incrementalMinHashPairsFromSigs(sig, idx, minEst)
         val dest = f"$outDir/batch_$batchId%05d"
         pairs.write.mode("overwrite").parquet(dest)
-        index.set(idx.union(sig).localCheckpoint())
+        index.set(idx.union(sig).materialized)
         results.synchronized {
           results += BatchResult(batchId, dest, spark.read.parquet(dest).count())
         }
@@ -208,7 +209,7 @@ object CorpusStream {
     // deleted — the lazy plan must not outlive its input files
     val census = spark.read.parquet(store)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
-      .localCheckpoint()
+      .materialized
     EventStream.deleteStaging(staging)
     census
   }

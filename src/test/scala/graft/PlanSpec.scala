@@ -139,7 +139,8 @@ class PlanSpec extends SparkSuite {
     // (broadcast-scalar max + tiny anti-joins by construction)
     // corpus_temperature_mix broadcasts the 1-row α-mass/doc-count totals
     val intentional = Set(
-      "text_vocab_growth", "rag_mmr_topk", "corpus_temperature_mix","ann_cosine_topk", "ann_ivf_topk", "ann_ivf_adc_topk",
+      "text_vocab_growth", "rag_mmr_topk", "corpus_temperature_mix",
+      "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_adc_topk",
       "text_bpe_merges", "text_bpe_fertility", "corpus_dsir_topk", "rag_passage_topk",
       "emb_top_pc", "ann_whitened_topk",
       "ann_ivf_recall", "ann_sq8_topk", "ann_hard_negatives",

@@ -165,4 +165,29 @@ class ScaleSpec extends SparkSuite {
       assert(got.toSeq === Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("graft.fixpoint.dir flips every materialization to reliable checkpoints") {
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft-fixpoint").toFile
+    spark.conf.set("graft.fixpoint.dir", root.getAbsolutePath)
+    try {
+      // a fixpoint consumer (clusters iterates label propagation through
+      // materializeFixpoint) — same call, no per-site knob passed
+      val cl = Dedup.clusters(Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(cl === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // iteration state landed under the configured root as RELIABLE
+      // checkpoint files (rdd-*/part-*), not executor-local blocks
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      assert(walk(root).exists(_.getName.startsWith("part-")),
+        s"no checkpoint parts under $root")
+    } finally {
+      spark.conf.unset("graft.fixpoint.dir")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(root)
+    }
+  }
 }
