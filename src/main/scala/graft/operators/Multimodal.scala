@@ -7,22 +7,28 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: media as opaque `BinaryType` payloads with
   * typed metadata, processed partition-wise.
   *
-  * The Spark-side contract is the real thing — binary column + metadata
-  * schema, per-partition batched processing (the Scala analog of
-  * `mapInPandas`), deterministic output — while the actual media decode is
-  * a clearly marked STUB ([[FakeCodec]]): this container has no
-  * image/audio libraries, so payloads are derived from `documents.text`
-  * bytes and "decoding" computes deterministic pseudo-dimensions. Swapping
-  * [[FakeCodec]] for a JNI/javacpp decoder changes nothing structural.
+  * The Spark-side contract — binary column + metadata schema,
+  * per-partition batched processing (the Scala analog of `mapInPandas`),
+  * deterministic output — is the real thing, and for IMAGES the decode is
+  * too: [[ImageIoCodec]] parses actual PNG bytes through the JDK's
+  * `javax.imageio` ([[imageDims]] round-trips encode → decode → pixel
+  * stats). Payloads the JDK cannot decode (the text stand-ins for
+  * audio/video, whose codecs this container lacks) fall back to the
+  * clearly marked [[FakeCodec]] STUB; swapping it for a JNI/javacpp
+  * decoder changes nothing structural.
   */
 object Multimodal {
 
   case class MediaFeature(doc_id: Long, n_bytes: Long, payload_md5: String,
                           width: Int, height: Int)
 
-  /** STUB media codec — deterministic stand-in for image decode.
-    * Real deployment: replace `decode` with an actual codec; the
-    * partition-wise batch loop in [[extractFeatures]] stays unchanged. */
+  case class ImageDims(doc_id: Long, width: Long, height: Long,
+                       mean_r: Long, mean_g: Long, mean_b: Long)
+
+  /** STUB media codec — deterministic stand-in for decoding payload types
+    * the JDK has no codec for (audio/video/webp...). Real deployment:
+    * replace `decode` with an actual codec; the partition-wise batch loop
+    * in [[extractFeatures]] stays unchanged. */
   object FakeCodec {
     def decode(payload: Array[Byte]): (Int, Int) = {
       // ??? — real codec goes here; deterministic fake dimensions
@@ -35,9 +41,50 @@ object Multimodal {
     }
   }
 
-  /** Attach a binary payload column (media stand-in = UTF-8 text bytes). */
+  /** REAL image codec over the JDK's built-in `javax.imageio` readers
+    * (PNG/GIF/BMP/JPEG — no external media library needed). In-memory
+    * only: ImageIO's default disk-backed stream cache would bottleneck a
+    * 32-thread partition scan on temp-file churn. */
+  object ImageIoCodec {
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** PNG signature sniff (payloads in this engine are either real PNGs
+      * or text stand-ins, which can never start with the 0x89 byte). */
+    def isPng(payload: Array[Byte]): Boolean =
+      payload.length >= 8 &&
+        payload(0) == 0x89.toByte && payload(1) == 'P'.toByte &&
+        payload(2) == 'N'.toByte && payload(3) == 'G'.toByte
+
+    def decode(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "undecodable image payload")
+      img
+    }
+
+    /** Deterministic solid-RGB PNG (the synthetic payload generator —
+      * real deployments read payloads from the lake instead). */
+    def encodePng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (r << 16) | (g << 8) | b
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** The binary payload column: passed through untouched when the input
+    * already carries one (the lake-table case — real media bytes), else
+    * derived as the UTF-8 text stand-in. */
   def withPayload(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    if (docs.columns.contains("payload")) docs.select(col("doc_id"), col("payload"))
+    else docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 
   /** Video-style frame sampling over a payload column, fully relational:
     * the payload is segmented into fixed-size frames, every `everyK`-th
@@ -101,9 +148,54 @@ object Multimodal {
       batch.map { case (id, payload) =>
         md.reset()
         val digest = md.digest(payload).map("%02x".format(_)).mkString
-        val (w, h) = FakeCodec.decode(payload)
+        // real decode for payloads the JDK can parse, stub for the rest
+        val (w, h) =
+          if (ImageIoCodec.isPng(payload)) {
+            val img = ImageIoCodec.decode(payload)
+            (img.getWidth, img.getHeight)
+          } else FakeCodec.decode(payload)
         MediaFeature(id, payload.length.toLong, digest, w, h)
       }
     }
+  }
+
+  /** REAL image decode end-to-end: per document a synthetic solid-color
+    * PNG (dimensions and color derived arithmetically from the row, so
+    * the DuckDB oracle can predict them without any image library), then
+    * `javax.imageio` parses those actual PNG bytes back and reports the
+    * DECODED width/height and per-channel pixel means. Encode and decode
+    * both run inside one `mapPartitions` pass — no payload shuffle, no
+    * driver involvement, codec state per partition; on a real lake the
+    * generator side disappears and the same decode loop reads the binary
+    * column. Output: (doc_id, width, height, mean_r, mean_g, mean_b),
+    * all BIGINT for oracle schema parity. */
+  def imageDims(spark: SparkSession, docs: DataFrame): Dataset[ImageDims] = {
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        (pmod(col("doc_id"), lit(64)) + 1).cast(IntegerType).as("w"),
+        (pmod(length(col("text")), lit(48)) + 1).cast(IntegerType).as("h"),
+        pmod(col("doc_id") * 7, lit(256)).cast(IntegerType).as("r"),
+        pmod(col("doc_id") * 11, lit(256)).cast(IntegerType).as("g"),
+        pmod(col("doc_id") * 13, lit(256)).cast(IntegerType).as("b"))
+      .as[(Long, Int, Int, Int, Int, Int)]
+      .mapPartitions { batch =>
+        batch.map { case (id, w, h, r, g, b) =>
+          val img = ImageIoCodec.decode(ImageIoCodec.encodePng(w, h, r, g, b))
+          val (dw, dh) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < dh) {
+            var x = 0
+            while (x < dw) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = dw.toLong * dh
+          ImageDims(id, dw.toLong, dh.toLong, sr / n, sg / n, sb / n)
+        }
+      }
   }
 }

@@ -161,6 +161,13 @@ object Pipelines {
     "multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(s, t(s, dir, "documents")).toDF()),
 
+    // multimodal: REAL PNG decode via the JDK's javax.imageio — synthetic
+    // solid-color PNGs (row-derived dims/color, oracle-predictable) are
+    // encoded and decoded inside one partition pass; output is what the
+    // DECODER saw (dims + per-channel pixel means)
+    "multimodal_image_dims" -> ((s, dir) =>
+      Multimodal.imageDims(s, t(s, dir, "documents")).toDF()),
+
     // multimodal: video-style frame sampling (128-char frames, every 2nd),
     // fully relational — sequence/explode + substr + md5 inside codegen
     "multimodal_frame_sample" -> ((s, dir) =>
@@ -420,6 +427,14 @@ object Pipelines {
          x AS (SELECT h AS ws FROM e
                UNION ALL SELECT h - INTERVAL '1 hour' AS ws FROM e)
          SELECT ws AS window_start, COUNT(*) AS n FROM x GROUP BY 1""",
+    "multimodal_image_dims" ->
+      """SELECT doc_id,
+           CAST(1 + doc_id % 64 AS BIGINT) AS width,
+           CAST(1 + length(text) % 48 AS BIGINT) AS height,
+           CAST((doc_id * 7) % 256 AS BIGINT) AS mean_r,
+           CAST((doc_id * 11) % 256 AS BIGINT) AS mean_g,
+           CAST((doc_id * 13) % 256 AS BIGINT) AS mean_b
+         FROM documents""",
     "multimodal_frame_sample" ->
       """WITH f AS (SELECT doc_id, text,
              CAST(ceil(length(text)/128.0) AS INT) n_frames

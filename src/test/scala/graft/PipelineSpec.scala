@@ -182,6 +182,33 @@ class PipelineSpec extends SparkSuite {
     assert(feats.where(col("n_bytes") <= 0).count() === 0)
   }
 
+  test("multimodal: ImageIO round-trip decodes real PNG bytes exactly") {
+    import Multimodal.ImageIoCodec
+    // encode → sniff → decode: dims and every pixel survive the PNG container
+    val png = ImageIoCodec.encodePng(17, 9, 200, 100, 50)
+    assert(ImageIoCodec.isPng(png))
+    assert(!ImageIoCodec.isPng("plain text payload".getBytes("UTF-8")))
+    val img = ImageIoCodec.decode(png)
+    assert((img.getWidth, img.getHeight) === ((17, 9)))
+    assert((img.getRGB(16, 8) & 0xffffff) === ((200 << 16) | (100 << 8) | 50))
+    // extractFeatures routes PNG payloads through the REAL decoder (the
+    // reported dims are the decoded ones, not FakeCodec's byte math) and
+    // text payloads through the stub, in the same partition pass
+    import spark.implicits._
+    val mixed = Seq((1L, png), (2L, "text payload".getBytes("UTF-8")))
+      .toDF("doc_id", "payload") // binary column passes through untouched
+    val feats = Multimodal.extractFeatures(spark, mixed)
+    val byId = feats.collect().map(f => f.doc_id -> ((f.width, f.height))).toMap
+    assert(byId(1L) === ((17, 9)))
+    assert(byId(2L) === (("text payload".length % 640, 't'.toInt)))
+    // the oracle-checked query itself: decoded dims equal the row-derived spec
+    val dims = Multimodal.imageDims(spark,
+      Seq((5L, "abcde"), (130L, "x" * 100)).toDF("doc_id", "text")).collect()
+      .map(d => d.doc_id -> d).toMap
+    assert(dims(5L) === Multimodal.ImageDims(5L, 6L, 6L, 35L, 55L, 65L))
+    assert(dims(130L) === Multimodal.ImageDims(130L, 3L, 5L, 142L, 150L, 154L))
+  }
+
   test("multimodal resize: stride-4 nearest-neighbor sample, exact fingerprint") {
     import spark.implicits._
     val docs = Seq((3L, "abcdefghij")).toDF("doc_id", "text") // samples a,e,i
@@ -257,6 +284,35 @@ class PipelineSpec extends SparkSuite {
       .as[(String, String, Long)].collect().map(r => r._2 -> r._3).toMap
     assert(byStage === Map("kept" -> 1L, "exact_dup" -> 1L, "too_short" -> 1L,
       "lang_other" -> 1L, "low_stopword" -> 1L))
+  }
+
+  test("packSequences: pack sums capped at maxLen, every doc packed once, offsets contiguous") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val packed = graft.operators.CorpusPipeline.packSequences(docs, 512)
+    // every document assigned exactly once
+    assert(packed.count() === docs.count())
+    assert(packed.select("doc_id").distinct().count() === docs.count())
+    // the trainer contract: no pack's token total exceeds the context window
+    val packSums = packed.groupBy("source", "pack_id")
+      .agg(sum("n_tokens").as("tot"), max(col("seq_off") + col("n_tokens")).as("hi"))
+    assert(packSums.where(col("tot") > 512).count() === 0)
+    // seq_off is the exclusive within-pack prefix: offsets tile the pack
+    // exactly (max end-offset equals the pack total — no gap, no overlap)
+    assert(packSums.where(col("hi") =!= col("tot")).count() === 0)
+
+    // constructed packs, maxLen=10: 4+4 fill block 0's pack; the third doc
+    // straddles the 10-token boundary and lands alone in overflow pack 1;
+    // a 15-token doc truncates to 10, starts at tape offset 12 (block 1,
+    // straddling) → overflow pack 3, alone and exactly full
+    val fx = Seq(
+      (1L, "a b c d", "s"), (2L, "a b c d", "s"), (3L, "a b c d", "s"),
+      (4L, (1 to 15).map(_ => "w").mkString(" "), "s")
+    ).toDF("doc_id", "text", "source")
+    val got = graft.operators.CorpusPipeline.packSequences(fx, 10)
+      .as[(Long, String, Int, Long, Long)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, "s", 4, 0L, 0L), (2L, "s", 4, 0L, 4L),
+      (3L, "s", 4, 1L, 0L), (4L, "s", 10, 3L, 0L)))
   }
 
   test("curriculumSchedule: dense per-bin positions, round-robin steps, stable binning") {
