@@ -161,7 +161,7 @@ object BulkLoad {
     * Catalyst's sampled range exchange — accurate and cheaper for the
     * uniform MD5 keyspace, but a straddling file may be split server-side
     * at adoption time. */
-  private def sorted(cells: DataFrame, cfg: Config): DataFrame =
+  private[graft] def sorted(cells: DataFrame, cfg: Config): DataFrame =
     (cfg.saltBuckets, cfg.splits) match {
       case (Some(b), _) =>
         val salted = cells.withColumn("row",

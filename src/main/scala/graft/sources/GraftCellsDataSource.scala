@@ -1,0 +1,122 @@
+package graft.sources
+
+import java.util
+
+import graft.{BulkLoad, HFileCellSink}
+import graft.operators.CellOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The region-aligned cell sink as a DataSource V2 format:
+  * {{{
+  *   cells.write.format("graft-cells")
+  *     .option("salt", "10")            // or "splits" / "regions"
+  *     .mode("overwrite").save(outDir)
+  * }}}
+  * composes the sorted-cell contract (file i ⊆ region i, rows in unsigned
+  * (row, family, qualifier) KeyValue order — SURVEY.md §4.2) with the
+  * standard writer API instead of requiring the [[graft.BulkLoad]] entry
+  * points: any cell-shaped DataFrame — whatever plan produced it, AQE and
+  * all — lands in the golden layout and runs the bulk-load post-commit
+  * tail (chmod → adoption handoff → cleanup).
+  *
+  * Thin by design: `WriteBuilder` hands back a [[V1Write]] whose insert
+  * applies the SAME exchange/sort/sink path the `BulkLoad` drivers use —
+  * exact alignment via the [[graft.plans.RegionAlignedSort]] Catalyst
+  * operator under `salt`/`splits`, Catalyst's sampled range exchange
+  * under `regions` — so there is exactly one implementation of the layout
+  * contract. (A pure DSv2 `BatchWrite` cannot express EXACT boundaries:
+  * `RequiresDistributionAndOrdering` plans a SAMPLED range exchange,
+  * the straddle the region contract exists to prevent; the V1 insert
+  * seam is what lets the custom exchange stay inside the plan.)
+  *
+  * Options: `salt` (bucket count — salts row keys and aligns to the salt
+  * digits' exact boundaries), `splits` (comma-separated hex split points
+  * — exact alignment to those boundaries; see [[GraftCellsDataSource
+  * .splitsOption]]), `regions` (sampled range exchange fallback, default
+  * 10). `salt` and `splits` are mutually exclusive (`BulkLoad.Config`'s
+  * rule). Overwrite mode only — HFile staging directories are
+  * write-once-then-adopt, append has no bulk-load meaning.
+  */
+class GraftCellsDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-cells"
+
+  /** Write-side schema is the engine-wide cell contract. */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CellOps.cellSchema
+
+  /** Accept the incoming frame's schema verbatim (nullability varies by
+    * producing plan); [[GraftCellsWrite]] validates the column CONTRACT. */
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new GraftCellsTable(schema, properties)
+}
+
+object GraftCellsDataSource {
+  /** Render explicit split points for `.option("splits", ...)`:
+    * comma-separated hex (the inverse is [[parseSplits]]). */
+  def splitsOption(splits: Seq[Array[Byte]]): String =
+    splits.map(_.map("%02x".format(_)).mkString).mkString(",")
+
+  private[sources] def parseSplits(s: String): Seq[Array[Byte]] =
+    s.split(",").toSeq.filter(_.nonEmpty).map(hex =>
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+}
+
+private[sources] class GraftCellsTable(schema0: StructType,
+                                       properties: util.Map[String, String])
+    extends Table with SupportsWrite {
+  override def name(): String =
+    "graft-cells " + properties.getOrDefault("path", "")
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftCellsWrite(info.options)
+}
+
+private[sources] class GraftCellsWrite(options: CaseInsensitiveStringMap)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var truncateRequested = false
+  override def truncate(): WriteBuilder = { truncateRequested = true; this }
+
+  override def build(): V1Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit =
+          writeAligned(data, overwrite || truncateRequested)
+      }
+  }
+
+  private def writeAligned(data: DataFrame, overwrite: Boolean): Unit = {
+    require(overwrite,
+      "graft-cells is a bulk-load staging sink: use mode(\"overwrite\") " +
+        "(staging dirs are write-once-then-adopt; append has no bulk-load meaning)")
+    val path = options.get("path")
+    require(path != null && path.nonEmpty, "graft-cells requires a save path")
+    val expected = CellOps.cellSchema.fieldNames.toSeq
+    require(expected.forall(data.columns.contains),
+      s"graft-cells input must carry columns $expected, got ${data.columns.toSeq}")
+
+    val cfg = BulkLoad.Config(
+      saltBuckets = Option(options.get("salt")).map(_.toInt),
+      splits = Option(options.get("splits"))
+        .map(GraftCellsDataSource.parseSplits),
+      regions = Option(options.get("regions")).map(_.toInt).getOrElse(10))
+    // column order pinned to the cell contract (positional exec reads),
+    // then the one shared exchange/sort/sink path the BulkLoad drivers use
+    val cells = data.select(expected.map(org.apache.spark.sql.functions.col): _*)
+    val sink = HFileCellSink.orFallback
+    sink.write(BulkLoad.sorted(cells, cfg), path)
+    sink.postCommit(path)
+  }
+}

@@ -293,6 +293,52 @@ class SourceDriversSpec extends SparkSuite {
     assert(digits.length === 10) // 200 md5-salted rows hit all 10 buckets
   }
 
+  test("DSv2: write.format(\"graft-cells\") lands the golden layout from an UNALIGNED frame") {
+    import graft.operators.RegionSort
+    // same 200-row corpus as the golden test, but cells arrive UNSALTED
+    // and deliberately scrambled — the DSv2 sink itself must salt, align
+    // and sort (the exchange lives inside the sink's insert plan)
+    val wide = (0 until 200).map { i =>
+      (0 until 9).map(c => s"v${i}_$c")
+    }.map(r => (r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7), r(8)))
+      .toDF((0 until 9).map(i => s"c$i"): _*)
+    val unaligned = BulkLoad.fromPositional(wide, BulkLoad.emptyQuarantine(spark),
+        BulkLoad.Config()) // no salt: plain md5 rowkeys
+      .cells.repartition(13) // destroy any incidental ordering
+    val out = tmpDir() + "/dsv2cells"
+    unaligned.write.format("graft-cells")
+      .option("salt", "10").mode("overwrite").save(out)
+
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(parts.length === 10) // exactly one file per salt region
+    val digits = parts.map { f =>
+      val rows = spark.read.parquet(f.getPath)
+        .select(col("row")).as[Array[Byte]].collect()
+      assert(rows.nonEmpty, s"empty part file ${f.getName}")
+      // file ⊆ one region: one salt digit per file (digit = region boundary)
+      val digit = rows.head.head
+      assert(rows.forall(_.head == digit), f.getName)
+      // KeyValue order within the file (unsigned byte-lexicographic)
+      rows.sliding(2).foreach { w =>
+        if (w.length == 2)
+          assert(RegionSort.unsignedBytes.compare(w(0), w(1)) <= 0, f.getName)
+      }
+      digit
+    }
+    assert(digits.toSeq === digits.sorted.toSeq)
+    assert(digits.distinct.length === digits.length)
+
+    // append mode is rejected: staging dirs are write-once-then-adopt
+    val err = intercept[Exception] {
+      unaligned.write.format("graft-cells").option("salt", "10")
+        .mode("append").save(out)
+    }
+    val messages = Iterator.iterate[Throwable](err)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("; ")
+    assert(messages.contains("overwrite"), messages)
+  }
+
   test("salting spreads rows across buckets and keeps per-bucket sort") {
     val dir = tmpDir()
     rows9.map(r => r.productIterator.mkString("\u0001"))
