@@ -176,6 +176,43 @@ object Dedup {
         (col("common").cast(DoubleType) / col("nsh_b")).as("cont_b"))
       .where(greatest(col("cont_a"), col("cont_b")) >= threshold)
 
+  /** Per-document cross-document repeated-SPAN statistics — the
+    * exact-substring dedup signal of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"), who remove any ≥50-token
+    * span occurring twice in the corpus. Their suffix-array machinery is a
+    * single-node construction; the relational equivalent fixes a span
+    * width `k` and slides it one token at a time (every repeated substring
+    * of length ≥ k contains a repeated k-token window, so detection
+    * coverage is identical — only the boundary resolution coarsens to k).
+    *
+    * Pipeline: positional k-token windows → md5 digest → per-(doc, digest)
+    * positional counts → per-digest distinct-doc df → flag df ≥ 2 → per-doc
+    * rollup. Output: (doc_id, n_spans, n_dup_spans, dup_fraction) where
+    * n_dup_spans counts POSITIONS covered by some cross-doc-repeated
+    * window — the score a curation pass thresholds to drop or trim docs.
+    *
+    * Scale shape: the corpus-sized frames are reduced BEFORE every
+    * shuffle (positional windows collapse to per-doc digest counts in one
+    * map-side-combinable aggregate; the df join is digest-keyed on ~24 B
+    * rows); docs shorter than k tokens contribute no windows and no rows.
+    * Same md5 hash-exactness caveat as [[exact]]. */
+  def repeatedSpanStats(docs: DataFrame, k: Int): DataFrame = {
+    val perDoc = docs.select(col("doc_id"),
+        explode(TextOps.shingleStructs(col("text"), k)).as("t"))
+      .select(col("doc_id"),
+        unhex(md5(TextOps.shingleString(col("t"), k).cast(BinaryType))).as("s"))
+      .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("cnt"))
+      .materialized
+    val df = perDoc.groupBy(col("s")).agg(count(lit(1)).as("ndocs"))
+    perDoc.join(df, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_spans"),
+        sum(when(col("ndocs") >= 2, col("cnt")).otherwise(0L)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast(DoubleType) / col("n_spans"), 6)
+          .as("dup_fraction"))
+  }
+
   val MinHashK = 32
   val Bands = 8
   val RowsPerBand = 4 // MinHashK / Bands

@@ -477,6 +477,46 @@ object TextOps {
           (col("n_bigrams") * lit(1000000L)).cast(DoubleType)).as("avg_logp"))
   }
 
+  /** Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; Chen &
+    * Goodman 1999, eq. 4.25) with absolute discount `d` — the smoothing
+    * every n-gram LM pipeline (KenLM et al.) trains, here as four
+    * aggregates over ONE bigram-type table:
+    *
+    *   P_kn(w1|w0) = max(c(w0,w1)−d, 0)/c(w0)
+    *               + d·N1+(w0,·)/c(w0) · N1+(·,w1)/|bigram types|
+    *
+    * where N1+(w0,·)/N1+(·,w1) are distinct-successor/-predecessor counts
+    * (continuation counts — the KN insight: "Francisco" is frequent but
+    * follows only "San", so its unigram back-off weight must be tiny).
+    *
+    * Scale shape: the ONLY corpus-sized pass is the bigram-count
+    * aggregate (map-side combinable); c1, N1+ and the type total all
+    * derive from the vocab²-bounded count table, which is materialized
+    * once and feeds all four consumers. Arithmetic is single-rounded IEEE
+    * on exact integer counts in fixed order → oracle-exact under
+    * round(…, 6). Rows are capped by `minCount` on the RAW bigram count
+    * (a type filter, applied after training — probabilities are exact). */
+  def knBigramProbs(docs: org.apache.spark.sql.DataFrame, minCount: Long = 3,
+      discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val c2 = docs.select(explode(shingleStructs(col("text"), 2)).as("t"))
+      .select(col("t.w0").as("w0"), col("t.w1").as("w1"))
+      .groupBy(col("w0"), col("w1")).agg(count(lit(1)).as("c2"))
+      .materialized
+    val left = c2.groupBy(col("w0"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p_succ"))
+    val cont = c2.groupBy(col("w1")).agg(count(lit(1)).as("n1p_pred"))
+    val types = c2.agg(count(lit(1)).as("btypes"))
+    val d = lit(discount)
+    c2.join(left, Seq("w0")).join(cont, Seq("w1"))
+      .crossJoin(broadcast(types)) // 1-row scalar, documented BNLJ pattern
+      .where(col("c2") >= minCount)
+      .select(col("w0"), col("w1"), col("c2"),
+        round(
+          greatest(col("c2") - d, lit(0.0)) / col("c1") +
+            (d * col("n1p_succ") / col("c1")) *
+              (col("n1p_pred").cast("double") / col("btypes")), 6).as("p_kn"))
+  }
+
   /** Whole-document fingerprint (md5 of the exact text) plus a shingle-min
     * fingerprint (min of per-shingle md5s — a 1-hash MinHash, robust to
     * local edits the way winnowing fingerprints are). */

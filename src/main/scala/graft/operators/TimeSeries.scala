@@ -47,6 +47,53 @@ object TimeSeries {
         last(col("v_max"), ignoreNulls = true).over(w).as("v_fill"))
   }
 
+  /** Single most-likely changepoint per series (binary segmentation, the
+    * first split of Scott & Knott / ruptures-style search): over each
+    * event type's daily count series, every split point t is scored with
+    * the scaled two-sample CUSUM statistic
+    * |mean_left − mean_right| · sqrt(t·(n−t)/n), and the argmax (earliest
+    * day on ties) is the changepoint. A true CUSUM recursion
+    * S_t = max(0, S_{t-1}+…) is a nonlinear scan no relational engine
+    * vectorizes; the split-scan form is equivalent for single-shift
+    * detection and is pure window algebra.
+    *
+    * Scale shape: the raw stream reduces to |types|·|days| rows in ONE
+    * map-side-combinable aggregate before any window; both windows and
+    * the rank are hash-partitioned per type (a series fits a partition by
+    * construction — days, not events). All arithmetic is single-rounded
+    * IEEE ops on exact integer counts in a fixed order, so the DuckDB
+    * oracle matches bit-for-bit under round(…, 6).
+    * Output: (event_type, change_day, stat, mean_before, mean_after). */
+  def changepoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val cum = daily.select(col("event_type"), col("day"),
+      row_number().over(w).as("t"),
+      sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("s"),
+      count(lit(1)).over(Window.partitionBy(col("event_type"))).as("nd"),
+      sum(col("n")).over(Window.partitionBy(col("event_type"))).as("stot"))
+    val scored = cum.where(col("t") < col("nd"))
+      .select(col("event_type"), col("day"),
+        (col("s").cast("double") / col("t")).as("mean_l"),
+        ((col("stot") - col("s")).cast("double") / (col("nd") - col("t"))).as("mean_r"),
+        (abs(col("s").cast("double") / col("t") -
+             (col("stot") - col("s")).cast("double") / (col("nd") - col("t"))) *
+          sqrt((col("t") * (col("nd") - col("t"))).cast("double") / col("nd")))
+          .as("raw_stat"))
+    val best = Window.partitionBy(col("event_type"))
+      .orderBy(col("raw_stat").desc, col("day").asc)
+    scored.select(col("event_type"), col("day"), col("mean_l"), col("mean_r"),
+        col("raw_stat"), row_number().over(best).as("rk"))
+      .where(col("rk") === 1)
+      .select(col("event_type"), col("day").as("change_day"),
+        round(col("raw_stat"), 6).as("stat"),
+        round(col("mean_l"), 6).as("mean_before"),
+        round(col("mean_r"), 6).as("mean_after"))
+  }
+
   /** Interval OVERLAP join without a cross product: both interval sets
     * explode onto a coarse time-bucket grid (one row per bucket an
     * interval touches), candidates meet in an EQUI-join on the bucket, and

@@ -335,6 +335,18 @@ object NorthStar {
     "text_lm_score" -> ((s, dir) =>
       TextOps.lmBigramScores(t(s, dir, "documents"))),
 
+    // interpolated Kneser-Ney bigram model (the KenLM smoothing): held-out
+    // probability mass routed through continuation counts; one corpus pass
+    // then vocab²-bounded algebra — rows capped at raw count ≥ 3
+    "text_kn_bigram_lm" -> ((s, dir) =>
+      TextOps.knBigramProbs(t(s, dir, "documents"))),
+
+    // exact-substring dedup signal (Lee et al. 2022): share of each doc's
+    // positional 8-token windows that also occur in ANOTHER document —
+    // the per-doc score a curation pass thresholds to drop or trim
+    "dedup_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpanStats(t(s, dir, "documents"), 8)),
+
     "text_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
@@ -1333,6 +1345,44 @@ object NorthStar {
            CAST(count(*) * 1000000 AS DOUBLE) AS avg_logp
        FROM term GROUP BY doc_id"""
 
+  /** Literal mirror of [[graft.operators.TextOps.knBigramProbs]]: the
+    * count table feeds left/continuation/type aggregates; double literals
+    * are CAST so DuckDB doesn't route the discount through decimal. */
+  private val knBigramSql =
+    """WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+       bg AS (SELECT w[i+1] w0, w[i+2] w1
+              FROM (SELECT doc_id, w, unnest(range(len(w)-1)) i FROM t0)
+              WHERE len(w) >= 2),
+       c2 AS (SELECT w0, w1, count(*) c2 FROM bg GROUP BY 1, 2),
+       lft AS (SELECT w0, CAST(sum(c2) AS BIGINT) c1, count(*) n1p_succ
+               FROM c2 GROUP BY 1),
+       cont AS (SELECT w1, count(*) n1p_pred FROM c2 GROUP BY 1),
+       ty AS (SELECT count(*) btypes FROM c2)
+       SELECT w0, w1, c2,
+         round(greatest(c2 - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / c1
+           + (CAST(0.75 AS DOUBLE) * n1p_succ / c1)
+             * (CAST(n1p_pred AS DOUBLE) / btypes), 6) AS p_kn
+       FROM c2 JOIN lft USING (w0) JOIN cont USING (w1), ty
+       WHERE c2 >= 3"""
+
+  /** Literal mirror of [[graft.operators.Dedup.repeatedSpanStats]] at
+    * k = 8: positional 8-token windows, md5 span identity, df ≥ 2 flag. */
+  private val repeatedSpansSql = {
+    val span = (1 to 8).map(j => s"w[i+$j]").mkString("||' '||")
+    s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        sp AS (SELECT doc_id, md5($span) s
+               FROM (SELECT doc_id, w, unnest(range(len(w)-7)) i FROM t0)
+               WHERE len(w) >= 8),
+        pd AS (SELECT doc_id, s, count(*) cnt FROM sp GROUP BY 1, 2),
+        df AS (SELECT s, count(*) ndocs FROM pd GROUP BY 1)
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_spans,
+          CAST(sum(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+            AS n_dup_spans,
+          round(CAST(sum(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+            / sum(cnt), 6) AS dup_fraction
+        FROM pd JOIN df USING (s) GROUP BY 1"""
+  }
+
   private val stopSql = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
@@ -1704,6 +1754,8 @@ object NorthStar {
           FROM j GROUP BY doc_id""",
     "text_tfidf_topk" -> tfidfTopKSql,
     "text_lm_score" -> lmScoreSql,
+    "text_kn_bigram_lm" -> knBigramSql,
+    "dedup_repeated_spans" -> repeatedSpansSql,
     "text_token_count" ->
       """SELECT doc_id,
            CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsOf, EventAnalytics, Multimodal}
+import graft.operators.{AsOf, EventAnalytics, Multimodal, Sketches}
 import graft.streaming.EventStream
 import org.apache.spark.sql.functions._
 
@@ -249,6 +249,32 @@ object Pipelines {
           (coalesce(col("h.v"), lit(0)) + coalesce(col("d.v"), lit(0)))
             .cast(org.apache.spark.sql.types.DoubleType).as("v_sum"))
     }),
+
+    // mergeable distinct sketches: per-day HLL register tables estimate
+    // daily uniques, and the SAME registers fold (max per register) into
+    // the all-time estimate without rescanning events — the materialized
+    // form of approx_count_distinct a 100 TB metrics store keeps; exact
+    // counts ride along as the oracle-checked error reference
+    "events_hll_distinct" -> ((s, dir) => {
+      import graft.operators.Dedup.MaterializeSyntax
+      val e = t(s, dir, "events")
+      val day = date_format(col("ts").cast("date"), "yyyy-MM-dd")
+      val regs = Sketches.hllRegisters(e, day, col("user_id")).materialized
+      val est = Sketches.hllEstimate(
+        regs.unionByName(Sketches.hllMerge(regs, "ALL")))
+      val ud = e.select(day.as("g"), col("user_id")).distinct().materialized
+      val exact = ud.groupBy(col("g")).agg(count(lit(1)).as("n_exact"))
+        .unionByName(ud.select(col("user_id")).distinct()
+          .agg(count(lit(1)).as("n_exact")).select(lit("ALL").as("g"), col("n_exact")))
+      est.join(exact, Seq("g"))
+        .select(col("g").as("day"), col("n_exact"), col("n_regs"), col("est"))
+    }),
+
+    // single most-likely level shift per event-type daily-count series
+    // (binary-segmentation changepoint) — the monitoring primitive that
+    // answers "when did this metric change" from window algebra alone
+    "events_changepoint" -> ((s, dir) =>
+      graft.operators.TimeSeries.changepoint(t(s, dir, "events"))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -542,5 +568,59 @@ object Pipelines {
            CAST(octet_length(encode(text)) % 640 AS INT) AS width,
            CAST(ascii(substr(text, 1, 1)) AS INT) AS height
          FROM documents""",
+    // literal mirror of Sketches: low-60-bit md5 hash, register = low 6
+    // bits, rho from bin() length, Z scaled by 2^55 in integer arithmetic;
+    // the merged 'ALL' sketch is max-per-register over the daily sketches
+    "events_hll_distinct" ->
+      """WITH e AS (SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE),
+              '%Y-%m-%d') AS g, user_id FROM events),
+         h AS (SELECT g, CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))
+                AS BIGINT) AS hv FROM e),
+         r0 AS (SELECT g, hv & 63 AS reg,
+                 CASE WHEN (hv >> 6) = 0 THEN 55
+                      ELSE 55 - length(bin(hv >> 6)) END AS rho FROM h),
+         m0 AS (SELECT g, reg, max(rho) AS mx FROM r0 GROUP BY 1, 2),
+         m AS (SELECT * FROM m0 UNION ALL
+               SELECT 'ALL' AS g, reg, max(mx) AS mx FROM m0 GROUP BY reg),
+         z AS (SELECT g, count(*) AS n_regs,
+                CAST(sum(1::BIGINT << (55 - mx)) AS BIGINT)
+                  + (64 - count(*)) * (1::BIGINT << 55) AS zs
+               FROM m GROUP BY 1),
+         est AS (SELECT g, CAST(n_regs AS INT) AS n_regs,
+                  round(CASE WHEN CAST(0.709 AS DOUBLE) * 64 * 64
+                          * CAST(1::BIGINT << 55 AS DOUBLE) / CAST(zs AS DOUBLE)
+                          <= 160.0 AND n_regs < 64
+                        THEN 64.0 * ln(64.0 / (64 - n_regs))
+                        ELSE CAST(0.709 AS DOUBLE) * 64 * 64
+                          * CAST(1::BIGINT << 55 AS DOUBLE) / CAST(zs AS DOUBLE)
+                        END, 4) AS est FROM z),
+         ud AS (SELECT DISTINCT g, user_id FROM e),
+         ex AS (SELECT g, count(*) AS n_exact FROM ud GROUP BY 1
+                UNION ALL
+                SELECT 'ALL' AS g, count(DISTINCT user_id) AS n_exact FROM ud)
+         SELECT g AS day, n_exact, n_regs, est FROM est JOIN ex USING (g)""",
+    "events_changepoint" ->
+      """WITH e AS (SELECT event_type,
+              date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+         d AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+         c AS (SELECT event_type, day,
+                row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+                sum(n) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) AS s,
+                count(*) OVER (PARTITION BY event_type) AS nd,
+                sum(n) OVER (PARTITION BY event_type) AS stot
+               FROM d),
+         sc AS (SELECT event_type, day,
+                 CAST(s AS DOUBLE) / t AS mean_l,
+                 CAST(stot - s AS DOUBLE) / (nd - t) AS mean_r,
+                 abs(CAST(s AS DOUBLE) / t
+                   - CAST(stot - s AS DOUBLE) / (nd - t))
+                   * sqrt(CAST(t * (nd - t) AS DOUBLE) / nd) AS raw_stat
+                FROM c WHERE t < nd),
+         b AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                 ORDER BY raw_stat DESC, day ASC) AS rk FROM sc)
+         SELECT event_type, day AS change_day, round(raw_stat, 6) AS stat,
+           round(mean_l, 6) AS mean_before, round(mean_r, 6) AS mean_after
+         FROM b WHERE rk = 1""",
   )
 }

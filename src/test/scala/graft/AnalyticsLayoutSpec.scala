@@ -319,4 +319,26 @@ class AnalyticsLayoutSpec extends SparkSuite {
         plain.except(joined.select("k", "v", "name")).isEmpty)
     }
   }
+
+  test("changepoint: planted level shift found at the boundary with exact segment means") {
+    import spark.implicits._
+    // type "shift": 5/day for days 1-10, then 15/day for days 11-20;
+    // type "flat": constant 4/day — its best split is noise-level
+    val rows = for {
+      day <- 1 to 20
+      tpe <- Seq("shift", "flat")
+      n = if (tpe == "shift") { if (day <= 10) 5 else 15 } else 4
+      i <- 1 to n
+    } yield (tpe, Timestamp.valueOf(f"2024-03-$day%02d 12:00:0${i % 10}"))
+    val events = rows.toDF("event_type", "ts")
+    val got = graft.operators.TimeSeries.changepoint(events)
+      .as[(String, Timestamp, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val s = got("shift")
+    assert(s._2 === Timestamp.valueOf("2024-03-10 00:00:00")) // last day of the low regime
+    assert(s._4 === 5.0 && s._5 === 15.0)
+    assert(s._3 === 22.36068) // |5-15|·sqrt(10·10/20) = 10·sqrt(5)
+    // the planted shift dominates the flat series' noise statistic
+    assert(got("flat")._3 < 1e-9)
+  }
 }

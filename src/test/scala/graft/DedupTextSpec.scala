@@ -620,4 +620,35 @@ class DedupTextSpec extends SparkSuite {
     // overlap invariant: consecutive windows share width - stride tokens
     assert(got(0)._5.split(" ").drop(3).toSeq === got(1)._5.split(" ").take(2).toSeq)
   }
+
+  test("repeatedSpanStats: cross-doc spans flagged positionally, within-doc repeats are not") {
+    val shared = "one two three four five six seven eight" // one 8-token window
+    val d = Seq(
+      (1L, s"$shared tail1 tail2"),          // 3 windows, 1 shared
+      (2L, s"lead1 lead2 $shared"),          // 3 windows, 1 shared
+      (3L, "a b c d e f g h a b c d e f g h"), // self-repeat only: 9 windows, window(a..h) ×2
+      (4L, "too short")                      // < 8 tokens → no rows
+    ).toDF("doc_id", "text")
+    val r = Dedup.repeatedSpanStats(d, 8)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(r.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(r(0) === ((1L, 3L, 1L, 0.333333)))
+    assert(r(1) === ((2L, 3L, 1L, 0.333333)))
+    // doc 3's duplicated window lives in ONE doc — df counts docs, not positions
+    assert(r(2) === ((3L, 9L, 0L, 0.0)))
+  }
+
+  test("knBigramProbs: hand-computed KN probabilities; per-context mass ≤ 1") {
+    val d = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val p = TextOps.knBigramProbs(d, minCount = 1)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // c(a,b)=2, c(b,a)=2, c(a,c)=1; c1(a)=3, c1(b)=2; N1+(a,·)=2, N1+(b,·)=1
+    // cont: a,b,c each 1 predecessor; B=3 bigram types; d=0.75
+    assert(p(("a", "b")) === ((2L, 0.583333))) // 1.25/3 + .75·2/3·(1/3)
+    assert(p(("a", "c")) === ((1L, 0.25)))     // 0.25/3 + .75·2/3·(1/3)
+    assert(p(("b", "a")) === ((2L, 0.75)))     // 1.25/2 + .75·1/2·(1/3)
+    // discounted mass + backoff over OBSERVED followers never exceeds 1
+    assert(p(("a", "b"))._2 + p(("a", "c"))._2 <= 1.0 + 1e-9)
+  }
 }
