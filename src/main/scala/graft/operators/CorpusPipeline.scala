@@ -507,4 +507,37 @@ object CorpusPipeline {
     kept.join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("n_tokens"))
   }
+
+  /** Frequency-rank vocabulary encoding — the "tokenizer apply" step that
+    * turns a curated corpus into the id sequences a trainer consumes: the
+    * top `vocabSize` tokens by corpus count (rank 1 = most frequent, ties
+    * alphabetical) become ids 1..V, every other token encodes as 0 (OOV),
+    * and each document re-assembles positionally into its id sequence.
+    *
+    * Scale shape: the corpus-sized passes are the token-count aggregate
+    * and the encode join, both map-side-combinable/broadcast (the vocab is
+    * ≤ V rows after the `minCount` floor, so it broadcasts); the one
+    * unpartitioned window ranks the AGGREGATED vocab — |vocab ≥ minCount|
+    * rows, not corpus rows (at 100 TB raise the floor so the ranked frame
+    * stays executor-sized). Reassembly sorts each doc's collected
+    * (pos, id) structs in-group — bounded by per-document length. Output:
+    * (doc_id, token_ids space-joined, n_tokens, n_oov). */
+  def tokenIds(docs: DataFrame, vocabSize: Int, minCount: Long = 2): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .select(col("tok"),
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok").asc)).as("id"))
+      .where(col("id") <= vocabSize)
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"), coalesce(col("id"), lit(0)).as("id"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("id")))),
+          x => x.getField("id").cast("string")), " ").as("token_ids"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_oov"))
+  }
 }

@@ -137,6 +137,39 @@ object EventAnalytics {
       .drop("__prev", "__ns")
   }
 
+  /** Per-day PEAK session concurrency — the capacity-planning sweep line:
+    * sessions become (+1 at start, −1 after end) boundary points, a
+    * running sum walks each day's points in time order, and the day's max
+    * is its peak. Overlap is END-INCLUSIVE: at an instant where one
+    * session starts exactly as another ends, both count — +1 rows sort
+    * before −1 rows at equal ts (`delta DESC`).
+    *
+    * Scale shape: sessions reduce to two boundary rows each; a session
+    * spanning midnight is clipped per day it touches (explode on days
+    * touched — output-sized), so the sweep window partitions BY DAY, never
+    * a global sort; each day's point count is bounded by that day's
+    * session churn. The −1 clip lands on the next-day EXCLUSIVE boundary,
+    * which cannot precede any same-day +1, so no sub-day epsilon
+    * arithmetic is needed. Output: (day, peak). */
+  def peakConcurrency(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = sessionIds(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("start"), max(col("ts")).as("end"))
+    val d = sess.select(col("start"), col("end"),
+      explode(sequence(date_trunc("day", col("start")),
+        date_trunc("day", col("end")), expr("interval 1 day"))).as("day"))
+    val pts = d.select(col("day"),
+        greatest(col("start"), col("day")).as("ts"), lit(1).as("delta"))
+      .unionByName(d.select(col("day"),
+        least(col("end"), col("day") + expr("interval 1 day")).as("ts"),
+        lit(-1).as("delta")))
+    val w = Window.partitionBy(col("day")).orderBy(col("ts"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.select(col("day"), sum(col("delta")).over(w).as("run"))
+      .groupBy(col("day")).agg(max(col("run")).cast("int").as("peak"))
+  }
+
   /** SCD-type-2 history build (the companion to [[latestSnapshot]]'s
     * type-1 compaction): the changelog becomes one validity interval per
     * observed state run — a row opens when the tracked attribute CHANGES

@@ -130,6 +130,54 @@ object Similarity {
     topKByScore(exact, k)
   }
 
+  /** One 32-bit sign-bit word of a double-array column: bit i set iff
+    * v[lo+i] ≥ 0. Two words cover the 64-dim embeddings; 32-bit words keep
+    * every value positive so the DuckDB mirror never touches the BIGINT
+    * sign bit (engine-defined overflow). SQL-expr form because the Scala
+    * `shiftleft` wrapper only takes a literal bit count. */
+  private def signWord(v: String, lo: Int): Column =
+    expr(s"""aggregate(
+      zip_with(slice($v, ${lo + 1}, 32), sequence(0, 31),
+        (x, i) -> IF(x >= CAST(0 AS DOUBLE), shiftleft(CAST(1 AS BIGINT), i),
+                     CAST(0 AS BIGINT))),
+      CAST(0 AS BIGINT), (acc, y) -> acc + y)""")
+
+  /** Binary quantization (1 bit/dim) ANN: each vector compresses to its
+    * 64 sign bits — 32× smaller than float32, the cheapest candidate scan
+    * a vector store runs (pgvector/Qdrant-style BQ) — candidates are the
+    * `rerank` smallest Hamming distances (sign-agreement count as the
+    * score, ties → smaller id, the [[TopKPairs]] rank order), then exact
+    * double-cosine rerank cut to `k`.
+    *
+    * Everything is integer (bit_count of XOR) until the proven round-6
+    * exact rerank, so the oracle reproduces the candidate set exactly.
+    * Plan shape: identical to [[sq8TopK]] — broadcast-query scan over
+    * 2-long signatures (no corpus shuffle), bounded candidate agg,
+    * equi-join back to full precision. Output: (qid, nid, cos_sim, rank). */
+  def binaryHammingTopK(corpus: DataFrame, queries: DataFrame,
+                        k: Int, rerank: Int): DataFrame = {
+    def sigs(df: DataFrame, id: String, v: String) =
+      df.select(col("vec_id").as(id), asDouble(col("embedding")).as(v))
+        .withColumn(s"${id}_w0", signWord(v, 0))
+        .withColumn(s"${id}_w1", signWord(v, 32))
+    val q = sigs(queries, "qid", "qv").withColumn("qn", norm2(col("qv")))
+    val c = sigs(corpus, "nid", "nv").withColumn("nn", norm2(col("nv")))
+    val approx = c.select(col("nid"), col("nid_w0"), col("nid_w1"))
+      .crossJoin(broadcast(q.select(col("qid"), col("qid_w0"), col("qid_w1"))))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (lit(64) - bit_count(col("qid_w0").bitwiseXOR(col("nid_w0")))
+                 - bit_count(col("qid_w1").bitwiseXOR(col("nid_w1"))))
+          .cast(DoubleType).as("cos_sim")) // sign-agreement count as score
+    val cand = topKByScore(approx, rerank).select(col("qid"), col("nid"))
+    val exact = cand
+      .join(q.select(col("qid"), col("qv"), col("qn")), Seq("qid"))
+      .join(c.select(col("nid"), col("nv"), col("nn")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos_sim"))
+    topKByScore(exact, k)
+  }
+
   /** All pairs with cosine >= threshold (embedding near-dup detection).
     * Exact O(n²) form — at scale, run [[rpLshTopK]]-style bucketing first
     * and this as the verify stage within buckets. */

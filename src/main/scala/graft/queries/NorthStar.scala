@@ -347,6 +347,11 @@ object NorthStar {
     "dedup_repeated_spans" -> ((s, dir) =>
       Dedup.repeatedSpanStats(t(s, dir, "documents"), 8)),
 
+    // frequency-rank vocabulary encoding: top-1000 tokens become ids, the
+    // corpus re-assembles into the id sequences a trainer consumes
+    "corpus_token_ids" -> ((s, dir) =>
+      CorpusPipeline.tokenIds(t(s, dir, "documents"), vocabSize = 1000)),
+
     "text_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
@@ -683,6 +688,13 @@ object NorthStar {
     "ann_sq8_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.sq8TopK(e, e.where(col("vec_id") < 5), 10, rerank = 30)
+    }),
+    // binary quantization (1 bit/dim, 32× compression): sign-bit Hamming
+    // candidate scan over two 32-bit words, exact cosine rerank — the
+    // cheapest first-stage filter a vector store runs
+    "ann_binary_hamming_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.binaryHammingTopK(e, e.where(col("vec_id") < 5), 10, rerank = 30)
     }),
     // IVF-Flat scale path: broadcast-centroid assignment, nprobe cells per
     // query, exact scoring within probed cells only
@@ -1756,6 +1768,53 @@ object NorthStar {
     "text_lm_score" -> lmScoreSql,
     "text_kn_bigram_lm" -> knBigramSql,
     "dedup_repeated_spans" -> repeatedSpansSql,
+    "corpus_token_ids" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         tk AS (SELECT doc_id, i AS pos, w[i+1] AS tok
+                FROM (SELECT doc_id, w, unnest(range(len(w))) i FROM t0)),
+         vc AS (SELECT tok, count(*) cnt FROM tk GROUP BY 1),
+         vr AS (SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok ASC) id
+                FROM vc WHERE cnt >= 2),
+         v AS (SELECT * FROM vr WHERE id <= 1000),
+         enc AS (SELECT doc_id, pos, coalesce(id, 0) AS id
+                 FROM tk LEFT JOIN v USING (tok))
+         SELECT doc_id,
+           string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS token_ids,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         FROM enc GROUP BY 1""",
+    // literal mirror of the sign-bit signature (two positive 32-bit words,
+    // BIGINT sign bit never touched) and both TopKPairs tie rules
+    "ann_binary_hamming_topk" ->
+      """WITH q0 AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv
+             FROM embeddings WHERE vec_id < 5),
+         c0 AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) nv FROM embeddings),
+         qs AS (SELECT qid, qv,
+             list_sum(list_transform(range(32), i -> CASE WHEN qv[i+1] >= 0
+               THEN (1::BIGINT << i) ELSE 0::BIGINT END)) qw0,
+             list_sum(list_transform(range(32), i -> CASE WHEN qv[i+33] >= 0
+               THEN (1::BIGINT << i) ELSE 0::BIGINT END)) qw1
+           FROM q0),
+         cs AS (SELECT nid, nv,
+             list_sum(list_transform(range(32), i -> CASE WHEN nv[i+1] >= 0
+               THEN (1::BIGINT << i) ELSE 0::BIGINT END)) nw0,
+             list_sum(list_transform(range(32), i -> CASE WHEN nv[i+33] >= 0
+               THEN (1::BIGINT << i) ELSE 0::BIGINT END)) nw1
+           FROM c0),
+         sc AS (SELECT qid, nid,
+                 CAST(64 - bit_count(xor(qw0, nw0)) - bit_count(xor(qw1, nw1))
+                   AS DOUBLE) approx
+                FROM cs, qs WHERE qid <> nid),
+         cand AS (SELECT qid, nid FROM (
+             SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY approx DESC, nid ASC) rn
+             FROM sc) WHERE rn <= 30),
+         ex AS (SELECT qid, nid, round(list_cosine_similarity(qv, nv), 6) cos_sim
+                FROM cand JOIN q0 USING (qid) JOIN c0 USING (nid)),
+         r AS (SELECT qid, nid, cos_sim,
+                row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) rn
+               FROM ex)
+         SELECT qid, nid, cos_sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10""",
     "text_token_count" ->
       """SELECT doc_id,
            CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,

@@ -275,6 +275,11 @@ object Pipelines {
     // answers "when did this metric change" from window algebra alone
     "events_changepoint" -> ((s, dir) =>
       graft.operators.TimeSeries.changepoint(t(s, dir, "events"))),
+
+    // capacity planning: per-day peak concurrent sessions via a per-day
+    // sweep line over session boundary points (end-inclusive overlap)
+    "events_peak_concurrency" -> ((s, dir) =>
+      EventAnalytics.peakConcurrency(t(s, dir, "events"), gapMinutes = 30)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -599,6 +604,26 @@ object Pipelines {
                 UNION ALL
                 SELECT 'ALL' AS g, count(DISTINCT user_id) AS n_exact FROM ud)
          SELECT g AS day, n_exact, n_regs, est FROM est JOIN ex USING (g)""",
+    "events_peak_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts FROM events),
+         x AS (SELECT user_id, event_id, ts,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_ts FROM e),
+         y AS (SELECT user_id, event_id, ts,
+                CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END ns FROM x),
+         z AS (SELECT user_id, ts,
+                SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) sid FROM y),
+         s AS (SELECT user_id, sid, min(ts) s_start, max(ts) s_end FROM z GROUP BY 1, 2),
+         d AS (SELECT s_start, s_end,
+                unnest(generate_series(date_trunc('day', s_start),
+                  date_trunc('day', s_end), INTERVAL 1 DAY)) AS day FROM s),
+         pts AS (SELECT day, greatest(s_start, day) AS ts, 1 AS delta FROM d
+                 UNION ALL
+                 SELECT day, least(s_end, day + INTERVAL 1 DAY) AS ts, -1 AS delta FROM d),
+         r AS (SELECT day, SUM(delta) OVER (PARTITION BY day
+                 ORDER BY ts, delta DESC ROWS UNBOUNDED PRECEDING) run FROM pts)
+         SELECT day, CAST(max(run) AS INT) AS peak FROM r GROUP BY 1""",
     "events_changepoint" ->
       """WITH e AS (SELECT event_type,
               date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),

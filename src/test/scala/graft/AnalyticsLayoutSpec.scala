@@ -341,4 +341,25 @@ class AnalyticsLayoutSpec extends SparkSuite {
     // the planted shift dominates the flat series' noise statistic
     assert(got("flat")._3 < 1e-9)
   }
+
+  test("peakConcurrency: end-inclusive overlap, midnight-spanning session counts in both days") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: one session 10:00–10:10
+      (1L, 1L, ts("2024-03-05 10:00:00")), (2L, 1L, ts("2024-03-05 10:10:00")),
+      // user 2: point session AT user 1's end instant — end-inclusive ⇒ overlap
+      (3L, 2L, ts("2024-03-05 10:10:00")),
+      // user 3: disjoint later session the same day
+      (4L, 3L, ts("2024-03-05 15:00:00")),
+      // user 4: 15-min gap across midnight ⇒ ONE session touching both days
+      (5L, 4L, ts("2024-03-06 23:50:00")), (6L, 4L, ts("2024-03-07 00:05:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val got = EventAnalytics.peakConcurrency(events, gapMinutes = 30)
+      .as[(Timestamp, Int)].collect().toMap
+    assert(got === Map(
+      ts("2024-03-05 00:00:00") -> 2, // users 1+2 meet at 10:10
+      ts("2024-03-06 00:00:00") -> 1, // user 4's session, clipped to the day
+      ts("2024-03-07 00:00:00") -> 1)) // …and its carry-over
+  }
 }

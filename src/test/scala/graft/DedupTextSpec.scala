@@ -651,4 +651,18 @@ class DedupTextSpec extends SparkSuite {
     // discounted mass + backoff over OBSERVED followers never exceeds 1
     assert(p(("a", "b"))._2 + p(("a", "c"))._2 <= 1.0 + 1e-9)
   }
+
+  test("tokenIds: frequency-rank ids, alphabetical ties, OOV below the count floor encodes 0") {
+    // counts: b=3, a=2, c=2, z=1 → floor(minCount=2) drops z;
+    // ranks: b=1, then a=2 before c=3 (tie at 2, alphabetical)
+    val d = Seq((1L, "a b z b"), (2L, "c b c a")).toDF("doc_id", "text")
+    val got = CorpusPipeline.tokenIds(d, vocabSize = 1000)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, "2 1 0 1", 4L, 1L)))
+    assert(got(1) === ((2L, "3 1 3 2", 4L, 0L)))
+    // vocabSize cap: V=1 keeps only "b"; everything else OOV
+    val capped = CorpusPipeline.tokenIds(d, vocabSize = 1)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(capped(0)._2 === "0 1 0 1" && capped(0)._4 === 2L)
+  }
 }

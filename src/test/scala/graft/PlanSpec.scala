@@ -138,12 +138,15 @@ class PlanSpec extends SparkSuite {
     // rag_mmr_topk: pool-sized greedy loop over checkpointed 10-row frames
     // (broadcast-scalar max + tiny anti-joins by construction)
     // corpus_temperature_mix broadcasts the 1-row α-mass/doc-count totals
+    // text_kn_bigram_lm broadcasts the 1-row bigram-type total (q22 pattern)
     val intentional = Set(
+      "text_kn_bigram_lm",
       "text_vocab_growth", "rag_mmr_topk", "corpus_temperature_mix",
       "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_adc_topk",
       "text_bpe_merges", "text_bpe_fertility", "corpus_dsir_topk", "rag_passage_topk",
       "emb_top_pc", "ann_whitened_topk",
-      "ann_ivf_recall", "ann_sq8_topk", "ann_hard_negatives",
+      "ann_ivf_recall", "ann_sq8_topk", "ann_binary_hamming_topk",
+      "ann_hard_negatives",
       "corpus_decontaminate_bloom", "corpus_mixture_plan",
       "q22_idle_balances", "q11_important_share",
       "text_tfidf_topk", "text_lm_score", "events_funnel", "graph_pagerank",

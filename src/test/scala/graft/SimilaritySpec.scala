@@ -47,6 +47,28 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.9, s"sq8 rerank=30 recall $recall")
   }
 
+  test("binaryHammingTopK: full-width rerank equals brute force; sign-flip twin is Hamming-0") {
+    val queries = emb.where(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("qid", "nid", "cos_sim", "rank").as[(Long, Long, Double, Int)]
+      .collect().toSet
+    val full = Similarity.binaryHammingTopK(emb, queries, 10,
+        rerank = emb.count().toInt)
+      .select("qid", "nid", "cos_sim", "rank").as[(Long, Long, Double, Int)]
+      .collect().toSet
+    assert(full === brute)
+    // planted: 1000 shares every sign with 1001 (scaled copy) but none with
+    // 1002 (negated) — with rerank 1 the candidate IS the top result
+    val base = (0 until 64).map(d => (if (d % 3 == 0) 1.0f else -1.0f) * (d + 1))
+    val planted = Seq(
+      (1000L, base.toArray, 0), (1001L, base.map(_ * 0.5f).toArray, 0),
+      (1002L, base.map(-_).toArray, 0)).toDF("vec_id", "embedding", "label")
+    val top = Similarity.binaryHammingTopK(planted,
+        planted.where(col("vec_id") === 1000L), 1, rerank = 1)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect()
+    assert(top.toSeq === Seq((1000L, 1001L, 1.0)))
+  }
+
   test("rpLshTopK: planted near-duplicates are recovered (the LSH guarantee)") {
     // plant a perturbed copy of each query vector: cos(v, v') ≈ 0.9999
     val planted = emb.where(col("vec_id") < 20).select(
