@@ -270,6 +270,131 @@ object GraphOps {
         SELECT a, b, cn, score FROM cand
         ORDER BY score DESC, a, b LIMIT $k"""
 
+  /** K-CORE decomposition by synchronous peeling (Matula-Beck / Batagelj-
+    * Zaversnik shape): repeatedly remove every node whose degree in the
+    * SURVIVING subgraph is < `k`; what remains after `rounds` synchronous
+    * sweeps is (a superset converging to) the k-core — the density filter
+    * that isolates the stable heart of a co-occurrence graph from its
+    * one-off periphery.
+    *
+    * `rounds` is fixed, not convergence-polled (the [[pageRank]] posture):
+    * each sweep only ever REMOVES nodes, so the surviving set is monotone
+    * and a fixed horizon is a deterministic, oracle-mirrorable cut of the
+    * same ladder; peeling converges in ≤ diameter-ish sweeps on real
+    * graphs, and the output carries the in-subgraph degree so a
+    * non-converged run is still exactly checkable.
+    *
+    * Scale shape: the doubled adjacency frame is materialized once; each
+    * sweep is two nodes-sized LEFT-SEMI joins of the adjacency against the
+    * surviving set (endpoint filters) + one map-side-combinable count —
+    * the edges never re-shuffle, nothing is windowed, and the surviving
+    * frame (nodes-sized, shrinking) is the only per-round exchange.
+    * Output: (id, core_deg) for survivors, core_deg = degree within the
+    * surviving subgraph. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+            storage: Dedup.FixpointStorage = Dedup.SessionDefault): DataFrame = {
+    val adj = Dedup.materializeFixpoint(
+      edges.select(least(col("a"), col("b")).as("x"), greatest(col("a"), col("b")).as("y"))
+        .where(col("x") =!= col("y")).distinct()
+        .select(explode(array(
+          struct(col("x").as("v"), col("y").as("n")),
+          struct(col("y").as("v"), col("x").as("n")))).as("e"))
+        .select(col("e.v").as("v"), col("e.n").as("n"))
+        .repartition(col("v")),
+      storage)
+    var surv = adj.select(col("v")).distinct()
+    for (_ <- 1 to rounds) {
+      surv = adj
+        .join(surv, "v", "left_semi")
+        .join(surv.select(col("v").as("n")), "n", "left_semi")
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .where(col("d") >= k)
+        .select(col("v"))
+    }
+    adj.join(surv, "v", "left_semi")
+      .join(surv.select(col("v").as("n")), "n", "left_semi")
+      .groupBy(col("v").as("id")).agg(count(lit(1)).as("core_deg"))
+      .where(col("core_deg") >= k)
+  }
+
+  /** DuckDB mirror of [[kCore]]: `edgesSql` must yield (a, b). */
+  def kCoreSql(edgesSql: String, k: Int, rounds: Int): String = {
+    val base =
+      s"""WITH edges AS ($edgesSql),
+          canon AS (SELECT DISTINCT least(a, b) x, greatest(a, b) y
+                    FROM edges WHERE a <> b),
+          adj AS (SELECT x v, y n FROM canon UNION ALL SELECT y v, x n FROM canon),
+          s0 AS (SELECT DISTINCT v FROM adj)"""
+    val steps = (1 to rounds).map { i =>
+      s"""s$i AS (SELECT v FROM (
+            SELECT a.v, count(*) d FROM adj a
+            JOIN s${i - 1} p ON p.v = a.v
+            JOIN s${i - 1} q ON q.v = a.n
+            GROUP BY a.v) WHERE d >= $k)"""
+    }
+    (base +: steps).mkString(",\n") +
+      s"""\nSELECT a.v AS id, count(*) AS core_deg FROM adj a
+          JOIN s$rounds p ON p.v = a.v
+          JOIN s$rounds q ON q.v = a.n
+          GROUP BY a.v HAVING count(*) >= $k"""
+  }
+
+  /** Hop-bounded multi-source BFS: exact shortest hop distance (≤
+    * `maxHops`) from the landmark set `isSource` to every reachable node —
+    * the landmark-distance primitive behind "how far is this item from the
+    * catalog's anchor products" features and graph-radius profiling.
+    *
+    * Scale shape: the frontier relaxation is the textbook iterative
+    * equi-join — each hop joins the CURRENT distance frame (nodes-sized)
+    * against the once-materialized adjacency and folds with a min — but
+    * expressed so the per-hop exchange is only the nodes-sized frame.
+    * `maxHops` is a fixed unroll (oracle-mirrorable); distances beyond it
+    * are absent rather than approximated, which is the honest contract for
+    * a bounded relaxation. Output: (id, dist), dist ∈ [0, maxHops]. */
+  def bfsDistances(edges: DataFrame, isSource: org.apache.spark.sql.Column,
+                   maxHops: Int,
+                   storage: Dedup.FixpointStorage = Dedup.SessionDefault): DataFrame = {
+    val adj = Dedup.materializeFixpoint(
+      edges.select(least(col("a"), col("b")).as("x"), greatest(col("a"), col("b")).as("y"))
+        .where(col("x") =!= col("y")).distinct()
+        .select(explode(array(
+          struct(col("x").as("v"), col("y").as("n")),
+          struct(col("y").as("v"), col("x").as("n")))).as("e"))
+        .select(col("e.v").as("v"), col("e.n").as("n"))
+        .repartition(col("v")),
+      storage)
+    var dist = adj.select(col("v").as("id")).distinct()
+      .where(isSource).select(col("id"), lit(0).as("dist"))
+    for (_ <- 1 to maxHops) {
+      val relaxed = dist
+        .join(adj.select(col("v").as("id"), col("n")), "id")
+        .select(col("n").as("id"), (col("dist") + 1).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+    }
+    dist
+  }
+
+  /** DuckDB mirror of [[bfsDistances]]: `edgesSql` yields (a, b);
+    * `isSourceSql` is a predicate over column `id`. */
+  def bfsDistancesSql(edgesSql: String, isSourceSql: String, maxHops: Int): String = {
+    val base =
+      s"""WITH edges AS ($edgesSql),
+          canon AS (SELECT DISTINCT least(a, b) x, greatest(a, b) y
+                    FROM edges WHERE a <> b),
+          adj AS (SELECT x v, y n FROM canon UNION ALL SELECT y v, x n FROM canon),
+          d0 AS (SELECT id, 0 AS dist FROM (SELECT DISTINCT v AS id FROM adj)
+                 WHERE $isSourceSql)"""
+    val steps = (1 to maxHops).map { i =>
+      s"""d$i AS (SELECT id, min(dist) AS dist FROM (
+            SELECT id, dist FROM d${i - 1}
+            UNION ALL
+            SELECT a.n AS id, d.dist + 1 AS dist
+            FROM d${i - 1} d JOIN adj a ON a.v = d.id) GROUP BY id)"""
+    }
+    (base +: steps).mkString(",\n") + s"\nSELECT id, dist FROM d$maxHops"
+  }
+
   /** DuckDB mirror of [[triangleCount]]: `edgesSql` must yield (a, b). */
   def triangleCountSql(edgesSql: String): String =
     s"""WITH edges AS ($edgesSql),

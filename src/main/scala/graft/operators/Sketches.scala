@@ -57,6 +57,55 @@ object Sketches {
   def hllMerge(regs: DataFrame, label: String): DataFrame =
     regs.groupBy(lit(label).as("g"), col("reg")).agg(max(col("mx")).as("mx"))
 
+  /** Fixed-width histogram QUANTILE sketch — the mergeable companion to
+    * the HLL registers: a sketch is a tiny (group, bin, count) frame under
+    * a FIXED bin rule (`bin = floor(value / width)` — no data-dependent
+    * bounds, so sketches built on different days/partitions merge by
+    * summing counts, the property `percentile()` partials lack). A 100 TB
+    * metrics store keeps per-day bin tables and folds them to any coarser
+    * grain without rescanning; the estimator walks the cumulative bin
+    * distribution and interpolates rank position INSIDE the hit bin.
+    * Build: one map-side-combinable aggregate (≤ |groups|·|bins| rows on
+    * the shuffle). */
+  def histRegisters(df: DataFrame, group: Column, value: Column,
+                    width: Double): DataFrame =
+    df.select(group.as("g"),
+        floor(value / lit(width)).cast(LongType).as("bin"))
+      .groupBy(col("g"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge histogram sketches across groups into ONE group `label` —
+    * re-grouping the bin table IS the merge (counts add). */
+  def histMerge(regs: DataFrame, label: String): DataFrame =
+    regs.groupBy(lit(label).as("g"), col("bin")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile estimates from a bin table: for each q, the row where the
+    * cumulative count first reaches ceil(q·n), linearly interpolated by
+    * rank within the bin — every input to the arithmetic is an exact
+    * integer, so the doubles are bit-reproducible cross-engine (one
+    * multiply/ceil/divide chain + round 6). The per-group window sorts
+    * |bins| rows, never raw data. Output: (g, n, p50, p90, p99). */
+  def histQuantiles(regs: DataFrame, width: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("g")).orderBy(col("bin"))
+    val b = regs
+      .withColumn("cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("g"))))
+    def pick(q: Double, name: String): DataFrame = {
+      val target = ceil(lit(q) * col("n"))
+      b.where(col("cum") >= target && (col("cum") - col("cnt")) < target)
+        .select(col("g"), col("n"),
+          round(col("bin") * lit(width) + lit(width) *
+            (target - (col("cum") - col("cnt")).cast(DoubleType)) /
+            col("cnt").cast(DoubleType), 6).as(name))
+    }
+    pick(0.5, "p50")
+      .join(pick(0.9, "p90").drop("n"), "g")
+      .join(pick(0.99, "p99").drop("n"), "g")
+      .select(col("g"), col("n"), col("p50"), col("p90"), col("p99"))
+  }
+
   /** The HLL estimator over a register table: raw estimate alpha·m²/Z
     * with Z = Σ 2^-M[j] (absent registers are zeros and contribute
     * 2⁰ = 1 each), linear counting m·ln(m/V) below the 2.5m small-range

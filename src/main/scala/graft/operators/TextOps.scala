@@ -245,6 +245,46 @@ object TextOps {
         col("rank").cast(IntegerType).as("rank"))
   }
 
+  /** Per-document token-distribution Shannon entropy (bits) — the quality
+    * signal that separates natural prose (high entropy) from template spam
+    * and keyword-stuffed repetition (low entropy), the complement of
+    * [[repetitionScores]]' surface-repeat view.
+    *
+    * Scale shape: one (doc, token) shuffle with map-side partial counts,
+    * then the per-doc fold — the token stream itself is never windowed or
+    * re-shuffled; every downstream quantity (total tokens, distinct
+    * tokens, entropy) rides the same aggregate. Double terms summed then
+    * rounded to 6 (the [[bm25Scores]] convention — ln is the only
+    * non-exact op and one final round makes ranking engine-stable).
+    * Output: (doc_id, n_tokens, n_distinct, entropy). */
+  def tokenEntropy(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cnt = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(col("c").cast(DoubleType) * log(col("c").cast(DoubleType))).as("clogc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        // H = log2(n) − (Σ c·ln c)/(n·ln 2): one pass, no per-term division
+        round((log(col("n_tokens").cast(DoubleType)) -
+          col("clogc") / col("n_tokens").cast(DoubleType)) / lit(math.log(2.0)), 6)
+          .as("entropy"))
+  }
+
+  /** The DuckDB mirror of [[tokenEntropy]] (oracle builder). */
+  def tokenEntropySql(table: String = "documents"): String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) tok
+          FROM $table),
+        cnt AS (SELECT doc_id, tok, count(*) c FROM toks
+                WHERE len(tok) > 0 GROUP BY 1, 2)
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          count(*) AS n_distinct,
+          round((ln(CAST(SUM(c) AS DOUBLE)) -
+            SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE))
+            / 0.6931471805599453, 6) AS entropy
+        FROM cnt GROUP BY doc_id"""
+
   /** BM25 relevance of every document to a fixed term set — the lexical
     * ranking half of hybrid retrieval (Robertson/Spärck Jones; k1 = 1.2,
     * b = 0.75, the +1 idf variant that stays positive at high df).

@@ -36,6 +36,28 @@ object NorthStar {
            JOIN d y ON x.basket = y.basket AND x.item < y.item
            GROUP BY 1, 2 HAVING count(*) >= 3)"""
 
+  /** The LOOSER (min-support 2) co-purchase graph the connectivity
+    * analyses (k-core, BFS) run over — support 3 leaves a near-empty
+    * periphery-free graph at small SF, which would make a density filter
+    * and a distance relaxation vacuous. */
+  private def coPurchaseEdges2(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.operators.Affinity.itemPairs(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
+          col("l_partkey").as("item")),
+        minSupport = 2, maxBasketSize = 20)
+      .select(col("item_a").as("a"), col("item_b").as("b"))
+
+  /** DuckDB mirror of [[coPurchaseEdges2]] (yields (a, b)). */
+  private val coPurchaseEdges2Sql =
+    """SELECT item_a AS a, item_b AS b FROM (
+           WITH d AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                      FROM lineitem),
+           keep AS (SELECT basket FROM d GROUP BY basket HAVING count(*) <= 20)
+           SELECT x.item AS item_a, y.item AS item_b
+           FROM d x JOIN keep USING (basket)
+           JOIN d y ON x.basket = y.basket AND x.item < y.item
+           GROUP BY 1, 2 HAVING count(*) >= 2)"""
+
   /** Shared Spark/oracle adornment for text_normalize: tab + space run +
     * "e"+U+0301 (NFC composes to é) + precomposed É + ß + uppercase — the
     * one constant makes every normalizer stage fire in BOTH engines. */
@@ -433,6 +455,24 @@ object NorthStar {
       graft.operators.GraphOps.linkPrediction(edges, 20)
     }),
 
+    // k-core of the co-purchase graph: 4 synchronous peel sweeps at k=3
+    // isolate the densely co-ordered heart from one-off periphery — each
+    // sweep is two nodes-sized semi-joins against the once-materialized
+    // adjacency, never an edge re-shuffle
+    "graph_kcore" -> ((s, dir) => {
+      val edges = coPurchaseEdges2(s, dir)
+      graft.operators.GraphOps.kCore(edges, k = 3, rounds = 4)
+    }),
+
+    // hop-bounded multi-source BFS over the co-purchase graph: exact
+    // shortest hop distance (≤ 4) from the id%37==0 landmark items — the
+    // landmark-distance feature primitive; per hop = one nodes-sized join
+    // + min fold
+    "graph_bfs_distances" -> ((s, dir) => {
+      val edges = coPurchaseEdges2(s, dir)
+      graft.operators.GraphOps.bfsDistances(edges, col("id") % 37 === 0, maxHops = 4)
+    }),
+
     // asymmetric near-dup: containment C(A→B) = |A∩B|/|A| catches the
     // quote/excerpt case Jaccard misses (short doc embedded in a long one);
     // same df-capped inverted index as the capped Jaccard run
@@ -447,6 +487,12 @@ object NorthStar {
     "text_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
         TextOps.langId(col("text")).as("pred_lang"))),
+
+    // token-distribution Shannon entropy (bits) per document: the
+    // quality signal separating prose from template/keyword-stuffed spam —
+    // one (doc, token) shuffle, H folded from Σ c·ln c in the same pass
+    "text_entropy" -> ((s, dir) =>
+      TextOps.tokenEntropy(t(s, dir, "documents"))),
 
     // per-source QUALITY FLOOR at the exact 25th percentile — drop each
     // source's worst quartile by type-token ratio. The quantile is the
@@ -1852,6 +1898,10 @@ object NorthStar {
       coPurchaseEdgesSql),
     "graph_link_prediction" -> graft.operators.GraphOps.linkPredictionSql(
       coPurchaseEdgesSql, 20),
+    "graph_kcore" -> graft.operators.GraphOps.kCoreSql(
+      coPurchaseEdges2Sql, 3, 4),
+    "graph_bfs_distances" -> graft.operators.GraphOps.bfsDistancesSql(
+      coPurchaseEdges2Sql, "id % 37 = 0", 4),
     "dedup_containment" -> containmentCappedSql(2L, 0.5),
     "text_inverted_index" ->
       """WITH t0 AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
@@ -1947,6 +1997,7 @@ object NorthStar {
                  ELSE 'zh' END AS pred_lang
           FROM sc"""
     },
+    "text_entropy" -> TextOps.tokenEntropySql(),
     "doc_fingerprint" ->
       s"""WITH t0 AS (SELECT doc_id, text, string_split(text,' ') w FROM documents)
           SELECT doc_id, md5(text) AS fp_md5,

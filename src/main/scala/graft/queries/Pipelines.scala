@@ -224,6 +224,41 @@ object Pipelines {
           col("l_partkey").as("item")),
         minSupport = 3, maxBasketSize = 20)),
 
+    // A-priori association rules over the same baskets: both directions of
+    // every supported pair scored by confidence and lift — supports, item
+    // counts and the basket total all derive from ONE grouped frame
+    "basket_association_rules" -> ((s, dir) =>
+      graft.operators.Affinity.associationRules(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
+          col("l_partkey").as("item")),
+        minSupport = 3, maxBasketSize = 20)),
+
+    // marketing attribution: each purchase credited to the user's LAST
+    // view/click touch in a 7-day lookback ('none' when no touch) — the
+    // per-purchase argmax is a max_by aggregate over the user-keyed
+    // interval join, never a per-key window sort over all events
+    "events_attribution" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purch = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("p_uid"),
+          col("ts").as("pts"), col("value"))
+      val touch = e.where(col("event_type").isin("view", "click"))
+        .select(col("user_id").as("t_uid"), col("ts").as("t_ts"),
+          col("event_id").as("t_eid"), col("event_type").as("t_type"))
+      purch.join(touch,
+          col("p_uid") === col("t_uid") &&
+            col("t_ts") < col("pts") &&
+            col("t_ts") >= col("pts") - expr("INTERVAL 7 DAYS"), "left")
+        .groupBy(col("pid"), col("value"))
+        .agg(max(when(col("t_ts").isNotNull,
+          struct(col("t_ts"), col("t_eid"), col("t_type")))).as("lt"))
+        .select(coalesce(col("lt.t_type"), lit("none")).as("last_touch_type"),
+          col("value"))
+        .groupBy(col("last_touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          Tables.dsum(col("value")).as("attributed_value"))
+    }),
+
     // SCD-type-2 history: the changelog as validity intervals (row opens on
     // state CHANGE, closes when the next distinct state opens) — the
     // type-2 companion to events_cdc_snapshot's latest-wins compaction
@@ -268,6 +303,22 @@ object Pipelines {
           .agg(count(lit(1)).as("n_exact")).select(lit("ALL").as("g"), col("n_exact")))
       est.join(exact, Seq("g"))
         .select(col("g").as("day"), col("n_exact"), col("n_regs"), col("est"))
+    }),
+
+    // mergeable quantile sketches: per-day fixed-width histogram bin
+    // tables estimate daily p50/p90/p99 of event value, and the SAME bins
+    // fold (counts add) into the all-time estimate without rescanning —
+    // the property percentile() partials lack; bin math and the rank
+    // interpolation are integer-exact, so estimates are bit-reproducible
+    "events_quantile_sketch" -> ((s, dir) => {
+      import graft.operators.Dedup.MaterializeSyntax
+      val e = t(s, dir, "events")
+      val day = date_format(col("ts").cast("date"), "yyyy-MM-dd")
+      val regs = Sketches.histRegisters(e, day, col("value"), width = 4.0)
+        .materialized
+      Sketches.histQuantiles(
+          regs.unionByName(Sketches.histMerge(regs, "ALL")), width = 4.0)
+        .select(col("g").as("day"), col("n"), col("p50"), col("p90"), col("p99"))
     }),
 
     // single most-likely level shift per event-type daily-count series
@@ -551,6 +602,43 @@ object Pipelines {
          FROM d x JOIN keep USING (basket)
          JOIN d y ON x.basket = y.basket AND x.item < y.item
          GROUP BY 1, 2 HAVING count(*) >= 3""",
+    "basket_association_rules" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+           FROM lineitem),
+         sets AS (SELECT basket FROM d GROUP BY basket
+                  HAVING count(*) BETWEEN 2 AND 20),
+         k AS (SELECT d.basket, d.item FROM d JOIN sets USING (basket)),
+         pair AS (SELECT x.item a, y.item b, count(*) support
+                  FROM k x JOIN k y ON x.basket = y.basket AND x.item < y.item
+                  GROUP BY 1, 2 HAVING count(*) >= 3),
+         isup AS (SELECT item, count(*) n_item FROM k GROUP BY 1),
+         tot AS (SELECT count(*) n_baskets FROM sets),
+         dir AS (SELECT a antecedent, b consequent, support FROM pair
+                 UNION ALL SELECT b, a, support FROM pair)
+         SELECT antecedent, consequent, support,
+           round(CAST(support AS DOUBLE) / ia.n_item, 6) AS confidence,
+           round(CAST(support AS DOUBLE) * (SELECT n_baskets FROM tot)
+             / (ia.n_item * ic.n_item), 6) AS lift
+         FROM dir
+         JOIN isup ia ON ia.item = dir.antecedent
+         JOIN isup ic ON ic.item = dir.consequent""",
+    "events_attribution" ->
+      s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts,
+             event_type, value FROM events),
+         p AS (SELECT event_id pid, user_id, ts pts, value FROM e
+               WHERE event_type = 'purchase'),
+         t AS (SELECT user_id, ts, event_id, event_type FROM e
+               WHERE event_type IN ('view', 'click')),
+         j AS (SELECT p.pid, p.value, t.event_type,
+                row_number() OVER (PARTITION BY p.pid
+                  ORDER BY t.ts DESC, t.event_id DESC) rn
+               FROM p LEFT JOIN t ON t.user_id = p.user_id
+                 AND t.ts < p.pts AND t.ts >= p.pts - INTERVAL 7 DAY),
+         last AS (SELECT pid, value, event_type FROM j WHERE rn = 1)
+         SELECT coalesce(event_type, 'none') AS last_touch_type,
+           count(*) AS n_purchases,
+           ${Tables.dsumSql("value")} AS attributed_value
+         FROM last GROUP BY 1""",
     "events_incremental_agg" ->
       s"""SELECT user_id, count(*) AS n_events,
             ${Tables.dsumSql("value")} AS v_sum
@@ -604,6 +692,30 @@ object Pipelines {
                 UNION ALL
                 SELECT 'ALL' AS g, count(DISTINCT user_id) AS n_exact FROM ud)
          SELECT g AS day, n_exact, n_regs, est FROM est JOIN ex USING (g)""",
+    "events_quantile_sketch" ->
+      """WITH e AS (SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE),
+              '%Y-%m-%d') AS g, value FROM events),
+         regs AS (SELECT g, CAST(floor(value / 4.0) AS BIGINT) bin, count(*) cnt
+                  FROM e GROUP BY 1, 2),
+         m AS (SELECT g, bin, cnt FROM regs
+               UNION ALL
+               SELECT 'ALL' AS g, bin, CAST(SUM(cnt) AS BIGINT) cnt
+               FROM regs GROUP BY bin),
+         b AS (SELECT g, bin, cnt,
+                CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY bin
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) cum,
+                CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) n FROM m),
+         q50 AS (SELECT g, n, round(bin * 4.0 + 4.0 *
+                  (ceil(0.5 * n) - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE), 6) p50
+                 FROM b WHERE cum >= ceil(0.5 * n) AND cum - cnt < ceil(0.5 * n)),
+         q90 AS (SELECT g, round(bin * 4.0 + 4.0 *
+                  (ceil(0.9 * n) - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE), 6) p90
+                 FROM b WHERE cum >= ceil(0.9 * n) AND cum - cnt < ceil(0.9 * n)),
+         q99 AS (SELECT g, round(bin * 4.0 + 4.0 *
+                  (ceil(0.99 * n) - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE), 6) p99
+                 FROM b WHERE cum >= ceil(0.99 * n) AND cum - cnt < ceil(0.99 * n))
+         SELECT q50.g AS day, q50.n, q50.p50, q90.p90, q99.p99
+         FROM q50 JOIN q90 ON q50.g = q90.g JOIN q99 ON q50.g = q99.g""",
     "events_peak_concurrency" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts FROM events),
          x AS (SELECT user_id, event_id, ts,

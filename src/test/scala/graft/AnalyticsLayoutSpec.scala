@@ -112,6 +112,51 @@ class AnalyticsLayoutSpec extends SparkSuite {
     assert(got === Set((10L, 20L, 3L)))
   }
 
+  test("associationRules: confidence is directional, lift is symmetric and exact") {
+    // 4 kept baskets: {10,20}×3, {10,30}. support(10,20)=3, n(10)=4, n(20)=3
+    val baskets = Seq(
+      (1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (4L, 10L), (4L, 30L)
+    ).toDF("basket", "item")
+    val got = graft.operators.Affinity
+      .associationRules(baskets, minSupport = 2, maxBasketSize = 3)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // 10→20: conf 3/4, lift 4·3/(4·3) = 1.0; 20→10: conf 3/3 = 1
+    assert(got((10L, 20L)) === ((3L, 0.75, 1.0)))
+    assert(got((20L, 10L)) === ((3L, 1.0, 1.0)))
+    assert(!got.contains((10L, 30L))) // support 1 < minSupport
+  }
+
+  test("kCore: a K4 survives 3-core peeling, its pendant tail does not") {
+    // K4 on 1..4 + path 4–5–6: peeling removes 6 then 5; K4 stays, deg 3
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)
+    ).toDF("a", "b")
+    val got = graft.operators.GraphOps.kCore(edges, k = 3, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=2: the path tail still dies (endpoints have degree 1)
+    val two = graft.operators.GraphOps.kCore(edges, k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(two.keySet === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("bfsDistances: exact hop counts on a path, hop bound truncates, min over sources") {
+    // path 0–1–2–3–4–5, sources {0, 5}: dist = min(hops to 0, hops to 5)
+    val edges = (0L to 4L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = graft.operators.GraphOps
+      .bfsDistances(edges, col("id").isin(0L, 5L), maxHops = 4)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 2, 4L -> 1, 5L -> 0))
+    // hop bound 1: only sources and their direct neighbors appear
+    val capped = graft.operators.GraphOps
+      .bfsDistances(edges, col("id").isin(0L), maxHops = 1)
+      .as[(Long, Int)].collect().toMap
+    assert(capped === Map(0L -> 0, 1L -> 1))
+  }
+
   test("profile: null/distinct counts and portable min/max rendering") {
     val df = Seq(
       (Some(1L), Some(1.5), "b"), (Some(2L), None, "a"), (None, Some(2.0), "a")

@@ -665,4 +665,18 @@ class DedupTextSpec extends SparkSuite {
       .as[(Long, String, Long, Long)].collect().sortBy(_._1)
     assert(capped(0)._2 === "0 1 0 1" && capped(0)._4 === 2L)
   }
+
+  test("tokenEntropy: 0 bits for a constant stream, log2(n) for all-distinct, exact mid case") {
+    val d = Seq(
+      (1L, "a a a a"),          // H = 0
+      (2L, "a b c d"),          // uniform over 4 → H = 2 bits
+      (3L, "a a b b b c c c")   // H = -(2/8)lg(2/8) - 2·(3/8)lg(3/8)
+    ).toDF("doc_id", "text")
+    val got = TextOps.tokenEntropy(d)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 4L, 1L, 0.0)))
+    assert(got(2L) === ((2L, 4L, 4L, 2.0)))
+    val h3 = 0.25 * 2.0 + 2 * 0.375 * (math.log(8.0 / 3.0) / math.log(2.0))
+    assert(math.abs(got(3L)._4 - h3) < 1e-6, s"got ${got(3L)._4}, want $h3")
+  }
 }

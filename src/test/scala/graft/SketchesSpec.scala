@@ -50,4 +50,28 @@ class SketchesSpec extends SparkSuite {
     // m·ln(m/V) with V = 61 zero registers ⇒ ~3.05; far from alpha·m²/Z
     assert(est > 2.0 && est < 4.5, s"est $est")
   }
+
+  test("hist sketch: quantiles of a uniform 0..999 stream land on the exact ranks") {
+    val vals = spark.range(1000).toDF("id").select(col("id").cast("double").as("v"))
+    val q = Sketches.histQuantiles(
+        Sketches.histRegisters(vals, lit("g"), col("v"), width = 10.0), width = 10.0)
+      .collect().head
+    // each width-10 bin holds ranks [10b+1, 10b+10]; interpolation is exact
+    // for uniform data: p50 → rank 500 ⇒ value 500.0 (bin 49 end)
+    assert(q.getAs[Long]("n") === 1000L)
+    assert(math.abs(q.getAs[Double]("p50") - 500.0) <= 10.0, s"p50 ${q.getAs[Double]("p50")}")
+    assert(math.abs(q.getAs[Double]("p90") - 900.0) <= 10.0, s"p90 ${q.getAs[Double]("p90")}")
+    assert(math.abs(q.getAs[Double]("p99") - 990.0) <= 10.0, s"p99 ${q.getAs[Double]("p99")}")
+  }
+
+  test("hist sketch merge law: per-group bins fold to the bins of the union") {
+    val vals = spark.range(1000).toDF("id")
+      .select((col("id") % 2).cast("string").as("par"), col("id").cast("double").as("v"))
+    val parts = Sketches.histRegisters(vals, col("par"), col("v"), width = 7.0)
+    val merged = Sketches.histMerge(parts, "ALL")
+      .select("g", "bin", "cnt").as[(String, Long, Long)].collect().toSet
+    val direct = Sketches.histRegisters(vals, lit("ALL"), col("v"), width = 7.0)
+      .select("g", "bin", "cnt").as[(String, Long, Long)].collect().toSet
+    assert(merged === direct)
+  }
 }
