@@ -195,4 +195,55 @@ object EventAnalytics {
       .select(col("user_id"), col("event_type").as("state"),
         col("ts").as("valid_from"), col("valid_to"))
   }
+
+  /** RFM SEGMENTATION — the marketing-analytics staple: each user scored
+    * 1..4 on Recency (days since last event, lower better), Frequency
+    * (event count) and Monetary (exact decimal value sum), the scores
+    * being exact population quartiles; `segment` = R·100 + F·10 + M.
+    *
+    * Scale shape: the per-user frame is ONE exchange over events; each
+    * quartile boundary set comes from the equi-depth census pattern
+    * (value → count → cumulative walk over DISTINCT values, never a
+    * per-user ntile whose global sort ranks every user): the census
+    * frame is |distinct values|-sized, the three boundary rows broadcast
+    * back, and scoring is a pure projection. Ties share a bucket by
+    * construction (score = 1 + #boundaries strictly below the value) —
+    * deterministic where ntile's tie-splitting is partition-order luck.
+    * Output: (user_id, recency_days, frequency, monetary, r_score,
+    * f_score, m_score, segment). */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val anchor = events.agg(max(col("ts")).as("anchor"))
+    val per = events.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("frequency"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("monetary"))
+      .crossJoin(broadcast(anchor)) // 1-row scalar, documented pattern
+      .select(col("user_id"),
+        datediff(col("anchor").cast(DateType), col("last_ts").cast(DateType))
+          .as("recency_days"),
+        col("frequency"), col("monetary"))
+    // quartile boundaries for one metric: census → cum walk → 3 mins
+    def bounds(metric: String): DataFrame = {
+      val vc = per.groupBy(col(metric).as("x")).agg(count(lit(1)).as("c"))
+      val cum = vc.withColumn("cum",
+        sum(col("c")).over(Window.orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val cuts = (1 to 3).map(i =>
+        min(when(col("cum") * 4 >= col("n") * i, col("x"))).as(s"${metric}_b$i"))
+      cum.crossJoin(broadcast(vc.agg(sum(col("c")).as("n"))))
+        .agg(cuts.head, cuts.tail: _*)
+    }
+    def bucket(metric: String) = lit(1) + (1 to 3).map(i =>
+      (col(metric) > col(s"${metric}_b$i")).cast(IntegerType)).reduce(_ + _)
+    per
+      .crossJoin(broadcast(bounds("recency_days")))
+      .crossJoin(broadcast(bounds("frequency")))
+      .crossJoin(broadcast(bounds("monetary")))
+      .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
+        (lit(5) - bucket("recency_days")).as("r_score"),
+        bucket("frequency").as("f_score"),
+        bucket("monetary").as("m_score"))
+      .withColumn("segment",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+  }
 }

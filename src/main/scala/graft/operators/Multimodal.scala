@@ -25,6 +25,8 @@ object Multimodal {
   case class ImageDims(doc_id: Long, width: Long, height: Long,
                        mean_r: Long, mean_g: Long, mean_b: Long)
 
+  case class ImageHash(doc_id: Long, ahash: String)
+
   /** STUB media codec — deterministic stand-in for decoding payload types
     * the JDK has no codec for (audio/video/webp...). Real deployment:
     * replace `decode` with an actual codec; the partition-wise batch loop
@@ -59,6 +61,27 @@ object Multimodal {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       require(img != null, "undecodable image payload")
       img
+    }
+
+    /** Deterministic two-tone grayscale PNG: the left `k` of 8 columns at
+      * `bright`, the rest at `dark` — the non-degenerate test pattern for
+      * perceptual hashing (a solid image aHashes to all-ties). */
+    def encodeTwoTonePng(k: Int, bright: Int, dark: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val v = if (x < k) bright else dark
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
     }
 
     /** Deterministic solid-RGB PNG (the synthetic payload generator —
@@ -157,6 +180,57 @@ object Multimodal {
         MediaFeature(id, payload.length.toLong, digest, w, h)
       }
     }
+  }
+
+  /** Average-hash (aHash) over DECODED pixels: 8×8 grayscale, one bit per
+    * pixel (gray > integer image mean), rendered as 16 hex chars — the
+    * perceptual-dedup primitive (identical hash ⇒ perceptually identical
+    * under the 64-bit summary; Hamming-near hashes ⇒ near-dups). All
+    * arithmetic is integer (gray = (r+g+b)/3 floor, mean = Σgray/64
+    * floor), so the hash is bit-reproducible.
+    *
+    * The synthetic payload is a two-tone PNG whose bright-column count
+    * derives from the row (1 + doc_id % 7) — real decode, oracle-
+    * predictable hash. Encode+decode+hash run in one `mapPartitions`
+    * pass; on a lake the generator disappears and the decoder's 8×8
+    * downscale replaces the fixed-size pattern. */
+  def imageAHash(spark: SparkSession, docs: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        (pmod(col("doc_id"), lit(7)) + 1).cast(IntegerType).as("k"))
+      .as[(Long, Int)]
+      .mapPartitions { batch =>
+        batch.map { case (id, k) =>
+          val img = ImageIoCodec.decode(ImageIoCodec.encodeTwoTonePng(k, 200, 40))
+          val gray = Array.ofDim[Int](64)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val p = img.getRGB(x, y)
+              gray(y * 8 + x) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+              x += 1
+            }
+            y += 1
+          }
+          val mean = gray.sum / 64
+          val bytes = (0 until 8).map { row =>
+            (0 until 8).foldLeft(0) { (acc, x) =>
+              if (gray(row * 8 + x) > mean) acc | (1 << (7 - x)) else acc
+            }
+          }
+          ImageHash(id, bytes.map(b => f"$b%02x").mkString)
+        }
+      }
+  }
+
+  /** Perceptual image dedup: aHash clusters with min-id cluster
+    * representative — the image-side [[Dedup.exact]] keep-list. Output:
+    * (doc_id, ahash, cluster_id). */
+  def imageDedup(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val h = imageAHash(spark, docs).toDF()
+    val reps = h.groupBy(col("ahash")).agg(min(col("doc_id")).as("cluster_id"))
+    h.join(reps, "ahash").select(col("doc_id"), col("ahash"), col("cluster_id"))
   }
 
   /** REAL image decode end-to-end: per document a synthetic solid-color

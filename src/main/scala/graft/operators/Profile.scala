@@ -46,6 +46,43 @@ object Profile {
     }.reduce(_ unionAll _)
   }
 
+  /** Order-independent whole-table fingerprint — the migration-validation
+    * primitive ("did the new engine load the same 100 TB the old one
+    * had"): per row, the low 60 bits of md5 over a canonical `|`-joined
+    * string rendering of the key columns; the table checksum is the exact
+    * SUM of those row hashes (plus the row count), which no row order,
+    * partitioning or partial-aggregation schedule can change. The sum
+    * accumulates in DECIMAL(38,0) — 10^18-scale summands overflow an
+    * int64 within ~10 rows' headroom at warehouse row counts, and ANSI
+    * Spark would (correctly) refuse; 38 digits give 10^19 rows of margin.
+    * Doubles enter via the [[profile]] DECIMAL(18,2) rendering so both
+    * engines hash identical bytes. Output: (table_name, n_rows, checksum
+    * STRING — decimal digits, engine-portable). */
+  def tableChecksum(df: DataFrame, cols: Seq[String], label: String): DataFrame = {
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val rendered = cols.map(n => render(col(n), byName(n)))
+    df.select(conv(substring(md5(concat_ws("|", rendered: _*)), 1, 15), 16, 10)
+        .cast(DecimalType(38, 0)).as("h"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).cast(StringType).as("checksum"))
+      .select(lit(label).as("table_name"), col("n_rows"), col("checksum"))
+  }
+
+  /** The DuckDB mirror of [[tableChecksum]] (oracle builder). */
+  def tableChecksumSql(table: String, cols: Seq[String],
+                       dts: Map[String, DataType]): String = {
+    val rendered = cols.map { n =>
+      dts(n) match {
+        case DoubleType | FloatType => s"CAST(CAST($n AS DECIMAL(18,2)) AS VARCHAR)"
+        case _: TimestampType       => s"strftime($n, '%Y-%m-%d %H:%M:%S')"
+        case _                      => s"CAST($n AS VARCHAR)"
+      }
+    }.mkString(", ")
+    s"""SELECT '$table' AS table_name, count(*) AS n_rows,
+        CAST(CAST(SUM(CAST(('0x' || substr(md5(concat_ws('|', $rendered)), 1, 15))
+          AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+        FROM $table"""
+  }
+
   /** The DuckDB rendering of one [[profile]] branch (oracle builder). */
   def profileSql(table: String, column: String, dt: DataType): String = {
     def r(e: String) = dt match {

@@ -168,6 +168,13 @@ object Pipelines {
     "multimodal_image_dims" -> ((s, dir) =>
       Multimodal.imageDims(s, t(s, dir, "documents")).toDF()),
 
+    // multimodal: perceptual image dedup — aHash (8×8 gray, bit = pixel >
+    // integer mean) over REAL decoded PNG bytes, identical-hash clusters
+    // keyed by their min doc_id; integer-only hash arithmetic keeps the
+    // 64-bit summary oracle-predictable from the two-tone test pattern
+    "multimodal_phash_dedup" -> ((s, dir) =>
+      Multimodal.imageDedup(s, t(s, dir, "documents"))),
+
     // multimodal: video-style frame sampling (128-char frames, every 2nd),
     // fully relational — sequence/explode + substr + md5 inside codegen
     "multimodal_frame_sample" -> ((s, dir) =>
@@ -304,6 +311,13 @@ object Pipelines {
       est.join(exact, Seq("g"))
         .select(col("g").as("day"), col("n_exact"), col("n_regs"), col("est"))
     }),
+
+    // RFM segmentation: exact population quartile scores on recency /
+    // frequency / monetary via the equi-depth census pattern (distinct-
+    // value cum walk + broadcast boundaries — never a global per-user
+    // ntile sort); ties share a bucket deterministically
+    "events_rfm_segments" -> ((s, dir) =>
+      EventAnalytics.rfmSegments(t(s, dir, "events"))),
 
     // mergeable quantile sketches: per-day fixed-width histogram bin
     // tables estimate daily p50/p90/p99 of event value, and the SAME bins
@@ -517,6 +531,12 @@ object Pipelines {
            CAST((doc_id * 11) % 256 AS BIGINT) AS mean_g,
            CAST((doc_id * 13) % 256 AS BIGINT) AS mean_b
          FROM documents""",
+    "multimodal_phash_dedup" ->
+      """WITH h AS (SELECT doc_id,
+             repeat(printf('%02x', 256 - (1 << (8 - (1 + doc_id % 7)))), 8) ahash
+           FROM documents),
+         c AS (SELECT ahash, min(doc_id) cluster_id FROM h GROUP BY 1)
+         SELECT doc_id, h.ahash, cluster_id FROM h JOIN c USING (ahash)""",
     "multimodal_frame_sample" ->
       """WITH f AS (SELECT doc_id, text,
              CAST(ceil(length(text)/128.0) AS INT) n_frames
@@ -692,6 +712,46 @@ object Pipelines {
                 UNION ALL
                 SELECT 'ALL' AS g, count(DISTINCT user_id) AS n_exact FROM ud)
          SELECT g AS day, n_exact, n_regs, est FROM est JOIN ex USING (g)""",
+    "events_rfm_segments" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events),
+         a AS (SELECT max(ts) anchor FROM e),
+         per AS (SELECT user_id,
+                  CAST(date_diff('day', CAST(max(ts) AS DATE),
+                    CAST((SELECT anchor FROM a) AS DATE)) AS INT) recency_days,
+                  count(*) frequency,
+                  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) monetary
+                 FROM e GROUP BY 1),
+         nn AS (SELECT count(*) n FROM per),
+         rc AS (SELECT x, CAST(SUM(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+                FROM (SELECT recency_days x, count(*) c FROM per GROUP BY 1)),
+         rb AS (SELECT min(CASE WHEN cum*4 >= (SELECT n FROM nn)*1 THEN x END) b1,
+                       min(CASE WHEN cum*4 >= (SELECT n FROM nn)*2 THEN x END) b2,
+                       min(CASE WHEN cum*4 >= (SELECT n FROM nn)*3 THEN x END) b3 FROM rc),
+         fc AS (SELECT x, CAST(SUM(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+                FROM (SELECT frequency x, count(*) c FROM per GROUP BY 1)),
+         fb AS (SELECT min(CASE WHEN cum*4 >= (SELECT n FROM nn)*1 THEN x END) b1,
+                       min(CASE WHEN cum*4 >= (SELECT n FROM nn)*2 THEN x END) b2,
+                       min(CASE WHEN cum*4 >= (SELECT n FROM nn)*3 THEN x END) b3 FROM fc),
+         mc AS (SELECT x, CAST(SUM(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+                FROM (SELECT monetary x, count(*) c FROM per GROUP BY 1)),
+         mb AS (SELECT min(CASE WHEN cum*4 >= (SELECT n FROM nn)*1 THEN x END) b1,
+                       min(CASE WHEN cum*4 >= (SELECT n FROM nn)*2 THEN x END) b2,
+                       min(CASE WHEN cum*4 >= (SELECT n FROM nn)*3 THEN x END) b3 FROM mc),
+         sc AS (SELECT user_id, recency_days, frequency, monetary,
+                 5 - (1 + CAST(recency_days > rb.b1 AS INT)
+                        + CAST(recency_days > rb.b2 AS INT)
+                        + CAST(recency_days > rb.b3 AS INT)) AS r_score,
+                 1 + CAST(frequency > fb.b1 AS INT)
+                   + CAST(frequency > fb.b2 AS INT)
+                   + CAST(frequency > fb.b3 AS INT) AS f_score,
+                 1 + CAST(monetary > mb.b1 AS INT)
+                   + CAST(monetary > mb.b2 AS INT)
+                   + CAST(monetary > mb.b3 AS INT) AS m_score
+                FROM per, rb, fb, mb)
+         SELECT user_id, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS segment
+         FROM sc""",
     "events_quantile_sketch" ->
       """WITH e AS (SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE),
               '%Y-%m-%d') AS g, value FROM events),

@@ -35,6 +35,17 @@ object Relational {
     "table_profile" -> ((s, dir) =>
       graft.operators.Profile.profile(t(s, dir, "lineitem"), profileCols.map(_._1))),
 
+    // order-independent table fingerprints (migration validation: "did the
+    // new engine load the same bytes") — exact decimal SUM of per-row
+    // 60-bit md5 hashes over a canonical column rendering; no row order,
+    // partitioning or agg schedule can move it
+    "table_checksum" -> ((s, dir) =>
+      graft.operators.Profile.tableChecksum(
+          t(s, dir, "lineitem"), profileCols.map(_._1), "lineitem")
+        .unionAll(graft.operators.Profile.tableChecksum(
+          t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"), "orders"))),
+
     // declarative CONSTRAINT report (the Deequ-style quality gate a
     // nightly load publishes before downstream jobs trust the data):
     // uniqueness, referential integrity, range and null-rate checks, one
@@ -481,6 +492,13 @@ object Relational {
     "table_profile" -> profileCols.map { case (n, d) =>
       graft.operators.Profile.profileSql("lineitem", n, d)
     }.mkString(" UNION ALL "),
+    "table_checksum" ->
+      (graft.operators.Profile.tableChecksumSql(
+        "lineitem", profileCols.map(_._1), profileCols.toMap) + " UNION ALL " +
+        graft.operators.Profile.tableChecksumSql(
+          "orders", Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+          Map("o_orderkey" -> LongType, "o_custkey" -> LongType,
+            "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType))),
     "quality_constraint_report" ->
       """SELECT 'lineitem.quantity_in_1_50' AS check_name, COUNT(*) AS n_checked,
            CAST(COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS BIGINT)

@@ -170,6 +170,37 @@ class AnalyticsLayoutSpec extends SparkSuite {
     assert(got("s") === (3L, 0L, 2L, "a", "b"))
   }
 
+  test("tableChecksum: invariant to row order and partitioning, sensitive to one cell") {
+    val base = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)).toDF("k", "s", "v")
+    val cols = Seq("k", "s", "v")
+    def sum(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Profile.tableChecksum(df, cols, "t")
+        .as[(String, Long, String)].head()
+    val a = sum(base)
+    assert(a._2 === 3L)
+    assert(a === sum(base.orderBy(col("v").desc).repartition(7)))
+    val mutated = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.51)).toDF("k", "s", "v")
+    assert(sum(mutated)._3 !== a._3) // 3.51 renders "3.51" ≠ "3.50"
+  }
+
+  test("rfmSegments: exact quartile scores, recency inverted, ties share a bucket") {
+    // 4 users with strictly increasing frequency/monetary and decreasing
+    // recency — every score axis should spread 1..4 and agree
+    val rows = for {
+      u <- 1 to 4
+      i <- 1 to u // user u has u events
+    } yield (u.toLong, ts(s"2024-01-0$u 0$i:00:00"), 10.0 * u)
+    val ev = rows.toDF("user_id", "ts", "value")
+      .withColumn("event_id", monotonically_increasing_id())
+    val got = graft.operators.EventAnalytics.rfmSegments(ev)
+      .select("user_id", "r_score", "f_score", "m_score", "segment")
+      .as[(Long, Int, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
+    // user 4: most recent (recency 0 → r=4), most frequent, top spend
+    assert(got(4L) === ((4L, 4, 4, 4, 444)))
+    assert(got(1L) === ((1L, 1, 1, 1, 111)))
+    assert(got(2L)._2 === 2 && got(3L)._3 === 3)
+  }
+
   test("pageRank: symmetric nodes tie, hubs dominate, mass is conserved") {
     // path graph a–b–c: b is the hub; a and c are interchangeable
     val edges = Seq(("a", "b"), ("b", "c")).toDF("a", "b")

@@ -209,6 +209,23 @@ class PipelineSpec extends SparkSuite {
     assert(dims(130L) === Multimodal.ImageDims(130L, 3L, 5L, 142L, 150L, 154L))
   }
 
+  test("multimodal aHash: bright-column bits set, solid image ties to zero, clusters by k") {
+    import Multimodal.ImageIoCodec
+    import spark.implicits._
+    // two-tone k=4: mean = 120, bright half > mean → per-row byte 0xf0
+    val docs = Seq((3L, "x"), (10L, "y"), (4L, "z")).toDF("doc_id", "text")
+    // doc 3 and 10 share k = 1 + id%7 = 4; doc 4 has k = 5
+    val got = Multimodal.imageDedup(spark, docs).as[(Long, String, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(3L) === (("f0" * 8, 3L)))
+    assert(got(10L) === (("f0" * 8, 3L))) // same hash → clustered under min id
+    assert(got(4L) === (("f8" * 8, 4L)))
+    // a solid image has every gray == mean: no bit exceeds it → hash 0
+    val solid = ImageIoCodec.decode(ImageIoCodec.encodePng(8, 8, 99, 99, 99))
+    assert((0 until 8).forall(y => (0 until 8).forall(x =>
+      ((solid.getRGB(x, y) >> 16) & 0xff) == 99)))
+  }
+
   test("multimodal resize: stride-4 nearest-neighbor sample, exact fingerprint") {
     import spark.implicits._
     val docs = Seq((3L, "abcdefghij")).toDF("doc_id", "text") // samples a,e,i
