@@ -196,6 +196,36 @@ object EventAnalytics {
         col("ts").as("valid_from"), col("valid_to"))
   }
 
+  /** LAST-TOUCH ATTRIBUTION: each conversion event credited to the user's
+    * latest preceding touch (of `touchTypes`) within a `lookbackDays`
+    * window — 'none' when no touch qualifies. Per conversion: (pid, value,
+    * last_touch_type).
+    *
+    * Scale shape: the per-conversion argmax is a `max(struct)` aggregate
+    * over the user-keyed interval join (conversions × touches meet on the
+    * user equi-key; per-user touch density bounds the fan-out), never a
+    * per-key window sort over all events; the struct max ignores the
+    * left-join's null rows, so unattributed conversions surface as one
+    * null → 'none' row each. */
+  def lastTouchAttribution(events: DataFrame, touchTypes: Seq[String],
+                           conversionType: String, lookbackDays: Int): DataFrame = {
+    val purch = events.where(col("event_type") === conversionType)
+      .select(col("event_id").as("pid"), col("user_id").as("p_uid"),
+        col("ts").as("pts"), col("value"))
+    val touch = events.where(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id").as("t_uid"), col("ts").as("t_ts"),
+        col("event_id").as("t_eid"), col("event_type").as("t_type"))
+    purch.join(touch,
+        col("p_uid") === col("t_uid") &&
+          col("t_ts") < col("pts") &&
+          col("t_ts") >= col("pts") - expr(s"INTERVAL $lookbackDays DAYS"), "left")
+      .groupBy(col("pid"), col("value"))
+      .agg(max(when(col("t_ts").isNotNull,
+        struct(col("t_ts"), col("t_eid"), col("t_type")))).as("lt"))
+      .select(col("pid"), col("value"),
+        coalesce(col("lt.t_type"), lit("none")).as("last_touch_type"))
+  }
+
   /** RFM SEGMENTATION — the marketing-analytics staple: each user scored
     * 1..4 on Recency (days since last event, lower better), Frequency
     * (event count) and Monetary (exact decimal value sum), the scores

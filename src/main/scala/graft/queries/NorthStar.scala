@@ -525,6 +525,27 @@ object NorthStar {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"))
     }),
 
+    // per-source QUALITY CALIBRATION: each doc's score mapped to its
+    // source-local empirical-CDF position (fraction of the source strictly
+    // below it) so thresholds compare ACROSS sources whose raw score
+    // distributions differ — same sort-free histogram + cum-dist shape as
+    // the quality floor (never a per-source percent_rank sort over docs);
+    // ties share a calibrated value by construction
+    "corpus_quality_calibrate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = TextOps.tokens(col("text"))
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        round(size(array_distinct(toks)).cast("double") / size(toks), 6).as("score"))
+      val hist = scored.groupBy(col("source"), col("score"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("source")).orderBy(col("score"))))
+      val ns = scored.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      scored.join(hist, Seq("source", "score")).join(ns, Seq("source"))
+        .select(col("doc_id"), col("source"), col("score"),
+          round((col("cum") - col("c")).cast("double") / col("n_docs"), 6).as("pct"))
+    }),
+
     // TERM PROXIMITY: the phrase-nearness signal BM25 is blind to — for
     // docs containing BOTH query terms, the minimum token distance between
     // their occurrences (positions self-join per doc, bounded by
@@ -1960,6 +1981,20 @@ object NorthStar {
                   WHERE score >= threshold GROUP BY 1)
          SELECT source, n_docs, threshold, coalesce(n_kept, 0) AS n_kept
          FROM ns JOIN thr USING (source) LEFT JOIN kept USING (source)""",
+    "corpus_quality_calibrate" ->
+      """WITH s AS (SELECT doc_id, source,
+             round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) /
+               len(string_split(text,' ')), 6) AS score
+           FROM documents),
+         h AS (SELECT source, score, count(*) c FROM s GROUP BY 1, 2),
+         cum AS (SELECT source, score, c,
+                  CAST(sum(c) OVER (PARTITION BY source ORDER BY score) AS BIGINT) cum
+                 FROM h),
+         ns AS (SELECT source, count(*) n_docs FROM s GROUP BY 1)
+         SELECT doc_id, s.source, s.score,
+           round(CAST(cum - c AS DOUBLE) / n_docs, 6) AS pct
+         FROM s JOIN cum ON s.source = cum.source AND s.score = cum.score
+         JOIN ns ON ns.source = s.source""",
     "text_term_proximity" ->
       """WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
          p AS (SELECT doc_id, CAST(i AS INT) p, w[CAST(i AS INT)+1] tk

@@ -244,27 +244,13 @@ object Pipelines {
     // view/click touch in a 7-day lookback ('none' when no touch) — the
     // per-purchase argmax is a max_by aggregate over the user-keyed
     // interval join, never a per-key window sort over all events
-    "events_attribution" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-      val purch = e.where(col("event_type") === "purchase")
-        .select(col("event_id").as("pid"), col("user_id").as("p_uid"),
-          col("ts").as("pts"), col("value"))
-      val touch = e.where(col("event_type").isin("view", "click"))
-        .select(col("user_id").as("t_uid"), col("ts").as("t_ts"),
-          col("event_id").as("t_eid"), col("event_type").as("t_type"))
-      purch.join(touch,
-          col("p_uid") === col("t_uid") &&
-            col("t_ts") < col("pts") &&
-            col("t_ts") >= col("pts") - expr("INTERVAL 7 DAYS"), "left")
-        .groupBy(col("pid"), col("value"))
-        .agg(max(when(col("t_ts").isNotNull,
-          struct(col("t_ts"), col("t_eid"), col("t_type")))).as("lt"))
-        .select(coalesce(col("lt.t_type"), lit("none")).as("last_touch_type"),
-          col("value"))
+    "events_attribution" -> ((s, dir) =>
+      EventAnalytics.lastTouchAttribution(t(s, dir, "events"),
+          touchTypes = Seq("view", "click"), conversionType = "purchase",
+          lookbackDays = 7)
         .groupBy(col("last_touch_type"))
         .agg(count(lit(1)).as("n_purchases"),
-          Tables.dsum(col("value")).as("attributed_value"))
-    }),
+          Tables.dsum(col("value")).as("attributed_value"))),
 
     // SCD-type-2 history: the changelog as validity intervals (row opens on
     // state CHANGE, closes when the next distinct state opens) — the

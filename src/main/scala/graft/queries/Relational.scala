@@ -127,6 +127,40 @@ object Relational {
           max(col("x")).cast(DoubleType).as("hi"))
     }),
 
+    // incremental JOIN-VIEW maintenance (the delta algebra Δ(O⋈L) =
+    // ΔO⋈L_old ∪ O_old⋈ΔL ∪ ΔO⋈ΔL): the standing per-customer revenue
+    // view is refreshed from the three delta joins merged into the old
+    // aggregate — at 100 TB the full O⋈L is never recomputed; each delta
+    // term joins a (small) changed slice against the other side, and the
+    // final merge is aggregate-sized. Counts add; revenue adds exactly in
+    // decimal. The oracle's one-shot join+agg over everything proves the
+    // tiling law (the four O×L quadrants partition the join exactly)
+    "q_ivm_join_view" -> ((s, dir) => {
+      val cutO = lit("1996-01-01").cast(TimestampType)
+      val cutL = lit("1996-06-01").cast(TimestampType)
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"),
+        col("l_extendedprice"))
+      def part(os: org.apache.spark.sql.DataFrame,
+               ls: org.apache.spark.sql.DataFrame) =
+        os.join(ls, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 4))).as("v"))
+      val (oOld, oNew) = (o.where(col("o_orderdate") < cutO),
+        o.where(col("o_orderdate") >= cutO))
+      val (lOld, lNew) = (l.where(col("l_shipdate") < cutL),
+        l.where(col("l_shipdate") >= cutL))
+      part(oOld, lOld) // the standing view
+        .unionAll(part(oNew, lOld)) // ΔO ⋈ L_old
+        .unionAll(part(oOld, lNew)) // O_old ⋈ ΔL
+        .unionAll(part(oNew, lNew)) // ΔO ⋈ ΔL
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("n")).as("n_items"),
+          sum(col("v")).cast(DoubleType).as("revenue"))
+    }),
+
     // TPC-H Q1 shape: scan-heavy agg; partial agg map-side, 6k→4 groups.
     "q1_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -492,6 +526,11 @@ object Relational {
     "table_profile" -> profileCols.map { case (n, d) =>
       graft.operators.Profile.profileSql("lineitem", n, d)
     }.mkString(" UNION ALL "),
+    "q_ivm_join_view" ->
+      s"""SELECT o_custkey, count(*) AS n_items,
+          ${dsumSql("l_extendedprice")} AS revenue
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY 1""",
     "table_checksum" ->
       (graft.operators.Profile.tableChecksumSql(
         "lineitem", profileCols.map(_._1), profileCols.toMap) + " UNION ALL " +

@@ -170,6 +170,20 @@ class AnalyticsLayoutSpec extends SparkSuite {
     assert(got("s") === (3L, 0L, 2L, "a", "b"))
   }
 
+  test("lastTouchAttribution: latest in-window touch wins, outside-window → none") {
+    val e = Seq(
+      (1L, 10L, ts("2024-01-10 12:00:00"), "view", 0.0),
+      (2L, 10L, ts("2024-01-10 13:00:00"), "click", 0.0),   // last touch
+      (3L, 10L, ts("2024-01-10 14:00:00"), "purchase", 50.0),
+      (4L, 20L, ts("2024-01-01 00:00:00"), "view", 0.0),    // 9 days before
+      (5L, 20L, ts("2024-01-10 00:00:00"), "purchase", 30.0) // → none
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = graft.operators.EventAnalytics
+      .lastTouchAttribution(e, Seq("view", "click"), "purchase", 7)
+      .select("pid", "last_touch_type").as[(Long, String)].collect().toMap
+    assert(got === Map(3L -> "click", 5L -> "none"))
+  }
+
   test("tableChecksum: invariant to row order and partitioning, sensitive to one cell") {
     val base = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)).toDF("k", "s", "v")
     val cols = Seq("k", "s", "v")

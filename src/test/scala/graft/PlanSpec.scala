@@ -139,7 +139,11 @@ class PlanSpec extends SparkSuite {
     // (broadcast-scalar max + tiny anti-joins by construction)
     // corpus_temperature_mix broadcasts the 1-row α-mass/doc-count totals
     // text_kn_bigram_lm broadcasts the 1-row bigram-type total (q22 pattern)
+    // basket_association_rules broadcasts the 1-row basket total into the
+    // lift projection; events_rfm_segments the 1-row anchor timestamp and
+    // the three 1-row quartile-boundary frames (q22 pattern throughout)
     val intentional = Set(
+      "basket_association_rules", "events_rfm_segments",
       "text_kn_bigram_lm",
       "text_vocab_growth", "rag_mmr_topk", "corpus_temperature_mix",
       "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_adc_topk",
