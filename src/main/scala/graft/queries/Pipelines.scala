@@ -321,6 +321,13 @@ object Pipelines {
         .select(col("g").as("day"), col("n"), col("p50"), col("p90"), col("p99"))
     }),
 
+    // streaming quantile-sketch maintenance: micro-batches append partial
+    // histogram registers, the standing estimates read the folded store —
+    // batch order can't change any answer, so the declared oracle is the
+    // one-shot batch sketch itself
+    "stream_quantile_sketch" -> ((s, dir) =>
+      EventStream.quantileSketchAll(s, dir, width = 4.0)),
+
     // single most-likely level shift per event-type daily-count series
     // (binary-segmentation changepoint) — the monitoring primitive that
     // answers "when did this metric change" from window algebra alone
@@ -332,6 +339,33 @@ object Pipelines {
     "events_peak_concurrency" -> ((s, dir) =>
       EventAnalytics.peakConcurrency(t(s, dir, "events"), gapMinutes = 30)),
   )
+
+  /** Shared oracle for the batch histogram-quantile sketch and its
+    * streaming maintenance form (they are provably equal). */
+  private val quantileSketchSql =
+    """WITH e AS (SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE),
+            '%Y-%m-%d') AS g, value FROM events),
+       regs AS (SELECT g, CAST(floor(value / 4.0) AS BIGINT) bin, count(*) cnt
+                FROM e GROUP BY 1, 2),
+       m AS (SELECT g, bin, cnt FROM regs
+             UNION ALL
+             SELECT 'ALL' AS g, bin, CAST(SUM(cnt) AS BIGINT) cnt
+             FROM regs GROUP BY bin),
+       b AS (SELECT g, bin, cnt,
+              CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY bin
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) cum,
+              CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) n FROM m),
+       q50 AS (SELECT g, n, round(bin * 4.0 + 4.0 *
+                (ceil(0.5 * n) - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE), 6) p50
+               FROM b WHERE cum >= ceil(0.5 * n) AND cum - cnt < ceil(0.5 * n)),
+       q90 AS (SELECT g, round(bin * 4.0 + 4.0 *
+                (ceil(0.9 * n) - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE), 6) p90
+               FROM b WHERE cum >= ceil(0.9 * n) AND cum - cnt < ceil(0.9 * n)),
+       q99 AS (SELECT g, round(bin * 4.0 + 4.0 *
+                (ceil(0.99 * n) - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE), 6) p99
+               FROM b WHERE cum >= ceil(0.99 * n) AND cum - cnt < ceil(0.99 * n))
+       SELECT q50.g AS day, q50.n, q50.p50, q90.p90, q99.p99
+       FROM q50 JOIN q90 ON q50.g = q90.g JOIN q99 ON q50.g = q99.g"""
 
   val oracle: Map[String, String] = Map(
     "asof_join_events_orders" ->
@@ -738,30 +772,8 @@ object Pipelines {
            r_score, f_score, m_score,
            r_score * 100 + f_score * 10 + m_score AS segment
          FROM sc""",
-    "events_quantile_sketch" ->
-      """WITH e AS (SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE),
-              '%Y-%m-%d') AS g, value FROM events),
-         regs AS (SELECT g, CAST(floor(value / 4.0) AS BIGINT) bin, count(*) cnt
-                  FROM e GROUP BY 1, 2),
-         m AS (SELECT g, bin, cnt FROM regs
-               UNION ALL
-               SELECT 'ALL' AS g, bin, CAST(SUM(cnt) AS BIGINT) cnt
-               FROM regs GROUP BY bin),
-         b AS (SELECT g, bin, cnt,
-                CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY bin
-                  ROWS UNBOUNDED PRECEDING) AS BIGINT) cum,
-                CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) n FROM m),
-         q50 AS (SELECT g, n, round(bin * 4.0 + 4.0 *
-                  (ceil(0.5 * n) - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE), 6) p50
-                 FROM b WHERE cum >= ceil(0.5 * n) AND cum - cnt < ceil(0.5 * n)),
-         q90 AS (SELECT g, round(bin * 4.0 + 4.0 *
-                  (ceil(0.9 * n) - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE), 6) p90
-                 FROM b WHERE cum >= ceil(0.9 * n) AND cum - cnt < ceil(0.9 * n)),
-         q99 AS (SELECT g, round(bin * 4.0 + 4.0 *
-                  (ceil(0.99 * n) - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE), 6) p99
-                 FROM b WHERE cum >= ceil(0.99 * n) AND cum - cnt < ceil(0.99 * n))
-         SELECT q50.g AS day, q50.n, q50.p50, q90.p90, q99.p99
-         FROM q50 JOIN q90 ON q50.g = q90.g JOIN q99 ON q50.g = q99.g""",
+    "events_quantile_sketch" -> quantileSketchSql,
+    "stream_quantile_sketch" -> quantileSketchSql,
     "events_peak_concurrency" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts FROM events),
          x AS (SELECT user_id, event_id, ts,

@@ -382,6 +382,53 @@ object EventStream {
     spark.read.parquet(out).where(col("event_id") >= 0)
   }
 
+  /** Streaming QUANTILE-SKETCH maintenance — the incremental form of the
+    * batch [[graft.operators.Sketches]] histogram sketch: event
+    * micro-batches each contribute their own (day, bin, count) register
+    * rows to an append-only store inside `foreachBatch`, and the standing
+    * per-day + all-time p50/p90/p99 estimates are read from the FOLDED
+    * store (counts add — the mergeability that makes the sketch a
+    * streaming object; `percentile()` partials cannot be maintained this
+    * way). Batch order cannot change any answer, so the result EQUALS the
+    * one-shot batch sketch over the whole table — which is exactly the
+    * declared oracle. Output: (day, n, p50, p90, p99). */
+  def quantileSketchAll(spark: SparkSession, dir: String,
+                        width: Double): DataFrame = {
+    import graft.operators.Dedup.MaterializeSyntax
+    val events = graft.queries.Tables.events(spark, dir)
+    val staging = java.nio.file.Files.createTempDirectory("graft-qsk-stream").toString
+    events.repartition(3).write.mode("overwrite").parquet(s"$staging/in")
+    val schema = spark.read.parquet(s"$staging/in").schema
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema(schema).parquet(s"$staging/in")
+    val store = s"$staging/regs"
+    withStreamPartitions(spark, 8) {
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$staging/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.operators.Sketches.histRegisters(batch,
+              date_format(col("ts").cast("date"), "yyyy-MM-dd"),
+              col("value"), width)
+            .write.mode("append").parquet(store)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // fold the appended partial registers (counts add), then estimate;
+    // materialize before the staging dir holding the store is deleted
+    val regs = spark.read.parquet(store)
+      .groupBy(col("g"), col("bin")).agg(sum(col("cnt")).as("cnt"))
+      .materialized
+    val est = graft.operators.Sketches.histQuantiles(
+        regs.unionByName(graft.operators.Sketches.histMerge(regs, "ALL")), width)
+      .select(col("g").as("day"), col("n"), col("p50"), col("p90"), col("p99"))
+      .materialized
+    deleteStaging(staging)
+    est
+  }
+
   /** Stateful sessionization: groups each user's events into sessions
     * split on > `gapMinutes` inactivity, via flatMapGroupsWithState-style
     * semantics expressed with window functions on the batch table (the

@@ -159,7 +159,8 @@ class PlanSpec extends SparkSuite {
     // streaming queries execute rather than explain statically
     val skip = Set("stream_windowed_agg", "stream_sessionize",
       "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental",
-      "stream_quality_monitor", "stream_static_join", "stream_ann_assign")
+      "stream_quality_monitor", "stream_static_join", "stream_ann_assign",
+      "stream_quantile_sketch")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip.contains).flatMap { name =>
         val p = SparkEntry.queries(name)(spark, sf001)
@@ -183,7 +184,8 @@ class PlanSpec extends SparkSuite {
       "sliding_window_counts")                     // window-per-event expansion
     val skip = Set("stream_windowed_agg", "stream_sessionize",
       "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental",
-      "stream_quality_monitor", "stream_static_join", "stream_ann_assign")
+      "stream_quality_monitor", "stream_static_join", "stream_ann_assign",
+      "stream_quantile_sketch")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip.contains).flatMap { name =>
         val p = SparkEntry.queries(name)(spark, sf001)

@@ -85,7 +85,8 @@ class ScaleSpec extends SparkSuite {
     // streaming drivers need staged streams; everything else must run
     val skip = Set("stream_windowed_agg", "stream_sessionize", "stream_stream_join",
       "stream_dedup_events", "stream_dedup_incremental", "sessionize_events",
-      "stream_quality_monitor", "stream_static_join", "stream_ann_assign")
+      "stream_quality_monitor", "stream_static_join", "stream_ann_assign",
+      "stream_quantile_sketch")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => skip.contains(q._1))
       .flatMap { case (name, fn) =>
