@@ -90,6 +90,43 @@ object CellOps {
       maxVersions, minTs)
   }
 
+  /** HBase point-in-time READ (a Get/Scan with time range `[0, asOfTs]`):
+    * the visible image of a cell store at time T. Puts with `ts <= T` are
+    * candidates; an `op = 'delete'` marker with `ts <= T` shadows every
+    * put at its coordinate with `ts` at or before the marker; the newest
+    * surviving put per coordinate wins. Unlike [[compactWithTombstones]]
+    * this is a read, not a rewrite — markers stay in the store and a later
+    * read at a higher T can surface puts this one hides (the time-travel
+    * primitive the compactions permanently forgo).
+    *
+    * Scale shape: delegates to the compaction pass, so one shuffle on the
+    * cell coordinate; the `ts <= T` filter is a plain pushed predicate on
+    * the scan. */
+  def snapshotAsOf(cells: DataFrame, asOfTs: Long): DataFrame =
+    compactWithTombstones(cells.where(col("ts") <= asOfTs),
+      maxVersions = 1, minTs = Long.MinValue)
+
+  /** The read-path INVERSE of [[explodeIndexed]]: latest-version cells
+    * pivoted back to one wide row per row key, with `colNames(i)` taking
+    * the value of the 4-byte-big-endian qualifier `i` (an HBase
+    * multi-column Get rendered relationally). Version resolution first
+    * ([[compactVersions]] keep-1), then ONE shuffle on the row key builds
+    * a qualifier→value map per row — `map_from_entries` over a frame
+    * bounded by the column count, never a per-row window. Columns absent
+    * from a row (null cells were never written) come back NULL, restoring
+    * the write-side null guard's round-trip. */
+  def reconstituteWide(cells: DataFrame, colNames: Seq[String]): DataFrame = {
+    val latest = compactVersions(cells, maxVersions = 1, minTs = Long.MinValue)
+    latest
+      .select(col("row"),
+        conv(hex(col("qualifier")), 16, 10).cast(IntegerType).as("pos"),
+        col("value").cast(StringType).as("v"))
+      .groupBy(col("row"))
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("v")))).as("m"))
+      .select(col("row") +: colNames.zipWithIndex.map { case (n, i) =>
+        col("m").getItem(i).as(n) }: _*)
+  }
+
   /** Wide row → cells with field-name qualifiers (Avro reference path;
     * BulkImporterFromAvro.java:62-67). Uses `Dataset.unpivot` (Spark 3.4+
     * melt) — the idiomatic declarative form of the mapper loop. */

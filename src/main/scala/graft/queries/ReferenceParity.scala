@@ -77,6 +77,31 @@ object ReferenceParity {
         WHERE rn <= 2"""
   }
 
+  /** Visible image at T=350 of the tombstone store: loads 100..300 are
+    * candidates (400 is future), marked rows fully shadowed, newest wins. */
+  private def cellsSnapshotSql: String = {
+    val unions = Seq(100L, 200L, 300L, 400L)
+      .map(ts => s"SELECT * FROM (${cellsIndexedSql(ts)})").mkString(" UNION ALL ")
+    s"""WITH del AS (SELECT $custKeyHexSql AS k FROM customer WHERE c_custkey % 7 = 0)
+        SELECT "row", "family", "qualifier", "value", "ts" FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY "row", "family", "qualifier"
+            ORDER BY "ts" DESC, "value" ASC) rn
+          FROM ($unions)
+          WHERE "ts" <= 350
+            AND NOT ("row" IN (SELECT k FROM del) AND "ts" <= 350))
+        WHERE rn = 1"""
+  }
+
+  /** Round-trip identity: the reconstituted wide rows must equal the
+    * original customer rendering (newest load wins at every coordinate). */
+  private def cellsReconstituteSql: String =
+    s"""SELECT $custKeyHexSql AS "row", CAST(c_custkey AS VARCHAR) AS c_custkey,
+          c_name, CAST(c_nationkey AS VARCHAR) AS c_nationkey,
+          CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS c_acctbal,
+          c_mktsegment
+        FROM customer"""
+
   private def cellsNamedSql: String = {
     val names = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     val branches = names.zip(custValueSqls).map { case (n, v) =>
@@ -280,6 +305,39 @@ object ReferenceParity {
         maxVersions = 2, minTs = 150L))
     }),
 
+    // HBase point-in-time READ over the same staged store as
+    // cells_compact_tombstones, at T=350: the ts=400 load is still in the
+    // future, the ts=350 markers shadow every older put on the marked
+    // rows (they read as absent), and unmarked rows surface their ts=300
+    // values — time travel the compaction queries permanently forgo
+    "cells_snapshot_asof" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val puts = Seq(100L, 200L, 300L, 400L)
+        .map(ts => CellOps.explodeIndexed(cust, custKey, "c", custValueCols, ts)
+          .withColumn("op", lit("put")))
+        .reduce(_ unionByName _)
+      val markers = CellOps.explodeIndexed(
+          cust.where(pmod(col("c_custkey"), lit(7)) === 0),
+          custKey, "c", custValueCols, 350L)
+        .withColumn("op", lit("delete"))
+      hexBin(CellOps.snapshotAsOf(puts.unionByName(markers), 350L))
+    }),
+
+    // the read-path INVERSE of the cell explode: a stale ts=100 load
+    // (acctbal zeroed) overwritten by the true ts=200 load, reconstituted
+    // back to wide rows — the oracle is the ORIGINAL customer rendering,
+    // so a green row proves write→read is the identity and that version
+    // resolution picked the newest cell at every coordinate
+    "cells_reconstitute_wide" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val staleVals = custValueCols.updated(3,
+        lit(0).cast(DecimalType(18, 2)).cast(StringType))
+      val cells = CellOps.explodeIndexed(cust, custKey, "c", staleVals, 100L)
+        .unionByName(CellOps.explodeIndexed(cust, custKey, "c", custValueCols, 200L))
+      hexBin(CellOps.reconstituteWide(cells,
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")))
+    }),
+
     // multi-dimensional layout: Morton code over (partkey, suppkey) — the
     // data-skipping complement to the single-key region sort; clustering
     // itself (range exchange + local sort + both-dims file pruning) is
@@ -337,6 +395,8 @@ object ReferenceParity {
     "cells_compact_versions" -> cellsCompactSql,
     "cells_compact_tombstones" -> cellsTombstonesSql,
     "cells_keyvalue_wire" -> kvWireSql,
+    "cells_snapshot_asof" -> cellsSnapshotSql,
+    "cells_reconstitute_wide" -> cellsReconstituteSql,
     "layout_zorder" ->
       ("SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
         s"CAST(${Layout.zorder2Sql("l_partkey", "l_suppkey")} AS BIGINT) AS zval " +

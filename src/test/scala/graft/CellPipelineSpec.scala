@@ -80,6 +80,43 @@ class CellPipelineSpec extends SparkSuite {
     assert(!CellOps.compactWithTombstones(cells, 2, 0L).columns.contains("op"))
   }
 
+  test("snapshotAsOf: future cells invisible, markers shadow without rewriting") {
+    def cell(r: String, v: String, ts: Long, op: String) = (r, "q", v, ts, op)
+    val cells = Seq(
+      // r1: marker at 250 — a read at 260 sees nothing, a read at 300 sees v300
+      cell("r1", "v100", 100L, "put"), cell("r1", "x", 250L, "delete"),
+      cell("r1", "v300", 300L, "put"),
+      // r2: no marker — read at T sees the newest put <= T
+      cell("r2", "v100", 100L, "put"), cell("r2", "v400", 400L, "put")
+    ).toDF("r", "q", "v", "ts", "op")
+      .select(col("r").cast("binary").as("row"),
+        lit("c").cast("binary").as("family"),
+        col("q").cast("binary").as("qualifier"),
+        col("v").cast("binary").as("value"), col("ts"), col("op"))
+    def visible(t: Long) = CellOps.snapshotAsOf(cells, t)
+      .select(col("row").cast("string"), col("value").cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(visible(260L) === Set(("r2", "v100")))   // r1 fully shadowed, r2@400 future
+    assert(visible(300L) === Set(("r1", "v300"), ("r2", "v100"))) // post-marker put resurfaces
+    assert(visible(99L) === Set.empty)              // before any write
+  }
+
+  test("reconstituteWide inverts explodeIndexed: newest version wins, null cells stay null") {
+    val wide = Seq(("1", "alice", null.asInstanceOf[String]),
+      ("2", "bob", "x")).toDF("id", "name", "opt")
+    val stale = CellOps.explodeIndexed(
+      wide.withColumn("name", upper(col("name"))),
+      keys.md5Raw(col("id")), "c",
+      Seq(col("id"), col("name"), col("opt")), ts = 100L)
+    val fresh = CellOps.explodeIndexed(wide, keys.md5Raw(col("id")), "c",
+      Seq(col("id"), col("name"), col("opt")), ts = 200L)
+    val back = CellOps.reconstituteWide(stale.unionByName(fresh),
+      Seq("id", "name", "opt"))
+      .select(col("id"), col("name"), col("opt"))
+      .as[(String, String, String)].collect().toSet
+    assert(back === Set(("1", "alice", null), ("2", "bob", "x")))
+  }
+
   test("naiveSplit keeps exact-arity rows and quarantines the rest") {
     val tmp = java.nio.file.Files.createTempDirectory("graft").toString
     Seq("a,b,c", "x,y", "p,q,r", "one,\"two,half\",three").toDF("value")
