@@ -96,6 +96,39 @@ object CorpusPipeline {
     docs.where(bucket < threshold)
   }
 
+  /** Epoch-aware oversampling — the mixture knob multi-epoch training
+    * runs actually turn (rare high-quality sources repeated 2-3×, bulk
+    * web seen once): a source with epoch target e contributes floor(e)
+    * whole copies of every document plus one extra copy for a
+    * deterministic frac(e) fraction of them, selected by the same
+    * md5-bucket rule as [[sampleMix]] — so realized token mass per
+    * source is e× its corpus share to 1/10⁴, reproducible across
+    * runs/engines/retries, and nested (raising e only adds copies).
+    * Output one row per (doc, copy_idx ∈ 1..copies) — the expanded
+    * stream a trainer consumes (ordering comes from
+    * [[globalShuffle]]-style hashing downstream).
+    *
+    * Scale shape: shuffle-free — `explode(sequence(…))` is a per-row
+    * generator with fan-out bounded by the epoch ceiling (a small
+    * constant), and the fractional gate is a pushed-down per-row
+    * predicate; integer 10⁴-scaled arithmetic end to end. */
+  def epochMix(docs: DataFrame, epochs: Map[String, Double],
+               defaultEpochs: Double, stratumCol: String = "source"): DataFrame = {
+    val e10k = epochs.foldLeft(lit(math.round(defaultEpochs * 10000).toInt)) {
+      case (acc, (stratum, v)) =>
+        when(col(stratumCol) === stratum, lit(math.round(v * 10000).toInt)).otherwise(acc)
+    }.cast(org.apache.spark.sql.types.LongType)
+    val bucket = pmod(graft.functions.keys.md5Prefix64(
+      col("doc_id").cast(org.apache.spark.sql.types.StringType).cast(BinaryType), 7),
+      lit(10000L))
+    val copies = (e10k / lit(10000L)).cast(org.apache.spark.sql.types.LongType) +
+      when(bucket < e10k % lit(10000L), lit(1L)).otherwise(lit(0L))
+    docs.withColumn("copies", copies)
+      .where(col("copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(1L), col("copies"))))
+      .drop("copies")
+  }
+
   /** Shard manifest — the reproducibility artifact a training run records
     * next to its data: one row per (source, shard) with document count,
     * token total, and a content fingerprint (md5 of the comma-joined

@@ -46,6 +46,36 @@ object Profile {
     }.reduce(_ unionAll _)
   }
 
+  /** Join/partition-key skew census — the pre-shuffle planning primitive
+    * that decides whether a key needs salting or an AQE skew join: the
+    * top-N heaviest keys with exact counts, integer parts-per-million
+    * share, and the running cumulative share down the ranked list (a
+    * cum_ppm that flattens early = a few keys own the shuffle).
+    *
+    * Scale shape: ONE map-side-combinable count aggregate (the exchange
+    * carries one row per distinct key), then `orderBy.limit(topN)` plans
+    * TakeOrderedAndProject — a map-side bounded top-k, never a global
+    * sort — and the rank/cumulative window runs over those N rows only.
+    * Share arithmetic is integer `DIV` (exact, engine-portable; no
+    * floating division). Ties rank by key rendering ascending. */
+  def keySkew(df: DataFrame, key: Column, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(key.cast(StringType).as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val top = counts.orderBy(col("cnt").desc, col("k").asc).limit(topN)
+    // both windows sort the same N bounded rows (one partition by design)
+    val order = Window.orderBy(col("cnt").desc, col("k").asc)
+    top
+      .withColumn("rnk", row_number().over(order))
+      .withColumn("cum", sum(col("cnt")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rnk"), col("k").as("key"), col("cnt"),
+        expr("cnt * 1000000L div total").as("share_ppm"),
+        expr("cum * 1000000L div total").as("cum_ppm"))
+  }
+
   /** Order-independent whole-table fingerprint — the migration-validation
     * primitive ("did the new engine load the same 100 TB the old one
     * had"): per row, the low 60 bits of md5 over a canonical `|`-joined
@@ -66,6 +96,26 @@ object Profile {
       .agg(count(lit(1)).as("n_rows"), sum(col("h")).cast(StringType).as("checksum"))
       .select(lit(label).as("table_name"), col("n_rows"), col("checksum"))
   }
+
+  /** k-anonymity / l-diversity audit — the re-identification gate a
+    * compliance pass runs before a table (or a training corpus's
+    * metadata) ships: group by the quasi-identifier columns, report each
+    * class's size (k) and its count of distinct sensitive values (l);
+    * a class is safe when k ≥ minK and l ≥ minL (small classes
+    * re-identify individuals, sensitive-homogeneous classes disclose
+    * attributes even at large k).
+    *
+    * Scale shape: one exchange on the quasi-identifier key; the distinct
+    * count is the standard two-phase distinct aggregate (no Expand —
+    * single distinct column). Output is one row per equivalence class,
+    * |QI-classes|-sized. */
+  def kAnonymity(df: DataFrame, quasi: Seq[String], sensitive: Column,
+                 minK: Int, minL: Int): DataFrame =
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("k_size"),
+        countDistinct(sensitive).as("l_diversity"))
+      .withColumn("anonymous",
+        col("k_size") >= minK && col("l_diversity") >= minL)
 
   /** The DuckDB mirror of [[tableChecksum]] (oracle builder). */
   def tableChecksumSql(table: String, cols: Seq[String],

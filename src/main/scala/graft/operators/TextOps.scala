@@ -272,6 +272,58 @@ object TextOps {
           .as("entropy"))
   }
 
+  /** Per-source unigram KL divergence vs the whole corpus — the mixture
+    * monitor that catches a source drifting away from (or collapsing
+    * into) the blend: KL(P_source ‖ P_corpus) = Σ_t p_st·ln(p_st/p_t),
+    * always ≥ 0, 0 iff the source's token distribution equals the
+    * corpus's. High KL = distinct vocabulary (a code source in a prose
+    * blend); a sudden KL drop = the source started duplicating the blend.
+    *
+    * Scale shape: ONE (source, token) count aggregate off the token
+    * explode; the corpus marginals REUSE that frame (re-aggregate by
+    * token — vocab-sized, never a second corpus scan), and the final
+    * join/aggregate are vocab-bounded. p_st/p_t never materialize —
+    * each term is c_st/c_s · ln((c_st·N)/(c_s·c_t)) straight from the
+    * four exact integers; doubles enter once per term and the per-source
+    * sum takes one final round-6 (the [[bm25Scores]] convention).
+    * Output: (source, n_tokens, kl_vs_corpus). */
+  def sourceDivergence(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val st = docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
+      .materialized // feeds both marginals and the per-term KL sum
+    val byTok = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val bySrc = st.groupBy(col("source")).agg(sum(col("c_st")).as("c_s"))
+    val n = st.agg(sum(col("c_st")).as("n_corpus"))
+    st.join(byTok, "tok")
+      .join(broadcast(bySrc), "source")
+      .crossJoin(broadcast(n)) // 1-row scalar, documented BNLJ pattern
+      .groupBy(col("source"))
+      .agg(max(col("c_s")).as("n_tokens"),
+        round(sum(
+          col("c_st").cast(DoubleType) / col("c_s").cast(DoubleType) *
+            log(col("c_st").cast(DoubleType) * col("n_corpus").cast(DoubleType) /
+              (col("c_s").cast(DoubleType) * col("c_t").cast(DoubleType)))), 6)
+          .as("kl_vs_corpus"))
+  }
+
+  /** The DuckDB mirror of [[sourceDivergence]] (oracle builder). */
+  def sourceDivergenceSql(table: String = "documents"): String =
+    s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) tok
+          FROM $table),
+        st AS (SELECT source, tok, count(*) c_st FROM toks
+               WHERE len(tok) > 0 GROUP BY 1, 2),
+        bt AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) c_t FROM st GROUP BY 1),
+        bs AS (SELECT source, CAST(SUM(c_st) AS BIGINT) c_s FROM st GROUP BY 1),
+        n AS (SELECT CAST(SUM(c_st) AS BIGINT) n_corpus FROM st)
+        SELECT source, max(c_s) AS n_tokens,
+          round(SUM(CAST(c_st AS DOUBLE) / CAST(c_s AS DOUBLE) *
+            ln(CAST(c_st AS DOUBLE) * CAST(n_corpus AS DOUBLE) /
+               (CAST(c_s AS DOUBLE) * CAST(c_t AS DOUBLE)))), 6) AS kl_vs_corpus
+        FROM st JOIN bt USING (tok) JOIN bs USING (source), n
+        GROUP BY source"""
+
   /** The DuckDB mirror of [[tokenEntropy]] (oracle builder). */
   def tokenEntropySql(table: String = "documents"): String =
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) tok

@@ -94,6 +94,47 @@ object TimeSeries {
         round(col("mean_r"), 6).as("mean_after"))
   }
 
+  /** Robust anomaly flags over per-type daily counts (median absolute
+    * deviation, the outlier rule that — unlike z-scores — one huge spike
+    * cannot drag its own threshold up): per event type, med = the lower
+    * median of the daily counts, MAD = the lower median of |n − med|, and
+    * a day is anomalous when |n − med| > k·MAD. With MAD = 0 (over half
+    * the days identical) any deviating day flags, the conventional
+    * degenerate-case reading.
+    *
+    * Scale shape: the raw stream reduces to |types|·|days| rows in one
+    * map-side-combinable aggregate; BOTH medians come from the equi-depth
+    * census walk (value-histogram + cumulative window + first value whose
+    * cum reaches ceil(nd/2)) — bounded by distinct values per type, never
+    * a per-type sort of raw data; thresholds broadcast back onto the
+    * daily frame. Pure integer arithmetic end to end (counts, integer
+    * medians, |·| in longs) — nothing floating anywhere.
+    * Output: (event_type, day, n, med, mad, anomaly). */
+  def anomalyMad(events: DataFrame, k: Int = 3): DataFrame = {
+    import graft.operators.Dedup.MaterializeSyntax
+    val daily = events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .materialized // |types|·|days| rows feed three consumers
+    // lower median of `v` per event_type via the census walk
+    def median(df: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type")).orderBy(col(v))
+      df.groupBy(col("event_type"), col(v)).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nd", sum(col("c")).over(
+          Window.partitionBy(col("event_type"))))
+        .where(col("cum") * 2 >= col("nd"))
+        .groupBy(col("event_type")).agg(min(col(v)).as(out))
+    }
+    val withMed = daily.join(broadcast(median(daily, "n", "med")), "event_type")
+      .withColumn("dev", abs(col("n") - col("med")))
+    val withMad = withMed.join(broadcast(median(withMed, "dev", "mad")), "event_type")
+    withMad.select(col("event_type"), col("day"), col("n"), col("med"),
+      col("mad"), (col("dev") > lit(k) * col("mad")).as("anomaly"))
+  }
+
   /** Interval OVERLAP join without a cross product: both interval sets
     * explode onto a coarse time-bucket grid (one row per bucket an
     * interval touches), candidates meet in an EQUI-join on the bucket, and

@@ -163,6 +163,15 @@ object NorthStar {
           Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), 0.1)
         .select(col("doc_id"), col("source"), col("lang"))),
 
+    // epoch-aware oversampling (the multi-epoch mixture knob: src0 seen
+    // ~2.5×, src1 ~1.5×, everything else once) — whole copies for
+    // floor(e), one extra for a deterministic md5-bucket frac(e) slice;
+    // shuffle-free per-row fan-out
+    "corpus_epoch_mix" -> ((s, dir) =>
+      CorpusPipeline.epochMix(t(s, dir, "documents"),
+          Map("src0" -> 2.5, "src1" -> 1.5), 1.0)
+        .select(col("doc_id"), col("source"), col("copy_idx"))),
+
     // deterministic token-budget shard packing (sequence-packing prelude):
     // shard = which 500-token block a document's first token falls in,
     // doc_id order within each source
@@ -494,6 +503,13 @@ object NorthStar {
     "text_entropy" -> ((s, dir) =>
       TextOps.tokenEntropy(t(s, dir, "documents"))),
 
+    // mixture monitoring: per-source unigram KL divergence vs the corpus
+    // blend — one (source, token) aggregate feeds source marginals, token
+    // marginals and the per-term sum; vocab-bounded joins, corpus scanned
+    // once
+    "text_source_divergence" -> ((s, dir) =>
+      TextOps.sourceDivergence(t(s, dir, "documents"))),
+
     // per-source QUALITY FLOOR at the exact 25th percentile — drop each
     // source's worst quartile by type-token ratio. The quantile is the
     // equi-depth-histogram trick, NOT a per-source sort: scores aggregate
@@ -723,6 +739,13 @@ object NorthStar {
     // Similarity.cosinePairs remains the test-side recall baseline)
     "ann_cosine_pairs" -> ((s, dir) =>
       Similarity.cosinePairsBucketed(t(s, dir, "embeddings"), 0.4)),
+    // k-NN graph build (the NSW-style serving-index edge list): per-vector
+    // top-3 neighbors by exact cosine over the SAME banded candidates as
+    // ann_cosine_pairs; bounded TopKPairs cut, ≤ k edges per node on the
+    // exchange
+    "ann_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(t(s, dir, "embeddings"), 3)),
+
     // embedding-cosine near-dup DEDUP end product: the bucketed pair graph
     // above → connected components → keep-list (vectors minus
     // non-representative cluster members) — the same decision stage
@@ -1114,6 +1137,28 @@ object NorthStar {
         SELECT a, b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
         FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
         WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4"""
+  }
+
+  /** Literal mirror of [[Similarity.knnGraph]]: same banded candidates as
+    * [[annPairsBucketedSql]], no threshold, symmetrized, per-node top-3. */
+  private val annKnnGraphSql = {
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT vec_id, $b AS band, ${bucketSql("v", b * 4, 4)} AS bucket FROM e"
+    }.mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        bb AS ($bandSelects),
+        cand AS (SELECT DISTINCT x.vec_id a, y.vec_id b
+                 FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket
+                   AND x.vec_id < y.vec_id),
+        sc AS (SELECT a, b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+               FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b),
+        sym AS (SELECT a src, b nbr, cos_sim FROM sc
+                UNION ALL SELECT b, a, cos_sim FROM sc),
+        r AS (SELECT src, nbr, cos_sim,
+               row_number() OVER (PARTITION BY src
+                 ORDER BY cos_sim DESC, nbr ASC) rn
+              FROM sym)
+        SELECT src, nbr, cos_sim, CAST(rn AS INT) AS rank FROM r WHERE rn <= 3"""
   }
 
   private val annLshTopKSql =
@@ -1578,6 +1623,20 @@ object NorthStar {
            md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
              AS fingerprint
          FROM p GROUP BY source, shard_id""",
+    "corpus_epoch_mix" ->
+      """WITH b AS (SELECT doc_id, source,
+             CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,7)) AS BIGINT) % 10000 AS bucket,
+             (CASE source WHEN 'src0' THEN 25000
+                          WHEN 'src1' THEN 15000
+                          ELSE 10000 END) AS e10k
+           FROM documents),
+         c AS (SELECT doc_id, source,
+                (e10k // 10000) + CASE WHEN bucket < e10k % 10000
+                                       THEN 1 ELSE 0 END AS copies
+               FROM b)
+         SELECT doc_id, source,
+           unnest(generate_series(1, copies)) AS copy_idx
+         FROM c WHERE copies > 0""",
     "corpus_sample_mix" ->
       """WITH b AS (SELECT doc_id, source, lang,
              CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,7)) AS BIGINT) % 10000 AS bucket
@@ -2033,6 +2092,7 @@ object NorthStar {
           FROM sc"""
     },
     "text_entropy" -> TextOps.tokenEntropySql(),
+    "text_source_divergence" -> TextOps.sourceDivergenceSql(),
     "doc_fingerprint" ->
       s"""WITH t0 AS (SELECT doc_id, text, string_split(text,' ') w FROM documents)
           SELECT doc_id, md5(text) AS fp_md5,
@@ -2195,6 +2255,7 @@ object NorthStar {
                FROM sc)
          SELECT qid, nid, cos_sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10""",
     "ann_cosine_pairs" -> annPairsBucketedSql,
+    "ann_knn_graph" -> annKnnGraphSql,
     "dedup_embedding" ->
       s"""WITH RECURSIVE p AS (SELECT a, b FROM ($annPairsBucketedSql)),
           edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),

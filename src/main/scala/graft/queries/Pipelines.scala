@@ -334,6 +334,36 @@ object Pipelines {
     "events_changepoint" -> ((s, dir) =>
       graft.operators.TimeSeries.changepoint(t(s, dir, "events"))),
 
+    // robust monitoring: MAD-based daily-count anomaly flags per event
+    // type — integer medians via the census walk, thresholds broadcast
+    // back; the spike detector beside the level-shift changepoint
+    "events_anomaly_mad" -> ((s, dir) =>
+      graft.operators.TimeSeries.anomalyMad(t(s, dir, "events"))),
+
+    // seasonal-naive forecast backtest: tomorrow ≈ same weekday last week
+    // over per-type daily counts (lag-7 window), with per-type MAE/MAPE
+    // over the evaluable days — the baseline every fancier forecaster
+    // must beat, and a pure integer/decimal window pass
+    "events_forecast_snaive" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val f = daily.withColumn("fc", lag(col("n"), 7).over(w))
+      // all-integer error sums (abs diffs, and per-day ppm via integer
+      // div) — exact and order-independent; doubles only at the final
+      // per-type division
+      f.where(col("fc").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("n") - col("fc"))).as("mae_sum"),
+          sum(expr("abs(n - fc) * 1000000L div n")).as("mape_ppm_sum"))
+        .select(col("event_type"), col("n_days"),
+          round(col("mae_sum").cast("double") / col("n_days"), 6).as("mae"),
+          round(col("mape_ppm_sum").cast("double") / col("n_days"), 2).as("mape_ppm"))
+    }),
+
     // capacity planning: per-day peak concurrent sessions via a per-day
     // sweep line over session boundary points (end-inclusive overlap)
     "events_peak_concurrency" -> ((s, dir) =>
@@ -368,6 +398,42 @@ object Pipelines {
        FROM q50 JOIN q90 ON q50.g = q90.g JOIN q99 ON q50.g = q99.g"""
 
   val oracle: Map[String, String] = Map(
+    "events_anomaly_mad" ->
+      """WITH daily AS (SELECT event_type,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, count(*) n
+           FROM events GROUP BY 1, 2),
+         mc AS (SELECT event_type, n x, count(*) c FROM daily GROUP BY 1, 2),
+         mw AS (SELECT event_type, x,
+                 CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY x
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) cum,
+                 CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) nd
+                FROM mc),
+         med AS (SELECT event_type, min(x) med FROM mw
+                 WHERE cum * 2 >= nd GROUP BY 1),
+         dv AS (SELECT daily.event_type, day, n, med, abs(n - med) dev
+                FROM daily JOIN med USING (event_type)),
+         dc AS (SELECT event_type, dev x, count(*) c FROM dv GROUP BY 1, 2),
+         dw AS (SELECT event_type, x,
+                 CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY x
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) cum,
+                 CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) nd
+                FROM dc),
+         mad AS (SELECT event_type, min(x) mad FROM dw
+                 WHERE cum * 2 >= nd GROUP BY 1)
+         SELECT dv.event_type, day, n, med, mad, dev > 3 * mad AS anomaly
+         FROM dv JOIN mad USING (event_type)""",
+    "events_forecast_snaive" ->
+      """WITH daily AS (SELECT event_type,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, count(*) n
+           FROM events GROUP BY 1, 2),
+         f AS (SELECT event_type, n,
+                lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) fc
+               FROM daily)
+         SELECT event_type, count(*) AS n_days,
+           round(CAST(SUM(abs(n - fc)) AS DOUBLE) / count(*), 6) AS mae,
+           round(CAST(SUM((abs(n - fc) * 1000000) // n) AS DOUBLE) / count(*), 2)
+             AS mape_ppm
+         FROM f WHERE fc IS NOT NULL GROUP BY 1""",
     "asof_join_events_orders" ->
       """WITH latest AS (
            SELECT e.event_id, e.user_id, e.ts,

@@ -46,6 +46,50 @@ object Relational {
           t(s, dir, "orders"),
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"), "orders"))),
 
+    // re-identification audit: k-anonymity class sizes + l-diversity of
+    // the sensitive attribute over the (nation, segment) quasi-identifier
+    // — one exchange on the QI key, classes flagged against k≥5 / l≥2
+    "privacy_k_anonymity" -> ((s, dir) =>
+      graft.operators.Profile.kAnonymity(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"),
+        when(col("c_acctbal") >= 0, lit("pos")).otherwise(lit("neg")),
+        minK = 5, minL = 2)),
+
+    // shuffle-planning skew census: the top-25 heaviest join keys with
+    // exact counts and ppm shares — the number that decides salting /
+    // AQE skew handling BEFORE the big shuffle runs; one count aggregate
+    // + a bounded top-k, windows only over the 25 survivors
+    "profile_key_skew" -> ((s, dir) =>
+      graft.operators.Profile.keySkew(t(s, dir, "orders"), col("o_custkey"), 25)),
+
+    // optimizer-statistics join sizing: |R ⋈ S| ≈ n_R·n_S / max(d_R, d_S)
+    // with the distinct counts taken from the SAME durable HLL register
+    // tables a warehouse keeps per partition (Sketches) — the estimate a
+    // planner reads without scanning either side, next to the true join
+    // count as the oracle-checked error reference
+    "q_join_cardinality_est" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val dl = Sketches.hllEstimate(
+        Sketches.hllRegisters(o, lit("l"), col("o_custkey")))
+        .select(col("est").as("d_left_est"))
+      val dr = Sketches.hllEstimate(
+        Sketches.hllRegisters(c, lit("r"), col("c_custkey")))
+        .select(col("est").as("d_right_est"))
+      val actual = o.join(c, col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("actual_rows"))
+      o.agg(count(lit(1)).as("n_left"))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_right"))))
+        .crossJoin(broadcast(dl)).crossJoin(broadcast(dr))
+        .crossJoin(broadcast(actual))
+        .select(col("n_left"), col("n_right"), col("d_left_est"),
+          col("d_right_est"),
+          round(col("n_left").cast(DoubleType) * col("n_right").cast(DoubleType) /
+            greatest(col("d_left_est"), col("d_right_est")), 4).as("est_rows"),
+          col("actual_rows"))
+    }),
+
     // declarative CONSTRAINT report (the Deequ-style quality gate a
     // nightly load publishes before downstream jobs trust the data):
     // uniqueness, referential integrity, range and null-rate checks, one
@@ -522,10 +566,64 @@ object Relational {
      GROUP BY l_returnflag, l_linestatus""".stripMargin
   }
 
+  /** DuckDB mirror of one global [[graft.operators.Sketches]] HLL estimate
+    * (p=6): low-60-bit md5 hash, register = low 6 bits, rho via bin()
+    * length, Z scaled by 2^55 in integer arithmetic — same literal
+    * algebra as the events_hll_distinct oracle, ungrouped. */
+  private def hllEstSql(table: String, keyExpr: String): String =
+    s"""(WITH h AS (SELECT CAST(('0x'||substr(md5(CAST($keyExpr AS VARCHAR)),1,15))
+            AS BIGINT) AS hv FROM $table),
+        r0 AS (SELECT hv & 63 AS reg,
+                CASE WHEN (hv >> 6) = 0 THEN 55
+                     ELSE 55 - length(bin(hv >> 6)) END AS rho FROM h),
+        m AS (SELECT reg, max(rho) AS mx FROM r0 GROUP BY 1),
+        z AS (SELECT count(*) AS n_regs,
+               CAST(sum(1::BIGINT << (55 - mx)) AS BIGINT)
+                 + (64 - count(*)) * (1::BIGINT << 55) AS zs FROM m)
+        SELECT round(CASE WHEN CAST(0.709 AS DOUBLE) * 64 * 64
+                 * CAST(1::BIGINT << 55 AS DOUBLE) / CAST(zs AS DOUBLE) <= 160.0
+                 AND n_regs < 64
+               THEN 64.0 * ln(64.0 / (64 - n_regs))
+               ELSE CAST(0.709 AS DOUBLE) * 64 * 64
+                 * CAST(1::BIGINT << 55 AS DOUBLE) / CAST(zs AS DOUBLE)
+               END, 4) AS est FROM z)"""
+
   val oracle: Map[String, String] = Map(
     "table_profile" -> profileCols.map { case (n, d) =>
       graft.operators.Profile.profileSql("lineitem", n, d)
     }.mkString(" UNION ALL "),
+    "privacy_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS k_size,
+           count(DISTINCT CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END)
+             AS l_diversity,
+           (count(*) >= 5 AND
+            count(DISTINCT CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END) >= 2)
+             AS anonymous
+         FROM customer GROUP BY 1, 2""",
+    "profile_key_skew" ->
+      """WITH c AS (SELECT CAST(o_custkey AS VARCHAR) k, count(*) cnt
+              FROM orders GROUP BY 1),
+         t AS (SELECT CAST(SUM(cnt) AS BIGINT) total FROM c),
+         top AS (SELECT k, cnt FROM c ORDER BY cnt DESC, k ASC LIMIT 25),
+         r AS (SELECT k, cnt,
+                CAST(row_number() OVER (ORDER BY cnt DESC, k ASC) AS INT) rnk,
+                CAST(SUM(cnt) OVER (ORDER BY cnt DESC, k ASC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+               FROM top)
+         SELECT rnk, k AS "key", cnt, (cnt * 1000000) // total AS share_ppm,
+           (cum * 1000000) // total AS cum_ppm FROM r, t""",
+    "q_join_cardinality_est" ->
+      s"""WITH el AS ${hllEstSql("orders", "o_custkey")},
+         er AS ${hllEstSql("customer", "c_custkey")},
+         nl AS (SELECT count(*) n_left FROM orders),
+         nr AS (SELECT count(*) n_right FROM customer),
+         ar AS (SELECT count(*) actual_rows FROM orders
+                JOIN customer ON o_custkey = c_custkey)
+         SELECT n_left, n_right, el.est AS d_left_est, er.est AS d_right_est,
+           round(CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE) /
+             greatest(el.est, er.est), 4) AS est_rows,
+           actual_rows
+         FROM nl, nr, el, er, ar""",
     "q_ivm_join_view" ->
       s"""SELECT o_custkey, count(*) AS n_items,
           ${dsumSql("l_extendedprice")} AS revenue

@@ -330,6 +330,24 @@ object SqlSurface {
            FROM events""")
     }),
 
+    // SQL layer: PIVOT — order status rotated into columns per priority
+    // (count + exact decimal revenue per status); coalesce pins absent
+    // (priority, status) cells to 0 so the shape is total at every SF.
+    // Catalyst rewrites PIVOT into one conditional aggregate pass — the
+    // same single exchange as the GROUP BY it replaces
+    "q_sql_pivot" -> ((s, dir) => {
+      registerViews(s, dir)
+      s.sql(
+        """SELECT o_orderpriority,
+             coalesce(o_n, 0) AS o_n, round(coalesce(o_rev, 0), 4) AS o_rev,
+             coalesce(f_n, 0) AS f_n, round(coalesce(f_rev, 0), 4) AS f_rev,
+             coalesce(p_n, 0) AS p_n, round(coalesce(p_rev, 0), 4) AS p_rev
+           FROM (SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders)
+           PIVOT (count(*) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+                  FOR o_orderstatus IN ('O' AS o, 'F' AS f, 'P' AS p))""")
+    }),
+
     // SQL layer: correlated LATERAL subquery — per-customer top-2 orders
     // by price, the "top-n per key via lateral" idiom; inner lateral
     // drops order-less customers in both engines
@@ -346,6 +364,18 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_pivot" ->
+      """SELECT o_orderpriority,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_n,
+           round(coalesce(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+             THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE), 0), 4) AS o_rev,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_n,
+           round(coalesce(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+             THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE), 0), 4) AS f_rev,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_n,
+           round(coalesce(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+             THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE), 0), 4) AS p_rev
+         FROM orders GROUP BY 1""",
     "q_left_outer_join" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey

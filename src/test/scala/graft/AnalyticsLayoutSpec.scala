@@ -170,6 +170,50 @@ class AnalyticsLayoutSpec extends SparkSuite {
     assert(got("s") === (3L, 0L, 2L, "a", "b"))
   }
 
+  test("anomalyMad: planted spike flags, MAD=0 degenerate case, quiet series stays quiet") {
+    // type a: 7 flat days then a 50-count spike → med 5, MAD 0, spike flags
+    // type b: counts 1..7 → med 4, MAD 2, threshold 6 → nothing flags
+    val rows =
+      (1 to 7).flatMap(d => Seq.fill(5)(("a", ts(f"2024-01-0$d%d 01:00:00")))) ++
+      Seq.fill(50)(("a", ts("2024-01-08 01:00:00"))) ++
+      (1 to 7).flatMap(d => Seq.fill(d)(("b", ts(f"2024-01-0$d%d 01:00:00"))))
+    val ev = rows.toDF("event_type", "ts")
+    val got = graft.operators.TimeSeries.anomalyMad(ev)
+      .select("event_type", "n", "med", "mad", "anomaly")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    val a = got.filter(_._1 == "a")
+    assert(a.forall(r => r._3 === 5L && r._4 === 0L))
+    assert(a.filter(_._5).map(_._2).toSeq === Seq(50L))
+    val b = got.filter(_._1 == "b")
+    assert(b.forall(r => r._3 === 4L && r._4 === 2L && !r._5))
+  }
+
+  test("keySkew: exact counts, integer ppm shares, cumulative walk, tie-break on key") {
+    // key 7 owns half the rows, 3 and 5 tie — ranked 3 before 5
+    val rows = Seq.fill(10)(7L) ++ Seq.fill(4)(3L) ++ Seq.fill(4)(5L) ++ Seq(1L, 2L)
+    val got = graft.operators.Profile.keySkew(rows.toDF("k"), col("k"), 3)
+      .as[(Int, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) === ((1, "7", 10L, 500000L, 500000L)))
+    assert(got(1) === ((2, "3", 4L, 200000L, 700000L)))
+    assert(got(2) === ((3, "5", 4L, 200000L, 900000L)))
+  }
+
+  test("kAnonymity: class sizes, sensitive diversity, k/l flags") {
+    val df = Seq(
+      ("US", "A", 1), ("US", "A", 2), ("US", "A", 1),   // k=3, l=2
+      ("DE", "B", 1), ("DE", "B", 1),                   // k=2 < 3 → fails k
+      ("FR", "C", 5), ("FR", "C", 5), ("FR", "C", 5)    // k=3, l=1 → fails l
+    ).toDF("country", "seg", "sensitive")
+    val got = graft.operators.Profile
+      .kAnonymity(df, Seq("country", "seg"), col("sensitive"), minK = 3, minL = 2)
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, (r._3, r._4, r._5))).toMap
+    assert(got === Map(
+      "US" -> ((3L, 2L, true)),
+      "DE" -> ((2L, 1L, false)),
+      "FR" -> ((3L, 1L, false))))
+  }
+
   test("lastTouchAttribution: latest in-window touch wins, outside-window → none") {
     val e = Seq(
       (1L, 10L, ts("2024-01-10 12:00:00"), "view", 0.0),

@@ -328,6 +328,45 @@ class DedupTextSpec extends SparkSuite {
     assert(src1Tenth > 50 && src1Tenth < 150, s"src1 kept $src1Tenth of 1000 at rate 0.1")
   }
 
+  test("sourceDivergence: zero for blend-identical sources, ln-exact for disjoint vocab") {
+    val corpus = Seq(
+      (1L, "A", "a b"), (2L, "B", "a b"), (3L, "C", "c c")
+    ).toDF("doc_id", "source", "text")
+    val got = graft.operators.TextOps.sourceDivergence(corpus)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // A and B each: 2×(1/2)·ln(1·6/(2·2)) = ln 1.5; C: ln(2·6/(2·2)) = ln 3
+    assert(got("A") === ((2L, math.rint(math.log(1.5) * 1e6) / 1e6)))
+    assert(got("B") === got("A"))
+    assert(got("C") === ((2L, math.rint(math.log(3.0) * 1e6) / 1e6)))
+  }
+
+  test("epochMix: whole copies + deterministic fractional slice, nested in epoch target") {
+    val corpus = (0L until 2000L).map(i => (i, s"src${i % 2}", "en"))
+      .toDF("doc_id", "source", "lang")
+    def copies(epochs: Map[String, Double], d: Double) =
+      CorpusPipeline.epochMix(corpus, epochs, d)
+        .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    val mixed = copies(Map("src0" -> 2.5), 1.0)
+    // every doc appears: src1 exactly once, src0 2 or 3 times with
+    // copy indices contiguous from 1
+    assert(mixed.keySet === (0L until 2000L).toSet)
+    assert(mixed.filter(_._1 % 2 == 1).values.forall(_ === 1L))
+    val src0 = mixed.filter(_._1 % 2 == 0).values
+    assert(src0.forall(c => c === 2L || c === 3L))
+    // fractional slice ≈ half of src0 (md5-bucket tolerance on 1000 docs)
+    val extra = src0.count(_ === 3L)
+    assert(extra > 400 && extra < 600, s"src0 got $extra third copies at e=2.5")
+    // nested: the e=2.25 extra-copy set is a subset of the e=2.5 one
+    val lower = copies(Map("src0" -> 2.25), 1.0)
+    val extraIds25 = mixed.filter { case (id, c) => id % 2 == 0 && c === 3L }.keySet
+    val extraIds225 = lower.filter { case (id, c) => id % 2 == 0 && c === 3L }.keySet
+    assert(extraIds225.subsetOf(extraIds25))
+    // epoch 0 drops the stratum entirely
+    val zeroed = copies(Map("src0" -> 0.0), 1.0)
+    assert(zeroed.keySet.forall(_ % 2 == 1))
+  }
+
   test("packShards/writeShards: start-offset blocks, partitioned layout, lossless roundtrip") {
     val corpus = (0L until 40L).map(i => (i, s"src${i % 2}", ("tok " * 30).trim))
       .toDF("doc_id", "source", "text") // 30 tokens per doc, 20 docs/source

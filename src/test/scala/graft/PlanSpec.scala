@@ -142,7 +142,11 @@ class PlanSpec extends SparkSuite {
     // basket_association_rules broadcasts the 1-row basket total into the
     // lift projection; events_rfm_segments the 1-row anchor timestamp and
     // the three 1-row quartile-boundary frames (q22 pattern throughout)
+    // q_join_cardinality_est / profile_key_skew / text_source_divergence
+    // cross-join 1-row scalar frames (HLL estimates + counts / the key
+    // total / the corpus token total — q22 pattern throughout)
     val intentional = Set(
+      "q_join_cardinality_est", "profile_key_skew", "text_source_divergence",
       "basket_association_rules", "events_rfm_segments",
       "text_kn_bigram_lm",
       "text_vocab_growth", "rag_mmr_topk", "corpus_temperature_mix",
