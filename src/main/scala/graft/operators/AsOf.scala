@@ -27,6 +27,57 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** Nearest-in-time join (pandas merge_asof `direction='nearest'`): for
+    * each left row, the right row minimizing |rightTime − leftTime| on the
+    * same key, within `toleranceMicros`; equidistant ties prefer the
+    * BACKWARD (earlier) match, and right rows sharing an instant resolve
+    * to the greatest `rightTiebreak` — fully deterministic.
+    *
+    * Same composition discipline as [[asOfJoin]]: one keyed union, ONE
+    * exchange + ONE sort, and two directional carries over the same
+    * ordering (`last ignoreNulls` looking back, `first ignoreNulls`
+    * looking forward) — the sensor-alignment primitive, with no per-row
+    * search anywhere. Same-instant rights sort before left rows, so they
+    * are backward matches at distance 0 (inclusive semantics). Right rows
+    * pre-reduce per (key, instant) by greatest tiebreak — a map-side
+    * combinable `max_by` that also keeps the union frame minimal. */
+  def nearestJoin(left: DataFrame, right: DataFrame,
+                  leftKey: Column, rightKey: Column,
+                  leftTime: Column, rightTime: Column,
+                  rightValues: Seq[Column], rightTiebreak: Column,
+                  toleranceMicros: Long): DataFrame = {
+    val lCols = left.columns
+    val vType = right.select(struct(rightValues: _*)).schema.head.dataType
+    val lType = left.select(struct(lCols.map(col): _*)).schema.head.dataType
+    val r = right.select(rightKey.as("__k"),
+        unix_micros(rightTime.cast("timestamp")).as("__t"),
+        rightTiebreak.cast("bigint").as("__tb"), struct(rightValues: _*).as("__v0"))
+      .groupBy(col("__k"), col("__t"))
+      .agg(max_by(col("__v0"), col("__tb")).as("__v"))
+      .select(col("__k"), col("__t"), lit(1).as("__r"),
+        lit(null).cast(lType).as("__l"), col("__v"))
+    val l = left.select(leftKey.as("__k"),
+      unix_micros(leftTime.cast("timestamp")).as("__t"), lit(0).as("__r"),
+      struct(lCols.map(col): _*).as("__l"), lit(null).cast(vType).as("__v"))
+    val ord = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__r").desc)
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = l.unionByName(r)
+      .withColumn("__rv",
+        when(col("__r") === 1, struct(col("__t").as("t"), col("__v").as("v"))))
+      .withColumn("__b", last(col("__rv"), ignoreNulls = true).over(back))
+      .withColumn("__f", first(col("__rv"), ignoreNulls = true).over(fwd))
+      .where(col("__r") === 0)
+    val aB = col("__t") - col("__b.t")
+    val aF = col("__f.t") - col("__t")
+    val bOk = col("__b").isNotNull && aB <= toleranceMicros
+    val fOk = col("__f").isNotNull && aF <= toleranceMicros
+    carried.select(col("__l.*"),
+      when(bOk && (!fOk || aB <= aF), col("__b.v"))
+        .when(fOk, col("__f.v")).as("nearest"))
+  }
+
   def asOfJoin(left: DataFrame, right: DataFrame,
                leftKey: Column, rightKey: Column,
                leftTime: Column, rightTime: Column,

@@ -756,21 +756,43 @@ object TextOps {
     *
     * Output: (token, est, exact, over_count), top k by est desc. */
   def cmsHeavyHitters(docs: org.apache.spark.sql.DataFrame, d: Int = 4,
-                      w: Int = 512, k: Int = 40): org.apache.spark.sql.DataFrame = {
+                      w: Int = 512, k: Int = 40): org.apache.spark.sql.DataFrame =
+    cmsTopK(cmsGrid(docs, d, w), docs, d, w, k)
+
+  /** One cell row per (hash row j, token): bucket = md5("j:token") % w. */
+  private def cmsCells(tokenCounts: org.apache.spark.sql.DataFrame,
+                       d: Int, w: Int): org.apache.spark.sql.DataFrame = {
     import graft.functions.keys
-    val exact = docs.select(explode(tokens(col("text"))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("exact"))
-    // each (token, row j) pair owns one cell: bucket = md5("j:token") % w
-    val cells = exact.select(col("token"), col("exact"),
+    tokenCounts.select(col("token"), col("c"),
         explode(sequence(lit(0), lit(d - 1))).as("j"))
       .withColumn("bucket",
         pmod(keys.md5Prefix64(
           keys.utf8(concat_ws(":", col("j"), col("token"))), 7), lit(w.toLong)))
-    val sketch = cells.groupBy(col("j"), col("bucket"))
-      .agg(sum(col("exact")).as("cnt"))
-    cells.join(broadcast(sketch), Seq("j", "bucket"))
+  }
+
+  /** The d×w CMS counter grid of a document set as (j, bucket, cnt) rows —
+    * the MERGEABLE materialization: grids of disjoint batches sum cell-wise
+    * to the grid of their union, so a stream maintains the sketch by
+    * appending per-batch partial grids and folding (see
+    * [[graft.streaming.CorpusStream.cmsHeavyHittersAll]]). */
+  def cmsGrid(docs: org.apache.spark.sql.DataFrame, d: Int = 4,
+              w: Int = 512): org.apache.spark.sql.DataFrame = {
+    val counts = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    cmsCells(counts, d, w)
+      .groupBy(col("j"), col("bucket")).agg(sum(col("c")).as("cnt"))
+  }
+
+  /** Heavy hitters from an already-built grid: estimate = MIN over each
+    * candidate token's d cells, exact counts ride along from the corpus. */
+  def cmsTopK(sketch: org.apache.spark.sql.DataFrame,
+              docs: org.apache.spark.sql.DataFrame,
+              d: Int, w: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    val exact = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    cmsCells(exact, d, w).join(broadcast(sketch), Seq("j", "bucket"))
       .groupBy(col("token"))
-      .agg(min(col("cnt")).as("est"), min(col("exact")).as("exact"))
+      .agg(min(col("cnt")).as("est"), min(col("c")).as("exact"))
       .select(col("token"), col("est"), col("exact"),
         (col("est") - col("exact")).as("over_count"))
       .orderBy(col("est").desc, col("token").asc)

@@ -497,6 +497,22 @@ object NorthStar {
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
         TextOps.langId(col("text")).as("pred_lang"))),
 
+    // classifier EVAL as a first-class query: the lang-ID confusion
+    // matrix (actual × predicted counts with integer recall ppm per
+    // cell's actual class) — the number that says whether the n-gram
+    // heuristic is good enough to gate a corpus on; one tiny aggregate
+    // over the per-doc predictions
+    "text_langid_confusion" -> ((s, dir) => {
+      import graft.operators.Dedup.MaterializeSyntax
+      val pred = t(s, dir, "documents").select(col("lang"),
+        TextOps.langId(col("text")).as("pred_lang")).materialized
+      val totals = pred.groupBy(col("lang")).agg(count(lit(1)).as("n_actual"))
+      pred.groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+        .join(broadcast(totals), "lang")
+        .select(col("lang"), col("pred_lang"), col("n"),
+          expr("n * 1000000L div n_actual").as("recall_ppm"))
+    }),
+
     // token-distribution Shannon entropy (bits) per document: the
     // quality signal separating prose from template/keyword-stuffed spam —
     // one (doc, token) shuffle, H folded from Σ c·ln c in the same pass
@@ -1064,6 +1080,42 @@ object NorthStar {
     }.mkString(", ")
     s"[$terms]"
   }
+
+  /** Shared by the batch CMS query and its streaming maintenance form
+    * (the folded per-batch grids provably equal the one-shot sketch). */
+  /** Shared by text_lang_id and the confusion-matrix eval built on it. */
+  private[queries] val langIdSql: String = {
+      val m = TextOps.langMarkers.toMap
+      def sc(lang: String) =
+        s"len(list_filter(w, t2 -> t2 IN (${m(lang).map(x => s"'$x'").mkString(", ")})))"
+      s"""WITH t0 AS (SELECT doc_id, lang, text, string_split(text,' ') w FROM documents),
+          sc AS (SELECT doc_id, lang,
+                  ${sc("en")} s_en, ${sc("de")} s_de, ${sc("fr")} s_fr, ${sc("es")} s_es,
+                  length(text) - length(regexp_replace(text, '[一-龥]', '', 'g')) s_zh
+                 FROM t0)
+          SELECT doc_id, lang,
+            CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+                 WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+                 WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                 WHEN s_es >= s_zh THEN 'es'
+                 ELSE 'zh' END AS pred_lang
+          FROM sc"""
+    }
+
+  private[queries] val cmsHeavyHittersSql =
+      """WITH ex AS (SELECT token, count(*) AS exact
+             FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             GROUP BY 1),
+         cells AS (SELECT token, exact, j,
+             CAST(('0x'||substr(md5(CAST(j AS VARCHAR)||':'||token),1,7)) AS BIGINT)
+               % 512 AS bucket
+             FROM ex, (SELECT unnest(generate_series(0, 3)) AS j)),
+         sk AS (SELECT j, bucket, CAST(sum(exact) AS BIGINT) AS cnt
+                FROM cells GROUP BY 1, 2),
+         est AS (SELECT c.token, min(sk.cnt) AS est, CAST(min(c.exact) AS BIGINT) AS exact
+                 FROM cells c JOIN sk USING (j, bucket) GROUP BY 1)
+         SELECT token, est, exact, est - exact AS over_count
+         FROM est ORDER BY est DESC, token ASC LIMIT 40"""
 
   private[queries] val minhashSql =
     s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
@@ -1995,20 +2047,7 @@ object NorthStar {
                WHERE term IN (SELECT term FROM d WHERE df <= 50)
                GROUP BY 1)
          SELECT d.term, d.df, l.postings FROM d LEFT JOIN l USING (term)""",
-    "text_cms_heavy_hitters" ->
-      """WITH ex AS (SELECT token, count(*) AS exact
-             FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-             GROUP BY 1),
-         cells AS (SELECT token, exact, j,
-             CAST(('0x'||substr(md5(CAST(j AS VARCHAR)||':'||token),1,7)) AS BIGINT)
-               % 512 AS bucket
-             FROM ex, (SELECT unnest(generate_series(0, 3)) AS j)),
-         sk AS (SELECT j, bucket, CAST(sum(exact) AS BIGINT) AS cnt
-                FROM cells GROUP BY 1, 2),
-         est AS (SELECT c.token, min(sk.cnt) AS est, CAST(min(c.exact) AS BIGINT) AS exact
-                 FROM cells c JOIN sk USING (j, bucket) GROUP BY 1)
-         SELECT token, est, exact, est - exact AS over_count
-         FROM est ORDER BY est DESC, token ASC LIMIT 40""",
+    "text_cms_heavy_hitters" -> cmsHeavyHittersSql,
     "text_vocab_growth" ->
       """WITH n AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
          tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
@@ -2074,23 +2113,13 @@ object NorthStar {
            CAST(length(replace(text,' ','')) AS DOUBLE)/len(string_split(text,' ')) AS avg_word_len,
            CAST(len(list_filter(string_split(text,' '), t2 -> t2 IN ($stopSql))) AS DOUBLE)/len(string_split(text,' ')) AS stopword_ratio
          FROM documents""",
-    "text_lang_id" -> {
-      val m = TextOps.langMarkers.toMap
-      def sc(lang: String) =
-        s"len(list_filter(w, t2 -> t2 IN (${m(lang).map(x => s"'$x'").mkString(", ")})))"
-      s"""WITH t0 AS (SELECT doc_id, lang, text, string_split(text,' ') w FROM documents),
-          sc AS (SELECT doc_id, lang,
-                  ${sc("en")} s_en, ${sc("de")} s_de, ${sc("fr")} s_fr, ${sc("es")} s_es,
-                  length(text) - length(regexp_replace(text, '[一-龥]', '', 'g')) s_zh
-                 FROM t0)
-          SELECT doc_id, lang,
-            CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
-                 WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
-                 WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
-                 WHEN s_es >= s_zh THEN 'es'
-                 ELSE 'zh' END AS pred_lang
-          FROM sc"""
-    },
+    "text_lang_id" -> langIdSql,
+    "text_langid_confusion" ->
+      s"""WITH p AS (SELECT lang, pred_lang FROM ($langIdSql)),
+          t AS (SELECT lang, count(*) n_actual FROM p GROUP BY 1)
+          SELECT p.lang, pred_lang, count(*) AS n,
+            (count(*) * 1000000) // max(t.n_actual) AS recall_ppm
+          FROM p JOIN t USING (lang) GROUP BY 1, 2""",
     "text_entropy" -> TextOps.tokenEntropySql(),
     "text_source_divergence" -> TextOps.sourceDivergenceSql(),
     "doc_fingerprint" ->

@@ -25,6 +25,24 @@ object Pipelines {
           col("asof.o_totalprice").as("asof_totalprice"))
     }),
 
+    // nearest-in-time join (merge_asof direction='nearest'): each event ↦
+    // the user's order minimizing |orderdate − ts| within 7 days, ties →
+    // the earlier order — one exchange + one sort, two directional
+    // carries over the same ordering
+    "asof_join_nearest" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val o = t(s, dir, "orders")
+      AsOf.nearestJoin(e, o,
+          leftKey = col("user_id"), rightKey = col("o_custkey"),
+          leftTime = col("ts"), rightTime = col("o_orderdate"),
+          rightValues = Seq(col("o_orderkey"), col("o_totalprice")),
+          rightTiebreak = col("o_orderkey"),
+          toleranceMicros = 7L * 86400L * 1000000L)
+        .select(col("event_id"), col("user_id"),
+          col("nearest.o_orderkey").as("near_orderkey"),
+          col("nearest.o_totalprice").as("near_totalprice"))
+    }),
+
     // as-of with a STALENESS BOUND (pandas merge_asof tolerance): a match
     // older than 7 days yields NULL — same one-exchange plan
     "asof_join_tolerance" -> ((s, dir) => {
@@ -150,6 +168,13 @@ object Pipelines {
     // arrives), which IS the oracle
     "stream_dedup_incremental" -> ((s, dir) =>
       graft.streaming.CorpusStream.dedupIncrementalAll(s, dir, 3, 0.5)),
+
+    // streaming CMS maintenance: per-batch partial d×w counter grids
+    // append to a store; the standing heavy-hitter top-k reads the FOLDED
+    // grid — cells sum, so the result provably equals the one-shot batch
+    // sketch (the shared oracle); no per-batch vocabulary materialization
+    "stream_cms_heavy_hitters" -> ((s, dir) =>
+      graft.streaming.CorpusStream.cmsHeavyHittersAll(s, dir)),
 
     // streaming corpus-quality monitor: per (hour, source) doc counts,
     // mean token length and short-doc fraction over a watermarked
@@ -448,6 +473,30 @@ object Pipelines {
          SELECT event_id, user_id, k AS asof_orderkey,
            (SELECT o.o_totalprice FROM orders o WHERE o.o_orderkey = pick.k) AS asof_totalprice
          FROM pick""",
+    "asof_join_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts FROM events),
+         best AS (SELECT e.event_id, e.user_id, e.ts,
+           (SELECT min(abs(epoch_us(o.o_orderdate) - epoch_us(e.ts)))
+            FROM orders o
+            WHERE o.o_custkey = e.user_id
+              AND abs(epoch_us(o.o_orderdate) - epoch_us(e.ts)) <= 604800000000) d
+          FROM e),
+         dirn AS (SELECT event_id, user_id, ts, d,
+           CASE WHEN d IS NULL THEN NULL
+                WHEN EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = dirn0.user_id
+                               AND epoch_us(o.o_orderdate) = epoch_us(dirn0.ts) - dirn0.d)
+                THEN epoch_us(ts) - d ELSE epoch_us(ts) + d END pick_us
+           FROM best dirn0),
+         pick AS (SELECT event_id, user_id,
+           (SELECT max(o.o_orderkey) FROM orders o
+            WHERE o.o_custkey = dirn.user_id
+              AND epoch_us(o.o_orderdate) = dirn.pick_us) k
+          FROM dirn)
+         SELECT event_id, user_id, k AS near_orderkey,
+           (SELECT o.o_totalprice FROM orders o WHERE o.o_orderkey = pick.k)
+             AS near_totalprice
+         FROM pick""",
     "asof_join_tolerance" ->
       """WITH latest AS (
            SELECT e.event_id, e.user_id, e.ts,
@@ -583,6 +632,7 @@ object Pipelines {
     // pairs surface exactly once across micro-batches, so the streamed
     // union equals the one-shot LSH pair search
     "stream_dedup_incremental" -> NorthStar.minhashSql,
+    "stream_cms_heavy_hitters" -> NorthStar.cmsHeavyHittersSql,
     "stream_stream_join" ->
       """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) ts, user_id, event_type, value FROM events),
          c AS (SELECT user_id, event_id click_id, ts c_ts FROM e WHERE event_type = 'click'),

@@ -348,6 +348,18 @@ object SqlSurface {
                   FOR o_orderstatus IN ('O' AS o, 'F' AS f, 'P' AS p))""")
     }),
 
+    // SQL layer: UNPIVOT — the melt complement of PIVOT (three metric
+    // columns rotated into (metric, val) rows); Catalyst plans Expand ×3,
+    // which IS the operator here (the Expand guard whitelists it)
+    "q_sql_unpivot" -> ((s, dir) => {
+      registerViews(s, dir)
+      s.sql(
+        """SELECT l_orderkey, l_linenumber, metric, val
+           FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+                        l_extendedprice, l_discount FROM lineitem)
+           UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))""")
+    }),
+
     // SQL layer: correlated LATERAL subquery — per-customer top-2 orders
     // by price, the "top-n per key via lateral" idiom; inner lateral
     // drops order-less customers in both engines
@@ -364,6 +376,15 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           l_quantity AS val FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+         FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+         FROM lineitem""",
     "q_sql_pivot" ->
       """SELECT o_orderpriority,
            count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_n,

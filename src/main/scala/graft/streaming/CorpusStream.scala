@@ -185,6 +185,46 @@ object CorpusStream {
     * one-shot assignment of the whole table by construction (assignment
     * is per-vector, so batching cannot change any answer).
     * Output: (cell, n_vecs). */
+  /** Streaming Count-Min maintenance — the heavy-hitter monitor a corpus
+    * ingest keeps standing: each micro-batch contributes its own d×w
+    * partial counter grid ([[graft.operators.TextOps.cmsGrid]]) to an
+    * append-only store, and the standing top-k reads the FOLDED grid
+    * (cells sum — the mergeability that makes CMS a streaming object; no
+    * vocabulary is ever materialized per batch). Disjoint batches' grids
+    * sum to the whole-table grid, so the result provably EQUALS the
+    * one-shot batch sketch — which is the declared oracle
+    * (text_cms_heavy_hitters' SQL). Output: (token, est, exact,
+    * over_count), top k. */
+  def cmsHeavyHittersAll(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup.MaterializeSyntax
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val staging = java.nio.file.Files.createTempDirectory("graft-cms-stream").toString
+    docs.repartition(3).write.mode("overwrite").parquet(s"$staging/in")
+    val schema = spark.read.parquet(s"$staging/in").schema
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema(schema).parquet(s"$staging/in")
+    val store = s"$staging/grid"
+    EventStream.withStreamPartitions(spark, 8) {
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$staging/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.operators.TextOps.cmsGrid(batch)
+            .write.mode("append").parquet(store)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val folded = spark.read.parquet(store)
+      .groupBy(col("j"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    val top = graft.operators.TextOps
+      .cmsTopK(folded, docs, d = 4, w = 512, k = 40)
+      .materialized // must not outlive the staging dir's store files
+    EventStream.deleteStaging(staging)
+    top
+  }
+
   def annAssignAll(spark: SparkSession, dir: String, nlist: Int): DataFrame = {
     val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
     val staging = java.nio.file.Files.createTempDirectory("graft-emb-stream").toString

@@ -37,6 +37,34 @@ class PipelineSpec extends SparkSuite {
     assert(got(4L) === None)
   }
 
+  test("nearestJoin: closer side wins, equidistant prefers backward, tolerance bounds both ways") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 12:00:00")),  // same instant → backward at 0
+      (2L, 10L, ts("2024-01-01 13:00:00")),  // 1h after noon vs 23h before next → backward
+      (3L, 10L, ts("2024-01-02 11:00:00")),  // 1h before day-2 noon → forward
+      (4L, 10L, ts("2024-01-01 18:00:00")),  // equidistant 6h → backward wins
+      (5L, 10L, ts("2024-03-01 00:00:00")),  // > tolerance both ways → null
+      (6L, 99L, ts("2024-01-01 12:00:00"))   // unknown key → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 12:00:00"), 10.0),
+      (101L, 10L, ts("2024-01-01 12:00:00"), 20.0), // same instant, higher key wins
+      (102L, 10L, ts("2024-01-02 12:00:00"), 30.0)
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val got = AsOf.nearestJoin(left, right,
+        col("user_id"), col("o_custkey"), col("ts"), col("o_orderdate"),
+        Seq(col("o_orderkey"), col("o_totalprice")), col("o_orderkey"),
+        toleranceMicros = 7L * 86400L * 1000000L)
+      .select(col("event_id"), col("nearest.o_orderkey"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(1L) === Some(101L)) // instant tie → greatest-key right row
+    assert(got(2L) === Some(101L))
+    assert(got(3L) === Some(102L)) // strictly-later match via the forward carry
+    assert(got(4L) === Some(101L)) // equidistant → backward
+    assert(got(5L) === None)
+    assert(got(6L) === None)
+  }
+
   test("streaming windowed agg equals the batch plan over the same data") {
     val streamed = EventStream.windowedAgg(spark, sf001)
       .orderBy("window_start", "event_type")

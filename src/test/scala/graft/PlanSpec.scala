@@ -164,7 +164,7 @@ class PlanSpec extends SparkSuite {
     val skip = Set("stream_windowed_agg", "stream_sessionize",
       "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental",
       "stream_quality_monitor", "stream_static_join", "stream_ann_assign",
-      "stream_quantile_sketch")
+      "stream_quantile_sketch", "stream_cms_heavy_hitters")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip.contains).flatMap { name =>
         val p = SparkEntry.queries(name)(spark, sf001)
@@ -184,12 +184,12 @@ class PlanSpec extends SparkSuite {
       "q_cube", "q_rollup", "q_sql_grouping_sets", // grouping-set lattices
       "q_distinct_agg",                            // native multi-distinct agg
       "cells_explode_named", "source_avro_cells",  // unpivot/stack
-      "q_unpivot",                                 // wide→long melt IS an Expand
+      "q_unpivot", "q_sql_unpivot",                // wide→long melt IS an Expand
       "sliding_window_counts")                     // window-per-event expansion
     val skip = Set("stream_windowed_agg", "stream_sessionize",
       "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental",
       "stream_quality_monitor", "stream_static_join", "stream_ann_assign",
-      "stream_quantile_sketch")
+      "stream_quantile_sketch", "stream_cms_heavy_hitters")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip.contains).flatMap { name =>
         val p = SparkEntry.queries(name)(spark, sf001)
