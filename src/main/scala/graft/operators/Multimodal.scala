@@ -9,13 +9,14 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side contract — binary column + metadata schema,
   * per-partition batched processing (the Scala analog of `mapInPandas`),
-  * deterministic output — is the real thing, and for IMAGES the decode is
-  * too: [[ImageIoCodec]] parses actual PNG bytes through the JDK's
-  * `javax.imageio` ([[imageDims]] round-trips encode → decode → pixel
-  * stats). Payloads the JDK cannot decode (the text stand-ins for
-  * audio/video, whose codecs this container lacks) fall back to the
-  * clearly marked [[FakeCodec]] STUB; swapping it for a JNI/javacpp
-  * decoder changes nothing structural.
+  * deterministic output — is the real thing, and for IMAGES and AUDIO the
+  * decode is too: [[ImageIoCodec]] parses actual PNG bytes through the
+  * JDK's `javax.imageio` ([[imageDims]] round-trips encode → decode →
+  * pixel stats) and [[WavCodec]] real WAV containers through
+  * `javax.sound.sampled` ([[audioStats]]). Payloads the JDK cannot decode
+  * (the text stand-ins for video/webp, whose codecs this container lacks)
+  * fall back to the clearly marked [[FakeCodec]] STUB; swapping it for a
+  * JNI/javacpp decoder changes nothing structural.
   */
 object Multimodal {
 
@@ -99,6 +100,50 @@ object Multimodal {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
+    }
+  }
+
+  case class AudioStats(doc_id: Long, sample_rate: Long, n_samples: Long,
+                        peak: Long, mean_abs: Long)
+
+  /** REAL audio codec over the JDK's built-in `javax.sound.sampled` WAV
+    * reader/writer (PCM — no external media library needed), the audio
+    * analog of [[ImageIoCodec]]: little-endian signed 16-bit mono. PCM is
+    * lossless, so decoded samples are bit-equal to what was encoded —
+    * which is what lets the [[audioStats]] oracle predict decoder-observed
+    * statistics from the synthesis rule alone. */
+  object WavCodec {
+    import javax.sound.sampled._
+
+    def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** (sampleRate, samples) as the DECODER reports them. */
+    def decode(bytes: Array[Byte]): (Int, Array[Short]) = {
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val raw = ais.readAllBytes()
+      val n = raw.length / 2
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        out(i) = (((raw(2 * i + 1) & 0xff) << 8) | (raw(2 * i) & 0xff)).toShort
+        i += 1
+      }
+      (ais.getFormat.getSampleRate.toInt, out)
     }
   }
 
@@ -269,6 +314,40 @@ object Multimodal {
           }
           val n = dw.toLong * dh
           ImageDims(id, dw.toLong, dh.toLong, sr / n, sg / n, sb / n)
+        }
+      }
+  }
+
+  /** Real WAV decode through the JDK: synthetic integer sawtooth signals
+    * (length/frequency derived from doc_id — no floating synthesis, so
+    * every sample is an exact int16) are encoded to WAV containers and
+    * decoded back INSIDE one partition pass; output is what the DECODER
+    * observed (rate, length, peak, integer mean |amplitude|). PCM is
+    * lossless, so the oracle predicts these from the synthesis rule —
+    * a green row proves the container round-trip bit-exact. Same
+    * partition-wise batch shape as [[imageDims]]; swapping the synthetic
+    * source for lake-read payload bytes changes nothing structural. */
+  def audioStats(spark: SparkSession, docs: DataFrame): Dataset[AudioStats] = {
+    import spark.implicits._
+    val rate = 8000
+    docs.select(col("doc_id"),
+        (lit(800) + pmod(col("doc_id"), lit(100))).cast(IntegerType).as("n"),
+        (lit(1) + pmod(col("doc_id"), lit(7))).cast(IntegerType).as("f"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { batch =>
+        batch.map { case (id, n, f) =>
+          val samples = Array.tabulate(n)(i => (((i * f) % 256 - 128) * 256).toShort)
+          val (decRate, dec) = WavCodec.decode(WavCodec.encode(rate, samples))
+          var (peak, sumAbs) = (0L, 0L)
+          var i = 0
+          while (i < dec.length) {
+            val a = math.abs(dec(i).toLong)
+            if (a > peak) peak = a
+            sumAbs += a
+            i += 1
+          }
+          AudioStats(id, decRate.toLong, dec.length.toLong, peak,
+            sumAbs / dec.length)
         }
       }
   }

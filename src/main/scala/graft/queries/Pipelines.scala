@@ -193,6 +193,14 @@ object Pipelines {
     "multimodal_image_dims" -> ((s, dir) =>
       Multimodal.imageDims(s, t(s, dir, "documents")).toDF()),
 
+    // multimodal: REAL WAV decode via the JDK's javax.sound.sampled —
+    // integer sawtooth signals encoded to WAV containers and decoded back
+    // in one partition pass; output is decoder-observed (rate, length,
+    // peak, mean |amplitude|), oracle-predicted from the synthesis rule
+    // because PCM is lossless
+    "multimodal_audio_stats" -> ((s, dir) =>
+      Multimodal.audioStats(s, t(s, dir, "documents")).toDF()),
+
     // multimodal: perceptual image dedup — aHash (8×8 gray, bit = pixel >
     // integer mean) over REAL decoded PNG bytes, identical-hash clusters
     // keyed by their min doc_id; integer-only hash arithmetic keeps the
@@ -659,6 +667,15 @@ object Pipelines {
          x AS (SELECT h AS ws FROM e
                UNION ALL SELECT h - INTERVAL '1 hour' AS ws FROM e)
          SELECT ws AS window_start, COUNT(*) AS n FROM x GROUP BY 1""",
+    "multimodal_audio_stats" ->
+      """WITH d AS (SELECT doc_id, 800 + doc_id % 100 AS n, 1 + doc_id % 7 AS f
+            FROM documents),
+         s AS (SELECT doc_id, n, f, unnest(generate_series(0, n - 1)) AS i FROM d),
+         v AS (SELECT doc_id, n, abs(((i * f) % 256 - 128) * 256) AS a FROM s)
+         SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(max(n) AS BIGINT) AS n_samples, CAST(max(a) AS BIGINT) AS peak,
+           CAST(SUM(a) // max(n) AS BIGINT) AS mean_abs
+         FROM v GROUP BY doc_id""",
     "multimodal_image_dims" ->
       """SELECT doc_id,
            CAST(1 + doc_id % 64 AS BIGINT) AS width,

@@ -65,6 +65,19 @@ class PipelineSpec extends SparkSuite {
     assert(got(6L) === None)
   }
 
+  test("WavCodec: WAV container round-trip is sample-exact, format preserved") {
+    val samples = Array.tabulate(1000)(i => (((i * 3) % 256 - 128) * 256).toShort)
+    val (rate, decoded) = Multimodal.WavCodec.decode(
+      Multimodal.WavCodec.encode(8000, samples))
+    assert(rate === 8000)
+    assert(decoded.length === 1000)
+    assert(decoded.sameElements(samples))
+    // int16 extremes survive the byte split/reassembly
+    val edge = Array[Short](Short.MinValue, Short.MaxValue, 0, -1)
+    assert(Multimodal.WavCodec.decode(
+      Multimodal.WavCodec.encode(44100, edge))._2.sameElements(edge))
+  }
+
   test("streaming windowed agg equals the batch plan over the same data") {
     val streamed = EventStream.windowedAgg(spark, sf001)
       .orderBy("window_start", "event_type")
