@@ -49,5 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name), builder))
     }
     e.injectPlannerStrategy(_ => graft.plans.RegionSortStrategy)
+    // strictly opt-in AQP: COUNT(DISTINCT x) → approx_count_distinct(x)
+    // when the session sets graft.approx.distinct=true (off by default —
+    // the rule changes results, so the user must ask for it)
+    e.injectOptimizerRule(session => graft.plans.ApproxDistinctRewrite(
+      () => session.conf.get("graft.approx.distinct", "false").toBoolean))
   }
 }

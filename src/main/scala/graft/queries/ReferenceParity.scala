@@ -338,6 +338,23 @@ object ReferenceParity {
         Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")))
     }),
 
+    // secondary-index maintenance: the value→row index table HBase users
+    // materialize beside the main table (the reference writes only the
+    // primary): index rowkey = segment byte-prefix + ':' + primary rowkey,
+    // so one segment prefix-scan finds every matching primary; the index
+    // table itself flows through the SAME region-sorted pipeline as any
+    // cell table (derived, not hand-maintained — rebuilding it IS this
+    // one declarative plan)
+    "cells_secondary_index" -> ((s, dir) => {
+      val idx = t(s, dir, "customer").select(
+        concat(keys.utf8(col("c_mktsegment")), keys.utf8(lit(":")), custKey).as("row"),
+        keys.utf8(lit("i")).as("family"),
+        keys.utf8(lit("pk")).as("qualifier"),
+        custKey.as("value"),
+        lit(0L).as("ts"))
+      hexBin(RegionSort.sortedByRange(idx, 10))
+    }),
+
     // multi-dimensional layout: Morton code over (partkey, suppkey) — the
     // data-skipping complement to the single-key region sort; clustering
     // itself (range exchange + local sort + both-dims file pruning) is
@@ -396,6 +413,11 @@ object ReferenceParity {
     "cells_compact_tombstones" -> cellsTombstonesSql,
     "cells_keyvalue_wire" -> kvWireSql,
     "cells_snapshot_asof" -> cellsSnapshotSql,
+    "cells_secondary_index" ->
+      s"""SELECT lower(hex(c_mktsegment)) || '3a' || $custKeyHexSql AS "row",
+            '69' AS "family", '706b' AS "qualifier",
+            $custKeyHexSql AS "value", CAST(0 AS BIGINT) AS "ts"
+          FROM customer""",
     "cells_reconstitute_wide" -> cellsReconstituteSql,
     "layout_zorder" ->
       ("SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, " +

@@ -290,6 +290,27 @@ class PlanSpec extends SparkSuite {
     assert(!rs.contains("CartesianProduct") && !rs.contains("BroadcastNestedLoopJoin"), rs)
   }
 
+  test("approx-distinct rewrite: opt-in conf flips COUNT DISTINCT to HLL++, off by default") {
+    import spark.implicits._
+    (1 to 1000).map(i => i % 100).toDF("k").createOrReplaceTempView("adr_t")
+    val sql = "SELECT count(DISTINCT k) AS d FROM adr_t"
+    // off (the default): exact plan, exact answer
+    val exact = spark.sql(sql)
+    assert(!exact.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
+    assert(exact.as[Long].head() === 100L)
+    withSQLConf("graft.approx.distinct" -> "true") {
+      val approx = spark.sql(sql)
+      val plan = approx.queryExecution.optimizedPlan.toString
+      assert(plan.contains("approx_count_distinct"), plan)
+      // HLL++ default rsd 5% — a 100-distinct stream lands well inside ±10
+      val est = approx.as[Long].head()
+      assert(est > 90L && est < 110L, s"estimate $est")
+    }
+    // the conf is re-read per query: back off after the block
+    assert(!spark.sql(sql).queryExecution.optimizedPlan.toString
+      .contains("approx_count_distinct"))
+  }
+
   test("runtime bloom-filter join pruning: a selective dim filter injects might_contain on the fact scan") {
     // The 100 TB shape: a shuffle join whose small side carries a selective
     // filter should push a runtime bloom filter into the fact-side scan, so
