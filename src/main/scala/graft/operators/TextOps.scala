@@ -272,6 +272,18 @@ object TextOps {
           .as("entropy"))
   }
 
+  /** URL canonicalization — the web-corpus dedup key: the same article
+    * arrives as http/https, with/without `www.`, with tracking query
+    * strings, fragments, or a trailing slash, and crawl dedup keys on the
+    * canonical form. Strip order matters (fragment before query — a
+    * `?q=1#f` URL must lose both): scheme → `www.` → fragment → query →
+    * trailing slashes. Pure codegen `regexp_replace` chain — per-row, no
+    * shuffle, pushes down like any projection. */
+  def canonicalUrl(url: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      url, "^[a-z]+://", ""), "^www\\.", ""), "#.*$", ""), "\\?.*$", ""),
+      "/+$", "")
+
   /** Per-source unigram KL divergence vs the whole corpus — the mixture
     * monitor that catches a source drifting away from (or collapsing
     * into) the blend: KL(P_source ‖ P_corpus) = Σ_t p_st·ln(p_st/p_t),

@@ -622,6 +622,29 @@ object NorthStar {
           pmod(col("doc_id"), lit(256)), lit(".7 ref 12345678"),
           col("doc_id"))).as("clean"))),
 
+    // URL-canonicalization dedup: four synthetic crawl variants of each
+    // article (scheme/www/utm-query/fragment/trailing-slash noise — the
+    // testdata has no URL column, so the decoration is replayed by the
+    // oracle like text_redact_pii) collapse onto one canonical key; the
+    // group census is the crawl-dedup decision table
+    "dedup_url_canonical" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val g = expr("(doc_id div 4) % 10").cast("string")
+      val aid = expr("doc_id div 4").cast("string")
+      val base = concat(lit("site"), g, lit(".com/articles/"), aid)
+      val raw = when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("https://www."), base, lit("/")))
+        .when(pmod(col("doc_id"), lit(4)) === 1, concat(lit("http://"), base))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("https://"), base, lit("?utm_source=feed&utm_campaign=x")))
+        .otherwise(concat(lit("https://www."), base, lit("#section-2")))
+      d.select(col("doc_id"), raw.as("raw_url"))
+        .select(col("doc_id"),
+          TextOps.canonicalUrl(col("raw_url")).as("canonical"))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_raw"), min(col("doc_id")).as("keep_doc"))
+    }),
+
     // Gopher-style repetition signal: the most-repeated bigram's share of
     // each document's positional bigrams
     "text_repetition" -> ((s, dir) =>
@@ -2137,6 +2160,22 @@ object NorthStar {
             SELECT doc_id,
               unnest(list_transform(range(len(h)), i -> list_min(h[i+1:i+4]))) AS fp
             FROM hs)""",
+    "dedup_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN 'https://www.site' || ((doc_id // 4) % 10) || '.com/articles/' || (doc_id // 4) || '/'
+             WHEN 1 THEN 'http://site' || ((doc_id // 4) % 10) || '.com/articles/' || (doc_id // 4)
+             WHEN 2 THEN 'https://site' || ((doc_id // 4) % 10) || '.com/articles/' || (doc_id // 4) || '?utm_source=feed&utm_campaign=x'
+             ELSE 'https://www.site' || ((doc_id // 4) % 10) || '.com/articles/' || (doc_id // 4) || '#section-2'
+           END AS raw_url
+          FROM documents),
+         c AS (SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(raw_url, '^[a-z]+://', ''), '^www\.', ''),
+             '#.*$', ''), '\?.*$', ''), '/+$', '') AS canonical
+          FROM u)
+         SELECT canonical, count(*) AS n_raw, min(doc_id) AS keep_doc
+         FROM c GROUP BY 1""",
     "text_redact_pii" ->
       """WITH d AS (SELECT doc_id,
            text || ' contact user' || doc_id || '@example.com from 10.0.' ||

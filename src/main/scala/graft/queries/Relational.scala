@@ -389,6 +389,24 @@ object Relational {
             .cast(DoubleType).as("sum_10m"))
     }),
 
+    // Window: trailing CALENDAR-interval range frame (the feature-store
+    // staple "spend in the last 30 days" per customer) — Spark range
+    // frames are numeric, so the idiom is ordering on epoch micros with
+    // the interval as a micro count; one exchange + sort per customer
+    // partition, frames resolved by binary search within the run
+    "q_window_range_interval" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("tus"))
+        .rangeBetween(-30L * 86400L * 1000000L, 0L)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_micros(col("o_orderdate").cast(TimestampType)).as("tus"),
+          col("o_totalprice"))
+        .select(col("o_orderkey"), col("o_custkey"), col("tus"),
+          count(lit(1)).over(w).as("n_last_30d"),
+          sum(money(col("o_totalprice"))).over(w)
+            .cast(DoubleType).as("rev_last_30d"))
+    }),
+
     // Window: distribution analytics — percent_rank / cume_dist / ntile
     // over a tie-free per-type ordering (value, event_id). The ratios are
     // exact integer-over-integer divisions done once in double, so both
@@ -766,6 +784,14 @@ object Relational {
                    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
          FROM lineitem""",
+    "q_window_range_interval" ->
+      """SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS tus,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_30d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+             AS rev_last_30d
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+                      RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)""",
     "q_window_range_frame" ->
       """WITH e AS (SELECT event_id, user_id,
              epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS tsec, value
