@@ -473,6 +473,15 @@ object NorthStar {
       graft.operators.GraphOps.kCore(edges, k = 3, rounds = 4)
     }),
 
+    // connected components at SCALE: alternating large-star/small-star
+    // rounds (O(log n) rounds vs hash-min's O(diameter)) over the
+    // co-purchase graph — min-id representatives identical to the
+    // hash-min fixpoint, proven by the shared recursive-CTE oracle shape
+    "graph_cc_star" -> ((s, dir) => {
+      val edges = coPurchaseEdges2(s, dir)
+      graft.operators.GraphOps.connectedComponentsStar(edges)
+    }),
+
     // hop-bounded multi-source BFS over the co-purchase graph: exact
     // shortest hop distance (≤ 4) from the id%37==0 landmark items — the
     // landmark-distance feature primitive; per hop = one nodes-sized join
@@ -2055,6 +2064,14 @@ object NorthStar {
       coPurchaseEdgesSql, 20),
     "graph_kcore" -> graft.operators.GraphOps.kCoreSql(
       coPurchaseEdges2Sql, 3, 4),
+    "graph_cc_star" ->
+      s"""WITH RECURSIVE p AS (SELECT a, b FROM ($coPurchaseEdges2Sql)),
+          edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+          reach(id, r) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT re.id, e2.b FROM reach re JOIN edges e2 ON e2.a = re.r)
+          SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""",
     "graph_bfs_distances" -> graft.operators.GraphOps.bfsDistancesSql(
       coPurchaseEdges2Sql, "id % 37 = 0", 4),
     "dedup_containment" -> containmentCappedSql(2L, 0.5),

@@ -170,6 +170,22 @@ class AnalyticsLayoutSpec extends SparkSuite {
     assert(got("s") === (3L, 0L, 2L, "a", "b"))
   }
 
+  test("connectedComponentsStar: equals hash-min CC on chains, cycles, and isolated pairs") {
+    // a 7-node chain (worst case for hash-min: diameter rounds), a
+    // 4-cycle, and an isolated pair
+    val pairs = (Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+        (14L, 15L), (15L, 16L)) ++
+      Seq((20L, 21L), (21L, 22L), (22L, 23L), (23L, 20L)) ++
+      Seq((30L, 31L))).toDF("a", "b")
+    val star = graft.operators.GraphOps.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    val hashMin = graft.operators.Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(star === hashMin)
+    assert(star.filter(_._1 >= 10L).filter(_._1 < 17L).values.toSet === Set(10L))
+    assert(star(23L) === 20L && star(31L) === 30L)
+  }
+
   test("anomalyMad: planted spike flags, MAD=0 degenerate case, quiet series stays quiet") {
     // type a: 7 flat days then a 50-count spike → med 5, MAD 0, spike flags
     // type b: counts 1..7 → med 4, MAD 2, threshold 6 → nothing flags
