@@ -291,6 +291,20 @@ object Pipelines {
     "events_scd2" -> ((s, dir) =>
       EventAnalytics.scd2History(t(s, dir, "events"))),
 
+    // the warehouse pattern SCD2 exists FOR: each fact row (order) stamped
+    // with the dimension state valid AT its event time — user-keyed
+    // equi-join + interval filter (intervals are non-overlapping per key,
+    // so at most one match; pre-history orders surface with NULL state)
+    "events_scd2_lookup" -> ((s, dir) => {
+      val dim = EventAnalytics.scd2History(t(s, dir, "events"))
+      t(s, dir, "orders").join(dim,
+          col("o_custkey") === col("user_id") &&
+            col("valid_from") <= col("o_orderdate") &&
+            (col("valid_to").isNull || col("o_orderdate") < col("valid_to")),
+          "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("state"))
+    }),
+
     // incremental aggregate maintenance: the standing per-user aggregate is
     // kept by MERGING yesterday's aggregate with the new day's delta
     // (counts add, decimal sums add exactly) — at 100 TB the rollup is
@@ -429,6 +443,19 @@ object Pipelines {
                FROM b WHERE cum >= ceil(0.99 * n) AND cum - cnt < ceil(0.99 * n))
        SELECT q50.g AS day, q50.n, q50.p50, q90.p90, q99.p99
        FROM q50 JOIN q90 ON q50.g = q90.g JOIN q99 ON q50.g = q99.g"""
+
+  /** Shared by events_scd2 and the as-of dimension lookup built on it. */
+  private val scd2Sql =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_id, event_type
+           FROM events),
+         x AS (SELECT user_id, ts, event_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) prev FROM e),
+         m AS (SELECT user_id, ts, event_id, event_type FROM x
+               WHERE prev IS NULL OR event_type <> prev)
+         SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+         FROM m"""
 
   val oracle: Map[String, String] = Map(
     "events_anomaly_mad" ->
@@ -816,17 +843,13 @@ object Pipelines {
       s"""SELECT user_id, count(*) AS n_events,
             ${Tables.dsumSql("value")} AS v_sum
           FROM events GROUP BY 1""",
-    "events_scd2" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_id, event_type
-           FROM events),
-         x AS (SELECT user_id, ts, event_id, event_type,
-                lag(event_type) OVER (PARTITION BY user_id
-                  ORDER BY ts, event_id) prev FROM e),
-         m AS (SELECT user_id, ts, event_id, event_type FROM x
-               WHERE prev IS NULL OR event_type <> prev)
-         SELECT user_id, event_type AS state, ts AS valid_from,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
-         FROM m""",
+    "events_scd2" -> scd2Sql,
+    "events_scd2_lookup" ->
+      s"""WITH dim AS ($scd2Sql)
+          SELECT o_orderkey, o_custkey, state
+          FROM orders LEFT JOIN dim
+            ON o_custkey = user_id AND valid_from <= o_orderdate
+            AND (valid_to IS NULL OR o_orderdate < valid_to)""",
     "multimodal_features" ->
       """SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
