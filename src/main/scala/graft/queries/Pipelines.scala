@@ -144,6 +144,13 @@ object Pipelines {
     // stateful sessionization (30-min inactivity gap)
     "sessionize_events" -> ((s, dir) => EventStream.sessionize(s, dir, 30)),
 
+    // streaming CDC apply: each micro-batch appends its per-key argmax
+    // partial (tombstones included — they must shadow across batches);
+    // the standing snapshot folds the store with the same argmax, equal
+    // to the one-shot batch snapshot by the max merge law (shared oracle)
+    "stream_cdc_apply" -> ((s, dir) =>
+      EventStream.cdcApplyAll(s, dir, tombstoneType = "error")),
+
     // the TRUE incremental sessionizer (flatMapGroupsWithState +
     // event-time timeouts) run to completion with a sentinel-advanced
     // watermark — same sessions as the batch form, emitted by the state
@@ -443,6 +450,17 @@ object Pipelines {
                FROM b WHERE cum >= ceil(0.99 * n) AND cum - cnt < ceil(0.99 * n))
        SELECT q50.g AS day, q50.n, q50.p50, q90.p90, q99.p99
        FROM q50 JOIN q90 ON q50.g = q90.g JOIN q99 ON q50.g = q99.g"""
+
+  /** Shared by the batch CDC snapshot and its streaming apply form
+    * (per-key argmax partials fold to the one-shot answer). */
+  private val cdcSnapshotSql =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type, value, event_id
+           FROM events),
+         r AS (SELECT user_id, ts, event_type, value,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) rn FROM e)
+         SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+         FROM r WHERE rn = 1 AND event_type <> 'error'"""
 
   /** Shared by events_scd2 and the as-of dimension lookup built on it. */
   private val scd2Sql =
@@ -774,14 +792,8 @@ object Pipelines {
            count(DISTINCT e.user_id) AS active_users
          FROM e JOIN c USING (user_id)
          GROUP BY 1, 2""",
-    "events_cdc_snapshot" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type, value, event_id
-           FROM events),
-         r AS (SELECT user_id, ts, event_type, value,
-                row_number() OVER (PARTITION BY user_id
-                  ORDER BY ts DESC, event_id DESC) rn FROM e)
-         SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
-         FROM r WHERE rn = 1 AND event_type <> 'error'""",
+    "events_cdc_snapshot" -> cdcSnapshotSql,
+    "stream_cdc_apply" -> cdcSnapshotSql,
     "events_active_users" ->
       """WITH ud AS (SELECT DISTINCT user_id,
              CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),

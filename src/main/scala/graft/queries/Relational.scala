@@ -457,6 +457,24 @@ object Relational {
         .distinct()
     }),
 
+    // BAG-semantics set ops (intersectAll / exceptAll keep multiplicities
+    // — min/difference of per-value counts, a different operator from the
+    // distinct forms: Spark plans them as count-annotated joins, not
+    // dedup + join); nation-key multisets of customers vs suppliers
+    "q_set_ops_all" -> ((s, dir) => {
+      val custNations = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val suppNations = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      custNations.intersectAll(suppNations)
+        .groupBy(col("nk")).agg(count(lit(1)).as("n_inter"))
+        .join(
+          custNations.exceptAll(suppNations)
+            .groupBy(col("nk")).agg(count(lit(1)).as("n_exc")),
+          Seq("nk"), "full_outer")
+        .select(col("nk"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+          coalesce(col("n_exc"), lit(0L)).as("n_exc"))
+    }),
+
     // Distinct aggregation (exact; the approx variants are benched, not
     // oracle-checked, since HLL is engine-specific).
     "q_distinct_agg" -> ((s, dir) =>
@@ -822,6 +840,17 @@ object Relational {
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q_set_ops_all" ->
+      """WITH c AS (SELECT c_nationkey AS nk FROM customer),
+         s AS (SELECT s_nationkey AS nk FROM supplier),
+         i AS (SELECT nk, count(*) n_inter FROM (
+                 SELECT nk FROM c INTERSECT ALL SELECT nk FROM s)
+               GROUP BY 1),
+         x AS (SELECT nk, count(*) n_exc FROM (
+                 SELECT nk FROM c EXCEPT ALL SELECT nk FROM s)
+               GROUP BY 1)
+         SELECT nk, coalesce(n_inter, 0) AS n_inter, coalesce(n_exc, 0) AS n_exc
+         FROM i FULL OUTER JOIN x USING (nk)""",
     "q_set_ops" ->
       """SELECT DISTINCT nk FROM (
            SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey AS nk FROM supplier

@@ -382,6 +382,56 @@ object EventStream {
     spark.read.parquet(out).where(col("event_id") >= 0)
   }
 
+  /** Streaming CDC APPLY — the incremental form of the batch
+    * [[graft.operators.EventAnalytics.latestSnapshot]]: each changelog
+    * micro-batch reduces to its per-key argmax row (latest (ts, seq)
+    * within the batch, tombstones INCLUDED — a tombstone must shadow
+    * older puts across batches, so it stays in state and is filtered
+    * only at read) and appends that partial to the store; the standing
+    * snapshot folds the store with the same argmax. Per-key max is
+    * associative and commutative, so batch arrival order cannot change
+    * any answer and the result provably EQUALS the one-shot batch
+    * snapshot — the shared oracle. The append-only store is the same
+    * mergeable-partial-state shape as the sketch streams (a real
+    * deployment compacts it with [[graft.operators.CellOps]]-style
+    * keep-1 passes instead of growing forever).
+    * Output: (user_id, last_ts, last_type, last_value). */
+  def cdcApplyAll(spark: SparkSession, dir: String,
+                  tombstoneType: String): DataFrame = {
+    import graft.operators.Dedup.MaterializeSyntax
+    val events = graft.queries.Tables.events(spark, dir)
+    val staging = java.nio.file.Files.createTempDirectory("graft-cdc-stream").toString
+    events.repartition(3).write.mode("overwrite").parquet(s"$staging/in")
+    val schema = spark.read.parquet(s"$staging/in").schema
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema(schema).parquet(s"$staging/in")
+    val store = s"$staging/state"
+    def argmax(df: DataFrame) = df.groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("l"))
+      .select(col("user_id"), col("l.ts").as("ts"), col("l.event_id").as("event_id"),
+        col("l.event_type").as("event_type"), col("l.value").as("value"))
+    withStreamPartitions(spark, 8) {
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$staging/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          argmax(batch).write.mode("append").parquet(store)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val snap = argmax(spark.read.parquet(store))
+      .where(col("event_type") =!= tombstoneType)
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+      .materialized // must not outlive the staging dir's store files
+    deleteStaging(staging)
+    snap
+  }
+
   /** Streaming QUANTILE-SKETCH maintenance — the incremental form of the
     * batch [[graft.operators.Sketches]] histogram sketch: event
     * micro-batches each contribute their own (day, bin, count) register
