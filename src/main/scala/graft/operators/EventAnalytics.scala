@@ -118,6 +118,41 @@ object EventAnalytics {
       .select(col("user_id"), col("last.ts").as("last_ts"),
         col("last.event_type").as("last_type"), col("last.value").as("last_value"))
 
+  /** TIME-TO-CONVERT distribution — the latency companion to the funnel's
+    * conversion counts: for every user whose first `fromType` is followed
+    * by a `toType`, the delay (first qualifying `toType` − first
+    * `fromType`) in whole seconds, summarized as exact p50/p90 via the
+    * equi-depth census walk (value-histogram + cumulative window + first
+    * value whose cum reaches the rank — delays are integers, the walk is
+    * bounded by DISTINCT delay values, and nothing sorts per user).
+    *
+    * Scale shape: two filtered min-aggregates reduce the stream to one
+    * row per user before any join; the join is user-keyed; the census
+    * frame is delay-valued, not user-sized. Output: one row
+    * (n_converted, p50_secs, p90_secs). */
+  def timeToConvert(events: DataFrame, fromType: String,
+                    toType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val first = events.where(col("event_type") === fromType)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val delays = events.where(col("event_type") === toType)
+      .join(first, "user_id")
+      .where(col("ts") >= col("t1"))
+      .groupBy(col("user_id"))
+      .agg(((unix_micros(min(col("ts"))) - unix_micros(max(col("t1"))))
+        / lit(1000000L)).cast("long").as("d"))
+    val w = Window.orderBy(col("d"))
+    // census over distinct delay values (bounded; single-window by design)
+    delays.groupBy(col("d")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .agg(max(col("n")).as("n_converted"),
+        min(when(col("cum") * 2 >= col("n"), col("d"))).as("p50_secs"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("d"))).as("p90_secs"))
+  }
+
   /** The batch 30-min-gap sessionizer's id assignment, shared by every
     * batch consumer (path mining, interval attribution): events gain a
     * per-user `session_id` — a new session opens when the gap since the

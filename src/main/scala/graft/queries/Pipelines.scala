@@ -258,6 +258,12 @@ object Pipelines {
     "events_cdc_snapshot" -> ((s, dir) =>
       EventAnalytics.latestSnapshot(t(s, dir, "events"), tombstoneType = "error")),
 
+    // funnel latency: exact p50/p90 seconds from first view to first
+    // subsequent purchase — per-user min-aggregates before the join, the
+    // percentile walk over DISTINCT delay values only
+    "events_funnel_ttc" -> ((s, dir) =>
+      EventAnalytics.timeToConvert(t(s, dir, "events"), "view", "purchase")),
+
     // rolling engagement: DAU + trailing-7-day WAU per active day, the
     // rolling distinct via explode-forward (no per-day range self-join)
     "events_active_users" -> ((s, dir) =>
@@ -792,6 +798,22 @@ object Pipelines {
            count(DISTINCT e.user_id) AS active_users
          FROM e JOIN c USING (user_id)
          GROUP BY 1, 2""",
+    "events_funnel_ttc" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type FROM events),
+         f AS (SELECT user_id, min(ts) t1 FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+         d AS (SELECT e.user_id,
+                (epoch_us(min(e.ts)) - epoch_us(max(t1))) // 1000000 AS d
+               FROM e JOIN f USING (user_id)
+               WHERE event_type = 'purchase' AND ts >= t1 GROUP BY 1),
+         c AS (SELECT d, count(*) c FROM d GROUP BY 1),
+         b AS (SELECT d,
+                CAST(SUM(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) cum,
+                CAST(SUM(c) OVER () AS BIGINT) n FROM c)
+         SELECT max(n) AS n_converted,
+           min(CASE WHEN cum * 2 >= n THEN d END) AS p50_secs,
+           min(CASE WHEN cum * 10 >= n * 9 THEN d END) AS p90_secs
+         FROM b""",
     "events_cdc_snapshot" -> cdcSnapshotSql,
     "stream_cdc_apply" -> cdcSnapshotSql,
     "events_active_users" ->
