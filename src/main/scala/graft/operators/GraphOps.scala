@@ -219,6 +219,39 @@ object GraphOps {
     labels
   }
 
+  /** Newman MODULARITY of a community assignment — the eval metric that
+    * says whether detected communities are denser than chance: per
+    * community c, q_c = e_c/m − (d_c/2m)², where e_c = intra-community
+    * edges, d_c = degree mass, m = |E|; Q = Σ q_c ∈ [−0.5, 1], ~0 for
+    * random structure. Declared per-community so the breakdown itself is
+    * oracle-checked (Σ is one trivial fold away).
+    *
+    * Scale shape: two label joins stamp each edge's endpoints (edge-sized
+    * equi-joins), then everything reduces to |communities|-sized frames;
+    * m joins as the 1-row broadcast scalar. All inputs to the one
+    * rounded double expression are exact integers in a fixed operation
+    * order. Output: (community, n_nodes, e_in, d_sum, q_contrib). */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val m = edges.agg(count(lit(1)).as("m"))
+    val stamped = edges
+      .join(labels.select(col("id").as("a"), col("lbl").as("la")), "a")
+      .join(labels.select(col("id").as("b"), col("lbl").as("lb")), "b")
+    val ein = stamped.where(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("e_in"))
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val dm = col("d_sum").cast(DoubleType) / (lit(2) * col("m")).cast(DoubleType)
+    labels.join(deg, "id")
+      .groupBy(col("lbl").as("community"))
+      .agg(sum(col("deg")).as("d_sum"), count(lit(1)).as("n_nodes"))
+      .join(ein, Seq("community"), "left")
+      .crossJoin(broadcast(m)) // 1-row scalar, documented BNLJ pattern
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"),
+        round(coalesce(col("e_in"), lit(0L)).cast(DoubleType) /
+          col("m").cast(DoubleType) - dm * dm, 6).as("q_contrib"))
+  }
+
   /** The unrolled DuckDB mirror of [[labelPropagation]] (oracle builder):
     * `edgesSql` must yield columns (a, b). */
   def labelPropagationSql(edgesSql: String, iters: Int): String = {

@@ -473,6 +473,15 @@ object NorthStar {
       graft.operators.GraphOps.kCore(edges, k = 3, rounds = 4)
     }),
 
+    // community-quality eval: per-community Newman modularity of the
+    // label-propagation partition — intra-edge density vs the degree-mass
+    // null model; edge-sized label stamps, community-sized algebra
+    "graph_modularity" -> ((s, dir) => {
+      val edges = coPurchaseEdges(s, dir)
+      graft.operators.GraphOps.modularity(edges,
+        graft.operators.GraphOps.labelPropagation(edges, 4))
+    }),
+
     // connected components at SCALE: alternating large-star/small-star
     // rounds (O(log n) rounds vs hash-min's O(diameter)) over the
     // co-purchase graph — min-id representatives identical to the
@@ -2064,6 +2073,26 @@ object NorthStar {
       coPurchaseEdgesSql, 20),
     "graph_kcore" -> graft.operators.GraphOps.kCoreSql(
       coPurchaseEdges2Sql, 3, 4),
+    "graph_modularity" -> {
+      val lp = graft.operators.GraphOps.labelPropagationSql(coPurchaseEdgesSql, 4)
+      s"""WITH lp AS ($lp), edges AS ($coPurchaseEdgesSql),
+          m AS (SELECT count(*) m FROM edges),
+          st AS (SELECT la.lbl AS la, lb.lbl AS lb FROM edges e
+                 JOIN lp la ON la.id = e.a JOIN lp lb ON lb.id = e.b),
+          ein AS (SELECT la AS community, count(*) e_in FROM st
+                  WHERE la = lb GROUP BY 1),
+          deg AS (SELECT id, count(*) deg FROM (
+                    SELECT a AS id FROM edges UNION ALL SELECT b FROM edges)
+                  GROUP BY 1),
+          ds AS (SELECT lbl AS community, CAST(SUM(deg) AS BIGINT) d_sum,
+                  count(*) n_nodes
+                 FROM lp JOIN deg USING (id) GROUP BY 1)
+          SELECT community, n_nodes, coalesce(e_in, 0) AS e_in, d_sum,
+            round(CAST(coalesce(e_in, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+              - (CAST(d_sum AS DOUBLE) / CAST(2 * m AS DOUBLE))
+                * (CAST(d_sum AS DOUBLE) / CAST(2 * m AS DOUBLE)), 6) AS q_contrib
+          FROM ds LEFT JOIN ein USING (community), m"""
+    },
     "graph_cc_star" ->
       s"""WITH RECURSIVE p AS (SELECT a, b FROM ($coPurchaseEdges2Sql)),
           edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),

@@ -240,6 +240,20 @@ object SqlSurface {
            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
     }),
 
+    // SQL layer: GROUPING() disambiguation — the bit that tells a rollup
+    // consumer whether a NULL cell means "aggregated over" or "was NULL
+    // in the data"; same one-Expand plan as the grouping-sets query
+    "q_sql_grouping_id" -> ((s, dir) => {
+      registerViews(s, dir)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+             CAST(grouping(l_returnflag) AS INT) AS g_rf,
+             CAST(grouping(l_linestatus) AS INT) AS g_ls,
+             COUNT(*) AS n
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+    }),
+
     // SQL layer: IN / NOT IN subqueries
     "q_sql_in_subquery" -> ((s, dir) => {
       registerViews(s, dir)
@@ -376,6 +390,13 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           COUNT(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
     "q_sql_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
            l_quantity AS val FROM lineitem

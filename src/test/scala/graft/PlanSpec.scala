@@ -147,6 +147,7 @@ class PlanSpec extends SparkSuite {
     // total / the corpus token total — q22 pattern throughout)
     val intentional = Set(
       "q_join_cardinality_est", "profile_key_skew", "text_source_divergence",
+      "graph_modularity", // 1-row |E| scalar cross join (q22 pattern)
       "basket_association_rules", "events_rfm_segments",
       "text_kn_bigram_lm",
       "text_vocab_growth", "rag_mmr_topk", "corpus_temperature_mix",
@@ -182,6 +183,7 @@ class PlanSpec extends SparkSuite {
     // (q_approx_distinct specifically was rewritten to avoid it)
     val expandIsTheOperator = Set(
       "q_cube", "q_rollup", "q_sql_grouping_sets", // grouping-set lattices
+      "q_sql_grouping_id",                         // same lattice + GROUPING()
       "q_distinct_agg",                            // native multi-distinct agg
       "cells_explode_named", "source_avro_cells",  // unpivot/stack
       "q_unpivot", "q_sql_unpivot",                // wide→long melt IS an Expand
