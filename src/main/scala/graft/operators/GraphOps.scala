@@ -32,16 +32,22 @@ object GraphOps {
     * per hop). At the fixpoint edges form stars centered at component
     * minima, so labels read directly off the edge list. Output:
     * (doc_id, cluster_id) for every node, matching [[Dedup.clusters]]
-    * exactly (min-id representative). Edge frames materialize per round
-    * through the same [[Dedup.FixpointStorage]] knob. */
+    * exactly (min-id representative) on irreflexive pair lists — the
+    * near-dup generators' contract (self-pairs are dropped here, so a
+    * node appearing ONLY as a self-pair emits no row). Edge frames
+    * materialize per round through the same [[Dedup.FixpointStorage]]
+    * knob. */
   def connectedComponentsStar(pairs: DataFrame,
       storage: Dedup.FixpointStorage = Dedup.SessionDefault): DataFrame = {
     import Dedup.materializeFixpoint
-    val nodes = materializeFixpoint(pairs
-      .select(explode(array(col("a"), col("b"))).as("id")).distinct(), storage)
     var edges = materializeFixpoint(
       pairs.select(col("a").as("u"), col("b").as("v"))
         .where(col("u") =!= col("v")).distinct(), storage)
+    // node set off the materialized frame — the upstream pair pipeline
+    // (often an LSH candidate search) must run exactly once; self-loop
+    // pairs were dropped above and contribute no cluster anyway
+    val nodes = materializeFixpoint(edges
+      .select(explode(array(col("u"), col("v"))).as("id")).distinct(), storage)
     var converged = false
     while (!converged) {
       // large-star over the symmetrized frame
@@ -54,13 +60,13 @@ object GraphOps {
       val ls = sym.join(lsMin, "u").where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v")).distinct()
-      // small-star keyed on the larger endpoint (every v < u, so the
-      // minimum is min(Γ⁻(u)); u itself re-parents too)
-      val keyed = ls.select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
-      val ssMin = keyed.groupBy(col("u")).agg(min(col("v")).as("m"))
+      // small-star keyed on the larger endpoint; large-star output is
+      // already oriented larger→smaller (v re-parented to m ≤ u < v), so
+      // no greatest/least re-orientation is needed — every neighbor here
+      // is < u and the minimum is min(Γ⁻(u)); u itself re-parents too
+      val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
       val ss = materializeFixpoint(
-        keyed.join(ssMin, "u").where(col("v") =!= col("m"))
+        ls.join(ssMin, "u").where(col("v") =!= col("m"))
           .select(col("v").as("u"), col("m").as("v"))
           .unionByName(ssMin.select(col("u"), col("m").as("v")))
           .where(col("u") =!= col("v")).distinct(), storage)

@@ -797,27 +797,6 @@ object Similarity {
     * band recall. The per-band self-join is an equi-join on (band, bucket) —
     * no O(n²) BroadcastNestedLoopJoin anywhere in the plan; at 100 TB,
     * planesPerBand scales with log(n) to keep E[bucket size] bounded. */
-  /** k-NN GRAPH construction — the build step for graph-based ANN serving
-    * (NSW-family) and for any downstream pass that wants edges rather
-    * than clusters: every vector's top-k neighbors by exact cosine, with
-    * candidates restricted to the [[cosinePairsBucketed]] RP-band buckets
-    * (threshold −1 keeps every candidate; recall is band recall, false
-    * positives zero). The symmetrized candidate list cuts to k per node
-    * through the bounded [[TopKPairs]] aggregate — map-side partial
-    * top-k, so the exchange carries ≤ k edges per node, never a
-    * per-node window sort over the full candidate fan-in.
-    * Output: (src, nbr, cos_sim, rank 1..k). */
-  def knnGraph(corpus: DataFrame, k: Int): DataFrame = {
-    val pairs = cosinePairsBucketed(corpus, -1.0)
-    val sym = pairs
-      .select(col("a").as("qid"), col("b").as("nid"), col("cos_sim"))
-      .unionByName(
-        pairs.select(col("b").as("qid"), col("a").as("nid"), col("cos_sim")))
-    topKByScore(sym, k)
-      .select(col("qid").as("src"), col("nid").as("nbr"),
-        col("cos_sim"), col("rank"))
-  }
-
   def cosinePairsBucketed(corpus: DataFrame, threshold: Double,
                           bands: Int = 4, planesPerBand: Int = 4,
                           dims: Int = 64): DataFrame = {
@@ -841,5 +820,26 @@ object Similarity {
       .select(col("a"), col("b"),
         round(dot(col("va"), col("vb")) / (col("an") * col("bn")), 6).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
+  }
+
+  /** k-NN GRAPH construction — the build step for graph-based ANN serving
+    * (NSW-family) and for any downstream pass that wants edges rather
+    * than clusters: every vector's top-k neighbors by exact cosine, with
+    * candidates restricted to the [[cosinePairsBucketed]] RP-band buckets
+    * (threshold −1 keeps every candidate; recall is band recall, false
+    * positives zero). The symmetrized candidate list cuts to k per node
+    * through the bounded [[TopKPairs]] aggregate — map-side partial
+    * top-k, so the exchange carries ≤ k edges per node, never a
+    * per-node window sort over the full candidate fan-in.
+    * Output: (src, nbr, cos_sim, rank 1..k). */
+  def knnGraph(corpus: DataFrame, k: Int): DataFrame = {
+    val pairs = cosinePairsBucketed(corpus, -1.0)
+    val sym = pairs
+      .select(col("a").as("qid"), col("b").as("nid"), col("cos_sim"))
+      .unionByName(
+        pairs.select(col("b").as("qid"), col("a").as("nid"), col("cos_sim")))
+    topKByScore(sym, k)
+      .select(col("qid").as("src"), col("nid").as("nbr"),
+        col("cos_sim"), col("rank"))
   }
 }

@@ -477,9 +477,12 @@ object NorthStar {
     // label-propagation partition — intra-edge density vs the degree-mass
     // null model; edge-sized label stamps, community-sized algebra
     "graph_modularity" -> ((s, dir) => {
-      val edges = coPurchaseEdges(s, dir)
+      // both frames fan out (edges ×3, labels ×2 inside modularity) —
+      // materialize once so neither the basket mining nor the 4-round LP
+      // fixpoint re-executes per consumer
+      val edges = coPurchaseEdges(s, dir).materialized
       graft.operators.GraphOps.modularity(edges,
-        graft.operators.GraphOps.labelPropagation(edges, 4))
+        graft.operators.GraphOps.labelPropagation(edges, 4).materialized)
     }),
 
     // connected components at SCALE: alternating large-star/small-star
