@@ -117,6 +117,36 @@ object Profile {
       .withColumn("anonymous",
         col("k_size") >= minK && col("l_diversity") >= minL)
 
+  /** ROC AUC of a score against a binary label via the Mann-Whitney
+    * rank-sum identity — the threshold-free eval for any quality /
+    * filter score ("does the score actually rank positives above
+    * negatives"; 0.5 = chance): AUC = (U − n₊(n₊+1)) / (2·n₊·n₋) with
+    * U = Σ_blocks n₊(block)·(2·cum_before + cnt + 1), average ranks for
+    * tied scores carried as 2×-scaled INTEGERS so everything up to the
+    * single final division is exact.
+    *
+    * Scale shape: one (score → counts) aggregate bounds all later work
+    * by DISTINCT score values (the census pattern); the rank walk is one
+    * cumulative window over that block frame; no per-row ranking of the
+    * corpus anywhere. Output: one row (n, n_pos, auc). */
+  def rankAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocks = df.select(score.as("s"), label.cast(IntegerType).as("y"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("np_b"))
+    val w = Window.orderBy(col("s"))
+    blocks
+      .withColumn("cumb", coalesce(sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .agg(
+        sum(col("np_b") * (lit(2) * col("cumb") + col("c") + 1)).as("u2"),
+        sum(col("np_b")).as("n_pos"), sum(col("c")).as("n"))
+      .select(col("n"), col("n_pos"),
+        round((col("u2") - col("n_pos") * (col("n_pos") + 1)).cast(DoubleType) /
+          (lit(2) * col("n_pos") * (col("n") - col("n_pos"))).cast(DoubleType), 6)
+          .as("auc"))
+  }
+
   /** The DuckDB mirror of [[tableChecksum]] (oracle builder). */
   def tableChecksumSql(table: String, cols: Seq[String],
                        dts: Map[String, DataType]): String = {

@@ -540,6 +540,16 @@ object NorthStar {
     "text_entropy" -> ((s, dir) =>
       TextOps.tokenEntropy(t(s, dir, "documents"))),
 
+    // classifier eval #2: ROC AUC of the type-token-ratio quality score
+    // against the lang=='en' pseudo-label — Mann-Whitney rank-sum over the
+    // distinct-score census, 2×-scaled integer tied ranks, one division
+    "quality_score_auc" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      graft.operators.Profile.rankAuc(t(s, dir, "documents"),
+        round(size(array_distinct(toks)).cast("double") / size(toks), 6),
+        col("lang") === "en")
+    }),
+
     // mixture monitoring: per-source unigram KL divergence vs the corpus
     // blend — one (source, token) aggregate feeds source marginals, token
     // marginals and the per-term sum; vocab-bounded joins, corpus scanned
@@ -2192,6 +2202,24 @@ object NorthStar {
           SELECT p.lang, pred_lang, count(*) AS n,
             (count(*) * 1000000) // max(t.n_actual) AS recall_ppm
           FROM p JOIN t USING (lang) GROUP BY 1, 2""",
+    "quality_score_auc" ->
+      """WITH sc AS (SELECT
+             round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END y
+           FROM documents),
+         b AS (SELECT s, count(*) c, CAST(SUM(y) AS BIGINT) np_b
+               FROM sc GROUP BY 1),
+         r AS (SELECT s, c, np_b,
+                CAST(coalesce(SUM(c) OVER (ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) cumb
+               FROM b)
+         SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(np_b) AS BIGINT) AS n_pos,
+           round(CAST(SUM(np_b * (2 * cumb + c + 1))
+               - SUM(np_b) * (SUM(np_b) + 1) AS DOUBLE)
+             / CAST(2 * SUM(np_b) * (SUM(c) - SUM(np_b)) AS DOUBLE), 6) AS auc
+         FROM r""",
     "text_entropy" -> TextOps.tokenEntropySql(),
     "text_source_divergence" -> TextOps.sourceDivergenceSql(),
     "doc_fingerprint" ->

@@ -457,6 +457,20 @@ object Relational {
         .distinct()
     }),
 
+    // NULL-SAFE equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // match each other instead of vanishing — the semantics dimension-key
+    // joins with "unknown" buckets need; still a hash-joinable equi-key
+    // (Catalyst plans a normal exchange on the null-safe key, not a
+    // filter-join)
+    "q_join_null_safe" -> ((s, dir) => {
+      val l = t(s, dir, "customer")
+        .select(expr("nullif(c_nationkey % 5, 4)").as("k"))
+      val r = t(s, dir, "supplier")
+        .select(expr("nullif(s_nationkey % 5, 4)").as("k2"))
+      l.join(r, col("k") <=> col("k2"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // BAG-semantics set ops (intersectAll / exceptAll keep multiplicities
     // — min/difference of per-value counts, a different operator from the
     // distinct forms: Spark plans them as count-annotated joins, not
@@ -840,6 +854,12 @@ object Relational {
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q_join_null_safe" ->
+      """WITH l AS (SELECT nullif(c_nationkey % 5, 4) k FROM customer),
+         r AS (SELECT nullif(s_nationkey % 5, 4) k2 FROM supplier)
+         SELECT k, count(*) AS n_pairs
+         FROM l JOIN r ON k IS NOT DISTINCT FROM k2
+         GROUP BY 1""",
     "q_set_ops_all" ->
       """WITH c AS (SELECT c_nationkey AS nk FROM customer),
          s AS (SELECT s_nationkey AS nk FROM supplier),
