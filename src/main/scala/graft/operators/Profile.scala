@@ -117,6 +117,32 @@ object Profile {
       .withColumn("anonymous",
         col("k_size") >= minK && col("l_diversity") >= minL)
 
+  /** Plan LINT — the engine's own PlanSpec scale guards productized for
+    * user plans: inspect a DataFrame's physical plan for the shapes that
+    * kill 100 TB jobs and return one row per hit (empty = clean). Checks:
+    * cartesian products, nested-loop joins (fine only for the documented
+    * broadcast-scalar/-query patterns — the lint surfaces them for a
+    * human to confirm), and single-partition exchanges (a global
+    * bottleneck unless the frame is provably tiny). Driver-side plan
+    * analysis by design — nothing here touches data. */
+  def planLint(df: DataFrame): DataFrame = {
+    // simple mode keeps each node's arguments on its line ("Exchange
+    // SinglePartition …"); formatted mode splits them into a detail block
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    val rules = Seq(
+      "cartesian-product" -> "CartesianProduct",
+      "nested-loop-join" -> "BroadcastNestedLoopJoin",
+      "single-partition-exchange" -> "Exchange SinglePartition")
+    val hits = for {
+      (issue, marker) <- rules
+      line <- plan.linesIterator if line.contains(marker)
+    } yield (issue, line.trim.take(120))
+    val spark = df.sparkSession
+    import spark.implicits._
+    hits.toDF("issue", "plan_node")
+  }
+
   /** ROC AUC of a score against a binary label via the Mann-Whitney
     * rank-sum identity — the threshold-free eval for any quality /
     * filter score ("does the score actually rank positives above

@@ -170,6 +170,23 @@ class AnalyticsLayoutSpec extends SparkSuite {
     assert(got("s") === (3L, 0L, 2L, "a", "b"))
   }
 
+  test("planLint: flags cartesian/NLJ/single-partition shapes, silent on clean plans") {
+    val a = (1L to 10L).toDF("x")
+    val b = (1L to 10L).toDF("y")
+    val cross = graft.operators.Profile.planLint(a.crossJoin(b))
+      .select("issue").as[String].collect().toSet
+    assert(cross.contains("nested-loop-join") || cross.contains("cartesian-product"), cross)
+    // a multi-partition frame, so the global agg really plans the
+    // SinglePartition exchange (a 1-partition local frame skips it)
+    val wide = spark.range(0, 100, 1, 8).select(col("id").as("x"))
+    val single = graft.operators.Profile.planLint(wide.agg(sum(col("x"))))
+      .select("issue").as[String].collect().toSet
+    assert(single.contains("single-partition-exchange"), single)
+    val clean = graft.operators.Profile.planLint(
+      a.join(b, col("x") === col("y")).groupBy(col("x")).count())
+    assert(clean.isEmpty)
+  }
+
   test("connectedComponentsStar: equals hash-min CC on chains, cycles, and isolated pairs") {
     // a 7-node chain (worst case for hash-min: diameter rounds), a
     // 4-cycle, and an isolated pair
