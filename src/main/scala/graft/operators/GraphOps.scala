@@ -49,8 +49,14 @@ object GraphOps {
     val nodes = materializeFixpoint(edges
       .select(explode(array(col("u"), col("v"))).as("id")).distinct(), storage)
     var converged = false
+    var edgeCount = -1L // unknown until a round materializes a star frame
+    var round = 0
     while (!converged) {
-      // large-star over the symmetrized frame
+      round += 1
+      // large-star over the symmetrized frame; duplicates flow through
+      // un-distinct'd — the small-star groupBy-min and the final set
+      // distinct absorb them, and dropping the extra exchange here cuts a
+      // full shuffle per round
       val sym = edges.select(explode(array(
           struct(col("u"), col("v")),
           struct(col("v").as("u"), col("u").as("v")))).as("e"))
@@ -59,7 +65,7 @@ object GraphOps {
         .select(col("u"), least(col("mn"), col("u")).as("m"))
       val ls = sym.join(lsMin, "u").where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .where(col("u") =!= col("v")).distinct()
+        .where(col("u") =!= col("v"))
       // small-star keyed on the larger endpoint; large-star output is
       // already oriented larger→smaller (v re-parented to m ≤ u < v), so
       // no greatest/least re-orientation is needed — every neighbor here
@@ -70,8 +76,14 @@ object GraphOps {
           .select(col("v").as("u"), col("m").as("v"))
           .unionByName(ssMin.select(col("u"), col("m").as("v")))
           .where(col("u") =!= col("v")).distinct(), storage)
-      converged = ss.exceptAll(edges).limit(1).count() == 0 &&
-        edges.exceptAll(ss).limit(1).count() == 0
+      // convergence: both frames are distinct sets, so equal counts plus
+      // an empty one-sided difference ⟹ equality — one count (cheap over
+      // the materialized frame) gates the single exceptAll; round 1 can
+      // never converge (the input orientation differs), so skip its check
+      val ssCount = ss.count()
+      converged = round > 1 && ssCount == edgeCount &&
+        ss.exceptAll(edges).limit(1).count() == 0
+      edgeCount = ssCount
       edges = ss
     }
     // at the fixpoint each non-center u carries exactly (u, center); the
