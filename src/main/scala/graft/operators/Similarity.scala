@@ -133,14 +133,15 @@ object Similarity {
   /** One 32-bit sign-bit word of a double-array column: bit i set iff
     * v[lo+i] ≥ 0. Two words cover the 64-dim embeddings; 32-bit words keep
     * every value positive so the DuckDB mirror never touches the BIGINT
-    * sign bit (engine-defined overflow). SQL-expr form because the Scala
-    * `shiftleft` wrapper only takes a literal bit count. */
+    * sign bit (engine-defined overflow). An unrolled `element_at` chain —
+    * every term is a codegen'd built-in, so the whole signature build
+    * stays inside whole-stage codegen (the earlier `aggregate∘zip_with`
+    * HOF form ran interpreted per row — the same trap
+    * [[graft.functions.ArrayDotProduct]] exists to avoid). */
   private def signWord(v: String, lo: Int): Column =
-    expr(s"""aggregate(
-      zip_with(slice($v, ${lo + 1}, 32), sequence(0, 31),
-        (x, i) -> IF(x >= CAST(0 AS DOUBLE), shiftleft(CAST(1 AS BIGINT), i),
-                     CAST(0 AS BIGINT))),
-      CAST(0 AS BIGINT), (acc, y) -> acc + y)""")
+    (0 until 32).map { i =>
+      when(element_at(col(v), lo + i + 1) >= 0d, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** Binary quantization (1 bit/dim) ANN: each vector compresses to its
     * 64 sign bits — 32× smaller than float32, the cheapest candidate scan
@@ -696,8 +697,13 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .crossJoin(broadcast(pcArr))
       .withColumn("d", round(dot(col("v"), col("pc")), 6))
+      // unrolled element_at arithmetic instead of a zip_with lambda: every
+      // term is a codegen'd built-in, so the projection stays inside
+      // whole-stage codegen (the HOF form ran interpreted per row)
       .select(col("vec_id"),
-        zip_with(col("v"), col("pc"), (a, p) => a - col("d") * p).as("w"))
+        array((1 to dim).map(i =>
+          element_at(col("v"), i) - col("d") * element_at(col("pc"), i)): _*)
+          .as("w"))
       .withColumn("wn", norm2(col("w")))
     // whiten the single query row on its own pushed-down scan, so the
     // full-corpus whitening is consumed exactly once by the scoring pass
