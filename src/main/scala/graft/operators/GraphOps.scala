@@ -270,6 +270,40 @@ object GraphOps {
           col("m").cast(DoubleType) - dm * dm, 6).as("q_contrib"))
   }
 
+  /** Degree ASSORTATIVITY (Newman 2002): the Pearson correlation of
+    * endpoint degrees over directed edge instances — positive = hubs
+    * link hubs (social nets), negative = hubs link leaves
+    * (hub-and-spoke / web graphs); the one number that says which
+    * degree-aware partitioning strategy a 100 TB graph job should pick.
+    * By symmetry of the doubled edge list Σx = Σy and Σx² = Σy², so
+    * r = (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²) over m directed instances.
+    *
+    * Scale shape: degree is one count aggregate; the two stamps are
+    * edge-sized equi-joins; everything reduces to ONE row of exact
+    * integer sums, converted to double only inside the final rounded
+    * expression (each sum is far below 2^53, and IEEE products of exact
+    * doubles are correctly rounded — bit-equal cross-engine).
+    * Output: one row (n_edges, assortativity). */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val sym = edges.select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+    sym
+      .join(deg.select(col("id").as("a"), col("deg").as("dx")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("dy")), "b")
+      .agg(count(lit(1)).as("m2"), sum(col("dx")).as("sx"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"))
+      .select((col("m2") / 2).cast("long").as("n_edges"),
+        round((col("m2").cast(DoubleType) * col("sxy").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) /
+          (col("m2").cast(DoubleType) * col("sxx").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sx").cast(DoubleType)), 6)
+          .as("assortativity"))
+  }
+
   /** The unrolled DuckDB mirror of [[labelPropagation]] (oracle builder):
     * `edgesSql` must yield columns (a, b). */
   def labelPropagationSql(edgesSql: String, iters: Int): String = {

@@ -80,6 +80,19 @@ object NorthStar {
       Dedup.ngramJaccardPrefixPairs(t(s, dir, "documents"), N, 4, 5)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashPairs(t(s, dir, "documents"), N, 0.5)),
+    // sketch-accuracy eval #4 (HLL/CMS/quantile have est-vs-exact rows;
+    // this closes the set for MinHash): every dedup_minhash_lsh pair with
+    // its signature estimate, TRUE Jaccard, and the absolute error —
+    // candidates stay LSH-restricted on both sides, no all-pairs join
+    "dedup_minhash_est" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.minHashPairs(d, N, 0.5)
+        .join(Dedup.corpusDedup(d, N, 0.0), Seq("a", "b"))
+        .select(col("a"), col("b"),
+          round(col("est_jaccard"), 6).as("est_jaccard"),
+          round(col("jaccard"), 6).as("exact_jaccard"),
+          round(abs(col("est_jaccard") - col("jaccard")), 6).as("abs_err"))
+    }),
     // incremental dedup — the operational 100 TB form: every 10th doc
     // plays the incoming batch, the rest the existing corpus represented
     // ONLY by its persisted signature index; output = near-dup pairs
@@ -472,6 +485,12 @@ object NorthStar {
       val edges = coPurchaseEdges2(s, dir)
       graft.operators.GraphOps.kCore(edges, k = 3, rounds = 4)
     }),
+
+    // graph-structure eval: degree assortativity (Pearson r of endpoint
+    // degrees) over the co-purchase graph — hub-to-hub vs hub-to-leaf
+    // mixing, the partitioning-strategy signal; one row of integer sums
+    "graph_assortativity" -> ((s, dir) =>
+      graft.operators.GraphOps.assortativity(coPurchaseEdges(s, dir))),
 
     // community-quality eval: per-community Newman modularity of the
     // label-propagation partition — intra-edge density vs the degree-mass
@@ -1194,7 +1213,7 @@ object NorthStar {
   /** dedup_corpus = the minhash CTE chain (candidates) + exact-Jaccard
     * verify over the candidates only — the literal mirror of
     * [[graft.operators.Dedup.corpusDedup]]. */
-  private val corpusDedupSql =
+  private def corpusDedupSqlAt(threshold: Double) =
     s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
         shd AS (SELECT doc_id, $shingleExpr ss FROM t0 WHERE len(w) >= $N),
         based AS (SELECT doc_id,
@@ -1216,7 +1235,9 @@ object NorthStar {
                GROUP BY 1, 2)
         SELECT a, b, CAST(common AS DOUBLE)/(sa.nsh + sb.nsh - common) AS jaccard
         FROM cm JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
-        WHERE CAST(common AS DOUBLE)/(sa.nsh + sb.nsh - common) >= 0.8"""
+        WHERE CAST(common AS DOUBLE)/(sa.nsh + sb.nsh - common) >= $threshold"""
+
+  private val corpusDedupSql = corpusDedupSqlAt(0.8)
 
   /** DuckDB literal for random hyperplane p (64 dims) — the same
     * md5-derived constants as [[Similarity.plane]]; exact binary fractions
@@ -1645,6 +1666,13 @@ object NorthStar {
           FROM cm JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
           WHERE common * 5 >= (sa.nsh + sb.nsh - common) * 4""",
     "dedup_minhash_lsh" -> minhashSql,
+    "dedup_minhash_est" ->
+      s"""WITH e AS (SELECT a, b, est_jaccard FROM ($minhashSql)),
+          x AS (SELECT a, b, jaccard FROM (${corpusDedupSqlAt(0.0)}))
+          SELECT a, b, round(est_jaccard, 6) AS est_jaccard,
+            round(jaccard, 6) AS exact_jaccard,
+            round(abs(est_jaccard - jaccard), 6) AS abs_err
+          FROM e JOIN x USING (a, b)""",
     // band collision is symmetric, so the incremental batch-vs-index run
     // equals the full-corpus LSH restricted to pairs touching a new doc
     "dedup_incremental" ->
@@ -2086,6 +2114,22 @@ object NorthStar {
       coPurchaseEdgesSql, 20),
     "graph_kcore" -> graft.operators.GraphOps.kCoreSql(
       coPurchaseEdges2Sql, 3, 4),
+    "graph_assortativity" ->
+      s"""WITH p AS (SELECT a, b FROM ($coPurchaseEdgesSql)),
+          sym AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+          deg AS (SELECT a AS id, count(*) deg FROM sym GROUP BY 1),
+          st AS (SELECT dx.deg AS dx, dy.deg AS dy FROM sym
+                 JOIN deg dx ON dx.id = sym.a JOIN deg dy ON dy.id = sym.b),
+          s AS (SELECT count(*) m2, CAST(SUM(dx) AS BIGINT) sx,
+                 CAST(SUM(dx * dy) AS BIGINT) sxy,
+                 CAST(SUM(dx * dx) AS BIGINT) sxx
+                FROM st)
+          SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+            round((CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              / (CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS assortativity
+          FROM s""",
     "graph_modularity" -> {
       val lp = graft.operators.GraphOps.labelPropagationSql(coPurchaseEdgesSql, 4)
       s"""WITH lp AS ($lp), edges AS ($coPurchaseEdgesSql),

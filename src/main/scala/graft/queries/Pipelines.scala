@@ -144,6 +144,14 @@ object Pipelines {
     // stateful sessionization (30-min inactivity gap)
     "sessionize_events" -> ((s, dir) => EventStream.sessionize(s, dir, 30)),
 
+    // streaming HLL maintenance: per-batch (day, register, max-rho)
+    // partials append; the standing estimates fold the store with
+    // max-per-register — associative, commutative AND idempotent, so
+    // neither batch order nor redelivery can change an answer; provably
+    // equals the one-shot batch sketch (shared oracle)
+    "stream_hll_distinct" -> ((s, dir) =>
+      EventStream.hllDistinctAll(s, dir)),
+
     // streaming CDC apply: each micro-batch appends its per-key argmax
     // partial (tombstones included — they must shadow across batches);
     // the standing snapshot folds the store with the same argmax, equal
@@ -456,6 +464,37 @@ object Pipelines {
                FROM b WHERE cum >= ceil(0.99 * n) AND cum - cnt < ceil(0.99 * n))
        SELECT q50.g AS day, q50.n, q50.p50, q90.p90, q99.p99
        FROM q50 JOIN q90 ON q50.g = q90.g JOIN q99 ON q50.g = q99.g"""
+
+  /** Shared by the batch HLL query and its streaming maintenance form
+    * (max-per-register folding provably equals the one-shot sketch). */
+  private val hllDistinctSql =
+    """WITH e AS (SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE),
+              '%Y-%m-%d') AS g, user_id FROM events),
+         h AS (SELECT g, CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))
+                AS BIGINT) AS hv FROM e),
+         r0 AS (SELECT g, hv & 63 AS reg,
+                 CASE WHEN (hv >> 6) = 0 THEN 55
+                      ELSE 55 - length(bin(hv >> 6)) END AS rho FROM h),
+         m0 AS (SELECT g, reg, max(rho) AS mx FROM r0 GROUP BY 1, 2),
+         m AS (SELECT * FROM m0 UNION ALL
+               SELECT 'ALL' AS g, reg, max(mx) AS mx FROM m0 GROUP BY reg),
+         z AS (SELECT g, count(*) AS n_regs,
+                CAST(sum(1::BIGINT << (55 - mx)) AS BIGINT)
+                  + (64 - count(*)) * (1::BIGINT << 55) AS zs
+               FROM m GROUP BY 1),
+         est AS (SELECT g, CAST(n_regs AS INT) AS n_regs,
+                  round(CASE WHEN CAST(0.709 AS DOUBLE) * 64 * 64
+                          * CAST(1::BIGINT << 55 AS DOUBLE) / CAST(zs AS DOUBLE)
+                          <= 160.0 AND n_regs < 64
+                        THEN 64.0 * ln(64.0 / (64 - n_regs))
+                        ELSE CAST(0.709 AS DOUBLE) * 64 * 64
+                          * CAST(1::BIGINT << 55 AS DOUBLE) / CAST(zs AS DOUBLE)
+                        END, 4) AS est FROM z),
+         ud AS (SELECT DISTINCT g, user_id FROM e),
+         ex AS (SELECT g, count(*) AS n_exact FROM ud GROUP BY 1
+                UNION ALL
+                SELECT 'ALL' AS g, count(DISTINCT user_id) AS n_exact FROM ud)
+         SELECT g AS day, n_exact, n_regs, est FROM est JOIN ex USING (g)"""
 
   /** Shared by the batch CDC snapshot and its streaming apply form
     * (per-key argmax partials fold to the one-shot answer). */
@@ -894,34 +933,8 @@ object Pipelines {
     // literal mirror of Sketches: low-60-bit md5 hash, register = low 6
     // bits, rho from bin() length, Z scaled by 2^55 in integer arithmetic;
     // the merged 'ALL' sketch is max-per-register over the daily sketches
-    "events_hll_distinct" ->
-      """WITH e AS (SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE),
-              '%Y-%m-%d') AS g, user_id FROM events),
-         h AS (SELECT g, CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))
-                AS BIGINT) AS hv FROM e),
-         r0 AS (SELECT g, hv & 63 AS reg,
-                 CASE WHEN (hv >> 6) = 0 THEN 55
-                      ELSE 55 - length(bin(hv >> 6)) END AS rho FROM h),
-         m0 AS (SELECT g, reg, max(rho) AS mx FROM r0 GROUP BY 1, 2),
-         m AS (SELECT * FROM m0 UNION ALL
-               SELECT 'ALL' AS g, reg, max(mx) AS mx FROM m0 GROUP BY reg),
-         z AS (SELECT g, count(*) AS n_regs,
-                CAST(sum(1::BIGINT << (55 - mx)) AS BIGINT)
-                  + (64 - count(*)) * (1::BIGINT << 55) AS zs
-               FROM m GROUP BY 1),
-         est AS (SELECT g, CAST(n_regs AS INT) AS n_regs,
-                  round(CASE WHEN CAST(0.709 AS DOUBLE) * 64 * 64
-                          * CAST(1::BIGINT << 55 AS DOUBLE) / CAST(zs AS DOUBLE)
-                          <= 160.0 AND n_regs < 64
-                        THEN 64.0 * ln(64.0 / (64 - n_regs))
-                        ELSE CAST(0.709 AS DOUBLE) * 64 * 64
-                          * CAST(1::BIGINT << 55 AS DOUBLE) / CAST(zs AS DOUBLE)
-                        END, 4) AS est FROM z),
-         ud AS (SELECT DISTINCT g, user_id FROM e),
-         ex AS (SELECT g, count(*) AS n_exact FROM ud GROUP BY 1
-                UNION ALL
-                SELECT 'ALL' AS g, count(DISTINCT user_id) AS n_exact FROM ud)
-         SELECT g AS day, n_exact, n_regs, est FROM est JOIN ex USING (g)""",
+    "events_hll_distinct" -> hllDistinctSql,
+    "stream_hll_distinct" -> hllDistinctSql,
     "events_rfm_segments" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events),
          a AS (SELECT max(ts) anchor FROM e),

@@ -382,6 +382,55 @@ object EventStream {
     spark.read.parquet(out).where(col("event_id") >= 0)
   }
 
+  /** Streaming HLL maintenance — the incremental form of the batch
+    * [[graft.operators.Sketches]] register sketch: event micro-batches
+    * each contribute their per-day (day, register, max-rho) partials to
+    * an append-only store, and the standing per-day + all-time distinct
+    * estimates fold the store with max-per-register (the HLL merge law —
+    * max is associative, commutative and idempotent, so batch order AND
+    * at-least-once redelivery cannot change any answer). Result provably
+    * equals the one-shot batch sketch — the shared oracle. Exact counts
+    * ride along from the batch table as the error reference.
+    * Output: (day, n_exact, n_regs, est). */
+  def hllDistinctAll(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup.MaterializeSyntax
+    import graft.operators.Sketches
+    val events = graft.queries.Tables.events(spark, dir)
+    val staging = java.nio.file.Files.createTempDirectory("graft-hll-stream").toString
+    events.repartition(3).write.mode("overwrite").parquet(s"$staging/in")
+    val schema = spark.read.parquet(s"$staging/in").schema
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema(schema).parquet(s"$staging/in")
+    val store = s"$staging/regs"
+    val day = date_format(col("ts").cast("date"), "yyyy-MM-dd")
+    withStreamPartitions(spark, 8) {
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$staging/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Sketches.hllRegisters(batch, day, col("user_id"))
+            .write.mode("append").parquet(store)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val regs = spark.read.parquet(store)
+      .groupBy(col("g"), col("reg")).agg(max(col("mx")).as("mx"))
+      .materialized
+    val est = Sketches.hllEstimate(
+      regs.unionByName(Sketches.hllMerge(regs, "ALL")))
+    val ud = events.select(day.as("g"), col("user_id")).distinct().materialized
+    val exact = ud.groupBy(col("g")).agg(count(lit(1)).as("n_exact"))
+      .unionByName(ud.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_exact")).select(lit("ALL").as("g"), col("n_exact")))
+    val out = est.join(exact, Seq("g"))
+      .select(col("g").as("day"), col("n_exact"), col("n_regs"), col("est"))
+      .materialized // must not outlive the staging dir's store files
+    deleteStaging(staging)
+    out
+  }
+
   /** Streaming CDC APPLY — the incremental form of the batch
     * [[graft.operators.EventAnalytics.latestSnapshot]]: each changelog
     * micro-batch reduces to its per-key argmax row (latest (ts, seq)

@@ -165,7 +165,8 @@ class PlanSpec extends SparkSuite {
     val skip = Set("stream_windowed_agg", "stream_sessionize",
       "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental",
       "stream_quality_monitor", "stream_static_join", "stream_ann_assign",
-      "stream_quantile_sketch", "stream_cms_heavy_hitters", "stream_cdc_apply")
+      "stream_quantile_sketch", "stream_cms_heavy_hitters", "stream_cdc_apply",
+      "stream_hll_distinct")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip.contains).flatMap { name =>
         val p = SparkEntry.queries(name)(spark, sf001)
@@ -191,7 +192,8 @@ class PlanSpec extends SparkSuite {
     val skip = Set("stream_windowed_agg", "stream_sessionize",
       "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental",
       "stream_quality_monitor", "stream_static_join", "stream_ann_assign",
-      "stream_quantile_sketch", "stream_cms_heavy_hitters", "stream_cdc_apply")
+      "stream_quantile_sketch", "stream_cms_heavy_hitters", "stream_cdc_apply",
+      "stream_hll_distinct")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip.contains).flatMap { name =>
         val p = SparkEntry.queries(name)(spark, sf001)
