@@ -266,6 +266,24 @@ object Pipelines {
     "events_cdc_snapshot" -> ((s, dir) =>
       EventAnalytics.latestSnapshot(t(s, dir, "events"), tombstoneType = "error")),
 
+    // growth accounting: per-day NEW vs RETURNING active users (new =
+    // first-ever active day) — one distinct (user, day) reduction + a
+    // user-keyed min join; the daily census every growth dashboard leads
+    // with, beside the cohort matrix
+    "events_new_returning" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val firstDay = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"))
+      daily.join(firstDay, "user_id")
+        .withColumn("is_new", col("day") === col("first_day"))
+        .groupBy(col("day"))
+        .agg(count(when(col("is_new"), 1)).as("n_new"),
+          count(when(!col("is_new"), 1)).as("n_returning"))
+        .select(col("day").cast("timestamp").as("day"),
+          col("n_new"), col("n_returning"))
+    }),
+
     // funnel latency: exact p50/p90 seconds from first view to first
     // subsequent purchase — per-user min-aggregates before the join, the
     // percentile walk over DISTINCT delay values only
@@ -837,6 +855,15 @@ object Pipelines {
            count(DISTINCT e.user_id) AS active_users
          FROM e JOIN c USING (user_id)
          GROUP BY 1, 2""",
+    "events_new_returning" ->
+      """WITH e AS (SELECT user_id,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) d FROM events),
+         ud AS (SELECT DISTINCT user_id, d FROM e),
+         fd AS (SELECT user_id, min(d) first_day FROM ud GROUP BY 1)
+         SELECT CAST(ud.d AS TIMESTAMP) AS "day",
+           count(CASE WHEN ud.d = first_day THEN 1 END) AS n_new,
+           count(CASE WHEN ud.d <> first_day THEN 1 END) AS n_returning
+         FROM ud JOIN fd USING (user_id) GROUP BY 1""",
     "events_funnel_ttc" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type FROM events),
          f AS (SELECT user_id, min(ts) t1 FROM e

@@ -355,6 +355,30 @@ object ReferenceParity {
       hexBin(RegionSort.sortedByRange(idx, 10))
     }),
 
+    // the ADMIN op that produces `--splits` boundary files (the reference
+    // assumes a pre-split table and never computes the splits): balanced
+    // region boundaries from a deterministic md5-bucket SAMPLE of the row
+    // keys — the census/equi-depth pattern at HBase RegionSplitter's
+    // sampling discipline, so the global rank window runs over the small
+    // sample, never the full key population; boundary i = the sample key
+    // at rank ceil(i·n/10), keys rendered hex like every cell query
+    "cells_split_advisor" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val keyHex = lower(hex(custKey))
+      val sample = t(s, dir, "customer").select(keyHex.as("k"))
+        .where(pmod(graft.functions.keys.md5Prefix64(
+          keys.utf8(col("k")), 7), lit(10000L)) < 2000) // ~20% sample
+      val n = sample.agg(count(lit(1)).as("n"))
+      val ranked = sample
+        .withColumn("rn", row_number().over(Window.orderBy(col("k"))))
+        .crossJoin(broadcast(n))
+      ranked.join(
+          broadcast(s.range(1, 10).select(col("id").as("region_idx"))),
+          col("rn") === ceil(col("region_idx") * col("n") / 10))
+        .groupBy(col("region_idx"))
+        .agg(min(col("k")).as("split_key"))
+    }),
+
     // multi-dimensional layout: Morton code over (partkey, suppkey) — the
     // data-skipping complement to the single-key region sort; clustering
     // itself (range exchange + local sort + both-dims file pruning) is
@@ -413,6 +437,17 @@ object ReferenceParity {
     "cells_compact_tombstones" -> cellsTombstonesSql,
     "cells_keyvalue_wire" -> kvWireSql,
     "cells_snapshot_asof" -> cellsSnapshotSql,
+    "cells_split_advisor" ->
+      s"""WITH ks AS (SELECT $custKeyHexSql k FROM customer),
+          sm AS (SELECT k FROM ks
+                 WHERE CAST(('0x'||substr(md5(k),1,7)) AS BIGINT) % 10000 < 2000),
+          n AS (SELECT count(*) n FROM sm),
+          r AS (SELECT k, row_number() OVER (ORDER BY k) rn FROM sm),
+          g AS (SELECT unnest(generate_series(1, 9)) region_idx)
+          SELECT region_idx, min(k) AS split_key
+          FROM r, n, g
+          WHERE rn = CAST(ceil(region_idx * n / 10.0) AS BIGINT)
+          GROUP BY 1""",
     "cells_secondary_index" ->
       s"""SELECT lower(hex(c_mktsegment)) || '3a' || $custKeyHexSql AS "row",
             '69' AS "family", '706b' AS "qualifier",
