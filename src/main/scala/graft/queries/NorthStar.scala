@@ -486,6 +486,27 @@ object NorthStar {
       graft.operators.GraphOps.kCore(edges, k = 3, rounds = 4)
     }),
 
+    // embedding-noise curation: per-label BOTTOM-DECILE prototypicality
+    // outliers (cos to own-label centroid ≤ the exact decile boundary via
+    // the census walk) — the mislabeled/noise screen a curation pass runs
+    // before centroids feed SemDeDup or classifiers; scores computed once,
+    // thresholds broadcast back
+    "emb_label_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sim = Similarity.centroidSim(t(s, dir, "embeddings")).materialized
+      val cum = sim.groupBy(col("label"), col("cos_centroid"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("label")).orderBy(col("cos_centroid"))))
+      val nl = sim.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      val thr = cum.join(nl, "label")
+        .where(col("cum") * 10 >= col("n"))
+        .groupBy(col("label")).agg(min(col("cos_centroid")).as("threshold"))
+      sim.join(broadcast(thr), "label")
+        .where(col("cos_centroid") <= col("threshold"))
+        .select(col("vec_id"), col("label"), col("cos_centroid"), col("threshold"))
+    }),
+
     // graph-structure eval: degree assortativity (Pearson r of endpoint
     // degrees) over the co-purchase graph — hub-to-hub vs hub-to-leaf
     // mixing, the partitioning-strategy signal; one row of integer sums
@@ -1864,6 +1885,31 @@ object NorthStar {
            round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cv), 6)
              AS cos_centroid
          FROM embeddings e JOIN cv ON e.label = cv.label""",
+    "emb_label_outliers" ->
+      """WITH ex AS (SELECT label,
+             unnest(list_transform(range(len(embedding)),
+               i -> {'dim': i, 'v': CAST(embedding[i+1] AS DOUBLE)})) t
+           FROM embeddings),
+         c AS (SELECT label, t.dim dim,
+                round(CAST(SUM(CAST(t.v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(t.v), 6) c
+               FROM ex GROUP BY 1, 2),
+         cv AS (SELECT label, list(c ORDER BY dim) cv FROM c GROUP BY label),
+         sim AS (SELECT vec_id, e.label,
+                  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cv), 6)
+                    AS cos_centroid
+                 FROM embeddings e JOIN cv ON e.label = cv.label),
+         cm AS (SELECT label, cos_centroid, count(*) c FROM sim GROUP BY 1, 2),
+         w AS (SELECT label, cos_centroid,
+                CAST(SUM(c) OVER (PARTITION BY label ORDER BY cos_centroid
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+               FROM cm),
+         nl AS (SELECT label, count(*) n FROM sim GROUP BY 1),
+         thr AS (SELECT w.label, min(cos_centroid) threshold
+                 FROM w JOIN nl USING (label)
+                 WHERE cum * 10 >= n GROUP BY 1)
+         SELECT vec_id, sim.label, cos_centroid, threshold
+         FROM sim JOIN thr ON sim.label = thr.label
+         WHERE cos_centroid <= threshold""",
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "corpus_split_leakage_safe" -> leakageSafeSplitSql,
