@@ -768,8 +768,18 @@ object TextOps {
     *
     * Output: (token, est, exact, over_count), top k by est desc. */
   def cmsHeavyHitters(docs: org.apache.spark.sql.DataFrame, d: Int = 4,
-                      w: Int = 512, k: Int = 40): org.apache.spark.sql.DataFrame =
-    cmsTopK(cmsGrid(docs, d, w), docs, d, w, k)
+                      w: Int = 512, k: Int = 40): org.apache.spark.sql.DataFrame = {
+    // ONE vocabulary aggregate feeds both the grid and the candidate
+    // estimates (the streaming path necessarily re-derives candidates
+    // from the corpus; the batch path must not pay that twice)
+    val counts = tokenCounts(docs)
+    cmsTopKFromCounts(cmsGridFromCounts(counts, d, w), counts, d, w, k)
+  }
+
+  /** The (token, count) vocabulary aggregate all CMS entry points share. */
+  private def tokenCounts(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
 
   /** One cell row per (hash row j, token): bucket = md5("j:token") % w. */
   private def cmsCells(tokenCounts: org.apache.spark.sql.DataFrame,
@@ -788,28 +798,31 @@ object TextOps {
     * appending per-batch partial grids and folding (see
     * [[graft.streaming.CorpusStream.cmsHeavyHittersAll]]). */
   def cmsGrid(docs: org.apache.spark.sql.DataFrame, d: Int = 4,
-              w: Int = 512): org.apache.spark.sql.DataFrame = {
-    val counts = docs.select(explode(tokens(col("text"))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+              w: Int = 512): org.apache.spark.sql.DataFrame =
+    cmsGridFromCounts(tokenCounts(docs), d, w)
+
+  private def cmsGridFromCounts(counts: org.apache.spark.sql.DataFrame,
+                                d: Int, w: Int): org.apache.spark.sql.DataFrame =
     cmsCells(counts, d, w)
       .groupBy(col("j"), col("bucket")).agg(sum(col("c")).as("cnt"))
-  }
 
   /** Heavy hitters from an already-built grid: estimate = MIN over each
     * candidate token's d cells, exact counts ride along from the corpus. */
   def cmsTopK(sketch: org.apache.spark.sql.DataFrame,
               docs: org.apache.spark.sql.DataFrame,
-              d: Int, w: Int, k: Int): org.apache.spark.sql.DataFrame = {
-    val exact = docs.select(explode(tokens(col("text"))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("c"))
-    cmsCells(exact, d, w).join(broadcast(sketch), Seq("j", "bucket"))
+              d: Int, w: Int, k: Int): org.apache.spark.sql.DataFrame =
+    cmsTopKFromCounts(sketch, tokenCounts(docs), d, w, k)
+
+  private def cmsTopKFromCounts(sketch: org.apache.spark.sql.DataFrame,
+                                counts: org.apache.spark.sql.DataFrame,
+                                d: Int, w: Int, k: Int): org.apache.spark.sql.DataFrame =
+    cmsCells(counts, d, w).join(broadcast(sketch), Seq("j", "bucket"))
       .groupBy(col("token"))
       .agg(min(col("cnt")).as("est"), min(col("c")).as("exact"))
       .select(col("token"), col("est"), col("exact"),
         (col("est") - col("exact")).as("over_count"))
       .orderBy(col("est").desc, col("token").asc)
       .limit(k)
-  }
 
   /** Vocabulary growth curve (Heaps' law empirically): how many NEW
     * distinct bigrams each successive tenth of the corpus contributes, and

@@ -1175,8 +1175,6 @@ object NorthStar {
     s"[$terms]"
   }
 
-  /** Shared by the batch CMS query and its streaming maintenance form
-    * (the folded per-batch grids provably equal the one-shot sketch). */
   /** Shared by text_lang_id and the confusion-matrix eval built on it. */
   private[queries] val langIdSql: String = {
       val m = TextOps.langMarkers.toMap
@@ -1196,6 +1194,8 @@ object NorthStar {
           FROM sc"""
     }
 
+  /** Shared by the batch CMS query and its streaming maintenance form
+    * (the folded per-batch grids provably equal the one-shot sketch). */
   private[queries] val cmsHeavyHittersSql =
       """WITH ex AS (SELECT token, count(*) AS exact
              FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

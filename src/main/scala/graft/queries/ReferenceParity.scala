@@ -365,16 +365,24 @@ object ReferenceParity {
     "cells_split_advisor" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val keyHex = lower(hex(custKey))
+      // md5-bucket sample rate sized to the fixture (~20% of 1,500 keys);
+      // production picks rate ≈ target_sample / |keys| so the sample —
+      // and with it the single-partition rank window below — stays a few
+      // thousand rows no matter the table size (the RegionSplitter
+      // discipline: bound the sample, not the fraction)
       val sample = t(s, dir, "customer").select(keyHex.as("k"))
         .where(pmod(graft.functions.keys.md5Prefix64(
-          keys.utf8(col("k")), 7), lit(10000L)) < 2000) // ~20% sample
-      val n = sample.agg(count(lit(1)).as("n"))
-      val ranked = sample
+          keys.utf8(col("k")), 7), lit(10000L)) < 2000)
+      // the 9 boundary RANKS derive from the 1-row count by explode — a
+      // 9-row frame equi-joined (broadcast hash) onto the ranked sample;
+      // no cross join anywhere
+      val bounds = sample.agg(count(lit(1)).as("n"))
+        .select(explode(sequence(lit(1L), lit(9L))).as("region_idx"), col("n"))
+        .select(col("region_idx"),
+          ceil(col("region_idx") * col("n") / 10).cast("int").as("rn"))
+      sample
         .withColumn("rn", row_number().over(Window.orderBy(col("k"))))
-        .crossJoin(broadcast(n))
-      ranked.join(
-          broadcast(s.range(1, 10).select(col("id").as("region_idx"))),
-          col("rn") === ceil(col("region_idx") * col("n") / 10))
+        .join(broadcast(bounds), "rn")
         .groupBy(col("region_idx"))
         .agg(min(col("k")).as("split_key"))
     }),

@@ -196,61 +196,20 @@ object CorpusStream {
     * (text_cms_heavy_hitters' SQL). Output: (token, est, exact,
     * over_count), top k. */
   def cmsHeavyHittersAll(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Dedup.MaterializeSyntax
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val staging = java.nio.file.Files.createTempDirectory("graft-cms-stream").toString
-    docs.repartition(3).write.mode("overwrite").parquet(s"$staging/in")
-    val schema = spark.read.parquet(s"$staging/in").schema
-    val stream = spark.readStream
-      .option("maxFilesPerTrigger", 1)
-      .schema(schema).parquet(s"$staging/in")
-    val store = s"$staging/grid"
-    EventStream.withStreamPartitions(spark, 8) {
-      val q = stream.writeStream
-        .option("checkpointLocation", s"$staging/ckpt")
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          graft.operators.TextOps.cmsGrid(batch)
-            .write.mode("append").parquet(store)
-          ()
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
+    EventStream.replayFold(spark, docs, 3)(
+      batch => graft.operators.TextOps.cmsGrid(batch)) { store =>
+      val folded = store
+        .groupBy(col("j"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      graft.operators.TextOps.cmsTopK(folded, docs, d = 4, w = 512, k = 40)
     }
-    val folded = spark.read.parquet(store)
-      .groupBy(col("j"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
-    val top = graft.operators.TextOps
-      .cmsTopK(folded, docs, d = 4, w = 512, k = 40)
-      .materialized // must not outlive the staging dir's store files
-    EventStream.deleteStaging(staging)
-    top
   }
 
   def annAssignAll(spark: SparkSession, dir: String, nlist: Int): DataFrame = {
     val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
-    val staging = java.nio.file.Files.createTempDirectory("graft-emb-stream").toString
-    corpus.repartition(2).write.mode("overwrite").parquet(s"$staging/in")
-    val schema = spark.read.parquet(s"$staging/in").schema
-    val stream = spark.readStream
-      .option("maxFilesPerTrigger", 1)
-      .schema(schema).parquet(s"$staging/in")
-    val store = s"$staging/index"
-    EventStream.withStreamPartitions(spark, 8) {
-      val q = stream.writeStream
-        .option("checkpointLocation", s"$staging/ckpt")
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          graft.operators.Similarity.ivfAssign(corpus, batch, nlist)
-            .write.mode("append").parquet(store)
-          ()
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
+    EventStream.replayFold(spark, corpus, 2)(
+      batch => graft.operators.Similarity.ivfAssign(corpus, batch, nlist)) {
+      store => store.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
     }
-    // materialize BEFORE the staging dir (which holds the store) is
-    // deleted — the lazy plan must not outlive its input files
-    val census = spark.read.parquet(store)
-      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
-      .materialized
-    EventStream.deleteStaging(staging)
-    census
   }
 }

@@ -382,6 +382,38 @@ object EventStream {
     spark.read.parquet(out).where(col("event_id") >= 0)
   }
 
+  /** Shared replay harness for the streaming-maintenance queries — every
+    * mergeable-state stream (quantile/HLL sketches, CMS grids, CDC
+    * snapshots, IVF lists) is this one shape: stage `source` as `parts`
+    * parquet files, stream them one per micro-batch, APPEND
+    * `perBatch(batch)` partials to a store, then return `fold(store)`
+    * materialized (the result must not outlive the staging files) with
+    * the staging cleaned up. */
+  private[streaming] def replayFold(spark: SparkSession, source: DataFrame,
+      parts: Int)(perBatch: DataFrame => DataFrame)(
+      fold: DataFrame => DataFrame): DataFrame = {
+    import graft.operators.Dedup.MaterializeSyntax
+    val staging = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    source.repartition(parts).write.mode("overwrite").parquet(s"$staging/in")
+    val schema = spark.read.parquet(s"$staging/in").schema
+    val stream = spark.readStream.option("maxFilesPerTrigger", 1)
+      .schema(schema).parquet(s"$staging/in")
+    val store = s"$staging/store"
+    withStreamPartitions(spark, 8) {
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$staging/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          perBatch(batch).write.mode("append").parquet(store)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val out = fold(spark.read.parquet(store)).materialized
+    deleteStaging(staging)
+    out
+  }
+
   /** Streaming HLL maintenance — the incremental form of the batch
     * [[graft.operators.Sketches]] register sketch: event micro-batches
     * each contribute their per-day (day, register, max-rho) partials to
@@ -396,39 +428,21 @@ object EventStream {
     import graft.operators.Dedup.MaterializeSyntax
     import graft.operators.Sketches
     val events = graft.queries.Tables.events(spark, dir)
-    val staging = java.nio.file.Files.createTempDirectory("graft-hll-stream").toString
-    events.repartition(3).write.mode("overwrite").parquet(s"$staging/in")
-    val schema = spark.read.parquet(s"$staging/in").schema
-    val stream = spark.readStream
-      .option("maxFilesPerTrigger", 1)
-      .schema(schema).parquet(s"$staging/in")
-    val store = s"$staging/regs"
     val day = date_format(col("ts").cast("date"), "yyyy-MM-dd")
-    withStreamPartitions(spark, 8) {
-      val q = stream.writeStream
-        .option("checkpointLocation", s"$staging/ckpt")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          Sketches.hllRegisters(batch, day, col("user_id"))
-            .write.mode("append").parquet(store)
-          ()
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
+    replayFold(spark, events, 3)(
+      batch => Sketches.hllRegisters(batch, day, col("user_id"))) { store =>
+      val regs = store
+        .groupBy(col("g"), col("reg")).agg(max(col("mx")).as("mx"))
+        .materialized
+      val est = Sketches.hllEstimate(
+        regs.unionByName(Sketches.hllMerge(regs, "ALL")))
+      val ud = events.select(day.as("g"), col("user_id")).distinct().materialized
+      val exact = ud.groupBy(col("g")).agg(count(lit(1)).as("n_exact"))
+        .unionByName(ud.select(col("user_id")).distinct()
+          .agg(count(lit(1)).as("n_exact")).select(lit("ALL").as("g"), col("n_exact")))
+      est.join(exact, Seq("g"))
+        .select(col("g").as("day"), col("n_exact"), col("n_regs"), col("est"))
     }
-    val regs = spark.read.parquet(store)
-      .groupBy(col("g"), col("reg")).agg(max(col("mx")).as("mx"))
-      .materialized
-    val est = Sketches.hllEstimate(
-      regs.unionByName(Sketches.hllMerge(regs, "ALL")))
-    val ud = events.select(day.as("g"), col("user_id")).distinct().materialized
-    val exact = ud.groupBy(col("g")).agg(count(lit(1)).as("n_exact"))
-      .unionByName(ud.select(col("user_id")).distinct()
-        .agg(count(lit(1)).as("n_exact")).select(lit("ALL").as("g"), col("n_exact")))
-    val out = est.join(exact, Seq("g"))
-      .select(col("g").as("day"), col("n_exact"), col("n_regs"), col("est"))
-      .materialized // must not outlive the staging dir's store files
-    deleteStaging(staging)
-    out
   }
 
   /** Streaming CDC APPLY — the incremental form of the batch
@@ -447,38 +461,19 @@ object EventStream {
     * Output: (user_id, last_ts, last_type, last_value). */
   def cdcApplyAll(spark: SparkSession, dir: String,
                   tombstoneType: String): DataFrame = {
-    import graft.operators.Dedup.MaterializeSyntax
     val events = graft.queries.Tables.events(spark, dir)
-    val staging = java.nio.file.Files.createTempDirectory("graft-cdc-stream").toString
-    events.repartition(3).write.mode("overwrite").parquet(s"$staging/in")
-    val schema = spark.read.parquet(s"$staging/in").schema
-    val stream = spark.readStream
-      .option("maxFilesPerTrigger", 1)
-      .schema(schema).parquet(s"$staging/in")
-    val store = s"$staging/state"
     def argmax(df: DataFrame) = df.groupBy(col("user_id"))
       .agg(max_by(
         struct(col("ts"), col("event_id"), col("event_type"), col("value")),
         struct(col("ts"), col("event_id"))).as("l"))
       .select(col("user_id"), col("l.ts").as("ts"), col("l.event_id").as("event_id"),
         col("l.event_type").as("event_type"), col("l.value").as("value"))
-    withStreamPartitions(spark, 8) {
-      val q = stream.writeStream
-        .option("checkpointLocation", s"$staging/ckpt")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          argmax(batch).write.mode("append").parquet(store)
-          ()
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
+    replayFold(spark, events, 3)(argmax) { store =>
+      argmax(store)
+        .where(col("event_type") =!= tombstoneType)
+        .select(col("user_id"), col("ts").as("last_ts"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
     }
-    val snap = argmax(spark.read.parquet(store))
-      .where(col("event_type") =!= tombstoneType)
-      .select(col("user_id"), col("ts").as("last_ts"),
-        col("event_type").as("last_type"), col("value").as("last_value"))
-      .materialized // must not outlive the staging dir's store files
-    deleteStaging(staging)
-    snap
   }
 
   /** Streaming QUANTILE-SKETCH maintenance — the incremental form of the
@@ -495,37 +490,18 @@ object EventStream {
                         width: Double): DataFrame = {
     import graft.operators.Dedup.MaterializeSyntax
     val events = graft.queries.Tables.events(spark, dir)
-    val staging = java.nio.file.Files.createTempDirectory("graft-qsk-stream").toString
-    events.repartition(3).write.mode("overwrite").parquet(s"$staging/in")
-    val schema = spark.read.parquet(s"$staging/in").schema
-    val stream = spark.readStream
-      .option("maxFilesPerTrigger", 1)
-      .schema(schema).parquet(s"$staging/in")
-    val store = s"$staging/regs"
-    withStreamPartitions(spark, 8) {
-      val q = stream.writeStream
-        .option("checkpointLocation", s"$staging/ckpt")
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          graft.operators.Sketches.histRegisters(batch,
-              date_format(col("ts").cast("date"), "yyyy-MM-dd"),
-              col("value"), width)
-            .write.mode("append").parquet(store)
-          ()
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
+    replayFold(spark, events, 3)(batch =>
+      graft.operators.Sketches.histRegisters(batch,
+        date_format(col("ts").cast("date"), "yyyy-MM-dd"),
+        col("value"), width)) { store =>
+      // fold the appended partial registers (counts add), then estimate
+      val regs = store
+        .groupBy(col("g"), col("bin")).agg(sum(col("cnt")).as("cnt"))
+        .materialized
+      graft.operators.Sketches.histQuantiles(
+          regs.unionByName(graft.operators.Sketches.histMerge(regs, "ALL")), width)
+        .select(col("g").as("day"), col("n"), col("p50"), col("p90"), col("p99"))
     }
-    // fold the appended partial registers (counts add), then estimate;
-    // materialize before the staging dir holding the store is deleted
-    val regs = spark.read.parquet(store)
-      .groupBy(col("g"), col("bin")).agg(sum(col("cnt")).as("cnt"))
-      .materialized
-    val est = graft.operators.Sketches.histQuantiles(
-        regs.unionByName(graft.operators.Sketches.histMerge(regs, "ALL")), width)
-      .select(col("g").as("day"), col("n"), col("p50"), col("p90"), col("p99"))
-      .materialized
-    deleteStaging(staging)
-    est
   }
 
   /** Stateful sessionization: groups each user's events into sessions
