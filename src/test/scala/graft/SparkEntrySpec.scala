@@ -21,6 +21,18 @@ class SparkEntrySpec extends SparkSuite {
     assert(weak.isEmpty, s"queries without an oracle: $weak")
   }
 
+  test("query names are globally unique across inventory modules") {
+    // SparkEntry.queries is a Map ++ of six module maps — a name collision
+    // would silently drop one module's query (and its oracle row) from
+    // the declared inventory; fail loudly instead
+    import graft.queries._
+    val names = Seq(ReferenceParity.defs, Relational.defs, SqlSurface.defs,
+      TpchShapes.defs, NorthStar.defs, Pipelines.defs).flatMap(_.keys)
+    val dups = names.groupBy(identity).filter(_._2.sizeIs > 1).keys
+    assert(dups.isEmpty, s"duplicate query names across modules: $dups")
+    assert(names.size === SparkEntry.queries.size)
+  }
+
   test("every declared query executes and returns rows at sf0.001") {
     val empty = SparkEntry.queries.flatMap { case (name, fn) =>
       val n = fn(spark, sf001).count()
