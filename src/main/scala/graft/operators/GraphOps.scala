@@ -297,10 +297,15 @@ object GraphOps {
         sum(col("dx") * col("dy")).as("sxy"),
         sum(col("dx") * col("dx")).as("sxx"))
       .select((col("m2") / 2).cast("long").as("n_edges"),
-        round((col("m2").cast(DoubleType) * col("sxy").cast(DoubleType) -
+        // zero degree variance (e.g. a perfect matching — every node
+        // degree 1) leaves r undefined: NULL, not an ANSI divide-by-zero
+        round(when(
+          col("m2").cast(DoubleType) * col("sxx").cast(DoubleType) =!=
+            col("sx").cast(DoubleType) * col("sx").cast(DoubleType),
+          (col("m2").cast(DoubleType) * col("sxy").cast(DoubleType) -
             col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) /
           (col("m2").cast(DoubleType) * col("sxx").cast(DoubleType) -
-            col("sx").cast(DoubleType) * col("sx").cast(DoubleType)), 6)
+            col("sx").cast(DoubleType) * col("sx").cast(DoubleType))), 6)
           .as("assortativity"))
   }
 

@@ -511,7 +511,7 @@ object NorthStar {
     // degrees) over the co-purchase graph — hub-to-hub vs hub-to-leaf
     // mixing, the partitioning-strategy signal; one row of integer sums
     "graph_assortativity" -> ((s, dir) =>
-      graft.operators.GraphOps.assortativity(coPurchaseEdges(s, dir))),
+      graft.operators.GraphOps.assortativity(coPurchaseEdges2(s, dir))),
 
     // community-quality eval: per-community Newman modularity of the
     // label-propagation partition — intra-edge density vs the degree-mass
@@ -2161,7 +2161,7 @@ object NorthStar {
     "graph_kcore" -> graft.operators.GraphOps.kCoreSql(
       coPurchaseEdges2Sql, 3, 4),
     "graph_assortativity" ->
-      s"""WITH p AS (SELECT a, b FROM ($coPurchaseEdgesSql)),
+      s"""WITH p AS (SELECT a, b FROM ($coPurchaseEdges2Sql)),
           sym AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
           deg AS (SELECT a AS id, count(*) deg FROM sym GROUP BY 1),
           st AS (SELECT dx.deg AS dx, dy.deg AS dy FROM sym
@@ -2173,8 +2173,8 @@ object NorthStar {
           SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
             round((CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-              / (CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
-                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS assortativity
+              / nullif(CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0), 6) AS assortativity
           FROM s""",
     "graph_modularity" -> {
       val lp = graft.operators.GraphOps.labelPropagationSql(coPurchaseEdgesSql, 4)
