@@ -311,4 +311,101 @@ object EventAnalytics {
       .withColumn("segment",
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }
+
+  /** KAPLAN-MEIER survival curves per event_type — the right-censored
+    * retention estimate ("what fraction of users are still engaging with
+    * this surface after t days") a naive churn rate gets wrong by counting
+    * still-active users as survivors forever. A (user, type) pair "dies"
+    * at its last event if that event is > `horizonDays` before the end of
+    * the observation window, and is CENSORED at the window end otherwise.
+    *
+    * Scale shape: one per-(user,type) min/max aggregate over the stream
+    * (map-side partial), collapsed to a per-(type, day) life table — at
+    * most |types|·|days| rows — on which the product-limit estimator runs
+    * as windowed cumulative sums (Π(1−d/n) via exp∘Σln, the numerically
+    * standard form). The event stream is aggregated once and never
+    * rescanned; everything downstream is life-table-sized.
+    *
+    * Determinism: d/n are exact integers; each ln term is rounded to 12dp
+    * before the ordered cumulative sum (sequential in frame order on both
+    * engines), the d=n absorbing state is tracked by an integer flag
+    * cumsum rather than relying on ln(0), and the final survival rounds
+    * to 6dp. Output: (event_type, t_days, n_risk, d_events, c_censored,
+    * survival). */
+  def survivalKm(events: DataFrame, horizonDays: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = events.agg(max(col("ts")).as("g"))
+    val dead = col("lastts") < col("g") - expr(s"INTERVAL $horizonDays DAYS")
+    val durations = events.groupBy(col("event_type"), col("user_id"))
+      .agg(min(col("ts")).as("birth"), max(col("ts")).as("lastts"))
+      .crossJoin(broadcast(g)) // 1-row scalar, documented pattern
+      .select(col("event_type"),
+        when(dead, datediff(col("lastts").cast(DateType), col("birth").cast(DateType)))
+          .otherwise(datediff(col("g").cast(DateType), col("birth").cast(DateType)))
+          .as("t_days"),
+        when(dead, lit(1L)).otherwise(lit(0L)).as("event"))
+    val tab = durations.groupBy(col("event_type"), col("t_days"))
+      .agg(sum(col("event")).as("d_events"),
+        sum(lit(1L) - col("event")).as("c_censored"))
+    val byT = Window.partitionBy(col("event_type")).orderBy(col("t_days"))
+    val all = byT.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val prior = byT.rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = byT.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w = tab
+      .withColumn("n_risk",
+        sum(col("d_events") + col("c_censored")).over(all) -
+          coalesce(sum(col("d_events") + col("c_censored")).over(prior), lit(0L)))
+      .withColumn("term",
+        when(col("d_events") === 0, lit(0.0))
+          .when(col("n_risk") > col("d_events"),
+            round(log((col("n_risk").cast(DoubleType) - col("d_events")) /
+              col("n_risk")), 12))
+          .otherwise(lit(0.0)))
+      .withColumn("z",
+        when(col("d_events") > 0 && col("d_events") >= col("n_risk"), lit(1L))
+          .otherwise(lit(0L)))
+    w.select(col("event_type"), col("t_days"), col("n_risk"),
+      col("d_events"), col("c_censored"),
+      when(sum(col("z")).over(upTo) > 0, lit(0.0))
+        .otherwise(round(exp(sum(col("term")).over(upTo)), 6)).as("survival"))
+  }
+
+  /** DuckDB mirror of [[survivalKm]] (oracle builder). */
+  def survivalKmSql(horizonDays: Int): String =
+    s"""WITH g AS (SELECT max(ts) g FROM events),
+       |  u AS (SELECT event_type, user_id, min(ts) birth, max(ts) lastts
+       |        FROM events GROUP BY 1, 2),
+       |  d AS (SELECT event_type,
+       |         CASE WHEN lastts < g - INTERVAL $horizonDays DAY
+       |           THEN datediff('day', CAST(birth AS DATE), CAST(lastts AS DATE))
+       |           ELSE datediff('day', CAST(birth AS DATE), CAST(g AS DATE)) END t_days,
+       |         CASE WHEN lastts < g - INTERVAL $horizonDays DAY
+       |           THEN 1 ELSE 0 END ev
+       |        FROM u, g),
+       |  tab AS (SELECT event_type, CAST(t_days AS INT) t_days,
+       |           CAST(SUM(ev) AS BIGINT) d_events,
+       |           CAST(SUM(1 - ev) AS BIGINT) c_censored
+       |          FROM d GROUP BY 1, 2),
+       |  w AS (SELECT event_type, t_days, d_events, c_censored,
+       |         CAST(SUM(d_events + c_censored) OVER (PARTITION BY event_type)
+       |           - COALESCE(SUM(d_events + c_censored) OVER (
+       |               PARTITION BY event_type ORDER BY t_days
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS BIGINT) n_risk
+       |        FROM tab),
+       |  s AS (SELECT *,
+       |         CASE WHEN d_events = 0 THEN 0.0
+       |              WHEN n_risk > d_events THEN round(ln(
+       |                (CAST(n_risk AS DOUBLE) - d_events) / n_risk), 12)
+       |              ELSE 0.0 END term,
+       |         CASE WHEN d_events > 0 AND d_events >= n_risk
+       |           THEN 1 ELSE 0 END z
+       |        FROM w)
+       |SELECT event_type, t_days, n_risk, d_events, c_censored,
+       |  CASE WHEN SUM(z) OVER (PARTITION BY event_type ORDER BY t_days
+       |         ROWS UNBOUNDED PRECEDING) > 0 THEN 0.0
+       |       ELSE round(exp(SUM(term) OVER (PARTITION BY event_type
+       |         ORDER BY t_days ROWS UNBOUNDED PRECEDING)), 6)
+       |  END AS survival
+       |FROM s""".stripMargin
 }

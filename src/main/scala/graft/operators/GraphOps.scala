@@ -564,4 +564,71 @@ object GraphOps {
         SELECT count(*) AS n_triangles
         FROM w WHERE EXISTS (SELECT 1 FROM canon c
                              WHERE c.x = w.wx AND c.y = w.wy)"""
+
+  /** Sampled HARMONIC CENTRALITY — Σ_seeds 1/d(seed, v) over a
+    * deterministic md5-ordered seed sample, hop-bounded. The
+    * landmark/pivot estimator (Eppstein-Wang style): exact closeness needs
+    * all-pairs distances (quadratic — off the table at any scale), but a
+    * fixed seed panel ranks nodes by reachability-weighted proximity at
+    * `seeds`× the BFS cost, and the panel is stable across runs because
+    * seeds are the md5-smallest node ids, not a random draw.
+    *
+    * Scale shape: the adjacency is materialized once (same frame as
+    * [[bfsDistances]]); each hop's exchange is the (seed × nodes)-bounded
+    * distance frame — seeds is a small constant, so per-hop cost is a
+    * constant factor over single-source BFS. The final centrality fold is
+    * one grouped aggregate. Unreachable (seed, node) pairs are absent, not
+    * infinite — harmonic centrality is exactly the closeness variant that
+    * stays well-defined under disconnection. Output: (id, reached,
+    * harmonic), reached = seeds whose ball covers the node. */
+  def harmonicCentrality(edges: DataFrame, seeds: Int, maxHops: Int,
+                         storage: Dedup.FixpointStorage = Dedup.SessionDefault): DataFrame = {
+    val adj = Dedup.materializeFixpoint(
+      edges.select(least(col("a"), col("b")).as("x"), greatest(col("a"), col("b")).as("y"))
+        .where(col("x") =!= col("y")).distinct()
+        .select(explode(array(
+          struct(col("x").as("v"), col("y").as("n")),
+          struct(col("y").as("v"), col("x").as("n")))).as("e"))
+        .select(col("e.v").as("v"), col("e.n").as("n"))
+        .repartition(col("v")),
+      storage)
+    val seedRows = adj.select(col("v").as("id")).distinct()
+      .orderBy(md5(col("id").cast(StringType)), col("id")).limit(seeds)
+    var dist = seedRows.select(col("id").as("seed"), col("id"), lit(0).as("dist"))
+    for (_ <- 1 to maxHops) {
+      val relaxed = dist
+        .join(adj.select(col("v").as("id"), col("n")), "id")
+        .select(col("seed"), col("n").as("id"), (col("dist") + 1).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("seed"), col("id")).agg(min(col("dist")).as("dist"))
+    }
+    dist.where(col("dist") > 0)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("reached"),
+        round(sum(lit(1.0) / col("dist")), 6).as("harmonic"))
+  }
+
+  /** DuckDB mirror of [[harmonicCentrality]]: `edgesSql` yields (a, b). */
+  def harmonicCentralitySql(edgesSql: String, seeds: Int, maxHops: Int): String = {
+    val base =
+      s"""WITH edges AS ($edgesSql),
+          canon AS (SELECT DISTINCT least(a, b) x, greatest(a, b) y
+                    FROM edges WHERE a <> b),
+          adj AS (SELECT x v, y n FROM canon UNION ALL SELECT y v, x n FROM canon),
+          sd AS (SELECT id FROM (SELECT DISTINCT v AS id FROM adj)
+                 ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $seeds),
+          d0 AS (SELECT id AS seed, id, 0 AS dist FROM sd)"""
+    val steps = (1 to maxHops).map { i =>
+      s"""d$i AS (SELECT seed, id, min(dist) AS dist FROM (
+            SELECT seed, id, dist FROM d${i - 1}
+            UNION ALL
+            SELECT d.seed, a.n AS id, d.dist + 1 AS dist
+            FROM d${i - 1} d JOIN adj a ON a.v = d.id) GROUP BY 1, 2)"""
+    }
+    (base +: steps).mkString(",\n") +
+      s"""
+         SELECT id, count(*) AS reached,
+           round(SUM(CAST(1.0 AS DOUBLE) / dist), 6) AS harmonic
+         FROM d$maxHops WHERE dist > 0 GROUP BY id"""
+  }
 }

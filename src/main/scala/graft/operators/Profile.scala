@@ -203,4 +203,71 @@ object Profile {
         ${r(s"min($column)")} AS min_v, ${r(s"max($column)")} AS max_v
         FROM $table"""
   }
+
+  /** GENERALIZATION LADDER — the k-anonymity REPAIR mechanism, not just
+    * the audit: when a quasi-identifier level fails [[kAnonymity]], the
+    * release pipeline coarsens it (nation→region→drop) and re-measures.
+    * One row per ladder level with the numbers the release decision needs:
+    * class count, worst-case k, and the share of rows already inside
+    * anonymous classes (k ≥ minK AND l-diversity ≥ minL). Monotone
+    * anon_share up the ladder = generalization is working.
+    *
+    * Scale shape: one exchange per level on that level's QI key (the
+    * levels are separate aggregates over one scan each — at 100 TB,
+    * levels can share a cube/rollup pass; kept separate here so each
+    * level's plan is the plain [[kAnonymity]] shape). Output:
+    * (level, n_classes, min_k, anon_share). */
+  def generalizationLadder(df: DataFrame, levels: Seq[(String, Seq[String])],
+                           sensitive: Column, minK: Int, minL: Int): DataFrame =
+    levels.map { case (name, quasi) =>
+      kAnonymity(df, quasi, sensitive, minK, minL)
+        .agg(count(lit(1)).as("n_classes"),
+          min(col("k_size")).as("min_k"),
+          sum(when(col("anonymous"), col("k_size")).otherwise(lit(0L)))
+            .as("anon_rows"),
+          sum(col("k_size")).as("total_rows"))
+        .select(lit(name).as("level"), col("n_classes"), col("min_k"),
+          round(col("anon_rows").cast(DoubleType) / col("total_rows"), 6)
+            .as("anon_share"))
+    }.reduce(_ unionAll _)
+
+  /** ε-DIFFERENTIALLY-PRIVATE released counts per group — the Laplace
+    * mechanism (sensitivity 1 for a count), with the noise draw made
+    * RETRY-REPRODUCIBLE the same way every sampler here is: the uniform
+    * comes from md5(group), not an RNG, inverted through the Laplace CDF
+    * (noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|)). A deterministic draw is what
+    * a distributed release pipeline actually wants — re-running the job
+    * must not spend fresh privacy budget or publish a different number.
+    *
+    * Scale shape: one map-side-combinable count aggregate; the noise is a
+    * per-GROUP projection over the |groups|-sized result — nothing about
+    * the mechanism touches row volume. The true count `n` rides along
+    * here because the engine's contract is oracle-checkability; a real
+    * release would drop it (and the md5 seed would take a private salt).
+    * Output: (g, n, noise, released). */
+  def dpCounts(df: DataFrame, group: Column, epsilon: Double): DataFrame = {
+    val u = conv(substring(md5(col("g").cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType).cast(DoubleType) / lit(math.pow(2, 60))
+    val c = u - lit(0.5)
+    val noise = round(lit(-1.0 / epsilon) * signum(c) *
+      log(lit(1.0) - lit(2.0) * abs(c)), 6)
+    df.groupBy(group.as("g")).agg(count(lit(1)).as("n"))
+      .select(col("g"), col("n"), noise.as("noise"),
+        round(col("n") + noise, 6).as("released"))
+  }
+
+  /** DuckDB mirror of [[dpCounts]] (oracle builder); `groupExpr` names the
+    * grouping expression over `table`. */
+  def dpCountsSql(groupExpr: String, epsilon: Double,
+                  table: String = "events"): String =
+    s"""WITH cnt AS (SELECT $groupExpr g, count(*) n FROM $table GROUP BY 1),
+        h AS (SELECT g, n,
+               CAST(('0x'||substr(md5(CAST(g AS VARCHAR)),1,15)) AS BIGINT)
+                 / CAST(1152921504606846976 AS DOUBLE) u
+              FROM cnt),
+        z AS (SELECT g, n,
+               round(CAST(${-1.0 / epsilon} AS DOUBLE) * sign(u - 0.5) *
+                 ln(CAST(1.0 AS DOUBLE) - 2 * abs(u - 0.5)), 6) noise
+              FROM h)
+        SELECT g, n, noise, round(n + noise, 6) AS released FROM z"""
 }

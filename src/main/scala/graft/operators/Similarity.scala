@@ -848,4 +848,184 @@ object Similarity {
       .select(col("qid").as("src"), col("nid").as("nbr"),
         col("cos_sim"), col("rank"))
   }
+
+  /** Per-label embedding DIVERSITY: the mean pairwise cosine among a
+    * label's vectors — the "is this slice redundant" score diversity-aware
+    * curation (SemDeDup-style pruning budgets, mixture re-weighting)
+    * consumes. High mean pairwise cosine = the label's mass is
+    * near-duplicated; low = genuinely varied.
+    *
+    * Computed WITHOUT any pairwise join via the sum-of-vectors identity on
+    * unit-normalized vectors: Σᵢ≠ⱼ uᵢ·uⱼ = ‖Σᵢuᵢ‖² − Σᵢ‖uᵢ‖², so the mean
+    * pairwise cosine is (‖S‖² − selfsq) / (n(n−1)). Cost is ONE normalize
+    * pass + a |labels|·dims partial aggregate — O(n·d) total where the
+    * naive form is O(n²·d) per label. At 100 TB this is the difference
+    * between a metric you compute every run and one you can't compute at
+    * all; the corpus is never shuffled (map-side partials collapse to
+    * |labels|·dims rows).
+    *
+    * Determinism: components of u are rounded to 9dp before the
+    * DECIMAL(28,12) sums (exact at scale 12), per-vector self-dots are the
+    * sequential [[dot]] fold, and every double-squaring is re-rounded
+    * before its decimal sum — bit-identical across engines/partitionings.
+    * Output: (label, n, mean_pair_cos). */
+  def labelDiversity(corpus: DataFrame): DataFrame = {
+    val dec = DecimalType(28, 12)
+    val u = corpus.select(col("label"), asDouble(col("embedding")).as("v"))
+      .select(col("label"),
+        transform(col("v"), x => round(x / norm2(col("v")), 9)).as("u"))
+    val self = u.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(dot(col("u"), col("u")), 9).cast(dec))
+          .cast(DoubleType).as("selfsq"))
+    val sums = u.select(col("label"), posexplode(col("u")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("x").cast(dec)).cast(DoubleType).as("sd"))
+    val normsq = sums.groupBy(col("label"))
+      .agg(sum(round(col("sd") * col("sd"), 9).cast(dec))
+        .cast(DoubleType).as("normsq"))
+    self.join(normsq, "label")
+      .select(col("label"), col("n"),
+        when(col("n") > 1,
+          round((col("normsq") - col("selfsq")) / (col("n") * (col("n") - 1)), 6))
+          .as("mean_pair_cos"))
+  }
+
+  /** DuckDB mirror of [[labelDiversity]] (oracle builder). */
+  def labelDiversitySql(): String =
+    """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |  u AS (SELECT label,
+      |          list_transform(v, x -> round(x / sqrt(list_dot_product(v, v)), 9)) u
+      |        FROM e),
+      |  sf AS (SELECT label, count(*) n,
+      |          CAST(SUM(CAST(round(list_dot_product(u, u), 9)
+      |            AS DECIMAL(28,12))) AS DOUBLE) selfsq
+      |         FROM u GROUP BY label),
+      |  s AS (SELECT label, t.dim dim,
+      |         CAST(SUM(CAST(t.x AS DECIMAL(28,12))) AS DOUBLE) sd
+      |        FROM (SELECT label, unnest(list_transform(range(len(u)),
+      |                i -> {'dim': i, 'x': u[i+1]})) t FROM u)
+      |        GROUP BY 1, 2),
+      |  ns AS (SELECT label,
+      |          CAST(SUM(CAST(round(sd*sd, 9) AS DECIMAL(28,12))) AS DOUBLE) normsq
+      |         FROM s GROUP BY label)
+      |SELECT sf.label, n,
+      |  CASE WHEN n > 1
+      |    THEN round((normsq - selfsq) / (n * (n - 1)), 6) END AS mean_pair_cos
+      |FROM sf JOIN ns ON sf.label = ns.label""".stripMargin
+
+  /** INTRINSIC DIMENSIONALITY of the embedding space via the participation
+    * ratio of the covariance spectrum: PR = tr(C)² / tr(C²) — how many
+    * directions the embedding mass effectively occupies (d if isotropic,
+    * →1 if collapsed onto one axis). The encoder-health monitor a training
+    * pipeline alarms on: representation collapse shows up as PR falling
+    * long before downstream retrieval degrades.
+    *
+    * Eigen-free by the trace identities tr(C) = Σᵢ var(xᵢ) and
+    * tr(C²) = Σᵢⱼ C²ᵢⱼ, so no driver-side eigensolver and no iteration:
+    * second moments E[xᵢxⱼ] come from ONE corpus pass that partial-
+    * aggregates n·d² products down to d² groups (d is a constant — the
+    * pass is linear in corpus size and the exchange carries d² rows);
+    * everything after runs on d²-row frames with the d-row mean frame
+    * broadcast into the join.
+    *
+    * Determinism: float×float products are exact in double (24+24 ≤ 53
+    * bits), summed through DECIMAL(28,12); the d²-element trace sums are
+    * re-rounded into decimal the same way on both engines. Output: ONE row
+    * (trace_c, trace_c2, participation_ratio). */
+  def participationRatio(corpus: DataFrame, dims: Int): DataFrame = {
+    val dec = DecimalType(28, 12)
+    val e = corpus.select(asDouble(col("embedding")).as("v"))
+    val m1 = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg((sum(col("x").cast(dec)).cast(DoubleType) / count(lit(1))).as("ex"))
+    val m2 = e.select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
+      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+      .groupBy(col("i"), col("j"))
+      .agg((sum((col("xi") * col("xj")).cast(dec)).cast(DoubleType) /
+        count(lit(1))).as("exy"))
+    val c = m2
+      .join(broadcast(m1.select(col("i"), col("ex").as("exi"))), "i")
+      .join(broadcast(m1.select(col("i").as("j"), col("ex").as("exj"))), "j")
+      .select(col("i"), col("j"), (col("exy") - col("exi") * col("exj")).as("c"))
+    c.agg(
+        sum(when(col("i") === col("j"), col("c")).otherwise(lit(0.0)).cast(dec))
+          .cast(DoubleType).as("tc"),
+        sum(round(col("c") * col("c"), 12).cast(dec))
+          .cast(DoubleType).as("tc2"))
+      .select(round(col("tc"), 6).as("trace_c"),
+        round(col("tc2"), 9).as("trace_c2"),
+        round(col("tc") * col("tc") / col("tc2"), 6).as("participation_ratio"))
+  }
+
+  /** SQ8 QUANTIZATION ERROR per label — the reconstruction-loss monitor
+    * that decides whether int8 candidate scans ([[sq8TopK]]) are safe for
+    * a corpus slice or it needs full precision / PQ: per vector,
+    * ‖v − s·code‖² with the SAME scale and floor(x/s+0.5) code rule the
+    * serving path uses, expanded through the dot identity
+    * ‖v‖² − 2s·(v·c) + s²·‖c‖² so every term is a sequential codegen'd
+    * [[dot]] fold (deterministic, no per-dim explode).
+    *
+    * Scale shape: ONE unshuffled corpus pass (quantize + three dot
+    * products per row) into a map-side |labels|-group aggregate.
+    * Per-vector errors round to 9dp before the DECIMAL(28,12) mean sum.
+    * Output: (label, n, mean_err, max_err). */
+  def sq8QuantizationError(corpus: DataFrame): DataFrame = {
+    val dec = DecimalType(28, 12)
+    val err = corpus
+      .select(col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("s",
+        greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-30)) / lit(127.0))
+      .withColumn("c",
+        transform(col("v"), x => floor(x / col("s") + lit(0.5)).cast(DoubleType)))
+      .select(col("label"),
+        round(dot(col("v"), col("v")) - lit(2.0) * col("s") * dot(col("v"), col("c"))
+          + col("s") * col("s") * dot(col("c"), col("c")), 9).as("err"))
+    err.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("err").cast(dec)).cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_err"),
+        round(max(col("err")), 6).as("max_err"))
+  }
+
+  /** DuckDB mirror of [[sq8QuantizationError]] (oracle builder). */
+  def sq8QuantizationErrorSql(): String =
+    """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |  q AS (SELECT label, v,
+      |         greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+      |           / CAST(127.0 AS DOUBLE) s
+      |        FROM e),
+      |  c AS (SELECT label, v, s,
+      |         list_transform(v, x -> floor(x / s + 0.5)) c FROM q),
+      |  er AS (SELECT label,
+      |          round(list_dot_product(v, v)
+      |            - CAST(2.0 AS DOUBLE) * s * list_dot_product(v, c)
+      |            + s * s * list_dot_product(c, c), 9) err FROM c)
+      |SELECT label, count(*) AS n,
+      |  round(CAST(SUM(CAST(err AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
+      |    AS mean_err,
+      |  round(max(err), 6) AS max_err
+      |FROM er GROUP BY label""".stripMargin
+
+  /** DuckDB mirror of [[participationRatio]] (oracle builder). */
+  def participationRatioSql(dims: Int): String =
+    s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |  m1 AS (SELECT i, CAST(SUM(CAST(v[i+1] AS DECIMAL(28,12))) AS DOUBLE)
+       |           / COUNT(*) ex
+       |         FROM e, (SELECT unnest(range($dims)) i) GROUP BY i),
+       |  m2 AS (SELECT i, j,
+       |          CAST(SUM(CAST(v[i+1]*v[j+1] AS DECIMAL(28,12))) AS DOUBLE)
+       |            / COUNT(*) exy
+       |         FROM e, (SELECT unnest(range($dims)) i),
+       |              (SELECT unnest(range($dims)) j)
+       |         GROUP BY i, j),
+       |  c AS (SELECT m2.i, m2.j, exy - a.ex * b.ex c
+       |        FROM m2 JOIN m1 a ON m2.i = a.i JOIN m1 b ON m2.j = b.i),
+       |  t AS (SELECT
+       |         CAST(SUM(CAST(CASE WHEN i = j THEN c ELSE 0.0 END
+       |           AS DECIMAL(28,12))) AS DOUBLE) tc,
+       |         CAST(SUM(CAST(round(c*c, 12) AS DECIMAL(28,12))) AS DOUBLE) tc2
+       |        FROM c)
+       |SELECT round(tc, 6) AS trace_c, round(tc2, 9) AS trace_c2,
+       |  round(tc * tc / tc2, 6) AS participation_ratio FROM t""".stripMargin
 }

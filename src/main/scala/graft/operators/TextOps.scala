@@ -851,4 +851,115 @@ object TextOps {
         Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, 0))
         .as("vocab_size"))
   }
+
+  /** ZIPF-SLOPE fit per source — how power-law the token distribution is.
+    * Natural prose sits near slope −1; machine-generated or templated text
+    * flattens (repetitive head) or steepens (collapsed tail), so the slope
+    * is a cheap generator-artifact detector alongside [[qualityScores]].
+    * Ordinary least squares of ln(freq) on ln(rank) over each source's top
+    * `topN` terms with freq ≥ `minFreq` (the head the law describes; the
+    * hapax tail is a different regime — see [[hapaxRatio]]).
+    *
+    * Scale shape: ONE (source, token) count aggregate off the token
+    * explode; the rank window sorts the vocab-sized census (bounded by
+    * vocabulary, not corpus), and the regression is a per-source aggregate
+    * over ≤ topN rows computed from five decimal-exact sums — the closed
+    * form needs no second pass and no residual join.
+    *
+    * Determinism: ln values are rounded to 9dp before the DECIMAL(28,12)
+    * sums (order-free); the closed-form slope arithmetic runs on the exact
+    * sums cast back to double. Ranks tie-break by token so the cut at
+    * `topN` is stable across engines. Output: (source, n_terms,
+    * zipf_slope, intercept). */
+  def zipfSlope(docs: org.apache.spark.sql.DataFrame, topN: Int = 200,
+                minFreq: Long = 2L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(28, 12)
+    val tf = docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("f"))
+    val ranked = tf.withColumn("rank",
+        row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("f").desc, col("tok").asc)))
+      .where(col("rank") <= topN && col("f") >= minFreq)
+      .select(col("source"),
+        round(log(col("rank").cast(DoubleType)), 9).as("x"),
+        round(log(col("f").cast(DoubleType)), 9).as("y"))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x").cast(dec)).cast(DoubleType).as("sx"),
+        sum(col("y").cast(dec)).cast(DoubleType).as("sy"),
+        sum(round(col("x") * col("y"), 9).cast(dec)).cast(DoubleType).as("sxy"),
+        sum(round(col("x") * col("x"), 9).cast(dec)).cast(DoubleType).as("sxx"))
+      .select(col("source"), col("n_terms"),
+        when(col("n_terms") * col("sxx") - col("sx") * col("sx") =!= 0.0,
+          round((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6))
+          .as("zipf_slope"),
+        when(col("n_terms") * col("sxx") - col("sx") * col("sx") =!= 0.0,
+          round((col("sy") - (col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_terms") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+            col("n_terms"), 6)).as("intercept"))
+  }
+
+  /** DuckDB mirror of [[zipfSlope]] (oracle builder). */
+  def zipfSlopeSql(topN: Int = 200, minFreq: Long = 2L,
+                   table: String = "documents"): String =
+    s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) tok
+         FROM $table),
+       tf AS (SELECT source, tok, count(*) f FROM toks
+              WHERE len(tok) > 0 GROUP BY 1, 2),
+       r AS (SELECT source, f,
+              row_number() OVER (PARTITION BY source
+                ORDER BY f DESC, tok ASC) rank
+             FROM tf),
+       xy AS (SELECT source, round(ln(CAST(rank AS DOUBLE)), 9) x,
+               round(ln(CAST(f AS DOUBLE)), 9) y
+              FROM r WHERE rank <= $topN AND f >= $minFreq),
+       s AS (SELECT source, count(*) n_terms,
+              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) sx,
+              CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) sy,
+              CAST(SUM(CAST(round(x*y, 9) AS DECIMAL(28,12))) AS DOUBLE) sxy,
+              CAST(SUM(CAST(round(x*x, 9) AS DECIMAL(28,12))) AS DOUBLE) sxx
+             FROM xy GROUP BY source)
+       SELECT source, n_terms,
+         CASE WHEN n_terms * sxx - sx * sx <> 0.0
+           THEN round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6)
+         END AS zipf_slope,
+         CASE WHEN n_terms * sxx - sx * sx <> 0.0
+           THEN round((sy - (n_terms * sxy - sx * sy)
+             / (n_terms * sxx - sx * sx) * sx) / n_terms, 6)
+         END AS intercept
+       FROM s"""
+
+  /** HAPAX RATIO per source — the fraction of each source's vocabulary
+    * occurring exactly once. Natural text runs ~0.4–0.6 (Zipf tail);
+    * near 0 flags templated/duplicated content, near 1 flags noise (OCR
+    * junk, random ids) — the tail-regime complement to [[zipfSlope]]'s
+    * head fit. One (source, token) census (map-side combined), then a
+    * vocab-sized per-source aggregate; exact integer counts, one final
+    * round-6 division. Output: (source, vocab, hapax, hapax_ratio). */
+  def hapaxRatio(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("f"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("vocab"), col("hapax"),
+        round(col("hapax").cast(DoubleType) / col("vocab"), 6).as("hapax_ratio"))
+
+  /** DuckDB mirror of [[hapaxRatio]] (oracle builder). */
+  def hapaxRatioSql(table: String = "documents"): String =
+    s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) tok
+         FROM $table),
+       tf AS (SELECT source, tok, count(*) f FROM toks
+              WHERE len(tok) > 0 GROUP BY 1, 2)
+       SELECT source, count(*) AS vocab,
+         CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         round(CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*), 6) AS hapax_ratio
+       FROM tf GROUP BY source"""
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Time-series regularization over an event stream: resample irregular
   * per-key events onto a fixed time grid with forward fill — the shape a
@@ -46,6 +47,122 @@ object TimeSeries {
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         last(col("v_max"), ignoreNulls = true).over(w).as("v_fill"))
   }
+
+  /** Hourly resample with LINEAR INTERPOLATION — the gap-fill a metrics
+    * or sensor pipeline wants when the series is a level (not an event
+    * count): empty hours take the line between the nearest observed
+    * buckets, v = v_prev + (v_next−v_prev)·(t−t_prev)/(t_next−t_prev),
+    * rather than [[resampleHourlyLocf]]'s step function.
+    *
+    * Same scale shape as LOCF: one map-side bucket aggregate, per-key
+    * grid explode (output-sized), and ONE hash-partitioned window pass —
+    * prev/next observed values come from running `last`/`first`
+    * (ignoreNulls) frames over the same partitioning, so interpolation
+    * adds no exchange. The grid spans each key's own [first, last] bucket,
+    * so both neighbors always exist and the denominator is > 0 exactly at
+    * gap rows. Determinism: bucket values are deterministic aggregates,
+    * the lerp is fixed-order IEEE arithmetic on exact integer epoch
+    * seconds, and the final 6dp cut is floor(x·10⁶ + 0.5)/10⁶ rather
+    * than round(x, 6) — midpoint lerps land exactly on .5 ties where
+    * Spark (decimal-string HALF_UP) and C-library (multiply-then-
+    * nearbyint) rounding disagree; the floor form does the half-up cut
+    * entirely in double arithmetic both engines execute identically.
+    * Output: (user_id, hour_start, n_events, v_interp). */
+  def resampleHourlyInterp(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("value"))
+      .groupBy(col("user_id"), col("h"))
+      .agg(count(lit(1)).as("n_events"), max(col("value")).as("v_max"))
+    val grid = hourly
+      .groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    val byH = Window.partitionBy(col("user_id")).orderBy(col("h"))
+    val wPrev = byH.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = byH.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsH = when(col("n_events").isNotNull, col("h"))
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("pv", last(col("v_max"), ignoreNulls = true).over(wPrev))
+      .withColumn("ph", last(obsH, ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v_max"), ignoreNulls = true).over(wNext))
+      .withColumn("nh", first(obsH, ignoreNulls = true).over(wNext))
+      .select(col("user_id"), col("h").as("hour_start"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        (floor(when(col("n_events").isNotNull, col("v_max"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((unix_timestamp(col("h")) - unix_timestamp(col("ph"))).cast(DoubleType) /
+             (unix_timestamp(col("nh")) - unix_timestamp(col("ph"))).cast(DoubleType)))
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("v_interp"))
+  }
+
+  /** DuckDB mirror of [[resampleHourlyInterp]] (oracle builder). */
+  def resampleHourlyInterpSql(): String =
+    """WITH e AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) h, value
+         FROM events),
+       hr AS (SELECT user_id, h, COUNT(*) n_events, MAX(value) v_max
+              FROM e GROUP BY 1, 2),
+       span AS (SELECT user_id, MIN(h) h0, MAX(h) h1 FROM e GROUP BY 1),
+       grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 hour)) h
+                FROM span),
+       j AS (SELECT g.user_id, g.h, n_events, v_max,
+              last_value(v_max IGNORE NULLS) OVER (PARTITION BY g.user_id
+                ORDER BY g.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pv,
+              last_value(CASE WHEN n_events IS NOT NULL THEN g.h END IGNORE NULLS)
+                OVER (PARTITION BY g.user_id ORDER BY g.h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ph,
+              first_value(v_max IGNORE NULLS) OVER (PARTITION BY g.user_id
+                ORDER BY g.h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nv,
+              first_value(CASE WHEN n_events IS NOT NULL THEN g.h END IGNORE NULLS)
+                OVER (PARTITION BY g.user_id ORDER BY g.h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nh
+             FROM grid g LEFT JOIN hr ON g.user_id = hr.user_id AND g.h = hr.h)
+       SELECT user_id, h AS hour_start, COALESCE(n_events, 0) AS n_events,
+         floor((CASE WHEN n_events IS NOT NULL THEN v_max
+           ELSE pv + (nv - pv) *
+             (CAST(epoch(h) - epoch(ph) AS DOUBLE) /
+              CAST(epoch(nh) - epoch(ph) AS DOUBLE)) END)
+           * CAST(1000000 AS DOUBLE) + 0.5) / CAST(1000000 AS DOUBLE) AS v_interp
+       FROM j"""
+
+  /** DAY-OF-WEEK seasonal index per event type — the multiplicative
+    * seasonality profile (mean count on that weekday ÷ overall mean) that
+    * capacity planning and anomaly baselines divide out before comparing
+    * days. All-integer algebra until one division:
+    * index = sum_dow·n_days_all / (n_days_dow·sum_all), round-6.
+    * Scale shape: the stream reduces to |types|·|days| in one map-side
+    * aggregate; everything after is day-table-sized. Output:
+    * (event_type, dow, n_days, seasonal_index); dow 1=Sunday..7. */
+  def seasonalIndex(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val byDow = daily
+      .groupBy(col("event_type"), dayofweek(col("day")).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("s"))
+    val overall = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_all"), sum(col("n")).as("s_all"))
+    byDow.join(overall, "event_type")
+      .select(col("event_type"), col("dow"), col("n_days"),
+        round((col("s") * col("n_all")).cast(DoubleType) /
+          (col("n_days") * col("s_all")).cast(DoubleType), 6).as("seasonal_index"))
+  }
+
+  /** DuckDB mirror of [[seasonalIndex]] (oracle builder). */
+  def seasonalIndexSql(): String =
+    """WITH daily AS (SELECT event_type,
+           date_trunc('day', CAST(ts AS TIMESTAMP)) "day", count(*) n
+         FROM events GROUP BY 1, 2),
+       dw AS (SELECT event_type, CAST(dayofweek("day") + 1 AS INT) dow,
+               count(*) n_days, CAST(SUM(n) AS BIGINT) s
+              FROM daily GROUP BY 1, 2),
+       o AS (SELECT event_type, count(*) n_all, CAST(SUM(n) AS BIGINT) s_all
+             FROM daily GROUP BY 1)
+       SELECT dw.event_type, dow, n_days,
+         round(CAST(s * n_all AS DOUBLE) / CAST(n_days * s_all AS DOUBLE), 6)
+           AS seasonal_index
+       FROM dw JOIN o ON dw.event_type = o.event_type"""
 
   /** Single most-likely changepoint per series (binary segmentation, the
     * first split of Scott & Knott / ruptures-style search): over each

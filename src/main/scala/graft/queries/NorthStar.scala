@@ -430,6 +430,16 @@ object NorthStar {
     "text_vocab_growth" -> ((s, dir) =>
       TextOps.vocabGrowth(t(s, dir, "documents"))),
 
+    // Zipf head fit per source: OLS of ln(freq) on ln(rank) over the top
+    // terms — generator-artifact detector (templated text flattens, noise
+    // steepens); vocab-bounded window + five decimal-exact sums
+    "text_zipf_slope" -> ((s, dir) =>
+      TextOps.zipfSlope(t(s, dir, "documents"))),
+    // hapax fraction per source — the tail-regime complement to the Zipf
+    // head fit; one token census, exact integers
+    "text_hapax_ratio" -> ((s, dir) =>
+      TextOps.hapaxRatio(t(s, dir, "documents"))),
+
     // edit-distance fuzzy pairs over the distinct part-name catalog
     // (entity resolution): block on the rarest token, verify exact
     // levenshtein in the join projection
@@ -542,6 +552,13 @@ object NorthStar {
       val edges = coPurchaseEdges2(s, dir)
       graft.operators.GraphOps.bfsDistances(edges, col("id") % 37 === 0, maxHops = 4)
     }),
+
+    // sampled harmonic centrality: Σ 1/d from 4 md5-chosen landmark
+    // seeds, hop-bounded — the closeness variant that survives
+    // disconnection; per-hop cost = seeds × the BFS frontier frame
+    "graph_harmonic_centrality" -> ((s, dir) =>
+      graft.operators.GraphOps.harmonicCentrality(
+        coPurchaseEdges2(s, dir), seeds = 4, maxHops = 4)),
 
     // asymmetric near-dup: containment C(A→B) = |A∩B|/|A| catches the
     // quote/excerpt case Jaccard misses (short doc embedded in a long one);
@@ -983,6 +1000,24 @@ object NorthStar {
 
     "emb_kmeans" -> ((s, dir) =>
       Similarity.kMeans(t(s, dir, "embeddings"), 8, 2)),
+
+    // per-label mean pairwise cosine WITHOUT a pairwise join (the
+    // sum-of-vectors identity on unit vectors) — the slice-redundancy
+    // score diversity-aware curation budgets on; O(n·d) total where the
+    // naive pairwise form is O(n²·d) per label
+    "emb_label_diversity" -> ((s, dir) =>
+      Similarity.labelDiversity(t(s, dir, "embeddings"))),
+    // intrinsic dimensionality of the embedding space (participation
+    // ratio of the covariance spectrum, tr(C)²/tr(C²)) — the
+    // representation-collapse alarm; eigen-free via trace identities,
+    // one linear corpus pass with a d²-row exchange
+    "emb_participation_ratio" -> ((s, dir) =>
+      Similarity.participationRatio(t(s, dir, "embeddings"), 64)),
+    // int8 reconstruction loss per label with the serving path's exact
+    // quantization rule — decides SQ8 vs full precision per slice; one
+    // unshuffled pass, three dot products per row
+    "emb_quantization_error" -> ((s, dir) =>
+      Similarity.sq8QuantizationError(t(s, dir, "embeddings"))),
 
     // SemDeDup shape: exact cosine pairs WITHIN k-means cells — k·O((n/k)²)
     // instead of O(n²), equi-join on the cluster id, near-dups concentrate
@@ -1811,6 +1846,9 @@ object NorthStar {
                 AS BIGINT) - 1 AS pos
          FROM s""",
     "emb_top_pc" -> Similarity.topPcSql(64, 4),
+    "emb_label_diversity" -> Similarity.labelDiversitySql(),
+    "emb_participation_ratio" -> Similarity.participationRatioSql(64),
+    "emb_quantization_error" -> Similarity.sq8QuantizationErrorSql(),
     "ann_whitened_topk" -> Similarity.whitenedTopKSql(64, 4, 0L, 10),
     "emb_kmeans" -> Similarity.kMeansSql(8, 2),
     "dedup_semantic" -> Similarity.semanticPairsSql(8, 2, 0.35),
@@ -2206,6 +2244,8 @@ object NorthStar {
           SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""",
     "graph_bfs_distances" -> graft.operators.GraphOps.bfsDistancesSql(
       coPurchaseEdges2Sql, "id % 37 = 0", 4),
+    "graph_harmonic_centrality" -> graft.operators.GraphOps
+      .harmonicCentralitySql(coPurchaseEdges2Sql, 4, 4),
     "dedup_containment" -> containmentCappedSql(2L, 0.5),
     "text_inverted_index" ->
       """WITH t0 AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
@@ -2311,6 +2351,8 @@ object NorthStar {
              / CAST(2 * SUM(np_b) * (SUM(c) - SUM(np_b)) AS DOUBLE), 6) AS auc
          FROM r""",
     "text_entropy" -> TextOps.tokenEntropySql(),
+    "text_zipf_slope" -> TextOps.zipfSlopeSql(),
+    "text_hapax_ratio" -> TextOps.hapaxRatioSql(),
     "text_source_divergence" -> TextOps.sourceDivergenceSql(),
     "doc_fingerprint" ->
       s"""WITH t0 AS (SELECT doc_id, text, string_split(text,' ') w FROM documents)

@@ -134,6 +134,11 @@ object Pipelines {
     // state as stream_windowed_agg)
     "stream_static_join" -> ((s, dir) => EventStream.enrichedWindowedAgg(s, dir)),
 
+    // watermark LATE-DROP semantics: deterministic out-of-order batches,
+    // displaced rows must be dropped exactly where window.end clears the
+    // allowed lateness — the oracle is the relational model of that rule
+    "stream_late_drop" -> ((s, dir) => EventStream.lateDropAudit(s, dir)),
+
     // streaming IVF index maintenance: embedding micro-batches routed to
     // their coarse cell against broadcast centroids and appended to the
     // inverted-list store; declared result = the per-cell occupancy
@@ -238,6 +243,17 @@ object Pipelines {
     "events_resample_locf" -> ((s, dir) =>
       graft.operators.TimeSeries.resampleHourlyLocf(t(s, dir, "events"))),
 
+    // linear-interpolation gap fill on the same per-key hourly grid — the
+    // level-series companion to LOCF's step function; prev/next neighbors
+    // ride the one partitioned window pass, no extra exchange
+    "events_resample_interp" -> ((s, dir) =>
+      graft.operators.TimeSeries.resampleHourlyInterp(t(s, dir, "events"))),
+
+    // day-of-week multiplicative seasonality per event type — integer
+    // algebra over the |types|·|days| reduction, one division at the end
+    "events_seasonal_index" -> ((s, dir) =>
+      graft.operators.TimeSeries.seasonalIndex(t(s, dir, "events"))),
+
     // sliding (overlapping) windows: each event lands in two 2h windows
     "sliding_window_counts" -> ((s, dir) =>
       t(s, dir, "events")
@@ -265,6 +281,12 @@ object Pipelines {
     // latest-wins snapshot via a two-phase max_by — no per-key window sort
     "events_cdc_snapshot" -> ((s, dir) =>
       EventAnalytics.latestSnapshot(t(s, dir, "events"), tombstoneType = "error")),
+
+    // Kaplan-Meier retention per event_type: right-censored product-limit
+    // survival (exp∘Σln over the life table) — one stream aggregate, all
+    // downstream work on a |types|·|days| frame
+    "events_survival_km" -> ((s, dir) =>
+      EventAnalytics.survivalKm(t(s, dir, "events"), horizonDays = 3)),
 
     // growth accounting: per-day NEW vs RETURNING active users (new =
     // first-ever active day) — one distinct (user, day) reduction + a
@@ -382,6 +404,33 @@ object Pipelines {
           .agg(count(lit(1)).as("n_exact")).select(lit("ALL").as("g"), col("n_exact")))
       est.join(exact, Seq("g"))
         .select(col("g").as("day"), col("n_exact"), col("n_regs"), col("est"))
+    }),
+
+    // sketch SET ALGEBRA: audience union via register-wise max merge,
+    // intersection by inclusion-exclusion — the cross-segment overlap
+    // estimate that never rescans or joins the raw streams; registers are
+    // built once, both estimates read the same 128-row frame (exact
+    // intersection rides along as the error reference)
+    "events_hll_setops" -> ((s, dir) => {
+      import graft.operators.Dedup.MaterializeSyntax
+      val e = t(s, dir, "events")
+        .where(col("event_type").isin("view", "purchase"))
+      val regs = Sketches.hllRegisters(e, col("event_type"), col("user_id"))
+        .materialized
+      val est = Sketches.hllEstimate(
+        regs.unionByName(Sketches.hllMerge(regs, "UNION")))
+      val wide = est.agg(
+        max(when(col("g") === "view", col("est"))).as("est_view"),
+        max(when(col("g") === "purchase", col("est"))).as("est_purchase"),
+        max(when(col("g") === "UNION", col("est"))).as("est_union"))
+      val both = e.select(col("event_type"), col("user_id")).distinct()
+        .groupBy(col("user_id")).agg(count(lit(1)).as("k"))
+        .where(col("k") === 2).agg(count(lit(1)).as("exact_intersect"))
+      wide.crossJoin(broadcast(both)) // 1-row scalar, documented pattern
+        .select(col("est_view"), col("est_purchase"), col("est_union"),
+          round(col("est_view") + col("est_purchase") - col("est_union"), 4)
+            .as("est_intersect"),
+          col("exact_intersect"))
     }),
 
     // RFM segmentation: exact population quartile scores on recency /
@@ -770,6 +819,11 @@ object Pipelines {
              OVER (PARTITION BY g.user_id ORDER BY g.h
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
          FROM grid g LEFT JOIN hr ON g.user_id = hr.user_id AND g.h = hr.h""",
+    "stream_late_drop" -> EventStream.lateDropAuditSql(),
+    "events_resample_interp" ->
+      graft.operators.TimeSeries.resampleHourlyInterpSql(),
+    "events_seasonal_index" ->
+      graft.operators.TimeSeries.seasonalIndexSql(),
     "sliding_window_counts" ->
       """WITH e AS (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) h FROM events),
          x AS (SELECT h AS ws FROM e
@@ -855,6 +909,7 @@ object Pipelines {
            count(DISTINCT e.user_id) AS active_users
          FROM e JOIN c USING (user_id)
          GROUP BY 1, 2""",
+    "events_survival_km" -> EventAnalytics.survivalKmSql(3),
     "events_new_returning" ->
       """WITH e AS (SELECT user_id,
              CAST(CAST(ts AS TIMESTAMP) AS DATE) d FROM events),
@@ -962,6 +1017,42 @@ object Pipelines {
     // the merged 'ALL' sketch is max-per-register over the daily sketches
     "events_hll_distinct" -> hllDistinctSql,
     "stream_hll_distinct" -> hllDistinctSql,
+    "events_hll_setops" ->
+      """WITH e AS (SELECT event_type, user_id FROM events
+             WHERE event_type IN ('view', 'purchase')),
+         h AS (SELECT event_type AS g,
+                CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))
+                  AS BIGINT) AS hv FROM e),
+         r0 AS (SELECT g, hv & 63 AS reg,
+                 CASE WHEN (hv >> 6) = 0 THEN 55
+                      ELSE 55 - length(bin(hv >> 6)) END AS rho FROM h),
+         m0 AS (SELECT g, reg, max(rho) AS mx FROM r0 GROUP BY 1, 2),
+         m AS (SELECT * FROM m0 UNION ALL
+               SELECT 'UNION' AS g, reg, max(mx) AS mx FROM m0 GROUP BY reg),
+         z AS (SELECT g, count(*) AS n_regs,
+                CAST(sum(1::BIGINT << (55 - mx)) AS BIGINT)
+                  + (64 - count(*)) * (1::BIGINT << 55) AS zs
+               FROM m GROUP BY 1),
+         est AS (SELECT g,
+                  round(CASE WHEN CAST(0.709 AS DOUBLE) * 64 * 64
+                          * CAST(1::BIGINT << 55 AS DOUBLE) / CAST(zs AS DOUBLE)
+                          <= 160.0 AND n_regs < 64
+                        THEN 64.0 * ln(64.0 / (64 - n_regs))
+                        ELSE CAST(0.709 AS DOUBLE) * 64 * 64
+                          * CAST(1::BIGINT << 55 AS DOUBLE) / CAST(zs AS DOUBLE)
+                        END, 4) AS est FROM z),
+         wide AS (SELECT
+                   max(CASE WHEN g = 'view' THEN est END) est_view,
+                   max(CASE WHEN g = 'purchase' THEN est END) est_purchase,
+                   max(CASE WHEN g = 'UNION' THEN est END) est_union
+                  FROM est),
+         bothu AS (SELECT CAST(count(*) AS BIGINT) exact_intersect FROM (
+                    SELECT user_id FROM (SELECT DISTINCT event_type, user_id FROM e)
+                    GROUP BY user_id HAVING count(*) = 2))
+         SELECT est_view, est_purchase, est_union,
+           round(est_view + est_purchase - est_union, 4) AS est_intersect,
+           exact_intersect
+         FROM wide, bothu""",
     "events_rfm_segments" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events),
          a AS (SELECT max(ts) anchor FROM e),

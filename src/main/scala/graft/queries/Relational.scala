@@ -55,6 +55,29 @@ object Relational {
         when(col("c_acctbal") >= 0, lit("pos")).otherwise(lit("neg")),
         minK = 5, minL = 2)),
 
+    // the k-anonymity REPAIR mechanism: coarsen the quasi-identifier
+    // (nation→region→segment-only) and re-measure class sizes /
+    // l-diversity per ladder level — the release decision table
+    "privacy_generalization_ladder" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").join(
+        broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nationkey"), col("n_regionkey"))),
+        "c_nationkey")
+      graft.operators.Profile.generalizationLadder(cust,
+        Seq("nation_segment" -> Seq("c_nationkey", "c_mktsegment"),
+          "region_segment" -> Seq("n_regionkey", "c_mktsegment"),
+          "segment" -> Seq("c_mktsegment")),
+        when(col("c_acctbal") >= 0, lit("pos")).otherwise(lit("neg")),
+        minK = 5, minL = 2)
+    }),
+
+    // ε-DP released counts (Laplace mechanism, sensitivity 1) with the
+    // noise draw md5-derived — retry-reproducible release, no fresh
+    // privacy budget on re-run; one count aggregate + per-group projection
+    "privacy_dp_count" -> ((s, dir) =>
+      graft.operators.Profile.dpCounts(t(s, dir, "events"),
+        col("event_type"), epsilon = 1.0)),
+
     // shuffle-planning skew census: the top-25 heaviest join keys with
     // exact counts and ppm shares — the number that decides salting /
     // AQE skew handling BEFORE the big shuffle runs; one count aggregate
@@ -650,6 +673,30 @@ object Relational {
             count(DISTINCT CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END) >= 2)
              AS anonymous
          FROM customer GROUP BY 1, 2""",
+    "privacy_generalization_ladder" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment, n_regionkey,
+             CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END sv
+           FROM customer JOIN nation ON c_nationkey = n_nationkey),
+         l0 AS (SELECT count(*) k, count(DISTINCT sv) l FROM c
+                GROUP BY c_nationkey, c_mktsegment),
+         l1 AS (SELECT count(*) k, count(DISTINCT sv) l FROM c
+                GROUP BY n_regionkey, c_mktsegment),
+         l2 AS (SELECT count(*) k, count(DISTINCT sv) l FROM c
+                GROUP BY c_mktsegment)
+         SELECT 'nation_segment' AS level, count(*) n_classes,
+           CAST(min(k) AS BIGINT) min_k,
+           round(CAST(SUM(CASE WHEN k >= 5 AND l >= 2 THEN k ELSE 0 END)
+             AS DOUBLE) / SUM(k), 6) anon_share FROM l0
+         UNION ALL
+         SELECT 'region_segment', count(*), CAST(min(k) AS BIGINT),
+           round(CAST(SUM(CASE WHEN k >= 5 AND l >= 2 THEN k ELSE 0 END)
+             AS DOUBLE) / SUM(k), 6) FROM l1
+         UNION ALL
+         SELECT 'segment', count(*), CAST(min(k) AS BIGINT),
+           round(CAST(SUM(CASE WHEN k >= 5 AND l >= 2 THEN k ELSE 0 END)
+             AS DOUBLE) / SUM(k), 6) FROM l2""",
+    "privacy_dp_count" ->
+      graft.operators.Profile.dpCountsSql("event_type", 1.0, "events"),
     "profile_key_skew" ->
       """WITH c AS (SELECT CAST(o_custkey AS VARCHAR) k, count(*) cnt
               FROM orders GROUP BY 1),

@@ -117,6 +117,26 @@ object SqlSurface {
           .as("z_score"))
     }),
 
+    // SAMPLE-RATIO-MISMATCH guard for the same md5 arm assignment — the
+    // chi-square check every experimentation platform runs BEFORE reading
+    // the ab_test result (a biased split invalidates it): for a 50/50
+    // design, chi2 collapses to (n_c−n_t)²/(n_c+n_t); df=1 critical value
+    // 3.841. Assignment-level (distinct users), exact integers, one
+    // division. One user-keyed distinct + a 1-row aggregate.
+    "events_ab_srm" -> ((s, dir) => {
+      val arm = pmod(graft.functions.keys.md5Prefix64(
+        col("user_id").cast(StringType).cast(BinaryType), 7), lit(2L))
+      t(s, dir, "events").select(col("user_id")).distinct()
+        .select(arm.as("arm"))
+        .agg(count(when(col("arm") === 0, 1)).as("n_c"),
+          count(when(col("arm") === 1, 1)).as("n_t"))
+        .select(col("n_c").as("n_control"), col("n_t").as("n_treatment"),
+          round(((col("n_c") - col("n_t")) * (col("n_c") - col("n_t")))
+            .cast(DoubleType) / (col("n_c") + col("n_t")), 6).as("chi2"),
+          (((col("n_c") - col("n_t")) * (col("n_c") - col("n_t")))
+            .cast(DoubleType) / (col("n_c") + col("n_t")) > 3.841).as("srm_flag"))
+    }),
+
     // approximate quantiles (Greenwald-Khanna sketch): estimates are
     // engine-specific, so — like q_approx_distinct — the DECLARED columns
     // are the exact percentiles plus an error-bound flag; the sketch runs
@@ -458,6 +478,19 @@ object SqlSurface {
            round((value - med) / iqr, 6) AS rz
          FROM events e JOIN st USING (event_type)
          WHERE abs(round((value - med) / iqr, 6)) > 1.5""",
+    "events_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         p AS (SELECT
+             CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,7)) AS BIGINT) % 2 arm
+           FROM u),
+         a AS (SELECT count(CASE WHEN arm = 0 THEN 1 END) n_c,
+                      count(CASE WHEN arm = 1 THEN 1 END) n_t FROM p)
+         SELECT n_c AS n_control, n_t AS n_treatment,
+           round(CAST((n_c - n_t) * (n_c - n_t) AS DOUBLE) / (n_c + n_t), 6)
+             AS chi2,
+           CAST((n_c - n_t) * (n_c - n_t) AS DOUBLE) / (n_c + n_t) > 3.841
+             AS srm_flag
+         FROM a""",
     "events_ab_test" ->
       """WITH p AS (SELECT
              CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,7)) AS BIGINT) % 2 arm,

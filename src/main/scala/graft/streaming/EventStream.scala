@@ -270,6 +270,118 @@ object EventStream {
       .where(col("window_start") <= timestamp_micros(lit(maxTs)))
   }
 
+  /** WATERMARK LATE-DATA semantics as a declared, oracle-checkable
+    * query. The stream arrives in DETERMINISTIC micro-batches (3-day
+    * event-time buckets, one parquet file per batch, mtime-ordered), but
+    * rows with event_id % 17 == 0 are displaced TWO batches later — past
+    * the point where the watermark has evicted their hour windows, so the
+    * windowed count must DROP them unless the window still clears the
+    * allowed lateness. The oracle is the relational model of the rule the
+    * engine ACTUALLY implements (empirically pinned by this row): a late
+    * row is dropped iff its window state was already evicted, eviction of
+    * window w happens at the end of the first batch b whose operating
+    * watermark wm_b ≥ end(w), and wm_b derives from the max event time of
+    * batches < b (ms-truncated) minus the delay — so a row arriving in
+    * batch b survives iff end(w) > wm_{b−1}, i.e. the effective allowed
+    * lateness is the declared delay PLUS one batch of watermark lag, and
+    * a row arriving in the very batch that evicts its window is still
+    * merged (eviction runs at batch END). One-batch displacement is
+    * therefore NEVER late — which is why this query displaces by two.
+    * Rows that are dropped still advance the watermark (event times are
+    * observed before the state filter).
+    *
+    * Scale shape: identical to [[windowedAggAppendAll]] — watermark +
+    * tumbling-window partial aggregation, append-mode file sink; the
+    * batched staging is harness plumbing, not operator cost.
+    * Output: (window_start, event_type, n) over on-time rows only. */
+  def lateDropAudit(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ev = raw.withColumn("ts", graft.queries.Tables.normTs(raw.schema("ts").dataType))
+    val maxTsRow = ev.agg(unix_micros(max(col("ts")))).head()
+    if (maxTsRow.isNullAt(0)) // empty stream: nothing to window, nothing late
+      return ev.limit(0).select(col("ts").as("window_start"),
+        col("event_type"), lit(0L).as("n"))
+    val maxTs = maxTsRow.getLong(0)
+    val staged = ev.withColumn("batch",
+      ((dayofmonth(col("ts")) - 1) / 3).cast(org.apache.spark.sql.types.IntegerType) +
+        when(pmod(col("event_id"), lit(17)) === 0, 2).otherwise(0))
+    val staging = java.nio.file.Files.createTempDirectory("graft_late_stage")
+    val in = staging.resolve("in")
+    java.nio.file.Files.createDirectory(in)
+    // one file per batch, strictly increasing mtimes: the file source
+    // processes oldest-first, so arrival order is the batch order
+    def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = staging.resolve(s"tmp_$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dest = in.resolve(s"$name.parquet").toFile
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(mtime)
+    }
+    val nBatches = staged.agg(max(col("batch"))).head().getInt(0) + 1
+    val t0 = (System.currentTimeMillis() / 1000L) * 1000L
+    (0 until nBatches).foreach { b =>
+      writeOne(staged.where(col("batch") === b).drop("batch"),
+        f"b$b%02d", t0 + b * 1000L)
+    }
+    // sentinel LAST: advances the watermark past every real window so the
+    // append sink flushes them; its own window is excluded by the filter
+    val sentinelUs = maxTs + 240L * 60L * 1000000L
+    writeOne(ev.limit(1).select(ev.columns.map {
+        case "event_id" => lit(-1L).as("event_id")
+        case "user_id"  => lit(-1L).as("user_id")
+        case "ts"       => timestamp_micros(lit(sentinelUs)).as("ts")
+        case other      => col(other)
+      }: _*), f"b$nBatches%02d", t0 + nBatches * 1000L)
+    val schema = spark.read.parquet(in.toString).schema
+    val stream = spark.readStream.option("maxFilesPerTrigger", 1)
+      .schema(schema).parquet(in.toString)
+    val agg = stream
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+    val out = staging.resolve("out").toString
+    withStreamPartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("checkpointLocation", staging.resolve("ckpt").toString)
+        .start(out)
+      try q.processAllAvailable() finally q.stop()
+    }
+    import graft.operators.Dedup.MaterializeSyntax
+    val res = spark.read.parquet(out)
+      .where(col("window_start") <= timestamp_micros(lit(maxTs)))
+      .materialized
+    deleteStaging(staging.toString)
+    res
+  }
+
+  /** DuckDB mirror of [[lateDropAudit]] (oracle builder): the explicit
+    * relational model of the watermark contract. */
+  def lateDropAuditSql(): String =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) ts, event_type
+         FROM events),
+       b AS (SELECT event_id, ts, event_type,
+              CAST((CAST(strftime(ts, '%d') AS INT) - 1) // 3 AS INT)
+                + (CASE WHEN event_id % 17 = 0 THEN 2 ELSE 0 END) AS batch
+             FROM e),
+       wm AS (SELECT x.batch,
+               date_trunc('milliseconds', max(y.ts)) - INTERVAL 30 MINUTE AS wm
+              FROM (SELECT DISTINCT batch FROM b) x
+              JOIN b y ON y.batch <= x.batch - 2
+              GROUP BY x.batch),
+       keep AS (SELECT b.ts, b.event_type
+                FROM b LEFT JOIN wm ON b.batch = wm.batch
+                WHERE wm.wm IS NULL
+                   OR time_bucket(INTERVAL '1 hour', b.ts) + INTERVAL 1 HOUR > wm.wm)
+       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         event_type, count(*) AS n
+       FROM keep GROUP BY 1, 2"""
+
   /** Declared STREAM-STATIC enrichment join: the event stream picks up
     * its customer's nation from the static dimension, then aggregates
     * revenue per (hour window, nation). Stream-static inner joins are

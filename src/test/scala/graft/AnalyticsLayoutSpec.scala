@@ -529,4 +529,59 @@ class AnalyticsLayoutSpec extends SparkSuite {
       ts("2024-03-06 00:00:00") -> 1, // user 4's session, clipped to the day
       ts("2024-03-07 00:00:00") -> 1)) // …and its carry-over
   }
+
+  test("survivalKm: life-table accounting and the product-limit estimate") {
+    // window ends 01-31 (u1's last event); horizon 3d → churn cutoff 01-28.
+    // u2 dies at t=9, u3 at t=5; u1 (last = window end) and u4 (last 01-29,
+    // inside the horizon) are censored at t = 30
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-31 00:00:00")),
+      (2L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-10 00:00:00")),
+      (3L, ts("2024-01-05 00:00:00")), (3L, ts("2024-01-10 00:00:00")),
+      (4L, ts("2024-01-01 00:00:00")), (4L, ts("2024-01-29 00:00:00"))
+    ).map { case (u, t) => (u, t, "t") }.toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.survivalKm(events, horizonDays = 3)
+      .orderBy("t_days")
+      .select("t_days", "n_risk", "d_events", "c_censored", "survival")
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (5, 4L, 1L, 0L, 0.75),  // 1 - 1/4
+      (9, 3L, 1L, 0L, 0.5),   // 0.75 · (1 - 1/3)
+      (30, 2L, 0L, 2L, 0.5))) // censoring leaves S unchanged
+  }
+
+  test("harmonicCentrality: all-seeds path graph gives exact 1/d sums") {
+    // path 1-2-3, every node a seed: center collects 1+1, ends 1+1/2
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = graft.operators.GraphOps
+      .harmonicCentrality(edges, seeds = 3, maxHops = 2)
+      .select("id", "reached", "harmonic").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((2L, 1.5)))
+    assert(got(2L) === ((2L, 2.0)))
+    assert(got(3L) === ((2L, 1.5)))
+  }
+
+  test("dpCounts: exact counts, md5-deterministic Laplace noise, released = n + noise") {
+    val df = (Seq.fill(3)("a") ++ Seq.fill(5)("b")).toDF("k")
+    val got = graft.operators.Profile.dpCounts(df, col("k"), epsilon = 1.0)
+      .select("g", "n", "noise", "released")
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("a")._2 === 3L && got("b")._2 === 5L)
+    // reproduce the inverse-CDF draw independently of Spark
+    def laplace(g: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(hex.take(15), 16).toDouble / math.pow(2, 60)
+      val c = u - 0.5
+      BigDecimal(-1.0 * math.signum(c) * math.log(1.0 - 2.0 * math.abs(c)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    Seq("a", "b").foreach { g =>
+      assert(math.abs(got(g)._3 - laplace(g)) < 1e-9, s"$g: ${got(g)._3} vs ${laplace(g)}")
+      assert(math.abs(got(g)._4 - (got(g)._2 + got(g)._3)) < 1e-6)
+    }
+    // the two groups draw different noise (the md5 seed varies by group)
+    assert(got("a")._3 !== got("b")._3)
+  }
 }

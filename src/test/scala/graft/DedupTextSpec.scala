@@ -718,4 +718,30 @@ class DedupTextSpec extends SparkSuite {
     val h3 = 0.25 * 2.0 + 2 * 0.375 * (math.log(8.0 / 3.0) / math.log(2.0))
     assert(math.abs(got(3L)._4 - h3) < 1e-6, s"got ${got(3L)._4}, want $h3")
   }
+
+  test("zipfSlope: exact 1/rank frequencies fit slope -1, intercept ln(C)") {
+    // freqs 12,6,4,3 = 12/rank for ranks 1..4 -> y = ln 12 - 1·ln rank
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val got = TextOps.zipfSlope(Seq(("s", text)).toDF("source", "text"))
+      .select("source", "n_terms", "zipf_slope", "intercept")
+      .as[(String, Long, Double, Double)].head()
+    assert(got._1 === "s" && got._2 === 4L)
+    assert(math.abs(got._3 - -1.0) < 1e-5, s"slope ${got._3}")
+    assert(math.abs(got._4 - math.log(12.0)) < 1e-5, s"intercept ${got._4}")
+    // below minFreq the tail is excluded: a hapax never enters the fit
+    val withTail = TextOps.zipfSlope(
+      Seq(("s", text + " zz")).toDF("source", "text"))
+      .select("n_terms").as[Long].head()
+    assert(withTail === 4L)
+  }
+
+  test("hapaxRatio: exact once-token fraction per source") {
+    val d = Seq(("s1", "a a b c"), ("s2", "x x y y")).toDF("source", "text")
+    val got = TextOps.hapaxRatio(d)
+      .select("source", "vocab", "hapax", "hapax_ratio")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("s1") === (("s1", 3L, 2L, 0.666667)))
+    assert(got("s2") === (("s2", 2L, 0L, 0.0)))
+  }
 }

@@ -313,6 +313,101 @@ class PipelineSpec extends SparkSuite {
       (2L, ts("2024-01-01 10:00:00"), 1L, 9.0)))
   }
 
+  test("resampleHourlyInterp: gaps take the line between neighbors, observed rows keep their value") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1: buckets at 00 (v=1.0) and 03 (v=4.0) — gaps at 01, 02 lerp
+    // to 2.0, 3.0; user 2: single bucket, no gaps
+    val events = Seq(
+      (1L, ts("2024-01-01 00:30:00"), 1.0),
+      (1L, ts("2024-01-01 03:05:00"), 4.0),
+      (2L, ts("2024-01-01 10:30:00"), 9.0)
+    ).toDF("user_id", "ts", "value")
+    val got = graft.operators.TimeSeries.resampleHourlyInterp(events)
+      .orderBy("user_id", "hour_start")
+      .as[(Long, Timestamp, Long, Double)].collect()
+    assert(got === Array(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 1.0),
+      (1L, ts("2024-01-01 01:00:00"), 0L, 2.0),
+      (1L, ts("2024-01-01 02:00:00"), 0L, 3.0),
+      (1L, ts("2024-01-01 03:00:00"), 1L, 4.0),
+      (2L, ts("2024-01-01 10:00:00"), 1L, 9.0)))
+  }
+
+  test("seasonalIndex: dow means over overall mean, exact integer algebra") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    // Mondays 01-01 (4 events) and 01-08 (2) -> dow mean 3; Tuesday
+    // 01-02 (6) -> mean 6; overall mean 4 -> indexes 0.75 / 1.5
+    val rows =
+      Seq.fill(4)(ts("2024-01-01 09:00:00")) ++
+      Seq.fill(2)(ts("2024-01-08 09:00:00")) ++
+      Seq.fill(6)(ts("2024-01-02 09:00:00"))
+    val events = rows.map(t => ("a", t)).toDF("event_type", "ts")
+    val got = graft.operators.TimeSeries.seasonalIndex(events)
+      .select("dow", "n_days", "seasonal_index")
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(2) === ((2L, 0.75))) // Monday (dow 2, 1=Sunday)
+    assert(got(3) === ((1L, 1.5)))  // Tuesday
+  }
+
+  test("sq8QuantizationError: replicates the serving-path arithmetic bit-for-bit") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1f, -1f), 0),  // codes ±127: residual ~0 up to s's own ulp
+      (1L, Array(1f, 0.3f), 1)  // code 38 for 0.3: genuine residual
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity.sq8QuantizationError(df)
+      .select("label", "n", "mean_err", "max_err")
+      .as[(Int, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // the same scale / floor(x/s+0.5) / dot-identity chain in plain Scala
+    def err9(vs: Array[Float]): Double = {
+      val v = vs.map(_.toDouble)
+      val sc = math.max(v.map(math.abs).max, 1e-30) / 127.0
+      val c = v.map(x => math.floor(x / sc + 0.5))
+      val raw = v.map(x => x * x).sum - 2.0 * sc * v.zip(c).map { case (a, b) => a * b }.sum +
+        sc * sc * c.map(x => x * x).sum
+      BigDecimal(raw).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq(0 -> Array(1f, -1f), 1 -> Array(1f, 0.3f)).foreach { case (l, v) =>
+      val e = r6(err9(v))
+      assert(got(l)._2 === 1L)
+      assert(math.abs(got(l)._3 - e) < 1e-12, s"label $l mean ${got(l)._3} vs $e")
+      assert(math.abs(got(l)._4 - e) < 1e-12, s"label $l max ${got(l)._4} vs $e")
+    }
+    // the ±1 vector must quantize essentially exactly, the 0.3 one must not
+    assert(math.abs(got(0)._3) < 1e-9)
+    assert(got(1)._3 > 1e-7)
+  }
+
+  test("lateDropAudit: displaced rows drop, no duplicate windows, on-time rows all survive") {
+    import spark.implicits._
+    val got = graft.streaming.EventStream.lateDropAudit(spark, sf001)
+    val emitted = got.agg(sum(col("n"))).as[Long].head()
+    // no (window, event_type) group may emit twice (append-mode contract)
+    assert(got.groupBy("window_start", "event_type").count()
+      .where(col("count") > 1).count() === 0L)
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val total = ev.count()
+    val displaced = ev.where(pmod(col("event_id"), lit(17)) === 0).count()
+    // drops happened, and ONLY displaced rows can drop
+    assert(emitted < total, s"emitted $emitted of $total — nothing dropped")
+    assert(emitted >= total - displaced,
+      s"emitted $emitted but only $displaced rows were displaced")
+  }
+
+  test("generalizationLadder: coarsening never lowers the anonymous share") {
+    import spark.implicits._
+    // provable monotonicity: merging classes can only grow k and l, so a
+    // row inside an anonymous class stays inside one up the ladder
+    val got = SparkEntry.queries("privacy_generalization_ladder")(spark, sf001)
+      .select("level", "anon_share").as[(String, Double)].collect().toMap
+    assert(got("nation_segment") <= got("region_segment") + 1e-9, got.toString)
+    assert(got("region_segment") <= got("segment") + 1e-9, got.toString)
+  }
+
   test("filterAudit: stages partition the corpus and dedup matches cleanCorpus order") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val audit = graft.operators.CorpusPipeline.filterAudit(docs)

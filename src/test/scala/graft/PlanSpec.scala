@@ -145,7 +145,11 @@ class PlanSpec extends SparkSuite {
     // q_join_cardinality_est / profile_key_skew / text_source_divergence
     // cross-join 1-row scalar frames (HLL estimates + counts / the key
     // total / the corpus token total — q22 pattern throughout)
+    // events_survival_km broadcasts the 1-row observation-window end;
+    // events_hll_setops the 1-row exact-intersection scalar (q22 pattern)
     val intentional = Set(
+      "events_survival_km",
+      "events_hll_setops",
       "q_join_cardinality_est", "profile_key_skew", "text_source_divergence",
       "graph_modularity", // 1-row |E| scalar cross join (q22 pattern)
       "basket_association_rules", "events_rfm_segments",
@@ -166,7 +170,7 @@ class PlanSpec extends SparkSuite {
       "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental",
       "stream_quality_monitor", "stream_static_join", "stream_ann_assign",
       "stream_quantile_sketch", "stream_cms_heavy_hitters", "stream_cdc_apply",
-      "stream_hll_distinct")
+      "stream_hll_distinct", "stream_late_drop")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip.contains).flatMap { name =>
         val p = SparkEntry.queries(name)(spark, sf001)
@@ -193,7 +197,7 @@ class PlanSpec extends SparkSuite {
       "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental",
       "stream_quality_monitor", "stream_static_join", "stream_ann_assign",
       "stream_quantile_sketch", "stream_cms_heavy_hitters", "stream_cdc_apply",
-      "stream_hll_distinct")
+      "stream_hll_distinct", "stream_late_drop")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip.contains).flatMap { name =>
         val p = SparkEntry.queries(name)(spark, sf001)

@@ -264,4 +264,49 @@ class PropertySpec extends SparkSuite {
         s"word=$w pair=($l,$r)")
     }
   }
+
+  test("labelDiversity ≡ naive mean pairwise cosine on random vectors") {
+    import graft.operators.Similarity
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-5.0f, 5.0f))
+      .map(_.toArray).suchThat(v => v.exists(_ != 0f))
+    val vs = samples(vecGen, 60)
+    val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v, i % 4) }
+    val got = Similarity.labelDiversity(rows.toDF("vec_id", "embedding", "label"))
+      .select("label", "mean_pair_cos").as[(Int, Double)].collect().toMap
+    // naive O(n²) reference: mean cosine over distinct unordered pairs
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (x, y) = (a.map(_.toDouble), b.map(_.toDouble))
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(p => p * p).sum) * math.sqrt(y.map(p => p * p).sum))
+    }
+    rows.groupBy(_._3).foreach { case (label, members) =>
+      val pairs = for {
+        (a, i) <- members.zipWithIndex; (b, j) <- members.zipWithIndex if i < j
+      } yield cos(a._2, b._2)
+      val expected = pairs.sum / pairs.size
+      // the operator normalizes through round-9 components; allow that slack
+      assert(math.abs(got(label) - expected) < 1e-5,
+        s"label $label: ${got(label)} vs $expected")
+    }
+  }
+
+  test("participationRatio ≡ direct covariance-trace computation, and is bounded by [1, d]") {
+    import graft.operators.Similarity
+    val d = 6
+    val vecGen = Gen.listOfN(d, Gen.chooseNum(-3.0f, 3.0f)).map(_.toArray)
+    val vs = samples(vecGen, 80)
+    val got = Similarity.participationRatio(
+        vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding"), d)
+      .select("participation_ratio").as[Double].head()
+    // direct reference: C = E[xxᵀ] − μμᵀ, PR = tr(C)²/ΣC²
+    val n = vs.size
+    val mu = (0 until d).map(i => vs.map(_(i).toDouble).sum / n)
+    val c = Array.tabulate(d, d)((i, j) =>
+      vs.map(v => v(i).toDouble * v(j).toDouble).sum / n - mu(i) * mu(j))
+    val tr = (0 until d).map(i => c(i)(i)).sum
+    val tr2 = c.flatten.map(x => x * x).sum
+    val expected = tr * tr / tr2
+    assert(math.abs(got - expected) < 1e-4, s"$got vs $expected")
+    assert(got >= 1.0 - 1e-9 && got <= d + 1e-9)
+  }
 }

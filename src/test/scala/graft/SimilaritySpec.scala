@@ -283,4 +283,35 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(pc.map(x => x * x).sum - 1.0) < 1e-4)
     assert(math.abs(pc(1)) > 0.99)
   }
+
+  test("labelDiversity: identical directions → 1, orthogonal pair → 0, no pairwise join") {
+    val df = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(2f, 0f), 0), // same direction, different norm → cos 1
+      (2L, Array(1f, 0f), 1),
+      (3L, Array(0f, 3f), 1)  // orthogonal → cos 0
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelDiversity(df)
+      .select("label", "n", "mean_pair_cos").as[(Int, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0) === ((2L, 1.0)))
+    assert(got(1) === ((2L, 0.0)))
+    // the sum-of-vectors identity must keep the plan free of any
+    // vector-pair join — only label-keyed aggregate merges remain
+    val p = Similarity.labelDiversity(df).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("participationRatio: axis-collapsed → 1, isotropic 2D → 2") {
+    def pr(vs: Seq[Array[Float]]): Double =
+      Similarity.participationRatio(
+          vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+            .toDF("vec_id", "embedding"), 2)
+        .select("participation_ratio").as[Double].head()
+    val collapsed = pr(Seq(Array(1f, 0f), Array(-1f, 0f), Array(2f, 0f), Array(-2f, 0f)))
+    assert(math.abs(collapsed - 1.0) < 1e-6, s"collapsed: $collapsed")
+    val iso = pr(Seq(Array(1f, 0f), Array(-1f, 0f), Array(0f, 1f), Array(0f, -1f)))
+    assert(math.abs(iso - 2.0) < 1e-6, s"isotropic: $iso")
+  }
 }

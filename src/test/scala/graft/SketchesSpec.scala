@@ -74,4 +74,20 @@ class SketchesSpec extends SparkSuite {
       .select("g", "bin", "cnt").as[(String, Long, Long)].collect().toSet
     assert(merged === direct)
   }
+
+  test("set algebra: disjoint segments union to the sum, inclusion-exclusion nets ~0 overlap") {
+    // segments A = 0..499, B = 500..999 — no shared members
+    val rows = ((0 until 500).map(i => ("A", i.toLong)) ++
+      (500 until 1000).map(i => ("B", i.toLong))).toDF("seg", "k")
+    val regs = Sketches.hllRegisters(rows, col("seg"), col("k"))
+    val est = Sketches.hllEstimate(
+        regs.unionByName(Sketches.hllMerge(regs, "U")))
+      .select("g", "est").as[(String, Double)].collect().toMap
+    // union of disjoint 500+500 ≈ 1000 within HLL rse (m=64 → ~13%)
+    assert(math.abs(est("U") - 1000.0) < 3 * 0.13 * 1000.0, est.toString)
+    // inclusion-exclusion overlap estimate nets out near zero relative
+    // to the union size for truly disjoint segments
+    val inter = est("A") + est("B") - est("U")
+    assert(math.abs(inter) < 0.5 * est("U"), s"overlap $inter vs ${est("U")}")
+  }
 }
