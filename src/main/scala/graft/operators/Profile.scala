@@ -154,10 +154,21 @@ object Profile {
     * Scale shape: one (score → counts) aggregate bounds all later work
     * by DISTINCT score values (the census pattern); the rank walk is one
     * cumulative window over that block frame; no per-row ranking of the
-    * corpus anywhere. Output: one row (n, n_pos, auc). */
-  def rankAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    * corpus anywhere. For CONTINUOUS scores distinct-values ≈ corpus size
+    * and the unpartitioned census window would become a global sort, so
+    * the score is QUANTIZED to `quantize` decimals (HALF_UP) before the
+    * census — bounding the block frame at 10^quantize·range rows at any
+    * corpus size. Tie handling: scores equal after quantization form one
+    * tied block and receive the Mann-Whitney average rank (the standard
+    * tie treatment); quantization can only merge blocks, shifting AUC by
+    * at most the mass within ±0.5·10^-quantize of each score — at the
+    * default 6 decimals, statistically invisible. Pass a coarser value
+    * for scores with a wide range. Output: one row (n, n_pos, auc). */
+  def rankAuc(df: DataFrame, score: Column, label: Column,
+              quantize: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val blocks = df.select(score.as("s"), label.cast(IntegerType).as("y"))
+    val blocks = df.select(round(score, quantize).as("s"),
+        label.cast(IntegerType).as("y"))
       .groupBy(col("s"))
       .agg(count(lit(1)).as("c"), sum(col("y")).as("np_b"))
     val w = Window.orderBy(col("s"))

@@ -923,31 +923,36 @@ object Similarity {
     *
     * Eigen-free by the trace identities tr(C) = Σᵢ var(xᵢ) and
     * tr(C²) = Σᵢⱼ C²ᵢⱼ, so no driver-side eigensolver and no iteration:
-    * second moments E[xᵢxⱼ] come from ONE corpus pass that partial-
-    * aggregates n·d² products down to d² groups (d is a constant — the
-    * pass is linear in corpus size and the exchange carries d² rows);
-    * everything after runs on d²-row frames with the d-row mean frame
-    * broadcast into the join.
+    * all moments come from ONE unexploded corpus pass through the
+    * [[graft.functions.GramMoments]] typed aggregate — each row folds its
+    * d(d+1)/2 upper-triangle products into a fixed buffer, partials merge
+    * element-wise, and the exchange carries one ~d²-long buffer per
+    * partition. (The previous double-posexplode form materialized n·d²
+    * ROWS before the combine — n·4,096 at d=64, n·589,824 at a realistic
+    * d=768 — which no partial aggregation amortizes.) Everything after the
+    * aggregate runs on a d²-row frame.
     *
-    * Determinism: float×float products are exact in double (24+24 ≤ 53
-    * bits), summed through DECIMAL(28,12); the d²-element trace sums are
-    * re-rounded into decimal the same way on both engines. Output: ONE row
-    * (trace_c, trace_c2, participation_ratio). */
+    * Determinism: products are quantized to scaled integers
+    * floor(x·10⁹+0.5) before exact integer summation (order-independent;
+    * see GramMoments doc for the cross-engine bit-exactness argument); the
+    * d²-element trace sums go through DECIMAL(28,12) as before. `dims`
+    * must equal the embedding arity — the aggregate asserts it per row.
+    * Output: ONE row (trace_c, trace_c2, participation_ratio). */
   def participationRatio(corpus: DataFrame, dims: Int): DataFrame = {
     val dec = DecimalType(28, 12)
-    val e = corpus.select(asDouble(col("embedding")).as("v"))
-    val m1 = e.select(posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy(col("i"))
-      .agg((sum(col("x").cast(dec)).cast(DoubleType) / count(lit(1))).as("ex"))
-    val m2 = e.select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
-      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
-      .groupBy(col("i"), col("j"))
-      .agg((sum((col("xi") * col("xj")).cast(dec)).cast(DoubleType) /
-        count(lit(1))).as("exy"))
-    val c = m2
-      .join(broadcast(m1.select(col("i"), col("ex").as("exi"))), "i")
-      .join(broadcast(m1.select(col("i").as("j"), col("ex").as("exj"))), "j")
-      .select(col("i"), col("j"), (col("exy") - col("exi") * col("exj")).as("c"))
+    val g = corpus.select(asDouble(col("embedding")).as("v"))
+      .agg(graft.functions.GramMoments.gram(col("v"), dims).as("g"))
+      .select(col("g.n").as("n"), col("g.s1").as("s1"), col("g.s2").as("s2"))
+      .where(col("n") > 0) // empty corpus → empty frame (never 0/0 below)
+    val c = g
+      .select(col("n"), col("s1"), posexplode(col("s2")).as(Seq("k", "s")))
+      .select(col("n"), col("s1"),
+        floor(col("k") / dims).cast(IntegerType).as("i"),
+        pmod(col("k"), lit(dims)).cast(IntegerType).as("j"), col("s"))
+      .select(col("i"), col("j"),
+        (col("s") / lit(1e9) / col("n") -
+          (element_at(col("s1"), col("i") + 1) / lit(1e9) / col("n")) *
+          (element_at(col("s1"), col("j") + 1) / lit(1e9) / col("n"))).as("c"))
     c.agg(
         sum(when(col("i") === col("j"), col("c")).otherwise(lit(0.0)).cast(dec))
           .cast(DoubleType).as("tc"),
@@ -955,7 +960,9 @@ object Similarity {
           .cast(DoubleType).as("tc2"))
       .select(round(col("tc"), 6).as("trace_c"),
         round(col("tc2"), 9).as("trace_c2"),
-        round(col("tc") * col("tc") / col("tc2"), 6).as("participation_ratio"))
+        // try_divide: an all-constant (zero-variance) corpus gives tc2 = 0
+        round(try_divide(col("tc") * col("tc"), col("tc2")), 6)
+          .as("participation_ratio"))
   }
 
   /** SQ8 QUANTIZATION ERROR per label — the reconstruction-loss monitor
@@ -1010,16 +1017,18 @@ object Similarity {
   /** DuckDB mirror of [[participationRatio]] (oracle builder). */
   def participationRatioSql(dims: Int): String =
     s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings),
-       |  m1 AS (SELECT i, CAST(SUM(CAST(v[i+1] AS DECIMAL(28,12))) AS DOUBLE)
-       |           / COUNT(*) ex
+       |  m1 AS (SELECT i,
+       |          CAST(SUM(CAST(floor(v[i+1]*1e9 + 0.5) AS BIGINT)) AS DOUBLE) s1,
+       |          COUNT(*) n
        |         FROM e, (SELECT unnest(range($dims)) i) GROUP BY i),
        |  m2 AS (SELECT i, j,
-       |          CAST(SUM(CAST(v[i+1]*v[j+1] AS DECIMAL(28,12))) AS DOUBLE)
-       |            / COUNT(*) exy
+       |          CAST(SUM(CAST(floor(v[i+1]*v[j+1]*1e9 + 0.5) AS BIGINT))
+       |            AS DOUBLE) s
        |         FROM e, (SELECT unnest(range($dims)) i),
        |              (SELECT unnest(range($dims)) j)
        |         GROUP BY i, j),
-       |  c AS (SELECT m2.i, m2.j, exy - a.ex * b.ex c
+       |  c AS (SELECT m2.i, m2.j,
+       |          s/1e9/a.n - (a.s1/1e9/a.n) * (b.s1/1e9/b.n) c
        |        FROM m2 JOIN m1 a ON m2.i = a.i JOIN m1 b ON m2.j = b.i),
        |  t AS (SELECT
        |         CAST(SUM(CAST(CASE WHEN i = j THEN c ELSE 0.0 END

@@ -54,45 +54,49 @@ object TimeSeries {
     * buckets, v = v_prev + (v_next−v_prev)·(t−t_prev)/(t_next−t_prev),
     * rather than [[resampleHourlyLocf]]'s step function.
     *
-    * Same scale shape as LOCF: one map-side bucket aggregate, per-key
-    * grid explode (output-sized), and ONE hash-partitioned window pass —
-    * prev/next observed values come from running `last`/`first`
-    * (ignoreNulls) frames over the same partitioning, so interpolation
-    * adds no exchange. The grid spans each key's own [first, last] bucket,
-    * so both neighbors always exist and the denominator is > 0 exactly at
-    * gap rows. Determinism: bucket values are deterministic aggregates,
-    * the lerp is fixed-order IEEE arithmetic on exact integer epoch
-    * seconds, and the final 6dp cut is floor(x·10⁶ + 0.5)/10⁶ rather
-    * than round(x, 6) — midpoint lerps land exactly on .5 ties where
-    * Spark (decimal-string HALF_UP) and C-library (multiply-then-
-    * nearbyint) rounding disagree; the floor form does the half-up cut
-    * entirely in double arithmetic both engines execute identically.
+    * Same scale shape as LOCF for the output, but the WINDOW runs over the
+    * OBSERVED buckets only: each observed bucket learns its next observed
+    * neighbor via ONE `lead` pass (bounded frame, |observed| input rows),
+    * then emits itself plus the gap rows up to that neighbor during the
+    * grid explode, computing the lerp inline. (The previous form ran FOUR
+    * unbounded running `last`/`first` passes over the already-dense grid —
+    * window input Σ span-hours per key instead of |observed buckets|,
+    * 17.4 s → the resampleHourlyLocf band at sf0.1.) The dense output is
+    * identical row-for-row: the grid still spans each key's own
+    * [first, last] bucket, and every gap row sits strictly between two
+    * observed buckets so the lerp denominator is > 0 by construction.
+    * Determinism: bucket values are deterministic aggregates, the lerp is
+    * fixed-order IEEE arithmetic on exact integer epoch seconds, and the
+    * final 6dp cut is floor(x·10⁶ + 0.5)/10⁶ rather than round(x, 6) —
+    * midpoint lerps land exactly on .5 ties where Spark (decimal-string
+    * HALF_UP) and C-library (multiply-then-nearbyint) rounding disagree;
+    * the floor form does the half-up cut entirely in double arithmetic
+    * both engines execute identically.
     * Output: (user_id, hour_start, n_events, v_interp). */
   def resampleHourlyInterp(events: DataFrame): DataFrame = {
     val hourly = events
       .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("value"))
       .groupBy(col("user_id"), col("h"))
       .agg(count(lit(1)).as("n_events"), max(col("value")).as("v_max"))
-    val grid = hourly
-      .groupBy(col("user_id"))
-      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-      .select(col("user_id"),
-        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
     val byH = Window.partitionBy(col("user_id")).orderBy(col("h"))
-    val wPrev = byH.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = byH.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val obsH = when(col("n_events").isNotNull, col("h"))
-    grid.join(hourly, Seq("user_id", "h"), "left")
-      .withColumn("pv", last(col("v_max"), ignoreNulls = true).over(wPrev))
-      .withColumn("ph", last(obsH, ignoreNulls = true).over(wPrev))
-      .withColumn("nv", first(col("v_max"), ignoreNulls = true).over(wNext))
-      .withColumn("nh", first(obsH, ignoreNulls = true).over(wNext))
-      .select(col("user_id"), col("h").as("hour_start"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"),
-        (floor(when(col("n_events").isNotNull, col("v_max"))
-          .otherwise(col("pv") + (col("nv") - col("pv")) *
-            ((unix_timestamp(col("h")) - unix_timestamp(col("ph"))).cast(DoubleType) /
-             (unix_timestamp(col("nh")) - unix_timestamp(col("ph"))).cast(DoubleType)))
+    // per observed bucket: the next observed bucket (null for the last one)
+    val seg = hourly
+      .withColumn("nh", lead(col("h"), 1).over(byH))
+      .withColumn("nv", lead(col("v_max"), 1).over(byH))
+    // each bucket emits [h, nh) hour rows — itself plus its trailing gap;
+    // the last bucket (nh null) emits only itself, closing the span at h1
+    val lerp = col("v_max") + (col("nv") - col("v_max")) *
+      ((unix_timestamp(col("g")) - unix_timestamp(col("h"))).cast(DoubleType) /
+       (unix_timestamp(col("nh")) - unix_timestamp(col("h"))).cast(DoubleType))
+    seg.select(col("user_id"), col("h"), col("n_events"), col("v_max"),
+        col("nh"), col("nv"),
+        explode(sequence(col("h"),
+          coalesce(col("nh") - expr("interval 1 hour"), col("h")),
+          expr("interval 1 hour"))).as("g"))
+      .select(col("user_id"), col("g").as("hour_start"),
+        when(col("g") === col("h"), col("n_events")).otherwise(lit(0L))
+          .as("n_events"),
+        (floor(when(col("g") === col("h"), col("v_max")).otherwise(lerp)
           * lit(1e6) + lit(0.5)) / lit(1e6)).as("v_interp"))
   }
 

@@ -131,10 +131,14 @@ object SqlSurface {
         .agg(count(when(col("arm") === 0, 1)).as("n_c"),
           count(when(col("arm") === 1, 1)).as("n_t"))
         .select(col("n_c").as("n_control"), col("n_t").as("n_treatment"),
-          round(((col("n_c") - col("n_t")) * (col("n_c") - col("n_t")))
-            .cast(DoubleType) / (col("n_c") + col("n_t")), 6).as("chi2"),
-          (((col("n_c") - col("n_t")) * (col("n_c") - col("n_t")))
-            .cast(DoubleType) / (col("n_c") + col("n_t")) > 3.841).as("srm_flag"))
+          // try_divide: an EMPTY events table gives n_c=n_t=0 and ANSI `/`
+          // would throw DIVIDE_BY_ZERO (same class as events_funnel r3,
+          // graph_assortativity r8); NULL chi2/flag is the correct read
+          // of "no assignments to test"
+          round(try_divide(((col("n_c") - col("n_t")) * (col("n_c") - col("n_t")))
+            .cast(DoubleType), (col("n_c") + col("n_t"))), 6).as("chi2"),
+          (try_divide(((col("n_c") - col("n_t")) * (col("n_c") - col("n_t")))
+            .cast(DoubleType), (col("n_c") + col("n_t"))) > 3.841).as("srm_flag"))
     }),
 
     // approximate quantiles (Greenwald-Khanna sketch): estimates are

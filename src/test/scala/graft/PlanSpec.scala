@@ -298,6 +298,61 @@ class PlanSpec extends SparkSuite {
     assert(!rs.contains("CartesianProduct") && !rs.contains("BroadcastNestedLoopJoin"), rs)
   }
 
+  test("bucketed tables co-locate the join AND the downstream agg: zero exchanges") {
+    // the 100 TB fact⋈fact posture: when both sides are bucketed on the
+    // join key, the shuffle that dominates a repeated big join is paid
+    // ONCE at write time — the join (and any aggregate on the same key)
+    // then plans with NO Exchange at all
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_customer")
+    try {
+      spark.read.parquet(s"$sf001/orders.parquet")
+        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("bkt_orders")
+      spark.read.parquet(s"$sf001/customer.parquet")
+        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("bkt_customer")
+      withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val j = spark.table("bkt_orders")
+          .join(spark.table("bkt_customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+        val p = j.queryExecution.explainString(ExplainMode.fromString("simple"))
+        assert(p.contains("SortMergeJoin"), p)
+        assert(!p.contains("Exchange"), p) // bucketing carries join AND agg
+        // and the answer matches the shuffled plan
+        val expected = spark.read.parquet(s"$sf001/orders.parquet")
+          .join(spark.read.parquet(s"$sf001/customer.parquet"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey")).agg(count(lit(1)).as("n_orders"))
+        assert(j.exceptAll(expected).isEmpty && expected.exceptAll(j).isEmpty)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_customer")
+    }
+  }
+
+  test("participation ratio never explodes the embedding: one gram_moments pass, d²-row tail") {
+    // the n·d² hazard: a posexplode of the embedding BEFORE the moment
+    // aggregate multiplies every corpus row by d² (n·589,824 at d=768) —
+    // the moment pass must be the unexploded GramMoments typed aggregate;
+    // the only generator allowed is the d²-row expansion AFTER it
+    // simple mode keeps function names on the node line, root-first
+    val p = SparkEntry.queries("emb_participation_ratio")(spark, sf001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("gram_moments"), p)
+    val lines = p.linesIterator.toSeq
+    val gramLine = lines.indexWhere(_.contains("gram_moments"))
+    val explodeLines = lines.zipWithIndex
+      .filter(_._1.toLowerCase.contains("explode")).map(_._2)
+    // root-first: the d²-row Generate (post-agg expansion) must sit ABOVE
+    // the first gram_moments aggregate; an explode BELOW it would be the
+    // n·d² pre-agg blowup this plan exists to avoid
+    assert(explodeLines.nonEmpty && explodeLines.forall(_ < gramLine), p)
+  }
+
   test("approx-distinct rewrite: opt-in conf flips COUNT DISTINCT to HLL++, off by default") {
     import spark.implicits._
     (1 to 1000).map(i => i % 100).toDF("k").createOrReplaceTempView("adr_t")

@@ -42,6 +42,33 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("GramMoments at a realistic d=768: one unexploded pass, exact sums, merge ≡ single partition") {
+    // the shape the participation-ratio re-plan exists for: at d=768 a
+    // posexplode-based moment pass would materialize n·589,824 rows; the
+    // typed aggregate must handle the width in one pass — and produce
+    // BIT-IDENTICAL sums regardless of partitioning (scaled-integer
+    // accumulation is order-independent by construction)
+    val d = 768
+    val df = spark.range(200).select(
+      transform(sequence(lit(0), lit(d - 1)),
+        i => ((col("id") * d + i) % 997).cast("double") / lit(997.0)).as("v"))
+    def moments(frame: org.apache.spark.sql.DataFrame) = frame
+      .agg(graft.functions.GramMoments.gram(col("v"), d).as("g"))
+      .select(col("g.n"), col("g.s1"), col("g.s2")).head()
+    val one = moments(df.coalesce(1))
+    val many = moments(df.repartition(32))
+    assert(one.getLong(0) === 200L && many.getLong(0) === 200L)
+    assert(one.getSeq[Double](1) === many.getSeq[Double](1))
+    assert(one.getSeq[Double](2).length === d * d)
+    assert(one.getSeq[Double](2) === many.getSeq[Double](2))
+    // spot-check exactness: dim 0 component sum = Σ (id·768 % 997)/997
+    // quantized at 1e9 — computed independently here
+    val expect0 = (0L until 200L)
+      .map(id => math.floor((id * d % 997).toDouble / 997.0 * 1e9 + 0.5).toLong)
+      .sum.toDouble
+    assert(one.getSeq[Double](1).head === expect0)
+  }
+
   test("partitioning invariance: scores/codes are bit-identical under adversarial repartitioning") {
     // the determinism claim the decimal-sum / round-6 / fixed-tiebreak
     // designs make: results cannot depend on how the cluster happened to
