@@ -40,7 +40,13 @@ object AsOf {
     * search anywhere. Same-instant rights sort before left rows, so they
     * are backward matches at distance 0 (inclusive semantics). Right rows
     * pre-reduce per (key, instant) by greatest tiebreak — a map-side
-    * combinable `max_by` that also keeps the union frame minimal. */
+    * combinable `max_by` that also keeps the union frame minimal.
+    *
+    * NULL keys follow SQL-join (and pandas merge_asof) semantics: a
+    * NULL-key left row gets a NULL match — never a NULL-key right row,
+    * which the raw hash-partitioning would otherwise co-locate with it.
+    * NULL-key right rows are dropped before the union (they can match
+    * nothing). */
   def nearestJoin(left: DataFrame, right: DataFrame,
                   leftKey: Column, rightKey: Column,
                   leftTime: Column, rightTime: Column,
@@ -52,6 +58,7 @@ object AsOf {
     val r = right.select(rightKey.as("__k"),
         unix_micros(rightTime.cast("timestamp")).as("__t"),
         rightTiebreak.cast("bigint").as("__tb"), struct(rightValues: _*).as("__v0"))
+      .where(col("__k").isNotNull)
       .groupBy(col("__k"), col("__t"))
       .agg(max_by(col("__v0"), col("__tb")).as("__v"))
       .select(col("__k"), col("__t"), lit(1).as("__r"),
@@ -74,8 +81,9 @@ object AsOf {
     val bOk = col("__b").isNotNull && aB <= toleranceMicros
     val fOk = col("__f").isNotNull && aF <= toleranceMicros
     carried.select(col("__l.*"),
-      when(bOk && (!fOk || aB <= aF), col("__b.v"))
-        .when(fOk, col("__f.v")).as("nearest"))
+      when(col("__k").isNotNull,
+        when(bOk && (!fOk || aB <= aF), col("__b.v"))
+          .when(fOk, col("__f.v"))).as("nearest"))
   }
 
   def asOfJoin(left: DataFrame, right: DataFrame,
@@ -96,6 +104,7 @@ object AsOf {
       lit(null).cast(left.select(struct(lCols.map(col): _*)).schema.head.dataType).as("__l"),
       struct(rightValues: _*).as("__v"),
       rightTime.as("__vt"))
+      .where(col("__k").isNotNull) // SQL semantics: NULL keys match nothing
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__r").desc, col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -105,6 +114,8 @@ object AsOf {
       .where(col("__r") === 0)
     val kept = tolerance.fold(col("__m"))(tol =>
       when(col("__mt") >= col("__t") - tol, col("__m")))
-    matched.select(col("__l.*"), kept.as("asof"))
+    // NULL-key left rows keep their row but match nothing (SQL semantics)
+    matched.select(col("__l.*"),
+      when(col("__k").isNotNull, kept).as("asof"))
   }
 }

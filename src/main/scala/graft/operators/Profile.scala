@@ -245,19 +245,29 @@ object Profile {
   /** ε-DIFFERENTIALLY-PRIVATE released counts per group — the Laplace
     * mechanism (sensitivity 1 for a count), with the noise draw made
     * RETRY-REPRODUCIBLE the same way every sampler here is: the uniform
-    * comes from md5(group), not an RNG, inverted through the Laplace CDF
-    * (noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|)). A deterministic draw is what
-    * a distributed release pipeline actually wants — re-running the job
-    * must not spend fresh privacy budget or publish a different number.
+    * comes from md5(salt ‖ group), not an RNG, inverted through the
+    * Laplace CDF (noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|)). A deterministic
+    * draw is what a distributed release pipeline actually wants —
+    * re-running the job must not spend fresh privacy budget or publish a
+    * different number.
+    *
+    * PRIVACY WARNING — the salt IS the privacy: with a known (or empty)
+    * salt anyone can recompute md5(salt ‖ group), invert the noise, and
+    * recover the exact count — ε-DP holds ONLY if `salt` is a secret
+    * drawn once per release and stored like a key. The default "" makes
+    * the mechanism a reproducible DEMO (what the declared
+    * `privacy_dp_count` query runs, because the engine's contract is
+    * oracle-checkability), NOT a privacy guarantee. The true count `n`
+    * rides along for the same reason; a real release drops it.
     *
     * Scale shape: one map-side-combinable count aggregate; the noise is a
     * per-GROUP projection over the |groups|-sized result — nothing about
-    * the mechanism touches row volume. The true count `n` rides along
-    * here because the engine's contract is oracle-checkability; a real
-    * release would drop it (and the md5 seed would take a private salt).
+    * the mechanism touches row volume.
     * Output: (g, n, noise, released). */
-  def dpCounts(df: DataFrame, group: Column, epsilon: Double): DataFrame = {
-    val u = conv(substring(md5(col("g").cast(StringType)), 1, 15), 16, 10)
+  def dpCounts(df: DataFrame, group: Column, epsilon: Double,
+               salt: String = ""): DataFrame = {
+    val u = conv(substring(md5(concat(lit(salt), col("g").cast(StringType))),
+        1, 15), 16, 10)
       .cast(LongType).cast(DoubleType) / lit(math.pow(2, 60))
     val c = u - lit(0.5)
     val noise = round(lit(-1.0 / epsilon) * signum(c) *
@@ -268,13 +278,14 @@ object Profile {
   }
 
   /** DuckDB mirror of [[dpCounts]] (oracle builder); `groupExpr` names the
-    * grouping expression over `table`. */
+    * grouping expression over `table`. `salt` must match the Spark call
+    * (and must NOT be a production secret — oracle SQL is not a vault). */
   def dpCountsSql(groupExpr: String, epsilon: Double,
-                  table: String = "events"): String =
+                  table: String = "events", salt: String = ""): String =
     s"""WITH cnt AS (SELECT $groupExpr g, count(*) n FROM $table GROUP BY 1),
         h AS (SELECT g, n,
-               CAST(('0x'||substr(md5(CAST(g AS VARCHAR)),1,15)) AS BIGINT)
-                 / CAST(1152921504606846976 AS DOUBLE) u
+               CAST(('0x'||substr(md5('$salt' || CAST(g AS VARCHAR)),1,15))
+                 AS BIGINT) / CAST(1152921504606846976 AS DOUBLE) u
               FROM cnt),
         z AS (SELECT g, n,
                round(CAST(${-1.0 / epsilon} AS DOUBLE) * sign(u - 0.5) *

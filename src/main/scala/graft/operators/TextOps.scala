@@ -277,12 +277,51 @@ object TextOps {
     * strings, fragments, or a trailing slash, and crawl dedup keys on the
     * canonical form. Strip order matters (fragment before query — a
     * `?q=1#f` URL must lose both): scheme → `www.` → fragment → query →
-    * trailing slashes. Pure codegen `regexp_replace` chain — per-row, no
-    * shuffle, pushes down like any projection. */
-  def canonicalUrl(url: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      url, "^[a-z]+://", ""), "^www\\.", ""), "#.*$", ""), "\\?.*$", ""),
-      "/+$", "")
+    * trailing slashes, all case-INsensitive (crawls routinely carry
+    * `HTTP://WWW.Site.com` variants), then the HOST lowercases — but NOT
+    * the path, which is case-significant per RFC 3986 (`/Page` and
+    * `/page` may be different resources). Pure codegen
+    * `regexp_replace`/`regexp_extract` chain — per-row, no shuffle,
+    * pushes down like any projection. */
+  def canonicalUrl(url: Column): Column = {
+    val stripped = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(url, "(?i)^[a-z][a-z0-9+.-]*://", ""), "(?i)^www\\.", ""),
+      "#.*$", ""), "\\?.*$", ""), "/+$", "")
+    concat(lower(regexp_extract(stripped, "^[^/]*", 0)),
+      regexp_replace(stripped, "^[^/]*", ""))
+  }
+
+  /** N-GRAM NOVELTY per document — the redundancy-ordering signal a
+    * curation pipeline reads before sampling: for each doc, the share of
+    * its DISTINCT word n-gram shingles whose FIRST corpus occurrence
+    * (min doc_id — ingestion order) is this doc. Novelty ≈ 1: the doc
+    * introduces new text; novelty → 0: everything in it was already seen
+    * — the document-level form of the Lee et al. "how much of the corpus
+    * is repeated" question, attributed to the EARLIEST copy instead of
+    * flagged symmetrically (so keep-first dedup budgets read it directly).
+    *
+    * Scale shape: ONE shingle exchange (doc_id, shingle) feeds both the
+    * first-occurrence aggregate (shingle-keyed min) and the per-doc fold;
+    * the join is shingle-keyed equi — no pairwise anything. Integer ppm
+    * output (exact, no float parity risk). Docs shorter than n tokens
+    * have no shingles and no output row. Output: (doc_id, n_shingles,
+    * n_novel, novelty_ppm). */
+  def ngramNovelty(docs: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Dedup.MaterializeSyntax
+    val sh = docs
+      .select(col("doc_id"),
+        explode(array_distinct(shingleStructs(col("text"), n))).as("t"))
+      .select(col("doc_id"), shingleString(col("t"), n).as("s"))
+      .materialized // feeds the first-occurrence aggregate AND the per-doc fold
+    val first = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("n_novel * 1000000 div n_shingles").as("novelty_ppm"))
+  }
 
   /** Per-source unigram KL divergence vs the whole corpus — the mixture
     * monitor that catches a source drifting away from (or collapsing

@@ -79,8 +79,14 @@ private[sources] class GraftCellsTable(schema0: StructType,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftCellsWrite(info.options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // df.write carries path/salt in the per-write options; the SQL catalog
+    // path (CREATE TABLE … USING graft-cells OPTIONS …) delivers them as
+    // TABLE properties instead — merge, write options winning
+    val merged = new util.HashMap[String, String](properties)
+    info.options.entrySet().forEach(e => merged.put(e.getKey, e.getValue))
+    new GraftCellsWrite(new CaseInsensitiveStringMap(merged))
+  }
 }
 
 private[sources] class GraftCellsWrite(options: CaseInsensitiveStringMap)

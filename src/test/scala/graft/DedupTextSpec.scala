@@ -744,4 +744,55 @@ class DedupTextSpec extends SparkSuite {
     assert(got("s1") === (("s1", 3L, 2L, 0.666667)))
     assert(got("s2") === (("s2", 2L, 0L, 0.0)))
   }
+
+  test("canonicalUrl: case variants of scheme/www/host collapse, path case survives") {
+    val variants = Seq(
+      "HTTP://WWW.Site.com/Articles/A?utm=1#frag",
+      "https://site.com/Articles/A/",
+      "hTTpS://wWw.SITE.COM/Articles/A",
+      "site.com/Articles/A" // already canonical (no scheme)
+    ).toDF("u")
+    val got = variants.select(TextOps.canonicalUrl(col("u")).as("c"))
+      .as[String].collect().toSet
+    assert(got === Set("site.com/Articles/A"))
+    // path case is NOT folded: /articles and /Articles stay distinct keys
+    val paths = Seq("https://site.com/a/B", "https://site.com/a/b").toDF("u")
+      .select(TextOps.canonicalUrl(col("u")).as("c")).as[String].collect().toSet
+    assert(paths.size === 2)
+  }
+
+  test("ngramNovelty: first occurrence owns the shingle; exact dup of an earlier doc scores 0") {
+    val got = TextOps.ngramNovelty(docs, 3)
+      .select("doc_id", "n_shingles", "n_novel", "novelty_ppm")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 0: 7 distinct 3-gram shingles, all first-seen → ppm 1,000,000
+    assert(got(0L)._2 === 7L && got(0L)._4 === 1000000L)
+    // doc 1 is an exact dup of doc 0 → nothing novel
+    assert(got(1L) === ((1L, 7L, 0L, 0L)))
+    // doc 2 shares its first 5 shingles with doc 0 ("…jumps over the" is
+    // common); only "over the sleepy" and "the sleepy dog" are new
+    assert(got(2L)._2 === 7L && got(2L)._3 === 2L)
+    assert(got(2L)._4 === 2L * 1000000L / 7L) // integer ppm, floor
+    // doc 3 is all-new
+    assert(got(3L)._4 === 1000000L)
+  }
+
+  test("rankAuc: quantization bounds the census; pre-rounded scores are unchanged by it") {
+    import graft.operators.Profile
+    // continuous scores: 0.0, 0.001, ..., 0.999 with label = score >= 0.5
+    val rows = (0 until 1000).map(i => (i / 1000.0, i >= 500)).toDF("s", "y")
+    val auc = Profile.rankAuc(rows, col("s"), col("y"))
+      .select("auc").as[Double].head()
+    assert(auc === 1.0) // perfectly separable
+    // quantize=3 is the identity on 3-decimal scores — AUC unchanged
+    val aucQ = Profile.rankAuc(rows, col("s"), col("y"), quantize = 3)
+      .select("auc").as[Double].head()
+    assert(aucQ === 1.0)
+    // quantize=1 merges the 100 scores around the boundary into the 0.5
+    // block (50 pos + 50 neg tied) — Mann-Whitney midrank credits the
+    // 2500 tied pairs 0.5 each: 1 − 0.5·2500/250000 = 0.995 exactly
+    val aucTied = Profile.rankAuc(rows, col("s"), col("y"), quantize = 1)
+      .select("auc").as[Double].head()
+    assert(aucTied === 0.995, aucTied.toString)
+  }
 }

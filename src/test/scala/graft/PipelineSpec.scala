@@ -65,6 +65,35 @@ class PipelineSpec extends SparkSuite {
     assert(got(6L) === None)
   }
 
+  test("as-of family: NULL keys match nothing (SQL join semantics), never each other") {
+    // the hash-partitioning hazard: NULL-key left rows land in the NULL
+    // partition WITH NULL-key right rows — SQL (and pandas merge_asof)
+    // gives them no match instead
+    val left = Seq(
+      (1L, Some(10L), ts("2024-01-01 12:00:00")),
+      (2L, None,      ts("2024-01-01 12:00:00"))   // NULL key → no match
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, Some(10L), ts("2024-01-01 10:00:00"), 10.0),
+      (101L, None,      ts("2024-01-01 11:00:00"), 66.6) // NULL key → matches nothing
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val asof = AsOf.asOfJoin(left, right,
+        col("user_id"), col("o_custkey"), col("ts"), col("o_orderdate"),
+        Seq(col("o_orderkey")), col("o_orderkey"))
+      .select(col("event_id"), col("asof.o_orderkey"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(asof(1L) === Some(100L))
+    assert(asof(2L) === None)
+    val nearest = AsOf.nearestJoin(left, right,
+        col("user_id"), col("o_custkey"), col("ts"), col("o_orderdate"),
+        Seq(col("o_orderkey")), col("o_orderkey"),
+        toleranceMicros = 7L * 86400L * 1000000L)
+      .select(col("event_id"), col("nearest.o_orderkey"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(nearest(1L) === Some(100L))
+    assert(nearest(2L) === None)
+  }
+
   test("WavCodec: WAV container round-trip is sample-exact, format preserved") {
     val samples = Array.tabulate(1000)(i => (((i * 3) % 256 - 128) * 256).toShort)
     val (rate, decoded) = Multimodal.WavCodec.decode(

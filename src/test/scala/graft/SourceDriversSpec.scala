@@ -339,6 +339,59 @@ class SourceDriversSpec extends SparkSuite {
     assert(messages.contains("overwrite"), messages)
   }
 
+  test("DSv2 via SQL DDL: CREATE TABLE USING graft-cells + INSERT OVERWRITE lands the golden layout") {
+    import graft.operators.RegionSort
+    // the catalog path — how a SQL-only user reaches the sink: the table
+    // is declared once with the cell contract schema, and INSERT OVERWRITE
+    // runs the same aligned insert plan as df.write.format("graft-cells")
+    val wide = (0 until 200).map { i =>
+      (0 until 9).map(c => s"v${i}_$c")
+    }.map(r => (r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7), r(8)))
+      .toDF((0 until 9).map(i => s"c$i"): _*)
+    BulkLoad.fromPositional(wide, BulkLoad.emptyQuarantine(spark),
+        BulkLoad.Config()) // no salt: plain md5 rowkeys — the SINK must salt
+      .cells.repartition(13)
+      .createOrReplaceTempView("cells_ddl_src")
+    val out = tmpDir() + "/dsv2sql"
+    spark.sql(
+      s"""CREATE TABLE cells_ddl (
+         |  row BINARY, family BINARY, qualifier BINARY, value BINARY, ts BIGINT)
+         |USING `graft-cells` OPTIONS (path '$out', salt '10')""".stripMargin)
+    try {
+      spark.sql(
+        """INSERT OVERWRITE TABLE cells_ddl
+          |SELECT row, family, qualifier, value, ts FROM cells_ddl_src""".stripMargin)
+      val parts = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      assert(parts.length === 10) // exactly one file per salt region
+      val digits = parts.map { f =>
+        val rows = spark.read.parquet(f.getPath)
+          .select(col("row")).as[Array[Byte]].collect()
+        assert(rows.nonEmpty, s"empty part file ${f.getName}")
+        val digit = rows.head.head
+        assert(rows.forall(_.head == digit), f.getName)
+        rows.sliding(2).foreach { w =>
+          if (w.length == 2)
+            assert(RegionSort.unsignedBytes.compare(w(0), w(1)) <= 0, f.getName)
+        }
+        digit
+      }
+      assert(digits.toSeq === digits.sorted.toSeq)
+      assert(digits.distinct.length === digits.length)
+
+      // plain INSERT INTO (append) is rejected: staging is write-once
+      val err = intercept[Exception] {
+        spark.sql(
+          "INSERT INTO cells_ddl SELECT row, family, qualifier, value, ts FROM cells_ddl_src")
+      }
+      val messages = Iterator.iterate[Throwable](err)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString("; ")
+      assert(messages.contains("overwrite"), messages)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cells_ddl")
+    }
+  }
+
   test("salting spreads rows across buckets and keeps per-bucket sort") {
     val dir = tmpDir()
     rows9.map(r => r.productIterator.mkString("\u0001"))
