@@ -129,6 +129,101 @@ object CorpusPipeline {
       .drop("copies")
   }
 
+  /** NEYMAN-ALLOCATION stratified sampling — the statistically optimal
+    * split of a fixed sampling budget across strata: stratum h gets
+    * n_h ∝ N_h·S_h (size × token-count standard deviation), the
+    * allocation that minimizes the variance of the stratified estimate
+    * (Neyman 1934). A curation pass uses it to size per-source QA /
+    * labeling / eval samples: big-but-uniform sources need fewer draws
+    * than small-but-wild ones, and proportional allocation over-spends
+    * on the former.
+    *
+    * The draw itself is rate-based (Bernoulli) on the [[sampleMix]]
+    * md5 bucket — a per-row pushed-down predicate, reproducible across
+    * runs/retries/engines and NESTED (raising the budget only adds
+    * documents) — with the realized rate the 10⁻⁴-floor of alloc/N_h,
+    * so realized counts track the allocation binomially rather than
+    * exactly (an exact top-n_h per stratum would cost a per-stratum
+    * selection pass; pipelines sample at rates).
+    *
+    * Determinism: per-stratum moments are EXACT integer sums (n, Σx,
+    * Σx²); the variance numerator n·Σx² − (Σx)² stays in exact BIGINT;
+    * std/weight are fixed-order IEEE ops on those exact integers,
+    * rounded to 9 decimals; the weight total crosses strata through
+    * DECIMAL(28,12) (order-free); alloc = floor(budget·w/W) and the
+    * rate are integer floors. try_divide guards the all-zero-variance
+    * corpus (W = 0 → NULL allocs, no crash).
+    *
+    * Scale shape: two corpus passes (map-side moment aggregate; then
+    * the gated count with the |strata|-row rate table broadcast back),
+    * zero windows, zero per-stratum sorts. Output per stratum:
+    * (source, n_docs, std_tokens, alloc, rate_bp, n_sampled). */
+  def stratifiedNeyman(docs: DataFrame, budget: Long,
+                       stratumCol: String = "source"): DataFrame = {
+    val dec = DecimalType(28, 12)
+    val x = docs.select(col(stratumCol).as("g"),
+      TextOps.tokenCount(col("text")).cast(LongType).as("x"))
+    val mom = x.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sx2"))
+      // exact-integer variance numerator; n = 1 → zero spread (not 0/0)
+      .select(col("g"), col("n"),
+        when(col("n") > 1,
+          round(sqrt((col("n") * col("sx2") - col("sx") * col("sx"))
+            .cast(DoubleType) / (col("n") * (col("n") - 1)).cast(DoubleType)), 9))
+          .otherwise(lit(0.0)).as("std"))
+      .select(col("g"), col("n"), col("std"),
+        round(col("n").cast(DoubleType) * col("std"), 9).as("w"))
+    val tot = mom.agg(sum(col("w").cast(dec)).cast(DoubleType).as("tw"))
+    val alloc = mom.crossJoin(broadcast(tot)) // 1-row scalar, documented pattern
+      .select(col("g"), col("n"), col("std"),
+        least(col("n"),
+          floor(lit(budget.toDouble) * try_divide(col("w"), col("tw")))
+            .cast(LongType)).as("alloc"))
+      .select(col("g"), col("n"), col("std"), col("alloc"),
+        expr("(alloc * 10000) div n").as("rate_bp"))
+    val bucket = pmod(graft.functions.keys.md5Prefix64(
+      col("doc_id").cast(org.apache.spark.sql.types.StringType).cast(BinaryType), 7),
+      lit(10000L))
+    val sampled = docs.select(col(stratumCol).as("g"), bucket.as("bucket"))
+      .join(broadcast(alloc.select(col("g"), col("rate_bp"))), Seq("g"))
+      .where(col("bucket") < col("rate_bp"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n_sampled"))
+    alloc.join(sampled, Seq("g"), "left")
+      .select(col("g").as("source"), col("n").as("n_docs"),
+        col("std").as("std_tokens"), col("alloc"), col("rate_bp"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+  }
+
+  /** DuckDB mirror of [[stratifiedNeyman]] (oracle builder). */
+  def stratifiedNeymanSql(budget: Long, table: String = "documents",
+                          stratumCol: String = "source"): String =
+    s"""WITH x AS (SELECT $stratumCol g,
+          CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) x, doc_id
+         FROM $table),
+        mom0 AS (SELECT g, count(*) n, SUM(x) sx, SUM(x*x) sx2
+                 FROM x GROUP BY 1),
+        mom AS (SELECT g, n,
+                 CASE WHEN n > 1 THEN round(sqrt(
+                     CAST(n * sx2 - sx * sx AS DOUBLE)
+                     / CAST(n * (n - 1) AS DOUBLE)), 9)
+                   ELSE 0.0 END std
+                FROM mom0),
+        wts AS (SELECT g, n, std, round(CAST(n AS DOUBLE) * std, 9) w FROM mom),
+        tot AS (SELECT CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE) tw FROM wts),
+        alloc AS (SELECT g, n, std,
+                   least(n, CAST(floor($budget.0 * w / tw) AS BIGINT)) alloc
+                  FROM wts, tot),
+        rates AS (SELECT g, n, std, alloc, (alloc * 10000) // n rate_bp FROM alloc),
+        smp AS (SELECT x.g, count(*) n_sampled
+                FROM x JOIN rates r ON x.g = r.g
+                WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,7)) AS BIGINT)
+                  % 10000 < r.rate_bp
+                GROUP BY 1)
+        SELECT r.g AS source, r.n AS n_docs, r.std AS std_tokens,
+          r.alloc, r.rate_bp, COALESCE(s.n_sampled, 0) AS n_sampled
+        FROM rates r LEFT JOIN smp s ON r.g = s.g"""
+
   /** Shard manifest — the reproducibility artifact a training run records
     * next to its data: one row per (source, shard) with document count,
     * token total, and a content fingerprint (md5 of the comma-joined

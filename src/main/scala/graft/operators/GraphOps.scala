@@ -192,6 +192,102 @@ object GraphOps {
       s"\nSELECT id, CAST(units AS DOUBLE) / $RankScale.0 AS rank FROM r$iters"
   }
 
+  /** PERSONALIZED PageRank — the random walk restarts at a SEED SET
+    * instead of everywhere, so rank mass concentrates in the seeds'
+    * neighborhood: the "more like these" expansion primitive (seed
+    * domains → related domains, seed documents → related sources) that
+    * global [[pageRank]] cannot express because its teleport flattens
+    * locality. Same fixed-point integer arithmetic (units of 10⁻¹²,
+    * damping as the rational dampNum/dampDen, floor division) — ranks
+    * are bit-identical across engines and partial-aggregation orders.
+    *
+    * Walk: r₀ = uniform over seeds; each step routes `damp` of a node's
+    * units along its edges and restarts `1−damp` of the TOTAL mass
+    * uniformly on the seeds (the standard restart formulation; mass at
+    * non-seed teleports is zero by construction, not by renormalizing).
+    *
+    * Scale shape: identical to [[pageRank]] — the doubled,
+    * degree-carrying edge frame materializes ONCE src-partitioned; each
+    * iteration exchanges only the nodes-sized rank frame, plus one
+    * nodes-sized equi-join to re-attach the seed flag (the seed set
+    * itself is usually broadcast-sized, but the flag frame keeps the
+    * plan safe when it is not). Nodes the walk never reaches hold
+    * exactly 0 units and are dropped — at 100 TB the output is the
+    * seeds' neighborhood, not the node universe.
+    * Output: (id, rank) for nodes with rank > 0. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                           dampNum: Int = 17, dampDen: Int = 20,
+                           storage: Dedup.FixpointStorage = Dedup.SessionDefault): DataFrame = {
+    require(0 < dampNum && dampNum < dampDen, "damping must be in (0,1)")
+    val raw = edges.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val und = Dedup.materializeFixpoint(
+      raw.repartition(col("src"))
+        .select(col("src"), col("dst"),
+          count(lit(1)).over(Window.partitionBy(col("src"))).as("deg")),
+      storage)
+    val sd = seeds.select(col("id")).distinct()
+    val ns = sd.agg(count(lit(1)).as("n_seeds"))
+    // seed flag rides the nodes-sized rank frame (0/1 integer — the tele
+    // term multiplies by it, so non-seeds restart exactly nothing)
+    val base = und.select(col("src").as("id")).distinct()
+      .join(sd.select(col("id"), lit(1L).as("is_seed")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+    val tele = s"is_seed * (((${RankScale}L * ${dampDen - dampNum}) div $dampDen) div n_seeds)"
+    var ranks = base.crossJoin(broadcast(ns)) // 1-row scalar, documented pattern
+      .select(col("id"),
+        expr(s"is_seed * (${RankScale}L div n_seeds)").as("units"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks
+        .join(und.select(col("src").as("id"), col("dst"), col("deg")), "id")
+        .select(col("dst"), expr("units div deg").as("c"))
+      ranks = contrib.groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("dst").as("id"), col("s"))
+        .join(base, Seq("id"))
+        .crossJoin(broadcast(ns))
+        .select(col("id"), expr(s"$tele + (s * $dampNum) div $dampDen").as("units"))
+    }
+    ranks.where(col("units") > 0)
+      .select(col("id"),
+        (col("units").cast(DoubleType) / lit(RankScale.toDouble)).as("rank"))
+  }
+
+  /** The unrolled DuckDB mirror of [[personalizedPageRank]] (oracle
+    * builder): `edgesSql` yields (a, b); `seedsSql` yields (id). */
+  def personalizedPageRankSql(edgesSql: String, seedsSql: String, iters: Int,
+                              dampNum: Int = 17, dampDen: Int = 20): String = {
+    val tele = s"b.is_seed * ((($RankScale * ${dampDen - dampNum}) // $dampDen) // (SELECT n_seeds FROM ns))"
+    val base =
+      s"""WITH edges AS ($edgesSql),
+          und AS (SELECT a AS src, b AS dst FROM edges
+                  UNION ALL SELECT b, a FROM edges),
+          deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+          seeds AS (SELECT DISTINCT id FROM ($seedsSql)),
+          ns AS (SELECT count(*) AS n_seeds FROM seeds),
+          base AS (SELECT d.src AS id,
+                     CASE WHEN s.id IS NULL THEN 0 ELSE 1 END AS is_seed
+                   FROM deg d LEFT JOIN seeds s ON d.src = s.id),
+          r0 AS (SELECT id,
+                   is_seed * ($RankScale // (SELECT n_seeds FROM ns)) AS units
+                 FROM base)"""
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT u.dst AS id,
+            $tele + (SUM(r.units // d.deg) * $dampNum) // $dampDen AS units
+          FROM r${i - 1} r
+          JOIN deg d ON d.src = r.id
+          JOIN und u ON u.src = r.id
+          JOIN base b ON b.id = u.dst
+          GROUP BY u.dst, b.is_seed)"""
+    }
+    (base +: steps).mkString(",\n") +
+      s"""
+         SELECT id, CAST(units AS DOUBLE) / $RankScale.0 AS rank
+         FROM r$iters WHERE units > 0"""
+  }
+
   /** Synchronous LABEL PROPAGATION over an undirected edge list (a, b) —
     * the near-linear community-detection pass (Raghavan et al. 2007)
     * that groups a co-occurrence graph into behavioral communities where
@@ -605,7 +701,12 @@ object GraphOps {
     dist.where(col("dist") > 0)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("reached"),
-        round(sum(lit(1.0) / col("dist")), 6).as("harmonic"))
+        // the engine's decimal-sum convention (labelDiversity, zipfSlope):
+        // round-9 terms through DECIMAL(28,12) so partition order can
+        // never flip the final 6dp cut vs the DuckDB mirror
+        round(sum(round(lit(1.0) / col("dist"), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast(org.apache.spark.sql.types.DoubleType), 6).as("harmonic"))
   }
 
   /** DuckDB mirror of [[harmonicCentrality]]: `edgesSql` yields (a, b). */
@@ -628,7 +729,8 @@ object GraphOps {
     (base +: steps).mkString(",\n") +
       s"""
          SELECT id, count(*) AS reached,
-           round(SUM(CAST(1.0 AS DOUBLE) / dist), 6) AS harmonic
+           round(CAST(SUM(CAST(round(CAST(1.0 AS DOUBLE) / dist, 9)
+             AS DECIMAL(28,12))) AS DOUBLE), 6) AS harmonic
          FROM d$maxHops WHERE dist > 0 GROUP BY id"""
   }
 }

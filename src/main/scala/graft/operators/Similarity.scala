@@ -639,35 +639,50 @@ object Similarity {
     * correction before cosine-based dedup (dominant-direction removal is
     * why "all-embeddings-look-alike" collapses). Fixed `iters` iterations
     * from the exact all-0.125 start (1/√64 for dim 64 — exact in binary,
-    * so the init needs no rounding): vₖ₊₁ = normalize(Σᵢ (xᵢ·vₖ)·xᵢ).
+    * so the init needs no rounding): vₖ₊₁ = normalize(M·vₖ) with
+    * M = Σᵢ xᵢxᵢᵀ the (uncentered) second-moment matrix.
     *
-    * Determinism: per-row projections are the codegen'd sequential [[dot]]
-    * rounded to 6dp; the per-dimension Σᵢ goes through DECIMAL(28,12) (sum
-    * order cannot matter); the norm is decimal-summed the same way; each
-    * new component is rounded once. Bit-identical across engines,
-    * partitionings, and retries — [[topPcSql]] mirrors it literally.
+    * Scale shape: the corpus is read EXACTLY ONCE — M comes from the
+    * [[graft.functions.GramMoments]] one-pass typed aggregate and
+    * materializes as a d²-row frame; every power iteration then runs on
+    * THAT frame (a d²-row grouped sum — constant-sized work), not on the
+    * corpus. (The previous form re-scanned the whole corpus once per
+    * iteration — at 4 iterations, 4 × 100 TB instead of 1×. Power
+    * iteration on M is the textbook identity: Σᵢ (xᵢ·v)·xᵢ = (Σᵢ xᵢxᵢᵀ)v,
+    * modulo the old form's per-row 6dp projection rounding, which the
+    * mirror reproduced and both sides now drop together.)
     *
-    * Scale shape: the candidate vector is dim doubles — always broadcast —
-    * so each iteration is ONE unshuffled corpus pass (a dot product and a
-    * d·xᵢ explode collapsed by partial aggregation) plus a dim-row
-    * exchange; the corpus itself is never shuffled. Output:
-    * (dim, loading). */
+    * Determinism: M's entries are exact scaled-integer sums (see
+    * GramMoments — order-independent, bit-identical cross-engine)
+    * divided by the constant 1e9 (one correctly-rounded IEEE op); each
+    * iteration's d²-term Σⱼ goes through DECIMAL(28,12) (sum order
+    * cannot matter); the norm is decimal-summed the same way; each new
+    * component is rounded once. [[topPcSql]] mirrors it literally.
+    * Output: (dim, loading). */
   def topPrincipalComponent(corpus: DataFrame, dim: Int, iters: Int): DataFrame = {
     require(iters >= 1)
-    val e = corpus.select(asDouble(col("embedding")).as("v"))
-    var cur = e.sparkSession.range(1)
+    import graft.operators.Dedup.MaterializeSyntax
+    val dec = DecimalType(28, 12)
+    // ONE corpus pass → the d×d second-moment matrix (i, j, m)
+    val m = corpus.select(asDouble(col("embedding")).as("v"))
+      .agg(graft.functions.GramMoments.gram(col("v"), dim).as("g"))
+      .where(col("g.n") > 0) // empty corpus → empty frames (never 0/√0 below)
+      .select(posexplode(col("g.s2")).as(Seq("k", "s")))
+      .select(floor(col("k") / dim).cast(IntegerType).as("i"),
+        pmod(col("k"), lit(dim)).cast(IntegerType).as("j"),
+        (col("s") / lit(1e9)).as("m"))
+      .materialized // consumed once per iteration — never recompute the pass
+    var cur = m.sparkSession.range(1)
       .select(array((0 until dim).map(_ =>
         lit(BigDecimal(1.0 / math.sqrt(dim.toDouble)).setScale(6,
           BigDecimal.RoundingMode.HALF_UP).toDouble)): _*).as("pc"))
     for (_ <- 1 to iters) {
-      val scored = e.crossJoin(broadcast(cur))
-        .select(col("v"), round(dot(col("v"), col("pc")), 6).as("d"))
-      val w = scored
-        .select(col("d"), posexplode(col("v")).as(Seq("dim", "x")))
+      val w = m.crossJoin(broadcast(cur))
+        .select(col("i").as("dim"),
+          (col("m") * element_at(col("pc"), col("j") + 1)).as("t"))
         .groupBy(col("dim"))
-        .agg(sum((col("d") * col("x")).cast(DecimalType(28, 12)))
-          .cast(DoubleType).as("w"))
-      val n2 = w.agg(sum((col("w") * col("w")).cast(DecimalType(28, 12)))
+        .agg(sum(col("t").cast(dec)).cast(DoubleType).as("w"))
+      val n2 = w.agg(sum((col("w") * col("w")).cast(dec))
         .cast(DoubleType).as("n2"))
       cur = w.crossJoin(broadcast(n2))
         .select(col("dim"), round(col("w") / sqrt(col("n2")), 6).as("c"))
@@ -715,23 +730,31 @@ object Similarity {
     topKByScore(scored, k)
   }
 
-  /** The power-iteration CTE chain (e, v0..v`iters`) shared by the
-    * [[topPcSql]] and [[whitenedTopKSql]] oracles. */
+  /** The power-iteration CTE chain (e, m2, v0..v`iters`) shared by the
+    * [[topPcSql]] and [[whitenedTopKSql]] oracles — mirrors the
+    * one-Gram-pass form: m2 is the scaled second-moment matrix
+    * (GramMoments' quantization, floor(x·10⁹+0.5) summed exactly), and
+    * each iteration is a d²-term decimal sum over m2, not a corpus scan. */
   private def topPcChainSql(dim: Int, iters: Int): String = {
     require(iters >= 1)
     val v0 = BigDecimal(1.0 / math.sqrt(dim.toDouble)).setScale(6,
       BigDecimal.RoundingMode.HALF_UP).toDouble
     val iterCtes = (1 to iters).map { r =>
       val prev = if (r == 1) "v0" else s"v${r - 1}"
-      s"""d$r AS (SELECT v, round(list_dot_product(v, pc), 6) d FROM e, $prev),
-         |w$r AS (SELECT i AS dim,
-         |          CAST(SUM(CAST(d * v[i+1] AS DECIMAL(28,12))) AS DOUBLE) w
-         |        FROM d$r, (SELECT unnest(range($dim)) i) GROUP BY i),
+      s"""w$r AS (SELECT i AS dim,
+         |          CAST(SUM(CAST(m * pc[j+1] AS DECIMAL(28,12))) AS DOUBLE) w
+         |        FROM m2, $prev GROUP BY i),
          |n$r AS (SELECT CAST(SUM(CAST(w*w AS DECIMAL(28,12))) AS DOUBLE) n2 FROM w$r),
          |v$r AS (SELECT list(round(w / sqrt(n2), 6) ORDER BY dim) pc
          |        FROM w$r, n$r)""".stripMargin
     }
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |  m2 AS (SELECT i, j,
+       |          CAST(SUM(CAST(floor(v[i+1]*v[j+1]*1e9 + 0.5) AS BIGINT))
+       |            AS DOUBLE) / 1e9 m
+       |         FROM e, (SELECT unnest(range($dim)) i),
+       |              (SELECT unnest(range($dim)) j)
+       |         GROUP BY i, j),
        |  v0 AS (SELECT list_transform(range($dim), i -> $v0) pc),
        |  ${iterCtes.mkString(",\n  ")}""".stripMargin
   }
@@ -964,6 +987,72 @@ object Similarity {
         round(try_divide(col("tc") * col("tc"), col("tc2")), 6)
           .as("participation_ratio"))
   }
+
+  /** [[participationRatio]] PER LABEL — the slice-level collapse monitor:
+    * a mixture can hold overall PR steady while one source's embeddings
+    * collapse (its drop hides in the blend); the per-label spectrum trace
+    * catches it. Same one-pass [[graft.functions.GramMoments]] shape with
+    * a label key on the aggregate: the exchange carries one ~d²-long
+    * buffer per (partition, label) — sized for label cardinalities in the
+    * hundreds/thousands (a source/slice monitor, NOT a per-user metric:
+    * at d=768 a buffer is ~4.7 MB·|labels| per partition).
+    * Labels need n ≥ 2 for a covariance (n ≤ 1 rows are dropped).
+    * Output: (label, n, trace_c, trace_c2, participation_ratio). */
+  def participationRatioByLabel(corpus: DataFrame, dims: Int): DataFrame = {
+    val dec = DecimalType(28, 12)
+    val g = corpus.select(col("label"), asDouble(col("embedding")).as("v"))
+      .groupBy(col("label"))
+      .agg(graft.functions.GramMoments.gram(col("v"), dims).as("g"))
+      .select(col("label"), col("g.n").as("n"),
+        col("g.s1").as("s1"), col("g.s2").as("s2"))
+      .where(col("n") > 1)
+    val c = g
+      .select(col("label"), col("n"), col("s1"),
+        posexplode(col("s2")).as(Seq("k", "s")))
+      .select(col("label"), col("n"),
+        floor(col("k") / dims).cast(IntegerType).as("i"),
+        pmod(col("k"), lit(dims)).cast(IntegerType).as("j"),
+        (col("s") / lit(1e9) / col("n") -
+          (element_at(col("s1"), col("i") + 1) / lit(1e9) / col("n")) *
+          (element_at(col("s1"), col("j") + 1) / lit(1e9) / col("n"))).as("c"))
+    c.groupBy(col("label"), col("n"))
+      .agg(
+        sum(when(col("i") === col("j"), col("c")).otherwise(lit(0.0)).cast(dec))
+          .cast(DoubleType).as("tc"),
+        sum(round(col("c") * col("c"), 12).cast(dec))
+          .cast(DoubleType).as("tc2"))
+      .select(col("label"), col("n"),
+        round(col("tc"), 6).as("trace_c"),
+        round(col("tc2"), 9).as("trace_c2"),
+        round(try_divide(col("tc") * col("tc"), col("tc2")), 6)
+          .as("participation_ratio"))
+  }
+
+  /** DuckDB mirror of [[participationRatioByLabel]] (oracle builder). */
+  def participationRatioByLabelSql(dims: Int): String =
+    s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |  m1 AS (SELECT label, i,
+       |          CAST(SUM(CAST(floor(v[i+1]*1e9 + 0.5) AS BIGINT)) AS DOUBLE) s1,
+       |          COUNT(*) n
+       |         FROM e, (SELECT unnest(range($dims)) i) GROUP BY label, i),
+       |  m2 AS (SELECT label, i, j,
+       |          CAST(SUM(CAST(floor(v[i+1]*v[j+1]*1e9 + 0.5) AS BIGINT))
+       |            AS DOUBLE) s
+       |         FROM e, (SELECT unnest(range($dims)) i),
+       |              (SELECT unnest(range($dims)) j)
+       |         GROUP BY label, i, j),
+       |  c AS (SELECT m2.label, m2.i, m2.j, a.n,
+       |          s/1e9/a.n - (a.s1/1e9/a.n) * (b.s1/1e9/b.n) c
+       |        FROM m2 JOIN m1 a ON m2.label = a.label AND m2.i = a.i
+       |                JOIN m1 b ON m2.label = b.label AND m2.j = b.i
+       |        WHERE a.n > 1),
+       |  t AS (SELECT label, n,
+       |         CAST(SUM(CAST(CASE WHEN i = j THEN c ELSE 0.0 END
+       |           AS DECIMAL(28,12))) AS DOUBLE) tc,
+       |         CAST(SUM(CAST(round(c*c, 12) AS DECIMAL(28,12))) AS DOUBLE) tc2
+       |        FROM c GROUP BY label, n)
+       |SELECT label, n, round(tc, 6) AS trace_c, round(tc2, 9) AS trace_c2,
+       |  round(tc * tc / tc2, 6) AS participation_ratio FROM t""".stripMargin
 
   /** SQ8 QUANTIZATION ERROR per label — the reconstruction-loss monitor
     * that decides whether int8 candidate scans ([[sq8TopK]]) are safe for

@@ -217,6 +217,13 @@ object NorthStar {
     "corpus_weighted_sample" -> ((s, dir) =>
       CorpusPipeline.weightedSample(t(s, dir, "documents"), 20, col("n_chars"))),
 
+    // Neyman-allocation stratified sampling: a 500-doc budget split
+    // across sources ∝ N_h·S_h (size × token-count std — the
+    // variance-minimizing allocation), drawn at md5-bucket rates;
+    // exact-integer moments, two map-side passes, no per-stratum sorts
+    "corpus_stratified_neyman" -> ((s, dir) =>
+      CorpusPipeline.stratifiedNeyman(t(s, dir, "documents"), 500)),
+
     // corpus diversity: per-source bigram type-token ratio — repetitive
     // or templated sources score low. Exact two-level distinct (group by
     // (source, ngram) then count) — both levels map-side combinable, no
@@ -459,6 +466,22 @@ object NorthStar {
           concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
         .distinct()
       graft.operators.GraphOps.pageRank(e, 3)
+    }),
+
+    // personalized PageRank from a seed set (every 10th supplier):
+    // the "more like these" neighborhood-expansion primitive — restart
+    // mass lands ONLY on seeds, so rank concentrates near them; same
+    // fixed-point integer units as graph_pagerank, bit-exact
+    "graph_ppr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val e = li.select(
+          concat(lit("p"), col("l_partkey").cast("string")).as("a"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        .distinct()
+      val seeds = li.where(pmod(col("l_suppkey"), lit(10)) === 0)
+        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("id"))
+        .distinct()
+      graft.operators.GraphOps.personalizedPageRank(e, seeds, 3)
     }),
 
     // deterministic label-propagation communities over the co-purchase
@@ -720,9 +743,12 @@ object NorthStar {
       val g = expr("(doc_id div 4) % 10").cast("string")
       val aid = expr("doc_id div 4").cast("string")
       val base = concat(lit("site"), g, lit(".com/articles/"), aid)
+      // arm 1 replays the upper-case crawl variant (HTTP://Site…) that the
+      // case-insensitive strip + host lowercasing must collapse
+      val baseUpper = concat(lit("Site"), g, lit(".com/articles/"), aid)
       val raw = when(pmod(col("doc_id"), lit(4)) === 0,
           concat(lit("https://www."), base, lit("/")))
-        .when(pmod(col("doc_id"), lit(4)) === 1, concat(lit("http://"), base))
+        .when(pmod(col("doc_id"), lit(4)) === 1, concat(lit("HTTP://"), baseUpper))
         .when(pmod(col("doc_id"), lit(4)) === 2,
           concat(lit("https://"), base, lit("?utm_source=feed&utm_campaign=x")))
         .otherwise(concat(lit("https://www."), base, lit("#section-2")))
@@ -743,6 +769,14 @@ object NorthStar {
     // — boilerplate that whole-doc dedup can't see
     "text_dup_ngram_fraction" -> ((s, dir) =>
       TextOps.dupNgramStats(t(s, dir, "documents"), N)),
+
+    // n-gram NOVELTY attribution: per doc, the share of its distinct
+    // 3-gram shingles whose FIRST corpus occurrence (min doc_id) is the
+    // doc itself — dup_ngram_fraction's symmetric "is repeated" signal
+    // re-cut as keep-first redundancy ordering; integer ppm, one shingle
+    // exchange + one shingle-keyed join
+    "text_ngram_novelty" -> ((s, dir) =>
+      TextOps.ngramNovelty(t(s, dir, "documents"), N)),
 
     // boilerplate REMOVAL with reassembly (RefinedWeb/CCNet line dedup,
     // block = 8 tokens here): blocks shared by >= 2 docs are cut and each
@@ -1018,6 +1052,11 @@ object NorthStar {
     // unshuffled pass, three dot products per row
     "emb_quantization_error" -> ((s, dir) =>
       Similarity.sq8QuantizationError(t(s, dir, "embeddings"))),
+    // per-label participation ratio — the SLICE collapse monitor (a
+    // blend can hold overall PR steady while one source collapses);
+    // same one-pass GramMoments shape, label-keyed buffers
+    "emb_participation_by_label" -> ((s, dir) =>
+      Similarity.participationRatioByLabel(t(s, dir, "embeddings"), 64)),
 
     // SemDeDup shape: exact cosine pairs WITHIN k-means cells — k·O((n/k)²)
     // instead of O(n²), equi-join on the cluster id, near-dups concentrate
@@ -1848,6 +1887,7 @@ object NorthStar {
     "emb_top_pc" -> Similarity.topPcSql(64, 4),
     "emb_label_diversity" -> Similarity.labelDiversitySql(),
     "emb_participation_ratio" -> Similarity.participationRatioSql(64),
+    "emb_participation_by_label" -> Similarity.participationRatioByLabelSql(64),
     "emb_quantization_error" -> Similarity.sq8QuantizationErrorSql(),
     "ann_whitened_topk" -> Similarity.whitenedTopKSql(64, 4, 0L, 10),
     "emb_kmeans" -> Similarity.kMeansSql(8, 2),
@@ -1964,6 +2004,8 @@ object NorthStar {
                FROM k)
          SELECT doc_id, source, skey, CAST(rk AS INT) AS rk
          FROM r WHERE rk <= 20""",
+    "corpus_stratified_neyman" ->
+      graft.operators.CorpusPipeline.stratifiedNeymanSql(500),
     "text_ngram_diversity" ->
       """WITH t0 AS (SELECT source, string_split(text, ' ') w FROM documents),
          sh AS (SELECT source,
@@ -2190,6 +2232,11 @@ object NorthStar {
     "graph_pagerank" -> graft.operators.GraphOps.pageRankSql(
       "SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS a, " +
         "'s' || CAST(l_suppkey AS VARCHAR) AS b FROM lineitem", 3),
+    "graph_ppr" -> graft.operators.GraphOps.personalizedPageRankSql(
+      "SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS a, " +
+        "'s' || CAST(l_suppkey AS VARCHAR) AS b FROM lineitem",
+      "SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS id " +
+        "FROM lineitem WHERE l_suppkey % 10 = 0", 3),
     "graph_communities" -> graft.operators.GraphOps.labelPropagationSql(
       coPurchaseEdgesSql, 4),
     "graph_triangles" -> graft.operators.GraphOps.triangleCountSql(
@@ -2373,16 +2420,21 @@ object NorthStar {
       """WITH u AS (SELECT doc_id,
            CASE doc_id % 4
              WHEN 0 THEN 'https://www.site' || ((doc_id // 4) % 10) || '.com/articles/' || (doc_id // 4) || '/'
-             WHEN 1 THEN 'http://site' || ((doc_id // 4) % 10) || '.com/articles/' || (doc_id // 4)
+             WHEN 1 THEN 'HTTP://Site' || ((doc_id // 4) % 10) || '.com/articles/' || (doc_id // 4)
              WHEN 2 THEN 'https://site' || ((doc_id // 4) % 10) || '.com/articles/' || (doc_id // 4) || '?utm_source=feed&utm_campaign=x'
              ELSE 'https://www.site' || ((doc_id // 4) % 10) || '.com/articles/' || (doc_id // 4) || '#section-2'
            END AS raw_url
           FROM documents),
-         c AS (SELECT doc_id,
+         c0 AS (SELECT doc_id,
            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-             regexp_replace(raw_url, '^[a-z]+://', ''), '^www\.', ''),
-             '#.*$', ''), '\?.*$', ''), '/+$', '') AS canonical
-          FROM u)
+             regexp_replace(raw_url, '(?i)^[a-z][a-z0-9+.-]*://', ''),
+             '(?i)^www\.', ''),
+             '#.*$', ''), '\?.*$', ''), '/+$', '') AS s
+          FROM u),
+         c AS (SELECT doc_id,
+           lower(regexp_extract(s, '^[^/]*')) ||
+             regexp_replace(s, '^[^/]*', '') AS canonical
+          FROM c0)
          SELECT canonical, count(*) AS n_raw, min(doc_id) AS keep_doc
          FROM c GROUP BY 1""",
     "text_redact_pii" ->
@@ -2429,6 +2481,17 @@ object NorthStar {
            round(CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / CAST(t.n_ngrams AS DOUBLE), 6)
              AS dup_fraction
          FROM tot t LEFT JOIN dup d USING (doc_id)""",
+    "text_ngram_novelty" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         sh0 AS (SELECT doc_id, $shingleExpr ss FROM t0 WHERE len(w) >= $N),
+         sh AS (SELECT doc_id, unnest(ss) s FROM sh0),
+         f AS (SELECT s, min(doc_id) first_doc FROM sh GROUP BY 1)
+         SELECT sh.doc_id, count(*) AS n_shingles,
+           CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           (CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) * 1000000) // count(*) AS novelty_ppm
+         FROM sh JOIN f USING (s) GROUP BY 1""",
     "text_remove_boilerplate" ->
       """WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
          c AS (SELECT doc_id,

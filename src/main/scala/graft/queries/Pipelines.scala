@@ -157,6 +157,15 @@ object Pipelines {
     "stream_hll_distinct" -> ((s, dir) =>
       EventStream.hllDistinctAll(s, dir)),
 
+    // streaming bitmap-retention maintenance: per-batch (month, user)
+    // bit_or partials append (8 bytes per user-month on the wire); the
+    // standing days-active histogram folds the store with the same bit_or
+    // — associative, commutative AND idempotent, so batch order and
+    // redelivery are both invisible; provably equals the one-shot batch
+    // bitmap (shared oracle)
+    "stream_bitmap_retention" -> ((s, dir) =>
+      EventStream.bitmapRetentionAll(s, dir)),
+
     // streaming CDC apply: each micro-batch appends its per-key argmax
     // partial (tombstones included — they must shadow across batches);
     // the standing snapshot folds the store with the same argmax, equal
@@ -244,8 +253,9 @@ object Pipelines {
       graft.operators.TimeSeries.resampleHourlyLocf(t(s, dir, "events"))),
 
     // linear-interpolation gap fill on the same per-key hourly grid — the
-    // level-series companion to LOCF's step function; prev/next neighbors
-    // ride the one partitioned window pass, no extra exchange
+    // level-series companion to LOCF's step function; ONE lead pass over
+    // the observed buckets only, the lerp computed during the gap explode
+    // (window input |observed|, not grid-sized)
     "events_resample_interp" -> ((s, dir) =>
       graft.operators.TimeSeries.resampleHourlyInterp(t(s, dir, "events"))),
 
@@ -253,6 +263,48 @@ object Pipelines {
     // algebra over the |types|·|days| reduction, one division at the end
     "events_seasonal_index" -> ((s, dir) =>
       graft.operators.TimeSeries.seasonalIndex(t(s, dir, "events"))),
+
+    // DAU/MAU stickiness per calendar month — the engagement ratio every
+    // growth dashboard leads with. ONE (month, day, user) distinct
+    // exchange (map-side partial dedup) bounds all later work by
+    // day-table size; the monthly distinct re-reduces the SAME deduped
+    // frame. Integer algebra until one division.
+    "events_stickiness" -> ((s, dir) => {
+      val ud = t(s, dir, "events").select(
+          date_trunc("month", col("ts")).as("mon"),
+          date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val daily = ud.groupBy(col("mon"), col("day"))
+        .agg(count(lit(1)).as("dau"))
+      val monthly = ud.select(col("mon"), col("user_id")).distinct()
+        .groupBy(col("mon")).agg(count(lit(1)).as("mau"))
+      daily.groupBy(col("mon"))
+        .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+        .join(monthly, "mon")
+        .select(col("mon").as("month_start"), col("n_days"), col("sum_dau"),
+          col("mau"),
+          round(try_divide(col("sum_dau").cast("double"),
+            (col("n_days") * col("mau")).cast("double")), 6).as("stickiness"))
+    }),
+
+    // BITMAP engagement histogram — the roaring-bitmap retention idiom at
+    // relational scale: each user-month folds its active days into ONE
+    // 31-bit long via bit_or (map-side combinable — the whole month of
+    // activity ships as 8 bytes per user through the single exchange),
+    // then popcount buckets users by days-active. The same bitmap column
+    // is what cohort/streak queries AND-together at 100 TB instead of
+    // re-scanning events.
+    "events_bitmap_retention" -> ((s, dir) =>
+      t(s, dir, "events").select(
+          date_trunc("month", col("ts")).as("mon"), col("user_id"),
+          expr("shiftleft(CAST(1 AS BIGINT), day(ts) - 1)").as("bit"))
+        .groupBy(col("mon"), col("user_id"))
+        .agg(expr("bit_or(bit)").as("bm"))
+        .select(col("mon"), expr("CAST(bit_count(bm) AS INT)").as("active_days"))
+        .groupBy(col("mon"), col("active_days"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("mon").as("month_start"), col("active_days"),
+          col("n_users"))),
 
     // sliding (overlapping) windows: each event lands in two 2h windows
     "sliding_window_counts" -> ((s, dir) =>
@@ -824,6 +876,36 @@ object Pipelines {
       graft.operators.TimeSeries.resampleHourlyInterpSql(),
     "events_seasonal_index" ->
       graft.operators.TimeSeries.seasonalIndexSql(),
+    "events_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT
+             date_trunc('month', CAST(ts AS TIMESTAMP)) mon,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) "day", user_id
+           FROM events),
+         daily AS (SELECT mon, "day", count(*) dau FROM ud GROUP BY 1, 2),
+         monthly AS (SELECT mon, count(DISTINCT user_id) mau FROM ud GROUP BY 1),
+         agg AS (SELECT mon, count(*) n_days,
+                  CAST(SUM(dau) AS BIGINT) sum_dau FROM daily GROUP BY 1)
+         SELECT a.mon AS month_start, n_days, sum_dau, mau,
+           round(CAST(sum_dau AS DOUBLE) / CAST(n_days * mau AS DOUBLE), 6)
+             AS stickiness
+         FROM agg a JOIN monthly m ON a.mon = m.mon""",
+    "events_bitmap_retention" ->
+      """WITH b AS (SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) mon,
+             user_id,
+             bit_or(CAST(1 AS BIGINT) << (day(CAST(ts AS TIMESTAMP)) - 1)) bm
+           FROM events GROUP BY 1, 2)
+         SELECT mon AS month_start, CAST(bit_count(bm) AS INT) AS active_days,
+           count(*) AS n_users
+         FROM b GROUP BY 1, 2""",
+    // streamed ≡ batch by the bit_or merge law — the batch bitmap IS the oracle
+    "stream_bitmap_retention" ->
+      """WITH b AS (SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) mon,
+             user_id,
+             bit_or(CAST(1 AS BIGINT) << (day(CAST(ts AS TIMESTAMP)) - 1)) bm
+           FROM events GROUP BY 1, 2)
+         SELECT mon AS month_start, CAST(bit_count(bm) AS INT) AS active_days,
+           count(*) AS n_users
+         FROM b GROUP BY 1, 2""",
     "sliding_window_counts" ->
       """WITH e AS (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) h FROM events),
          x AS (SELECT h AS ws FROM e

@@ -588,6 +588,36 @@ object EventStream {
     }
   }
 
+  /** Streaming BITMAP-RETENTION maintenance — the incremental form of the
+    * batch `events_bitmap_retention` fold: each micro-batch bit_or's its
+    * users' active days into one long per (month, user) and appends that
+    * 8-byte partial to the store; the standing days-active histogram folds
+    * the store with the same bit_or. The merge law is the strongest of the
+    * sketch family — associative, commutative AND idempotent — so neither
+    * batch order nor redelivery can change a bit, and the result provably
+    * EQUALS the one-shot batch bitmap (the shared oracle). This is the
+    * streaming form of the roaring-bitmap engagement idiom: per user-month
+    * the whole month of activity crosses the wire as ONE long, and the
+    * standing store stays |user-month|-sized no matter how many batches
+    * append (a real deployment compacts the appended partials with the
+    * same bit_or keep-1 pass). Output: (month_start, active_days, n_users). */
+  def bitmapRetentionAll(spark: SparkSession, dir: String): DataFrame = {
+    val events = graft.queries.Tables.events(spark, dir)
+    def partial(df: DataFrame) = df.select(
+        date_trunc("month", col("ts")).as("mon"), col("user_id"),
+        expr("shiftleft(CAST(1 AS BIGINT), day(ts) - 1)").as("bm"))
+      .groupBy(col("mon"), col("user_id"))
+      .agg(expr("bit_or(bm)").as("bm"))
+    replayFold(spark, events, 3)(partial) { store =>
+      store.groupBy(col("mon"), col("user_id"))
+        .agg(expr("bit_or(bm)").as("bm"))
+        .select(col("mon"), expr("CAST(bit_count(bm) AS INT)").as("active_days"))
+        .groupBy(col("mon"), col("active_days"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("mon").as("month_start"), col("active_days"), col("n_users"))
+    }
+  }
+
   /** Streaming QUANTILE-SKETCH maintenance — the incremental form of the
     * batch [[graft.operators.Sketches]] histogram sketch: event
     * micro-batches each contribute their own (day, bin, count) register
