@@ -303,6 +303,33 @@ class AnalyticsLayoutSpec extends SparkSuite {
     assert(math.abs(r.values.sum - 1.0) < 1e-9)
   }
 
+  test("personalizedPageRank: mass concentrates at the seed; unreached components are absent") {
+    // two components: a–b–c (seed a) and x–y (no seed) — the walk can
+    // never reach x/y, so they hold exactly 0 units and drop out
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("a", "b")
+    val seeds = Seq("a").toDF("id")
+    val r = graft.operators.GraphOps.personalizedPageRank(edges, seeds, iters = 3)
+      .as[(String, Double)].collect().toMap
+    assert(r.keySet === Set("a", "b", "c")) // x, y unreached → absent
+    // locality: the far end gets the least mass (a/b alternate under the
+    // odd-path oscillation of a fixed-horizon power walk — c never leads)
+    assert(r("a") > r("c") && r("b") > r("c"))
+    // with restart mass pinned to the seed, total mass stays ~1 (floor-div shed only)
+    assert(math.abs(r.values.sum - 1.0) < 1e-6)
+  }
+
+  test("personalizedPageRank: uniform seed set over the whole graph equals global pageRank") {
+    // when EVERY node is a seed, the restart term is pageRank's teleport —
+    // the two walks are the same fixed-point integer recursion
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("a", "b")
+    val all = Seq("a", "b", "c", "d").toDF("id")
+    val ppr = graft.operators.GraphOps.personalizedPageRank(edges, all, iters = 3)
+      .as[(String, Double)].collect().toMap
+    val pr = graft.operators.GraphOps.pageRank(edges, iters = 3)
+      .as[(String, Double)].collect().toMap
+    assert(ppr === pr)
+  }
+
   test("zorder2: exact bit interleave, x on odd bits, y on even bits") {
     val got = Seq((3L, 5L), (0L, 0L), (1L, 0L), (0L, 1L), (7L, 7L))
       .toDF("x", "y")

@@ -309,6 +309,37 @@ class DedupTextSpec extends SparkSuite {
     assert(out(10L) === 7 && out(14L) === 7)
   }
 
+  test("stratifiedNeyman: spread-heavy strata win the budget; zero-variance strata get zero") {
+    // stratum "wild": 100 docs alternating 1-token / 21-token texts
+    // (std ≈ 10); stratum "flat": 100 docs all 11 tokens (std = 0).
+    // Neyman allocation sends the WHOLE budget to the spread, none to
+    // the constant stratum — proportional allocation would split 50/50
+    val mk = (n: Int) => Seq.tabulate(n)(_ => "w").mkString(" ")
+    val docs = ((0 until 100).map(i =>
+        (i.toLong, "wild", if (i % 2 == 0) mk(1) else mk(21))) ++
+      (100 until 200).map(i => (i.toLong, "flat", mk(11))))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusPipeline.stratifiedNeyman(docs, budget = 60)
+      .select("source", "n_docs", "std_tokens", "alloc", "n_sampled")
+      .as[(String, Long, Double, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("flat")._3 === 0.0 && got("flat")._4 === 0L && got("flat")._5 === 0L)
+    // sample std of the 1/21 alternation: sqrt(100·10100/(100·99)) = 10.0504…
+    assert(math.abs(got("wild")._3 - 10.050378) < 1e-6)
+    assert(got("wild")._4 === 60L) // the whole budget
+    // realized draw is rate-based (floor(60/100·10⁴) = 6000 bp) — binomial
+    // around 60, deterministic: the same md5 buckets select every run
+    val again = CorpusPipeline.stratifiedNeyman(docs, budget = 60)
+      .select("n_sampled").as[Long].collect().toSet
+    assert(again === got.values.map(_._5).toSet)
+    assert(got("wild")._5 > 30L && got("wild")._5 < 90L)
+    // a budget above the stratum size caps at n (alloc = least(n, ...))
+    val capped = CorpusPipeline.stratifiedNeyman(docs, budget = 500)
+      .where(col("source") === "wild")
+      .select("alloc", "n_sampled").as[(Long, Long)].head()
+    assert(capped._1 === 100L && capped._2 === 100L)
+  }
+
   test("sampleMix: deterministic, rate-accurate, and nested (higher rate ⊇ lower rate)") {
     val corpus = (0L until 2000L).map(i => (i, s"src${i % 2}", "en"))
       .toDF("doc_id", "source", "lang")

@@ -158,6 +158,8 @@ class PlanSpec extends SparkSuite {
       "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_adc_topk",
       "text_bpe_merges", "text_bpe_fertility", "corpus_dsir_topk", "rag_passage_topk",
       "emb_top_pc", "ann_whitened_topk",
+      "graph_ppr",                // 1-row seed-count scalar (q22 pattern)
+      "corpus_stratified_neyman", // 1-row weight-total scalar (q22 pattern)
       "ann_ivf_recall", "ann_sq8_topk", "ann_binary_hamming_topk",
       "ann_hard_negatives",
       "corpus_decontaminate_bloom", "corpus_mixture_plan",
@@ -170,7 +172,7 @@ class PlanSpec extends SparkSuite {
       "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental",
       "stream_quality_monitor", "stream_static_join", "stream_ann_assign",
       "stream_quantile_sketch", "stream_cms_heavy_hitters", "stream_cdc_apply",
-      "stream_hll_distinct", "stream_late_drop")
+      "stream_hll_distinct", "stream_late_drop", "stream_bitmap_retention")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip.contains).flatMap { name =>
         val p = SparkEntry.queries(name)(spark, sf001)
@@ -197,7 +199,7 @@ class PlanSpec extends SparkSuite {
       "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental",
       "stream_quality_monitor", "stream_static_join", "stream_ann_assign",
       "stream_quantile_sketch", "stream_cms_heavy_hitters", "stream_cdc_apply",
-      "stream_hll_distinct", "stream_late_drop")
+      "stream_hll_distinct", "stream_late_drop", "stream_bitmap_retention")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip.contains).flatMap { name =>
         val p = SparkEntry.queries(name)(spark, sf001)
@@ -351,6 +353,17 @@ class PlanSpec extends SparkSuite {
     // the first gram_moments aggregate; an explode BELOW it would be the
     // n·d² pre-agg blowup this plan exists to avoid
     assert(explodeLines.nonEmpty && explodeLines.forall(_ < gramLine), p)
+  }
+
+  test("emb_top_pc: power iterations run on the checkpointed Gram matrix, never corpus re-scans") {
+    // the one-pass re-plan: the corpus is consumed EXACTLY ONCE by the
+    // eager GramMoments checkpoint while the query is being built; the
+    // declared plan that actually executes per call is iterations over
+    // the d²-row matrix — if 'embeddings' appears in it at all, an
+    // iteration went back to the corpus (iters × 100 TB scans)
+    val p = SparkEntry.queries("emb_top_pc")(spark, sf001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("embeddings"), p)
   }
 
   test("approx-distinct rewrite: opt-in conf flips COUNT DISTINCT to HLL++, off by default") {
