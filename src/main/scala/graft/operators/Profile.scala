@@ -97,6 +97,91 @@ object Profile {
       .select(lit(label).as("table_name"), col("n_rows"), col("checksum"))
   }
 
+  /** Two-sample KOLMOGOROV-SMIRNOV drift audit — per group (source),
+    * the KS statistic between the group's metric distribution and the
+    * REST of the corpus: sup_x |F_g(x) − F_rest(x)|. The
+    * distribution-level drift test a curation pipeline runs on scalar
+    * signals (token counts, quality scores) when mean/variance monitors
+    * miss shape changes — a source whose docs bimodalize keeps its mean
+    * while its KS against the rest jumps. `drifted` compares against
+    * the α=0.05 large-sample critical value 1.358·√((n₁+n₂)/(n₁·n₂)).
+    *
+    * Scale shape: the census pattern — ONE (group, value) count
+    * aggregate bounds everything after by DISTINCT metric values
+    * (quantize continuous metrics first, as [[rankAuc]] does); both
+    * step functions are cumulative windows over that census (the
+    * global one unpartitioned but census-bounded), and the sup is
+    * evaluated on the |groups|×|values| dense frame — grid × group
+    * totals is a deliberate bounded expansion, never row-sized.
+    * Determinism: cums are exact integers; each row's F-difference is
+    * fixed-order IEEE on those integers; max is order-independent;
+    * one final 6dp cut. try_divide guards the group-is-the-whole-corpus
+    * edge (n_rest = 0 → NULL ks, no crash).
+    * Output: (g, n_g, ks, crit, drifted). */
+  def ksDrift(df: DataFrame, group: Column, metric: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = df.select(group.as("g"), metric.cast(LongType).as("x"))
+    val cnt = x.groupBy(col("g"), col("x")).agg(count(lit(1)).as("c"))
+    val gridW = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // census-bounded unpartitioned cum (distinct metric values)
+    val grid = cnt.groupBy(col("x")).agg(sum(col("c")).as("c_all"))
+      .withColumn("cum_all", sum(col("c_all")).over(gridW))
+      .select(col("x"), col("cum_all"))
+    val nSrc = cnt.groupBy(col("g")).agg(sum(col("c")).as("n_g"))
+    val nAll = x.agg(count(lit(1)).as("n_all"))
+    val srcW = Window.partitionBy(col("g")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // dense |groups|×|values| frame: every group's step function carried
+    // across the FULL grid (the sup lives at either function's jumps)
+    val dense = grid.crossJoin(nSrc)
+      .join(cnt, Seq("g", "x"), "left")
+      .withColumn("cum_g", sum(coalesce(col("c"), lit(0L))).over(srcW))
+    dense.crossJoin(broadcast(nAll)) // 1-row scalar, documented pattern
+      .select(col("g"), col("n_g"), (col("n_all") - col("n_g")).as("n_rest"),
+        abs(col("cum_g").cast(DoubleType) / col("n_g").cast(DoubleType) -
+          try_divide((col("cum_all") - col("cum_g")).cast(DoubleType),
+            (col("n_all") - col("n_g")).cast(DoubleType))).as("d"))
+      .groupBy(col("g"), col("n_g"), col("n_rest"))
+      .agg(round(max(col("d")), 6).as("ks"))
+      .select(col("g"), col("n_g"), col("ks"),
+        round(lit(1.358) * sqrt((col("n_g") + col("n_rest")).cast(DoubleType) /
+          (col("n_g") * col("n_rest")).cast(DoubleType)), 6).as("crit"))
+      .withColumn("drifted", col("ks") > col("crit"))
+  }
+
+  /** DuckDB mirror of [[ksDrift]] (oracle builder); `groupExpr` and
+    * `metricExpr` name the group / integer-metric expressions over
+    * `table`. */
+  def ksDriftSql(groupExpr: String, metricExpr: String,
+                 table: String = "documents"): String =
+    s"""WITH x AS (SELECT $groupExpr g, CAST($metricExpr AS BIGINT) x FROM $table),
+        cnt AS (SELECT g, x, count(*) c FROM x GROUP BY 1, 2),
+        grid AS (SELECT x, SUM(SUM(c)) OVER (ORDER BY x
+                   ROWS UNBOUNDED PRECEDING) cum_all
+                 FROM cnt GROUP BY x),
+        nsrc AS (SELECT g, CAST(SUM(c) AS BIGINT) n_g FROM cnt GROUP BY 1),
+        nall AS (SELECT count(*) n_all FROM x),
+        dense AS (SELECT nsrc.g, nsrc.n_g, grid.x, grid.cum_all,
+                   SUM(COALESCE(cnt.c, 0)) OVER (PARTITION BY nsrc.g
+                     ORDER BY grid.x ROWS UNBOUNDED PRECEDING) cum_g
+                  FROM grid CROSS JOIN nsrc
+                  LEFT JOIN cnt ON cnt.g = nsrc.g AND cnt.x = grid.x),
+        d AS (SELECT g, n_g, n_all - n_g n_rest,
+               abs(CAST(cum_g AS DOUBLE) / CAST(n_g AS DOUBLE) -
+                 CASE WHEN n_all - n_g = 0 THEN NULL
+                   ELSE CAST(cum_all - cum_g AS DOUBLE)
+                     / CAST(n_all - n_g AS DOUBLE) END) d
+              FROM dense, nall),
+        ks AS (SELECT g, n_g, n_rest, round(max(d), 6) ks
+               FROM d GROUP BY 1, 2, 3)
+        SELECT g, n_g, ks,
+          round(1.358 * sqrt(CAST(n_g + n_rest AS DOUBLE)
+            / CAST(n_g * n_rest AS DOUBLE)), 6) crit,
+          ks > round(1.358 * sqrt(CAST(n_g + n_rest AS DOUBLE)
+            / CAST(n_g * n_rest AS DOUBLE)), 6) drifted
+        FROM ks"""
+
   /** k-anonymity / l-diversity audit — the re-identification gate a
     * compliance pass runs before a table (or a training corpus's
     * metadata) ships: group by the quasi-identifier columns, report each

@@ -442,6 +442,71 @@ object TextOps {
         FROM tfs JOIN dfs USING (t), st GROUP BY doc_id"""
   }
 
+  /** RECIPROCAL-RANK FUSION (Cormack et al. 2009) of a lexical and a
+    * vector retrieval list — the standard hybrid-search merge every RAG
+    * stack runs when BM25 and embedding ANN disagree: each list
+    * contributes 1/(rrfK + rank) for the documents it ranked, documents
+    * missing from a list contribute 0 from it, and the fused order is
+    * the score sum. Rank-based fusion needs no score calibration
+    * between the two retrievers — exactly why RRF beats score
+    * interpolation across heterogeneous scorers.
+    *
+    * Inputs are the engine's own retrievers: [[bm25Scores]] top-`pool`
+    * on the documents table and the brute-force cosine top-`pool`
+    * around an anchor embedding (`vec_id = queryId`; the testdata
+    * id spaces coincide, as production doc/embedding stores do).
+    *
+    * Determinism: ranks are exact integers; each RRF term is one IEEE
+    * division of literals; the ≤2-term sum is written in fixed order;
+    * one 9dp cut; ties break on doc_id. Scale shape: both lists are
+    * top-`pool` reductions (bounded TopKPairs / TakeOrdered), the
+    * fusion is a `pool`-sized full outer join, and the final top-k is
+    * a TakeOrdered — nothing after retrieval touches corpus size.
+    * Output: (doc_id, lex_rank, vec_rank, rrf), top `k` by rrf. */
+  def rrfFusion(docs: org.apache.spark.sql.DataFrame,
+                embeddings: org.apache.spark.sql.DataFrame,
+                terms: Seq[String], queryId: Long, pool: Int, k: Int,
+                rrfK: Int = 60): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25Scores(docs, terms)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(pool)
+      // pool-row frame by construction — the unpartitioned window is bounded
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+    val vec = graft.operators.Similarity.bruteForceTopK(
+        embeddings, embeddings.where(col("vec_id") === queryId), pool)
+      .select(col("nid").as("doc_id"), col("rank").as("vec_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        round(coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)), 9)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(k)
+  }
+
+  /** DuckDB mirror of [[rrfFusion]] (oracle builder). */
+  def rrfFusionSql(terms: Seq[String], queryId: Long, pool: Int, k: Int,
+                   rrfK: Int = 60): String =
+    s"""WITH lex0 AS (SELECT doc_id, bm25 FROM (${bm25Sql(terms)})
+          ORDER BY bm25 DESC, doc_id LIMIT $pool),
+        lex AS (SELECT doc_id, CAST(row_number() OVER
+                  (ORDER BY bm25 DESC, doc_id) AS INT) lex_rank FROM lex0),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings
+              WHERE vec_id = $queryId),
+        sc AS (SELECT vec_id nid,
+                round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) cos_sim
+               FROM embeddings, q WHERE vec_id <> $queryId),
+        vr0 AS (SELECT nid, CAST(row_number() OVER
+                  (ORDER BY cos_sim DESC, nid) AS INT) vec_rank FROM sc),
+        vr AS (SELECT nid doc_id, vec_rank FROM vr0 WHERE vec_rank <= $pool),
+        f AS (SELECT COALESCE(lex.doc_id, vr.doc_id) doc_id, lex_rank, vec_rank,
+               round(COALESCE(CAST(1.0 AS DOUBLE) / ($rrfK + lex_rank), 0)
+                 + COALESCE(CAST(1.0 AS DOUBLE) / ($rrfK + vec_rank), 0), 9) rrf
+              FROM lex FULL OUTER JOIN vr ON lex.doc_id = vr.doc_id)
+        SELECT doc_id, lex_rank, vec_rank, rrf FROM f
+        ORDER BY rrf DESC, doc_id LIMIT $k"""
+
   /** MMR-diversified retrieval (Carbonell & Goldstein 1998 maximal marginal
     * relevance): take the BM25 top-`pool` candidates, then greedily select
     * `k` of them by `λ·rel − (1−λ)·max_sim_to_selected` — the rerank every

@@ -637,6 +637,15 @@ object NorthStar {
     "text_source_divergence" -> ((s, dir) =>
       TextOps.sourceDivergence(t(s, dir, "documents"))),
 
+    // distribution-level drift: per-source two-sample KS statistic of
+    // the token-count distribution vs the REST of the corpus, flagged
+    // against the α=0.05 critical value — catches shape changes
+    // (bimodalization, truncation) that mean/variance monitors miss;
+    // census-bounded cumulative walks, exact integer cums
+    "quality_ks_drift" -> ((s, dir) =>
+      graft.operators.Profile.ksDrift(t(s, dir, "documents"),
+        col("source"), TextOps.tokenCount(col("text")))),
+
     // per-source QUALITY FLOOR at the exact 25th percentile — drop each
     // source's worst quartile by type-token ratio. The quantile is the
     // equi-depth-histogram trick, NOT a per-source sort: scores aggregate
@@ -848,6 +857,14 @@ object NorthStar {
     // stack runs so retrieved context isn't five copies of one passage
     "rag_mmr_topk" -> ((s, dir) =>
       TextOps.mmrRerank(t(s, dir, "documents"), Bm25Terms)),
+
+    // reciprocal-rank fusion of the BM25 top-20 with the cosine top-20
+    // around vec_id 0 — the calibration-free hybrid-search merge
+    // (Cormack et al. 2009); both lists are bounded reductions, the
+    // fusion is a pool-sized full outer join + TakeOrdered
+    "rag_rrf_fusion" -> ((s, dir) =>
+      TextOps.rrfFusion(t(s, dir, "documents"), t(s, dir, "embeddings"),
+        Bm25Terms, queryId = 0L, pool = 20, k = 10)),
 
     // length-distribution histogram (100-char buckets)
     "text_length_histogram" -> ((s, dir) =>
@@ -1923,6 +1940,9 @@ object NorthStar {
           FROM r WHERE rn <= 10"""
     },
     "rag_mmr_topk" -> TextOps.mmrSql(Bm25Terms),
+    "rag_rrf_fusion" -> TextOps.rrfFusionSql(Bm25Terms, 0L, 20, 10),
+    "quality_ks_drift" -> graft.operators.Profile.ksDriftSql(
+      "source", "len(regexp_extract_all(text, '\\S+'))"),
     "emb_source_drift" ->
       """WITH ce AS (SELECT label, vec_id % 2 AS half,
              unnest(list_transform(range(len(embedding)),

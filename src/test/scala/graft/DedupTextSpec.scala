@@ -309,6 +309,31 @@ class DedupTextSpec extends SparkSuite {
     assert(out(10L) === 7 && out(14L) === 7)
   }
 
+  test("ksDrift: identical distributions score ~0, disjoint supports score 1") {
+    import graft.operators.Profile
+    val mk = (n: Int) => Seq.tabulate(n)(_ => "w").mkString(" ")
+    // same: two sources with the SAME 10/20-token halves → F_g == F_rest
+    val same = ((0 until 50).map(i => ("a", mk(if (i % 2 == 0) 10 else 20))) ++
+      (0 until 50).map(i => ("b", mk(if (i % 2 == 0) 10 else 20))))
+      .toDF("source", "text")
+    val ks0 = Profile.ksDrift(same, col("source"), TextOps.tokenCount(col("text")))
+      .select("ks").as[Double].collect()
+    assert(ks0.forall(_ === 0.0), ks0.mkString(","))
+    // disjoint: source a all 5 tokens, source b all 50 → sup gap is 1 at x=5
+    val disjoint = ((0 until 30).map(_ => ("a", mk(5))) ++
+      (0 until 30).map(_ => ("b", mk(50)))).toDF("source", "text")
+    val got = Profile.ksDrift(disjoint, col("source"), TextOps.tokenCount(col("text")))
+      .select("g", "ks", "drifted").as[(String, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("a")._2 === 1.0 && got("a")._3)
+    assert(got("b")._2 === 1.0 && got("b")._3)
+    // one source owning the whole corpus: n_rest = 0 → NULL ks, no crash
+    val solo = (0 until 10).map(_ => ("only", mk(7))).toDF("source", "text")
+    val soloRow = Profile.ksDrift(solo, col("source"), TextOps.tokenCount(col("text")))
+      .select("ks").collect()
+    assert(soloRow.length === 1 && soloRow.head.isNullAt(0))
+  }
+
   test("stratifiedNeyman: spread-heavy strata win the budget; zero-variance strata get zero") {
     // stratum "wild": 100 docs alternating 1-token / 21-token texts
     // (std ≈ 10); stratum "flat": 100 docs all 11 tokens (std = 0).

@@ -159,6 +159,8 @@ class PlanSpec extends SparkSuite {
       "text_bpe_merges", "text_bpe_fertility", "corpus_dsir_topk", "rag_passage_topk",
       "emb_top_pc", "ann_whitened_topk",
       "graph_ppr",                // 1-row seed-count scalar (q22 pattern)
+      "rag_rrf_fusion",           // broadcast-query ANN list (ann_cosine_topk shape)
+      "quality_ks_drift",         // census grid x group-totals bounded expansion
       "corpus_stratified_neyman", // 1-row weight-total scalar (q22 pattern)
       "ann_ivf_recall", "ann_sq8_topk", "ann_binary_hamming_topk",
       "ann_hard_negatives",
