@@ -97,6 +97,87 @@ object Profile {
       .select(lit(label).as("table_name"), col("n_rows"), col("checksum"))
   }
 
+  /** POPULATION STABILITY INDEX drift audit — per group (source), the
+    * PSI between the group's binned metric distribution and the REST of
+    * the corpus: Σ_b (p_g − p_rest)·ln(p_g/p_rest). The industry-standard
+    * scorecard drift monitor (PSI < 0.1 stable, 0.1–0.25 watch, > 0.25
+    * drifted) — the binned, symmetrized-KL complement to [[ksDrift]]'s
+    * sup-norm test: KS is sharpest on location shifts, PSI accumulates
+    * mass re-allocation across ALL bins. Bins are fixed-width
+    * (`floor(metric/width)`) and both distributions are Laplace-smoothed
+    * with 0.5 pseudo-counts over the corpus's OCCUPIED bin universe, so
+    * empty bins never produce ln(0) and the smoothing constant is shared
+    * across engines exactly.
+    *
+    * Scale shape: ONE (group, bin) count aggregate bounds everything
+    * after by |groups|·|bins| (bins are width-capped, never data-sized);
+    * the dense grid is bins × group totals (a bounded census expansion),
+    * the bin marginals reuse the same frame, and the corpus total is a
+    * 1-row broadcast scalar. Determinism: counts are exact integers,
+    * each bin's term is fixed-order IEEE on those integers (the
+    * [[graft.operators.TextOps.sourceDivergence]] ln convention), one
+    * final 6dp cut after the per-group sum.
+    * Output: (g, n_g, psi, drifted = psi > 0.25). */
+  def psiDrift(df: DataFrame, group: Column, metric: Column,
+               binWidth: Int): DataFrame = {
+    import graft.operators.Dedup.MaterializeSyntax
+    val x = df.select(group.as("g"),
+      floor(metric.cast(DoubleType) / binWidth).cast(LongType).as("b"))
+    val cnt = x.groupBy(col("g"), col("b")).agg(count(lit(1)).as("c"))
+      .materialized // feeds the grid, both marginals, and the bin universe
+    val bins = cnt.groupBy(col("b")).agg(sum(col("c")).as("c_b"))
+    val nb = bins.agg(count(lit(1)).cast(DoubleType).as("n_bins"),
+      sum(col("c_b")).as("n_all"))
+    val nSrc = cnt.groupBy(col("g")).agg(sum(col("c")).as("n_g"))
+    val dense = bins.crossJoin(nSrc)
+      .join(cnt, Seq("g", "b"), "left")
+      .select(col("g"), col("n_g"), col("c_b"),
+        coalesce(col("c"), lit(0L)).as("c_gb"))
+    val pg = (col("c_gb").cast(DoubleType) + lit(0.5)) /
+      (col("n_g").cast(DoubleType) + lit(0.5) * col("n_bins"))
+    val pr = ((col("c_b") - col("c_gb")).cast(DoubleType) + lit(0.5)) /
+      ((col("n_all") - col("n_g")).cast(DoubleType) + lit(0.5) * col("n_bins"))
+    dense.crossJoin(broadcast(nb)) // 1-row scalar, documented pattern
+      .groupBy(col("g"), col("n_g"))
+      // round-9 terms through DECIMAL(28,12) (the labelDiversity /
+      // harmonicCentrality convention) so partition order can never flip
+      // the final 6dp cut vs the DuckDB mirror
+      .agg(round(sum(round((pg - pr) * log(pg / pr), 9)
+          .cast(DecimalType(28, 12))).cast(DoubleType), 6).as("psi"))
+      .select(col("g"), col("n_g"), col("psi"),
+        (col("psi") > 0.25).as("drifted"))
+  }
+
+  /** DuckDB mirror of [[psiDrift]] (oracle builder); `groupExpr` and
+    * `metricExpr` name the group / metric expressions over `table`. */
+  def psiDriftSql(groupExpr: String, metricExpr: String, binWidth: Int,
+                  table: String = "documents"): String =
+    s"""WITH x AS (SELECT $groupExpr g,
+            CAST(floor(CAST($metricExpr AS DOUBLE) / $binWidth) AS BIGINT) b
+          FROM $table),
+        cnt AS (SELECT g, b, count(*) c FROM x GROUP BY 1, 2),
+        bins AS (SELECT b, CAST(SUM(c) AS BIGINT) c_b FROM cnt GROUP BY 1),
+        nb AS (SELECT CAST(count(*) AS DOUBLE) n_bins,
+                 CAST(SUM(c_b) AS BIGINT) n_all FROM bins),
+        nsrc AS (SELECT g, CAST(SUM(c) AS BIGINT) n_g FROM cnt GROUP BY 1),
+        dense AS (SELECT nsrc.g, nsrc.n_g, bins.c_b,
+                    COALESCE(cnt.c, 0) c_gb
+                  FROM bins CROSS JOIN nsrc
+                  LEFT JOIN cnt ON cnt.g = nsrc.g AND cnt.b = bins.b),
+        t AS (SELECT g, n_g,
+               ((CAST(c_gb AS DOUBLE) + 0.5)
+                  / (CAST(n_g AS DOUBLE) + 0.5 * n_bins)
+                - (CAST(c_b - c_gb AS DOUBLE) + 0.5)
+                  / (CAST(n_all - n_g AS DOUBLE) + 0.5 * n_bins))
+               * ln(((CAST(c_gb AS DOUBLE) + 0.5)
+                  / (CAST(n_g AS DOUBLE) + 0.5 * n_bins))
+                / ((CAST(c_b - c_gb AS DOUBLE) + 0.5)
+                  / (CAST(n_all - n_g AS DOUBLE) + 0.5 * n_bins))) term
+              FROM dense, nb),
+        s AS (SELECT g, n_g, round(CAST(SUM(CAST(round(term, 9)
+                AS DECIMAL(28,12))) AS DOUBLE), 6) psi FROM t GROUP BY 1, 2)
+        SELECT g, n_g, psi, psi > 0.25 AS drifted FROM s"""
+
   /** Two-sample KOLMOGOROV-SMIRNOV drift audit — per group (source),
     * the KS statistic between the group's metric distribution and the
     * REST of the corpus: sup_x |F_g(x) − F_rest(x)|. The

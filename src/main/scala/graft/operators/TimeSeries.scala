@@ -129,6 +129,84 @@ object TimeSeries {
            * CAST(1000000 AS DOUBLE) + 0.5) / CAST(1000000 AS DOUBLE) AS v_interp
        FROM j"""
 
+  /** Per-series OLS TREND over daily counts — the "is this metric growing
+    * and how fast" line every health dashboard fits: slope/intercept/R² of
+    * events-per-day against a shared day index, one row per event type.
+    * Closed-form least squares from the five exact integer moments
+    * (n, Σd, Σy, Σdy, Σd², plus Σy² for R²):
+    *
+    *   slope = (nΣdy − ΣdΣy) / (nΣd² − (Σd)²)
+    *
+    * Scale shape: the raw stream reduces to |types|·|days| rows in ONE
+    * map-side-combinable aggregate; the moment aggregate is |types|-sized;
+    * the global min day is a 1-row broadcast scalar (documented BNLJ
+    * pattern). No window, no sort — a 100 TB event log costs one scan.
+    *
+    * Determinism: day index and daily counts are exact integers, the five
+    * moments are exact DECIMAL(38,0) sums, and each output is ONE double
+    * division of two exact integers (round-6) — bit-identical across
+    * engines and partitionings. try_divide: a single-day series has zero
+    * d-variance (NULL slope — correct: one point fits no line); a
+    * constant series has zero y-variance (NULL r2 by the same read).
+    * Output: (event_type, n_days, slope, intercept, r2). */
+  def trendOls(events: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("y"))
+    val d0 = daily.agg(min(col("day")).as("d0"))
+    val m = daily.crossJoin(broadcast(d0)) // 1-row scalar, documented pattern
+      .select(col("event_type"), col("y"),
+        datediff(col("day"), col("d0")).cast("long").as("d"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d").cast(dec)).as("sd"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("d") * col("y")).cast(dec)).as("sdy"),
+        sum((col("d") * col("d")).cast(dec)).as("sd2"),
+        sum((col("y") * col("y")).cast(dec)).as("sy2"))
+    val covN = (col("n") * col("sdy") - col("sd") * col("sy")).cast(DoubleType)
+    val varD = (col("n") * col("sd2") - col("sd") * col("sd")).cast(DoubleType)
+    val varY = (col("n") * col("sy2") - col("sy") * col("sy")).cast(DoubleType)
+    m.select(col("event_type"), col("n").as("n_days"),
+      round(try_divide(covN, varD), 6).as("slope"),
+      round(try_divide(
+        col("sy").cast(DoubleType) * varD - covN * col("sd").cast(DoubleType),
+        col("n").cast(DoubleType) * varD), 6).as("intercept"),
+      round(try_divide(covN * covN, varD * varY), 6).as("r2"))
+  }
+
+  /** DuckDB mirror of [[trendOls]] (oracle builder). */
+  def trendOlsSql(): String =
+    """WITH daily AS (SELECT event_type,
+           date_trunc('day', CAST(ts AS TIMESTAMP)) "day", count(*) y
+         FROM events GROUP BY 1, 2),
+       d0 AS (SELECT MIN("day") d0 FROM daily),
+       m AS (SELECT event_type, count(*) n,
+               SUM(CAST(datediff('day', d0, "day") AS DECIMAL(38,0))) sd,
+               SUM(CAST(y AS DECIMAL(38,0))) sy,
+               SUM(CAST(datediff('day', d0, "day") * y AS DECIMAL(38,0))) sdy,
+               SUM(CAST(datediff('day', d0, "day")
+                 * datediff('day', d0, "day") AS DECIMAL(38,0))) sd2,
+               SUM(CAST(y * y AS DECIMAL(38,0))) sy2
+             FROM daily, d0 GROUP BY 1)
+       SELECT event_type, n AS n_days,
+         round(CASE WHEN n*sd2 - sd*sd = 0 THEN NULL
+           ELSE CAST(n*sdy - sd*sy AS DOUBLE)
+              / CAST(n*sd2 - sd*sd AS DOUBLE) END, 6) AS slope,
+         round(CASE WHEN n*sd2 - sd*sd = 0 THEN NULL
+           ELSE (CAST(sy AS DOUBLE) * CAST(n*sd2 - sd*sd AS DOUBLE)
+               - CAST(n*sdy - sd*sy AS DOUBLE) * CAST(sd AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n*sd2 - sd*sd AS DOUBLE)) END, 6)
+           AS intercept,
+         round(CASE WHEN CAST(n*sd2 - sd*sd AS DOUBLE)
+                       * CAST(n*sy2 - sy*sy AS DOUBLE) = 0 THEN NULL
+           ELSE CAST(n*sdy - sd*sy AS DOUBLE) * CAST(n*sdy - sd*sy AS DOUBLE)
+              / (CAST(n*sd2 - sd*sd AS DOUBLE)
+               * CAST(n*sy2 - sy*sy AS DOUBLE)) END, 6) AS r2
+       FROM m"""
+
   /** DAY-OF-WEEK seasonal index per event type — the multiplicative
     * seasonality profile (mean count on that weekday ÷ overall mean) that
     * capacity planning and anomaly baselines divide out before comparing

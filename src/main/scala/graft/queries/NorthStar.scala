@@ -646,6 +646,14 @@ object NorthStar {
       graft.operators.Profile.ksDrift(t(s, dir, "documents"),
         col("source"), TextOps.tokenCount(col("text")))),
 
+    // binned drift (Population Stability Index) per source vs the rest,
+    // over width-50 n_chars bins: the mass-reallocation complement to
+    // the KS sup-norm above — |sources|·|bins|-bounded census, Laplace-
+    // smoothed shares, decimal-exact term sums
+    "quality_psi_drift" -> ((s, dir) =>
+      graft.operators.Profile.psiDrift(t(s, dir, "documents"),
+        col("source"), col("n_chars"), binWidth = 50)),
+
     // per-source QUALITY FLOOR at the exact 25th percentile — drop each
     // source's worst quartile by type-token ratio. The quantile is the
     // equi-depth-histogram trick, NOT a per-source sort: scores aggregate
@@ -1943,6 +1951,8 @@ object NorthStar {
     "rag_rrf_fusion" -> TextOps.rrfFusionSql(Bm25Terms, 0L, 20, 10),
     "quality_ks_drift" -> graft.operators.Profile.ksDriftSql(
       "source", "len(regexp_extract_all(text, '\\S+'))"),
+    "quality_psi_drift" -> graft.operators.Profile.psiDriftSql(
+      "source", "n_chars", 50),
     "emb_source_drift" ->
       """WITH ce AS (SELECT label, vec_id % 2 AS half,
              unnest(list_transform(range(len(embedding)),

@@ -264,6 +264,34 @@ object Pipelines {
     "events_seasonal_index" -> ((s, dir) =>
       graft.operators.TimeSeries.seasonalIndex(t(s, dir, "events"))),
 
+    // per-type OLS trend line over daily counts: slope/intercept/R² from
+    // five exact integer moments — one scan, one |types|-row aggregate
+    "events_trend_ols" -> ((s, dir) =>
+      graft.operators.TimeSeries.trendOls(t(s, dir, "events"))),
+
+    // ML FEATURE LAGS — the feature-store projection a training pipeline
+    // materializes per entity: previous two values, trailing-3 mean
+    // (current row excluded), and the inter-event gap, all from ONE
+    // hash-partitioned window pass. Cross-engine determinism by the
+    // events_ewma integer-cents pattern: values scale to exact cent
+    // longs, the trailing mean is an integer sum with ONE final double
+    // division, gaps are exact epoch-second integers — no round() needed
+    "events_feature_lags" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val w3 = w.rowsBetween(-3, -1)
+      val cents = round(col("value") * 100).cast("bigint")
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"), col("ts"), col("value"),
+        (lag(cents, 1).over(w).cast("double") / 100).as("lag1"),
+        (lag(cents, 2).over(w).cast("double") / 100).as("lag2"),
+        (sum(cents).over(w3).cast("double") /
+          (lit(100) * count(lit(1)).over(w3)).cast("double")).as("mean3"),
+        (unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
+    }),
+
     // DAU/MAU stickiness per calendar month — the engagement ratio every
     // growth dashboard leads with. ONE (month, day, user) distinct
     // exchange (map-side partial dedup) bounds all later work by
@@ -876,6 +904,22 @@ object Pipelines {
       graft.operators.TimeSeries.resampleHourlyInterpSql(),
     "events_seasonal_index" ->
       graft.operators.TimeSeries.seasonalIndexSql(),
+    "events_trend_ols" ->
+      graft.operators.TimeSeries.trendOlsSql(),
+    "events_feature_lags" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts, value,
+             CAST(round(value * 100) AS BIGINT) cents
+           FROM events)
+         SELECT user_id, event_id, ts, value,
+           CAST(lag(cents, 1) OVER w AS DOUBLE) / 100 AS lag1,
+           CAST(lag(cents, 2) OVER w AS DOUBLE) / 100 AS lag2,
+           CAST(SUM(cents) OVER w3 AS DOUBLE)
+             / CAST(100 * COUNT(*) OVER w3 AS DOUBLE) AS mean3,
+           epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)""",
     "events_stickiness" ->
       """WITH ud AS (SELECT DISTINCT
              date_trunc('month', CAST(ts AS TIMESTAMP)) mon,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -139,6 +139,61 @@ object SqlSurface {
             .cast(DoubleType), (col("n_c") + col("n_t"))), 6).as("chi2"),
           (try_divide(((col("n_c") - col("n_t")) * (col("n_c") - col("n_t")))
             .cast(DoubleType), (col("n_c") + col("n_t"))) > 3.841).as("srm_flag"))
+    }),
+
+    // CUPED variance-reduced A/B readout (Deng et al., WSDM'13) — the
+    // adjustment every mature experimentation platform applies before
+    // calling a result: per-user PRE-period purchase spend X (before the
+    // fixed 2024-01-16 cutoff; md5-parity arm as events_ab_test) predicts
+    // the post-period metric Y, and Y_adj = Y − θ(X − X̄) with
+    // θ = cov(X,Y)/var(X) strips the predictable between-user variance.
+    // Everything derives from SIX exact DECIMAL(38,0) moments over
+    // per-user integer-cent sums (one user-keyed exchange + a 1-row
+    // aggregate): θ, per-arm adjusted means via the algebraic identity
+    // mean(Y_adj | arm) = Ȳ_arm − θ(X̄_arm − X̄), and the variance-
+    // reduction ratio 1 − var(Y−θX)/var(Y) = ρ² — each output is a fixed
+    // shape of double ops on exact integers, round-6, engine-identical.
+    // try_divide: zero pre-period variance (or an empty table) reads NULL.
+    "events_ab_cuped" -> ((s, dir) => {
+      val cutoff = to_date(lit("2024-01-16"))
+      val e = t(s, dir, "events").where(col("event_type") === "purchase")
+      val arm = pmod(graft.functions.keys.md5Prefix64(
+        col("user_id").cast(StringType).cast(BinaryType), 7), lit(2L))
+      val cents = round(col("value") * 100).cast("bigint")
+      val u = e.select(col("user_id"), cents.as("c"),
+          (col("ts").cast("date") < cutoff).as("pre"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("pre"), col("c")).otherwise(0L)).as("x"),
+          sum(when(!col("pre"), col("c")).otherwise(0L)).as("y"))
+      val dec = DecimalType(38, 0)
+      val m = u.select(arm.as("arm"), col("x"), col("y"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"),
+          sum((col("x") * col("x")).cast(dec)).as("sx2"),
+          sum((col("y") * col("y")).cast(dec)).as("sy2"),
+          count(when(col("arm") === 0, 1)).as("n_c"),
+          count(when(col("arm") === 1, 1)).as("n_t"),
+          sum(when(col("arm") === 0, col("x")).otherwise(0L).cast(dec)).as("sx_c"),
+          sum(when(col("arm") === 1, col("x")).otherwise(0L).cast(dec)).as("sx_t"),
+          sum(when(col("arm") === 0, col("y")).otherwise(0L).cast(dec)).as("sy_c"),
+          sum(when(col("arm") === 1, col("y")).otherwise(0L).cast(dec)).as("sy_t"))
+      val covN = (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+      val varXN = (col("n") * col("sx2") - col("sx") * col("sx")).cast(DoubleType)
+      val varYN = (col("n") * col("sy2") - col("sy") * col("sy")).cast(DoubleType)
+      val theta = try_divide(covN, varXN)
+      val xbar = col("sx").cast(DoubleType) / col("n") / 100
+      def armMeanAdj(sy: Column, sx: Column, nArm: Column): Column =
+        try_divide(sy.cast(DoubleType), nArm) / 100 -
+          theta * (try_divide(sx.cast(DoubleType), nArm) / 100 - xbar)
+      val meanC = armMeanAdj(col("sy_c"), col("sx_c"), col("n_c"))
+      val meanT = armMeanAdj(col("sy_t"), col("sx_t"), col("n_t"))
+      m.select(col("n_c").as("n_control"), col("n_t").as("n_treatment"),
+        round(theta, 6).as("theta"),
+        round(meanC, 6).as("mean_adj_control"),
+        round(meanT, 6).as("mean_adj_treatment"),
+        round(meanT - meanC, 6).as("lift_adj"),
+        round(try_divide(covN * covN, varXN * varYN), 6).as("var_reduction"))
     }),
 
     // approximate quantiles (Greenwald-Khanna sketch): estimates are
@@ -495,6 +550,50 @@ object SqlSurface {
            CAST((n_c - n_t) * (n_c - n_t) AS DOUBLE) / (n_c + n_t) > 3.841
              AS srm_flag
          FROM a""",
+    "events_ab_cuped" ->
+      """WITH e AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) c,
+             CAST(ts AS DATE) < DATE '2024-01-16' pre
+           FROM events WHERE event_type = 'purchase'),
+         u AS (SELECT user_id,
+                 SUM(CASE WHEN pre THEN c ELSE 0 END) x,
+                 SUM(CASE WHEN NOT pre THEN c ELSE 0 END) y
+               FROM e GROUP BY 1),
+         p AS (SELECT
+             CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,7)) AS BIGINT) % 2 arm,
+             x, y FROM u),
+         m AS (SELECT count(*) n,
+                 SUM(CAST(x AS HUGEINT)) sx,
+                 SUM(CAST(y AS HUGEINT)) sy,
+                 SUM(CAST(x * y AS HUGEINT)) sxy,
+                 SUM(CAST(x * x AS HUGEINT)) sx2,
+                 SUM(CAST(y * y AS HUGEINT)) sy2,
+                 count(CASE WHEN arm = 0 THEN 1 END) n_c,
+                 count(CASE WHEN arm = 1 THEN 1 END) n_t,
+                 SUM(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) ELSE 0 END) sx_c,
+                 SUM(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) ELSE 0 END) sx_t,
+                 SUM(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT) ELSE 0 END) sy_c,
+                 SUM(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT) ELSE 0 END) sy_t
+               FROM p),
+         d AS (SELECT *,
+                 CAST(n * sxy - sx * sy AS DOUBLE) covn,
+                 CAST(n * sx2 - sx * sx AS DOUBLE) varxn,
+                 CAST(n * sy2 - sy * sy AS DOUBLE) varyn
+               FROM m)
+         SELECT n_c AS n_control, n_t AS n_treatment,
+           round(covn / varxn, 6) AS theta,
+           round(CAST(sy_c AS DOUBLE) / n_c / 100 - (covn / varxn) *
+             (CAST(sx_c AS DOUBLE) / n_c / 100 - CAST(sx AS DOUBLE) / n / 100), 6)
+             AS mean_adj_control,
+           round(CAST(sy_t AS DOUBLE) / n_t / 100 - (covn / varxn) *
+             (CAST(sx_t AS DOUBLE) / n_t / 100 - CAST(sx AS DOUBLE) / n / 100), 6)
+             AS mean_adj_treatment,
+           round((CAST(sy_t AS DOUBLE) / n_t / 100 - (covn / varxn) *
+             (CAST(sx_t AS DOUBLE) / n_t / 100 - CAST(sx AS DOUBLE) / n / 100)) -
+                 (CAST(sy_c AS DOUBLE) / n_c / 100 - (covn / varxn) *
+             (CAST(sx_c AS DOUBLE) / n_c / 100 - CAST(sx AS DOUBLE) / n / 100)), 6)
+             AS lift_adj,
+           round(covn * covn / (varxn * varyn), 6) AS var_reduction
+         FROM d""",
     "events_ab_test" ->
       """WITH p AS (SELECT
              CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,7)) AS BIGINT) % 2 arm,
