@@ -872,6 +872,114 @@ object Similarity {
         col("cos_sim"), col("rank"))
   }
 
+  /** GRAPH-EXPANSION ANN search (the flattened one-hop form of NSW/HNSW
+    * beam search): LSH-bucket seeds per query are widened through the
+    * prebuilt [[knnGraph]] edges — a vector the buckets missed is found
+    * if any of its graph neighbors seeded — then the widened candidate
+    * set is exactly re-scored and cut to k. The recall-repair step a
+    * serving tier applies when bucket recall alone is short of SLA,
+    * bought with one extra id-keyed equi-join (fan-out ≤ graphK per
+    * seed) instead of more probes over the corpus.
+    *
+    * Scale shape: seeds are bucket equi-joins (never a corpus scan), the
+    * expansion joins the ≤ seedK·|Q| seed list against the O(n·graphK)
+    * edge list on a vector id, and the rerank touches only the widened
+    * candidates (≤ seedK·(1+graphK) per query) through the bounded
+    * [[TopKPairs]] cut. Output: (qid, nid, cos_sim, rank). */
+  def graphExpandTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                      seedK: Int, graphK: Int): DataFrame = {
+    val seeds = rpLshTopK(corpus, queries, seedK, planes = 8, probes = 3)
+      .select(col("qid"), col("nid"))
+    val g = knnGraph(corpus, graphK).select(col("src"), col("nbr"))
+    val cand = seeds.unionByName(
+        seeds.join(g, seeds("nid") === g("src"))
+          .select(col("qid"), col("nbr").as("nid")))
+      .distinct()
+    val q = queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qv")).withColumn("qn", norm2(col("qv")))
+    val c = corpus.select(col("vec_id").as("nid"),
+      asDouble(col("embedding")).as("nv")).withColumn("nn", norm2(col("nv")))
+    val scored = cand.join(c, "nid").join(broadcast(q), "qid")
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos_sim"))
+    topKByScore(scored, k)
+  }
+
+  /** MATRYOSHKA truncation eval — recall@k of the PREFIX-dims cosine
+    * ranking against the full-dims ranking, per query. The measurement an
+    * MRL-embedding rollout (Kusupati et al., NeurIPS'22) runs before
+    * serving truncated vectors: if recall@k at d'=16 of 64 is already
+    * ~1.0, the ANN tier can store/scan 4× less. Both rankings are the
+    * proven [[bruteForceTopK]] shape (broadcast queries, bounded top-k
+    * cut); the truncated side just slices the array BEFORE the scan, so
+    * its dot products genuinely cost d'/d of the full pass.
+    * Output: (qid, n_hit, recall). */
+  def matryoshkaRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+                       prefixDims: Int): DataFrame = {
+    def pfx(df: DataFrame) = df.select(col("vec_id"),
+      slice(col("embedding"), 1, prefixDims).as("embedding"))
+    val full = bruteForceTopK(corpus, queries, k).select(col("qid"), col("nid"))
+    val trunc = bruteForceTopK(pfx(corpus), pfx(queries), k)
+      .select(col("qid"), col("nid"))
+    val hits = full.join(trunc, Seq("qid", "nid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    full.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / lit(k.toDouble), 6)
+          .as("recall"))
+  }
+
+  /** LOCAL OUTLIER FACTOR (Breunig et al., SIGMOD'00) over the banded
+    * [[knnGraph]] edges — the density-relative anomaly score an embedding
+    * QA pass runs to surface mis-embedded / out-of-distribution vectors
+    * that a global distance threshold misses (a point can be far from
+    * everything in a sparse region and still be normal). LOF(p) ≈ 1 means
+    * p's local density matches its neighbors'; LOF ≫ 1 flags an outlier.
+    *
+    * Relational form on the edge list (distance = 1 − cos, exact at 6dp):
+    * k-distance is a per-node max; reachability reach(p,o) =
+    * max(kdist(o), d(p,o)) is one edge-keyed join; lrd(p) =
+    * deg(p)/Σ_o reach(p,o) one aggregate; LOF(p) = mean_o lrd(o)/lrd(p)
+    * one more join+aggregate. Every join is keyed on a vector id with
+    * fan-in ≤ k — the whole pass is O(n·k) rows end-to-end, no pairwise
+    * blowup beyond the banded candidate step the graph itself bounds.
+    * Nodes with no in-band candidates have no neighborhood to compare
+    * against and drop out (the graph's recall, not LOF's concern).
+    *
+    * Determinism: distances and k-distances are exact 6dp values,
+    * reach sums go through DECIMAL(28,12) (exact), lrd is ONE double
+    * division rounded to 9dp, the lrd sums are decimal-exact again, and
+    * the final score is a fixed two-division shape rounded to 6dp —
+    * bit-identical across engines and partitionings. try_divide: a node
+    * whose neighbors all sit at distance 0 (exact duplicates) has
+    * Σreach = 0 → NULL lrd → NULL lof, the honest "density is infinite
+    * here" read. Output: (vec_id, deg, lof). */
+  def lofScores(corpus: DataFrame, k: Int): DataFrame = {
+    val dec = DecimalType(28, 12)
+    val e = knnGraph(corpus, k)
+      .select(col("src"), col("nbr"),
+        round(lit(1.0) - col("cos_sim"), 6).as("d"))
+      .materialized // feeds kdist, reach, and the final LOF join
+    val kd = e.groupBy(col("src")).agg(max(col("d")).as("kdist"))
+    val reach = e
+      .join(kd.select(col("src").as("nbr"), col("kdist").as("kd_o")), "nbr")
+      .select(col("src"), col("nbr"), greatest(col("kd_o"), col("d")).as("r"))
+    val lrd = reach.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"),
+        sum(col("r").cast(dec)).cast(DoubleType).as("sr"))
+      .select(col("src"), col("deg"),
+        round(try_divide(col("deg").cast(DoubleType), col("sr")), 9).as("lrd"))
+    e.join(lrd.select(col("src").as("nbr"), col("lrd").as("lrd_o")), "nbr")
+      .groupBy(col("src"))
+      .agg(sum(col("lrd_o").cast(dec)).cast(DoubleType).as("slo"))
+      .join(lrd, "src")
+      .select(col("src").as("vec_id"), col("deg"),
+        round(try_divide(col("slo") / col("deg"), col("lrd")), 6).as("lof"))
+  }
+
   /** Per-label embedding DIVERSITY: the mean pairwise cosine among a
     * label's vectors — the "is this slice redundant" score diversity-aware
     * curation (SemDeDup-style pruning budgets, mixture re-weighting)

@@ -932,6 +932,29 @@ object NorthStar {
     "ann_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(t(s, dir, "embeddings"), 3)),
 
+    // Local Outlier Factor over those same kNN edges: density-relative
+    // embedding anomalies (mis-embedded / OOD vectors) — three id-keyed
+    // joins with fan-in ≤ k, O(n·k) rows end-to-end
+    "emb_lof_outliers" -> ((s, dir) =>
+      Similarity.lofScores(t(s, dir, "embeddings"), 3)),
+
+    // one-hop graph-expansion search (flattened NSW beam): LSH seeds
+    // widened through the kNN-graph edges, exact rerank — recall repair
+    // for one id-keyed join instead of more corpus probes
+    "ann_graph_expand_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.graphExpandTopK(e, e.where(col("vec_id") < 5), 10,
+        seedK = 10, graphK = 3)
+    }),
+
+    // Matryoshka truncation eval: recall@10 of the 16-of-64-dims prefix
+    // cosine ranking vs the full ranking — the "can we serve 4x-smaller
+    // vectors" measurement, two brute-force passes + one semi-join
+    "emb_matryoshka_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.matryoshkaRecall(e, e.where(col("vec_id") < 5), 10, 16)
+    }),
+
     // embedding-cosine near-dup DEDUP end product: the bucketed pair graph
     // above → connected components → keep-list (vectors minus
     // non-representative cluster members) — the same decision stage
@@ -2626,6 +2649,66 @@ object NorthStar {
          SELECT qid, nid, cos_sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10""",
     "ann_cosine_pairs" -> annPairsBucketedSql,
     "ann_knn_graph" -> annKnnGraphSql,
+    "emb_lof_outliers" ->
+      s"""WITH knn AS (SELECT * FROM ($annKnnGraphSql)),
+          e AS (SELECT src, nbr, round(1.0 - cos_sim, 6) d FROM knn),
+          kd AS (SELECT src, max(d) kdist FROM e GROUP BY 1),
+          reach AS (SELECT e.src, e.nbr, greatest(kd.kdist, e.d) r
+                    FROM e JOIN kd ON kd.src = e.nbr),
+          lrd AS (SELECT src, count(*) deg,
+                   round(CAST(count(*) AS DOUBLE) /
+                     CAST(SUM(CAST(r AS DECIMAL(28,12))) AS DOUBLE), 9) lrd
+                  FROM reach GROUP BY 1),
+          s AS (SELECT e.src,
+                 CAST(SUM(CAST(l2.lrd AS DECIMAL(28,12))) AS DOUBLE) slo
+                FROM e JOIN lrd l2 ON l2.src = e.nbr GROUP BY 1)
+          SELECT s.src AS vec_id, lrd.deg,
+            round(slo / lrd.deg / lrd.lrd, 6) AS lof
+          FROM s JOIN lrd ON lrd.src = s.src""",
+    "ann_graph_expand_topk" ->
+      s"""WITH seeds AS (SELECT qid, nid FROM ($annLshTopKSql)),
+          g AS (SELECT src, nbr FROM ($annKnnGraphSql)),
+          cand AS (SELECT DISTINCT qid, nid FROM (
+              SELECT qid, nid FROM seeds
+              UNION ALL
+              SELECT seeds.qid, g.nbr FROM seeds JOIN g ON g.src = seeds.nid)),
+          q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv
+                FROM embeddings WHERE vec_id < 5),
+          c AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) nv FROM embeddings),
+          sc AS (SELECT cand.qid, cand.nid,
+                  round(list_cosine_similarity(qv, nv), 6) cos_sim
+                 FROM cand JOIN q USING (qid) JOIN c USING (nid)
+                 WHERE cand.qid <> cand.nid),
+          r AS (SELECT qid, nid, cos_sim,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos_sim DESC, nid ASC) rn
+                FROM sc)
+          SELECT qid, nid, cos_sim, CAST(rn AS INTEGER) AS rank
+          FROM r WHERE rn <= 10""",
+    "emb_matryoshka_recall" ->
+      """WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv
+            FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) nv FROM embeddings),
+         sf AS (SELECT qid, nid, round(list_cosine_similarity(qv, nv), 6) cos_sim
+                FROM q, c WHERE qid <> nid),
+         rf AS (SELECT qid, nid,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) rn
+                FROM sf),
+         fullk AS (SELECT qid, nid FROM rf WHERE rn <= 10),
+         st AS (SELECT qid, nid,
+                 round(list_cosine_similarity(qv[1:16], nv[1:16]), 6) cos_sim
+                FROM q, c WHERE qid <> nid),
+         rt AS (SELECT qid, nid,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) rn
+                FROM st),
+         trunck AS (SELECT qid, nid FROM rt WHERE rn <= 10),
+         hits AS (SELECT qid, count(*) n_hit FROM fullk
+                  WHERE EXISTS (SELECT 1 FROM trunck t
+                                WHERE t.qid = fullk.qid AND t.nid = fullk.nid)
+                  GROUP BY 1)
+         SELECT DISTINCT f.qid, COALESCE(n_hit, 0) AS n_hit,
+           round(CAST(COALESCE(n_hit, 0) AS DOUBLE) / 10.0, 6) AS recall
+         FROM fullk f LEFT JOIN hits ON hits.qid = f.qid""",
     "dedup_embedding" ->
       s"""WITH RECURSIVE p AS (SELECT a, b FROM ($annPairsBucketedSql)),
           edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),

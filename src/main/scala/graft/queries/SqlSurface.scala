@@ -342,6 +342,20 @@ object SqlSurface {
              AND c_acctbal > 5000""")
     }),
 
+    // correlated EXISTS / NOT EXISTS — Catalyst rewrites the pair into a
+    // semi-join plus an anti-join on o_custkey (two hash joins, no
+    // per-row subquery execution), the plan shape that survives any scale
+    "q_sql_exists_correlated" -> ((s, dir) => {
+      registerViews(s, dir)
+      s.sql(
+        """SELECT c_custkey, c_acctbal FROM customer
+           WHERE EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+             AND NOT EXISTS (SELECT 1 FROM orders
+                             WHERE o_custkey = c_custkey
+                               AND o_orderstatus = 'F')""")
+    }),
+
     // SQL layer: scalar subquery in the projection
     "q_sql_scalar_subquery" -> ((s, dir) => {
       registerViews(s, dir)
@@ -689,6 +703,13 @@ object SqlSurface {
       """SELECT c_custkey, c_name FROM customer
          WHERE c_nationkey IN (SELECT s_nationkey FROM supplier)
            AND c_acctbal > 5000""",
+    "q_sql_exists_correlated" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderstatus = 'F')""",
     "q_sql_scalar_subquery" ->
       """SELECT r_name,
            (SELECT COUNT(*) FROM nation WHERE n_regionkey = r_regionkey) AS n_nations
