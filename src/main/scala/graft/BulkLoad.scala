@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.keys
 import graft.operators.{CellOps, RegionSort}
-import graft.sources.{AvroSource, Delimited, OrcSource, RCFileSource}
+import graft.sources.{AvroSource, Delimited, JsonlSource, OrcSource, RCFileSource}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -87,6 +87,22 @@ object BulkLoad {
     * NPEs on it). */
   def avro(spark: SparkSession, input: String, cfg: Config = Config(qualifiers = NameQualifiers)): Result = {
     val df = AvroSource.read(spark, input)
+    val idCol = df.columns.head
+    val kept = df.where(col(idCol).isNotNull)
+    val cells = CellOps.explodeNamed(kept, keys.reversedKey(col(idCol)),
+      cfg.family, df.columns.toSeq, cfg.loadTs)
+    val rejected = df.where(col(idCol).isNull)
+      .select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    Result(sorted(cells, cfg), rejected, SortedParquetCellSink)
+  }
+
+  /** JSON-lines driver — same named-cell semantics as [[avro]] (reversed
+    * first-field key, field-name qualifiers, null-id quarantine, null
+    * fields emit no cell) over the feed format modern pipelines actually
+    * ship; `ddl` fixes the schema and the qualifier order explicitly. */
+  def jsonl(spark: SparkSession, input: String, ddl: String,
+            cfg: Config = Config(qualifiers = NameQualifiers)): Result = {
+    val df = JsonlSource.read(spark, input, ddl)
     val idCol = df.columns.head
     val kept = df.where(col(idCol).isNotNull)
     val cells = CellOps.explodeNamed(kept, keys.reversedKey(col(idCol)),

@@ -29,6 +29,46 @@ object TextOps {
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\S+"), lit(0)))
 
+  /** FLESCH READING EASE per document — the classic readability score
+    * (206.835 − 1.015·words/sentences − 84.6·syllables/words) a quality
+    * pipeline bins corpora by before mixing (children's text, prose,
+    * legalese and code separate cleanly). Sentences are maximal [.!?]+
+    * runs (floored at 1 — a fragment is one sentence); syllables are the
+    * standard vowel-group proxy (maximal [aeiouy]+ runs, case-folded).
+    * All three counts are exact integers from one regex pass each; the
+    * score is a fixed-shape double expression on those integers
+    * (round-6) — shuffle-free projection, engine-identical. Output:
+    * (doc_id, n_words, n_sentences, n_syllables, flesch). */
+  def readability(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+        tokenCount(col("text")).as("n_words"),
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))),
+          lit(1)).as("n_sentences"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+          .as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast(DoubleType)
+            / col("n_sentences").cast(DoubleType))
+          - lit(84.6) * (col("n_syllables").cast(DoubleType)
+            / greatest(col("n_words"), lit(1)).cast(DoubleType)), 6).as("flesch"))
+
+  /** DuckDB mirror of [[readability]] (oracle builder). */
+  def readabilitySql(table: String = "documents"): String =
+    s"""WITH c AS (SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '\\S+')) AS INT) n_words,
+            CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT)
+              n_sentences,
+            CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT)
+              n_syllables
+          FROM $table)
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+          round(206.835
+            - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+            - 84.6 * (CAST(n_syllables AS DOUBLE)
+              / CAST(greatest(n_words, 1) AS DOUBLE)), 6) AS flesch
+        FROM c"""
+
   /** Context-window chunking — split each document into token windows of
     * `width` tokens advancing by `stride` (overlap = width − stride), the
     * standard preprocessing for RAG passage indexing and for packing long

@@ -598,6 +598,11 @@ object NorthStar {
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
         TextOps.langId(col("text")).as("pred_lang"))),
 
+    // Flesch reading ease per doc — exact integer word/sentence/syllable
+    // counts, one shuffle-free projection
+    "text_readability" -> ((s, dir) =>
+      TextOps.readability(t(s, dir, "documents"))),
+
     // classifier EVAL as a first-class query: the lang-ID confusion
     // matrix (actual × predicted counts with integer recall ppm per
     // cell's actual class) — the number that says whether the n-gram
@@ -2426,6 +2431,7 @@ object NorthStar {
            CAST(len(list_filter(string_split(text,' '), t2 -> t2 IN ($stopSql))) AS DOUBLE)/len(string_split(text,' ')) AS stopword_ratio
          FROM documents""",
     "text_lang_id" -> langIdSql,
+    "text_readability" -> TextOps.readabilitySql(),
     "text_langid_confusion" ->
       s"""WITH p AS (SELECT lang, pred_lang FROM ($langIdSql)),
           t AS (SELECT lang, count(*) n_actual FROM p GROUP BY 1)

@@ -128,6 +128,9 @@ object Pipelines {
     // closes trailing windows) — the scale shape; the complete-mode
     // memory-sink windowedAgg stays as the interactive operator
     "stream_windowed_agg" -> ((s, dir) => EventStream.windowedAggAppendAll(s, dir)),
+    // sliding 2h/1h streaming windows: every event in exactly two
+    // overlapping windows, watermark-evicted state, append file sink
+    "stream_sliding_agg" -> ((s, dir) => EventStream.slidingAggAppendAll(s, dir)),
 
     // stream-static enrichment: broadcast dim join on the stream, then the
     // windowed revenue-per-nation aggregate (stateless join, same window
@@ -818,6 +821,16 @@ object Pipelines {
            event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "stream_sliding_agg" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) ts, event_type,
+             CAST(value AS DECIMAL(18,4)) v FROM events),
+         x AS (SELECT unnest([
+                 time_bucket(INTERVAL '1 hour', ts) - INTERVAL 1 HOUR,
+                 time_bucket(INTERVAL '1 hour', ts)]) ws,
+               event_type, v FROM e)
+         SELECT ws AS window_start, event_type, COUNT(*) AS n,
+           CAST(SUM(v) AS DOUBLE) AS sum_value
+         FROM x GROUP BY 1, 2""",
     "stream_ann_assign" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
          cent AS (SELECT vec_id cid, v cv FROM e

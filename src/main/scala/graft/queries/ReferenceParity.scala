@@ -204,6 +204,23 @@ object ReferenceParity {
       hexBin(graft.BulkLoad.avro(s, path).cells)
     }),
 
+    // JSON-lines round-trip: same named-cell semantics as the avro path
+    // (explicit-schema read — no inference scan, no alphabetized columns)
+    // over the feed format modern pipelines actually ship
+    "source_jsonl_cells" -> ((s, dir) => {
+      val path = staged(fixturePath(dir, "jsonl")) {
+        graft.sources.JsonlSource.write(t(s, dir, "supplier").select(
+          col("s_suppkey").cast(StringType).as("id"),
+          col("s_name").as("name"),
+          col("s_nationkey").cast(StringType).as("nationkey"),
+          when(col("s_acctbal") < 0, lit(null).cast(StringType))
+            .otherwise(col("s_acctbal").cast(DecimalType(18, 2)).cast(StringType))
+            .as("acctbal")), fixturePath(dir, "jsonl"))
+      }
+      hexBin(graft.BulkLoad.jsonl(s, path,
+        "id STRING, name STRING, nationkey STRING, acctbal STRING").cells)
+    }),
+
     // S4 (legacy): RCFile columnar round-trip through the positional
     // pipeline — same cells as the csv/hivetext drivers on this content
     "source_rcfile_cells" -> ((s, dir) => {
@@ -425,6 +442,8 @@ object ReferenceParity {
 
   val oracle: Map[String, String] = Map(
     "source_avro_cells" -> suppCellsAvroSql,
+    // identical cell semantics on identical staged content
+    "source_jsonl_cells" -> suppCellsAvroSql,
     "source_rcfile_cells" -> suppCellsIndexedSql,
     "source_orc_cells" -> suppCellsIndexedSql,
     "rowkey_md5_composite" ->

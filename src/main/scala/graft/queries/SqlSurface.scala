@@ -196,6 +196,32 @@ object SqlSurface {
         round(try_divide(covN * covN, varXN * varYN), 6).as("var_reduction"))
     }),
 
+    // POWER ANALYSIS — the sample-size calculation run BEFORE launching
+    // the experiment the two queries above read out: per-arm n to detect
+    // a 5%-of-mean lift at alpha=0.05 / power 0.80, n = 2(z_a+z_b)^2
+    // sigma^2 / delta^2 with (1.959964 + 0.841621) folded to one literal
+    // so both engines square the identical double. Moments are the same
+    // exact DECIMAL(18,4) sums as events_ab_test; every output is a
+    // fixed-shape double expression on them — ceil included, since
+    // bit-identical inputs ceil identically. One scan, one 1-row agg.
+    "events_power_analysis" -> ((s, dir) => {
+      val e = t(s, dir, "events").where(col("event_type") === "purchase")
+      val vdec = col("value").cast(DecimalType(18, 4))
+      val a = e.select(vdec.as("v"), (vdec * vdec).as("v2"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"), sum(col("v2")).as("sv2"))
+      val mean = col("sv").cast(DoubleType) / col("n")
+      val variance = (col("sv2").cast(DoubleType) -
+        col("sv").cast(DoubleType) * col("sv").cast(DoubleType) / col("n")) /
+        (col("n") - 1)
+      val mde = mean * lit(0.05)
+      a.select(col("n").as("n_obs"),
+        round(mean, 6).as("mean"),
+        round(variance, 6).as("variance"),
+        round(mde, 6).as("mde_abs"),
+        ceil(lit(2.0) * (lit(2.801585) * lit(2.801585)) * variance / (mde * mde))
+          .cast(LongType).as("n_per_arm"))
+    }),
+
     // approximate quantiles (Greenwald-Khanna sketch): estimates are
     // engine-specific, so — like q_approx_distinct — the DECLARED columns
     // are the exact percentiles plus an error-bound flag; the sketch runs
@@ -608,6 +634,23 @@ object SqlSurface {
              AS lift_adj,
            round(covn * covn / (varxn * varyn), 6) AS var_reduction
          FROM d""",
+    "events_power_analysis" ->
+      """WITH p AS (SELECT CAST(value AS DECIMAL(18,4)) v,
+             CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)) v2
+           FROM events WHERE event_type = 'purchase'),
+         a AS (SELECT count(*) n, SUM(v) sv, SUM(v2) sv2 FROM p)
+         SELECT n AS n_obs,
+           round(CAST(sv AS DOUBLE) / n, 6) AS mean,
+           round((CAST(sv2 AS DOUBLE)
+              - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) / (n - 1), 6)
+             AS variance,
+           round(CAST(sv AS DOUBLE) / n * 0.05, 6) AS mde_abs,
+           CAST(ceil(2.0 * (2.801585 * 2.801585)
+             * ((CAST(sv2 AS DOUBLE)
+                - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) / (n - 1))
+             / ((CAST(sv AS DOUBLE) / n * 0.05)
+              * (CAST(sv AS DOUBLE) / n * 0.05))) AS BIGINT) AS n_per_arm
+         FROM a""",
     "events_ab_test" ->
       """WITH p AS (SELECT
              CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,7)) AS BIGINT) % 2 arm,

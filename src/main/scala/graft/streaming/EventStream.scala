@@ -244,13 +244,26 @@ object EventStream {
     * stays open and is excluded by the `window_start <= max(ts)` filter),
     * so on a finite table the file sink holds exactly the batch answer.
     * Output: (window_start, event_type, n, sum_value). */
-  def windowedAggAppendAll(spark: SparkSession, dir: String): DataFrame = {
+  def windowedAggAppendAll(spark: SparkSession, dir: String): DataFrame =
+    windowedAggAppendImpl(spark, dir, "1 hour", "1 hour")
+
+  /** SLIDING-window form of [[windowedAggAppendAll]]: 2-hour windows
+    * advancing hourly, so every event lands in exactly two overlapping
+    * windows — the moving-average shape dashboards stream. Same
+    * watermark/append/file-sink scale contract; per-window partial
+    * aggregation state is 2× the tumbling form (the overlap factor),
+    * still bounded by watermark eviction. */
+  def slidingAggAppendAll(spark: SparkSession, dir: String): DataFrame =
+    windowedAggAppendImpl(spark, dir, "2 hours", "1 hour")
+
+  private def windowedAggAppendImpl(spark: SparkSession, dir: String,
+                                    duration: String, slide: String): DataFrame = {
     val (staging, maxTs, schema) = stageEventsWithSentinel(spark, dir, 240L)
     val stream = spark.readStream.schema(schema).parquet(staging)
       .withColumn("ts", graft.queries.Tables.normTs(schema("ts").dataType))
     val agg = stream
       .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .groupBy(window(col("ts"), duration, slide), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
