@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.keys
 import graft.operators.{CellOps, RegionSort}
-import graft.sources.{AvroSource, Delimited, JsonlSource, OrcSource, RCFileSource}
+import graft.sources.{AvroSource, Delimited, JsonLines, OrcSource, RCFileSource}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -99,16 +99,21 @@ object BulkLoad {
   /** JSON-lines driver — same named-cell semantics as [[avro]] (reversed
     * first-field key, field-name qualifiers, null-id quarantine, null
     * fields emit no cell) over the feed format modern pipelines actually
-    * ship; `ddl` fixes the schema and the qualifier order explicitly. */
+    * ship. Reads through [[JsonLines.read]], so malformed lines join the
+    * null-id rows in the quarantine frame (the [[Delimited]]
+    * no-silent-drop contract); `ddl` fixes the schema and the qualifier
+    * order explicitly — never inferred. */
   def jsonl(spark: SparkSession, input: String, ddl: String,
             cfg: Config = Config(qualifiers = NameQualifiers)): Result = {
-    val df = JsonlSource.read(spark, input, ddl)
+    val (df, malformed) = JsonLines.read(spark, input,
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
     val idCol = df.columns.head
     val kept = df.where(col(idCol).isNotNull)
     val cells = CellOps.explodeNamed(kept, keys.reversedKey(col(idCol)),
       cfg.family, df.columns.toSeq, cfg.loadTs)
     val rejected = df.where(col(idCol).isNull)
       .select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      .unionByName(malformed)
     Result(sorted(cells, cfg), rejected, SortedParquetCellSink)
   }
 

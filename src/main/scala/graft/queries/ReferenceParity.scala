@@ -209,13 +209,13 @@ object ReferenceParity {
     // over the feed format modern pipelines actually ship
     "source_jsonl_cells" -> ((s, dir) => {
       val path = staged(fixturePath(dir, "jsonl")) {
-        graft.sources.JsonlSource.write(t(s, dir, "supplier").select(
+        graft.sources.JsonLines.write(t(s, dir, "supplier").select(
           col("s_suppkey").cast(StringType).as("id"),
           col("s_name").as("name"),
           col("s_nationkey").cast(StringType).as("nationkey"),
           when(col("s_acctbal") < 0, lit(null).cast(StringType))
             .otherwise(col("s_acctbal").cast(DecimalType(18, 2)).cast(StringType))
-            .as("acctbal")), fixturePath(dir, "jsonl"))
+            .as("acctbal")), fixturePath(dir, "jsonl"), shards = 1)
       }
       hexBin(graft.BulkLoad.jsonl(s, path,
         "id STRING, name STRING, nationkey STRING, acctbal STRING").cells)

@@ -427,6 +427,26 @@ class SourceDriversSpec extends SparkSuite {
     assert(diff.count() === 0)
   }
 
+  test("jsonl driver: named cells like avro; null id AND malformed lines quarantine") {
+    val dir = tmpDir() + "/jfeed"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "feed.jsonl"),
+      ("""{"id":"123","col1":"a","cl2":"b"}""" + "\n" +
+       """{"id":"456","cl2":"c"}""" + "\n" +           // missing col1 → no cell
+       """{"col1":"x","cl2":"y"}""" + "\n" +           // null id → quarantined
+       "{broken\n"                                     // malformed → quarantined
+      ).getBytes("UTF-8"))
+    val r = BulkLoad.jsonl(spark, dir, "id STRING, col1 STRING, cl2 STRING")
+    assert(r.quarantined.count() === 2)
+    assert(r.cells.count() === 5) // 3 cells for 123, 2 for 456
+    val k = r.cells.select(col("row").cast("string")).distinct()
+      .as[String].collect().toSet
+    assert(k === Set("321", "654")) // reversed natural keys, avro semantics
+    val quals = r.cells.select(col("qualifier").cast("string")).distinct()
+      .as[String].collect().toSet
+    assert(quals === Set("id", "col1", "cl2"))
+  }
+
   test("HFileCellSink: reflection guard falls back to parquet without hbase jars; chmod walk runs") {
     // this environment has no hbase-mapreduce on the classpath
     assert(!HFileCellSink.available)
