@@ -284,6 +284,20 @@ object ReferenceParity {
       hexBin(RegionSort.sortedByRange(
         CellOps.explodeIndexed(t(s, dir, "customer"), custKey, "c", custValueCols), 10))),
 
+    // HBase-scan analog over the STAGED layout: range read [0x40, 0x80)
+    // that prunes non-intersecting region files via footer stats before
+    // Spark plans the scan (parquet can't push binary predicates), then
+    // applies the residual unsigned-range filter in codegen
+    "cells_scan_range" -> ((s, dir) => {
+      val path = staged(fixturePath(dir, "cellscan")) {
+        graft.SortedParquetCellSink.write(RegionSort.sortedByRange(
+          CellOps.explodeIndexed(t(s, dir, "customer"), custKey, "c",
+            custValueCols), 10), fixturePath(dir, "cellscan"))
+      }
+      hexBin(graft.sources.CellScan.scanRange(s, path,
+        Some(Array(0x40.toByte)), Some(Array(0x80.toByte))))
+    }),
+
     // X3 payload fidelity: each cell serialized to the public HBase
     // KeyValue WIRE layout — the exact bytes HFileOutputFormat2 stores
     // per cell; only the HFile container stays behind the hbase-jars seam
@@ -460,6 +474,9 @@ object ReferenceParity {
         "string_split(p_name, ' ')[2] AS tok1 FROM part " +
         "WHERE len(string_split(p_name, ' ')) = 2"),
     "ingest_sorted_cells" -> cellsIndexedSql,
+    // hex-string range on the hex cells ≡ unsigned byte range on raw keys
+    "cells_scan_range" ->
+      s"""SELECT * FROM ($cellsIndexedSql) WHERE "row" >= '40' AND "row" < '80'""",
     "cells_compact_versions" -> cellsCompactSql,
     "cells_compact_tombstones" -> cellsTombstonesSql,
     "cells_keyvalue_wire" -> kvWireSql,

@@ -293,6 +293,58 @@ class SourceDriversSpec extends SparkSuite {
     assert(digits.length === 10) // 200 md5-salted rows hit all 10 buckets
   }
 
+  test("CellScan: range scan prunes non-intersecting region files via footer stats") {
+    import graft.operators.RegionSort
+    import graft.sources.CellScan
+    val wide = (0 until 200).map { i =>
+      (0 until 9).map(c => s"v${i}_$c")
+    }.map(r => (r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7), r(8)))
+      .toDF((0 until 9).map(i => s"c$i"): _*)
+    val r = BulkLoad.fromPositional(wide, BulkLoad.emptyQuarantine(spark),
+      BulkLoad.Config(saltBuckets = Some(10)))
+    val out = tmpDir() + "/cells"
+    SortedParquetCellSink.write(r.cells, out)
+
+    // salt digit '3' (0x33) occupies exactly one region file — the scan
+    // must open only that file, like a region server routing [0x33, 0x34)
+    val scan = CellScan.scanRange(spark, out,
+      Some(Array('3'.toByte)), Some(Array('4'.toByte)))
+    assert(scan.inputFiles.length === 1,
+      s"expected 1 pruned file, scanned ${scan.inputFiles.length}")
+    // correctness: pruned scan ≡ full scan + filter, byte for byte
+    val full = spark.read.parquet(out)
+      .where(col("row") >= lit(Array('3'.toByte)) &&
+        col("row") < lit(Array('4'.toByte)))
+    assert(scan.count() === full.count())
+    assert(scan.count() > 0)
+    assert(scan.exceptAll(full).isEmpty && full.exceptAll(scan).isEmpty)
+
+    // an empty range prunes everything and still returns the cell schema
+    val none = CellScan.scanRange(spark, out,
+      Some(Array(0xfe.toByte)), Some(Array(0xff.toByte)))
+    assert(none.count() === 0)
+    assert(none.columns.toSeq === Seq("row", "family", "qualifier", "value", "ts"))
+
+    // prefix scan: all of salt digit '7' via [0x37, 0x38)
+    val pfx = CellScan.scanPrefix(spark, out, Array('7'.toByte))
+    assert(pfx.inputFiles.length === 1)
+    val pfxFull = spark.read.parquet(out)
+      .where(col("row") >= lit(Array('7'.toByte)) &&
+        col("row") < lit(Array('8'.toByte)))
+    assert(pfx.count() === pfxFull.count() && pfx.count() > 0)
+
+    // nextPrefix edges: increments last non-0xff byte; all-0xff → unbounded
+    assert(CellScan.nextPrefix(Array(0x01.toByte, 0xff.toByte)).get.toSeq
+      === Seq(0x02.toByte))
+    assert(CellScan.nextPrefix(Array(0xff.toByte, 0xff.toByte)) === None)
+    // unsigned residual-filter parity: scanning [0x80, unbounded) must use
+    // unsigned comparison (0x80 > 0x33 unsigned, negative signed)
+    val hiHalf = CellScan.scanRange(spark, out, Some(Array(0x80.toByte)), None)
+    val hiFull = spark.read.parquet(out).as[(Array[Byte], Array[Byte], Array[Byte], Array[Byte], Long)]
+      .collect().count(t => RegionSort.unsignedBytes.compare(t._1, Array(0x80.toByte)) >= 0)
+    assert(hiHalf.count() === hiFull)
+  }
+
   test("DSv2: write.format(\"graft-cells\") lands the golden layout from an UNALIGNED frame") {
     import graft.operators.RegionSort
     // same 200-row corpus as the golden test, but cells arrive UNSALTED
