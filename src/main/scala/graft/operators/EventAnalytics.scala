@@ -74,6 +74,98 @@ object EventAnalytics {
       .agg(countDistinct(col("user_id")).as("active_users"))
   }
 
+  /** RETENTION CURVE FIT — the exponential-decay model behind every
+    * retention forecast: pooled day-age retention r_a = (users active at
+    * age a) / (users in cohorts OLD ENOUGH to be observed at age a), then
+    * a log-linear OLS ln(r_a) = intercept + slope·a whose slope yields
+    * the retention half-life −ln2/slope in days. The observability
+    * restriction on the denominator is what makes the pooled rate
+    * unbiased on a finite window (young cohorts can't contribute misses
+    * at ages they haven't reached).
+    *
+    * Scale shape: the stream reduces to distinct (user, day) first; ages
+    * and cohort sizes are |days|-bounded censuses, their cross is
+    * |ages|·|cohorts| (calendar-bounded, never data-sized), and the fit
+    * is one 1-row moment aggregate. Determinism: counts are exact
+    * integers; each ln(rate) is one fixed-shape double rounded to 9dp;
+    * moment sums go through exact decimals; the closed-form finish is
+    * fixed-shape doubles, round-6. try_divide: a single observed age has
+    * zero age-variance → NULL slope/half-life.
+    * Output: one row (n_ages, slope, intercept, half_life_days). */
+  def retentionHalfLife(events: DataFrame): DataFrame = {
+    import graft.operators.Dedup.MaterializeSyntax
+    val dec9 = DecimalType(28, 12)
+    val decI = DecimalType(38, 0)
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct().materialized // feeds the cohort map, ages, and the max day
+    val cohort = ud.groupBy(col("user_id")).agg(min(col("day")).as("c0"))
+      .materialized // feeds per-age activity and cohort sizes
+    val act = ud.join(cohort, "user_id")
+      .select(datediff(col("day"), col("c0")).as("a"))
+      .where(col("a") >= 1)
+      .groupBy(col("a")).agg(count(lit(1)).as("num")) // distinct by construction
+    val csize = cohort.groupBy(col("c0")).agg(count(lit(1)).as("sz"))
+    val maxd = ud.agg(max(col("day")).as("maxd"))
+    val den = act.select(col("a"))
+      .crossJoin(broadcast(csize)) // |ages|·|cohorts| census, calendar-bounded
+      .crossJoin(broadcast(maxd)) // 1-row scalar, documented pattern
+      .where(datediff(col("maxd"), col("c0")) >= col("a"))
+      .groupBy(col("a")).agg(sum(col("sz")).as("den"))
+    val r = act.join(den, "a")
+      .where(col("num") > 0 && col("den") > 0)
+      .select(col("a").cast(LongType).as("a"),
+        round(log(col("num").cast(DoubleType) / col("den").cast(DoubleType)), 9)
+          .as("y"))
+    val m = r.agg(count(lit(1)).as("n"),
+      sum(col("a").cast(decI)).as("sa"),
+      sum((col("a") * col("a")).cast(decI)).as("sa2"),
+      sum(col("y").cast(dec9)).as("sy"),
+      sum(round(col("a") * col("y"), 9).cast(dec9)).as("say"))
+    val nD = col("n").cast(DoubleType)
+    val saD = col("sa").cast(DoubleType)
+    val slope = try_divide(
+      nD * col("say").cast(DoubleType) - saD * col("sy").cast(DoubleType),
+      nD * col("sa2").cast(DoubleType) - saD * saD)
+    m.select(col("n").as("n_ages"),
+      round(slope, 6).as("slope"),
+      round((col("sy").cast(DoubleType) - slope * saD) / nD, 6).as("intercept"),
+      round(lit(-0.6931471805599453) / slope, 6).as("half_life_days"))
+  }
+
+  /** DuckDB mirror of [[retentionHalfLife]] (oracle builder). */
+  def retentionHalfLifeSql(): String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) "day" FROM events),
+       c AS (SELECT user_id, MIN("day") c0 FROM ud GROUP BY 1),
+       act AS (SELECT date_diff('day', c0, "day") a, count(*) num
+               FROM ud JOIN c USING (user_id)
+               WHERE date_diff('day', c0, "day") >= 1 GROUP BY 1),
+       cs AS (SELECT c0, count(*) sz FROM c GROUP BY 1),
+       maxd AS (SELECT MAX("day") maxd FROM ud),
+       den AS (SELECT a, CAST(SUM(sz) AS BIGINT) den
+               FROM (SELECT a FROM act), cs, maxd
+               WHERE date_diff('day', c0, maxd) >= a GROUP BY 1),
+       r AS (SELECT CAST(act.a AS BIGINT) a,
+              round(ln(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)), 9) y
+             FROM act JOIN den USING (a)
+             WHERE num > 0 AND den > 0),
+       m AS (SELECT count(*) n,
+              SUM(CAST(a AS DECIMAL(38,0))) sa,
+              SUM(CAST(a * a AS DECIMAL(38,0))) sa2,
+              SUM(CAST(y AS DECIMAL(28,12))) sy,
+              SUM(CAST(round(a * y, 9) AS DECIMAL(28,12))) say
+             FROM r),
+       d AS (SELECT *,
+              (CAST(n AS DOUBLE) * CAST(say AS DOUBLE)
+                - CAST(sa AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sa2 AS DOUBLE)
+                - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) slope
+             FROM m)
+       SELECT n AS n_ages, round(slope, 6) AS slope,
+         round((CAST(sy AS DOUBLE) - slope * CAST(sa AS DOUBLE))
+           / CAST(n AS DOUBLE), 6) AS intercept,
+         round(-0.6931471805599453 / slope, 6) AS half_life_days
+       FROM d"""
+
   /** Rolling active-user counts: for every day with direct activity, the
     * distinct users active that day (DAU) and over the trailing `window`
     * days (WAU/MAU by parameter).

@@ -158,6 +158,60 @@ object TextOps {
         (size(filter(toks, t => t.isin(stopwords: _*))).cast(DoubleType) / n))
   }
 
+  /** CODE-vs-PROSE detector — the mixture-weighting signal every
+    * pretraining curation pass computes (code is up- or down-weighted as
+    * a SOURCE, so misclassified code inside a prose crawl skews the mix):
+    * three deterministic per-doc features and a fixed linear verdict.
+    * symbol_ppm = code-punctuation chars ({}[]();=<>) per million chars;
+    * indent_ppm = lines opening with 2+ spaces or a tab per million
+    * lines; kw_hits = occurrences of 8 cross-language keywords as
+    * whole tokens. is_code fires on (symbols high AND any keyword) or
+    * (indentation high AND any keyword) — a real pipeline swaps in a
+    * trained classifier; the heuristic keeps the operator deterministic
+    * and oracle-checkable (the [[langId]] convention). Exact integer
+    * counts, one shuffle-free projection.
+    * Output: (doc_id, symbol_ppm, indent_ppm, kw_hits, is_code). */
+  def codeDetect(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nChars = greatest(length(col("text")), lit(1)).cast(LongType)
+    val nLines = (size(regexp_extract_all(col("text"), lit("\n"), lit(0))) + 1)
+      .cast(LongType)
+    val symbols = size(regexp_extract_all(col("text"),
+      lit("[{}\\[\\]();=<>]"), lit(0))).cast(LongType)
+    val indented = size(regexp_extract_all(col("text"),
+      lit("(?m)^(?:  +|\\t)"), lit(0))).cast(LongType)
+    val kw = size(regexp_extract_all(col("text"),
+      lit("\\b(?:def|class|return|import|function|var|const|void)\\b"),
+      lit(0))).cast(LongType)
+    docs.select(col("doc_id"), nChars.as("nc"), nLines.as("nl"),
+        symbols.as("sy"), indented.as("ind"), kw.as("kw_hits"))
+      .select(col("doc_id"),
+        expr("sy * 1000000L div nc").as("symbol_ppm"),
+        expr("ind * 1000000L div nl").as("indent_ppm"),
+        col("kw_hits"))
+      .withColumn("is_code",
+        (col("kw_hits") > 0) &&
+          (col("symbol_ppm") >= 20000L || col("indent_ppm") >= 300000L))
+  }
+
+  /** DuckDB mirror of [[codeDetect]] (oracle builder). */
+  def codeDetectSql(table: String = "documents"): String =
+    s"""WITH c AS (SELECT doc_id,
+            CAST(greatest(len(text), 1) AS BIGINT) nc,
+            CAST(len(regexp_extract_all(text, '\n')) + 1 AS BIGINT) nl,
+            CAST(len(regexp_extract_all(text, '[{}\\[\\]();=<>]')) AS BIGINT) sy,
+            CAST(len(regexp_extract_all(text, '(?m)^(?:  +|\\t)')) AS BIGINT) ind,
+            CAST(len(regexp_extract_all(text,
+              '\\b(?:def|class|return|import|function|var|const|void)\\b'))
+              AS BIGINT) kw_hits
+          FROM $table)
+        SELECT doc_id,
+          sy * 1000000 // nc AS symbol_ppm,
+          ind * 1000000 // nl AS indent_ppm,
+          kw_hits,
+          kw_hits > 0 AND (sy * 1000000 // nc >= 20000
+            OR ind * 1000000 // nl >= 300000) AS is_code
+        FROM c"""
+
   /** Language-ID: marker-word voting per language + CJK-codepoint count,
     * argmax with a fixed priority tiebreak (en>de>fr>es>zh). A real
     * pipeline swaps in a trained n-gram model; the heuristic keeps the

@@ -603,6 +603,11 @@ object NorthStar {
     "text_readability" -> ((s, dir) =>
       TextOps.readability(t(s, dir, "documents"))),
 
+    // code-vs-prose detection (mixture-weighting signal): symbol/indent
+    // ppm + keyword hits, fixed linear verdict, exact integers
+    "text_code_detect" -> ((s, dir) =>
+      TextOps.codeDetect(t(s, dir, "documents"))),
+
     // classifier EVAL as a first-class query: the lang-ID confusion
     // matrix (actual × predicted counts with integer recall ppm per
     // cell's actual class) — the number that says whether the n-gram
@@ -2432,6 +2437,7 @@ object NorthStar {
          FROM documents""",
     "text_lang_id" -> langIdSql,
     "text_readability" -> TextOps.readabilitySql(),
+    "text_code_detect" -> TextOps.codeDetectSql(),
     "text_langid_confusion" ->
       s"""WITH p AS (SELECT lang, pred_lang FROM ($langIdSql)),
           t AS (SELECT lang, count(*) n_actual FROM p GROUP BY 1)

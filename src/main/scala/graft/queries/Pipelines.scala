@@ -360,6 +360,12 @@ object Pipelines {
     "events_cohort_retention" -> ((s, dir) =>
       EventAnalytics.cohortRetention(t(s, dir, "events"))),
 
+    // exponential retention-curve fit: pooled observable day-age rates,
+    // log-linear OLS, half-life in days — calendar-bounded censuses,
+    // one 1-row moment aggregate
+    "events_retention_halflife" -> ((s, dir) =>
+      EventAnalytics.retentionHalfLife(t(s, dir, "events"))),
+
     // CDC apply: events as a keyed changelog ('error' = tombstone),
     // latest-wins snapshot via a two-phase max_by — no per-key window sort
     "events_cdc_snapshot" -> ((s, dir) =>
@@ -1039,6 +1045,8 @@ object Pipelines {
            round(CAST(users AS DOUBLE) /
              (SELECT CAST(count(*) AS DOUBLE) FROM s1), 6) AS conv_rate
          FROM c""",
+    "events_retention_halflife" ->
+      graft.operators.EventAnalytics.retentionHalfLifeSql(),
     "events_cohort_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events),
          c AS (SELECT user_id, date_trunc('week', min(ts)) cohort_week FROM e GROUP BY 1)
