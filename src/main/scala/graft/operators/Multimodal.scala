@@ -103,6 +103,8 @@ object Multimodal {
     }
   }
 
+  case class AudioHash(doc_id: Long, fp: Long)
+
   case class AudioStats(doc_id: Long, sample_rate: Long, n_samples: Long,
                         peak: Long, mean_abs: Long)
 
@@ -350,5 +352,45 @@ object Multimodal {
             sumAbs / dec.length)
         }
       }
+  }
+
+  /** Perceptual AUDIO fingerprint + dedup — the Chromaprint-style energy
+    * signature over the REAL WAV round-trip ([[audioStats]]'s decode
+    * path): the decoded |PCM| stream splits into 8 equal time bands, bit
+    * b fires when band b's energy exceeds the mean band energy
+    * (integer-only: 8·e_b > Σe), and the 8-bit fingerprint groups
+    * near-identical recordings — re-encodes of the same signal collapse
+    * onto one fingerprint regardless of container. Cluster id is the
+    * min doc_id sharing the fingerprint (the [[imageDedup]] keep rule).
+    * Same partition-wise decode batch shape as [[audioStats]]; the
+    * grouping is one fingerprint-keyed exchange over (doc, fp) rows —
+    * at 100 TB the decode dominates and parallelizes embarrassingly.
+    * Output: (doc_id, fp, cluster_id). */
+  def audioDedup(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rate = 8000
+    val fps = docs.select(col("doc_id"),
+        (lit(800) + pmod(col("doc_id"), lit(100))).cast(IntegerType).as("n"),
+        (lit(1) + pmod(col("doc_id"), lit(7))).cast(IntegerType).as("f"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { batch =>
+        batch.map { case (id, n, f) =>
+          val samples = Array.tabulate(n)(i => (((i * f) % 256 - 128) * 256).toShort)
+          val (_, dec) = WavCodec.decode(WavCodec.encode(rate, samples))
+          val e = new Array[Long](8)
+          var i = 0
+          while (i < dec.length) {
+            e((i * 8 / dec.length).min(7)) += math.abs(dec(i).toLong)
+            i += 1
+          }
+          val total = e.sum
+          var fp = 0L
+          var b = 0
+          while (b < 8) { if (8L * e(b) > total) fp |= (1L << b); b += 1 }
+          AudioHash(id, fp)
+        }
+      }.toDF()
+    fps.join(fps.groupBy(col("fp")).agg(min(col("doc_id")).as("cluster_id")), "fp")
+      .select(col("doc_id"), col("fp"), col("cluster_id"))
   }
 }

@@ -233,6 +233,12 @@ object Pipelines {
     "multimodal_audio_stats" -> ((s, dir) =>
       Multimodal.audioStats(s, t(s, dir, "documents")).toDF()),
 
+    // perceptual audio dedup: 8-band energy fingerprint over the REAL
+    // WAV container round-trip (integer-only bits — oracle-predictable
+    // from the synthesis rule), min-doc_id cluster representative
+    "multimodal_audio_dedup" -> ((s, dir) =>
+      Multimodal.audioDedup(s, t(s, dir, "documents"))),
+
     // multimodal: perceptual image dedup — aHash (8×8 gray, bit = pixel >
     // integer mean) over REAL decoded PNG bytes, identical-hash clusters
     // keyed by their min doc_id; integer-only hash arithmetic keeps the
@@ -983,6 +989,20 @@ object Pipelines {
            CAST(max(n) AS BIGINT) AS n_samples, CAST(max(a) AS BIGINT) AS peak,
            CAST(SUM(a) // max(n) AS BIGINT) AS mean_abs
          FROM v GROUP BY doc_id""",
+    "multimodal_audio_dedup" ->
+      """WITH d AS (SELECT doc_id, 800 + doc_id % 100 AS n, 1 + doc_id % 7 AS f
+            FROM documents),
+         s AS (SELECT doc_id, n, f, unnest(generate_series(0, n - 1)) AS i FROM d),
+         v AS (SELECT doc_id, (i * 8) // n AS b,
+                 abs(((i * f) % 256 - 128) * 256) AS a FROM s),
+         e AS (SELECT doc_id, b, CAST(SUM(a) AS BIGINT) eb FROM v GROUP BY 1, 2),
+         t AS (SELECT doc_id, CAST(SUM(eb) AS BIGINT) tot FROM e GROUP BY 1),
+         fph AS (SELECT e.doc_id,
+                  CAST(SUM(CASE WHEN 8 * eb > tot THEN 1 << b ELSE 0 END)
+                    AS BIGINT) fp
+                 FROM e JOIN t USING (doc_id) GROUP BY 1),
+         c AS (SELECT fp, min(doc_id) cluster_id FROM fph GROUP BY 1)
+         SELECT doc_id, fph.fp, cluster_id FROM fph JOIN c USING (fp)""",
     "multimodal_image_dims" ->
       """SELECT doc_id,
            CAST(1 + doc_id % 64 AS BIGINT) AS width,
