@@ -55,6 +55,24 @@ object Relational {
         when(col("c_acctbal") >= 0, lit("pos")).otherwise(lit("neg")),
         minK = 5, minL = 2)),
 
+    // PSEUDONYMIZATION audit — the GDPR-pipeline identity swap with its
+    // joinability proof: user_id → keyed md5 pseudonym (stable across
+    // tables, so joins survive), then per event_type the distinct-entity
+    // count BEFORE vs AFTER must match exactly (lossless = no collisions
+    // collapsed two users, no split duplicated one). One exchange; the
+    // pseudonym is a codegen md5 projection
+    "privacy_pseudonymize" -> ((s, dir) => {
+      val pseudo = substring(md5(concat(lit("salt-2024:"),
+        col("user_id").cast(StringType))), 1, 16)
+      t(s, dir, "events")
+        .select(col("event_type"), col("user_id"), pseudo.as("pid"))
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("pid")).as("n_pseudonyms"))
+        .select(col("event_type"), col("n_users"), col("n_pseudonyms"),
+          (col("n_users") === col("n_pseudonyms")).as("lossless"))
+    }),
+
     // the k-anonymity REPAIR mechanism: coarsen the quasi-identifier
     // (nation→region→segment-only) and re-measure class sizes /
     // l-diversity per ladder level — the release decision table
@@ -673,6 +691,15 @@ object Relational {
             count(DISTINCT CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END) >= 2)
              AS anonymous
          FROM customer GROUP BY 1, 2""",
+    "privacy_pseudonymize" ->
+      """SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT substr(md5('salt-2024:' || CAST(user_id AS VARCHAR)),
+             1, 16)) AS n_pseudonyms,
+           count(DISTINCT user_id) = count(DISTINCT
+             substr(md5('salt-2024:' || CAST(user_id AS VARCHAR)), 1, 16))
+             AS lossless
+         FROM events GROUP BY 1""",
     "privacy_generalization_ladder" ->
       """WITH c AS (SELECT c_nationkey, c_mktsegment, n_regionkey,
              CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END sv
