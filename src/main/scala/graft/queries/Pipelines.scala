@@ -183,6 +183,12 @@ object Pipelines {
     "stream_sessionize" -> ((s, dir) =>
       EventStream.sessionizeIncrementalAll(s, dir, 30)),
 
+    // declarative streaming sessions: the built-in session_window
+    // aggregate (state-store native merge, zero custom state code) —
+    // the scale-preferred form beside the flatMapGroupsWithState one
+    "stream_session_window" -> ((s, dir) =>
+      EventStream.sessionWindowAggAll(s, dir, 30)),
+
     // stream-stream interval join (purchase→click attribution), both
     // sides watermarked filters of one staged file stream, file sink
     "stream_stream_join" -> ((s, dir) =>
@@ -884,6 +890,19 @@ object Pipelines {
                FROM y)
          SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start
          FROM z GROUP BY 1, 2""",
+    "stream_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts FROM events),
+         x AS (SELECT user_id, event_id, ts,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_ts FROM e),
+         y AS (SELECT user_id, event_id, ts,
+                CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                     THEN 1 ELSE 0 END ns FROM x),
+         z AS (SELECT user_id, ts,
+                CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) sid
+               FROM y)
+         SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+         FROM z GROUP BY user_id, sid""",
     "stream_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts FROM events),
          x AS (SELECT user_id, event_id, ts,

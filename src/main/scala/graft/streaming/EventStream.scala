@@ -256,6 +256,47 @@ object EventStream {
   def slidingAggAppendAll(spark: SparkSession, dir: String): DataFrame =
     windowedAggAppendImpl(spark, dir, "2 hours", "1 hour")
 
+  /** DECLARATIVE streaming sessionization — the built-in `session_window`
+    * aggregate beside [[sessionizeIncrementalAll]]'s custom
+    * flatMapGroupsWithState form: zero state-management code, the state
+    * store's native session merge, same watermark/append/file-sink
+    * contract (the sentinel advances the global watermark past every real
+    * session's end + gap, so the finite table flushes completely; the
+    * sentinel's own session stays open and is never emitted).
+    *
+    * Gap semantics differ from the batch window form at EXACT equality:
+    * `session_window` merges two events iff their spacing is STRICTLY
+    * less than the gap (each event's window is [t, t+gap), end
+    * exclusive), so the oracle's new-session rule is `diff >= gap` where
+    * the lag/sum batch form uses `diff > gap`. Microsecond timestamps
+    * make the boundary case measure-zero in practice but the mirror is
+    * exact about it. Output: (user_id, session_start, n_events). */
+  def sessionWindowAggAll(spark: SparkSession, dir: String,
+                          gapMinutes: Int): DataFrame = {
+    val (staging, _, schema) = stageEventsWithSentinel(spark, dir, 240L)
+    val stream = spark.readStream.schema(schema).parquet(staging)
+      .withColumn("ts", graft.queries.Tables.normTs(schema("ts").dataType))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"), col("n_events"))
+    val sink = java.nio.file.Files.createTempDirectory("graft_sess_sink")
+    val out = sink.resolve("out").toString
+    withStreamPartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("checkpointLocation", sink.resolve("ckpt").toString)
+        .start(out)
+      try q.processAllAvailable() finally q.stop()
+    }
+    deleteStaging(staging)
+    spark.read.parquet(out).where(col("user_id") >= 0)
+  }
+
   private def windowedAggAppendImpl(spark: SparkSession, dir: String,
                                     duration: String, slide: String): DataFrame = {
     val (staging, maxTs, schema) = stageEventsWithSentinel(spark, dir, 240L)

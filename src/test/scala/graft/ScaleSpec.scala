@@ -111,7 +111,7 @@ class ScaleSpec extends SparkSuite {
     }
     // streaming drivers need staged streams; everything else must run
     val skip = Set("stream_windowed_agg", "stream_sliding_agg",
-      "stream_sessionize", "stream_stream_join",
+      "stream_session_window", "stream_sessionize", "stream_stream_join",
       "stream_dedup_events", "stream_dedup_incremental", "sessionize_events",
       "stream_quality_monitor", "stream_static_join", "stream_ann_assign",
       "stream_quantile_sketch")
