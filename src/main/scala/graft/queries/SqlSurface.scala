@@ -196,6 +196,52 @@ object SqlSurface {
         round(try_divide(covN * covN, varXN * varYN), 6).as("var_reduction"))
     }),
 
+    // HETEROGENEOUS TREATMENT EFFECT readout — the per-segment lift table
+    // (Qini-style) read AFTER the pooled ab_test: users decile-ranked by
+    // PRE-period spend (the same X as events_ab_cuped), per decile the
+    // arms' post-period means and lift. Whales and dormant users react
+    // differently; the pooled lift hides that. The decile is the CENSUS
+    // pattern — one (X value) count aggregate + a cumulative walk over
+    // DISTINCT values, never a global per-user ntile sort; tied X values
+    // share a decile by construction (exact integers end-to-end).
+    "events_uplift_deciles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cutoff = to_date(lit("2024-01-16"))
+      val e = t(s, dir, "events").where(col("event_type") === "purchase")
+      val arm = pmod(graft.functions.keys.md5Prefix64(
+        col("user_id").cast(StringType).cast(BinaryType), 7), lit(2L))
+      val cents = round(col("value") * 100).cast("bigint")
+      val u = e.select(col("user_id"), cents.as("c"),
+          (col("ts").cast("date") < cutoff).as("pre"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("pre"), col("c")).otherwise(0L)).as("x"),
+          sum(when(!col("pre"), col("c")).otherwise(0L)).as("y"))
+      val cnt = u.groupBy(col("x")).agg(count(lit(1)).as("cx"))
+      val cumW = Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // census-bounded unpartitioned cum (distinct pre-spend values)
+      val cum = cnt.withColumn("cum", sum(col("cx")).over(cumW))
+      val n = u.agg(count(lit(1)).as("n"))
+      val dec = cum.crossJoin(broadcast(n)) // 1-row scalar, documented pattern
+        .select(col("x"),
+          least(expr("(cum * 10 - 1) div n") + 1, lit(10L)).as("decile"))
+      u.select(arm.as("arm"), col("x"), col("y"))
+        .join(dec, "x")
+        .groupBy(col("decile"))
+        .agg(count(when(col("arm") === 0, 1)).as("n_control"),
+          count(when(col("arm") === 1, 1)).as("n_treatment"),
+          sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy_c"),
+          sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy_t"))
+        .select(col("decile"), col("n_control"), col("n_treatment"),
+          round(try_divide(col("sy_c").cast(DoubleType), col("n_control")) / 100, 6)
+            .as("mean_control"),
+          round(try_divide(col("sy_t").cast(DoubleType), col("n_treatment")) / 100, 6)
+            .as("mean_treatment"),
+          round(try_divide(col("sy_t").cast(DoubleType), col("n_treatment")) / 100 -
+            try_divide(col("sy_c").cast(DoubleType), col("n_control")) / 100, 6)
+            .as("lift"))
+    }),
+
     // POWER ANALYSIS — the sample-size calculation run BEFORE launching
     // the experiment the two queries above read out: per-arm n to detect
     // a 5%-of-mean lift at alpha=0.05 / power 0.80, n = 2(z_a+z_b)^2
@@ -634,6 +680,36 @@ object SqlSurface {
              AS lift_adj,
            round(covn * covn / (varxn * varyn), 6) AS var_reduction
          FROM d""",
+    "events_uplift_deciles" ->
+      """WITH e AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) c,
+             CAST(ts AS DATE) < DATE '2024-01-16' pre
+           FROM events WHERE event_type = 'purchase'),
+         u AS (SELECT user_id,
+                 SUM(CASE WHEN pre THEN c ELSE 0 END) x,
+                 SUM(CASE WHEN NOT pre THEN c ELSE 0 END) y
+               FROM e GROUP BY 1),
+         cnt AS (SELECT x, count(*) cx FROM u GROUP BY 1),
+         cum AS (SELECT x, SUM(cx) OVER (ORDER BY x
+                   ROWS UNBOUNDED PRECEDING) cum FROM cnt),
+         n AS (SELECT count(*) n FROM u),
+         dec AS (SELECT x, least((cum * 10 - 1) // n + 1, 10) decile
+                 FROM cum, n),
+         p AS (SELECT
+             CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,7)) AS BIGINT) % 2 arm,
+             u.x, u.y, decile
+           FROM u JOIN dec ON u.x = dec.x),
+         a AS (SELECT decile,
+                 count(CASE WHEN arm = 0 THEN 1 END) n_control,
+                 count(CASE WHEN arm = 1 THEN 1 END) n_treatment,
+                 SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) sy_c,
+                 SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) sy_t
+               FROM p GROUP BY 1)
+         SELECT CAST(decile AS BIGINT) AS decile, n_control, n_treatment,
+           round(CAST(sy_c AS DOUBLE) / n_control / 100, 6) AS mean_control,
+           round(CAST(sy_t AS DOUBLE) / n_treatment / 100, 6) AS mean_treatment,
+           round(CAST(sy_t AS DOUBLE) / n_treatment / 100
+             - CAST(sy_c AS DOUBLE) / n_control / 100, 6) AS lift
+         FROM a""",
     "events_power_analysis" ->
       """WITH p AS (SELECT CAST(value AS DECIMAL(18,4)) v,
              CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)) v2
