@@ -5,10 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** CLI driver — the `ToolRunner` surface of the reference
   * (BulkImporterFromText.java:164-168, sample_run.sh) re-expressed:
   *
-  *   IngestCli <csv|csv-compat|hivetext|avro|rcfile|rcfile-compat|orc> <input> <output>
+  *   IngestCli <csv|csv-compat|hivetext|avro|jsonl|rcfile|rcfile-compat|orc> <input> <output>
   *             [--arity N] [--salt BUCKETS] [--regions N] [--conf FILE]
   *             [--splits FILE] [--key-fields I,J,..] [--family NAME]
   *             [--qualifiers index|name] [--load-ts TS] [--stream-checkpoint DIR]
+  *             [--schema "id STRING, ..." (jsonl — explicit DDL, never inferred)]
   *
   * `--conf FILE` merges a config file into the SparkConf: Hadoop-style XML
   * (the reference's `hbase-site.xml` first argument,
@@ -21,7 +22,7 @@ object IngestCli {
   private val knownFlags =
     Set("--arity", "--salt", "--regions", "--conf", "--splits",
       "--key-fields", "--family", "--qualifiers", "--load-ts",
-      "--stream-checkpoint")
+      "--stream-checkpoint", "--schema")
 
   /** Region-boundary file → split keys: one lowercase/uppercase hex row key
     * per line (first key of region i+1), blanks and `#` comments ignored —
@@ -113,10 +114,10 @@ object IngestCli {
 
   private def usageExit(): Nothing = {
     System.err.println(
-      "usage: IngestCli <csv|csv-compat|hivetext|avro|rcfile|rcfile-compat|orc> <input> <output> " +
+      "usage: IngestCli <csv|csv-compat|hivetext|avro|jsonl|rcfile|rcfile-compat|orc> <input> <output> " +
         "[--arity N] [--salt BUCKETS] [--regions N] [--conf FILE] [--splits FILE] " +
         "[--key-fields I,J,..] [--family NAME] [--qualifiers index|name] " +
-        "[--load-ts TS] [--stream-checkpoint DIR]")
+        "[--load-ts TS] [--stream-checkpoint DIR] [--schema DDL (jsonl)]")
     sys.exit(2)
   }
 
@@ -166,6 +167,14 @@ object IngestCli {
         case "csv-compat" => BulkLoad.csv(spark, input, base.copy(compatNaiveSplit = true))
         case "hivetext"   => BulkLoad.hiveText(spark, input, base)
         case "avro"       => BulkLoad.avro(spark, input, base.copy(qualifiers = BulkLoad.NameQualifiers))
+        case "jsonl" =>
+          val ddl = opts.getOrElse("--schema", {
+            System.err.println("jsonl requires --schema \"id STRING, ...\" " +
+              "(explicit DDL — inference alphabetizes columns and costs a full scan)")
+            sys.exit(2)
+          })
+          BulkLoad.jsonl(spark, input, ddl,
+            base.copy(qualifiers = BulkLoad.NameQualifiers))
         case "rcfile"     => BulkLoad.rcFile(spark, input, base)
         case "orc"        => BulkLoad.orc(spark, input, base)
         // reference-literal RC keys (1,3,4,20) incl. the field-20 bug:
