@@ -92,6 +92,14 @@ class ScaleSpec extends SparkSuite {
     assert(rows(Similarity.ivfAdcTopK(emb.repartition(13),
         emb.where(col("vec_id") < 3), 5)) ===
       rows(Similarity.ivfAdcTopK(emb, emb.where(col("vec_id") < 3), 5)))
+    // round-9 decimal-stabilized additions: LOF's reach/lrd sums and
+    // PSI's ln-term sums must not feel partial-agg combine order
+    assert(rows(Similarity.lofScores(emb.repartition(13), 3)) ===
+      rows(Similarity.lofScores(emb, 3)))
+    assert(rows(graft.operators.Profile.psiDrift(docs.repartition(17),
+        col("source"), col("n_chars"), 50)) ===
+      rows(graft.operators.Profile.psiDrift(docs,
+        col("source"), col("n_chars"), 50)))
   }
 
   test("robustness: every batch query survives EMPTY input tables (0 rows, no crash)") {
