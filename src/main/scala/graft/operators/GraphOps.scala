@@ -465,6 +465,66 @@ object GraphOps {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** GLOBAL CLUSTERING COEFFICIENT — 3·triangles / wedges, the one-number
+    * "how cliquish is this graph" summary (transitivity): near 0 for
+    * random/bipartite-ish structure, high for community-dominated graphs —
+    * the diagnostic read BEFORE choosing between the hash-min CC fixpoint
+    * and the star-contraction path, and a drift signal on co-occurrence
+    * graphs. Shares [[triangleCount]]'s exact machinery over ONE
+    * materialized canonical frame (degree-ordered orientation bounds the
+    * wedge self-join by O(√m) out-degrees); the wedge DENOMINATOR needs no
+    * join at all — Σ_v d_v(d_v−1)/2 off the degree census. Exact integers
+    * into one final division (try_divide: a wedge-free graph reads NULL).
+    * Output: one row (n_triangles, n_wedges, global_cc). */
+  def clusteringCoefficient(edges: DataFrame,
+                            storage: Dedup.FixpointStorage = Dedup.SessionDefault): DataFrame = {
+    val canon = Dedup.materializeFixpoint(edges
+      .select(least(col("a"), col("b")).as("x"), greatest(col("a"), col("b")).as("y"))
+      .where(col("x") =!= col("y")).distinct(), storage)
+    val deg = canon.select(col("x").as("v")).unionAll(canon.select(col("y").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val wedgeTotal = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val withDeg = canon
+      .join(deg.select(col("v").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("v").as("y"), col("d").as("dy")), "y")
+    val fwd = struct(col("dx"), col("x")) < struct(col("dy"), col("y"))
+    val oriented = Dedup.materializeFixpoint(withDeg.select(
+      when(fwd, col("x")).otherwise(col("y")).as("u"),
+      when(fwd, col("y")).otherwise(col("x")).as("v")), storage)
+    val tri = oriented.as("p").join(oriented.as("q"),
+        col("p.u") === col("q.u") && col("p.v") < col("q.v"))
+      .select(col("p.v").as("wx"), col("q.v").as("wy"))
+      .join(canon, col("wx") === col("x") && col("wy") === col("y"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    tri.crossJoin(wedgeTotal) // two 1-row frames, documented pattern
+      .select(col("n_triangles"), col("n_wedges"),
+        round(try_divide((lit(3) * col("n_triangles")).cast(
+          org.apache.spark.sql.types.DoubleType), col("n_wedges")), 6)
+          .as("global_cc"))
+  }
+
+  /** DuckDB mirror of [[clusteringCoefficient]] (oracle builder). */
+  def clusteringCoefficientSql(edgesSql: String): String =
+    s"""WITH edges AS ($edgesSql),
+        canon AS (SELECT DISTINCT least(a, b) x, greatest(a, b) y
+                  FROM edges WHERE a <> b),
+        deg AS (SELECT v, count(*) d
+                FROM (SELECT x v FROM canon UNION ALL SELECT y FROM canon)
+                GROUP BY 1),
+        wt AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) n_wedges FROM deg),
+        o AS (SELECT CASE WHEN (dx.d, c.x) < (dy.d, c.y) THEN c.x ELSE c.y END u,
+                     CASE WHEN (dx.d, c.x) < (dy.d, c.y) THEN c.y ELSE c.x END v
+              FROM canon c JOIN deg dx ON dx.v = c.x JOIN deg dy ON dy.v = c.y),
+        w AS (SELECT p.v wx, q.v wy FROM o p JOIN o q
+              ON p.u = q.u AND p.v < q.v),
+        tri AS (SELECT count(*) n_triangles FROM w
+                WHERE EXISTS (SELECT 1 FROM canon c
+                              WHERE c.x = w.wx AND c.y = w.wy))
+        SELECT n_triangles, n_wedges,
+          round(CASE WHEN n_wedges = 0 THEN NULL
+            ELSE CAST(3 * n_triangles AS DOUBLE) / n_wedges END, 6) AS global_cc
+        FROM tri, wt"""
+
   /** LINK PREDICTION by neighbor-set Jaccard (Liben-Nowell & Kleinberg
     * 2003): score every NON-adjacent pair with ≥1 common neighbor by
     * |Γ(a)∩Γ(b)| / |Γ(a)∪Γ(b)| and return the top `k` — "products bought

@@ -501,6 +501,14 @@ object NorthStar {
       graft.operators.GraphOps.triangleCount(edges)
     }),
 
+    // global clustering coefficient (transitivity): 3·triangles/wedges —
+    // the one-number cliquishness diagnostic; shares the triangle
+    // machinery, wedge denominator straight off the degree census
+    "graph_clustering_coeff" -> ((s, dir) => {
+      val edges = coPurchaseEdges(s, dir)
+      graft.operators.GraphOps.clusteringCoefficient(edges)
+    }),
+
     // link prediction over the co-purchase graph: top-20 NON-adjacent pairs
     // by neighbor-set Jaccard — "bought with the same things, never
     // together yet", the graph-completion/recommendation primitive; wedge
@@ -2303,6 +2311,8 @@ object NorthStar {
     "graph_communities" -> graft.operators.GraphOps.labelPropagationSql(
       coPurchaseEdgesSql, 4),
     "graph_triangles" -> graft.operators.GraphOps.triangleCountSql(
+      coPurchaseEdgesSql),
+    "graph_clustering_coeff" -> graft.operators.GraphOps.clusteringCoefficientSql(
       coPurchaseEdgesSql),
     "graph_link_prediction" -> graft.operators.GraphOps.linkPredictionSql(
       coPurchaseEdgesSql, 20),

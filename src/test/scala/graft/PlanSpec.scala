@@ -421,4 +421,33 @@ class PlanSpec extends SparkSuite {
     val read = p.linesIterator.filter(_.trim.startsWith("ReadSchema")).mkString
     assert(!read.contains("o_orderpriority"), read) // only o_custkey + filter col read
   }
+
+  test("runtime bloom filter: a selective dim filter injects probe-side pruning on shuffle joins") {
+    // the engine posture for 100 TB shuffle joins Catalyst can't broadcast:
+    // Spark's runtime filter builds a bloom filter from the FILTERED dim
+    // side and applies it below the fact scan, so most probe rows die
+    // before the exchange. Pinned here so a config regression (the feature
+    // silently off, thresholds unreachable) is caught — the thresholds are
+    // size-gated for production; zeroing the application floor is what
+    // makes the small fixture eligible.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force the shuffle join
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf001/orders.parquet")
+        .where(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.toLowerCase.contains("bloomfilter") ||
+        p.toLowerCase.contains("might_contain"), p)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
