@@ -64,10 +64,15 @@ object Relational {
     "privacy_pseudonymize" -> ((s, dir) => {
       val pseudo = substring(md5(concat(lit("salt-2024:"),
         col("user_id").cast(StringType))), 1, 16)
+      // distinct (type, user) FIRST: the pseudonym is a function of the
+      // user, so after the dedup n_users is a plain count and only ONE
+      // distinct aggregate remains — two-phase partial agg, no Expand
+      // (the double-countDistinct form multiplies every row by 2)
       t(s, dir, "events")
-        .select(col("event_type"), col("user_id"), pseudo.as("pid"))
+        .select(col("event_type"), col("user_id")).distinct()
+        .select(col("event_type"), pseudo.as("pid"))
         .groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("n_users"),
+        .agg(count(lit(1)).as("n_users"),
           countDistinct(col("pid")).as("n_pseudonyms"))
         .select(col("event_type"), col("n_users"), col("n_pseudonyms"),
           (col("n_users") === col("n_pseudonyms")).as("lossless"))

@@ -147,7 +147,17 @@ class PlanSpec extends SparkSuite {
     // total / the corpus token total — q22 pattern throughout)
     // events_survival_km broadcasts the 1-row observation-window end;
     // events_hll_setops the 1-row exact-intersection scalar (q22 pattern)
+    // round-9: events_trend_ols / events_uplift_deciles broadcast 1-row
+    // scalars (global min day / user total); events_retention_halflife the
+    // calendar-bounded ages x cohort-sizes census + the 1-row max day;
+    // quality_psi_drift the bins x group-totals census + 1-row bin stats
+    // (the ks_drift shape); graph_clustering_coeff crosses its two 1-row
+    // aggregates; emb_matryoshka_recall composes bruteForceTopK twice
+    // (the ann_cosine_topk broadcast-query scan)
     val intentional = Set(
+      "events_trend_ols", "events_uplift_deciles",
+      "events_retention_halflife", "quality_psi_drift",
+      "graph_clustering_coeff", "emb_matryoshka_recall",
       "events_survival_km",
       "events_hll_setops",
       "q_join_cardinality_est", "profile_key_skew", "text_source_divergence",
@@ -170,7 +180,8 @@ class PlanSpec extends SparkSuite {
       "q_histogram_equidepth", "emb_kmeans", "dedup_semantic",
       "text_bm25_topk", "ann_hybrid_topk", "events_funnel_windowed")
     // streaming queries execute rather than explain statically
-    val skip = Set("stream_windowed_agg", "stream_sessionize",
+    val skip = Set("stream_windowed_agg", "stream_sliding_agg",
+      "stream_session_window", "stream_sessionize",
       "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental",
       "stream_quality_monitor", "stream_static_join", "stream_ann_assign",
       "stream_quantile_sketch", "stream_cms_heavy_hitters", "stream_cdc_apply",
@@ -195,9 +206,11 @@ class PlanSpec extends SparkSuite {
       "q_sql_grouping_id",                         // same lattice + GROUPING()
       "q_distinct_agg",                            // native multi-distinct agg
       "cells_explode_named", "source_avro_cells",  // unpivot/stack
+      "source_jsonl_cells",                        // same named-cell unpivot
       "q_unpivot", "q_sql_unpivot",                // wide→long melt IS an Expand
       "sliding_window_counts")                     // window-per-event expansion
-    val skip = Set("stream_windowed_agg", "stream_sessionize",
+    val skip = Set("stream_windowed_agg", "stream_sliding_agg",
+      "stream_session_window", "stream_sessionize",
       "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental",
       "stream_quality_monitor", "stream_static_join", "stream_ann_assign",
       "stream_quantile_sketch", "stream_cms_heavy_hitters", "stream_cdc_apply",
