@@ -136,6 +136,28 @@ object NorthStar {
       docs.join(drop, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("source"), col("lang"))
     }),
+    // QUALITY-AWARE survivorship — what production dedup actually ships:
+    // per near-dup cluster keep the HIGHEST-QUALITY member (token count;
+    // tie → min doc_id), not the arbitrary min-id representative the
+    // keep-list baseline uses. One bounded max_by per cluster over the
+    // same clusters frame; quality joins in on the doc id
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cl = Dedup.clusters(Dedup.corpusDedup(docs, N, 0.8)
+        .select(col("a"), col("b")))
+      val q = docs.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("quality"))
+      val best = cl.join(q, "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(max_by(col("doc_id"),
+          struct(col("quality"), -col("doc_id"))).as("keep_id"))
+      val drop = cl.join(best, "cluster_id")
+        .where(col("doc_id") =!= col("keep_id"))
+        .select(col("doc_id"))
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("lang"))
+    }),
+
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
     // exact Hamming-ball banding: the 4×4-bit band join guarantees every
     // pair with hamming <= 3 collides somewhere, so the oracle is the
@@ -1876,6 +1898,17 @@ object NorthStar {
       s"""SELECT doc_id, source, lang FROM documents
           WHERE doc_id NOT IN (
             SELECT doc_id FROM ($dedupClustersSql) WHERE doc_id <> cluster_id)""",
+    "dedup_keep_best" ->
+      s"""WITH cl AS (SELECT * FROM ($dedupClustersSql)),
+          q AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+')) quality
+                FROM documents),
+          r AS (SELECT cl.doc_id, cluster_id,
+                 row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY quality DESC, cl.doc_id ASC) rn
+                FROM cl JOIN q USING (doc_id)),
+          d AS (SELECT doc_id FROM r WHERE rn > 1)
+          SELECT doc_id, source, lang FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM d)""",
     "pipeline_clean_corpus" -> cleanCorpusSql,
     "pipeline_curate_full" -> curateFullSql,
     "corpus_pack_shards" ->
