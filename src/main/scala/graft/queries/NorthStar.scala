@@ -158,6 +158,35 @@ object NorthStar {
         .select(col("doc_id"), col("source"), col("lang"))
     }),
 
+    // the DEDUP FUNNEL REPORT — the one-row summary a curation run logs:
+    // corpus size, exact-duplicate count (md5-identical texts beyond the
+    // first), near-duplicate count (non-representative cluster members),
+    // and the survivor share in exact ppm. Three bounded aggregates over
+    // already-declared frames; integer-only output
+    "dedup_rate_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // distinct-then-count instead of count+countDistinct in ONE agg:
+      // the mixed form plans a 2x Expand (the q21 class)
+      val totals = docs.agg(count(lit(1)).as("n_docs"))
+      val distinctTexts = docs.select(md5(col("text")).as("h")).distinct()
+        .agg(count(lit(1)).as("n_distinct_texts"))
+      val nearDrop = Dedup.clusters(Dedup.corpusDedup(docs, N, 0.8)
+          .select(col("a"), col("b")))
+        .where(col("doc_id") =!= col("cluster_id"))
+        .agg(count(lit(1)).as("n_near_dups"))
+      totals.crossJoin(distinctTexts) // 1-row frames, documented pattern
+        .crossJoin(nearDrop)
+        .select(col("n_docs"),
+          (col("n_docs") - col("n_distinct_texts")).as("n_exact_dups"),
+          col("n_near_dups"),
+          // guard: an EMPTY corpus has n_docs = 0 and ANSI `div` throws
+          // (the events_ab_srm class); NULL survivor share is the honest
+          // read of "nothing to survive"
+          when(col("n_docs") > 0,
+            expr("(n_docs - n_near_dups) * 1000000L div n_docs"))
+            .as("survivor_ppm"))
+    }),
+
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
     // exact Hamming-ball banding: the 4×4-bit band join guarantees every
     // pair with hamming <= 3 collides somewhere, so the oracle is the
@@ -1898,6 +1927,15 @@ object NorthStar {
       s"""SELECT doc_id, source, lang FROM documents
           WHERE doc_id NOT IN (
             SELECT doc_id FROM ($dedupClustersSql) WHERE doc_id <> cluster_id)""",
+    "dedup_rate_report" ->
+      s"""WITH t0 AS (SELECT count(*) n_docs,
+             count(DISTINCT md5(text)) n_distinct_texts FROM documents),
+          nd AS (SELECT count(*) n_near_dups FROM ($dedupClustersSql)
+                 WHERE doc_id <> cluster_id)
+          SELECT n_docs, n_docs - n_distinct_texts AS n_exact_dups,
+            n_near_dups,
+            (n_docs - n_near_dups) * 1000000 // n_docs AS survivor_ppm
+          FROM t0, nd""",
     "dedup_keep_best" ->
       s"""WITH cl AS (SELECT * FROM ($dedupClustersSql)),
           q AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+')) quality

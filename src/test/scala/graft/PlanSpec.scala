@@ -155,6 +155,7 @@ class PlanSpec extends SparkSuite {
     // aggregates; emb_matryoshka_recall composes bruteForceTopK twice
     // (the ann_cosine_topk broadcast-query scan)
     val intentional = Set(
+      "dedup_rate_report", // three 1-row report scalars crossed (q22 pattern)
       "events_trend_ols", "events_uplift_deciles",
       "events_retention_halflife", "quality_psi_drift",
       "graph_clustering_coeff", "emb_matryoshka_recall",
