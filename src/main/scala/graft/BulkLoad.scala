@@ -227,6 +227,11 @@ trait CellSink {
   * `saveAsNewAPIHadoopFile[HFileOutputFormat2]` when hbase-mapreduce is on
   * the classpath. */
 object SortedParquetCellSink extends CellSink {
-  override def write(cells: DataFrame, path: String): Unit =
+  override def write(cells: DataFrame, path: String): Unit = {
     cells.write.mode("overwrite").parquet(path)
+    // META-analog boundary index: one distributed footer-stat pass at
+    // write time so every later CellScan is one small-file read instead
+    // of N driver-side footer opens (graft.sources.CellManifest).
+    graft.sources.CellManifest.write(cells.sparkSession, path)
+  }
 }

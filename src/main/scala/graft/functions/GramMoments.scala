@@ -147,6 +147,13 @@ object GramMoments {
       var i = 0
       while (i < d) {
         val vi = v(i)
+        // Exactness contract: each scaled increment must stay far inside
+        // the ±2⁶¹ renorm window, else Math.floor(..).toLong saturates
+        // silently. |vi| ≤ 1e3 keeps |vi·vj|·1e9 ≤ 1e15 ≪ 2⁶¹; real
+        // embeddings are unit-ish, so fail loudly rather than corrupt.
+        require(vi <= 1e3 && vi >= -1e3 && !vi.isNaN,
+          s"GramMoments: component magnitude ${vi} at dim $i exceeds the " +
+            "exact-sum bound (|v| <= 1e3); rescale the embedding first")
         lo1(i) += Math.floor(vi * 1e9 + 0.5).toLong
         norm(lo1, hi1, i)
         var j = i

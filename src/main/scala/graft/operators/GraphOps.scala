@@ -228,11 +228,17 @@ object GraphOps {
         .select(col("src"), col("dst"),
           count(lit(1)).over(Window.partitionBy(col("src"))).as("deg")),
       storage)
-    val sd = seeds.select(col("id")).distinct()
+    // n_seeds counts only seeds PRESENT in the node universe: a seed id
+    // absent from the edge list can receive no initial or restart mass,
+    // so counting it would silently dilute every real seed's share and
+    // leave total walk mass < 1. Semi-join before counting keeps the
+    // walk-mass invariant exact for isolated/unknown seed ids.
+    val nodes = und.select(col("src").as("id")).distinct()
+    val sd = seeds.select(col("id")).distinct().join(nodes, Seq("id"), "left_semi")
     val ns = sd.agg(count(lit(1)).as("n_seeds"))
     // seed flag rides the nodes-sized rank frame (0/1 integer — the tele
     // term multiplies by it, so non-seeds restart exactly nothing)
-    val base = und.select(col("src").as("id")).distinct()
+    val base = nodes
       .join(sd.select(col("id"), lit(1L).as("is_seed")), Seq("id"), "left")
       .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
     val tele = s"is_seed * (((${RankScale}L * ${dampDen - dampNum}) div $dampDen) div n_seeds)"
@@ -265,7 +271,8 @@ object GraphOps {
           und AS (SELECT a AS src, b AS dst FROM edges
                   UNION ALL SELECT b, a FROM edges),
           deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
-          seeds AS (SELECT DISTINCT id FROM ($seedsSql)),
+          seeds AS (SELECT DISTINCT s.id FROM ($seedsSql) s
+                    WHERE s.id IN (SELECT src FROM und)),
           ns AS (SELECT count(*) AS n_seeds FROM seeds),
           base AS (SELECT d.src AS id,
                      CASE WHEN s.id IS NULL THEN 0 ELSE 1 END AS is_seed

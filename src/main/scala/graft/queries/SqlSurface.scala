@@ -250,21 +250,26 @@ object SqlSurface {
     // exact DECIMAL(18,4) sums as events_ab_test; every output is a
     // fixed-shape double expression on them — ceil included, since
     // bit-identical inputs ceil identically. One scan, one 1-row agg.
+    // Degenerate inputs yield NULL, never a throw: n <= 1 (variance
+    // undefined) and mde = 0 (an all-zero purchase set) both route
+    // through try_divide — mirrored in the oracle as NULLIF denominators.
     "events_power_analysis" -> ((s, dir) => {
       val e = t(s, dir, "events").where(col("event_type") === "purchase")
       val vdec = col("value").cast(DecimalType(18, 4))
       val a = e.select(vdec.as("v"), (vdec * vdec).as("v2"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"), sum(col("v2")).as("sv2"))
-      val mean = col("sv").cast(DoubleType) / col("n")
-      val variance = (col("sv2").cast(DoubleType) -
-        col("sv").cast(DoubleType) * col("sv").cast(DoubleType) / col("n")) /
-        (col("n") - 1)
+      val mean = try_divide(col("sv").cast(DoubleType), col("n"))
+      val variance = try_divide(
+        col("sv2").cast(DoubleType) -
+          try_divide(col("sv").cast(DoubleType) * col("sv").cast(DoubleType), col("n")),
+        col("n") - 1)
       val mde = mean * lit(0.05)
       a.select(col("n").as("n_obs"),
         round(mean, 6).as("mean"),
         round(variance, 6).as("variance"),
         round(mde, 6).as("mde_abs"),
-        ceil(lit(2.0) * (lit(2.801585) * lit(2.801585)) * variance / (mde * mde))
+        ceil(try_divide(
+          lit(2.0) * (lit(2.801585) * lit(2.801585)) * variance, mde * mde))
           .cast(LongType).as("n_per_arm"))
     }),
 
@@ -716,16 +721,19 @@ object SqlSurface {
            FROM events WHERE event_type = 'purchase'),
          a AS (SELECT count(*) n, SUM(v) sv, SUM(v2) sv2 FROM p)
          SELECT n AS n_obs,
-           round(CAST(sv AS DOUBLE) / n, 6) AS mean,
+           round(CAST(sv AS DOUBLE) / NULLIF(n, 0), 6) AS mean,
            round((CAST(sv2 AS DOUBLE)
-              - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) / (n - 1), 6)
+              - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / NULLIF(n, 0))
+             / NULLIF(n - 1, 0), 6)
              AS variance,
-           round(CAST(sv AS DOUBLE) / n * 0.05, 6) AS mde_abs,
+           round(CAST(sv AS DOUBLE) / NULLIF(n, 0) * 0.05, 6) AS mde_abs,
            CAST(ceil(2.0 * (2.801585 * 2.801585)
              * ((CAST(sv2 AS DOUBLE)
-                - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) / (n - 1))
-             / ((CAST(sv AS DOUBLE) / n * 0.05)
-              * (CAST(sv AS DOUBLE) / n * 0.05))) AS BIGINT) AS n_per_arm
+                - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / NULLIF(n, 0))
+               / NULLIF(n - 1, 0))
+             / NULLIF((CAST(sv AS DOUBLE) / NULLIF(n, 0) * 0.05)
+              * (CAST(sv AS DOUBLE) / NULLIF(n, 0) * 0.05), 0)) AS BIGINT)
+             AS n_per_arm
          FROM a""",
     "events_ab_test" ->
       """WITH p AS (SELECT

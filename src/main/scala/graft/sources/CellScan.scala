@@ -2,8 +2,6 @@ package graft.sources
 
 import graft.operators.RegionSort
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -29,16 +27,45 @@ import org.apache.spark.sql.functions._
   * trims the boundary files inside codegen.
   *
   * Files without usable `row` stats are conservatively kept — pruning is
-  * an optimization, never a correctness gate. */
+  * an optimization, never a correctness gate.
+  *
+  * Boundary metadata, in preference order:
+  *  1. the sink-written [[CellManifest]] (`_graft_region_manifest.tsv`) —
+  *     ONE small file read, the META-lookup analog; at 100k regions this
+  *     is the only shape that keeps a point scan a point scan;
+  *  2. per-file footer min/max read on the driver — correct fallback for
+  *     directories written before the manifest existed;
+  *  3. no flat `part-*.parquet` layout at all (nested/partitioned
+  *     parquet) → an unpruned `spark.read.parquet(dir)` with the residual
+  *     range filter: pruning silently disabled, results still right. */
 object CellScan {
+
+  /** Driver-side footer opens performed by this object — observable so
+    * tests can pin "manifest present ⇒ zero footer reads". */
+  val footerOpens = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** [startRow, stopRow) range scan; None = unbounded on that side. */
   def scanRange(spark: SparkSession, dir: String,
                 startRow: Option[Array[Byte]],
                 stopRow: Option[Array[Byte]]): DataFrame = {
+    val fromStart = startRow.map(s => col("row") >= lit(s)).getOrElse(lit(true))
+    val toStop = stopRow.map(e => col("row") < lit(e)).getOrElse(lit(true))
     val all = partFiles(spark, dir)
+    if (all.isEmpty)
+      // Not the flat staged layout this scanner understands (nested or
+      // hive-partitioned parquet): pruning is an optimization, never a
+      // correctness gate — read everything, filter in codegen.
+      return spark.read.parquet(dir).where(fromStart && toStop)
+    val manifest = CellManifest.read(spark, dir)
+    def bounds(f: String): Option[(Array[Byte], Array[Byte])] = manifest match {
+      // manifest is authoritative when present; a file it does not list
+      // (externally added) is kept conservatively, stale entries for
+      // files no longer on disk are never consulted
+      case Some(m) => m.getOrElse(new Path(f).getName, None)
+      case None => rowStats(spark, f)
+    }
     val kept = all.filter { f =>
-      rowStats(spark, f) match {
+      bounds(f) match {
         case Some((lo, hi)) =>
           // keep iff [lo, hi] intersects [start, stop)
           startRow.forall(s => RegionSort.unsignedBytes.compare(hi, s) >= 0) &&
@@ -51,8 +78,6 @@ object CellScan {
         spark.read.schema(graft.operators.CellOps.cellSchema).parquet(dir)
           .where(lit(false))
       else spark.read.parquet(kept: _*)
-    val fromStart = startRow.map(s => col("row") >= lit(s)).getOrElse(lit(true))
-    val toStop = stopRow.map(e => col("row") < lit(e)).getOrElse(lit(true))
     base.where(fromStart && toStop)
   }
 
@@ -87,28 +112,7 @@ object CellScan {
     * row group lacks exact stats. */
   private[sources] def rowStats(spark: SparkSession,
                                 file: String): Option[(Array[Byte], Array[Byte])] = {
-    val in = HadoopInputFile.fromPath(new Path(file),
-      spark.sessionState.newHadoopConf())
-    val reader = ParquetFileReader.open(in)
-    try {
-      val blocks = reader.getFooter.getBlocks
-      if (blocks.isEmpty) return Some((Array.empty, Array.empty))
-      var lo: Array[Byte] = null
-      var hi: Array[Byte] = null
-      val it = blocks.iterator()
-      while (it.hasNext) {
-        val b = it.next()
-        val colMeta = b.getColumns.stream()
-          .filter(c => c.getPath.toDotString == "row").findFirst()
-        if (!colMeta.isPresent) return None
-        val st = colMeta.get().getStatistics
-        if (st == null || !st.hasNonNullValue) return None
-        val mn = st.getMinBytes
-        val mx = st.getMaxBytes
-        if (lo == null || RegionSort.unsignedBytes.compare(mn, lo) < 0) lo = mn
-        if (hi == null || RegionSort.unsignedBytes.compare(mx, hi) > 0) hi = mx
-      }
-      Some((lo, hi))
-    } finally reader.close()
+    footerOpens.incrementAndGet()
+    CellManifest.footerRowStats(file, spark.sessionState.newHadoopConf())
   }
 }

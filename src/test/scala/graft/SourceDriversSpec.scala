@@ -345,6 +345,79 @@ class SourceDriversSpec extends SparkSuite {
     assert(hiHalf.count() === hiFull)
   }
 
+  test("CellManifest: sink writes the boundary manifest; scans use it with ZERO footer opens") {
+    import graft.sources.{CellManifest, CellScan}
+    val wide = (0 until 120).map { i =>
+      val r = (0 until 9).map(c => s"v${i}_$c")
+      (r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7), r(8))
+    }.toDF((0 until 9).map(i => s"c$i"): _*)
+    val r = BulkLoad.fromPositional(wide, BulkLoad.emptyQuarantine(spark),
+      BulkLoad.Config(saltBuckets = Some(10)))
+    val out = tmpDir() + "/cells"
+    SortedParquetCellSink.write(r.cells, out)
+
+    // 1) the sink persisted the manifest, one line per part file, bounds
+    //    agreeing with a direct footer read
+    val fs = FileSystem.get(new Configuration())
+    assert(fs.exists(new Path(out, CellManifest.FileName)))
+    val m = CellManifest.read(spark, out).get
+    val parts = fs.listStatus(new Path(out)).filter(s =>
+      s.getPath.getName.startsWith("part-") && s.getPath.getName.endsWith(".parquet"))
+    assert(m.keySet === parts.map(_.getPath.getName).toSet)
+    parts.foreach { p =>
+      val direct = CellManifest.footerRowStats(p.getPath.toString, new Configuration())
+      val recorded = m(p.getPath.getName)
+      assert(recorded.isDefined === direct.isDefined)
+      for ((rb, db) <- recorded.zip(direct)) {
+        assert(rb._1.toSeq === db._1.toSeq, p.getPath.getName)
+        assert(rb._2.toSeq === db._2.toSeq, p.getPath.getName)
+      }
+    }
+
+    // 2) manifest present ⇒ the scan performs ZERO driver-side footer
+    //    opens (the 100k-region latency contract) and still prunes right
+    val before = CellScan.footerOpens.get()
+    val scan = CellScan.scanRange(spark, out,
+      Some(Array('3'.toByte)), Some(Array('4'.toByte)))
+    val pruned = scan.inputFiles.length
+    val nScan = scan.count()
+    assert(CellScan.footerOpens.get() === before, "manifest scan opened footers")
+    assert(pruned === 1 && nScan > 0)
+
+    // 3) manifest deleted ⇒ footer fallback: same result, footers opened
+    fs.delete(new Path(out, CellManifest.FileName), false)
+    val b2 = CellScan.footerOpens.get()
+    val scan2 = CellScan.scanRange(spark, out,
+      Some(Array('3'.toByte)), Some(Array('4'.toByte)))
+    assert(scan2.count() === nScan && scan2.inputFiles.length === pruned)
+    assert(CellScan.footerOpens.get() > b2, "fallback did not read footers")
+
+    // 4) hex round-trip incl. the empty-array sentinel
+    val bytes = Array(0x00.toByte, 0x7f.toByte, 0x80.toByte, 0xff.toByte)
+    assert(CellManifest.fromHex(CellManifest.toHex(bytes)).toSeq === bytes.toSeq)
+    assert(CellManifest.fromHex(CellManifest.toHex(Array.empty[Byte])).isEmpty)
+  }
+
+  test("CellScan: non-flat parquet layout falls back to an unpruned read, not empty") {
+    import graft.sources.CellScan
+    // hive-partitioned layout: no top-level part-*.parquet files
+    val out = tmpDir() + "/nested"
+    val cells = BulkLoad.fromPositional(
+      (0 until 40).map { i =>
+        val r = (0 until 9).map(c => s"n${i}_$c")
+        (r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7), r(8))
+      }.toDF((0 until 9).map(i => s"c$i"): _*),
+      BulkLoad.emptyQuarantine(spark), BulkLoad.Config()).cells
+      .withColumn("bucket", (crc32(col("row")) % 2).cast("int"))
+    cells.write.partitionBy("bucket").mode("overwrite").parquet(out)
+    val got = CellScan.scanRange(spark, out, None, None)
+    assert(got.count() === cells.count(),
+      "nested layout must fall back to reading everything")
+    // and a bounded range still applies the residual filter
+    val lo = CellScan.scanRange(spark, out, Some(Array(0x00.toByte)), None)
+    assert(lo.count() === cells.count())
+  }
+
   test("DSv2: write.format(\"graft-cells\") lands the golden layout from an UNALIGNED frame") {
     import graft.operators.RegionSort
     // same 200-row corpus as the golden test, but cells arrive UNSALTED
