@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off DECADE scale-stress (VERDICT r9 #2): every scale claim in tree
+  * is argued from plan shape at sf0.1 — this main buys one decade of real
+  * evidence. It derives a ~sf1 dataset from sf0.1 (x`reps` replication
+  * with disjoint key spaces), times the heaviest declared queries at both
+  * scales, and prints per-query wall-times with the empirical scaling
+  * exponent alpha = ln(t_big/t_small)/ln(reps) — alpha ~ 1 is linear,
+  * alpha >> 1 names the next weak component. Results are recorded in
+  * BASELINE.md; this is NOT part of the standing bench.
+  *
+  * Replication is semantics-preserving per decade:
+  *  - `lineitem` x10 with l_orderkey/l_partkey/l_suppkey shifted by
+  *    10M/replica — 10 disjoint copies of the co-purchase graph, so the
+  *    degree distribution (what graph cost scales with) is unchanged;
+  *    price/quantity columns replicate, keeping value distributions.
+  *  - `documents` x10 with doc_id shifted and replica r > 0 texts token-
+  *    PERMUTED by a deterministic per-replica hash order: token multisets
+  *    (so length/quality stats) are preserved, within-replica near-dup
+  *    structure survives (near-equal token sets sort near-identically),
+  *    but cross-replica shingle overlap collapses — the duplication RATE
+  *    stays the corpus's own, instead of every doc gaining 9 near-copies.
+  *  - `events` x10 with event_id/user_id shifted per replica (disjoint
+  *    user populations, same temporal profile).
+  *  - everything else copies through unchanged.
+  */
+object ScaleStress {
+
+  private val Targets = Seq(
+    "q_histogram_equidepth", "graph_pagerank", "graph_ppr", "graph_cc_star",
+    "dedup_corpus", "dedup_clusters", "corpus_split_leakage_safe",
+    "stream_late_drop")
+
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def unpersistAll(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+
+  /** Deterministic per-replica token permutation: sort tokens by
+    * md5(token ++ replica tag). Multiset-preserving; order-destroying
+    * across replicas, order-consistent within one. */
+  private def permutedText(r: Int) = expr(
+    s"""concat_ws(' ', transform(
+          array_sort(
+            transform(split(text, ' '), t -> struct(md5(concat(t, 'r$r')) AS k, t AS v)),
+            (x, y) -> CASE WHEN x.k < y.k THEN -1 WHEN x.k > y.k THEN 1 ELSE 0 END),
+          s -> s.v))""")
+
+  private def buildScaled(spark: SparkSession, src: String, dst: String,
+                          reps: Int): Unit = {
+    val Shift = 10000000L
+    def reps10(f: Int => DataFrame): DataFrame =
+      (0 until reps).map(f).reduce(_ unionByName _)
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    write(reps10 { r =>
+      li.select(
+        (col("l_orderkey") + lit(r * Shift)).as("l_orderkey"),
+        (col("l_partkey") + lit(r * Shift)).as("l_partkey"),
+        (col("l_suppkey") + lit(r * Shift)).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    }, "lineitem")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    write(reps10 { r =>
+      val text = if (r == 0) col("text") else permutedText(r)
+      docs.select((col("doc_id") + lit(r * Shift)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"),
+        length(text).cast("long").as("n_chars"))
+    }, "documents")
+
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    write(reps10 { r =>
+      ev.select((col("event_id") + lit(r * Shift)).as("event_id"), col("ts"),
+        (col("user_id") + lit(r * Shift)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }, "events")
+
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "embeddings")
+      .foreach(n => write(spark.read.parquet(s"$src/$n.parquet"), n))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
+    val spark = GraftSession.local("graft-scalestress", 32)
+    val dst = java.nio.file.Files.createTempDirectory("graft-scalestress").toString
+    System.err.println(s"[scalestress] building x$reps dataset at $dst")
+    buildScaled(spark, src, dst, reps)
+
+    def time(name: String, dir: String): Double = {
+      // min of 2 (ambient-noise damping; same rationale as Bench)
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        force(SparkEntry.queries(name)(spark, dir))
+        unpersistAll(spark)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    // warmup
+    try force(SparkEntry.queries("q1_pricing_summary")(spark, src))
+    catch { case _: Throwable => () }
+    unpersistAll(spark)
+
+    val rows = Targets.map { name =>
+      val small = time(name, src)
+      System.err.println(f"[scalestress] $name%-28s sf0.1 $small%7.2f s")
+      val big = time(name, dst)
+      val alpha = math.log(big / small) / math.log(reps.toDouble)
+      System.err.println(f"[scalestress] $name%-28s x$reps   $big%7.2f s  alpha=$alpha%5.2f")
+      (name, small, big, alpha)
+    }
+    val table = rows.map { case (n, s, b, a) =>
+      f"| $n | $s%.2f | $b%.2f | $a%.2f |"
+    }.mkString(
+      s"| query | sf0.1 s | x$reps s | alpha |\n|---|---|---|---|\n", "\n", "\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("SCALESTRESS.md"),
+      s"# Decade scale-stress (sf0.1 -> x$reps, min-of-2, local[32])\n\n" +
+        "alpha = ln(t_big/t_small)/ln(reps); ~1.0 linear, >1.3 investigate.\n\n" +
+        table)
+    println(rows.map { case (n, s, b, a) =>
+      s""""$n":{"small":${f"$s%.2f"},"big":${f"$b%.2f"},"alpha":${f"$a%.2f"}}"""
+    }.mkString("{", ",", "}"))
+    spark.stop()
+  }
+}

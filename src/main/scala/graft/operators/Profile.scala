@@ -188,20 +188,37 @@ object Profile {
     * the α=0.05 large-sample critical value 1.358·√((n₁+n₂)/(n₁·n₂)).
     *
     * Scale shape: the census pattern — ONE (group, value) count
-    * aggregate bounds everything after by DISTINCT metric values
-    * (quantize continuous metrics first, as [[rankAuc]] does); both
+    * aggregate bounds everything after by DISTINCT metric values; both
     * step functions are cumulative windows over that census (the
     * global one unpartitioned but census-bounded), and the sup is
     * evaluated on the |groups|×|values| dense frame — grid × group
     * totals is a deliberate bounded expansion, never row-sized.
+    * For CONTINUOUS metrics distinct-values ≈ corpus size and the
+    * unpartitioned census window would become a global sort, so pass
+    * `quantize = Some(q)`: the census key becomes the exact scaled
+    * integer round(metric·10^q) — bounding the grid at 10^q·range rows
+    * at ANY corpus size (the same mechanical bound [[rankAuc]] applies).
+    * Quantization can only merge adjacent steps, perturbing the sup by
+    * at most the mass within ±0.5·10^-q of each value. `None` (the
+    * integer-metric path) keeps the raw cast — callers with integral
+    * metrics pay no rounding at all.
     * Determinism: cums are exact integers; each row's F-difference is
     * fixed-order IEEE on those integers; max is order-independent;
     * one final 6dp cut. try_divide guards the group-is-the-whole-corpus
     * edge (n_rest = 0 → NULL ks, no crash).
     * Output: (g, n_g, ks, crit, drifted). */
-  def ksDrift(df: DataFrame, group: Column, metric: Column): DataFrame = {
+  def ksDrift(df: DataFrame, group: Column, metric: Column,
+              quantize: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val x = df.select(group.as("g"), metric.cast(LongType).as("x"))
+    val xKey = quantize match {
+      // scaled-integer quantization (HALF_UP): both engines multiply the
+      // SAME IEEE double by the same power of ten before rounding, so the
+      // census keys match bit-for-bit across Spark and the oracle
+      case Some(q) => round(metric.cast(DoubleType) *
+        lit(math.pow(10, q).toLong)).cast(LongType)
+      case None => metric.cast(LongType)
+    }
+    val x = df.select(group.as("g"), xKey.as("x"))
     val cnt = x.groupBy(col("g"), col("x")).agg(count(lit(1)).as("c"))
     val gridW = Window.orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -232,11 +249,17 @@ object Profile {
   }
 
   /** DuckDB mirror of [[ksDrift]] (oracle builder); `groupExpr` and
-    * `metricExpr` name the group / integer-metric expressions over
-    * `table`. */
+    * `metricExpr` name the group / metric expressions over `table`;
+    * `quantize` must match the Spark call. */
   def ksDriftSql(groupExpr: String, metricExpr: String,
-                 table: String = "documents"): String =
-    s"""WITH x AS (SELECT $groupExpr g, CAST($metricExpr AS BIGINT) x FROM $table),
+                 table: String = "documents",
+                 quantize: Option[Int] = None): String = {
+    val xExpr = quantize match {
+      case Some(q) =>
+        s"CAST(round(CAST($metricExpr AS DOUBLE) * ${math.pow(10, q).toLong}) AS BIGINT)"
+      case None => s"CAST($metricExpr AS BIGINT)"
+    }
+    s"""WITH x AS (SELECT $groupExpr g, $xExpr x FROM $table),
         cnt AS (SELECT g, x, count(*) c FROM x GROUP BY 1, 2),
         grid AS (SELECT x, SUM(SUM(c)) OVER (ORDER BY x
                    ROWS UNBOUNDED PRECEDING) cum_all
@@ -262,6 +285,7 @@ object Profile {
           ks > round(1.358 * sqrt(CAST(n_g + n_rest AS DOUBLE)
             / CAST(n_g * n_rest AS DOUBLE)), 6) drifted
         FROM ks"""
+  }
 
   /** k-anonymity / l-diversity audit — the re-identification gate a
     * compliance pass runs before a table (or a training corpus's

@@ -96,6 +96,23 @@ object RegionSort {
       .map(_._2)
   }
 
+  /** Static uniform boundaries for an md5-uniform keyspace (the HBase
+    * `RegionSplitter.UniformSplit` pre-split analog): region i+1 starts at
+    * the 2-byte big-endian value floor(i·65536/regions). Exact alignment
+    * holds because every md5-composite rowkey's leading bytes are uniform
+    * ([[graft.functions.keys.md5CompositeKey]]) — which lets a CONTINUOUS
+    * ingest fix its boundaries ONCE instead of paying Catalyst's sampling
+    * pass per micro-batch (a live table's regions don't move per batch;
+    * the reference reads them once per job, BulkImporterFromText.java:106). */
+  def uniformMd5Splits(regions: Int): Array[Array[Byte]] = {
+    require(regions >= 2 && regions <= 65536,
+      s"uniform md5 pre-split needs 2..65536 regions, got $regions")
+    (1 until regions).map { i =>
+      val v = (i.toLong * 65536L / regions).toInt
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    }.toArray
+  }
+
   /** Region boundary generator for salted keys: one split per salt bucket
     * ('1'..'9' ASCII prefixes for 10 buckets — matches create_table.rb:1's
     * `SPLITS ['0'..'9']` intent once salting is on). Buckets are capped at

@@ -187,6 +187,28 @@ object NorthStar {
             .as("survivor_ppm"))
     }),
 
+    // the cluster assignment as a DURABLE ARTIFACT (build-once,
+    // serve-many): first evaluation computes corpusDedup→clusters and
+    // persists the (doc_id, cluster_id) table; every later evaluation —
+    // and every consumer below — is ONE parquet read. This is the
+    // production amortization for the five self-contained cluster
+    // queries above (each rebuilds the ~2 s pair pipeline only because
+    // bench queries declare themselves self-contained). The oracle
+    // recomputes clustering from scratch in DuckDB, so a green hash IS
+    // the store-equals-one-shot proof.
+    "dedup_clusters_store" -> ((s, dir) =>
+      Dedup.clustersStore(t(s, dir, "documents"), N, 0.8, dir)),
+    // the marginal consumer: the shipped keep-list served FROM the
+    // store — one parquet read + one anti-join, sub-second at bench
+    // grain because the candidate/verify/fixpoint cost is amortized
+    "dedup_from_store" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val drop = Dedup.clustersStore(docs, N, 0.8, dir)
+        .where(col("doc_id") =!= col("cluster_id"))
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("lang"))
+    }),
+
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
     // exact Hamming-ball banding: the 4×4-bit band join guarantees every
     // pair with hamming <= 3 collides somewhere, so the oracle is the
@@ -714,6 +736,19 @@ object NorthStar {
     "quality_ks_drift" -> ((s, dir) =>
       graft.operators.Profile.ksDrift(t(s, dir, "documents"),
         col("source"), TextOps.tokenCount(col("text")))),
+
+    // KS drift over a CONTINUOUS metric (type-token ratio): the census
+    // key is the exact scaled integer round(ttr·100) — quantize=Some(2)
+    // bounds the grid at ≤101 rows at ANY corpus size, where the raw
+    // ratio's distinct-value census would approach corpus size and turn
+    // the unpartitioned cumulative walk into a global sort
+    "quality_ks_drift_ttr" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      graft.operators.Profile.ksDrift(t(s, dir, "documents"),
+        col("source"),
+        size(array_distinct(toks)).cast("double") / size(toks),
+        quantize = Some(2))
+    }),
 
     // binned drift (Population Stability Index) per source vs the rest,
     // over width-50 n_chars bins: the mass-reallocation complement to
@@ -1923,7 +1958,16 @@ object NorthStar {
           FROM tt LEFT JOIN hh USING (sim_band)""",
     "dedup_corpus" -> corpusDedupSql,
     "dedup_clusters" -> dedupClustersSql,
+    // store round-trip ≡ one-shot: the oracle recomputes the clustering
+    // from scratch — a hash match proves the persisted artifact carries
+    // exactly the one-shot assignment
+    "dedup_clusters_store" ->
+      s"""SELECT doc_id, cluster_id FROM ($dedupClustersSql)""",
     "dedup_keep_list" ->
+      s"""SELECT doc_id, source, lang FROM documents
+          WHERE doc_id NOT IN (
+            SELECT doc_id FROM ($dedupClustersSql) WHERE doc_id <> cluster_id)""",
+    "dedup_from_store" ->
       s"""SELECT doc_id, source, lang FROM documents
           WHERE doc_id NOT IN (
             SELECT doc_id FROM ($dedupClustersSql) WHERE doc_id <> cluster_id)""",
@@ -2063,6 +2107,10 @@ object NorthStar {
     "rag_rrf_fusion" -> TextOps.rrfFusionSql(Bm25Terms, 0L, 20, 10),
     "quality_ks_drift" -> graft.operators.Profile.ksDriftSql(
       "source", "len(regexp_extract_all(text, '\\S+'))"),
+    "quality_ks_drift_ttr" -> graft.operators.Profile.ksDriftSql(
+      "source",
+      "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))",
+      quantize = Some(2)),
     "quality_psi_drift" -> graft.operators.Profile.psiDriftSql(
       "source", "n_chars", 50),
     "emb_source_drift" ->

@@ -23,6 +23,28 @@ class DedupTextSpec extends SparkSuite {
     assert(dup.getAs[Long]("keep_id") === 0L)
   }
 
+  test("clustersStore: stored assignment ≡ one-shot; a second call NEVER recomputes") {
+    val corpus = docs.withColumn("source", lit("s")).withColumn("lang", lit("en"))
+    val key = s"storespec-${java.util.UUID.randomUUID()}"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val oneShot = rows(Dedup.clusters(
+      Dedup.corpusDedup(corpus, 3, 0.8).select(col("a"), col("b"))))
+    assert(oneShot.nonEmpty)
+    // first call builds + persists; content is the one-shot assignment
+    assert(rows(Dedup.clustersStore(corpus, 3, 0.8, key)) === oneShot)
+    // second call with a POISONED corpus (any scan raises): it must be
+    // served purely from the store — success IS the no-recompute proof
+    val poisoned = corpus.withColumn("text",
+      when(length(col("text")) >= 0,
+        raise_error(lit("clustersStore recomputed instead of reading the store")))
+        .otherwise(lit("")).cast("string"))
+    assert(rows(Dedup.clustersStore(poisoned, 3, 0.8, key)) === oneShot)
+    // a different corpus key is a different drop: new store, fresh build
+    val key2 = s"storespec-${java.util.UUID.randomUUID()}"
+    assert(rows(Dedup.clustersStore(corpus, 3, 0.8, key2)) === oneShot)
+  }
+
   test("ngram jaccard finds the near-dup pair and the exact pair") {
     val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet

@@ -102,6 +102,31 @@ class ScaleSpec extends SparkSuite {
         col("source"), col("n_chars"), 50)))
   }
 
+  test("ksDrift quantize: continuous-metric census bounded at 10^q·range, drift still detected") {
+    import graft.operators.Profile
+    // a continuous score: 5,000 distinct raw values; 10 groups, group 9
+    // shifted +0.3 (the rest-of-corpus reference stays 8/9 clean, so only
+    // the shifted group crosses the critical value)
+    val df = spark.range(5000).select(
+      (col("id") % 10).cast("string").as("g"),
+      (col("id").cast("double") / 5000.0 +
+        when(col("id") % 10 === 9, lit(0.3)).otherwise(lit(0.0))).as("m"))
+    assert(df.select(col("m")).distinct().count() === 5000L)
+    // the quantized census key round(m·100) spans [0, 130] — the grid the
+    // unpartitioned cumulative walk sorts is ≤131 rows NO MATTER the
+    // corpus size (the raw-value census would be corpus-sized)
+    val grid = df.select(round(col("m") * 100).cast("long").as("x")).distinct().count()
+    assert(grid <= 131L, s"quantized grid $grid exceeds the 10^q·range bound")
+    val out = Profile.ksDrift(df, col("g"), col("m"), quantize = Some(2))
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(4))).toMap
+    // the shifted group drifts (sup |F_g − F_rest| for a +0.3 shift of a
+    // uniform [0,1] vs a clean rest is ~0.3); every aligned group's sup is
+    // the shifted group's 1/9 dilution of ITS rest (~0.033), under the
+    // α=0.05 critical value (~0.064 at n_g=500)
+    assert(out("9")._2 === true && out("9")._1 > 0.29)
+    (0 to 8).foreach(g => assert(out(g.toString)._2 === false, s"group $g"))
+  }
+
   test("robustness: every batch query survives EMPTY input tables (0 rows, no crash)") {
     // empty mirrors of all ten tables with the exact sf schemas — empty
     // aggregates, empty LSH codebooks, zero-pair fixpoints, empty windows
