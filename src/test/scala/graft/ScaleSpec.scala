@@ -157,6 +157,67 @@ class ScaleSpec extends SparkSuite {
     assert(failures.isEmpty, s"queries crashed on empty inputs:\n${failures.mkString("\n")}")
   }
 
+  test("planLint standing sweep: every declared batch plan is lint-clean or adjudicated") {
+    // Profile.planLint productized over the WHOLE inventory (VERDICT r9
+    // #6), so the cartesian/NLJ/single-partition posture can't decay as
+    // queries are added: any hit outside the adjudicated allowlists
+    // fails this test and must be either re-planned or adjudicated here.
+    //
+    // nested-loop-join allowlist = PlanSpec's `intentional` set (each a
+    // documented 1-row broadcast-scalar cross join — the q22 pattern —
+    // or a deliberate broadcast-query ANN scan); single-partition
+    // allowlist covers exactly two shapes, both O(1)- or census-bounded
+    // by construction: (a) the partial→Exchange SinglePartition→final
+    // step of a GLOBAL scalar aggregate (one row per map partition on
+    // the wire), and (b) the unpartitioned cumulative window of a
+    // distinct-value census walk (grid-bounded: equidepth boundaries,
+    // KS/AUC cums, RFM quartiles, per-column profile branches).
+    val nljAllow = Set(
+      "ann_binary_hamming_topk", "ann_cosine_topk", "ann_hard_negatives",
+      "ann_hybrid_topk", "ann_ivf_adc_topk", "ann_ivf_recall", "ann_ivf_topk",
+      "ann_sq8_topk", "ann_whitened_topk", "basket_association_rules",
+      "corpus_decontaminate_bloom", "corpus_dsir_topk", "corpus_mixture_plan",
+      "corpus_stratified_neyman", "corpus_temperature_mix", "dedup_rate_report",
+      "emb_kmeans", "emb_matryoshka_recall", "emb_top_pc", "events_funnel",
+      "events_funnel_windowed", "events_hll_setops", "events_retention_halflife",
+      "events_rfm_segments", "events_survival_km", "events_trend_ols",
+      "events_uplift_deciles", "graph_clustering_coeff", "graph_modularity",
+      "graph_pagerank", "graph_ppr", "profile_key_skew", "q11_important_share",
+      "q22_idle_balances", "q_histogram_equidepth", "q_join_cardinality_est",
+      "quality_ks_drift", "quality_ks_drift_ttr", "quality_psi_drift",
+      "rag_passage_topk", "rag_rrf_fusion", "text_bm25_topk",
+      "text_kn_bigram_lm", "text_lm_score", "text_source_divergence",
+      "text_tfidf_topk", "text_vocab_growth")
+    val speAllow = nljAllow ++ Set(
+      // global scalar aggregates (1-row readouts / report lines)
+      "events_ab_cuped", "events_ab_srm", "events_ab_test",
+      "events_power_analysis", "events_funnel_ttc", "events_hll_distinct",
+      "emb_participation_ratio", "graph_assortativity", "graph_triangles",
+      "quality_score_auc", "quality_constraint_report", "table_checksum",
+      "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
+      "q19_disjunctive_predicates", "q6_filter_pushdown", "q_sql_not_in_nulls",
+      // census walks / bounded per-level ladders
+      "cells_split_advisor", "privacy_generalization_ladder",
+      "q_skyline_pareto", "table_profile")
+    val skip = Set("stream_windowed_agg", "stream_sliding_agg",
+      "stream_session_window", "stream_sessionize", "stream_stream_join",
+      "stream_dedup_events", "stream_dedup_incremental", "sessionize_events",
+      "stream_quality_monitor", "stream_static_join", "stream_ann_assign",
+      "stream_quantile_sketch", "stream_cms_heavy_hitters", "stream_cdc_apply",
+      "stream_hll_distinct", "stream_late_drop", "stream_bitmap_retention")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => skip(q._1)).flatMap { case (name, fn) =>
+        val hits = graft.operators.Profile.planLint(fn(spark, sf001))
+          .collect().map(_.getString(0)).toSet
+        val bad =
+          (if (hits("cartesian-product")) Seq("cartesian-product") else Nil) ++
+          (if (hits("nested-loop-join") && !nljAllow(name)) Seq("nested-loop-join") else Nil) ++
+          (if (hits("single-partition-exchange") && !speAllow(name)) Seq("single-partition-exchange") else Nil)
+        if (bad.nonEmpty) Some(s"$name: ${bad.mkString(",")}") else None
+      }
+    assert(offenders.isEmpty, s"unadjudicated lint hits:\n${offenders.mkString("\n")}")
+  }
+
   test("saltedJoin: exactly the plain join, and the hot key spreads across reducers") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
