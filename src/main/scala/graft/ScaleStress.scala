@@ -17,12 +17,12 @@ import org.apache.spark.sql.functions._
   *    10M/replica — 10 disjoint copies of the co-purchase graph, so the
   *    degree distribution (what graph cost scales with) is unchanged;
   *    price/quantity columns replicate, keeping value distributions.
-  *  - `documents` x10 with doc_id shifted and replica r > 0 texts token-
-  *    PERMUTED by a deterministic per-replica hash order: token multisets
-  *    (so length/quality stats) are preserved, within-replica near-dup
-  *    structure survives (near-equal token sets sort near-identically),
-  *    but cross-replica shingle overlap collapses — the duplication RATE
-  *    stays the corpus's own, instead of every doc gaining 9 near-copies.
+  *  - `documents` x10 with doc_id shifted and replica r > 0 vocabularies
+  *    SUBSTITUTED through a per-replica token cipher: every similarity
+  *    relation within a replica is preserved exactly (isomorphic
+  *    corpora), cross-replica vocabularies are disjoint — the duplication
+  *    RATE stays the corpus's own, instead of every doc gaining 9
+  *    near-copies.
   *  - `events` x10 with event_id/user_id shifted per replica (disjoint
   *    user populations, same temporal profile).
   *  - everything else copies through unchanged.
@@ -40,15 +40,22 @@ object ScaleStress {
   private def unpersistAll(spark: SparkSession): Unit =
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
 
-  /** Deterministic per-replica token permutation: sort tokens by
-    * md5(token ++ replica tag). Multiset-preserving; order-destroying
-    * across replicas, order-consistent within one. */
-  private def permutedText(r: Int) = expr(
-    s"""concat_ws(' ', transform(
-          array_sort(
-            transform(split(text, ' '), t -> struct(md5(concat(t, 'r$r')) AS k, t AS v)),
-            (x, y) -> CASE WHEN x.k < y.k THEN -1 WHEN x.k > y.k THEN 1 ELSE 0 END),
-          s -> s.v))""")
+  /** Deterministic per-replica token SUBSTITUTION (a vocabulary cipher):
+    * every token t becomes an 8-hex pseudo-token md5(t ++ replica tag).
+    * This is the isomorphic-decade transform: sequence structure, token
+    * frequencies, and every within-replica similarity relation are
+    * preserved exactly (the mapping is per-replica consistent), while
+    * cross-replica vocabularies are DISJOINT — so the scaled corpus has
+    * the original's duplication profile at 10x the rows, rather than
+    * manufactured cross-replica near-dups.
+    *
+    * (The first cut of this transform SORTED tokens by a per-replica
+    * hash — which canonicalizes word order and turns every pair of docs
+    * sharing vocabulary into sequence-near-dups: LSH candidates blew up
+    * 20,000x while true pairs grew 10x. Kept as a cautionary note; that
+    * adversarial corpus is reported separately in SCALESTRESS.md.) */
+  private def cipheredText(r: Int) = expr(
+    s"concat_ws(' ', transform(split(text, ' '), t -> substr(md5(concat(t, 'r$r')), 1, 8)))")
 
   private def buildScaled(spark: SparkSession, src: String, dst: String,
                           reps: Int): Unit = {
@@ -71,7 +78,7 @@ object ScaleStress {
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     write(reps10 { r =>
-      val text = if (r == 0) col("text") else permutedText(r)
+      val text = if (r == 0) col("text") else cipheredText(r)
       docs.select((col("doc_id") + lit(r * Shift)).as("doc_id"),
         text.as("text"), col("lang"), col("source"),
         length(text).cast("long").as("n_chars"))
@@ -111,7 +118,9 @@ object ScaleStress {
     catch { case _: Throwable => () }
     unpersistAll(spark)
 
-    val rows = Targets.map { name =>
+    // optional args = subset of Targets (re-measuring one family)
+    val picked = if (args.isEmpty) Targets else Targets.filter(args.toSet)
+    val rows = picked.map { name =>
       val small = time(name, src)
       System.err.println(f"[scalestress] $name%-28s sf0.1 $small%7.2f s")
       val big = time(name, dst)

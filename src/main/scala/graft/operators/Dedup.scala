@@ -272,13 +272,39 @@ object Dedup {
             .cast(BinaryType)).as("bkey")))).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
 
+  /** A band bucket with more than this many members contributes occ²/2
+    * candidate pairs from ONE key — the quadratic term that sinks LSH on
+    * template/boilerplate-heavy corpora (a crawl's 10⁶-copy footer makes
+    * 5·10¹¹ pairs in a single bucket). Buckets past the cap are dropped
+    * from candidate generation: their members are near-certainly an
+    * exact-duplicate cohort, which the md5-identity pass ([[exact]])
+    * catches without any pair join — compose exact-dedup FIRST and the
+    * cap costs recall only for similar-but-not-identical docs whose
+    * EVERY collision band is oversized. 10,000 caps a bucket's
+    * contribution at 5·10⁷ pairs while sitting orders of magnitude above
+    * any bucket the declared corpora produce (observed max occupancy: 4
+    * at sf0.1; 590 on the adversarial canonicalized-decade corpus). */
+  val BandBucketCap = 10000
+
   /** LSH band candidate pairs (a < b, distinct) from MinHash signatures.
     * The band join carries ONLY (doc_id, band, bkey) — signatures are
     * re-attached after candidate dedup, so the hot self-join shuffles
-    * ~50 bytes per (doc, band) instead of the full k-vector. */
-  def minHashCandidates(sigd: DataFrame): DataFrame = {
+    * ~50 bytes per (doc, band) instead of the full k-vector. Buckets
+    * above `maxBucket` ([[BandBucketCap]]) are excluded — see there; the
+    * occupancy window shares the self-join's (band, bkey) exchange, so
+    * the cap costs no extra shuffle. */
+  def minHashCandidates(sigd: DataFrame,
+                        maxBucket: Int = BandBucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val banded = bandKeys(sigd)
-    banded.as("x").join(banded.as("y"),
+    val kept =
+      if (maxBucket == Int.MaxValue) banded
+      else banded
+        .withColumn("occ",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+        .where(col("occ") <= maxBucket)
+        .drop("occ")
+    kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))

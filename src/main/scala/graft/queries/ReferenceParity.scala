@@ -298,6 +298,24 @@ object ReferenceParity {
         Some(Array(0x40.toByte)), Some(Array(0x80.toByte))))
     }),
 
+    // HBase-Get analog over the same staged layout: the cells of ONE row
+    // key (customer 42's md5-composite key, read via a 1-row staging
+    // lookup — a Get client knows its key). The manifest/footer pruning
+    // opens one region file; the equality is the [key, key+0x00) range
+    "cells_point_get" -> ((s, dir) => {
+      val path = staged(fixturePath(dir, "cellscan")) {
+        graft.SortedParquetCellSink.write(RegionSort.sortedByRange(
+          CellOps.explodeIndexed(t(s, dir, "customer"), custKey, "c",
+            custValueCols), 10), fixturePath(dir, "cellscan"))
+      }
+      // a Get whose key row doesn't exist (EMPTY corpus) degrades to the
+      // empty-key Get — [∅, 0x00) matches nothing, schema preserved
+      val key = t(s, dir, "customer").where(col("c_custkey") === 42)
+        .select(custKey.as("k")).limit(1).collect().headOption
+        .map(_.getAs[Array[Byte]]("k")).getOrElse(Array.empty[Byte])
+      hexBin(graft.sources.CellScan.get(s, path, key))
+    }),
+
     // X3 payload fidelity: each cell serialized to the public HBase
     // KeyValue WIRE layout — the exact bytes HFileOutputFormat2 stores
     // per cell; only the HFile container stays behind the hbase-jars seam
@@ -477,6 +495,9 @@ object ReferenceParity {
     // hex-string range on the hex cells ≡ unsigned byte range on raw keys
     "cells_scan_range" ->
       s"""SELECT * FROM ($cellsIndexedSql) WHERE "row" >= '40' AND "row" < '80'""",
+    "cells_point_get" ->
+      s"""SELECT * FROM ($cellsIndexedSql)
+          WHERE "row" = (SELECT $custKeyHexSql FROM customer WHERE c_custkey = 42)""",
     "cells_compact_versions" -> cellsCompactSql,
     "cells_compact_tombstones" -> cellsTombstonesSql,
     "cells_keyvalue_wire" -> kvWireSql,

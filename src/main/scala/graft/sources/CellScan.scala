@@ -44,6 +44,16 @@ object CellScan {
     * tests can pin "manifest present ⇒ zero footer reads". */
   val footerOpens = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Point GET — the HBase `Get` analog: exactly the cells of one row
+    * key. The stop bound is the key's immediate unsigned successor
+    * (`row ++ 0x00`: longer array, equal prefix, sorts directly after),
+    * so the range [row, row+0x00) holds precisely `row` and the scan
+    * touches ONE region file when a manifest (or footer stats) is
+    * present — the serving-side read the whole bulk-load pipeline
+    * exists to make cheap. */
+  def get(spark: SparkSession, dir: String, row: Array[Byte]): DataFrame =
+    scanRange(spark, dir, Some(row), Some(row :+ 0x00.toByte))
+
   /** [startRow, stopRow) range scan; None = unbounded on that side. */
   def scanRange(spark: SparkSession, dir: String,
                 startRow: Option[Array[Byte]],

@@ -45,6 +45,28 @@ class DedupTextSpec extends SparkSuite {
     assert(rows(Dedup.clustersStore(corpus, 3, 0.8, key2)) === oneShot)
   }
 
+  test("minHashCandidates bucket cap: oversized cohort excluded, small buckets survive") {
+    // 30 IDENTICAL docs — every band bucket they occupy has occ=30, the
+    // template-cohort shape the cap exists for — plus one near-dup pair
+    // in its own small buckets
+    val cohort = (100L until 130L)
+      .map(i => (i, "zebra yankee xray whiskey victor uniform tango sierra romeo quebec"))
+    val pairDocs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliett"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel india kilo"))
+    val corpus = (cohort ++ pairDocs).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(corpus, 3)
+    val capped = Dedup.minHashCandidates(sigs, maxBucket = 10)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)), "small-bucket near-dup pair must survive")
+    assert(capped.forall { case (a, b) => a < 100L && b < 100L },
+      "cohort pairs must be excluded at cap=10")
+    // the default cap (10,000) is far above this corpus: cohort intact
+    val full = Dedup.minHashCandidates(sigs)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(full.size === capped.size + 30 * 29 / 2)
+  }
+
   test("ngram jaccard finds the near-dup pair and the exact pair") {
     val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet

@@ -172,6 +172,7 @@ class PlanSpec extends SparkSuite {
       "graph_ppr",                // 1-row seed-count scalar (q22 pattern)
       "rag_rrf_fusion",           // broadcast-query ANN list (ann_cosine_topk shape)
       "quality_ks_drift",         // census grid x group-totals bounded expansion
+      "quality_ks_drift_ttr",     // same census shape, quantized continuous metric
       "corpus_stratified_neyman", // 1-row weight-total scalar (q22 pattern)
       "ann_ivf_recall", "ann_sq8_topk", "ann_binary_hamming_topk",
       "ann_hard_negatives",

@@ -398,6 +398,27 @@ class SourceDriversSpec extends SparkSuite {
     assert(CellManifest.fromHex(CellManifest.toHex(Array.empty[Byte])).isEmpty)
   }
 
+  test("CellScan.get: point lookup opens exactly ONE region file, zero footer reads") {
+    import graft.sources.CellScan
+    val wide = (0 until 120).map { i =>
+      val r = (0 until 9).map(c => s"g${i}_$c")
+      (r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7), r(8))
+    }.toDF((0 until 9).map(i => s"c$i"): _*)
+    val r = BulkLoad.fromPositional(wide, BulkLoad.emptyQuarantine(spark),
+      BulkLoad.Config(saltBuckets = Some(10)))
+    val out = tmpDir() + "/cells"
+    SortedParquetCellSink.write(r.cells, out)
+    val key = spark.read.parquet(out).select("row").head().getAs[Array[Byte]]("row")
+    val before = CellScan.footerOpens.get()
+    val got = CellScan.get(spark, out, key)
+    assert(got.inputFiles.length === 1, "a Get must touch one region file")
+    assert(CellScan.footerOpens.get() === before, "manifest Get opened footers")
+    // exactly that row's cells, nothing adjacent
+    assert(got.count() === 9)
+    assert(got.select("row").distinct().count() === 1)
+    assert(got.select("row").head().getAs[Array[Byte]]("row").toSeq === key.toSeq)
+  }
+
   test("CellScan: non-flat parquet layout falls back to an unpruned read, not empty") {
     import graft.sources.CellScan
     // hive-partitioned layout: no top-level part-*.parquet files
