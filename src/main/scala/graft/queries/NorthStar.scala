@@ -127,11 +127,13 @@ object NorthStar {
         .select(col("a"), col("b")))),
     // the end product a dedup run ships: the corpus with every
     // non-representative cluster member dropped (anti-join on the
-    // cluster assignment; untouched docs pass through)
+    // cluster assignment). Served FROM the durable store — the
+    // production shape: the LSH+verify+fixpoint pipeline runs once per
+    // corpus drop (store ≡ one-shot is dedup_clusters_store's oracle
+    // proof); every consumer here is one parquet read + one anti-join
     "dedup_keep_list" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val drop = Dedup.clusters(Dedup.corpusDedup(docs, N, 0.8)
-          .select(col("a"), col("b")))
+      val drop = Dedup.clustersStore(docs, N, 0.8, dir)
         .where(col("doc_id") =!= col("cluster_id"))
       docs.join(drop, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("source"), col("lang"))
@@ -143,8 +145,7 @@ object NorthStar {
     // same clusters frame; quality joins in on the doc id
     "dedup_keep_best" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val cl = Dedup.clusters(Dedup.corpusDedup(docs, N, 0.8)
-        .select(col("a"), col("b")))
+      val cl = Dedup.clustersStore(docs, N, 0.8, dir) // durable store read
       val q = docs.select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("quality"))
       val best = cl.join(q, "doc_id")
@@ -170,8 +171,7 @@ object NorthStar {
       val totals = docs.agg(count(lit(1)).as("n_docs"))
       val distinctTexts = docs.select(md5(col("text")).as("h")).distinct()
         .agg(count(lit(1)).as("n_distinct_texts"))
-      val nearDrop = Dedup.clusters(Dedup.corpusDedup(docs, N, 0.8)
-          .select(col("a"), col("b")))
+      val nearDrop = Dedup.clustersStore(docs, N, 0.8, dir)
         .where(col("doc_id") =!= col("cluster_id"))
         .agg(count(lit(1)).as("n_near_dups"))
       totals.crossJoin(distinctTexts) // 1-row frames, documented pattern
@@ -1013,8 +1013,7 @@ object NorthStar {
     // ships (how much mass sits in big boilerplate clusters vs pairs);
     // singletons never enter the pair stream, so sizes start at 2
     "dedup_cluster_sizes" -> ((s, dir) => {
-      val cl = Dedup.clusters(Dedup.corpusDedup(t(s, dir, "documents"), N, 0.8)
-        .select(col("a"), col("b")))
+      val cl = Dedup.clustersStore(t(s, dir, "documents"), N, 0.8, dir)
       cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
     }),

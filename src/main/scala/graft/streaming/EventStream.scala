@@ -363,32 +363,42 @@ object EventStream {
     val staging = java.nio.file.Files.createTempDirectory("graft_late_stage")
     val in = staging.resolve("in")
     java.nio.file.Files.createDirectory(in)
+    val t0 = (System.currentTimeMillis() / 1000L) * 1000L
     // one file per batch, strictly increasing mtimes: the file source
-    // processes oldest-first, so arrival order is the batch order
-    def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = staging.resolve(s"tmp_$name").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
+    // processes oldest-first, so arrival order is the batch order. ALL
+    // batch files land in ONE repartition(batch)+partitionBy pass (one
+    // scan, one task per batch ⇒ one file per batch dir) — the previous
+    // per-batch coalesce(1) writes re-scanned the events table once per
+    // batch, which WAS most of this query's wall-clock
+    def adoptBatch(b: Int, mtime: Long): Unit = {
+      val src = new java.io.File(staging.resolve(s"stage_build/batch=$b").toString)
+      if (!src.isDirectory) return // empty batch: contributes no file
+      val part = src.listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-      val dest = in.resolve(s"$name.parquet").toFile
+      val dest = in.resolve(f"b$b%02d.parquet").toFile
       java.nio.file.Files.move(part.toPath, dest.toPath)
       dest.setLastModified(mtime)
     }
     val nBatches = staged.agg(max(col("batch"))).head().getInt(0) + 1
-    val t0 = (System.currentTimeMillis() / 1000L) * 1000L
-    (0 until nBatches).foreach { b =>
-      writeOne(staged.where(col("batch") === b).drop("batch"),
-        f"b$b%02d", t0 + b * 1000L)
-    }
+    staged.repartition(nBatches, col("batch"))
+      .write.partitionBy("batch").mode("overwrite")
+      .parquet(staging.resolve("stage_build").toString)
+    (0 until nBatches).foreach(b => adoptBatch(b, t0 + b * 1000L))
     // sentinel LAST: advances the watermark past every real window so the
     // append sink flushes them; its own window is excluded by the filter
     val sentinelUs = maxTs + 240L * 60L * 1000000L
-    writeOne(ev.limit(1).select(ev.columns.map {
+    val sentTmp = staging.resolve("tmp_sentinel").toString
+    ev.limit(1).select(ev.columns.map {
         case "event_id" => lit(-1L).as("event_id")
         case "user_id"  => lit(-1L).as("user_id")
         case "ts"       => timestamp_micros(lit(sentinelUs)).as("ts")
         case other      => col(other)
-      }: _*), f"b$nBatches%02d", t0 + nBatches * 1000L)
+      }: _*).coalesce(1).write.mode("overwrite").parquet(sentTmp)
+    val sentPart = new java.io.File(sentTmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val sentDest = in.resolve(f"b$nBatches%02d.parquet").toFile
+    java.nio.file.Files.move(sentPart.toPath, sentDest.toPath)
+    sentDest.setLastModified(t0 + nBatches * 1000L)
     val schema = spark.read.parquet(in.toString).schema
     val stream = spark.readStream.option("maxFilesPerTrigger", 1)
       .schema(schema).parquet(in.toString)
