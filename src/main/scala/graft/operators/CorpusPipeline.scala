@@ -367,13 +367,24 @@ object CorpusPipeline {
                        storage: Dedup.FixpointStorage = Dedup.SessionDefault): DataFrame = {
     require(trainRate >= 0 && valRate >= 0 && trainRate + valRate <= 1.0,
       s"rates must be non-negative and sum <= 1, got ($trainRate, $valRate)")
-    val cl = Dedup.clusters(pairs.select(col("a"), col("b")), storage)
+    leakageSafeSplitFromClusters(docs,
+      Dedup.clusters(pairs.select(col("a"), col("b")), storage),
+      trainRate, valRate)
+  }
+
+  /** [[leakageSafeSplit]] from an ALREADY-CLUSTERED assignment — the
+    * durable-store consumer form ([[Dedup.clustersStore]]): the split is
+    * one left join + a per-row hash, no fixpoint anywhere. */
+  def leakageSafeSplitFromClusters(docs: DataFrame, clusterTable: DataFrame,
+                                   trainRate: Double, valRate: Double): DataFrame = {
+    require(trainRate >= 0 && valRate >= 0 && trainRate + valRate <= 1.0,
+      s"rates must be non-negative and sum <= 1, got ($trainRate, $valRate)")
     val bucket = pmod(graft.functions.keys.md5Prefix64(
       col("rep").cast(org.apache.spark.sql.types.StringType).cast(BinaryType), 7),
       lit(10000L))
     val tr = math.round(trainRate * 10000).toInt
     val va = tr + math.round(valRate * 10000).toInt
-    docs.join(cl, Seq("doc_id"), "left")
+    docs.join(clusterTable, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("rep"))
       .select(col("doc_id"), col("rep"),
         when(bucket < tr, lit("train"))

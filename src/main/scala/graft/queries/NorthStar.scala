@@ -345,10 +345,12 @@ object NorthStar {
     // leakage-safe train/val/test split: hash assignment on the near-dup
     // cluster REPRESENTATIVE, so no cluster ever straddles a split
     // boundary (the train/test contamination a per-doc hash produces)
+    // served from the durable cluster store (the production consumer
+    // shape; the split itself is one left join + a per-row hash)
     "corpus_split_leakage_safe" -> ((s, dir) =>
-      CorpusPipeline.leakageSafeSplit(
+      CorpusPipeline.leakageSafeSplitFromClusters(
         t(s, dir, "documents"),
-        Dedup.corpusDedup(t(s, dir, "documents"), N, 0.8),
+        Dedup.clustersStore(t(s, dir, "documents"), N, 0.8, dir),
         trainRate = 0.8, valRate = 0.1)),
 
     // eval-set decontamination by n-gram overlap (the GPT-3/PaLM recipe):

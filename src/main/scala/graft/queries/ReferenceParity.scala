@@ -298,6 +298,21 @@ object ReferenceParity {
         Some(Array(0x40.toByte)), Some(Array(0x80.toByte))))
     }),
 
+    // the same SCAN through the SQL-facing source: spark.read
+    // .format("graft-cells") + a WHERE on `row` — the V1 pushdown hands
+    // the binary range to the relation (vanilla parquet pushes no
+    // binary predicates), which prunes region files via the manifest
+    "cells_scan_sql" -> ((s, dir) => {
+      val path = staged(fixturePath(dir, "cellscan")) {
+        graft.SortedParquetCellSink.write(RegionSort.sortedByRange(
+          CellOps.explodeIndexed(t(s, dir, "customer"), custKey, "c",
+            custValueCols), 10), fixturePath(dir, "cellscan"))
+      }
+      hexBin(s.read.format("graft-cells").load(path)
+        .where(col("row") >= lit(Array(0x40.toByte)) &&
+          col("row") < lit(Array(0x80.toByte))))
+    }),
+
     // HBase-Get analog over the same staged layout: the cells of ONE row
     // key (customer 42's md5-composite key, read via a 1-row staging
     // lookup — a Get client knows its key). The manifest/footer pruning
@@ -498,6 +513,8 @@ object ReferenceParity {
     "cells_point_get" ->
       s"""SELECT * FROM ($cellsIndexedSql)
           WHERE "row" = (SELECT $custKeyHexSql FROM customer WHERE c_custkey = 42)""",
+    "cells_scan_sql" ->
+      s"""SELECT * FROM ($cellsIndexedSql) WHERE "row" >= '40' AND "row" < '80'""",
     "cells_compact_versions" -> cellsCompactSql,
     "cells_compact_tombstones" -> cellsTombstonesSql,
     "cells_keyvalue_wire" -> kvWireSql,

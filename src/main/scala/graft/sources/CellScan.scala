@@ -44,6 +44,11 @@ object CellScan {
     * tests can pin "manifest present ⇒ zero footer reads". */
   val footerOpens = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Region files kept by the most recent [[scanRange]] prune (-1 before
+    * any scan; flat-layout scans only) — observable so tests can pin the
+    * pruning itself, independent of how Spark packs files into splits. */
+  val lastKeptFiles = new java.util.concurrent.atomic.AtomicLong(-1L)
+
   /** Point GET — the HBase `Get` analog: exactly the cells of one row
     * key. The stop bound is the key's immediate unsigned successor
     * (`row ++ 0x00`: longer array, equal prefix, sorts directly after),
@@ -83,6 +88,7 @@ object CellScan {
         case None => true // no stats → cannot prune safely
       }
     }
+    lastKeptFiles.set(kept.size.toLong)
     val base =
       if (kept.isEmpty)
         spark.read.schema(graft.operators.CellOps.cellSchema).parquet(dir)

@@ -43,7 +43,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * rule). Overwrite mode only — HFile staging directories are
   * write-once-then-adopt, append has no bulk-load meaning.
   */
-class GraftCellsDataSource extends TableProvider with DataSourceRegister {
+class GraftCellsDataSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.RelationProvider {
   override def shortName(): String = "graft-cells"
 
   /** Write-side schema is the engine-wide cell contract. */
@@ -57,6 +58,78 @@ class GraftCellsDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new GraftCellsTable(schema, properties)
+
+  /** READ path (V1 relation — implementing `RelationProvider` routes
+    * `spark.read.format("graft-cells")` through it while writes keep the
+    * V2 aligned-write table above): a region-pruned scan of a staged cell
+    * layout with `row`-range FILTER PUSHDOWN. This is the piece vanilla
+    * parquet cannot provide — `ParquetFilters` creates no binary-column
+    * predicates, so a plain `spark.read.parquet(dir).where(row >= …)`
+    * scans every region file; this relation receives the row bounds
+    * through the V1 pushdown API and serves them via [[CellScan]]'s
+    * manifest lookup (one small-file read, the META analog). */
+  override def createRelation(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-cells read requires a path"))
+    new GraftCellsRelation(sqlContext, path)
+  }
+}
+
+/** Region-pruned readable relation over a staged cell directory.
+  * `unhandledFilters` keeps `row`-range filters INSIDE the relation
+  * (CellScan applies them: manifest/footer file pruning + the residual
+  * codegen filter), everything else is left to Spark above the scan. */
+private[sources] class GraftCellsRelation(
+    override val sqlContext: org.apache.spark.sql.SQLContext, path: String)
+    extends org.apache.spark.sql.sources.BaseRelation
+    with org.apache.spark.sql.sources.PrunedFilteredScan {
+  import org.apache.spark.sql.sources._
+
+  override def schema: StructType = CellOps.cellSchema
+
+  /** (start inclusive, stop exclusive) bounds from the pushed filters —
+    * the conjunction of every recognized `row` comparison (tightest
+    * bound wins; EqualTo becomes the [key, key+0x00) point range). */
+  private[sources] def rowBounds(filters: Array[Filter])
+      : (Option[Array[Byte]], Option[Array[Byte]]) = {
+    val cmp = graft.operators.RegionSort.unsignedBytes
+    def tighterLo(a: Option[Array[Byte]], b: Array[Byte]) =
+      Some(a.filter(x => cmp.compare(x, b) >= 0).getOrElse(b))
+    def tighterHi(a: Option[Array[Byte]], b: Array[Byte]) =
+      Some(a.filter(x => cmp.compare(x, b) <= 0).getOrElse(b))
+    filters.foldLeft((Option.empty[Array[Byte]], Option.empty[Array[Byte]])) {
+      case ((lo, hi), GreaterThanOrEqual("row", v: Array[Byte])) => (tighterLo(lo, v), hi)
+      case ((lo, hi), GreaterThan("row", v: Array[Byte])) => (tighterLo(lo, v :+ 0x00.toByte), hi)
+      case ((lo, hi), LessThan("row", v: Array[Byte])) => (lo, tighterHi(hi, v))
+      case ((lo, hi), LessThanOrEqual("row", v: Array[Byte])) => (lo, tighterHi(hi, v :+ 0x00.toByte))
+      case ((lo, hi), EqualTo("row", v: Array[Byte])) =>
+        (tighterLo(lo, v), tighterHi(hi, v :+ 0x00.toByte))
+      case (acc, _) => acc
+    }
+  }
+
+  private def recognized(f: Filter): Boolean = f match {
+    case GreaterThanOrEqual("row", _: Array[Byte]) | GreaterThan("row", _: Array[Byte]) |
+         LessThan("row", _: Array[Byte]) | LessThanOrEqual("row", _: Array[Byte]) |
+         EqualTo("row", _: Array[Byte]) => true
+    case _ => false
+  }
+
+  /** Row-range filters are fully handled here (pruning + residual);
+    * anything else must be re-evaluated by Spark above the scan. */
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filterNot(recognized)
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val (lo, hi) = rowBounds(filters)
+    val pruned = CellScan.scanRange(sqlContext.sparkSession, path, lo, hi)
+    // empty requiredColumns (count-only scans) yields 0-column rows
+    pruned.select(requiredColumns.toIndexedSeq
+      .map(org.apache.spark.sql.functions.col): _*).rdd
+  }
 }
 
 object GraftCellsDataSource {

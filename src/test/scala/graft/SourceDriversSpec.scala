@@ -419,6 +419,41 @@ class SourceDriversSpec extends SparkSuite {
     assert(got.select("row").head().getAs[Array[Byte]]("row").toSeq === key.toSeq)
   }
 
+  test("graft-cells READ: row-range pushdown prunes region files through the manifest") {
+    import graft.sources.CellScan
+    val wide = (0 until 120).map { i =>
+      val r = (0 until 9).map(c => s"p${i}_$c")
+      (r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7), r(8))
+    }.toDF((0 until 9).map(i => s"c$i"): _*)
+    val r = BulkLoad.fromPositional(wide, BulkLoad.emptyQuarantine(spark),
+      BulkLoad.Config(saltBuckets = Some(10)))
+    val out = tmpDir() + "/cells"
+    SortedParquetCellSink.write(r.cells, out)
+
+    val before = CellScan.footerOpens.get()
+    val lo = Array('3'.toByte)
+    val hi = Array('4'.toByte)
+    val pruned = spark.read.format("graft-cells").load(out)
+      .where(col("row") >= lit(lo) && col("row") < lit(hi))
+    val nPruned = pruned.count()
+    // the V1 pushdown delivered the bounds: the relation kept ONE of the
+    // ten region files, via the manifest (no footer opens)
+    assert(CellScan.lastKeptFiles.get() === 1L,
+      s"expected 1 kept file, got ${CellScan.lastKeptFiles.get()}")
+    assert(CellScan.footerOpens.get() === before)
+    // and the result equals the unpruned read with the same residual
+    val expect = spark.read.parquet(out)
+      .where(col("row") >= lit(lo) && col("row") < lit(hi)).count()
+    assert(nPruned === expect && nPruned > 0)
+    // column pruning path: a projection-only read works and sees all rows
+    assert(spark.read.format("graft-cells").load(out)
+      .select(col("qualifier")).count() === r.cells.count())
+    // a non-row predicate is re-evaluated above the scan (unhandled)
+    val q0 = spark.read.format("graft-cells").load(out)
+      .where(col("ts") === 0L).count()
+    assert(q0 === r.cells.count())
+  }
+
   test("CellScan: non-flat parquet layout falls back to an unpruned read, not empty") {
     import graft.sources.CellScan
     // hive-partitioned layout: no top-level part-*.parquet files
