@@ -32,7 +32,13 @@ object ScaleStress {
   private val Targets = Seq(
     "q_histogram_equidepth", "graph_pagerank", "graph_ppr", "graph_cc_star",
     "dedup_corpus", "dedup_clusters", "corpus_split_leakage_safe",
-    "stream_late_drop")
+    "stream_late_drop",
+    // second wave: the rest of the bench top — embedding-space dedup/ANN
+    // (decade via the signed-permutation transform below), the remaining
+    // text-dedup heavies, streaming index maintenance, graph census
+    "dedup_embedding", "ann_whitened_topk", "ann_cosine_pairs",
+    "dedup_minhash_est", "dedup_ngram_jaccard", "stream_dedup_incremental",
+    "graph_modularity")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -91,8 +97,33 @@ object ScaleStress {
         col("event_type"), col("value"), col("props"))
     }, "events")
 
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "embeddings")
+    // embeddings x10 through a per-replica SIGNED PERMUTATION of the
+    // dimensions (an orthogonal transform): every inner product within a
+    // replica is preserved EXACTLY — the embedding-space isomorphism
+    // matching the text cipher — while a vector and its cross-replica
+    // image decorrelate like random pairs. Permutation/signs are
+    // md5-derived per (replica, dim), built once on the driver.
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val d = emb.select(size(col("embedding"))).head().getInt(0)
+    def h(r: Int, i: Int): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"perm|$r|$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    write(reps10 { r =>
+      if (r == 0)
+        emb.select(col("vec_id"), col("embedding"), col("label"))
+      else {
+        val perm = (0 until d).sortBy(h(r, _))
+        val sign = (0 until d).map(i => if (h(r, i + d).head < '8') 1.0f else -1.0f)
+        val mapped = array(perm.zip(sign).map { case (p, s) =>
+          (element_at(col("embedding"), p + 1) * lit(s)).cast("float")
+        }: _*)
+        emb.select((col("vec_id") + lit(r * Shift)).as("vec_id"),
+          mapped.as("embedding"), col("label"))
+      }
+    }, "embeddings")
+
+    Seq("region", "nation", "customer", "supplier", "part", "orders")
       .foreach(n => write(spark.read.parquet(s"$src/$n.parquet"), n))
   }
 

@@ -313,6 +313,17 @@ object ReferenceParity {
           col("row") < lit(Array(0x80.toByte))))
     }),
 
+    // HBase PrefixFilter analog: all rows under a 1-byte key prefix as
+    // the [prefix, prefix+1) range — same manifest-pruned machinery
+    "cells_scan_prefix" -> ((s, dir) => {
+      val path = staged(fixturePath(dir, "cellscan")) {
+        graft.SortedParquetCellSink.write(RegionSort.sortedByRange(
+          CellOps.explodeIndexed(t(s, dir, "customer"), custKey, "c",
+            custValueCols), 10), fixturePath(dir, "cellscan"))
+      }
+      hexBin(graft.sources.CellScan.scanPrefix(s, path, Array(0x4a.toByte)))
+    }),
+
     // HBase-Get analog over the same staged layout: the cells of ONE row
     // key (customer 42's md5-composite key, read via a 1-row staging
     // lookup — a Get client knows its key). The manifest/footer pruning
@@ -515,6 +526,8 @@ object ReferenceParity {
           WHERE "row" = (SELECT $custKeyHexSql FROM customer WHERE c_custkey = 42)""",
     "cells_scan_sql" ->
       s"""SELECT * FROM ($cellsIndexedSql) WHERE "row" >= '40' AND "row" < '80'""",
+    "cells_scan_prefix" ->
+      s"""SELECT * FROM ($cellsIndexedSql) WHERE "row" >= '4a' AND "row" < '4b'""",
     "cells_compact_versions" -> cellsCompactSql,
     "cells_compact_tombstones" -> cellsTombstonesSql,
     "cells_keyvalue_wire" -> kvWireSql,
