@@ -412,6 +412,60 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** INCREMENTAL [[corpusDedup]] — the pair generation for STORE
+    * MAINTENANCE: exact-verified near-dup pairs restricted to those
+    * TOUCHING a new document drop (new-vs-old and new-vs-new), never
+    * re-pairing the existing corpus with itself. Combined with the
+    * stored assignment's star edges, the component structure of
+    * (old assignment ∪ these pairs) provably equals a full recompute:
+    * old-old pairs connect exactly what the stored assignment already
+    * connects, so only pairs with a new endpoint can change anything.
+    *
+    * Scale shape: the old side contributes its shingle DIGEST index and
+    * signatures (~24 B/shingle + k longs/doc — the persisted companion
+    * index a production store keeps beside the assignment; recomputed
+    * here from text because the declared queries are self-contained).
+    * The band join is new-side × all-side with the [[BandBucketCap]]
+    * occupancy guard on the all side; exact verify fans only the
+    * surviving touching pairs over the digest index — O(|new batch|)
+    * band rows on the probe side, independent of corpus size.
+    * Output: (a, b, jaccard), a < b, jaccard >= threshold. */
+  def incrementalCorpusDedup(newDocs: DataFrame, oldDocs: DataFrame,
+                             n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def digests(docs: DataFrame) = shingleIndex(docs, n)
+      .select(col("doc_id"), unhex(md5(col("s").cast(BinaryType))).as("s"))
+      .materialized
+    val shNew = digests(newDocs)
+    val shOld = digests(oldDocs)
+    val sigNew = digestSignatures(shNew).materialized
+    val sigAll = digestSignatures(shOld).unionByName(sigNew)
+    val bandsAll = bandKeys(sigAll.select(col("doc_id"), sigArray))
+      .withColumn("occ",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+      .where(col("occ") <= BandBucketCap)
+      .drop("occ")
+    val cand = bandKeys(sigNew.select(col("doc_id"), sigArray)).as("x")
+      .join(bandsAll.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+      .distinct()
+    val sh = shNew.unionByName(shOld)
+    val sz = sigAll.select(col("doc_id"), col("nsh"))
+    cand
+      .join(sh.select(col("doc_id").as("a"), col("s")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      .join(sz.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"),
+        (col("common").cast(DoubleType) /
+          (col("sa.nsh") + col("sb.nsh") - col("common"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** MinHash signature aggregate over a checkpointed digest index
     * (doc_id, s = 16-byte md5): the k universal-hash minima per doc over
     * the digest's 7-hex-char prefix, FUSED with the shingle-set size —
@@ -602,9 +656,13 @@ object Dedup {
                     corpusKey: String): DataFrame = {
     val spark = docs.sparkSession
     // fold the corpus drop's physical identity (size + mtime of its files)
-    // into the key: a regenerated drop at the same path is a NEW drop
+    // into the key: a regenerated drop at the same path is a NEW drop.
+    // An optional '#tag' suffix on corpusKey names a SUBSET of the drop
+    // (e.g. "<dir>#old90") — it differentiates the key while the stamp
+    // still reads the underlying drop's files
+    val stampDir = corpusKey.takeWhile(_ != '#')
     val stamp = try {
-      val p = new org.apache.hadoop.fs.Path(s"$corpusKey/documents.parquet")
+      val p = new org.apache.hadoop.fs.Path(s"$stampDir/documents.parquet")
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       val s = fs.getFileStatus(p)
       if (s.isFile) s"${s.getLen}:${s.getModificationTime}"

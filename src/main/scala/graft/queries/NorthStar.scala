@@ -209,6 +209,26 @@ object NorthStar {
         .select(col("doc_id"), col("source"), col("lang"))
     }),
 
+    // STORE MAINTENANCE — the operational form of cluster upkeep at
+    // 100 TB: a new 10% drop arrives; the stored assignment (built on
+    // the old 90% and served from its own durable store) is updated
+    // with ONLY the exact-verified pairs touching new docs. Old-old
+    // pairs connect exactly what the stored star edges already connect,
+    // so components(star edges ∪ touching pairs) ≡ a full recompute —
+    // and the ORACLE IS the full-corpus clustering, making that
+    // equivalence a hash-checked fact, not a comment.
+    "dedup_store_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newDocs = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val oldDocs = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val starEdges = Dedup.clustersStore(oldDocs, N, 0.8, s"$dir#old90")
+        .where(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("a"), col("cluster_id").as("b"))
+      val touching = Dedup.incrementalCorpusDedup(newDocs, oldDocs, N, 0.8)
+        .select(col("a"), col("b"))
+      Dedup.clusters(starEdges.unionByName(touching))
+    }),
+
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
     // exact Hamming-ball banding: the 4×4-bit band join guarantees every
     // pair with hamming <= 3 collides somewhere, so the oracle is the
@@ -1972,6 +1992,9 @@ object NorthStar {
       s"""SELECT doc_id, source, lang FROM documents
           WHERE doc_id NOT IN (
             SELECT doc_id FROM ($dedupClustersSql) WHERE doc_id <> cluster_id)""",
+    // incremental maintenance ≡ full recompute: the oracle clusters the
+    // WHOLE corpus from scratch
+    "dedup_store_incremental" -> dedupClustersSql,
     "dedup_rate_report" ->
       s"""WITH t0 AS (SELECT count(*) n_docs,
              count(DISTINCT md5(text)) n_distinct_texts FROM documents),

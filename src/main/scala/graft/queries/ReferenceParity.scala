@@ -321,7 +321,7 @@ object ReferenceParity {
           CellOps.explodeIndexed(t(s, dir, "customer"), custKey, "c",
             custValueCols), 10), fixturePath(dir, "cellscan"))
       }
-      hexBin(graft.sources.CellScan.scanPrefix(s, path, Array(0x4a.toByte)))
+      hexBin(graft.sources.CellScan.scanPrefix(s, path, Array(0x01.toByte)))
     }),
 
     // HBase-Get analog over the same staged layout: the cells of ONE row
@@ -527,7 +527,7 @@ object ReferenceParity {
     "cells_scan_sql" ->
       s"""SELECT * FROM ($cellsIndexedSql) WHERE "row" >= '40' AND "row" < '80'""",
     "cells_scan_prefix" ->
-      s"""SELECT * FROM ($cellsIndexedSql) WHERE "row" >= '4a' AND "row" < '4b'""",
+      s"""SELECT * FROM ($cellsIndexedSql) WHERE "row" >= '01' AND "row" < '02'""",
     "cells_compact_versions" -> cellsCompactSql,
     "cells_compact_tombstones" -> cellsTombstonesSql,
     "cells_keyvalue_wire" -> kvWireSql,
