@@ -452,6 +452,19 @@ class SourceDriversSpec extends SparkSuite {
     val q0 = spark.read.format("graft-cells").load(out)
       .where(col("ts") === 0L).count()
     assert(q0 === r.cells.count())
+    // SQL over the relation: a view carries the pushdown (the CATALOG
+    // path resolves the V2 write table, which is write-only by design —
+    // staging dirs are written then adopted, not served as SQL tables)
+    spark.read.format("graft-cells").load(out).createOrReplaceTempView("cells_v")
+    try {
+      assert(spark.sql("SELECT count(*) FROM cells_v").head().getLong(0) ===
+        r.cells.count())
+      val viaSql = spark.sql(
+        "SELECT count(*) FROM cells_v WHERE row >= x'33' AND row < x'34'")
+        .head().getLong(0)
+      assert(viaSql > 0 && CellScan.lastKeptFiles.get() === 1L,
+        "SQL-through-view range must prune to one region file")
+    } finally spark.catalog.dropTempView("cells_v")
   }
 
   test("CellScan: non-flat parquet layout falls back to an unpruned read, not empty") {
