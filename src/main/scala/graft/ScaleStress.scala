@@ -38,7 +38,13 @@ object ScaleStress {
     // text-dedup heavies, streaming index maintenance, graph census
     "dedup_embedding", "ann_whitened_topk", "ann_cosine_pairs",
     "dedup_minhash_est", "dedup_ngram_jaccard", "stream_dedup_incremental",
-    "graph_modularity")
+    "graph_modularity",
+    // third wave: the q relational family (the largest bench family) —
+    // orders/supplier/part/customer now replicate WITH shifted keys, so
+    // every fact-dim join matches within its replica (a true decade, not
+    // a 90%-dangling-FK join that silently drops 9 replicas)
+    "q21_sole_late_supplier", "q16_supplier_variety", "q_distinct_agg",
+    "q_ivm_join_view", "q1_pricing_summary")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -123,7 +129,35 @@ object ScaleStress {
       }
     }, "embeddings")
 
-    Seq("region", "nation", "customer", "supplier", "part", "orders")
+    // dims replicate WITH shifted surrogate keys so every lineitem FK
+    // resolves within its replica (nation/region keys are small fixed
+    // vocabularies — they stay put, and the dim rows keep referencing
+    // them). Without this the q-family joins silently drop 9/10 replicas.
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    write(reps10 { r =>
+      ord.select((col("o_orderkey") + lit(r * Shift)).as("o_orderkey"),
+        (col("o_custkey") + lit(r * Shift)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }, "orders")
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    write(reps10 { r =>
+      cust.select((col("c_custkey") + lit(r * Shift)).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    }, "customer")
+    val sup = spark.read.parquet(s"$src/supplier.parquet")
+    write(reps10 { r =>
+      sup.select((col("s_suppkey") + lit(r * Shift)).as("s_suppkey"),
+        col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    }, "supplier")
+    val prt = spark.read.parquet(s"$src/part.parquet")
+    write(reps10 { r =>
+      prt.select((col("p_partkey") + lit(r * Shift)).as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+        col("p_retailprice"))
+    }, "part")
+
+    Seq("region", "nation")
       .foreach(n => write(spark.read.parquet(s"$src/$n.parquet"), n))
   }
 

@@ -340,8 +340,17 @@ object Dedup {
     * exactly once per batch). `newSig` should be materialized. */
   def incrementalMinHashPairsFromSigs(newSig: DataFrame, index: DataFrame,
                                       minEst: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val allSig = index.union(newSig)
-    val cand = bandKeys(newSig).as("x").join(bandKeys(allSig).as("y"),
+    // the probe target carries the same [[BandBucketCap]] occupancy guard
+    // as every batch generator — an oversized bucket (boilerplate cohort)
+    // would otherwise cost |batch|·occ join rows per band
+    val bandsAll = bandKeys(allSig)
+      .withColumn("occ",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+      .where(col("occ") <= BandBucketCap)
+      .drop("occ")
+    val cand = bandKeys(newSig).as("x").join(bandsAll.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
@@ -398,19 +407,25 @@ object Dedup {
       .materialized
     val sigsz = digestSignatures(sh)
     val cand = minHashCandidates(sigsz.select(col("doc_id"), sigArray))
-    val sz = sigsz.select(col("doc_id"), col("nsh"))
-    val common = cand
+    exactVerify(cand, sh, sigsz.select(col("doc_id"), col("nsh")), threshold)
+  }
+
+  /** The shared exact-Jaccard verify tail of every corpus-dedup form:
+    * fan each candidate pair over the digest index on both sides, count
+    * common digests, compute exact Jaccard from the pre-aggregated set
+    * sizes. Cost O(|cand| · shingles/doc) — never corpus². */
+  private def exactVerify(cand: DataFrame, sh: DataFrame, sz: DataFrame,
+                          threshold: Double): DataFrame =
+    cand
       .join(sh.select(col("doc_id").as("a"), col("s")), "a")
       .join(sh.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
-    common
       .join(sz.as("sa"), col("a") === col("sa.doc_id"))
       .join(sz.as("sb"), col("b") === col("sb.doc_id"))
       .select(col("a"), col("b"),
         (col("common").cast(DoubleType) /
           (col("sa.nsh") + col("sb.nsh") - col("common"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
-  }
 
   /** INCREMENTAL [[corpusDedup]] — the pair generation for STORE
     * MAINTENANCE: exact-verified near-dup pairs restricted to those
@@ -432,20 +447,54 @@ object Dedup {
     * Output: (a, b, jaccard), a < b, jaccard >= threshold. */
   def incrementalCorpusDedup(newDocs: DataFrame, oldDocs: DataFrame,
                              n: Int, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def digests(docs: DataFrame) = shingleIndex(docs, n)
       .select(col("doc_id"), unhex(md5(col("s").cast(BinaryType))).as("s"))
       .materialized
-    val shNew = digests(newDocs)
     val shOld = digests(oldDocs)
+    val sigOld = digestSignatures(shOld)
+    incrementalFromIndex(newDocs, shOld,
+      sigOld.select(col("doc_id"), sigArray, col("nsh")),
+      bandKeys(sigOld.select(col("doc_id"), sigArray)), n, threshold)
+  }
+
+  /** [[incrementalCorpusDedup]] probing a PERSISTED companion index — the
+    * production maintenance path: the old corpus contributes ONLY its
+    * stored artifacts (digest index, signatures+sizes, band keys), so a
+    * maintenance batch never re-reads or re-shingles old text. The store
+    * is built once per corpus drop by [[dedupStore]]; per-batch cost is
+    * |batch| signature passes + a batch-sized band probe + a verify
+    * restricted to touching pairs' digest rows. Bucket occupancy is
+    * re-computed over stored ∪ batch band keys, so the [[BandBucketCap]]
+    * binds at FULL-corpus occupancy exactly as a one-shot run would.
+    *
+    * Equivalence scope (full recompute ≡ stored-assignment ∪ this): exact
+    * as long as no band bucket CROSSES the cap between drops — a bucket
+    * capped only once the batch lands can retroactively invalidate
+    * old-old pairs the stored assignment already connected; detect that
+    * regime with [[capCrossings]] and rebuild the affected drop. */
+  def incrementalCorpusDedupStored(newDocs: DataFrame, store: DedupStore,
+                                   n: Int, threshold: Double): DataFrame =
+    incrementalFromIndex(newDocs, store.digests,
+      store.signatures, store.bands, n, threshold)
+
+  /** Shared maintenance core: exact-verified near-dup pairs touching a
+    * new doc, with the old side supplied as INDEX FRAMES (from a live
+    * computation or a persisted store — never text). */
+  private def incrementalFromIndex(newDocs: DataFrame, shOld: DataFrame,
+                                   sigOld: DataFrame, bandsOld: DataFrame,
+                                   n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shNew = shingleIndex(newDocs, n)
+      .select(col("doc_id"), unhex(md5(col("s").cast(BinaryType))).as("s"))
+      .materialized
     val sigNew = digestSignatures(shNew).materialized
-    val sigAll = digestSignatures(shOld).unionByName(sigNew)
-    val bandsAll = bandKeys(sigAll.select(col("doc_id"), sigArray))
+    val bandsNew = bandKeys(sigNew.select(col("doc_id"), sigArray))
+    val bandsAll = bandsOld.unionByName(bandsNew)
       .withColumn("occ",
         count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
       .where(col("occ") <= BandBucketCap)
       .drop("occ")
-    val cand = bandKeys(sigNew.select(col("doc_id"), sigArray)).as("x")
+    val cand = bandsNew.as("x")
       .join(bandsAll.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") =!= col("y.doc_id"))
@@ -453,17 +502,32 @@ object Dedup {
         greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
       .distinct()
     val sh = shNew.unionByName(shOld)
-    val sz = sigAll.select(col("doc_id"), col("nsh"))
-    cand
-      .join(sh.select(col("doc_id").as("a"), col("s")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
-      .join(sz.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sz.as("sb"), col("b") === col("sb.doc_id"))
-      .select(col("a"), col("b"),
-        (col("common").cast(DoubleType) /
-          (col("sa.nsh") + col("sb.nsh") - col("common"))).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    val sz = sigNew.select(col("doc_id"), col("nsh"))
+      .unionByName(sigOld.select(col("doc_id"), col("nsh")))
+    exactVerify(cand, sh, sz, threshold)
+  }
+
+  /** Band buckets that CROSS [[BandBucketCap]] only once `newDocs` land —
+    * the one regime where stored-assignment ∪ incremental pairs can
+    * over-connect relative to a full recompute (the stored old-old pairs
+    * were generated under old-only occupancies). Empty output = the
+    * incremental result is exactly the full recompute; non-empty names
+    * the buckets whose member docs need a rebuild. Cost: two band-keyed
+    * aggregates, no text reads. Output: (band, bkey, occ_old, occ_all). */
+  def capCrossings(newDocs: DataFrame, store: DedupStore, n: Int,
+                   cap: Int = BandBucketCap): DataFrame = {
+    val sigNew = digestSignatures(
+      shingleIndex(newDocs, n)
+        .select(col("doc_id"), unhex(md5(col("s").cast(BinaryType))).as("s")))
+    val bandsNew = bandKeys(sigNew.select(col("doc_id"), sigArray))
+    val occOld = store.bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("occ_old"))
+    val occNew = bandsNew.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("occ_new"))
+    occOld.join(occNew, Seq("band", "bkey"))
+      .select(col("band"), col("bkey"), col("occ_old"),
+        (col("occ_old") + col("occ_new")).as("occ_all"))
+      .where(col("occ_old") <= cap && col("occ_all") > cap)
   }
 
   /** MinHash signature aggregate over a checkpointed digest index
@@ -493,14 +557,33 @@ object Dedup {
     * (quadratic in shingle df; the production path stays
     * candidate-restricted — [[corpusDedup]]).
     *
+    * `samplePermille < 1000` bounds the quadratic truth side: the eval
+    * runs over a DETERMINISTIC md5-sampled doc subset (doc_id's md5
+    * prefix mod 1000 < samplePermille — no seed state, every engine
+    * selects the same docs), with the same banding over the same subset,
+    * so the per-decile recall estimate keeps the S-curve's shape while
+    * truth cost drops quadratically in the sample rate. An eval that is
+    * quadratic in the corpus would not run at all at eval-scale corpora;
+    * the sample size rides in the output (`n_docs_sampled`) so a reader
+    * can judge the estimate's resolution.
+    *
     * One scan + explode + md5 pass feeds BOTH pipelines: the checkpointed
     * digest index serves the truth self-join, the set sizes, and the
     * minhash signature aggregate (base hash = the digest's first 7 hex
     * chars), so no upstream stage runs twice; banded truth is checkpointed
     * once for the totals and the candidate semi-join.
-    * Output: (sim_band, n_true, n_hit, recall). */
-  def lshRecallCurve(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
-    val sh = shingleIndex(docs, n)
+    * Output: (sim_band, n_true, n_hit, recall, n_docs_sampled). */
+  def lshRecallCurve(docs: DataFrame, n: Int, minJaccard: Double,
+                     samplePermille: Int = 1000): DataFrame = {
+    require(0 < samplePermille && samplePermille <= 1000,
+      "samplePermille must be in (0, 1000]")
+    val sampled =
+      if (samplePermille >= 1000) docs
+      else docs.where(
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
+          .cast(LongType) % 1000 < samplePermille)
+    val nSampled = sampled.agg(count(lit(1)).as("n_docs_sampled"))
+    val sh = shingleIndex(sampled, n)
       .select(col("doc_id"), unhex(md5(col("s").cast(BinaryType))).as("s"))
       .materialized
     // the PRODUCTION signature aggregate — sharing it is the point: the
@@ -528,6 +611,7 @@ object Dedup {
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         round(coalesce(col("n_hit"), lit(0L)).cast("double") /
           col("n_true"), 6).as("recall"))
+      .crossJoin(broadcast(nSampled)) // 1-row scalar, documented pattern
   }
 
   /** Connected components over a near-dup pair graph — the step that turns
@@ -653,7 +737,57 @@ object Dedup {
     * 100 TB the store is the only artifact the serving side ever scans,
     * and it can additionally be bucketed by doc_id at write time. */
   def clustersStore(docs: DataFrame, n: Int, threshold: Double,
-                    corpusKey: String): DataFrame = {
+                    corpusKey: String): DataFrame =
+    dedupStore(docs, n, threshold, corpusKey).clusters
+
+  /** Folded into every store key so artifacts persisted by OLDER
+    * clustering logic (different k/bands/cap, or a changed algorithm —
+    * bump the trailing literal on any such change) can never be served
+    * verbatim to newer code: the version changes the key, so the new code
+    * simply builds a fresh store. */
+  val StoreAlgoVersion: String =
+    s"minhash:k=$MinHashK,b=$Bands,r=$RowsPerBand,cap=$BandBucketCap,rev=2"
+
+  /** Handle over one persisted dedup store: the cluster assignment plus
+    * the COMPANION INDEX a production store keeps beside it (the HBase
+    * analog: the region index consulted per write, never rebuilt —
+    * BulkImporterFromText.java:105-111 reads boundaries once per job).
+    * Every frame is one parquet read; nothing re-derives from text.
+    *  - clusters:   (doc_id, cluster_id) — the assignment.
+    *  - digests:    (doc_id, s BINARY)   — the shingle md5 index
+    *                (~24 B/shingle; at cluster scale bucket by doc_id at
+    *                write time so verify joins co-locate for free).
+    *  - signatures: (doc_id, sig ARRAY<BIGINT>, nsh) — MinHash k-vector +
+    *                shingle-set size (k longs per doc).
+    *  - bands:      (doc_id, band, bkey) — LSH band keys, the probe
+    *                target for incremental maintenance (occupancy over
+    *                stored ∪ batch re-applies [[BandBucketCap]] at
+    *                full-corpus occupancy). */
+  final case class DedupStore(spark: org.apache.spark.sql.SparkSession,
+                              dir: String) {
+    def clusters: DataFrame =
+      spark.read.schema("doc_id BIGINT, cluster_id BIGINT")
+        .parquet(s"$dir/clusters.parquet")
+    def digests: DataFrame =
+      spark.read.schema("doc_id BIGINT, s BINARY")
+        .parquet(s"$dir/digests.parquet")
+    def signatures: DataFrame =
+      spark.read.schema("doc_id BIGINT, sig ARRAY<BIGINT>, nsh BIGINT")
+        .parquet(s"$dir/signatures.parquet")
+    def bands: DataFrame =
+      spark.read.schema("doc_id BIGINT, band INT, bkey STRING")
+        .parquet(s"$dir/bands.parquet")
+  }
+
+  /** Build-once, serve-many dedup store (see [[clustersStore]] for the
+    * keying/immutability contract): first call for a (corpus drop,
+    * params, [[StoreAlgoVersion]]) key computes the digest index ONCE,
+    * derives signatures → band keys → capped candidates → exact verify →
+    * cluster fixpoint from it, and publishes all four artifacts with ONE
+    * atomic rename (a concurrent reader never sees a partial store).
+    * Subsequent calls return the handle without touching corpus text. */
+  def dedupStore(docs: DataFrame, n: Int, threshold: Double,
+                 corpusKey: String): DedupStore = {
     val spark = docs.sparkSession
     // fold the corpus drop's physical identity (size + mtime of its files)
     // into the key: a regenerated drop at the same path is a NEW drop.
@@ -668,26 +802,48 @@ object Dedup {
       if (s.isFile) s"${s.getLen}:${s.getModificationTime}"
       else fs.listStatus(p).map(c => s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}")
         .sorted.mkString(",")
-    } catch { case _: Throwable => "" }
+    } catch { case e: Throwable =>
+      // loud degradation, not silent: path-only keying loses the
+      // regenerated-drop-at-same-path protection
+      System.err.println(s"[graft] dedupStore: corpus stamp read failed for " +
+        s"'$stampDir' (${e.getClass.getSimpleName}: ${e.getMessage}); " +
+        "store key degrades to path-only")
+      ""
+    }
     val keyHex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$corpusKey|$stamp|n=$n|thr=$threshold".getBytes("UTF-8"))
+      .digest(s"$corpusKey|$stamp|n=$n|thr=$threshold|$StoreAlgoVersion"
+        .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val root = sys.props.getOrElse("graft.store.dir",
       sys.props("java.io.tmpdir") + "/graft-cluster-store")
-    val path = new org.apache.hadoop.fs.Path(s"$root/$keyHex", "clusters.parquet")
+    val path = new org.apache.hadoop.fs.Path(s"$root/$keyHex", "store")
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) {
       fs.mkdirs(path.getParent)
       val tmp = new org.apache.hadoop.fs.Path(path.getParent,
-        s"_clusters_tmp_${java.util.UUID.randomUUID()}")
-      clusters(corpusDedup(docs, n, threshold).select(col("a"), col("b")))
-        .write.mode("overwrite").parquet(tmp.toString)
+        s"_store_tmp_${java.util.UUID.randomUUID()}")
+      // ONE text scan: the digest index is computed once, persisted, and
+      // every downstream artifact (signatures, bands, candidates, verify,
+      // fixpoint) derives from it
+      val sh = shingleIndex(docs, n)
+        .select(col("doc_id"), unhex(md5(col("s").cast(BinaryType))).as("s"))
+        .materialized
+      sh.write.mode("overwrite").parquet(s"$tmp/digests.parquet")
+      val sigsz = digestSignatures(sh).materialized
+      sigsz.select(col("doc_id"), sigArray, col("nsh"))
+        .write.mode("overwrite").parquet(s"$tmp/signatures.parquet")
+      bandKeys(sigsz.select(col("doc_id"), sigArray))
+        .write.mode("overwrite").parquet(s"$tmp/bands.parquet")
+      val cand = minHashCandidates(sigsz.select(col("doc_id"), sigArray))
+      val pairs = exactVerify(cand, sh,
+        sigsz.select(col("doc_id"), col("nsh")), threshold)
+      clusters(pairs.select(col("a"), col("b")))
+        .write.mode("overwrite").parquet(s"$tmp/clusters.parquet")
       // atomic publish; if a concurrent writer won the race, keep theirs
       // (identical content — the computation is deterministic)
       if (!fs.rename(tmp, path)) fs.delete(tmp, true)
     }
-    spark.read.schema("doc_id BIGINT, cluster_id BIGINT")
-      .parquet(path.toString)
+    DedupStore(spark, path.toString)
   }
 
   val SimHashBits = 16

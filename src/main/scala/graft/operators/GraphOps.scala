@@ -241,10 +241,17 @@ object GraphOps {
     val base = nodes
       .join(sd.select(col("id"), lit(1L).as("is_seed")), Seq("id"), "left")
       .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
-    val tele = s"is_seed * (((${RankScale}L * ${dampDen - dampNum}) div $dampDen) div n_seeds)"
+    // n_seeds = 0 (seeds supplied but none present in the graph) must
+    // yield an EMPTY result, not NULL ranks: `x div 0` is NULL in Spark,
+    // and 0 * NULL = NULL would propagate through every iteration. The
+    // guard gives every node 0 initial/restart mass, so the final
+    // units > 0 filter returns the well-defined empty frame.
+    val tele = s"is_seed * (CASE WHEN n_seeds = 0 THEN 0L ELSE " +
+      s"((${RankScale}L * ${dampDen - dampNum}) div $dampDen) div n_seeds END)"
     var ranks = base.crossJoin(broadcast(ns)) // 1-row scalar, documented pattern
       .select(col("id"),
-        expr(s"is_seed * (${RankScale}L div n_seeds)").as("units"))
+        expr(s"is_seed * (CASE WHEN n_seeds = 0 THEN 0L " +
+          s"ELSE ${RankScale}L div n_seeds END)").as("units"))
     for (_ <- 1 to iters) {
       val contrib = ranks
         .join(und.select(col("src").as("id"), col("dst"), col("deg")), "id")
@@ -265,7 +272,9 @@ object GraphOps {
     * builder): `edgesSql` yields (a, b); `seedsSql` yields (id). */
   def personalizedPageRankSql(edgesSql: String, seedsSql: String, iters: Int,
                               dampNum: Int = 17, dampDen: Int = 20): String = {
-    val tele = s"b.is_seed * ((($RankScale * ${dampDen - dampNum}) // $dampDen) // (SELECT n_seeds FROM ns))"
+    // same n_seeds = 0 guard as the Spark form (DuckDB's // 0 errors)
+    val tele = s"b.is_seed * (CASE WHEN (SELECT n_seeds FROM ns) = 0 THEN 0 " +
+      s"ELSE (($RankScale * ${dampDen - dampNum}) // $dampDen) // (SELECT n_seeds FROM ns) END)"
     val base =
       s"""WITH edges AS ($edgesSql),
           und AS (SELECT a AS src, b AS dst FROM edges
@@ -278,7 +287,8 @@ object GraphOps {
                      CASE WHEN s.id IS NULL THEN 0 ELSE 1 END AS is_seed
                    FROM deg d LEFT JOIN seeds s ON d.src = s.id),
           r0 AS (SELECT id,
-                   is_seed * ($RankScale // (SELECT n_seeds FROM ns)) AS units
+                   is_seed * (CASE WHEN (SELECT n_seeds FROM ns) = 0 THEN 0
+                     ELSE $RankScale // (SELECT n_seeds FROM ns) END) AS units
                  FROM base)"""
     val steps = (1 to iters).map { i =>
       s"""r$i AS (SELECT u.dst AS id,

@@ -110,10 +110,21 @@ object NorthStar {
     // S-curve check a dedup stack runs before committing band/row
     // parameters (the dedup analogue of ann_ivf_recall). The exact truth
     // join is the eval stage, not the production path (dedup_corpus never
-    // runs it corpus-wide); truth is checkpointed so the quadratic index
-    // join feeds both the totals and the hit counts once.
+    // runs it corpus-wide) — and it is BOUNDED: the eval runs over a
+    // deterministic md5-sampled 50% doc subset (same banding, same
+    // S-curve shape, quadratic truth cost ÷4; sample size in the output),
+    // because an eval quadratic in the corpus won't run at eval-scale.
     "dedup_lsh_recall" -> ((s, dir) =>
-      Dedup.lshRecallCurve(t(s, dir, "documents"), N, 0.05)),
+      Dedup.lshRecallCurve(t(s, dir, "documents"), N, 0.05,
+        samplePermille = 500)),
+
+    // the BandBucketCap path under the oracle gate: candidate generation
+    // with a cap LOW enough (2) to bind on the real corpus's exact-dup
+    // cohorts — the oracle mirrors the occupancy window literally, so the
+    // capped generator (not just the uncapped happy path) is hash-checked
+    "dedup_capped_lsh" -> ((s, dir) =>
+      Dedup.minHashCandidates(
+        Dedup.minHashSignatures(t(s, dir, "documents"), N), maxBucket = 2)),
 
     // the flagship corpus-dedup composition: LSH candidates → exact
     // Jaccard verify restricted to candidates (no corpus-wide
@@ -212,19 +223,25 @@ object NorthStar {
     // STORE MAINTENANCE — the operational form of cluster upkeep at
     // 100 TB: a new 10% drop arrives; the stored assignment (built on
     // the old 90% and served from its own durable store) is updated
-    // with ONLY the exact-verified pairs touching new docs. Old-old
-    // pairs connect exactly what the stored star edges already connect,
-    // so components(star edges ∪ touching pairs) ≡ a full recompute —
-    // and the ORACLE IS the full-corpus clustering, making that
-    // equivalence a hash-checked fact, not a comment.
+    // with ONLY the exact-verified pairs touching new docs. The old
+    // corpus contributes NOTHING but its persisted companion index
+    // (digests + signatures + band keys, written once at store build) —
+    // the maintenance path never re-reads or re-shingles old TEXT, so
+    // per-batch cost tracks batch size, not corpus size (spec-pinned:
+    // every file scan in the maintenance plan reads the store).
+    // Old-old pairs connect exactly what the stored star edges already
+    // connect, so components(star edges ∪ touching pairs) ≡ a full
+    // recompute — and the ORACLE IS the full-corpus clustering, making
+    // that equivalence a hash-checked fact, not a comment.
     "dedup_store_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val newDocs = docs.where(pmod(col("doc_id"), lit(10)) === 0)
       val oldDocs = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
-      val starEdges = Dedup.clustersStore(oldDocs, N, 0.8, s"$dir#old90")
+      val store = Dedup.dedupStore(oldDocs, N, 0.8, s"$dir#old90")
+      val starEdges = store.clusters
         .where(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id").as("a"), col("cluster_id").as("b"))
-      val touching = Dedup.incrementalCorpusDedup(newDocs, oldDocs, N, 0.8)
+      val touching = Dedup.incrementalCorpusDedupStored(newDocs, store, N, 0.8)
         .select(col("a"), col("b"))
       Dedup.clusters(starEdges.unionByName(touching))
     }),
@@ -1458,6 +1475,15 @@ object NorthStar {
          SELECT token, est, exact, est - exact AS over_count
          FROM est ORDER BY est DESC, token ASC LIMIT 40"""
 
+  /** Literal occupancy-cap mirror of [[Dedup.BandBucketCap]]: band
+    * buckets past the cap are excluded from candidate generation, in the
+    * oracle exactly as in every Spark generator — so the capped path is
+    * hash-checked whenever it binds, not argued from comments. */
+  private def bandCapSql(cap: Int) =
+    s"""bkk AS (SELECT doc_id, j, bkey FROM (
+          SELECT *, count(*) OVER (PARTITION BY j, bkey) occ FROM bk)
+         WHERE occ <= $cap)"""
+
   private[queries] val minhashSql =
     s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
         shd AS (SELECT doc_id, $shingleExpr ss FROM t0 WHERE len(w) >= $N),
@@ -1471,8 +1497,9 @@ object NorthStar {
                   sg[j*${Dedup.RowsPerBand}+1:j*${Dedup.RowsPerBand}+${Dedup.RowsPerBand}],
                   x -> CAST(x AS VARCHAR)), '|')) bkey
                FROM bands),
+        ${bandCapSql(Dedup.BandBucketCap)},
         cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b
-                 FROM bk x JOIN bk y ON x.j = y.j AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+                 FROM bkk x JOIN bkk y ON x.j = y.j AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
         SELECT a, b,
           CAST(len(list_filter(range(${Dedup.MinHashK}), i -> sa.sg[i+1] = sb.sg[i+1])) AS DOUBLE)/${Dedup.MinHashK}.0 AS est_jaccard
         FROM cand JOIN sig sa ON a = sa.doc_id JOIN sig sb ON b = sb.doc_id
@@ -1494,8 +1521,9 @@ object NorthStar {
                   sg[j*${Dedup.RowsPerBand}+1:j*${Dedup.RowsPerBand}+${Dedup.RowsPerBand}],
                   x -> CAST(x AS VARCHAR)), '|')) bkey
                FROM bands),
+        ${bandCapSql(Dedup.BandBucketCap)},
         cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b
-                 FROM bk x JOIN bk y ON x.j = y.j AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+                 FROM bkk x JOIN bkk y ON x.j = y.j AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
         sh AS (SELECT doc_id, unnest(ss) s FROM shd),
         sz AS (SELECT doc_id, count(*) nsh FROM sh GROUP BY doc_id),
         cm AS (SELECT a, b, count(*) common
@@ -1946,7 +1974,9 @@ object NorthStar {
     "dedup_incremental" ->
       s"SELECT a, b, est_jaccard FROM ($minhashSql) WHERE a % 10 = 0 OR b % 10 = 0",
     "dedup_lsh_recall" ->
-      s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+      s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents
+                      WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS BIGINT) % 1000 < 500),
+          ns AS (SELECT count(*) n_docs_sampled FROM t0),
           sh0 AS (SELECT doc_id, $shingleExpr ss FROM t0 WHERE len(w) >= $N),
           sh AS (SELECT doc_id, unnest(ss) s FROM sh0),
           sz AS (SELECT doc_id, count(*) nsh FROM sh GROUP BY doc_id),
@@ -1968,15 +1998,37 @@ object NorthStar {
                     sg[j*${Dedup.RowsPerBand}+1:j*${Dedup.RowsPerBand}+${Dedup.RowsPerBand}],
                     x -> CAST(x AS VARCHAR)), '|')) bkey
                  FROM bands),
+          ${bandCapSql(Dedup.BandBucketCap)},
           cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b
-                   FROM bk x JOIN bk y
+                   FROM bkk x JOIN bkk y
                    ON x.j = y.j AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
           tt AS (SELECT sim_band, count(*) n_true FROM truth GROUP BY 1),
           hh AS (SELECT sim_band, count(*) n_hit
                  FROM truth JOIN cand USING (a, b) GROUP BY 1)
           SELECT sim_band, n_true, coalesce(n_hit, 0) AS n_hit,
-            round(CAST(coalesce(n_hit, 0) AS DOUBLE)/n_true, 6) AS recall
-          FROM tt LEFT JOIN hh USING (sim_band)""",
+            round(CAST(coalesce(n_hit, 0) AS DOUBLE)/n_true, 6) AS recall,
+            n_docs_sampled
+          FROM tt LEFT JOIN hh USING (sim_band), ns""",
+    // the capped candidate generator hash-checked IN the binding regime:
+    // cap 2 excludes every exact-dup cohort of size >= 3 (all bands
+    // collide for identical texts), which the real corpus contains
+    "dedup_capped_lsh" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+          shd AS (SELECT doc_id, $shingleExpr ss FROM t0 WHERE len(w) >= $N),
+          based AS (SELECT doc_id,
+                     list_transform(ss, s -> CAST(('0x'||substr(md5(s),1,7)) AS BIGINT)) bs
+                    FROM shd),
+          sig AS (SELECT doc_id, $minhashSigSql sg FROM based),
+          bands AS (SELECT doc_id, sg, unnest(range(${Dedup.Bands})) j FROM sig),
+          bk AS (SELECT doc_id, j,
+                  md5(array_to_string(list_transform(
+                    sg[j*${Dedup.RowsPerBand}+1:j*${Dedup.RowsPerBand}+${Dedup.RowsPerBand}],
+                    x -> CAST(x AS VARCHAR)), '|')) bkey
+                 FROM bands),
+          ${bandCapSql(2)}
+          SELECT DISTINCT x.doc_id a, y.doc_id b
+          FROM bkk x JOIN bkk y
+          ON x.j = y.j AND x.bkey = y.bkey AND x.doc_id < y.doc_id""",
     "dedup_corpus" -> corpusDedupSql,
     "dedup_clusters" -> dedupClustersSql,
     // store round-trip ≡ one-shot: the oracle recomputes the clustering

@@ -342,6 +342,32 @@ object ReferenceParity {
       hexBin(graft.sources.CellScan.get(s, path, key))
     }),
 
+    // the HBase minor/major-compaction analog on the SERVING layout:
+    // three per-batch region-aligned filesets (the layout streaming
+    // ingest accumulates) merge into ONE fileset with exactly one file
+    // per region + a fresh manifest; the oracle is the plain cell
+    // rendering of the whole table — a green hash proves compaction is
+    // the identity on cell content (it moves bytes, never changes them)
+    "cells_compact_regions" -> ((s, dir) => {
+      val root = fixturePath(dir, "compactroot")
+      val dest = s"$root/compacted"
+      staged(root) {
+        val cust = t(s, dir, "customer")
+        val cfg = graft.BulkLoad.Config(splits = Some(
+          graft.operators.RegionSort.uniformMd5Splits(10).toSeq))
+        (0 until 3).foreach { b =>
+          val cells = CellOps.explodeIndexed(
+            cust.where(pmod(col("c_custkey"), lit(3)) === b),
+            custKey, "c", custValueCols)
+          graft.SortedParquetCellSink.write(
+            graft.BulkLoad.sorted(cells, cfg), f"$root/batch_$b%05d")
+        }
+        graft.sources.CellCompaction.compactBatches(s, root, dest, cfg)
+        ()
+      }
+      hexBin(graft.sources.CellScan.scanRange(s, dest, None, None))
+    }),
+
     // X3 payload fidelity: each cell serialized to the public HBase
     // KeyValue WIRE layout — the exact bytes HFileOutputFormat2 stores
     // per cell; only the HFile container stays behind the hbase-jars seam
@@ -530,6 +556,8 @@ object ReferenceParity {
       s"""SELECT * FROM ($cellsIndexedSql) WHERE "row" >= '01' AND "row" < '02'""",
     "cells_compact_versions" -> cellsCompactSql,
     "cells_compact_tombstones" -> cellsTombstonesSql,
+    // layout compaction is the identity on cell content
+    "cells_compact_regions" -> cellsIndexedSql,
     "cells_keyvalue_wire" -> kvWireSql,
     "cells_snapshot_asof" -> cellsSnapshotSql,
     "cells_split_advisor" ->

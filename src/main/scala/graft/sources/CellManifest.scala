@@ -24,21 +24,45 @@ import scala.jdk.CollectionConverters._
   * handful of footers — metadata pages only, no data read) and persists
   * the boundaries; every subsequent scan reads one file.
   *
-  * Format (`_graft_region_manifest.tsv`): one `name<TAB>loHex<TAB>hiHex`
-  * line per part file, `-` for a file without usable stats (kept
-  * conservatively by readers). The leading underscore keeps the file
-  * invisible to Spark's parquet source, so `spark.read.parquet(dir)`
-  * over the staged layout is unchanged.
+  * Format (`_graft_region_manifest.tsv`): one
+  * `name<TAB>length<TAB>rows<TAB>loHex<TAB>hiHex` line per part file,
+  * `-` for a file without usable stats (kept conservatively by readers).
+  * The recorded byte LENGTH lets readers detect a part file rewritten IN
+  * PLACE under the same name (compaction, manual repair) — the one
+  * mutation a name-keyed index cannot see — and fall back to that file's
+  * live footer stats instead of trusting stale bounds. The ROW COUNT
+  * rides along because the same footer open yields it for free, and it
+  * turns the streaming sink's per-batch count readback into one
+  * manifest read instead of N footer opens. Legacy 3-field lines (no
+  * length/rows) parse with −1 = unverifiable, trusted as before. The
+  * leading underscore keeps the file invisible to Spark's parquet
+  * source, so `spark.read.parquet(dir)` over the staged layout is
+  * unchanged.
   *
   * Trust contract: the manifest is advisory metadata maintained by the
   * sink that wrote the directory. Readers intersect it with the live
   * file listing — a part file missing from the manifest is kept
-  * unpruned, and stale manifest entries for deleted files are ignored —
-  * so a manually modified directory degrades to weaker pruning, never to
-  * wrong results. */
+  * unpruned, stale entries for deleted files are never consulted, and a
+  * listed file whose live length disagrees with the recorded one is
+  * re-statted from its own footer — so a manually modified directory
+  * degrades to weaker pruning, never to wrong results. (The one residual
+  * trust assumption: a same-name, same-LENGTH in-place rewrite with
+  * different contents is indistinguishable without checksums.) */
 object CellManifest {
 
   val FileName = "_graft_region_manifest.tsv"
+
+  /** One manifest line: recorded file length and row count (−1 =
+    * unknown, legacy format) and row bounds (None = stat-less, keep
+    * conservatively). */
+  final case class Entry(length: Long, rows: Long,
+                         bounds: Option[(Array[Byte], Array[Byte])])
+
+  /** Files whose footers were actually opened by [[write]]/[[update]]
+    * on the DRIVER — observable so tests can pin the incremental
+    * contract ("update stats only the new files"). The distributed
+    * (>32-file) pass is not counted (executor-side). */
+  val statReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Compute per-file row bounds for every `part-*.parquet` under `dir`
     * and persist the manifest. Footer stats are gathered on EXECUTORS
@@ -49,43 +73,100 @@ object CellManifest {
     val hc = spark.sessionState.newHadoopConf()
     val p = new Path(dir)
     val fs = p.getFileSystem(hc)
-    val files = fs.listStatus(p).toSeq
+    val files = listParts(spark, dir)
+    persist(fs, p, statFiles(spark, dir, files))
+  }
+
+  /** INCREMENTAL manifest maintenance: stat ONLY the part files that are
+    * new (or length-changed) since the existing manifest, keep the
+    * surviving entries verbatim, drop entries for deleted files, rewrite
+    * the (small) TSV. This is the refresh a compaction round or an
+    * appending sink calls — at 100k regions a minor compaction touching
+    * 50 files costs 50 footer opens, not 100k. No existing manifest →
+    * identical to [[write]]. Returns the number of files statted. */
+  def update(spark: SparkSession, dir: String): Int = {
+    val hc = spark.sessionState.newHadoopConf()
+    val p = new Path(dir)
+    val fs = p.getFileSystem(hc)
+    val existing = read(spark, dir).getOrElse(Map.empty)
+    val live = listParts(spark, dir)
+    val (kept, fresh) = live.partition { case (name, len) =>
+      existing.get(name).exists(e => e.length == len)
+    }
+    val freshStats = statFiles(spark, dir, fresh)
+    val entries =
+      kept.map { case (name, _) => (name, existing(name)) } ++ freshStats
+    persist(fs, p, entries.sortBy(_._1))
+    freshStats.size
+  }
+
+  /** Total recorded row count across the manifest's files, if EVERY
+    * entry carries one — the no-Spark-job, no-footer-open count readback
+    * for a directory this sink just wrote. None when the manifest is
+    * absent or any entry predates the rows field. */
+  def totalRows(spark: SparkSession, dir: String): Option[Long] =
+    read(spark, dir).filter(m => m.nonEmpty && m.values.forall(_.rows >= 0))
+      .map(_.values.map(_.rows).sum)
+
+  /** Live `part-*.parquet` files under `dir` as (name, length), sorted. */
+  private def listParts(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
         s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString)
-      .sorted
-    // Hadoop Configuration is not serializable; ship the entries and
-    // rebuild per task (fs.defaultFS + credentials travel with it).
-    val confEntries = hc.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
-    val stats: Seq[(String, Option[(Array[Byte], Array[Byte])])] =
-      if (files.isEmpty) Seq.empty
-      // small layouts (a streaming micro-batch's handful of region files):
-      // driver-side footer reads beat a Spark job's scheduling latency —
-      // the distributed pass is for the 100k-region bulk sink
-      else if (files.size <= 32)
-        files.map(f => (new Path(f).getName, footerRowStats(f, hc)))
-      else spark.sparkContext
-        .parallelize(files, math.min(files.size,
+      .map(s => (s.getPath.getName, s.getLen))
+      .sortBy(_._1)
+  }
+
+  /** Footer stats for the named files: driver-side under 32 files (a
+    * streaming micro-batch / compaction delta — beats job-scheduling
+    * latency), distributed above (the 100k-region bulk sink). */
+  private def statFiles(spark: SparkSession, dir: String,
+                        files: Seq[(String, Long)]): Seq[(String, Entry)] = {
+    val hc = spark.sessionState.newHadoopConf()
+    if (files.isEmpty) Seq.empty
+    else if (files.size <= 32)
+      files.map { case (name, len) =>
+        statReads.incrementAndGet()
+        val (rows, bounds) = footerStats(s"$dir/$name", hc)
+        (name, Entry(len, rows, bounds))
+      }
+    else {
+      // Hadoop Configuration is not serializable; ship the entries and
+      // rebuild ONCE PER PARTITION (fs.defaultFS + credentials travel).
+      val confEntries = hc.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+      val paths = files.map { case (name, len) => (s"$dir/$name", name, len) }
+      spark.sparkContext
+        .parallelize(paths, math.min(paths.size,
           math.max(1, spark.sparkContext.defaultParallelism * 2)))
-        .map { f =>
+        .mapPartitions { it =>
           val conf = new Configuration(false)
           confEntries.foreach { case (k, v) => conf.set(k, v) }
-          (new Path(f).getName, footerRowStats(f, conf))
+          it.map { case (path, name, len) =>
+            val (rows, bounds) = footerStats(path, conf)
+            (name, Entry(len, rows, bounds))
+          }
         }
         .collect().toSeq.sortBy(_._1)
-    val body = stats.map {
-      case (name, Some((lo, hi))) => s"$name\t${toHex(lo)}\t${toHex(hi)}"
-      case (name, None) => s"$name\t-\t-"
+    }
+  }
+
+  private def persist(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                      entries: Seq[(String, Entry)]): Unit = {
+    val body = entries.map {
+      case (name, Entry(len, rows, Some((lo, hi)))) =>
+        s"$name\t$len\t$rows\t${toHex(lo)}\t${toHex(hi)}"
+      case (name, Entry(len, rows, None)) => s"$name\t$len\t$rows\t-\t-"
     }.mkString("", "\n", "\n")
     val out = fs.create(new Path(p, FileName), true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Parse the manifest if present: part-file name → bounds (None =
-    * recorded as stat-less, keep conservatively). Returns None when the
-    * directory carries no manifest — callers fall back to footer reads. */
-  def read(spark: SparkSession, dir: String)
-      : Option[Map[String, Option[(Array[Byte], Array[Byte])]]] = {
+  /** Parse the manifest if present: part-file name → [[Entry]]. Returns
+    * None when the directory carries no manifest — callers fall back to
+    * footer reads. Accepts the legacy 3-field format (length/rows −1). */
+  def read(spark: SparkSession, dir: String): Option[Map[String, Entry]] = {
     val p = new Path(dir, FileName)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return None
@@ -95,9 +176,14 @@ object CellManifest {
       finally in.close()
     Some(text.split('\n').iterator.filter(_.nonEmpty).map { line =>
       line.split('\t') match {
-        case Array(name, "-", "-") => name -> None
-        case Array(name, lo, hi) => name -> Some((fromHex(lo), fromHex(hi)))
-        case other => other.head -> None // malformed line → conservative
+        case Array(name, "-", "-") => name -> Entry(-1L, -1L, None)
+        case Array(name, lo, hi) =>
+          name -> Entry(-1L, -1L, Some((fromHex(lo), fromHex(hi))))
+        case Array(name, len, rows, "-", "-") =>
+          name -> Entry(len.toLong, rows.toLong, None)
+        case Array(name, len, rows, lo, hi) =>
+          name -> Entry(len.toLong, rows.toLong, Some((fromHex(lo), fromHex(hi))))
+        case other => other.head -> Entry(-1L, -1L, None) // malformed → conservative
       }
     }.toMap)
   }
@@ -107,9 +193,13 @@ object CellManifest {
     * row group lacks exact stats. Standalone-Configuration variant of
     * [[CellScan.rowStats]] so it runs inside executor tasks. */
   private[graft] def footerRowStats(file: String, conf: Configuration)
-      : Option[(Array[Byte], Array[Byte])] = {
+      : Option[(Array[Byte], Array[Byte])] = footerStats(file, conf)._2
+
+  /** (record count, row bounds) from ONE footer open. */
+  private[graft] def footerStats(file: String, conf: Configuration)
+      : (Long, Option[(Array[Byte], Array[Byte])]) = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
-    try {
+    def bounds: Option[(Array[Byte], Array[Byte])] = {
       val blocks = reader.getFooter.getBlocks
       if (blocks.isEmpty) return Some((Array.empty, Array.empty))
       var lo: Array[Byte] = null
@@ -128,7 +218,8 @@ object CellManifest {
         if (hi == null || RegionSort.unsignedBytes.compare(mx, hi) > 0) hi = mx
       }
       Some((lo, hi))
-    } finally reader.close()
+    }
+    try (reader.getRecordCount, bounds) finally reader.close()
   }
 
   private val HexChars = "0123456789ABCDEF".toCharArray

@@ -72,21 +72,31 @@ object CellScan {
       // correctness gate — read everything, filter in codegen.
       return spark.read.parquet(dir).where(fromStart && toStop)
     val manifest = CellManifest.read(spark, dir)
-    def bounds(f: String): Option[(Array[Byte], Array[Byte])] = manifest match {
-      // manifest is authoritative when present; a file it does not list
-      // (externally added) is kept conservatively, stale entries for
-      // files no longer on disk are never consulted
-      case Some(m) => m.getOrElse(new Path(f).getName, None)
-      case None => rowStats(spark, f)
-    }
-    val kept = all.filter { f =>
-      bounds(f) match {
+    def bounds(f: String, liveLen: Long): Option[(Array[Byte], Array[Byte])] =
+      manifest match {
+        // manifest is authoritative when present AND the recorded length
+        // matches the live file (or is unknown — legacy format); a length
+        // MISMATCH means the file was rewritten in place under the same
+        // name, so its recorded bounds may be stale — re-stat from the
+        // live footer rather than risk pruning a file that now matches.
+        // A file the manifest does not list (externally added) is kept
+        // conservatively; stale entries for deleted files are never
+        // consulted.
+        case Some(m) => m.get(new Path(f).getName) match {
+          case Some(e) if e.length < 0 || e.length == liveLen => e.bounds
+          case Some(_) => rowStats(spark, f) // in-place rewrite detected
+          case None => None
+        }
+        case None => rowStats(spark, f)
+      }
+    val kept = all.collect { case (f, liveLen) if (
+      bounds(f, liveLen) match {
         case Some((lo, hi)) =>
           // keep iff [lo, hi] intersects [start, stop)
           startRow.forall(s => RegionSort.unsignedBytes.compare(hi, s) >= 0) &&
             stopRow.forall(e => RegionSort.unsignedBytes.compare(lo, e) < 0)
         case None => true // no stats → cannot prune safely
-      }
+      }) => f
     }
     lastKeptFiles.set(kept.size.toLong)
     val base =
@@ -113,14 +123,17 @@ object CellScan {
     if (i < 0) None else { p(i) = (p(i) + 1).toByte; Some(p.take(i + 1)) }
   }
 
-  private def partFiles(spark: SparkSession, dir: String): Seq[String] = {
+  /** (path, live byte length) of the flat region files — the length
+    * rides along so the manifest's recorded length can be validated
+    * without a second listing. */
+  private def partFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.listStatus(p).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
         s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
-      .map(_.getPath.toString)
+      .map(s => (s.getPath.toString, s.getLen))
   }
 
   /** Unsigned min/max of the `row` column across a file's row groups,

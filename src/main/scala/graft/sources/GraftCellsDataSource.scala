@@ -5,10 +5,11 @@ import java.util
 import graft.{BulkLoad, HFileCellSink}
 import graft.operators.CellOps
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
-import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -59,15 +60,10 @@ class GraftCellsDataSource extends TableProvider with DataSourceRegister
                         properties: util.Map[String, String]): Table =
     new GraftCellsTable(schema, properties)
 
-  /** READ path (V1 relation — implementing `RelationProvider` routes
-    * `spark.read.format("graft-cells")` through it while writes keep the
-    * V2 aligned-write table above): a region-pruned scan of a staged cell
-    * layout with `row`-range FILTER PUSHDOWN. This is the piece vanilla
-    * parquet cannot provide — `ParquetFilters` creates no binary-column
-    * predicates, so a plain `spark.read.parquet(dir).where(row >= …)`
-    * scans every region file; this relation receives the row bounds
-    * through the V1 pushdown API and serves them via [[CellScan]]'s
-    * manifest lookup (one small-file read, the META analog). */
+  /** Legacy V1 read seam: kept so `spark.sql.sources.useV1SourceList`
+    * can force the old path; the default read route is the DSv2 scan on
+    * [[GraftCellsTable]] (same [[CellScan]] execution, same pushdown
+    * rules — ONE implementation, [[GraftCellsFilters]]). */
   override def createRelation(
       sqlContext: org.apache.spark.sql.SQLContext,
       parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
@@ -77,22 +73,17 @@ class GraftCellsDataSource extends TableProvider with DataSourceRegister
   }
 }
 
-/** Region-pruned readable relation over a staged cell directory.
-  * `unhandledFilters` keeps `row`-range filters INSIDE the relation
-  * (CellScan applies them: manifest/footer file pruning + the residual
-  * codegen filter), everything else is left to Spark above the scan. */
-private[sources] class GraftCellsRelation(
-    override val sqlContext: org.apache.spark.sql.SQLContext, path: String)
-    extends org.apache.spark.sql.sources.BaseRelation
-    with org.apache.spark.sql.sources.PrunedFilteredScan {
+/** The row-bound extraction shared by the DSv2 scan and the legacy V1
+  * relation — the piece vanilla parquet cannot provide (`ParquetFilters`
+  * creates no binary-column predicates, so a plain
+  * `spark.read.parquet(dir).where(row >= …)` scans every region file). */
+private[sources] object GraftCellsFilters {
   import org.apache.spark.sql.sources._
-
-  override def schema: StructType = CellOps.cellSchema
 
   /** (start inclusive, stop exclusive) bounds from the pushed filters —
     * the conjunction of every recognized `row` comparison (tightest
     * bound wins; EqualTo becomes the [key, key+0x00) point range). */
-  private[sources] def rowBounds(filters: Array[Filter])
+  def rowBounds(filters: Array[Filter])
       : (Option[Array[Byte]], Option[Array[Byte]]) = {
     val cmp = graft.operators.RegionSort.unsignedBytes
     def tighterLo(a: Option[Array[Byte]], b: Array[Byte]) =
@@ -110,25 +101,79 @@ private[sources] class GraftCellsRelation(
     }
   }
 
-  private def recognized(f: Filter): Boolean = f match {
+  def recognized(f: Filter): Boolean = f match {
     case GreaterThanOrEqual("row", _: Array[Byte]) | GreaterThan("row", _: Array[Byte]) |
          LessThan("row", _: Array[Byte]) | LessThanOrEqual("row", _: Array[Byte]) |
          EqualTo("row", _: Array[Byte]) => true
     case _ => false
   }
 
-  /** Row-range filters are fully handled here (pruning + residual);
-    * anything else must be re-evaluated by Spark above the scan. */
+  /** The one execution path both APIs share: manifest-pruned region scan
+    * with the residual range filter, projected to the required columns
+    * (empty = 0-column rows for count-only scans). */
+  def buildScan(spark: org.apache.spark.sql.SparkSession, path: String,
+                requiredColumns: Seq[String], filters: Array[Filter])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val (lo, hi) = rowBounds(filters)
+    CellScan.scanRange(spark, path, lo, hi)
+      .select(requiredColumns.toIndexedSeq
+        .map(org.apache.spark.sql.functions.col): _*).rdd
+  }
+}
+
+/** Legacy V1 region-pruned relation (see [[GraftCellsDataSource
+  * .createRelation]]); delegates to [[GraftCellsFilters]]. */
+private[sources] class GraftCellsRelation(
+    override val sqlContext: org.apache.spark.sql.SQLContext, path: String)
+    extends org.apache.spark.sql.sources.BaseRelation
+    with org.apache.spark.sql.sources.PrunedFilteredScan {
+
+  override def schema: StructType = CellOps.cellSchema
+
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
-    filters.filterNot(recognized)
+    filters.filterNot(GraftCellsFilters.recognized)
 
   override def buildScan(requiredColumns: Array[String],
-                         filters: Array[Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
-    val (lo, hi) = rowBounds(filters)
-    val pruned = CellScan.scanRange(sqlContext.sparkSession, path, lo, hi)
-    // empty requiredColumns (count-only scans) yields 0-column rows
-    pruned.select(requiredColumns.toIndexedSeq
-      .map(org.apache.spark.sql.functions.col): _*).rdd
+                         filters: Array[Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    GraftCellsFilters.buildScan(sqlContext.sparkSession, path,
+      requiredColumns.toSeq, filters)
+}
+
+/** DSv2 scan builder: `row`-range filters push down (fully handled —
+  * file pruning via the manifest + the residual codegen filter inside
+  * [[CellScan]]), required-column pruning trims the projection;
+  * everything else is re-evaluated by Spark above the scan. Execution
+  * rides the [[V1Scan]] seam — the same posture as the write side's
+  * [[V1Write]]: DSv2 pushdown/catalog surface, the proven relation
+  * underneath, one implementation of both contracts. */
+private[sources] class GraftCellsScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = CellOps.cellSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (handled, unhandled) = filters.partition(GraftCellsFilters.recognized)
+    pushed = handled
+    unhandled // Spark re-evaluates these above the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: org.apache.spark.sql.SQLContext): T = {
+      val (p, filters, cols) = (path, pushed, required)
+      new BaseRelation with TableScan {
+        override def sqlContext: org.apache.spark.sql.SQLContext = context
+        override def schema: StructType = cols
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          GraftCellsFilters.buildScan(context.sparkSession, p,
+            cols.fieldNames.toSeq, filters)
+      }.asInstanceOf[T]
+    }
   }
 }
 
@@ -145,12 +190,12 @@ object GraftCellsDataSource {
 
 private[sources] class GraftCellsTable(schema0: StructType,
                                        properties: util.Map[String, String])
-    extends Table with SupportsWrite {
+    extends Table with SupportsWrite with SupportsRead {
   override def name(): String =
     "graft-cells " + properties.getOrDefault("path", "")
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE,
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // df.write carries path/salt in the per-write options; the SQL catalog
@@ -159,6 +204,18 @@ private[sources] class GraftCellsTable(schema0: StructType,
     val merged = new util.HashMap[String, String](properties)
     info.options.entrySet().forEach(e => merged.put(e.getKey, e.getValue))
     new GraftCellsWrite(new CaseInsensitiveStringMap(merged))
+  }
+  /** READ side of the same table: `spark.read.format("graft-cells")` and
+    * the catalog path (`CREATE TABLE … USING graft-cells` then plain
+    * SELECT) both resolve here — the staged layout is a readable SQL
+    * table, not a write-only sink. Path comes from per-read options or
+    * the table properties (catalog tables). */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new util.HashMap[String, String](properties)
+    options.entrySet().forEach(e => merged.put(e.getKey, e.getValue))
+    val path = merged.get("path")
+    require(path != null && path.nonEmpty, "graft-cells read requires a path")
+    new GraftCellsScanBuilder(path)
   }
 }
 

@@ -45,22 +45,24 @@ object StreamingIngest {
   case class BatchResult(batchId: Long, path: String, cells: Long,
                          secs: Double = 0.0)
 
-  /** Sum of parquet footer record counts under `dir` — the cell-count
-    * readback without a Spark job (falls back to a distributed count for
-    * sinks that did not land flat parquet). */
-  private def footerCount(spark: SparkSession, dir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val parts = fs.listStatus(p).filter(s => s.isFile &&
-      s.getPath.getName.startsWith("part-") && s.getPath.getName.endsWith(".parquet"))
-    if (parts.isEmpty) spark.read.parquet(dir).count()
-    else parts.map { s =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
-          s, spark.sessionState.newHadoopConf()))
-      try r.getRecordCount finally r.close()
-    }.sum
-  }
+  /** Per-batch cell-count readback, cheapest first: the sink's manifest
+    * already records per-file row counts (ONE small-file read, zero
+    * footer opens), else sum the parquet footers, else a distributed
+    * count for sinks that did not land flat parquet. */
+  private def footerCount(spark: SparkSession, dir: String): Long =
+    graft.sources.CellManifest.totalRows(spark, dir).getOrElse {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val parts = fs.listStatus(p).filter(s => s.isFile &&
+        s.getPath.getName.startsWith("part-") && s.getPath.getName.endsWith(".parquet"))
+      if (parts.isEmpty) spark.read.parquet(dir).count()
+      else parts.map { s =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+            s, spark.sessionState.newHadoopConf()))
+        try r.getRecordCount finally r.close()
+      }.sum
+    }
 
   /** Stream `delim`-separated text files from `inputDir` through the cell
     * pipeline. Runs until all currently-available input is drained, then

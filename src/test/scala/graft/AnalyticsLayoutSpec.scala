@@ -318,6 +318,17 @@ class AnalyticsLayoutSpec extends SparkSuite {
     assert(math.abs(r.values.sum - 1.0) < 1e-6)
   }
 
+  test("personalizedPageRank: seeds absent from the graph yield the EMPTY frame, not NULLs") {
+    // n_seeds = 0 after the node-universe semi-join: the walk has no mass
+    // source, so the well-defined answer is no ranked nodes — previously
+    // `units div 0` = NULL propagated NULL ranks through every iteration
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("a", "b")
+    val ghost = Seq("zz", "qq").toDF("id") // none present in the edge list
+    val r = graft.operators.GraphOps.personalizedPageRank(edges, ghost, iters = 3)
+    assert(r.count() === 0L)
+    assert(r.schema.fieldNames.toSeq === Seq("id", "rank"))
+  }
+
   test("personalizedPageRank: uniform seed set over the whole graph equals global pageRank") {
     // when EVERY node is a seed, the restart term is pageRank's teleport —
     // the two walks are the same fixed-point integer recursion

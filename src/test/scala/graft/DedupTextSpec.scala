@@ -45,6 +45,93 @@ class DedupTextSpec extends SparkSuite {
     assert(rows(Dedup.clustersStore(corpus, 3, 0.8, key2)) === oneShot)
   }
 
+  test("dedupStore maintenance: stored-index incremental ≡ full recompute, ZERO old-text reads") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val oldDocs = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+    // the batch arrives as an IN-MEMORY frame (collected once here), so
+    // any file scan in the maintenance plan can only be the store
+    val newRows = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      .select("doc_id", "text").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1)))
+    val newDocs = newRows.toDF("doc_id", "text")
+    val key = s"incspec-${java.util.UUID.randomUUID()}"
+    val store = Dedup.dedupStore(oldDocs, 3, 0.8, key)
+    // all four companion artifacts are persisted by the ONE build
+    def norm(p: String) = p.stripPrefix("file:")
+    for (a <- Seq("clusters", "digests", "signatures", "bands"))
+      assert(new java.io.File(norm(store.dir), s"$a.parquet").exists(), a)
+    val touching = Dedup.incrementalCorpusDedupStored(newDocs, store, 3, 0.8)
+    // the zero-old-text-read pin: every file scan in the maintenance plan
+    // reads from UNDER THE STORE (the old corpus' documents.parquet never
+    // appears — the old side is served purely by the persisted index)
+    val scanned = touching.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    assert(scanned.nonEmpty)
+    assert(scanned.forall(p => norm(p).startsWith(norm(store.dir))),
+      s"maintenance plan scans outside the store: $scanned")
+    // maintenance result: components(stored star edges ∪ touching pairs)
+    // equals the full-corpus recompute exactly
+    val starEdges = store.clusters
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("a"), col("cluster_id").as("b"))
+    val got = Dedup.clusters(starEdges.unionByName(touching.select(col("a"), col("b"))))
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.clusters(Dedup.corpusDedup(docs, 3, 0.8).select(col("a"), col("b")))
+      .as[(Long, Long)].collect().toMap
+    assert(got === full)
+    assert(got.nonEmpty)
+  }
+
+  test("capCrossings flags exactly the buckets that cross the cap only once the batch lands") {
+    // 4 identical 'tmpl' docs in the store, 3 more in the batch: every
+    // tmpl band bucket has occ_old=4 ≤ cap=5 < occ_all=7 → crossing.
+    // The 6-strong 'other' cohort is already past the cap before the
+    // batch (occ_old=6) → NOT a crossing (its old-old pairs were already
+    // cap-excluded at build time, so stored state is consistent).
+    val tmpl = "zulu yankee xray whiskey victor uniform tango sierra"
+    val other = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val oldDocs = ((0L until 4L).map((_, tmpl)) ++ (10L until 16L).map((_, other)))
+      .toDF("doc_id", "text")
+    val newDocs = (100L until 103L).map((_, tmpl)).toDF("doc_id", "text")
+    val store = Dedup.dedupStore(oldDocs, 3, 0.8,
+      s"capspec-${java.util.UUID.randomUUID()}")
+    val crossings = Dedup.capCrossings(newDocs, store, 3, cap = 5)
+      .as[(Int, String, Long, Long)].collect()
+    assert(crossings.nonEmpty)
+    assert(crossings.forall { case (_, _, occOld, occAll) =>
+      occOld === 4L && occAll === 7L })
+    assert(crossings.length === Dedup.Bands) // identical docs collide in every band
+    // no batch → nothing can cross
+    assert(Dedup.capCrossings(
+      spark.emptyDataset[(Long, String)].toDF("doc_id", "text"),
+      store, 3, cap = 5).isEmpty)
+  }
+
+  test("lshRecallCurve sampling: deterministic md5 doc subset, sample size in the output") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val full = Dedup.lshRecallCurve(docs, 3, 0.05).collect()
+    val sampled = Dedup.lshRecallCurve(docs, 3, 0.05, samplePermille = 500).collect()
+    // the sample column reports the subset size; the full run reports n
+    val n = docs.count()
+    assert(full.forall(_.getAs[Long]("n_docs_sampled") === n))
+    val nSampled = sampled.head.getAs[Long]("n_docs_sampled")
+    assert(nSampled > 0 && nSampled < n)
+    // deterministic: identical second run
+    val again = Dedup.lshRecallCurve(docs, 3, 0.05, samplePermille = 500).collect()
+    assert(sampled.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+    // truth within the sample is a subset of full truth: per-band counts bounded
+    val fullTrue = full.map(r => r.getAs[Int]("sim_band") -> r.getAs[Long]("n_true")).toMap
+    sampled.foreach { r =>
+      assert(r.getAs[Long]("n_true") <= fullTrue.getOrElse(r.getAs[Int]("sim_band"), 0L))
+    }
+  }
+
   test("minHashCandidates bucket cap: oversized cohort excluded, small buckets survive") {
     // 30 IDENTICAL docs — every band bucket they occupy has occ=30, the
     // template-cohort shape the cap exists for — plus one near-dup pair

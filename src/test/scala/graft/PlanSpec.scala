@@ -170,6 +170,7 @@ class PlanSpec extends SparkSuite {
       "text_bpe_merges", "text_bpe_fertility", "corpus_dsir_topk", "rag_passage_topk",
       "emb_top_pc", "ann_whitened_topk",
       "graph_ppr",                // 1-row seed-count scalar (q22 pattern)
+      "dedup_lsh_recall",         // 1-row sample-size scalar (q22 pattern)
       "rag_rrf_fusion",           // broadcast-query ANN list (ann_cosine_topk shape)
       "quality_ks_drift",         // census grid x group-totals bounded expansion
       "quality_ks_drift_ttr",     // same census shape, quantized continuous metric

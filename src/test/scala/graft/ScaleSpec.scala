@@ -177,7 +177,9 @@ class ScaleSpec extends SparkSuite {
       "ann_hybrid_topk", "ann_ivf_adc_topk", "ann_ivf_recall", "ann_ivf_topk",
       "ann_sq8_topk", "ann_whitened_topk", "basket_association_rules",
       "corpus_decontaminate_bloom", "corpus_dsir_topk", "corpus_mixture_plan",
-      "corpus_stratified_neyman", "corpus_temperature_mix", "dedup_rate_report",
+      "corpus_stratified_neyman", "corpus_temperature_mix",
+      "dedup_lsh_recall", // 1-row sample-size scalar (q22 pattern)
+      "dedup_rate_report",
       "emb_kmeans", "emb_matryoshka_recall", "emb_top_pc", "events_funnel",
       "events_funnel_windowed", "events_hll_setops", "events_retention_halflife",
       "events_rfm_segments", "events_survival_km", "events_trend_ols",

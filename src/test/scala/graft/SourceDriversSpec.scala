@@ -367,8 +367,10 @@ class SourceDriversSpec extends SparkSuite {
     parts.foreach { p =>
       val direct = CellManifest.footerRowStats(p.getPath.toString, new Configuration())
       val recorded = m(p.getPath.getName)
-      assert(recorded.isDefined === direct.isDefined)
-      for ((rb, db) <- recorded.zip(direct)) {
+      // the recorded length matches the live file (in-place-rewrite guard)
+      assert(recorded.length === p.getLen, p.getPath.getName)
+      assert(recorded.bounds.isDefined === direct.isDefined)
+      for ((rb, db) <- recorded.bounds.zip(direct)) {
         assert(rb._1.toSeq === db._1.toSeq, p.getPath.getName)
         assert(rb._2.toSeq === db._2.toSeq, p.getPath.getName)
       }
@@ -392,10 +394,149 @@ class SourceDriversSpec extends SparkSuite {
     assert(scan2.count() === nScan && scan2.inputFiles.length === pruned)
     assert(CellScan.footerOpens.get() > b2, "fallback did not read footers")
 
+    // 3.5) recorded per-file row counts sum to the table's count — the
+    //      streaming sink's zero-footer-open readback
+    assert(CellManifest.totalRows(spark, out).isEmpty, "manifest was deleted")
+    CellManifest.write(spark, out) // restore after the deletion in (3)
+    assert(CellManifest.totalRows(spark, out) ===
+      Some(spark.read.parquet(out).count()))
+
     // 4) hex round-trip incl. the empty-array sentinel
     val bytes = Array(0x00.toByte, 0x7f.toByte, 0x80.toByte, 0xff.toByte)
     assert(CellManifest.fromHex(CellManifest.toHex(bytes)).toSeq === bytes.toSeq)
     assert(CellManifest.fromHex(CellManifest.toHex(Array.empty[Byte])).isEmpty)
+
+    // 5) legacy 3-field manifests (no length) still parse — length -1,
+    //    bounds trusted as before
+    val legacy = "part-x.parquet\t0A\t0B\npart-y.parquet\t-\t-\n"
+    val lp = new Path(out, CellManifest.FileName)
+    val os = fs.create(lp, true)
+    os.write(legacy.getBytes("UTF-8")); os.close()
+    val lm = CellManifest.read(spark, out).get
+    assert(lm("part-x.parquet").length === -1L)
+    assert(lm("part-x.parquet").bounds.get._1.toSeq === Seq(0x0a.toByte))
+    assert(lm("part-y.parquet") === CellManifest.Entry(-1L, -1L, None))
+    // legacy entries lack row counts → no manifest-served total
+    assert(CellManifest.totalRows(spark, out).isEmpty)
+  }
+
+  test("CellManifest.update: stats ONLY new files; in-place rewrite re-statted, never mispruned") {
+    import graft.sources.{CellManifest, CellScan}
+    val wide = (0 until 120).map { i =>
+      val r = (0 until 9).map(c => s"u${i}_$c")
+      (r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7), r(8))
+    }.toDF((0 until 9).map(i => s"c$i"): _*)
+    val r = BulkLoad.fromPositional(wide, BulkLoad.emptyQuarantine(spark),
+      BulkLoad.Config(saltBuckets = Some(10)))
+    val out = tmpDir() + "/cells"
+    SortedParquetCellSink.write(r.cells, out)
+    val fs = FileSystem.get(new Configuration())
+    val parts = fs.listStatus(new Path(out)).filter(s =>
+      s.getPath.getName.startsWith("part-") && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+
+    // add ONE new file (copy of an existing region file under a new name):
+    // update must stat exactly that file and keep every other entry
+    val added = new Path(out, "part-99999-added.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, parts.head, fs, added, false,
+      new Configuration())
+    val before = CellManifest.statReads.get()
+    val statted = CellManifest.update(spark, out)
+    assert(statted === 1, "update must stat only the ONE new file")
+    assert(CellManifest.statReads.get() === before + 1)
+    val m = CellManifest.read(spark, out).get
+    assert(m.contains("part-99999-added.parquet"))
+    assert(m.size === parts.length + 1)
+
+    // in-place REWRITE under the same name with different content: replace
+    // the '3'-region file with a copy of the '7'-region file. The stale
+    // manifest says this file holds only '3…' keys — a bounds-trusting
+    // scan for ['7','8') would PRUNE it and silently lose rows. The
+    // length check must detect the rewrite and fall back to live footer
+    // stats for that file.
+    val threeFile = parts.find { p =>
+      spark.read.parquet(p.toString).select("row").head()
+        .getAs[Array[Byte]]("row").head == '3'.toByte
+    }.get
+    val sevenFile = parts.find { p =>
+      spark.read.parquet(p.toString).select("row").head()
+        .getAs[Array[Byte]]("row").head == '7'.toByte
+    }.get
+    // the rewrite content is the 7-region rows DOUBLED — guaranteed to
+    // differ in byte length from the original 3-region file, so the
+    // length check must fire (a same-length rewrite is the documented
+    // residual trust assumption)
+    val rwTmp = tmpDir() + "/rewrite"
+    spark.read.parquet(sevenFile.toString)
+      .unionAll(spark.read.parquet(sevenFile.toString))
+      .coalesce(1).write.mode("overwrite").parquet(rwTmp)
+    val rwPart = fs.listStatus(new Path(rwTmp)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fs.delete(threeFile, false)
+    org.apache.hadoop.fs.FileUtil.copy(fs, rwPart, fs, threeFile, false,
+      new Configuration())
+    val expect7 = spark.read.parquet(out)
+      .where(col("row") >= lit(Array('7'.toByte)) &&
+        col("row") < lit(Array('8'.toByte))).count()
+    val got7 = CellScan.scanRange(spark, out,
+      Some(Array('7'.toByte)), Some(Array('8'.toByte)))
+    assert(got7.count() === expect7,
+      "stale manifest bounds mispruned an in-place-rewritten file")
+    // the rewritten duplicate now matches: both its copies are read
+    assert(got7.inputFiles.length === 2)
+    // and a refresh re-stats ONLY the rewritten file (length changed)
+    val b2 = CellManifest.statReads.get()
+    assert(CellManifest.update(spark, out) === 1)
+    assert(CellManifest.statReads.get() === b2 + 1)
+  }
+
+  test("CellCompaction: N batch filesets merge to ONE region-count fileset, content identity, zero-footer scans") {
+    import graft.sources.{CellCompaction, CellManifest, CellScan}
+    val root = tmpDir() + "/stream"
+    val cfg = BulkLoad.Config(splits =
+      Some(graft.operators.RegionSort.uniformMd5Splits(10).toSeq))
+    // three "micro-batches" of 40 rows each, one fileset per batch —
+    // the layout StreamingIngest leaves behind
+    (0 until 3).foreach { b =>
+      val wide = (0 until 40).map { i =>
+        val r = (0 until 9).map(c => s"b${b}_v${i}_$c")
+        (r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7), r(8))
+      }.toDF((0 until 9).map(i => s"c$i"): _*)
+      val cells = BulkLoad.fromPositional(wide,
+        BulkLoad.emptyQuarantine(spark), cfg).cells
+      SortedParquetCellSink.write(cells, f"$root/batch_$b%05d")
+    }
+    val union = spark.read.parquet(CellCompaction.batchDirs(spark, root): _*)
+    val nBefore = union.count()
+    val filesBefore = union.inputFiles.length
+
+    val dest = tmpDir() + "/compacted"
+    assert(CellCompaction.compactBatches(spark, root, dest, cfg) === 3)
+    val fs = FileSystem.get(new Configuration())
+    val destParts = fs.listStatus(new Path(dest)).filter(s =>
+      s.getPath.getName.startsWith("part-") && s.getPath.getName.endsWith(".parquet"))
+    // post-compaction file count = region count (10), down from 3x that
+    assert(destParts.length === 10, s"got ${destParts.length} files")
+    assert(filesBefore > destParts.length)
+    // content identity: exactly the union of the batches
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select(lower(hex(col("row"))), lower(hex(col("qualifier"))),
+        lower(hex(col("value")))).collect().map(_.toString).sorted.toSeq
+    assert(keyed(spark.read.parquet(dest)) === keyed(union))
+    assert(spark.read.parquet(dest).count() === nBefore)
+    // the compacted dir serves manifest-pruned scans: zero footer opens,
+    // bounded range touches a strict subset of region files
+    assert(fs.exists(new Path(dest, CellManifest.FileName)))
+    val before = CellScan.footerOpens.get()
+    val scan = CellScan.scanRange(spark, dest,
+      Some(Array(0x40.toByte)), Some(Array(0x80.toByte)))
+    assert(scan.count() > 0)
+    assert(CellScan.footerOpens.get() === before)
+    assert(CellScan.lastKeptFiles.get() < 10)
+    // retire pass: inputs deleted only after the compacted set is live
+    assert(CellCompaction.compactBatches(spark, root, tmpDir() + "/c2", cfg,
+      retireInputs = true) === 3)
+    assert(CellCompaction.batchDirs(spark, root).isEmpty)
   }
 
   test("CellScan.get: point lookup opens exactly ONE region file, zero footer reads") {
@@ -452,9 +593,7 @@ class SourceDriversSpec extends SparkSuite {
     val q0 = spark.read.format("graft-cells").load(out)
       .where(col("ts") === 0L).count()
     assert(q0 === r.cells.count())
-    // SQL over the relation: a view carries the pushdown (the CATALOG
-    // path resolves the V2 write table, which is write-only by design —
-    // staging dirs are written then adopted, not served as SQL tables)
+    // SQL over the relation: a view carries the pushdown
     spark.read.format("graft-cells").load(out).createOrReplaceTempView("cells_v")
     try {
       assert(spark.sql("SELECT count(*) FROM cells_v").head().getLong(0) ===
@@ -465,6 +604,29 @@ class SourceDriversSpec extends SparkSuite {
       assert(viaSql > 0 && CellScan.lastKeptFiles.get() === 1L,
         "SQL-through-view range must prune to one region file")
     } finally spark.catalog.dropTempView("cells_v")
+
+    // the CATALOG path is READABLE (DSv2 SupportsRead on the same table
+    // the write path uses): CREATE TABLE … USING graft-cells, then plain
+    // SELECTs — with the same manifest-pruned pushdown, zero footer opens
+    spark.sql("DROP TABLE IF EXISTS cells_cat")
+    spark.sql(
+      s"CREATE TABLE cells_cat USING `graft-cells` OPTIONS (path '$out')")
+    try {
+      assert(spark.sql("SELECT count(*) FROM cells_cat").head().getLong(0) ===
+        r.cells.count())
+      val b3 = CellScan.footerOpens.get()
+      val viaCat = spark.sql(
+        "SELECT count(*) FROM cells_cat WHERE row >= x'33' AND row < x'34'")
+        .head().getLong(0)
+      assert(viaCat > 0 && CellScan.lastKeptFiles.get() === 1L,
+        "catalog-table range must prune to one region file")
+      assert(CellScan.footerOpens.get() === b3)
+      // the DSv2 scan reports the pushed row filters in EXPLAIN
+      val plan = spark.sql(
+        "SELECT * FROM cells_cat WHERE row >= x'33' AND row < x'34'")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("row"), plan.take(2000))
+    } finally spark.sql("DROP TABLE IF EXISTS cells_cat")
   }
 
   test("CellScan: non-flat parquet layout falls back to an unpruned read, not empty") {
