@@ -111,12 +111,20 @@ object Bench {
     // Streaming ingest end-to-end: the foreachBatch production path
     // (file-source micro-batches → parse → region-aligned sort → sink →
     // postCommit, exactly-once via checkpoint) — 10 replicas of the
-    // reference CSV as 10 single-file micro-batches, so the number carries
-    // BOTH per-batch harness latency (state store, offset log, per-batch
-    // readback) and pipeline throughput. min of 2 passes; per-pass secs in
-    // the full artifact.
-    val (streamIngest, streamPasses, streamBatchSecs) =
-      if (new java.io.File(refCsv).exists()) {
+    // reference CSV. Measured at TWO trigger sizes over the same input:
+    //   - maxFilesPerTrigger=1 (10 micro-batches): the per-batch FLOOR —
+    //     the latency-bound posture, every batch pays trigger/offset-log/
+    //     write-job/postCommit cost alone;
+    //   - maxFilesPerTrigger=5 (2 micro-batches): the throughput posture —
+    //     a backlogged or catch-up stream amortizes the fixed per-batch
+    //     cost across files, same exactly-once contract, same per-batch
+    //     region-aligned layout.
+    // min of 2 passes each; per-pass and per-batch secs in the artifact.
+    def streamRun(mft: Int, tag: String)
+        : (Option[Double], Seq[Double], Seq[Double]) =
+      if (!new java.io.File(refCsv).exists())
+        (None, Seq.empty[Double], Seq.empty[Double])
+      else {
       import java.nio.file.{Files, Paths}
       import scala.jdk.CollectionConverters._
       def rmTree(p: java.nio.file.Path): Unit =
@@ -126,17 +134,18 @@ object Bench {
       var batchSecs = Seq.empty[Double]
       var bestPass = Double.MaxValue
       val passes = (1 to 2).map { p =>
-        val in = Files.createTempDirectory(s"graft-bench-streamin$p")
+        val in = Files.createTempDirectory(s"graft-bench-streamin$tag$p")
         (0 until 10).foreach(i => Files.write(in.resolve(f"part-$i%03d.csv"), bytes))
         inputRows = spark.read.text(in.toString).count()
-        val out = Files.createTempDirectory(s"graft-bench-streamout$p")
-        val ck = Files.createTempDirectory(s"graft-bench-streamck$p")
+        val out = Files.createTempDirectory(s"graft-bench-streamout$tag$p")
+        val ck = Files.createTempDirectory(s"graft-bench-streamck$tag$p")
         val t0 = System.nanoTime()
         val batches = graft.streaming.StreamingIngest.run(
           spark, in.toString, out.toString, ck.toString,
-          BulkLoad.Config(compatNaiveSplit = true))
+          BulkLoad.Config(compatNaiveSplit = true), maxFilesPerTrigger = mft)
         val secs = (System.nanoTime() - t0) / 1e9
-        require(batches.length == 10, s"expected 10 micro-batches, got ${batches.length}")
+        require(batches.length == (10 + mft - 1) / mft,
+          s"expected ${(10 + mft - 1) / mft} micro-batches, got ${batches.length}")
         // per-batch breakdown (best pass): in-foreachBatch seconds — the
         // difference between sum(batch secs) and the pass total is the
         // streaming engine's own trigger/offset-log overhead
@@ -146,7 +155,9 @@ object Bench {
         secs
       }
       (Some(inputRows / passes.min), passes, batchSecs)
-    } else (None, Seq.empty[Double], Seq.empty[Double])
+    }
+    val (streamIngest, streamPasses, streamBatchSecs) = streamRun(1, "")
+    val (streamIngest5, streamPasses5, _) = streamRun(5, "m5")
 
     def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -170,6 +181,9 @@ object Bench {
       val pp = streamPasses.map(ms).mkString("[", ",", "]")
       val bb = streamBatchSecs.map(ms).mkString("[", ",", "]")
       s""","stream_ingest_rows_per_sec":${r.round},"stream_ingest_pass_secs":$pp,"stream_ingest_batch_secs":$bb,"stream_ingest_method":"min-of-2, 10 single-file micro-batches of the reference CSV; batch_secs = in-foreachBatch time per micro-batch of the best pass""""
+    }.getOrElse("") + streamIngest5.map { r =>
+      val pp = streamPasses5.map(ms).mkString("[", ",", "]")
+      s""","stream_ingest_mft5_rows_per_sec":${r.round},"stream_ingest_mft5_pass_secs":$pp,"stream_ingest_mft5_method":"same input, maxFilesPerTrigger=5 (2 micro-batches) — the backlog/catch-up posture amortizing per-batch fixed cost""""
     }.getOrElse("")
     val full =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$ingestFull,"sf":"$sfDir"}"""
@@ -184,7 +198,8 @@ object Bench {
     val fams = famTotals.map { case (f, v) => "\"" + f + "\":" + f"$v%.1f" }.mkString("{", ",", "}")
     val ingestShort = ingest.map(r => s""","ingest_rows_per_sec":${r.round}""").getOrElse("") +
       canaryRatio.map(r => s""","canary_ratio":${ms(r)}""").getOrElse("") +
-      streamIngest.map(r => s""","stream_ingest_rows_per_sec":${r.round}""").getOrElse("")
+      streamIngest.map(r => s""","stream_ingest_rows_per_sec":${r.round}""").getOrElse("") +
+      streamIngest5.map(r => s""","stream_ingest_mft5_rows_per_sec":${r.round}""").getOrElse("")
     val nFail = results.count(_._2 < 0)
     val summary =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"families":$fams$ingestShort,"full":"bench_out.json","sf":"$sfDir"}"""
