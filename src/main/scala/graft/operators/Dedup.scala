@@ -483,12 +483,25 @@ object Dedup {
   private def incrementalFromIndex(newDocs: DataFrame, shOld: DataFrame,
                                    sigOld: DataFrame, bandsOld: DataFrame,
                                    n: Int, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val shNew = shingleIndex(newDocs, n)
       .select(col("doc_id"), unhex(md5(col("s").cast(BinaryType))).as("s"))
       .materialized
     val sigNew = digestSignatures(shNew).materialized
-    val bandsNew = bandKeys(sigNew.select(col("doc_id"), sigArray))
+    incrementalPrepared(shNew, sigNew,
+      bandKeys(sigNew.select(col("doc_id"), sigArray)),
+      shOld, sigOld, bandsOld, threshold)
+  }
+
+  /** [[incrementalFromIndex]] with the new-batch index frames ALREADY
+    * computed — the entry point for callers that also persist them
+    * ([[dedupStoreAdvance]] derives the batch index exactly once for
+    * both the merged store write and the touching-pair probe).
+    * `sigNew` carries the h0..h(k-1)/nsh aggregate columns. */
+  private def incrementalPrepared(shNew: DataFrame, sigNew: DataFrame,
+                                  bandsNew: DataFrame, shOld: DataFrame,
+                                  sigOld: DataFrame, bandsOld: DataFrame,
+                                  threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bandsAll = bandsOld.unionByName(bandsNew)
       .withColumn("occ",
         count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
@@ -786,9 +799,13 @@ object Dedup {
     * cluster fixpoint from it, and publishes all four artifacts with ONE
     * atomic rename (a concurrent reader never sees a partial store).
     * Subsequent calls return the handle without touching corpus text. */
-  def dedupStore(docs: DataFrame, n: Int, threshold: Double,
-                 corpusKey: String): DedupStore = {
-    val spark = docs.sparkSession
+  /** Writable store location for a (corpus drop, params) pair — the
+    * keying contract shared by [[dedupStore]] and [[dedupStoreAdvance]]:
+    * md5(corpusKey | file stamp | params | [[StoreAlgoVersion]]) under
+    * the engine's store root (`graft.store.dir` or the JVM temp dir). */
+  private def storePath(spark: org.apache.spark.sql.SparkSession,
+                        corpusKey: String, n: Int,
+                        threshold: Double): org.apache.hadoop.fs.Path = {
     // fold the corpus drop's physical identity (size + mtime of its files)
     // into the key: a regenerated drop at the same path is a NEW drop.
     // An optional '#tag' suffix on corpusKey names a SUBSET of the drop
@@ -816,7 +833,13 @@ object Dedup {
       .map("%02x".format(_)).mkString
     val root = sys.props.getOrElse("graft.store.dir",
       sys.props("java.io.tmpdir") + "/graft-cluster-store")
-    val path = new org.apache.hadoop.fs.Path(s"$root/$keyHex", "store")
+    new org.apache.hadoop.fs.Path(s"$root/$keyHex", "store")
+  }
+
+  def dedupStore(docs: DataFrame, n: Int, threshold: Double,
+                 corpusKey: String): DedupStore = {
+    val spark = docs.sparkSession
+    val path = storePath(spark, corpusKey, n, threshold)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) {
       fs.mkdirs(path.getParent)
@@ -841,6 +864,56 @@ object Dedup {
         .write.mode("overwrite").parquet(s"$tmp/clusters.parquet")
       // atomic publish; if a concurrent writer won the race, keep theirs
       // (identical content — the computation is deterministic)
+      if (!fs.rename(tmp, path)) fs.delete(tmp, true)
+    }
+    DedupStore(spark, path.toString)
+  }
+
+  /** ADVANCE a dedup store by one corpus drop — the full production
+    * maintenance cycle, closing the loop [[incrementalCorpusDedupStored]]
+    * opens: compute the batch's index frames ONCE, probe the stored
+    * index for exact-verified touching pairs, fold them into the stored
+    * assignment (components(star edges ∪ touching) ≡ a full recompute —
+    * the same equivalence `dedup_store_incremental`'s oracle proves),
+    * and publish the UPDATED store — merged digests / signatures / band
+    * keys + the new assignment — under `newCorpusKey` with the same
+    * atomic-rename, build-once contract. The old corpus' TEXT is never
+    * read: its contribution is entirely the persisted index (the probe
+    * path is the spec-pinned zero-old-text-read plan). Per-advance cost:
+    * |batch| text scan + batch-sized band probe + touching-pair verify +
+    * index-sized union writes — no old-side recompute anywhere.
+    * Subsequent [[dedupStoreAdvance]]/[[dedupStore]] calls with
+    * `newCorpusKey` serve the published artifacts without recomputing. */
+  def dedupStoreAdvance(store: DedupStore, newDocs: DataFrame, n: Int,
+                        threshold: Double, newCorpusKey: String): DedupStore = {
+    val spark = newDocs.sparkSession
+    val path = storePath(spark, newCorpusKey, n, threshold)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) {
+      fs.mkdirs(path.getParent)
+      val tmp = new org.apache.hadoop.fs.Path(path.getParent,
+        s"_store_tmp_${java.util.UUID.randomUUID()}")
+      // ONE batch text scan: digests → signatures → band keys, each
+      // persisted (merged with the stored frames) AND probed
+      val shNew = shingleIndex(newDocs, n)
+        .select(col("doc_id"), unhex(md5(col("s").cast(BinaryType))).as("s"))
+        .materialized
+      val sigNew = digestSignatures(shNew).materialized
+      val bandsNew = bandKeys(sigNew.select(col("doc_id"), sigArray))
+      shNew.unionByName(store.digests)
+        .write.mode("overwrite").parquet(s"$tmp/digests.parquet")
+      sigNew.select(col("doc_id"), sigArray, col("nsh"))
+        .unionByName(store.signatures)
+        .write.mode("overwrite").parquet(s"$tmp/signatures.parquet")
+      bandsNew.unionByName(store.bands)
+        .write.mode("overwrite").parquet(s"$tmp/bands.parquet")
+      val touching = incrementalPrepared(shNew, sigNew, bandsNew,
+        store.digests, store.signatures, store.bands, threshold)
+      val star = store.clusters
+        .where(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("a"), col("cluster_id").as("b"))
+      clusters(star.unionByName(touching.select(col("a"), col("b"))))
+        .write.mode("overwrite").parquet(s"$tmp/clusters.parquet")
       if (!fs.rename(tmp, path)) fs.delete(tmp, true)
     }
     DedupStore(spark, path.toString)

@@ -246,6 +246,21 @@ object NorthStar {
       Dedup.clusters(starEdges.unionByName(touching))
     }),
 
+    // the FULL maintenance cycle: advance the old-90% store by the 10%
+    // drop and serve the UPDATED assignment from the published artifacts
+    // (merged digests/signatures/bands + new clusters, one atomic
+    // rename). The oracle is the full-corpus clustering, so store-
+    // advance ≡ full recompute is a hash-checked fact; and because the
+    // advance never reads old text, this is the end-to-end proof that a
+    // 100 TB corpus store can roll forward at batch-tracking cost.
+    "dedup_store_advance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newDocs = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val oldDocs = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val store = Dedup.dedupStore(oldDocs, N, 0.8, s"$dir#old90")
+      Dedup.dedupStoreAdvance(store, newDocs, N, 0.8, s"$dir#adv100").clusters
+    }),
+
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
     // exact Hamming-ball banding: the 4×4-bit band join guarantees every
     // pair with hamming <= 3 collides somewhere, so the oracle is the
@@ -2047,6 +2062,9 @@ object NorthStar {
     // incremental maintenance ≡ full recompute: the oracle clusters the
     // WHOLE corpus from scratch
     "dedup_store_incremental" -> dedupClustersSql,
+    // store ADVANCE ≡ full recompute, same from-scratch oracle — the
+    // published rolled-forward store carries exactly the one-shot answer
+    "dedup_store_advance" -> dedupClustersSql,
     "dedup_rate_report" ->
       s"""WITH t0 AS (SELECT count(*) n_docs,
              count(DISTINCT md5(text)) n_distinct_texts FROM documents),

@@ -368,6 +368,33 @@ object ReferenceParity {
       hexBin(graft.sources.CellScan.scanRange(s, dest, None, None))
     }),
 
+    // TIERED compaction e2e: two MINOR rounds absorb per-batch filesets
+    // into the serving dir (one extra fileset per round, manifest
+    // refreshed INCREMENTALLY — only the moved-in files are statted),
+    // then a MAJOR rewrite restores one file per region in place. The
+    // oracle is again the plain cell rendering: the whole tier sequence
+    // is the identity on cell content.
+    "cells_compact_minor" -> ((s, dir) => {
+      val root = fixturePath(dir, "compactminor")
+      val dest = s"$root/serving"
+      staged(root) {
+        val cust = t(s, dir, "customer")
+        val cfg = graft.BulkLoad.Config(splits = Some(
+          graft.operators.RegionSort.uniformMd5Splits(10).toSeq))
+        def batch(b: Int): Unit = graft.SortedParquetCellSink.write(
+          graft.BulkLoad.sorted(CellOps.explodeIndexed(
+            cust.where(pmod(col("c_custkey"), lit(3)) === b),
+            custKey, "c", custValueCols), cfg), f"$root/batch_$b%05d")
+        batch(0); batch(1)
+        graft.sources.CellCompaction.compactMinor(s, root, dest, cfg)
+        batch(2)
+        graft.sources.CellCompaction.compactMinor(s, root, dest, cfg)
+        graft.sources.CellCompaction.compactMajor(s, dest, cfg)
+        ()
+      }
+      hexBin(graft.sources.CellScan.scanRange(s, dest, None, None))
+    }),
+
     // X3 payload fidelity: each cell serialized to the public HBase
     // KeyValue WIRE layout — the exact bytes HFileOutputFormat2 stores
     // per cell; only the HFile container stays behind the hbase-jars seam
@@ -558,6 +585,8 @@ object ReferenceParity {
     "cells_compact_tombstones" -> cellsTombstonesSql,
     // layout compaction is the identity on cell content
     "cells_compact_regions" -> cellsIndexedSql,
+    // the tiered minor->minor->major sequence is too
+    "cells_compact_minor" -> cellsIndexedSql,
     "cells_keyvalue_wire" -> kvWireSql,
     "cells_snapshot_asof" -> cellsSnapshotSql,
     "cells_split_advisor" ->

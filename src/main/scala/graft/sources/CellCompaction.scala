@@ -68,4 +68,83 @@ object CellCompaction {
     }
     dirs.size
   }
+
+  /** MINOR compaction — the tiered counterpart of [[compactBatches]]:
+    * absorb the CURRENT batch filesets into an existing (or new) serving
+    * directory `dest` as ONE additional region-aligned fileset, refresh
+    * `dest`'s manifest INCREMENTALLY ([[CellManifest.update]] — footer
+    * stats only for the moved-in files, existing entries kept verbatim),
+    * and retire the inputs. `dest` accumulates one fileset per minor
+    * round; scans stay manifest-pruned throughout (files from different
+    * rounds may overlap in key range — the manifest prunes per FILE, so
+    * a bounded range touches intersecting files from each round, which
+    * is exactly HBase's multi-store-file read). Run [[compactMajor]]
+    * when the per-region file count warrants one file per region again.
+    * Crash window (files landed, inputs not yet deleted) leaves
+    * duplicates visible to a ROOT-level reader, never missing data —
+    * production wraps the retire in the serving layer's pointer swap.
+    * Returns the number of batch filesets absorbed. */
+  def compactMinor(spark: SparkSession, root: String, dest: String,
+                   cfg: graft.BulkLoad.Config): Int = {
+    val dirs = batchDirs(spark, root)
+    if (dirs.isEmpty) return 0
+    val hc = spark.sessionState.newHadoopConf()
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(hc)
+    fs.mkdirs(destPath)
+    val cells = spark.read.schema(graft.operators.CellOps.cellSchema)
+      .parquet(dirs: _*)
+    // land the merged fileset beside dest, then move the part files in
+    // under round-unique names (still part-*.parquet — the flat-layout
+    // contract every scanner filters on)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(destPath.getParent, s"_minor_tmp_$stamp")
+    graft.BulkLoad.sorted(cells, cfg)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.listStatus(tmp)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .zipWithIndex.foreach { case (s, i) =>
+        fs.rename(s.getPath, new Path(destPath, f"part-$stamp-$i%05d.parquet"))
+      }
+    fs.delete(tmp, true)
+    CellManifest.update(spark, dest)
+    dirs.foreach(d => fs.delete(new Path(d), true))
+    dirs.size
+  }
+
+  /** MAJOR compaction IN PLACE: rewrite `dir`'s accumulated filesets as
+    * exactly one file per region (fresh full manifest — region-count
+    * lines, trivially cheap). The rewrite lands under a temp sibling
+    * first; the old part files are removed only after the new fileset is
+    * fully written (crash window = duplicates, never loss — same
+    * contract as [[compactMinor]]'s retire). */
+  def compactMajor(spark: SparkSession, dir: String,
+                   cfg: graft.BulkLoad.Config): Unit = {
+    val hc = spark.sessionState.newHadoopConf()
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(hc)
+    val oldParts = fs.listStatus(dirPath)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    if (oldParts.isEmpty) return
+    val cells = spark.read.schema(graft.operators.CellOps.cellSchema)
+      .parquet(dir)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(dirPath.getParent, s"_major_tmp_$stamp")
+    graft.BulkLoad.sorted(cells, cfg)
+      .write.mode("overwrite").parquet(tmp.toString)
+    oldParts.foreach(p => fs.delete(p, false))
+    fs.listStatus(tmp)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .zipWithIndex.foreach { case (s, i) =>
+        fs.rename(s.getPath, new Path(dirPath, f"part-$stamp-$i%05d.parquet"))
+      }
+    fs.delete(tmp, true)
+    CellManifest.write(spark, dir)
+  }
 }

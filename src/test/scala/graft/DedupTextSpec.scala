@@ -88,6 +88,40 @@ class DedupTextSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("dedupStoreAdvance: rolls the store forward — merged index, assignment ≡ full recompute, no rebuild on re-read") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val oldDocs = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+    val newDocs = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+    val tag = java.util.UUID.randomUUID().toString
+    val store = Dedup.dedupStore(oldDocs, 3, 0.8, s"advspec-$tag#old")
+    val adv = Dedup.dedupStoreAdvance(store, newDocs, 3, 0.8, s"advspec-$tag#all")
+    def norm(p: String) = p.stripPrefix("file:")
+    // all four artifacts republished under the new key
+    for (a <- Seq("clusters", "digests", "signatures", "bands"))
+      assert(new java.io.File(norm(adv.dir), s"$a.parquet").exists(), a)
+    // the merged companion index carries old + batch exactly
+    val newOnly = Dedup.dedupStore(newDocs, 3, 0.8, s"advspec-$tag#newonly")
+    assert(adv.digests.count() ===
+      store.digests.count() + newOnly.digests.count())
+    assert(adv.signatures.count() ===
+      store.signatures.count() + newOnly.signatures.count())
+    assert(adv.bands.count() ===
+      store.bands.count() + newOnly.bands.count())
+    // advanced assignment equals the full-corpus recompute
+    val full = Dedup.clusters(Dedup.corpusDedup(docs, 3, 0.8)
+      .select(col("a"), col("b"))).as[(Long, Long)].collect().toMap
+    assert(adv.clusters.as[(Long, Long)].collect().toMap === full)
+    assert(full.nonEmpty)
+    // a second advance under the same key serves the published store —
+    // the poisoned batch proves nothing recomputes
+    val poisoned = newDocs.withColumn("text",
+      when(length(col("text")) >= 0,
+        raise_error(lit("dedupStoreAdvance recomputed instead of serving")))
+        .otherwise(lit("")).cast("string"))
+    assert(Dedup.dedupStoreAdvance(store, poisoned, 3, 0.8, s"advspec-$tag#all")
+      .clusters.as[(Long, Long)].collect().toMap === full)
+  }
+
   test("capCrossings flags exactly the buckets that cross the cap only once the batch lands") {
     // 4 identical 'tmpl' docs in the store, 3 more in the batch: every
     // tmpl band bucket has occ_old=4 ≤ cap=5 < occ_all=7 → crossing.

@@ -539,6 +539,69 @@ class SourceDriversSpec extends SparkSuite {
     assert(CellCompaction.batchDirs(spark, root).isEmpty)
   }
 
+  test("tiered compaction: minor rounds stat only moved-in files; major restores one file per region") {
+    import graft.sources.{CellCompaction, CellManifest, CellScan}
+    val root = tmpDir() + "/tiered"
+    val dest = s"$root/serving"
+    val cfg = BulkLoad.Config(splits =
+      Some(graft.operators.RegionSort.uniformMd5Splits(10).toSeq))
+    def writeBatch(b: Int): Unit = {
+      val wide = (0 until 40).map { i =>
+        val r = (0 until 9).map(c => s"t${b}_v${i}_$c")
+        (r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7), r(8))
+      }.toDF((0 until 9).map(i => s"c$i"): _*)
+      SortedParquetCellSink.write(
+        BulkLoad.fromPositional(wide, BulkLoad.emptyQuarantine(spark), cfg).cells,
+        f"$root/batch_$b%05d")
+    }
+    val fs = FileSystem.get(new Configuration())
+    def destParts() = fs.listStatus(new Path(dest)).filter(s =>
+      s.getPath.getName.startsWith("part-") && s.getPath.getName.endsWith(".parquet"))
+
+    // round 1: two batches absorbed as ONE fileset; manifest statted 10
+    writeBatch(0); writeBatch(1)
+    val expected01 = spark.read.parquet(s"$root/batch_00000", s"$root/batch_00001")
+      .count()
+    val s0 = CellManifest.statReads.get()
+    assert(CellCompaction.compactMinor(spark, root, dest, cfg) === 2)
+    assert(destParts().length === 10)
+    assert(CellManifest.statReads.get() === s0 + 10,
+      "minor round 1 must stat exactly its 10 new files")
+    assert(CellCompaction.batchDirs(spark, root).isEmpty, "inputs retired")
+    assert(spark.read.parquet(dest).count() === expected01)
+
+    // round 2: one more batch → dest accumulates a SECOND fileset; the
+    // incremental manifest refresh keeps the 10 existing entries and
+    // stats only the 10 moved-in files
+    writeBatch(2)
+    val s1 = CellManifest.statReads.get()
+    assert(CellCompaction.compactMinor(spark, root, dest, cfg) === 1)
+    assert(destParts().length === 20)
+    assert(CellManifest.statReads.get() === s1 + 10,
+      "minor round 2 must not re-stat round 1's files")
+    val totalRows = spark.read.parquet(dest).count()
+
+    // scans across rounds stay manifest-pruned: zero footer opens, a
+    // bounded range touches only intersecting files from each round
+    val before = CellScan.footerOpens.get()
+    val scan = CellScan.scanRange(spark, dest,
+      Some(Array(0x40.toByte)), Some(Array(0x80.toByte)))
+    val expect = spark.read.parquet(dest)
+      .where(col("row") >= lit(Array(0x40.toByte)) &&
+        col("row") < lit(Array(0x80.toByte))).count()
+    assert(scan.count() === expect && expect > 0)
+    assert(CellScan.footerOpens.get() === before)
+    assert(CellScan.lastKeptFiles.get() < 20)
+
+    // MAJOR: in-place rewrite back to one file per region, content kept
+    CellCompaction.compactMajor(spark, dest, cfg)
+    assert(destParts().length === 10)
+    assert(spark.read.parquet(dest).count() === totalRows)
+    val after = CellScan.scanRange(spark, dest,
+      Some(Array(0x40.toByte)), Some(Array(0x80.toByte)))
+    assert(after.count() === expect)
+  }
+
   test("CellScan.get: point lookup opens exactly ONE region file, zero footer reads") {
     import graft.sources.CellScan
     val wide = (0 until 120).map { i =>
