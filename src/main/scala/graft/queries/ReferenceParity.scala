@@ -405,6 +405,36 @@ object ReferenceParity {
           col("value"), col("ts")).as("kv")))
     }),
 
+    // SECONDARY-INDEX LOOKUP + MULTI-GET — the serving composition HBase
+    // users run against the index table `cells_secondary_index` builds:
+    // (1) one prefix scan on the index ('BUILDING:' — manifest-pruned)
+    // yields the segment's primary row keys; (2) the client pages the
+    // first 40 in key order (a Get batch is driver-held by definition);
+    // (3) CellScan.multiGet fetches exactly those rows from the primary
+    // table, opening only the region files whose manifest bounds contain
+    // a requested key — K keys read <= K files at ANY region count
+    "cells_index_lookup" -> ((s, dir) => {
+      val primaryPath = staged(fixturePath(dir, "cellscan")) {
+        graft.SortedParquetCellSink.write(RegionSort.sortedByRange(
+          CellOps.explodeIndexed(t(s, dir, "customer"), custKey, "c",
+            custValueCols), 10), fixturePath(dir, "cellscan"))
+      }
+      val idxPath = staged(fixturePath(dir, "cellindex")) {
+        graft.SortedParquetCellSink.write(RegionSort.sortedByRange(
+          t(s, dir, "customer").select(
+            concat(keys.utf8(col("c_mktsegment")), keys.utf8(lit(":")), custKey).as("row"),
+            keys.utf8(lit("i")).as("family"),
+            keys.utf8(lit("pk")).as("qualifier"),
+            custKey.as("value"),
+            lit(0L).as("ts")), 10), fixturePath(dir, "cellindex"))
+      }
+      val page = graft.sources.CellScan
+        .scanPrefix(s, idxPath, "BUILDING:".getBytes("UTF-8"))
+        .select(col("value")).collect().map(_.getAs[Array[Byte]](0))
+        .sortBy(k => k.map("%02x".format(_)).mkString).take(40).toSeq
+      hexBin(graft.sources.CellScan.multiGet(s, primaryPath, page))
+    }),
+
     // the reference's VERSIONS=>3 / TTL DDL semantics (create_table.rb:1)
     // as an explicit relational compaction: four loads, TTL cutoff drops
     // the oldest, keep-2 versioning drops the next
@@ -587,6 +617,12 @@ object ReferenceParity {
     "cells_compact_regions" -> cellsIndexedSql,
     // the tiered minor->minor->major sequence is too
     "cells_compact_minor" -> cellsIndexedSql,
+    // index lookup + multi-get: the paged segment fetch — hex order on
+    // the composite keys equals the client's unsigned byte order
+    "cells_index_lookup" ->
+      s"""SELECT * FROM ($cellsIndexedSql) WHERE "row" IN (
+            SELECT $custKeyHexSql FROM customer
+            WHERE c_mktsegment = 'BUILDING' ORDER BY 1 LIMIT 40)""",
     "cells_keyvalue_wire" -> kvWireSql,
     "cells_snapshot_asof" -> cellsSnapshotSql,
     "cells_split_advisor" ->

@@ -113,6 +113,54 @@ object CellScan {
                  prefix: Array[Byte]): DataFrame =
     scanRange(spark, dir, Some(prefix), nextPrefix(prefix))
 
+  /** MULTI-GET — the HBase batched-`Get` analog (`Table.get(List<Get>)`):
+    * the cells of exactly the given row keys. Region routing is the
+    * manifest lookup a region-server client performs against META: each
+    * key maps to the region files whose [lo, hi] bounds contain it, so
+    * the scan opens ONLY the touched regions — K keys read ≤ K files no
+    * matter how many regions exist — and the residual key-set equality
+    * runs in codegen inside those files. Keys are driver-held by
+    * definition (a Get client knows what it is fetching); a KEY SET too
+    * large to hold on the driver is a join, not a multi-get — use an
+    * equi-join against the staged table instead. Files without usable
+    * bounds are kept conservatively; an empty key set returns the empty
+    * frame with the cell schema. */
+  def multiGet(spark: SparkSession, dir: String,
+               keys: Seq[Array[Byte]]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    if (keys.isEmpty)
+      return spark.read.schema(graft.operators.CellOps.cellSchema)
+        .parquet(dir).where(lit(false))
+    val inSet = keys.map(k => col("row") === lit(k)).reduce(_ || _)
+    val all = partFiles(spark, dir)
+    if (all.isEmpty) return spark.read.parquet(dir).where(inSet)
+    val manifest = CellManifest.read(spark, dir)
+    def bounds(f: String, liveLen: Long): Option[(Array[Byte], Array[Byte])] =
+      manifest match {
+        case Some(m) => m.get(new Path(f).getName) match {
+          case Some(e) if e.length < 0 || e.length == liveLen => e.bounds
+          case Some(_) => rowStats(spark, f) // in-place rewrite detected
+          case None => None
+        }
+        case None => rowStats(spark, f)
+      }
+    val kept = all.collect { case (f, liveLen) if (
+      bounds(f, liveLen) match {
+        case Some((lo, hi)) => keys.exists(k =>
+          RegionSort.unsignedBytes.compare(k, lo) >= 0 &&
+            RegionSort.unsignedBytes.compare(k, hi) <= 0)
+        case None => true // no stats → cannot prune safely
+      }) => f
+    }
+    lastKeptFiles.set(kept.size.toLong)
+    val base =
+      if (kept.isEmpty)
+        spark.read.schema(graft.operators.CellOps.cellSchema).parquet(dir)
+          .where(lit(false))
+      else spark.read.parquet(kept: _*)
+    base.where(inSet)
+  }
+
   /** Smallest key strictly greater than every key with this prefix:
     * increment the last non-0xff byte, dropping the tail (all-0xff →
     * unbounded). */

@@ -602,6 +602,36 @@ class SourceDriversSpec extends SparkSuite {
     assert(after.count() === expect)
   }
 
+  test("CellScan.multiGet: K keys open only the touched region files, zero footer reads") {
+    import graft.sources.CellScan
+    val wide = (0 until 120).map { i =>
+      val r = (0 until 9).map(c => s"m${i}_$c")
+      (r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7), r(8))
+    }.toDF((0 until 9).map(i => s"c$i"): _*)
+    val r = BulkLoad.fromPositional(wide, BulkLoad.emptyQuarantine(spark),
+      BulkLoad.Config(saltBuckets = Some(10)))
+    val out = tmpDir() + "/cells"
+    SortedParquetCellSink.write(r.cells, out)
+    // pick 3 keys from exactly TWO salt regions ('2…' and '7…')
+    val rows = spark.read.parquet(out).select("row").distinct()
+      .as[Array[Byte]].collect()
+    val keys = (rows.filter(_.head == '2'.toByte).sortBy(_.toSeq.map(b => b & 0xff).mkString(",")).take(2) ++
+      rows.filter(_.head == '7'.toByte).take(1)).toSeq
+    assert(keys.size === 3)
+    val before = CellScan.footerOpens.get()
+    val got = CellScan.multiGet(spark, out, keys)
+    assert(got.inputFiles.length === 2, "3 keys in 2 regions must open 2 files")
+    assert(CellScan.footerOpens.get() === before, "manifest multiGet opened footers")
+    // exactly the requested rows' cells, 9 cells each
+    assert(got.count() === 27)
+    assert(got.select("row").distinct().count() === 3)
+    // empty key set: empty frame, schema intact
+    val empty = CellScan.multiGet(spark, out, Seq.empty)
+    assert(empty.count() === 0)
+    assert(empty.schema.fieldNames.toSeq ===
+      graft.operators.CellOps.cellSchema.fieldNames.toSeq)
+  }
+
   test("CellScan.get: point lookup opens exactly ONE region file, zero footer reads") {
     import graft.sources.CellScan
     val wide = (0 until 120).map { i =>
