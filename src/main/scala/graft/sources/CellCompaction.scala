@@ -32,13 +32,15 @@ import org.apache.spark.sql.SparkSession
   * is wanted; this operator is the LAYOUT compaction. */
 object CellCompaction {
 
-  /** Directories named `batch_*` under `root`, sorted by batch id. */
+  /** Directories named exactly `batch_<digits>` under `root`, sorted by
+    * batch id (`batch_00003.quarantine` siblings are NOT cell filesets
+    * and must never be swept into a compaction). */
   def batchDirs(spark: SparkSession, root: String): Seq[String] = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
+      .filter(s => s.isDirectory && s.getPath.getName.matches("batch_\\d+"))
       .map(_.getPath.toString).sorted
   }
 

@@ -69,10 +69,20 @@ object StreamingIngest {
     * returns the per-batch results (ordered by batch id). `sinkOverride`
     * lets tests record the write/postCommit sequence; production uses the
     * pipeline's own sink. */
+  /** `compactEvery > 0` runs [[graft.sources.CellCompaction.compactMinor]]
+    * after every N completed micro-batches: the accumulated per-batch
+    * filesets are absorbed into `outDir/serving` as one region-aligned
+    * fileset per sweep (incremental manifest refresh, inputs retired) —
+    * the HBase background-compaction posture composed with the ingest
+    * stream, so a long-running feed's serving layout holds
+    * O(batches / N) filesets instead of one per batch. Runs INSIDE the
+    * sequential foreachBatch turn, after postCommit (adoption first,
+    * sweep second — the server compacts what it has adopted). */
   def run(spark: SparkSession, inputDir: String, outDir: String,
           checkpointDir: String, cfg: BulkLoad.Config = BulkLoad.Config(),
           delim: String = ",", maxFilesPerTrigger: Int = 1,
-          sinkOverride: Option[CellSink] = None): Seq[BatchResult] = {
+          sinkOverride: Option[CellSink] = None,
+          compactEvery: Int = 0): Seq[BatchResult] = {
     // fix the region boundaries ONCE for the whole run (see scaladoc) —
     // md5-composite keys are uniform in their leading bytes, so the
     // static uniform pre-split is exactly region-aligned
@@ -99,9 +109,13 @@ object StreamingIngest {
         r.quarantined.write.mode("overwrite").parquet(s"$dest.quarantine")
         sink.postCommit(dest)
         val n = footerCount(spark, dest)
-        results.synchronized {
+        val completed = results.synchronized {
           results += BatchResult(batchId, dest, n, (System.nanoTime() - t0) / 1e9)
+          results.size
         }
+        if (compactEvery > 0 && completed % compactEvery == 0)
+          graft.sources.CellCompaction.compactMinor(
+            spark, outDir, s"$outDir/serving", fixedCfg)
         ()
       }
       .start()

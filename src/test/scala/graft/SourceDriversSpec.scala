@@ -1054,6 +1054,47 @@ class SourceDriversSpec extends SparkSuite {
     assert(quarantined.head().getString(0).contains("Utility, With Comma"))
   }
 
+  test("streaming ingest + compactEvery: the serving dir accumulates swept filesets, content exact") {
+    import graft.streaming.StreamingIngest
+    import graft.sources.{CellCompaction, CellScan}
+    val in = tmpDir() + "/in"
+    new java.io.File(in).mkdirs()
+    def put(name: String, rows: Seq[Product]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        rows.map(_.productIterator.mkString(",")).mkString("\n").getBytes("UTF-8"))
+    // four files → four micro-batches; compactEvery=2 → two minor sweeps
+    // (f4 reuses row 0 with a distinct zip so its rowkey differs)
+    put("f1.txt", Seq(rows9(0)))
+    put("f2.txt", Seq(rows9(1)))
+    put("f3.txt", Seq(rows9(2)))
+    put("f4.txt", Seq(rows9(0).copy(_1 = "77777")))
+    val out = tmpDir() + "/out"
+    val ckpt = tmpDir() + "/ckpt"
+    val batches = StreamingIngest.run(spark, in, out, ckpt,
+      cfg = BulkLoad.Config(compatNaiveSplit = true), compactEvery = 2)
+    assert(batches.length === 4)
+    // every batch fileset was absorbed; serving holds the swept layout
+    assert(CellCompaction.batchDirs(spark, out).isEmpty)
+    val serving = s"$out/serving"
+    val served = spark.read.parquet(serving)
+    // content = the batch pipeline over the same input (quarantines,
+    // which live in batch_NNNNN.quarantine dirs, are NOT swept)
+    val batch = BulkLoad.csv(spark, in, BulkLoad.Config(compatNaiveSplit = true))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(hex(col("row")), hex(col("qualifier")), hex(col("value")))
+      .as[(String, String, String)].collect().sorted.toSeq
+    assert(key(served) === key(batch.cells))
+    // two sweeps → two distinct fileset stamps in the part names
+    // (file COUNT varies with how many regions each tiny sweep touches)
+    val stamps = new java.io.File(serving).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getName.split("-")(1)).toSet
+    assert(stamps.size === 2, s"expected 2 sweep stamps, got $stamps")
+    val before = CellScan.footerOpens.get()
+    assert(CellScan.scanRange(spark, serving, None, None).count() === served.count())
+    assert(CellScan.footerOpens.get() === before)
+  }
+
   test("streaming hivetext: CLI delimiter mapping parses \\u0001 lines byte-identically to the batch driver") {
     import graft.streaming.StreamingIngest
     val in = tmpDir() + "/in"
