@@ -302,6 +302,98 @@ object Similarity {
       vectors.select(col("vec_id"), asDouble(col("embedding")).as("v")), "vec_id", "v", 1)
       .select(col("vec_id"), col("cell"))
 
+  /** Folded into every ANN index-store key (the [[graft.operators.Dedup
+    * .StoreAlgoVersion]] discipline): bump on any change to the
+    * centroid rule / assignment semantics so older persisted indexes
+    * can never serve newer code. */
+  val AnnStoreVersion: String = "ivfflat:rev=1"
+
+  /** Handle over one persisted IVF index: `centroids` (cid, cv, cn) and
+    * `lists` — the INVERTED LISTS: every corpus vector with its norm,
+    * physically PARTITIONED BY CELL (`lists.parquet/cell=N/…`), so a
+    * probe reads only its lists' files (Spark partition pruning — the
+    * on-disk analog of an IVF index's per-list layout). */
+  final case class AnnIndexStore(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, nlist: Int) {
+    // explicit schemas: an EMPTY corpus publishes footer-less filesets
+    // (a partitionBy write of zero rows lands no files), which must read
+    // back as empty frames, not schema-inference failures
+    def centroids: DataFrame =
+      spark.read.schema("cid BIGINT, cv ARRAY<DOUBLE>, cn DOUBLE")
+        .parquet(s"$dir/centroids.parquet")
+    def lists: DataFrame =
+      spark.read.schema("nid BIGINT, nv ARRAY<DOUBLE>, nn DOUBLE, cell BIGINT")
+        .parquet(s"$dir/lists.parquet")
+  }
+
+  /** DURABLE IVF index — build-once/serve-many for the ANN family (the
+    * dedup cluster store's posture applied to retrieval serving): first
+    * call for a (corpus drop, nlist, [[AnnStoreVersion]]) key derives the
+    * coarse centroids and routes every corpus vector to its inverted
+    * list (one broadcast-centroid pass, no corpus shuffle), publishing
+    * both with ONE atomic rename; subsequent calls — and every
+    * [[ivfTopKStored]] serve — read the persisted index without touching
+    * corpus embeddings. At 100 TB the cell-partitioned list layout is
+    * the only artifact the query side scans, and only the probed
+    * partitions of it. */
+  def annIndexStore(corpus: DataFrame, nlist: Int,
+                    corpusKey: String): AnnIndexStore = {
+    val spark = corpus.sparkSession
+    val stampDir = corpusKey.takeWhile(_ != '#')
+    val stamp = try {
+      val p = new org.apache.hadoop.fs.Path(s"$stampDir/embeddings.parquet")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val s = fs.getFileStatus(p)
+      if (s.isFile) s"${s.getLen}:${s.getModificationTime}"
+      else fs.listStatus(p).map(c => s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}")
+        .sorted.mkString(",")
+    } catch { case e: Throwable =>
+      System.err.println(s"[graft] annIndexStore: corpus stamp read failed " +
+        s"for '$stampDir' (${e.getClass.getSimpleName}); key degrades to path-only")
+      ""
+    }
+    val keyHex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$corpusKey|$stamp|nlist=$nlist|$AnnStoreVersion".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val root = sys.props.getOrElse("graft.store.dir",
+      sys.props("java.io.tmpdir") + "/graft-ann-store")
+    val path = new org.apache.hadoop.fs.Path(s"$root/$keyHex", "store")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) {
+      fs.mkdirs(path.getParent)
+      val tmp = new org.apache.hadoop.fs.Path(path.getParent,
+        s"_store_tmp_${java.util.UUID.randomUUID()}")
+      val cent = coarseCentroids(corpus, nlist)
+      cent.write.mode("overwrite").parquet(s"$tmp/centroids.parquet")
+      nearestCells(cent)(
+        corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv")),
+        "nid", "nv", 1)
+        .withColumn("nn", norm2(col("nv")))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$tmp/lists.parquet")
+      if (!fs.rename(tmp, path)) fs.delete(tmp, true)
+    }
+    AnnIndexStore(spark, path.toString, nlist)
+  }
+
+  /** [[ivfTopK]] SERVED from a persisted index: probe cells against the
+    * stored centroids (broadcast), score only inside the probed inverted
+    * lists (cell equi-join; the cell-partitioned layout prunes unprobed
+    * lists at the file level), bounded top-k. Values are identical to
+    * the self-contained [[ivfTopK]] on the same corpus — the store build
+    * is deterministic, so store ≡ recompute is oracle-checkable. */
+  def ivfTopKStored(store: AnnIndexStore, queries: DataFrame, k: Int,
+                    nprobe: Int = 4): DataFrame = {
+    val q = nearestCells(store.centroids)(
+      queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv")),
+      "qid", "qv", nprobe).withColumn("qn", norm2(col("qv")))
+    val scored = store.lists.join(broadcast(q), "cell")
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos_sim"))
+    topKByScore(scored, k)
+  }
+
   /** Nearest-centroid cells for a vector set: top-`n` centroids by
     * (cosine DESC, cid ASC) — rank semantics identical to topKByScore.
     * Grouping is by the 8-byte id ONLY; the vector rides as a first()

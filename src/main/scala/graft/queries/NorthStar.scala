@@ -1158,6 +1158,17 @@ object NorthStar {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.where(col("vec_id") < 5), 10)
     }),
+    // the IVF index as a DURABLE ARTIFACT (the dedup-store posture for
+    // retrieval serving): centroids + cell-partitioned inverted lists
+    // persisted once per corpus drop; this query SERVES top-k from the
+    // store — only the probed list partitions are scanned — and the
+    // oracle recomputes the whole search from scratch, so store ≡
+    // recompute is a hash-checked fact
+    "ann_ivf_store" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val store = Similarity.annIndexStore(e, 16, dir)
+      Similarity.ivfTopKStored(store, e.where(col("vec_id") < 5), 10)
+    }),
     // retrieval QUALITY as a query: recall@10 of the IVF search vs the
     // exact ranking — the evaluation loop a retrieval stack runs after
     // every index rebuild, here one semi-join of two declared pipelines
@@ -2991,6 +3002,8 @@ object NorthStar {
                FROM sc)
          SELECT qid, nid, cos_sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10""",
     "ann_ivf_topk" -> annIvfTopKSql,
+    // store-served IVF ≡ the from-scratch search (deterministic build)
+    "ann_ivf_store" -> annIvfTopKSql,
     "ann_pq_codes" -> pqCodesSql,
     "ann_pq_adc_topk" -> pqAdcTopKSql,
     "ann_ivf_adc_topk" -> annIvfAdcTopKSql,

@@ -167,6 +167,7 @@ class PlanSpec extends SparkSuite {
       "text_kn_bigram_lm",
       "text_vocab_growth", "rag_mmr_topk", "corpus_temperature_mix",
       "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_adc_topk",
+      "ann_ivf_store", // broadcast-centroid probe (the ann_ivf_topk shape)
       "text_bpe_merges", "text_bpe_fertility", "corpus_dsir_topk", "rag_passage_topk",
       "emb_top_pc", "ann_whitened_topk",
       "graph_ppr",                // 1-row seed-count scalar (q22 pattern)

@@ -175,6 +175,7 @@ class ScaleSpec extends SparkSuite {
     val nljAllow = Set(
       "ann_binary_hamming_topk", "ann_cosine_topk", "ann_hard_negatives",
       "ann_hybrid_topk", "ann_ivf_adc_topk", "ann_ivf_recall", "ann_ivf_topk",
+      "ann_ivf_store", // broadcast-centroid probe (the ann_ivf_topk shape)
       "ann_sq8_topk", "ann_whitened_topk", "basket_association_rules",
       "corpus_decontaminate_bloom", "corpus_dsir_topk", "corpus_mixture_plan",
       "corpus_stratified_neyman", "corpus_temperature_mix",

@@ -130,6 +130,30 @@ class SimilaritySpec extends SparkSuite {
     assert(found >= 18, s"only $found/20 planted near-dups recovered")
   }
 
+  test("annIndexStore: store-served IVF ≡ self-contained; inverted lists cell-partitioned; never rebuilds") {
+    val key = s"annspec-${java.util.UUID.randomUUID()}"
+    val store = Similarity.annIndexStore(emb, 16, key)
+    val q = emb.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "cos_sim", "rank").collect().map(_.toString).sorted.toSeq
+    // served results equal the self-contained search exactly
+    assert(rows(Similarity.ivfTopKStored(store, q, 10)) ===
+      rows(Similarity.ivfTopK(emb, q, 10)))
+    // the inverted lists landed cell-partitioned (the per-list layout:
+    // a probe reads only its cells' files)
+    val listDirs = new java.io.File(store.dir.stripPrefix("file:"), "lists.parquet")
+      .listFiles().filter(_.getName.startsWith("cell="))
+    assert(listDirs.length > 1, "lists must be partitioned by cell")
+    // a second call with a POISONED corpus serves the store (no rebuild)
+    val poisoned = emb.withColumn("embedding",
+      when(size(col("embedding")) >= 0,
+        raise_error(lit("annIndexStore rebuilt instead of serving"))
+          .cast("array<float>")).otherwise(col("embedding")))
+    assert(rows(Similarity.ivfTopKStored(
+      Similarity.annIndexStore(poisoned, 16, key), q, 10)) ===
+      rows(Similarity.ivfTopK(emb, q, 10)))
+  }
+
   test("pqCodes/pqAdcTopK: complete code tuples in range; planted twins win the ADC search") {
     val codes = Similarity.pqCodes(emb)
       .select("vec_id", "j", "code").as[(Long, Int, Int)].collect()
