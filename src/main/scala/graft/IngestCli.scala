@@ -22,7 +22,8 @@ object IngestCli {
   private val knownFlags =
     Set("--arity", "--salt", "--regions", "--conf", "--splits",
       "--key-fields", "--family", "--qualifiers", "--load-ts",
-      "--stream-checkpoint", "--schema")
+      "--stream-checkpoint", "--schema", "--compact-mode",
+      "--stream-compact-every")
 
   /** Region-boundary file → split keys: one lowercase/uppercase hex row key
     * per line (first key of region i+1), blanks and `#` comments ignored —
@@ -112,12 +113,34 @@ object IngestCli {
       }.getOrElse(BulkLoad.Config().qualifiers),
       loadTs = opts.get("--load-ts").map(_.toLong).getOrElse(0L))
 
+  /** ADMIN verb: layout compaction of a staged/serving cell directory —
+    * the background-sweep entry point an operator schedules beside the
+    * ingest jobs. `batches` merges `input`'s batch filesets into a fresh
+    * `output` (one file per region); `minor` absorbs them into an
+    * existing serving dir as one extra fileset + incremental manifest
+    * refresh; `major` rewrites `input` in place to one file per region
+    * (`output` ignored). Returns filesets absorbed (−1 for major). */
+  def compactCommand(spark: SparkSession, mode: String, input: String,
+                     output: String, cfg: BulkLoad.Config): Int = mode match {
+    case "batches" =>
+      graft.sources.CellCompaction.compactBatches(spark, input, output, cfg,
+        retireInputs = true)
+    case "minor" =>
+      graft.sources.CellCompaction.compactMinor(spark, input, output, cfg)
+    case "major" =>
+      graft.sources.CellCompaction.compactMajor(spark, input, cfg); -1
+    case other =>
+      throw new IllegalArgumentException(
+        s"--compact-mode must be batches|minor|major, got: $other")
+  }
+
   private def usageExit(): Nothing = {
     System.err.println(
-      "usage: IngestCli <csv|csv-compat|hivetext|avro|jsonl|rcfile|rcfile-compat|orc> <input> <output> " +
+      "usage: IngestCli <csv|csv-compat|hivetext|avro|jsonl|rcfile|rcfile-compat|orc|compact> <input> <output> " +
         "[--arity N] [--salt BUCKETS] [--regions N] [--conf FILE] [--splits FILE] " +
         "[--key-fields I,J,..] [--family NAME] [--qualifiers index|name] " +
-        "[--load-ts TS] [--stream-checkpoint DIR] [--schema DDL (jsonl)]")
+        "[--load-ts TS] [--stream-checkpoint DIR] [--stream-compact-every N] " +
+        "[--schema DDL (jsonl)] [--compact-mode batches|minor|major]")
     sys.exit(2)
   }
 
@@ -151,13 +174,22 @@ object IngestCli {
       // continuous-ingestion mode: watch `input` as a file-source stream
       // and bulk-load each micro-batch independently (csv-compat/hivetext
       // parse semantics; exactly-once via the checkpoint)
+      // admin verb: layout compaction (batch-fileset merge / minor sweep /
+      // in-place major) driven from the same CLI that ingests
+      if (format == "compact") {
+        val mode = opts.getOrElse("--compact-mode", "batches")
+        val absorbed = compactCommand(spark, mode, input, output, base)
+        println(s"""{"format":"compact","mode":"$mode","filesets":$absorbed}""")
+        return // finally still stops the session
+      }
       opts.get("--stream-checkpoint").foreach { ckpt =>
         val (cfg, delim) = streamConfig(format, base).getOrElse {
           System.err.println(s"streaming supports csv-compat|hivetext, not: $format")
           sys.exit(2)
         }
         val batches = graft.streaming.StreamingIngest.run(
-          spark, input, output, ckpt, cfg, delim)
+          spark, input, output, ckpt, cfg, delim,
+          compactEvery = opts.get("--stream-compact-every").map(_.toInt).getOrElse(0))
         println(s"""{"format":"$format","mode":"stream","batches":${batches.length},""" +
           s""""cells":${batches.map(_.cells).sum}}""")
         return // finally still stops the session

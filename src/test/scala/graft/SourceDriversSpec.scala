@@ -1095,6 +1095,32 @@ class SourceDriversSpec extends SparkSuite {
     assert(CellScan.footerOpens.get() === before)
   }
 
+  test("IngestCli compact verb: dispatches batches/minor/major; unknown mode is an error") {
+    import graft.sources.CellCompaction
+    val root = tmpDir() + "/cliroot"
+    val cfg = BulkLoad.Config(splits =
+      Some(graft.operators.RegionSort.uniformMd5Splits(10).toSeq))
+    (0 until 2).foreach { b =>
+      val wide = (0 until 30).map { i =>
+        val r = (0 until 9).map(c => s"cli${b}_v${i}_$c")
+        (r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7), r(8))
+      }.toDF((0 until 9).map(i => s"c$i"): _*)
+      SortedParquetCellSink.write(
+        BulkLoad.fromPositional(wide, BulkLoad.emptyQuarantine(spark), cfg).cells,
+        f"$root/batch_$b%05d")
+    }
+    val dest = tmpDir() + "/clidest"
+    assert(IngestCli.compactCommand(spark, "batches", root, dest, cfg) === 2)
+    assert(CellCompaction.batchDirs(spark, root).isEmpty, "batches retired")
+    val n = spark.read.parquet(dest).count()
+    assert(n === 2 * 30 * 9)
+    // major in place is a no-op on content
+    assert(IngestCli.compactCommand(spark, "major", dest, "", cfg) === -1)
+    assert(spark.read.parquet(dest).count() === n)
+    intercept[IllegalArgumentException](
+      IngestCli.compactCommand(spark, "bogus", root, dest, cfg))
+  }
+
   test("streaming hivetext: CLI delimiter mapping parses \\u0001 lines byte-identically to the batch driver") {
     import graft.streaming.StreamingIngest
     val in = tmpDir() + "/in"
