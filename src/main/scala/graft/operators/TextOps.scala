@@ -158,6 +158,62 @@ object TextOps {
         (size(filter(toks, t => t.isin(stopwords: _*))).cast(DoubleType) / n))
   }
 
+  /** Train a LINEAR QUALITY PROBE in-engine by EXACT least squares —
+    * the learned-model step of a curation stack (a production pass
+    * trains a fastText/logreg quality classifier on weak labels and
+    * scores the corpus with it), expressed so the TRAINING itself is
+    * oracle-checkable: 2 integer features (token count, stopword count)
+    * + intercept, weak label y = [[langId]] == "en" (the deterministic
+    * in-engine labeler), solved in closed form by Cramer's rule over
+    * the 3×3 normal equations. Every moment is an EXACT integer sum
+    * (one map-side-combinable aggregate over the corpus — the
+    * events_trend_ols discipline at one more dimension), every
+    * determinant an exact DECIMAL(38) polynomial of those sums, and
+    * only the final coefficient divisions touch floating point (the
+    * same exact integers convert to the same IEEE doubles in any
+    * engine). Degenerate designs (det = 0 — e.g. an empty or constant
+    * corpus) yield NULL coefficients, never a throw.
+    *
+    * Scale shape: ONE pass over the corpus, nine longs on the wire,
+    * all matrix algebra on the driver-sized 1-row frame. At 100 TB the
+    * probe trains in the time of one scan; scoring is a shuffle-free
+    * projection against the broadcast 3-vector.
+    * Output: (n_docs, b0, b1, b2) — ŷ = b0 + b1·n_tokens +
+    * b2·n_stopwords. */
+  def linearQualityProbe(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val x1 = tokenCount(col("text")).cast(LongType)
+    val x2 = size(filter(tokens(col("text")),
+      t => t.isin(stopwords: _*))).cast(LongType)
+    val y = when(langId(col("text")) === "en", 1L).otherwise(0L)
+    val m = docs.select(x1.as("x1"), x2.as("x2"), y.as("y"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("x1")), lit(0L)).as("sx1"),
+        coalesce(sum(col("x2")), lit(0L)).as("sx2"),
+        coalesce(sum(col("x1") * col("x1")), lit(0L)).as("s11"),
+        coalesce(sum(col("x1") * col("x2")), lit(0L)).as("s12"),
+        coalesce(sum(col("x2") * col("x2")), lit(0L)).as("s22"),
+        coalesce(sum(col("y")), lit(0L)).as("sy"),
+        coalesce(sum(col("x1") * col("y")), lit(0L)).as("s1y"),
+        coalesce(sum(col("x2") * col("y")), lit(0L)).as("s2y"))
+    def d(name: String) = col(name).cast(DecimalType(38, 0))
+    val det = d("n") * (d("s11") * d("s22") - d("s12") * d("s12")) -
+      d("sx1") * (d("sx1") * d("s22") - d("s12") * d("sx2")) +
+      d("sx2") * (d("sx1") * d("s12") - d("s11") * d("sx2"))
+    val det0 = d("sy") * (d("s11") * d("s22") - d("s12") * d("s12")) -
+      d("sx1") * (d("s1y") * d("s22") - d("s12") * d("s2y")) +
+      d("sx2") * (d("s1y") * d("s12") - d("s11") * d("s2y"))
+    val det1 = d("n") * (d("s1y") * d("s22") - d("s12") * d("s2y")) -
+      d("sy") * (d("sx1") * d("s22") - d("s12") * d("sx2")) +
+      d("sx2") * (d("sx1") * d("s2y") - d("s1y") * d("sx2"))
+    val det2 = d("n") * (d("s11") * d("s2y") - d("s1y") * d("s12")) -
+      d("sx1") * (d("sx1") * d("s2y") - d("s1y") * d("sx2")) +
+      d("sy") * (d("sx1") * d("s12") - d("s11") * d("sx2"))
+    def beta(num: org.apache.spark.sql.Column) =
+      when(det =!= 0, round(num.cast(DoubleType) / det.cast(DoubleType), 6))
+    m.select(col("n").as("n_docs"),
+      beta(det0).as("b0"), beta(det1).as("b1"), beta(det2).as("b2"))
+  }
+
   /** CODE-vs-PROSE detector — the mixture-weighting signal every
     * pretraining curation pass computes (code is up- or down-weighted as
     * a SOURCE, so misclassified code inside a prose crawl skews the mix):

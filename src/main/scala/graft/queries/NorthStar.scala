@@ -791,6 +791,16 @@ object NorthStar {
       graft.operators.Profile.ksDrift(t(s, dir, "documents"),
         col("source"), TextOps.tokenCount(col("text")))),
 
+    // the LEARNED-MODEL step of curation, trained in-engine and
+    // oracle-exact: a linear quality probe (2 integer features +
+    // intercept, weak label = in-engine langId == 'en') solved in
+    // closed form by Cramer over the exact integer normal equations —
+    // one corpus pass, nine longs on the wire, floats only at the
+    // final coefficient divisions (same exact integers → same IEEE
+    // doubles in any engine)
+    "quality_linear_probe" -> ((s, dir) =>
+      TextOps.linearQualityProbe(t(s, dir, "documents"))),
+
     // KS drift over a CONTINUOUS metric (type-token ratio): the census
     // key is the exact scaled integer round(ttr·100) — quantize=Some(2)
     // bounds the grid at ≤101 rows at ANY corpus size, where the raw
@@ -2212,6 +2222,39 @@ object NorthStar {
     "rag_rrf_fusion" -> TextOps.rrfFusionSql(Bm25Terms, 0L, 20, 10),
     "quality_ks_drift" -> graft.operators.Profile.ksDriftSql(
       "source", "len(regexp_extract_all(text, '\\S+'))"),
+    // literal mirror of TextOps.linearQualityProbe: the same nine exact
+    // integer moments (HUGEINT — DuckDB's exact 128-bit lane for the
+    // determinant polynomials), the same Cramer expansion, floats only
+    // at the final divisions
+    "quality_linear_probe" -> {
+      val dets =
+        """n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2) AS det,
+           sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y) + sx2*(s1y*s12 - s11*s2y) AS det0,
+           n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2) + sx2*(sx1*s2y - s1y*sx2) AS det1,
+           n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2) + sy*(sx1*s12 - s11*sx2) AS det2"""
+      s"""WITH p AS ($langIdSql),
+          f AS (SELECT CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) x1,
+                       CAST(len(list_filter(string_split(d.text, ' '),
+                         t2 -> t2 IN ($stopSql))) AS BIGINT) x2,
+                       CAST(CASE WHEN p.pred_lang = 'en' THEN 1 ELSE 0 END AS BIGINT) y
+                FROM documents d JOIN p ON p.doc_id = d.doc_id),
+          m AS (SELECT CAST(count(*) AS HUGEINT) n,
+                       CAST(coalesce(sum(x1), 0) AS HUGEINT) sx1,
+                       CAST(coalesce(sum(x2), 0) AS HUGEINT) sx2,
+                       CAST(coalesce(sum(x1*x1), 0) AS HUGEINT) s11,
+                       CAST(coalesce(sum(x1*x2), 0) AS HUGEINT) s12,
+                       CAST(coalesce(sum(x2*x2), 0) AS HUGEINT) s22,
+                       CAST(coalesce(sum(y), 0) AS HUGEINT) sy,
+                       CAST(coalesce(sum(x1*y), 0) AS HUGEINT) s1y,
+                       CAST(coalesce(sum(x2*y), 0) AS HUGEINT) s2y
+                FROM f),
+          dd AS (SELECT n, $dets FROM m)
+          SELECT CAST(n AS BIGINT) AS n_docs,
+            CASE WHEN det <> 0 THEN round(CAST(det0 AS DOUBLE)/CAST(det AS DOUBLE), 6) END AS b0,
+            CASE WHEN det <> 0 THEN round(CAST(det1 AS DOUBLE)/CAST(det AS DOUBLE), 6) END AS b1,
+            CASE WHEN det <> 0 THEN round(CAST(det2 AS DOUBLE)/CAST(det AS DOUBLE), 6) END AS b2
+          FROM dd"""
+    },
     "quality_ks_drift_ttr" -> graft.operators.Profile.ksDriftSql(
       "source",
       "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))",

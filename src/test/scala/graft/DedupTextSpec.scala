@@ -449,6 +449,45 @@ class DedupTextSpec extends SparkSuite {
     assert(r.getLong(1) === 1 + 1 + 2) // ceil(2/4)+ceil(4/4)+ceil(6/4) ... note split(" ") sees empty token
   }
 
+  test("linearQualityProbe: exactly-linear labels recovered; degenerate design yields NULLs") {
+    // all-English docs → y = 1 everywhere; with a non-degenerate design
+    // the unique least-squares solution is exactly (b0, b1, b2) = (1, 0, 0)
+    val en = Seq(
+      (1L, "the cat"),                              // x1=2, x2=1
+      (2L, "the dog is big"),                       // x1=4, x2=2
+      (3L, "a bird of prey is here"),               // x1=6, x2=3
+      (4L, "the quick brown fox jumps over a dog")  // x1=8, x2=3
+    ).toDF("doc_id", "text")
+    val b = TextOps.linearQualityProbe(en).head()
+    assert(b.getAs[Long]("n_docs") === 4L)
+    assert(b.getAs[Double]("b0") === 1.0)
+    assert(b.getAs[Double]("b1") === 0.0)
+    assert(b.getAs[Double]("b2") === 0.0)
+    // degenerate design (every doc has identical features): det = 0 →
+    // NULL coefficients, never a divide-by-zero or a throw
+    val const = (0L until 5L).map(i => (i, "the cat sat")).toDF("doc_id", "text")
+    val c = TextOps.linearQualityProbe(const).head()
+    assert(c.getAs[Long]("n_docs") === 5L)
+    assert(c.isNullAt(c.fieldIndex("b0")) && c.isNullAt(c.fieldIndex("b1")) &&
+      c.isNullAt(c.fieldIndex("b2")))
+    // mixed labels (Spanish-marker docs label y=0, and carry ZERO
+    // English stopwords): the fitted scores must separate the groups —
+    // mean ŷ over the y=1 docs above mean ŷ over the y=0 docs
+    val es = Seq(
+      (10L, "el la y"), (11L, "el la los y"), (12L, "la los es el y la")
+    ).toDF("doc_id", "text")
+    val mixed = en.unionAll(es)
+    val mb = TextOps.linearQualityProbe(mixed).head()
+    assert(mb.getAs[Long]("n_docs") === 7L)
+    val (b0, b1, b2) = (mb.getAs[Double]("b0"),
+      mb.getAs[Double]("b1"), mb.getAs[Double]("b2"))
+    def yhat(x1: Int, x2: Int) = b0 + b1 * x1 + b2 * x2
+    val enHat = Seq((2, 1), (4, 2), (6, 3), (8, 3)).map((yhat _).tupled)
+    val esHat = Seq((3, 0), (4, 0), (6, 0)).map((yhat _).tupled)
+    assert(enHat.sum / 4 > esHat.sum / 3,
+      s"probe failed to separate: en=$enHat es=$esHat coef=($b0,$b1,$b2)")
+  }
+
   test("langId picks marker-majority language with fixed tiebreak") {
     val preds = docs.select(col("doc_id"), TextOps.langId(col("text")).as("p"))
       .as[(Long, String)].collect().toMap

@@ -196,7 +196,9 @@ class ScaleSpec extends SparkSuite {
       "events_ab_cuped", "events_ab_srm", "events_ab_test",
       "events_power_analysis", "events_funnel_ttc", "events_hll_distinct",
       "emb_participation_ratio", "graph_assortativity", "graph_triangles",
-      "quality_score_auc", "quality_constraint_report", "table_checksum",
+      "quality_score_auc", "quality_constraint_report",
+      "quality_linear_probe", // 1-row trained-model readout (9 moments)
+      "table_checksum",
       "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
       "q19_disjunctive_predicates", "q6_filter_pushdown", "q_sql_not_in_nulls",
       // census walks / bounded per-level ladders
