@@ -214,6 +214,33 @@ object TextOps {
       beta(det0).as("b0"), beta(det1).as("b1"), beta(det2).as("b2"))
   }
 
+  /** The probe's train→score→eval loop closed: fit
+    * [[linearQualityProbe]] on the corpus, score every document with the
+    * published 3-vector (one broadcast of the 1-row model — scoring is a
+    * shuffle-free projection), and report TRAINING accuracy at the 0.5
+    * threshold. Comparisons run on the same rounded-double coefficients
+    * both engines derive from the exact moments, so the readout is
+    * hash-checkable; a degenerate model (NULL coefficients) scores
+    * nothing correct rather than throwing. Output:
+    * (n_docs, n_correct, accuracy_ppm — NULL on an empty corpus). */
+  def linearQualityProbeAccuracy(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val probe = linearQualityProbe(docs).select(col("b0"), col("b1"), col("b2"))
+    val x1 = tokenCount(col("text")).cast(LongType)
+    val x2 = size(filter(tokens(col("text")),
+      t => t.isin(stopwords: _*))).cast(LongType)
+    val y = when(langId(col("text")) === "en", 1L).otherwise(0L)
+    docs.select(x1.as("x1"), x2.as("x2"), y.as("y"))
+      .crossJoin(broadcast(probe)) // 1-row model, documented pattern
+      .select(col("y"),
+        (col("b0") + col("b1") * col("x1") + col("b2") * col("x2")).as("yhat"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when((col("yhat") >= 0.5) === (col("y") === 1L), 1L)
+          .otherwise(0L)), lit(0L)).as("n_correct"))
+      .select(col("n_docs"), col("n_correct"),
+        when(col("n_docs") > 0,
+          expr("n_correct * 1000000L div n_docs")).as("accuracy_ppm"))
+  }
+
   /** CODE-vs-PROSE detector — the mixture-weighting signal every
     * pretraining curation pass computes (code is up- or down-weighted as
     * a SOURCE, so misclassified code inside a prose crawl skews the mix):

@@ -800,6 +800,11 @@ object NorthStar {
     // doubles in any engine)
     "quality_linear_probe" -> ((s, dir) =>
       TextOps.linearQualityProbe(t(s, dir, "documents"))),
+    // the loop closed: score the corpus with the trained 3-vector (one
+    // 1-row broadcast, shuffle-free scoring pass) and report training
+    // accuracy at the 0.5 threshold — integer-exact readout
+    "quality_probe_accuracy" -> ((s, dir) =>
+      TextOps.linearQualityProbeAccuracy(t(s, dir, "documents"))),
 
     // KS drift over a CONTINUOUS metric (type-token ratio): the census
     // key is the exact scaled integer round(ttr·100) — quantize=Some(2)
@@ -1968,6 +1973,44 @@ object NorthStar {
 
   private val stopSql = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Per-doc probe features (expects a `p` CTE = [[langIdSql]] in scope):
+    * x1 = token count, x2 = engine-stoplist count, y = en weak label. */
+  private val probeFeaturesSql =
+    s"""SELECT CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) x1,
+               CAST(len(list_filter(string_split(d.text, ' '),
+                 t2 -> t2 IN ($stopSql))) AS BIGINT) x2,
+               CAST(CASE WHEN p.pred_lang = 'en' THEN 1 ELSE 0 END AS BIGINT) y
+        FROM documents d JOIN p ON p.doc_id = d.doc_id"""
+
+  /** Literal mirror of [[TextOps.linearQualityProbe]]: nine exact integer
+    * moments in HUGEINT, Cramer's 3×3 expansion, floats only at the final
+    * coefficient divisions. */
+  private val qualityProbeSql = {
+    val dets =
+      """n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2) AS det,
+         sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y) + sx2*(s1y*s12 - s11*s2y) AS det0,
+         n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2) + sx2*(sx1*s2y - s1y*sx2) AS det1,
+         n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2) + sy*(sx1*s12 - s11*sx2) AS det2"""
+    s"""WITH p AS ($langIdSql),
+        f AS ($probeFeaturesSql),
+        m AS (SELECT CAST(count(*) AS HUGEINT) n,
+                     CAST(coalesce(sum(x1), 0) AS HUGEINT) sx1,
+                     CAST(coalesce(sum(x2), 0) AS HUGEINT) sx2,
+                     CAST(coalesce(sum(x1*x1), 0) AS HUGEINT) s11,
+                     CAST(coalesce(sum(x1*x2), 0) AS HUGEINT) s12,
+                     CAST(coalesce(sum(x2*x2), 0) AS HUGEINT) s22,
+                     CAST(coalesce(sum(y), 0) AS HUGEINT) sy,
+                     CAST(coalesce(sum(x1*y), 0) AS HUGEINT) s1y,
+                     CAST(coalesce(sum(x2*y), 0) AS HUGEINT) s2y
+              FROM f),
+        dd AS (SELECT n, $dets FROM m)
+        SELECT CAST(n AS BIGINT) AS n_docs,
+          CASE WHEN det <> 0 THEN round(CAST(det0 AS DOUBLE)/CAST(det AS DOUBLE), 6) END AS b0,
+          CASE WHEN det <> 0 THEN round(CAST(det1 AS DOUBLE)/CAST(det AS DOUBLE), 6) END AS b1,
+          CASE WHEN det <> 0 THEN round(CAST(det2 AS DOUBLE)/CAST(det AS DOUBLE), 6) END AS b2
+        FROM dd"""
+  }
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, COUNT(*) AS n FROM documents GROUP BY md5(text)",
@@ -2226,35 +2269,23 @@ object NorthStar {
     // integer moments (HUGEINT — DuckDB's exact 128-bit lane for the
     // determinant polynomials), the same Cramer expansion, floats only
     // at the final divisions
-    "quality_linear_probe" -> {
-      val dets =
-        """n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2) AS det,
-           sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y) + sx2*(s1y*s12 - s11*s2y) AS det0,
-           n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2) + sx2*(sx1*s2y - s1y*sx2) AS det1,
-           n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2) + sy*(sx1*s12 - s11*sx2) AS det2"""
-      s"""WITH p AS ($langIdSql),
-          f AS (SELECT CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) x1,
-                       CAST(len(list_filter(string_split(d.text, ' '),
-                         t2 -> t2 IN ($stopSql))) AS BIGINT) x2,
-                       CAST(CASE WHEN p.pred_lang = 'en' THEN 1 ELSE 0 END AS BIGINT) y
-                FROM documents d JOIN p ON p.doc_id = d.doc_id),
-          m AS (SELECT CAST(count(*) AS HUGEINT) n,
-                       CAST(coalesce(sum(x1), 0) AS HUGEINT) sx1,
-                       CAST(coalesce(sum(x2), 0) AS HUGEINT) sx2,
-                       CAST(coalesce(sum(x1*x1), 0) AS HUGEINT) s11,
-                       CAST(coalesce(sum(x1*x2), 0) AS HUGEINT) s12,
-                       CAST(coalesce(sum(x2*x2), 0) AS HUGEINT) s22,
-                       CAST(coalesce(sum(y), 0) AS HUGEINT) sy,
-                       CAST(coalesce(sum(x1*y), 0) AS HUGEINT) s1y,
-                       CAST(coalesce(sum(x2*y), 0) AS HUGEINT) s2y
-                FROM f),
-          dd AS (SELECT n, $dets FROM m)
-          SELECT CAST(n AS BIGINT) AS n_docs,
-            CASE WHEN det <> 0 THEN round(CAST(det0 AS DOUBLE)/CAST(det AS DOUBLE), 6) END AS b0,
-            CASE WHEN det <> 0 THEN round(CAST(det1 AS DOUBLE)/CAST(det AS DOUBLE), 6) END AS b1,
-            CASE WHEN det <> 0 THEN round(CAST(det2 AS DOUBLE)/CAST(det AS DOUBLE), 6) END AS b2
-          FROM dd"""
-    },
+    "quality_linear_probe" -> qualityProbeSql,
+    // train on the corpus, score every doc with the published 3-vector,
+    // report training accuracy at the 0.5 threshold — all comparisons on
+    // the SAME rounded doubles both engines derive from the exact moments
+    "quality_probe_accuracy" ->
+      s"""WITH pr AS ($qualityProbeSql),
+          p AS ($langIdSql),
+          f AS ($probeFeaturesSql),
+          s AS (SELECT y, b0 + b1*x1 + b2*x2 AS yhat FROM f, pr)
+          SELECT count(*) AS n_docs,
+            CAST(coalesce(sum(CASE WHEN (yhat >= 0.5) = (y = 1)
+              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_correct,
+            CASE WHEN count(*) > 0 THEN
+              CAST(coalesce(sum(CASE WHEN (yhat >= 0.5) = (y = 1)
+                THEN 1 ELSE 0 END), 0) AS BIGINT) * 1000000 // count(*)
+            END AS accuracy_ppm
+          FROM s""",
     "quality_ks_drift_ttr" -> graft.operators.Profile.ksDriftSql(
       "source",
       "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))",

@@ -188,6 +188,7 @@ class ScaleSpec extends SparkSuite {
       "graph_pagerank", "graph_ppr", "profile_key_skew", "q11_important_share",
       "q22_idle_balances", "q_histogram_equidepth", "q_join_cardinality_est",
       "quality_ks_drift", "quality_ks_drift_ttr", "quality_psi_drift",
+      "quality_probe_accuracy", // 1-row broadcast model scoring (q22 pattern)
       "rag_passage_topk", "rag_rrf_fusion", "text_bm25_topk",
       "text_kn_bigram_lm", "text_lm_score", "text_source_divergence",
       "text_tfidf_topk", "text_vocab_growth")
