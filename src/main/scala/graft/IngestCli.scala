@@ -23,7 +23,8 @@ object IngestCli {
     Set("--arity", "--salt", "--regions", "--conf", "--splits",
       "--key-fields", "--family", "--qualifiers", "--load-ts",
       "--stream-checkpoint", "--schema", "--compact-mode",
-      "--stream-compact-every")
+      "--stream-compact-every", "--ngram", "--threshold", "--from-key",
+      "--nlist")
 
   /** Region-boundary file → split keys: one lowercase/uppercase hex row key
     * per line (first key of region i+1), blanks and `#` comments ignored —
@@ -134,13 +135,63 @@ object IngestCli {
         s"--compact-mode must be batches|minor|major, got: $other")
   }
 
+  /** ADMIN verbs for the DURABLE STORES — the maintenance loop driven
+    * from the same CLI that ingests (the reference's `sample_run.sh`
+    * posture: every operational step is a shell command, no Scala):
+    *
+    *   dedup-build   <docsParquet> <corpusKey>  — build + publish the
+    *     cluster store ([[graft.operators.Dedup.dedupStore]]).
+    *   dedup-advance <newDocsParquet> <newCorpusKey> --from-key KEY —
+    *     roll a published store forward by one drop
+    *     ([[graft.operators.Dedup.dedupStoreAdvance]]); the FROM store is
+    *     resolved by key, never rebuilt.
+    *   ann-build     <embeddingsParquet> <corpusKey> [--nlist N] —
+    *     build + publish the IVF index
+    *     ([[graft.operators.Similarity.annIndexStore]]).
+    *
+    * `corpusKey` follows the store keying contract: `<dropDir>[#tag]`,
+    * where `<dropDir>/documents.parquet` (dedup) or `/embeddings.parquet`
+    * (ann) is statted into the key so a regenerated drop at the same path
+    * is a new store. Returns one JSON line naming the published dir. */
+  def storeCommand(spark: SparkSession, verb: String, input: String,
+                   key: String, opts: Map[String, String]): String = {
+    val n = opts.get("--ngram").map(_.toInt).getOrElse(3)
+    val thr = opts.get("--threshold").map(_.toDouble).getOrElse(0.8)
+    verb match {
+      case "dedup-build" =>
+        val s = graft.operators.Dedup.dedupStore(
+          spark.read.parquet(input), n, thr, key)
+        s"""{"verb":"dedup-build","store":"${s.dir}","clusters":${s.clusters.count()}}"""
+      case "dedup-advance" =>
+        val fromKey = opts.getOrElse("--from-key", throw new IllegalArgumentException(
+          "dedup-advance requires --from-key <corpusKey of the store to advance>"))
+        val from = graft.operators.Dedup.openStore(spark, fromKey, n, thr)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no published dedup store for --from-key '$fromKey' (ngram=$n, threshold=$thr)"))
+        val s = graft.operators.Dedup.dedupStoreAdvance(
+          from, spark.read.parquet(input), n, thr, key)
+        s"""{"verb":"dedup-advance","store":"${s.dir}","clusters":${s.clusters.count()}}"""
+      case "ann-build" =>
+        val nlist = opts.get("--nlist").map(_.toInt).getOrElse(16)
+        val s = graft.operators.Similarity.annIndexStore(
+          spark.read.parquet(input), nlist, key)
+        s"""{"verb":"ann-build","store":"${s.dir}","nlist":$nlist,"vectors":${s.lists.count()}}"""
+      case other => throw new IllegalArgumentException(s"unknown store verb: $other")
+    }
+  }
+
+  private val storeVerbs = Set("dedup-build", "dedup-advance", "ann-build")
+
   private def usageExit(): Nothing = {
     System.err.println(
       "usage: IngestCli <csv|csv-compat|hivetext|avro|jsonl|rcfile|rcfile-compat|orc|compact> <input> <output> " +
         "[--arity N] [--salt BUCKETS] [--regions N] [--conf FILE] [--splits FILE] " +
         "[--key-fields I,J,..] [--family NAME] [--qualifiers index|name] " +
         "[--load-ts TS] [--stream-checkpoint DIR] [--stream-compact-every N] " +
-        "[--schema DDL (jsonl)] [--compact-mode batches|minor|major]")
+        "[--schema DDL (jsonl)] [--compact-mode batches|minor|major]\n" +
+        "   or: IngestCli dedup-build <docsParquet> <corpusKey> [--ngram N] [--threshold T]\n" +
+        "       IngestCli dedup-advance <newDocsParquet> <newCorpusKey> --from-key KEY [--ngram N] [--threshold T]\n" +
+        "       IngestCli ann-build <embeddingsParquet> <corpusKey> [--nlist N]")
     sys.exit(2)
   }
 
@@ -180,6 +231,11 @@ object IngestCli {
         val mode = opts.getOrElse("--compact-mode", "batches")
         val absorbed = compactCommand(spark, mode, input, output, base)
         println(s"""{"format":"compact","mode":"$mode","filesets":$absorbed}""")
+        return // finally still stops the session
+      }
+      // admin verbs: durable-store build / maintenance (<output> = corpusKey)
+      if (storeVerbs.contains(format)) {
+        println(storeCommand(spark, format, input, output, opts))
         return // finally still stops the session
       }
       opts.get("--stream-checkpoint").foreach { ckpt =>

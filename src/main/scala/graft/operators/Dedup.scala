@@ -311,6 +311,34 @@ object Dedup {
       .distinct()
   }
 
+  /** The maintenance-side occupancy window, O(batch) in exchange volume:
+    * the incremental candidate join is batch-side × all-side on
+    * (band, bkey), so only buckets the BATCH TOUCHES can ever emit a
+    * candidate — the stored band index is restricted to those buckets by
+    * a broadcast left-semi join against the batch's distinct bucket set
+    * (batch-sized by construction: ≤ [[Bands]] · |batch| keys) BEFORE the
+    * [[BandBucketCap]] occupancy window runs. The semi-join keeps whole
+    * buckets, so occupancy over (touched stored rows ∪ batch rows) is
+    * still FULL-corpus occupancy inside every touched bucket and the cap
+    * binds exactly as a one-shot run would; untouched buckets simply
+    * never enter the exchange. Net per-batch window cost: O(batch-touched
+    * rows), independent of stored-index size — the stored scan itself is
+    * a broadcast-filtered projection, never a corpus-wide shuffle.
+    * (The HBase analog the store imitates consults META per write; it
+    * never re-aggregates META — BulkImporterFromText.java:105-111.) */
+  private def touchedBandsWithCap(bandsNew: DataFrame,
+                                  bandsOld: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val touched = bandsNew.select(col("band"), col("bkey")).distinct()
+    bandsOld
+      .join(broadcast(touched), Seq("band", "bkey"), "left_semi")
+      .unionByName(bandsNew)
+      .withColumn("occ",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+      .where(col("occ") <= BandBucketCap)
+      .drop("occ")
+  }
+
   /** INCREMENTAL near-dup detection — the operational form of corpus
     * dedup at 100 TB: a new batch is checked against the EXISTING corpus
     * without ever touching the existing corpus' text again. The corpus is
@@ -340,17 +368,15 @@ object Dedup {
     * exactly once per batch). `newSig` should be materialized. */
   def incrementalMinHashPairsFromSigs(newSig: DataFrame, index: DataFrame,
                                       minEst: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val allSig = index.union(newSig)
     // the probe target carries the same [[BandBucketCap]] occupancy guard
     // as every batch generator — an oversized bucket (boilerplate cohort)
-    // would otherwise cost |batch|·occ join rows per band
-    val bandsAll = bandKeys(allSig)
-      .withColumn("occ",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
-      .where(col("occ") <= BandBucketCap)
-      .drop("occ")
-    val cand = bandKeys(newSig).as("x").join(bandsAll.as("y"),
+    // would otherwise cost |batch|·occ join rows per band — restricted to
+    // batch-touched buckets ([[touchedBandsWithCap]]): the index side is
+    // a broadcast-filtered projection, never an index-wide window
+    val bandsNew = bandKeys(newSig)
+    val bandsAll = touchedBandsWithCap(bandsNew, bandKeys(index))
+    val cand = bandsNew.as("x").join(bandsAll.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
@@ -464,8 +490,10 @@ object Dedup {
     * is built once per corpus drop by [[dedupStore]]; per-batch cost is
     * |batch| signature passes + a batch-sized band probe + a verify
     * restricted to touching pairs' digest rows. Bucket occupancy is
-    * re-computed over stored ∪ batch band keys, so the [[BandBucketCap]]
-    * binds at FULL-corpus occupancy exactly as a one-shot run would.
+    * re-computed over stored ∪ batch rows of batch-TOUCHED buckets only
+    * ([[touchedBandsWithCap]] — a broadcast semi-join keeps whole
+    * buckets, so the [[BandBucketCap]] still binds at FULL-corpus
+    * occupancy while the exchange stays O(batch), never O(stored index)).
     *
     * Equivalence scope (full recompute ≡ stored-assignment ∪ this): exact
     * as long as no band bucket CROSSES the cap between drops — a bucket
@@ -501,12 +529,7 @@ object Dedup {
                                   bandsNew: DataFrame, shOld: DataFrame,
                                   sigOld: DataFrame, bandsOld: DataFrame,
                                   threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bandsAll = bandsOld.unionByName(bandsNew)
-      .withColumn("occ",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
-      .where(col("occ") <= BandBucketCap)
-      .drop("occ")
+    val bandsAll = touchedBandsWithCap(bandsNew, bandsOld)
     val cand = bandsNew.as("x")
       .join(bandsAll.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -834,6 +857,17 @@ object Dedup {
     val root = sys.props.getOrElse("graft.store.dir",
       sys.props("java.io.tmpdir") + "/graft-cluster-store")
     new org.apache.hadoop.fs.Path(s"$root/$keyHex", "store")
+  }
+
+  /** Resolve the PUBLISHED store for a (corpusKey, n, threshold) triple,
+    * if one exists — the admin/CLI entry point: a maintenance job names
+    * the store it advances FROM by key, without access to the original
+    * corpus frame (the key derivation only stats the drop's files). */
+  def openStore(spark: org.apache.spark.sql.SparkSession, corpusKey: String,
+                n: Int, threshold: Double): Option[DedupStore] = {
+    val path = storePath(spark, corpusKey, n, threshold)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) Some(DedupStore(spark, path.toString)) else None
   }
 
   def dedupStore(docs: DataFrame, n: Int, threshold: Double,

@@ -378,16 +378,27 @@ object Similarity {
 
   /** [[ivfTopK]] SERVED from a persisted index: probe cells against the
     * stored centroids (broadcast), score only inside the probed inverted
-    * lists (cell equi-join; the cell-partitioned layout prunes unprobed
-    * lists at the file level), bounded top-k. Values are identical to
-    * the self-contained [[ivfTopK]] on the same corpus — the store build
-    * is deterministic, so store ≡ recompute is oracle-checkable. */
+    * lists, bounded top-k. Values are identical to the self-contained
+    * [[ivfTopK]] on the same corpus — the store build is deterministic,
+    * so store ≡ recompute is oracle-checkable.
+    *
+    * The probed-cells-only read is a CONTRACT, not an optimizer
+    * courtesy: the probe assignment (nprobe × |queries| cells — driver
+    * sized by definition; the probe side is broadcast anyway) is
+    * collected and pushed as an explicit `cell IN (…)` PARTITION filter
+    * on the stored lists, so file-level pruning to the probed `cell=`
+    * directories holds by static partition pruning regardless of whether
+    * dynamic partition pruning elects to fire. The spec pins
+    * `inputFiles ⊆ probed partitions` on exactly this plan. */
   def ivfTopKStored(store: AnnIndexStore, queries: DataFrame, k: Int,
                     nprobe: Int = 4): DataFrame = {
-    val q = nearestCells(store.centroids)(
+    val q = Dedup.materialize(nearestCells(store.centroids)(
       queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv")),
-      "qid", "qv", nprobe).withColumn("qn", norm2(col("qv")))
-    val scored = store.lists.join(broadcast(q), "cell")
+      "qid", "qv", nprobe).withColumn("qn", norm2(col("qv"))))
+    val probed = q.select(col("cell")).distinct().collect().map(_.getLong(0))
+    val scored = store.lists
+      .where(col("cell").isInCollection(probed.toSeq))
+      .join(broadcast(q), "cell")
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos_sim"))

@@ -167,51 +167,76 @@ object TextOps {
     * in-engine labeler), solved in closed form by Cramer's rule over
     * the 3×3 normal equations. Every moment is an EXACT integer sum
     * (one map-side-combinable aggregate over the corpus — the
-    * events_trend_ols discipline at one more dimension), every
-    * determinant an exact DECIMAL(38) polynomial of those sums, and
-    * only the final coefficient divisions touch floating point (the
-    * same exact integers convert to the same IEEE doubles in any
-    * engine). Degenerate designs (det = 0 — e.g. an empty or constant
-    * corpus) yield NULL coefficients, never a throw.
+    * events_trend_ols discipline at one more dimension; per-row
+    * products stay in exact Long range — a doc's token count is far
+    * below 2³¹ — and the sums run in DECIMAL(38,0), exact for any
+    * moment up to 38 digits, comfortably past 100 TB where the largest
+    * moment is ~10¹⁷), and the degree-3 DETERMINANT polynomials run on
+    * the DRIVER in BigInteger over the collected 1-row moments —
+    * unbounded precision, because n·s11·s22 exceeds 38 digits at the
+    * very corpus scale the probe targets (10¹¹ docs → ~10⁴⁵), where an
+    * in-plan decimal would overflow to NULL silently under non-ANSI
+    * semantics. Only the final coefficient divisions touch floating
+    * point (the same exact integers convert to the same IEEE doubles
+    * in any engine). Degenerate designs (det = 0 — e.g. an empty or
+    * constant corpus) yield NULL coefficients, never a throw.
     *
-    * Scale shape: ONE pass over the corpus, nine longs on the wire,
-    * all matrix algebra on the driver-sized 1-row frame. At 100 TB the
-    * probe trains in the time of one scan; scoring is a shuffle-free
-    * projection against the broadcast 3-vector.
+    * Scale shape: ONE pass over the corpus, nine fixed-width moments on
+    * the wire, all matrix algebra on the driver (the aggregate is
+    * EXECUTED here — training is an action, like any model fit; scoring
+    * stays a lazy shuffle-free projection against the 3-vector).
     * Output: (n_docs, b0, b1, b2) — ŷ = b0 + b1·n_tokens +
     * b2·n_stopwords. */
   def linearQualityProbe(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import java.math.{BigDecimal => JBigDecimal, BigInteger, RoundingMode}
+    val dec = DecimalType(38, 0)
     val x1 = tokenCount(col("text")).cast(LongType)
     val x2 = size(filter(tokens(col("text")),
       t => t.isin(stopwords: _*))).cast(LongType)
     val y = when(langId(col("text")) === "en", 1L).otherwise(0L)
-    val m = docs.select(x1.as("x1"), x2.as("x2"), y.as("y"))
+    def s(c: org.apache.spark.sql.Column) =
+      coalesce(sum(c.cast(dec)), lit(0L).cast(dec))
+    val row = docs.select(x1.as("x1"), x2.as("x2"), y.as("y"))
       .agg(count(lit(1)).as("n"),
-        coalesce(sum(col("x1")), lit(0L)).as("sx1"),
-        coalesce(sum(col("x2")), lit(0L)).as("sx2"),
-        coalesce(sum(col("x1") * col("x1")), lit(0L)).as("s11"),
-        coalesce(sum(col("x1") * col("x2")), lit(0L)).as("s12"),
-        coalesce(sum(col("x2") * col("x2")), lit(0L)).as("s22"),
-        coalesce(sum(col("y")), lit(0L)).as("sy"),
-        coalesce(sum(col("x1") * col("y")), lit(0L)).as("s1y"),
-        coalesce(sum(col("x2") * col("y")), lit(0L)).as("s2y"))
-    def d(name: String) = col(name).cast(DecimalType(38, 0))
-    val det = d("n") * (d("s11") * d("s22") - d("s12") * d("s12")) -
-      d("sx1") * (d("sx1") * d("s22") - d("s12") * d("sx2")) +
-      d("sx2") * (d("sx1") * d("s12") - d("s11") * d("sx2"))
-    val det0 = d("sy") * (d("s11") * d("s22") - d("s12") * d("s12")) -
-      d("sx1") * (d("s1y") * d("s22") - d("s12") * d("s2y")) +
-      d("sx2") * (d("s1y") * d("s12") - d("s11") * d("s2y"))
-    val det1 = d("n") * (d("s1y") * d("s22") - d("s12") * d("s2y")) -
-      d("sy") * (d("sx1") * d("s22") - d("s12") * d("sx2")) +
-      d("sx2") * (d("sx1") * d("s2y") - d("s1y") * d("sx2"))
-    val det2 = d("n") * (d("s11") * d("s2y") - d("s1y") * d("s12")) -
-      d("sx1") * (d("sx1") * d("s2y") - d("s1y") * d("sx2")) +
-      d("sy") * (d("sx1") * d("s12") - d("s11") * d("sx2"))
-    def beta(num: org.apache.spark.sql.Column) =
-      when(det =!= 0, round(num.cast(DoubleType) / det.cast(DoubleType), 6))
-    m.select(col("n").as("n_docs"),
-      beta(det0).as("b0"), beta(det1).as("b1"), beta(det2).as("b2"))
+        s(col("x1")).as("sx1"), s(col("x2")).as("sx2"),
+        s(col("x1") * col("x1")).as("s11"),
+        s(col("x1") * col("x2")).as("s12"),
+        s(col("x2") * col("x2")).as("s22"),
+        s(col("y")).as("sy"),
+        s(col("x1") * col("y")).as("s1y"),
+        s(col("x2") * col("y")).as("s2y"))
+      .collect()(0)
+    val nDocs = row.getLong(0)
+    def mom(i: Int): BigInteger = row.getDecimal(i).toBigInteger
+    val n = BigInteger.valueOf(nDocs)
+    val (sx1, sx2, s11, s12) = (mom(1), mom(2), mom(3), mom(4))
+    val (s22, sy, s1y, s2y) = (mom(5), mom(6), mom(7), mom(8))
+    def det3(a: BigInteger, b: BigInteger, c: BigInteger,
+             d: BigInteger, e: BigInteger, f: BigInteger,
+             g: BigInteger, h: BigInteger, i: BigInteger): BigInteger =
+      a.multiply(e.multiply(i).subtract(f.multiply(h)))
+        .subtract(b.multiply(d.multiply(i).subtract(f.multiply(g))))
+        .add(c.multiply(d.multiply(h).subtract(e.multiply(g))))
+    // normal equations: [n sx1 sx2; sx1 s11 s12; sx2 s12 s22] β = [sy s1y s2y]
+    val det = det3(n, sx1, sx2, sx1, s11, s12, sx2, s12, s22)
+    val det0 = det3(sy, sx1, sx2, s1y, s11, s12, s2y, s12, s22)
+    val det1 = det3(n, sy, sx2, sx1, s1y, s12, sx2, s2y, s22)
+    val det2 = det3(n, sx1, sy, sx1, s11, s1y, sx2, s12, s2y)
+    // the oracle's division semantics exactly: each exact integer → the
+    // nearest IEEE double, divide, round HALF_UP at 6 places
+    def beta(num: BigInteger): java.lang.Double =
+      if (det.signum == 0) null
+      else JBigDecimal.valueOf(
+        new JBigDecimal(num).doubleValue() / new JBigDecimal(det).doubleValue())
+        .setScale(6, RoundingMode.HALF_UP).doubleValue()
+    val spark = docs.sparkSession
+    spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        nDocs, beta(det0), beta(det1), beta(det2))),
+      StructType(Seq(
+        StructField("n_docs", LongType, nullable = false),
+        StructField("b0", DoubleType), StructField("b1", DoubleType),
+        StructField("b2", DoubleType))))
   }
 
   /** The probe's train→score→eval loop closed: fit

@@ -85,15 +85,31 @@ object CellCompaction {
     * Crash window (files landed, inputs not yet deleted) leaves
     * duplicates visible to a ROOT-level reader, never missing data —
     * production wraps the retire in the serving layer's pointer swap.
-    * Returns the number of batch filesets absorbed. */
+    *
+    * IDEMPOTENT PER BATCH ID: `dest/_absorbed` records every batch-dir
+    * name ever absorbed. A batch dir whose name is already in the ledger
+    * is a STREAMING REPLAY (a crash after the sweep but before the
+    * checkpoint commit re-runs foreachBatch for the same batch id, which
+    * deterministically recreates the same fileset) — it is retired
+    * WITHOUT re-absorbing, so a replayed micro-batch can never
+    * permanently duplicate cells in the serving layout. The residual
+    * crash window (fileset installed, ledger not yet appended) degrades
+    * to the transient duplicate contract above, never to loss: the
+    * ledger is appended before the inputs are deleted.
+    * Returns the number of batch filesets absorbed (replays excluded). */
   def compactMinor(spark: SparkSession, root: String, dest: String,
                    cfg: graft.BulkLoad.Config): Int = {
-    val dirs = batchDirs(spark, root)
-    if (dirs.isEmpty) return 0
+    val all = batchDirs(spark, root)
+    if (all.isEmpty) return 0
     val hc = spark.sessionState.newHadoopConf()
     val destPath = new Path(dest)
     val fs = destPath.getFileSystem(hc)
     fs.mkdirs(destPath)
+    val ledger = new Path(destPath, AbsorbedLedger)
+    val absorbed = readLedger(fs, ledger)
+    val (replayed, dirs) = all.partition(d => absorbed(new Path(d).getName))
+    replayed.foreach(d => fs.delete(new Path(d), true))
+    if (dirs.isEmpty) return 0
     val cells = spark.read.schema(graft.operators.CellOps.cellSchema)
       .parquet(dirs: _*)
     // land the merged fileset beside dest, then move the part files in
@@ -103,25 +119,69 @@ object CellCompaction {
     val tmp = new Path(destPath.getParent, s"_minor_tmp_$stamp")
     graft.BulkLoad.sorted(cells, cfg)
       .write.mode("overwrite").parquet(tmp.toString)
+    installParts(fs, tmp, destPath, stamp)
+    CellManifest.update(spark, dest)
+    writeLedger(fs, ledger, absorbed ++ dirs.map(d => new Path(d).getName))
+    dirs.foreach(d => fs.delete(new Path(d), true))
+    dirs.size
+  }
+
+  /** The absorbed-batch ledger's file name under a minor-compaction
+    * serving dir (not `part-*` — every scanner's flat-layout filter
+    * ignores it). */
+  val AbsorbedLedger = "_absorbed"
+
+  private def readLedger(fs: org.apache.hadoop.fs.FileSystem,
+                         p: Path): Set[String] =
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSet
+    }
+
+  private def writeLedger(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                          names: Set[String]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(names.toSeq.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Move tmp's part files into `dest` under round-unique stamped names
+    * (still `part-*.parquet` — the flat-layout contract every scanner
+    * filters on), then drop tmp. A failed rename aborts LOUDLY before
+    * any old data is retired — the caller's install-first/delete-second
+    * ordering depends on it. */
+  private def installParts(fs: org.apache.hadoop.fs.FileSystem,
+                           tmp: Path, dest: Path, stamp: String): Unit = {
     fs.listStatus(tmp)
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
         s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
       .zipWithIndex.foreach { case (s, i) =>
-        fs.rename(s.getPath, new Path(destPath, f"part-$stamp-$i%05d.parquet"))
+        val to = new Path(dest, f"part-$stamp-$i%05d.parquet")
+        if (!fs.rename(s.getPath, to))
+          throw new java.io.IOException(
+            s"compaction install failed: rename ${s.getPath} -> $to " +
+              "(no old file has been retired; the serving dir is intact)")
       }
     fs.delete(tmp, true)
-    CellManifest.update(spark, dest)
-    dirs.foreach(d => fs.delete(new Path(d), true))
-    dirs.size
   }
 
   /** MAJOR compaction IN PLACE: rewrite `dir`'s accumulated filesets as
     * exactly one file per region (fresh full manifest — region-count
-    * lines, trivially cheap). The rewrite lands under a temp sibling
-    * first; the old part files are removed only after the new fileset is
-    * fully written (crash window = duplicates, never loss — same
-    * contract as [[compactMinor]]'s retire). */
+    * lines, trivially cheap). Install-first, delete-second: the rewrite
+    * lands under a temp sibling, the stamped new part files are RENAMED
+    * IN (fresh-UUID names cannot collide with the old parts), and only
+    * then are the old parts deleted and the manifest rewritten — so the
+    * crash window at every point shows a root-level reader duplicates,
+    * never loss, and a failed rename aborts with the old fileset (and
+    * its manifest) fully intact. A concurrent reader between install and
+    * manifest rewrite sees a manifest that prunes only the old names —
+    * stale-but-safe for ranges, which is why single-writer serving is
+    * still the documented posture for point-in-time row counts. */
   def compactMajor(spark: SparkSession, dir: String,
                    cfg: graft.BulkLoad.Config): Unit = {
     val hc = spark.sessionState.newHadoopConf()
@@ -138,15 +198,8 @@ object CellCompaction {
     val tmp = new Path(dirPath.getParent, s"_major_tmp_$stamp")
     graft.BulkLoad.sorted(cells, cfg)
       .write.mode("overwrite").parquet(tmp.toString)
+    installParts(fs, tmp, dirPath, stamp)
     oldParts.foreach(p => fs.delete(p, false))
-    fs.listStatus(tmp)
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
-        s.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
-      .zipWithIndex.foreach { case (s, i) =>
-        fs.rename(s.getPath, new Path(dirPath, f"part-$stamp-$i%05d.parquet"))
-      }
-    fs.delete(tmp, true)
     CellManifest.write(spark, dir)
   }
 }

@@ -175,16 +175,23 @@ object CellManifest {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     Some(text.split('\n').iterator.filter(_.nonEmpty).map { line =>
-      line.split('\t') match {
-        case Array(name, "-", "-") => name -> Entry(-1L, -1L, None)
-        case Array(name, lo, hi) =>
-          name -> Entry(-1L, -1L, Some((fromHex(lo), fromHex(hi))))
-        case Array(name, len, rows, "-", "-") =>
-          name -> Entry(len.toLong, rows.toLong, None)
-        case Array(name, len, rows, lo, hi) =>
-          name -> Entry(len.toLong, rows.toLong, Some((fromHex(lo), fromHex(hi))))
-        case other => other.head -> Entry(-1L, -1L, None) // malformed → conservative
+      // any damaged field (wrong arity, truncated number, bad hex) maps
+      // to the conservative Entry(-1, -1, None) — a corrupted manifest
+      // degrades to weaker pruning + a live re-stat, never to an aborted
+      // scan (the directory's trust contract)
+      val fields = line.split('\t')
+      val parsed = scala.util.Try {
+        fields match {
+          case Array(name, "-", "-") => name -> Entry(-1L, -1L, None)
+          case Array(name, lo, hi) =>
+            name -> Entry(-1L, -1L, Some((fromHex(lo), fromHex(hi))))
+          case Array(name, len, rows, "-", "-") =>
+            name -> Entry(len.toLong, rows.toLong, None)
+          case Array(name, len, rows, lo, hi) =>
+            name -> Entry(len.toLong, rows.toLong, Some((fromHex(lo), fromHex(hi))))
+        }
       }
+      parsed.getOrElse(fields.head -> Entry(-1L, -1L, None))
     }.toMap)
   }
 

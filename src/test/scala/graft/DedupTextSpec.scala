@@ -122,6 +122,46 @@ class DedupTextSpec extends SparkSuite {
       .clusters.as[(Long, Long)].collect().toMap === full)
   }
 
+  test("store maintenance occupancy is O(batch): the stored band index is broadcast-semi-join-bounded") {
+    val corpus = spark.read.parquet(s"$sf001/documents.parquet")
+    val key = s"occspec-${java.util.UUID.randomUUID()}"
+    val store = Dedup.dedupStore(corpus, 3, 0.8, key)
+    val storedBands = store.bands.count()
+    assert(storedBands > 1000, "fixture store must be much larger than the batch")
+    // a tiny batch: 4 brand-new docs + 1 near-copy of a stored doc (so at
+    // least one touched bucket actually matches the store)
+    val copied = corpus.orderBy(col("doc_id")).select(col("text"))
+      .as[String].head()
+    val newDocs = ((0 until 4).map(i =>
+      (900000L + i, s"unseen token$i alpha$i beta$i gamma$i delta$i eps$i zeta$i")) :+
+      (900099L, copied)).toDF("doc_id", "text")
+    val touching = Dedup.incrementalCorpusDedupStored(newDocs, store, 3, 0.8)
+    touching.collect()
+    // executed-plan pin: the stored bands reach the occupancy window
+    // through a BROADCAST LEFT-SEMI join on the batch's bucket set, and
+    // the rows it lets through are batch-bounded — a tiny fraction of the
+    // stored index (the round-11 window shuffled ALL of it, every batch)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    val semis = nodes(touching.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.nonEmpty,
+      "maintenance must restrict stored bands via a broadcast semi-join")
+    val semiOut = semis.map(_.metrics("numOutputRows").value).sum
+    val batchBands = 5L * Dedup.Bands
+    assert(semiOut <= 4 * batchBands,
+      s"semi-join passed $semiOut stored band rows for a $batchBands-row batch")
+    assert(semiOut < storedBands / 10,
+      s"window input must be batch-bounded: $semiOut vs $storedBands stored")
+  }
+
   test("capCrossings flags exactly the buckets that cross the cap only once the batch lands") {
     // 4 identical 'tmpl' docs in the store, 3 more in the batch: every
     // tmpl band bucket has occ_old=4 ≤ cap=5 < occ_all=7 → crossing.

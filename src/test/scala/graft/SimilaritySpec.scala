@@ -154,6 +154,41 @@ class SimilaritySpec extends SparkSuite {
       rows(Similarity.ivfTopK(emb, q, 10)))
   }
 
+  test("ivfTopKStored: the query-time read set is the probed cells' partitions ONLY (static pruning, not DPP)") {
+    val key = s"annreadspec-${java.util.UUID.randomUUID()}"
+    val store = Similarity.annIndexStore(emb, 16, key)
+    val cellDirs = new java.io.File(store.dir.stripPrefix("file:"), "lists.parquet")
+      .listFiles().filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(cellDirs.length > 4, "fixture must land several inverted lists")
+    val served = Similarity.ivfTopKStored(store, emb.where(col("vec_id") === 0), 5, nprobe = 2)
+    served.collect()
+    // walk the EXECUTED plan (through AQE stages) to the lists scan and
+    // read its selected partitions — the contract is a plan property:
+    // the explicit `cell IN (probed)` filter prunes statically, so a DPP
+    // regression can never silently widen the read to the full index
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    val scans = nodes(served.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("lists.parquet")) => f
+    }
+    assert(scans.nonEmpty, "the serve must read the persisted inverted lists")
+    scans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        "the lists scan must carry a static partition filter on cell")
+      val selected = f.selectedPartitions.length
+      assert(selected <= 2,
+        s"1 query x nprobe=2 may read at most 2 inverted lists, read $selected")
+      assert(selected < cellDirs.length,
+        "the probed read set must be a strict subset of the index")
+    }
+  }
+
   test("pqCodes/pqAdcTopK: complete code tuples in range; planted twins win the ADC search") {
     val codes = Similarity.pqCodes(emb)
       .select("vec_id", "j", "code").as[(Long, Int, Int)].collect()

@@ -602,6 +602,79 @@ class SourceDriversSpec extends SparkSuite {
     assert(after.count() === expect)
   }
 
+  test("compactMinor replay idempotence: a re-created batch fileset is retired, never re-absorbed") {
+    import graft.sources.CellCompaction
+    val root = tmpDir() + "/replay"
+    val dest = s"$root/serving"
+    val cfg = BulkLoad.Config(splits =
+      Some(graft.operators.RegionSort.uniformMd5Splits(10).toSeq))
+    def writeBatch(b: Int): Unit = {
+      val wide = (0 until 40).map { i =>
+        val r = (0 until 9).map(c => s"r${b}_v${i}_$c")
+        (r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7), r(8))
+      }.toDF((0 until 9).map(i => s"c$i"): _*)
+      SortedParquetCellSink.write(
+        BulkLoad.fromPositional(wide, BulkLoad.emptyQuarantine(spark), cfg).cells,
+        f"$root/batch_$b%05d")
+    }
+    writeBatch(0); writeBatch(1)
+    assert(CellCompaction.compactMinor(spark, root, dest, cfg) === 2)
+    val rowsAfter = spark.read.parquet(dest).count()
+    // a crash after the sweep but before the streaming checkpoint commit
+    // replays the micro-batch: foreachBatch deterministically recreates
+    // the SAME fileset under the same batch dir name
+    writeBatch(1)
+    assert(CellCompaction.compactMinor(spark, root, dest, cfg) === 0,
+      "a replayed batch id must not be re-absorbed")
+    assert(CellCompaction.batchDirs(spark, root).isEmpty,
+      "the replayed fileset is still retired")
+    assert(spark.read.parquet(dest).count() === rowsAfter,
+      "no duplicate cells may enter the serving layout")
+    // a genuinely new batch id still absorbs normally
+    writeBatch(2)
+    assert(CellCompaction.compactMinor(spark, root, dest, cfg) === 1)
+    assert(spark.read.parquet(dest).count() > rowsAfter)
+  }
+
+  test("CellManifest.read: corrupted numeric/hex fields degrade to conservative entries, scans still serve") {
+    import graft.sources.{CellManifest, CellScan}
+    val dir = tmpDir() + "/corrupt"
+    val cfg = BulkLoad.Config(splits =
+      Some(graft.operators.RegionSort.uniformMd5Splits(8).toSeq))
+    val wide = (0 until 60).map { i =>
+      val r = (0 until 9).map(c => s"m_v${i}_$c")
+      (r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7), r(8))
+    }.toDF((0 until 9).map(i => s"c$i"): _*)
+    SortedParquetCellSink.write(
+      BulkLoad.fromPositional(wide, BulkLoad.emptyQuarantine(spark), cfg).cells, dir)
+    val all = spark.read.parquet(dir)
+    val total = all.count()
+    val expect = all.where(col("row") >= lit(Array(0x40.toByte)) &&
+      col("row") < lit(Array(0x80.toByte))).count()
+    // damage the first line's rows field (truncated number) and the
+    // second line's hex bounds — a torn write, not a wrong-arity line
+    val mf = new java.io.File(dir, CellManifest.FileName)
+    val lines = scala.io.Source.fromFile(mf, "UTF-8").getLines().toSeq
+    assert(lines.size >= 3)
+    val damaged = lines.zipWithIndex.map {
+      case (l, 0) =>
+        val f = l.split('\t'); f(2) = "12x9"; f.mkString("\t")
+      case (l, 1) =>
+        val f = l.split('\t'); f(3) = "zz!"; f.mkString("\t")
+      case (l, _) => l
+    }
+    java.nio.file.Files.write(mf.toPath,
+      damaged.mkString("", "\n", "\n").getBytes("UTF-8"))
+    // the parse survives: damaged lines map to the conservative entry
+    val m = CellManifest.read(spark, dir).get
+    val name0 = lines.head.split('\t').head
+    assert(m(name0).rows === -1L && m(name0).bounds.isEmpty)
+    // and scans still serve, exact: conservative entries re-stat/keep
+    assert(CellScan.scanRange(spark, dir, None, None).count() === total)
+    assert(CellScan.scanRange(spark, dir,
+      Some(Array(0x40.toByte)), Some(Array(0x80.toByte))).count() === expect)
+  }
+
   test("CellScan.multiGet: K keys open only the touched region files, zero footer reads") {
     import graft.sources.CellScan
     val wide = (0 until 120).map { i =>
