@@ -153,6 +153,18 @@ object IngestCli {
     * where `<dropDir>/documents.parquet` (dedup) or `/embeddings.parquet`
     * (ann) is statted into the key so a regenerated drop at the same path
     * is a new store. Returns one JSON line naming the published dir. */
+  /** Minimal JSON string encoder for the CLI's one-line output contract:
+    * store paths (and the user-supplied corpus keys embedded in them)
+    * may carry quotes/backslashes/control bytes — emit a valid JSON
+    * string literal regardless. */
+  private[graft] def jstr(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }.mkString("\"", "", "\"")
+
   def storeCommand(spark: SparkSession, verb: String, input: String,
                    key: String, opts: Map[String, String]): String = {
     val n = opts.get("--ngram").map(_.toInt).getOrElse(3)
@@ -161,7 +173,7 @@ object IngestCli {
       case "dedup-build" =>
         val s = graft.operators.Dedup.dedupStore(
           spark.read.parquet(input), n, thr, key)
-        s"""{"verb":"dedup-build","store":"${s.dir}","clusters":${s.clusters.count()}}"""
+        s"""{"verb":"dedup-build","store":${jstr(s.dir)},"clusters":${s.clusters.count()}}"""
       case "dedup-advance" =>
         val fromKey = opts.getOrElse("--from-key", throw new IllegalArgumentException(
           "dedup-advance requires --from-key <corpusKey of the store to advance>"))
@@ -170,12 +182,12 @@ object IngestCli {
             s"no published dedup store for --from-key '$fromKey' (ngram=$n, threshold=$thr)"))
         val s = graft.operators.Dedup.dedupStoreAdvance(
           from, spark.read.parquet(input), n, thr, key)
-        s"""{"verb":"dedup-advance","store":"${s.dir}","clusters":${s.clusters.count()}}"""
+        s"""{"verb":"dedup-advance","store":${jstr(s.dir)},"clusters":${s.clusters.count()}}"""
       case "ann-build" =>
         val nlist = opts.get("--nlist").map(_.toInt).getOrElse(16)
         val s = graft.operators.Similarity.annIndexStore(
           spark.read.parquet(input), nlist, key)
-        s"""{"verb":"ann-build","store":"${s.dir}","nlist":$nlist,"vectors":${s.lists.count()}}"""
+        s"""{"verb":"ann-build","store":${jstr(s.dir)},"nlist":$nlist,"vectors":${s.lists.count()}}"""
       case other => throw new IllegalArgumentException(s"unknown store verb: $other")
     }
   }

@@ -325,7 +325,20 @@ object Dedup {
     * rows), independent of stored-index size — the stored scan itself is
     * a broadcast-filtered projection, never a corpus-wide shuffle.
     * (The HBase analog the store imitates consults META per write; it
-    * never re-aggregates META — BulkImporterFromText.java:105-111.) */
+    * never re-aggregates META — BulkImporterFromText.java:105-111.)
+    *
+    * BROADCAST BOUND — the build side is ≤ [[Bands]] · |batch| rows of
+    * (int band, fixed-width bkey digest) ≈ 40 B/row: a 1M-doc
+    * maintenance batch broadcasts ≤ ~[[Bands]]·40 MB, within executor
+    * memory but ABOVE the default 10 MB autoBroadcast threshold — which
+    * is fine, an explicit broadcast() hint ignores the threshold; the
+    * operational ceiling is driver/executor heap (~8 GB ≈ 200M batch
+    * docs). The documented maintenance posture is one drop at a time
+    * (the CLI advance path), far below that; a drop large enough to
+    * threaten the bound should be split into multiple advances, NOT fed
+    * through a shuffled semi-join — a shuffle here re-exchanges the
+    * stored index and forfeits the O(batch) property this join exists
+    * to provide (the executed-plan spec pins the broadcast form). */
   private def touchedBandsWithCap(bandsNew: DataFrame,
                                   bandsOld: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window

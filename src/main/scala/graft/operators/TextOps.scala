@@ -207,7 +207,16 @@ object TextOps {
         s(col("x2") * col("y")).as("s2y"))
       .collect()(0)
     val nDocs = row.getLong(0)
-    def mom(i: Int): BigInteger = row.getDecimal(i).toBigInteger
+    // a DECIMAL(38,0) sum that overflows becomes NULL under non-ANSI
+    // semantics — surface that as a diagnosable error, not a bare NPE
+    // (out of range below ~10^11 docs; see the scale note above)
+    def mom(i: Int): BigInteger = {
+      val d = row.getDecimal(i)
+      if (d == null) throw new ArithmeticException(
+        s"linearQualityProbe: moment '${row.schema(i).name}' overflowed " +
+          "DECIMAL(38,0) — corpus exceeds the probe's exact-moment range")
+      d.toBigInteger
+    }
     val n = BigInteger.valueOf(nDocs)
     val (sx1, sx2, s11, s12) = (mom(1), mom(2), mom(3), mom(4))
     val (s22, sy, s1y, s2y) = (mom(5), mom(6), mom(7), mom(8))

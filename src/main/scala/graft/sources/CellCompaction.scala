@@ -86,16 +86,32 @@ object CellCompaction {
     * duplicates visible to a ROOT-level reader, never missing data —
     * production wraps the retire in the serving layer's pointer swap.
     *
-    * IDEMPOTENT PER BATCH ID: `dest/_absorbed` records every batch-dir
-    * name ever absorbed. A batch dir whose name is already in the ledger
-    * is a STREAMING REPLAY (a crash after the sweep but before the
-    * checkpoint commit re-runs foreachBatch for the same batch id, which
-    * deterministically recreates the same fileset) — it is retired
-    * WITHOUT re-absorbing, so a replayed micro-batch can never
-    * permanently duplicate cells in the serving layout. The residual
-    * crash window (fileset installed, ledger not yet appended) degrades
+    * IDEMPOTENT PER BATCH ID: `dest/_absorbed` records the batch-dir
+    * NAME plus a CONTENT FINGERPRINT (md5 over the fileset's sorted
+    * part-file lengths — name-independent, since a deterministic replay
+    * re-lands the same bytes under fresh task-attempt file names) of each
+    * recently absorbed batch. A batch dir whose name AND fingerprint
+    * match a ledger entry is a STREAMING REPLAY (a crash after the sweep
+    * but before the checkpoint commit re-runs foreachBatch for the same
+    * batch id, which deterministically recreates the same fileset) — it
+    * is retired WITHOUT re-absorbing, so a replayed micro-batch can never
+    * permanently duplicate cells in the serving layout. A name match with
+    * a DIFFERENT fingerprint is NOT a replay (a checkpoint reset with new
+    * data, or a second stream root compacting into the same dest) and
+    * FAILS LOUDLY rather than silently deleting new data. The residual
+    * crash window (fileset installed, ledger not yet rewritten) degrades
     * to the transient duplicate contract above, never to loss: the
-    * ledger is appended before the inputs are deleted.
+    * ledger lands (atomically — temp sibling + rename, with a tmp-file
+    * recovery path on read) before the inputs are deleted.
+    *
+    * BOUNDED LEDGER: only entries for batch ids ≥ the newest absorbed id
+    * are retained. Structured Streaming commits batch N's checkpoint
+    * before producing batch N+1, so once a newer id has been absorbed an
+    * older id can never legitimately replay — sweep cost is therefore
+    * independent of how many batches the stream has ever produced.
+    * Resetting a checkpoint against a live dest is outside this
+    * contract: a re-landed old id re-absorbs (duplicates) or, with
+    * different content at a retained id, fails loudly — use a fresh dest.
     * Returns the number of batch filesets absorbed (replays excluded). */
   def compactMinor(spark: SparkSession, root: String, dest: String,
                    cfg: graft.BulkLoad.Config): Int = {
@@ -107,9 +123,27 @@ object CellCompaction {
     fs.mkdirs(destPath)
     val ledger = new Path(destPath, AbsorbedLedger)
     val absorbed = readLedger(fs, ledger)
-    val (replayed, dirs) = all.partition(d => absorbed(new Path(d).getName))
-    replayed.foreach(d => fs.delete(new Path(d), true))
+    val (replayed, dirs) = all.partition(d => absorbed.contains(new Path(d).getName))
+    replayed.foreach { d =>
+      val dp = new Path(d)
+      val recorded = absorbed(dp.getName)
+      // legacy name-only entries ("") predate the fingerprint and retire
+      // on name alone; v2 entries must match content before a delete
+      if (recorded.nonEmpty) {
+        val found = fingerprint(fs, dp)
+        if (found != recorded)
+          throw new IllegalStateException(
+            s"batch dir ${dp.getName} carries an already-absorbed batch id but " +
+              s"DIFFERENT content (ledger fingerprint $recorded, found $found) — " +
+              "not a streaming replay (checkpoint reset with new data, or a " +
+              "second stream compacting into this dest?). Refusing to retire it; " +
+              "compact into a fresh dest.")
+      }
+      fs.delete(dp, true)
+    }
     if (dirs.isEmpty) return 0
+    // fingerprint the inputs BEFORE they move (they are deleted below)
+    val newEntries = dirs.map(d => new Path(d).getName -> fingerprint(fs, new Path(d)))
     val cells = spark.read.schema(graft.operators.CellOps.cellSchema)
       .parquet(dirs: _*)
     // land the merged fileset beside dest, then move the part files in
@@ -121,7 +155,9 @@ object CellCompaction {
       .write.mode("overwrite").parquet(tmp.toString)
     installParts(fs, tmp, destPath, stamp)
     CellManifest.update(spark, dest)
-    writeLedger(fs, ledger, absorbed ++ dirs.map(d => new Path(d).getName))
+    val newestId = newEntries.map(e => batchId(e._1)).max
+    writeLedger(fs, ledger,
+      (absorbed ++ newEntries).filter { case (n, _) => batchId(n) >= newestId })
     dirs.foreach(d => fs.delete(new Path(d), true))
     dirs.size
   }
@@ -131,22 +167,66 @@ object CellCompaction {
     * ignores it). */
   val AbsorbedLedger = "_absorbed"
 
+  private def batchId(name: String): Long =
+    name.stripPrefix("batch_").toLong
+
+  /** Content fingerprint of a landed batch fileset: md5 over the SORTED
+    * part-file LENGTHS (names excluded — a deterministic foreachBatch
+    * replay recreates identical bytes under fresh task-attempt UUID
+    * names). One driver-side listStatus; no data bytes read. */
+  private[graft] def fingerprint(fs: org.apache.hadoop.fs.FileSystem,
+                                 dir: Path): String = {
+    val lens = fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sorted
+    val body = lens.length + ":" + lens.mkString(",")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** name → fingerprint ("" for legacy name-only lines). Falls back to
+    * the temp sibling when a crash landed between the old ledger's
+    * retirement and the new one's rename-in. */
   private def readLedger(fs: org.apache.hadoop.fs.FileSystem,
-                         p: Path): Set[String] =
-    if (!fs.exists(p)) Set.empty
-    else {
-      val in = fs.open(p)
+                         p: Path): Map[String, String] = {
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val src = if (fs.exists(p)) Some(p)
+              else if (fs.exists(tmp)) Some(tmp)
+              else None
+    src.fold(Map.empty[String, String]) { f =>
+      val in = fs.open(f)
       val text =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSet
+      text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+        line.split('\t') match {
+          case Array(n, fp) => n -> fp
+          case fields       => fields.head -> ""
+        }
+      }.toMap
     }
+  }
 
+  /** Atomic rewrite: temp sibling + rename — a crash mid-write can never
+    * truncate the live ledger (which would forget absorbed batches and
+    * let a replay permanently duplicate cells). If the FS refuses a
+    * rename onto an existing destination (HDFS semantics), the old
+    * ledger is retired first; the [ledger-missing, tmp-present] crash
+    * window between those two steps is recovered by [[readLedger]]'s
+    * tmp fallback. */
   private def writeLedger(fs: org.apache.hadoop.fs.FileSystem, p: Path,
-                          names: Set[String]): Unit = {
-    val out = fs.create(p, true)
-    try out.write(names.toSeq.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+                          entries: Map[String, String]): Unit = {
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(entries.toSeq.sorted.map { case (n, fp) => s"$n\t$fp" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"ledger install failed: $tmp -> $p")
+    }
   }
 
   /** Move tmp's part files into `dest` under round-unique stamped names

@@ -165,8 +165,23 @@ object CellManifest {
 
   /** Parse the manifest if present: part-file name → [[Entry]]. Returns
     * None when the directory carries no manifest — callers fall back to
-    * footer reads. Accepts the legacy 3-field format (length/rows −1). */
-  def read(spark: SparkSession, dir: String): Option[Map[String, Entry]] = {
+    * footer reads. Accepts the legacy 3-field format (length/rows −1).
+    *
+    * TRUST CONTRACT — a damaged manifest degrades, never aborts. Two
+    * distinct failure layers, both covered:
+    *   - IO-level corruption (a torn write on a checksummed FS surfaces
+    *     as `ChecksumException` from open/read, before the parser sees a
+    *     byte; likewise permission loss or a transient FS fault): the
+    *     WHOLE read maps to None — the same full footer-stat fallback as
+    *     "no manifest at all", which [[CellScan]] already handles.
+    *   - parse-level corruption (wrong arity, truncated number, bad
+    *     hex): the damaged LINE maps to the conservative
+    *     Entry(-1,-1,None) — weaker pruning + a live re-stat for that
+    *     file only. */
+  def read(spark: SparkSession, dir: String): Option[Map[String, Entry]] =
+    scala.util.Try(readOrThrow(spark, dir)).toOption.flatten
+
+  private def readOrThrow(spark: SparkSession, dir: String): Option[Map[String, Entry]] = {
     val p = new Path(dir, FileName)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return None

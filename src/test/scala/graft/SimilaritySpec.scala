@@ -181,7 +181,9 @@ class SimilaritySpec extends SparkSuite {
     scans.foreach { f =>
       assert(f.partitionFilters.nonEmpty,
         "the lists scan must carry a static partition filter on cell")
-      val selected = f.selectedPartitions.length
+      // Spark 4.1's FileSourceScanExec.selectedPartitions returns a
+      // ScanFileListing (not an array) — partitionCount is the API
+      val selected = f.selectedPartitions.partitionCount
       assert(selected <= 2,
         s"1 query x nprobe=2 may read at most 2 inverted lists, read $selected")
       assert(selected < cellDirs.length,

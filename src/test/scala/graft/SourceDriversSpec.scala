@@ -665,7 +665,20 @@ class SourceDriversSpec extends SparkSuite {
     }
     java.nio.file.Files.write(mf.toPath,
       damaged.mkString("", "\n", "\n").getBytes("UTF-8"))
-    // the parse survives: damaged lines map to the conservative entry
+    // LAYER 1 — IO corruption: the java.nio rewrite left Hadoop local
+    // FS's checksum sidecar stale, so fs.open/read throws
+    // ChecksumException before the parser sees a byte. The read must
+    // degrade to None (full footer-stat fallback), never abort...
+    assert(CellManifest.read(spark, dir).isEmpty,
+      "an IO-corrupt manifest must degrade to None, not abort")
+    // ...and scans must still serve, exact, via footer stats
+    assert(CellScan.scanRange(spark, dir, None, None).count() === total)
+    assert(CellScan.scanRange(spark, dir,
+      Some(Array(0x40.toByte)), Some(Array(0x80.toByte))).count() === expect)
+    // LAYER 2 — parse corruption: drop the stale .crc sidecar so the
+    // bytes reach the parser; damaged lines map to the conservative entry
+    val crc = new java.io.File(dir, "." + CellManifest.FileName + ".crc")
+    assert(!crc.exists() || crc.delete(), "stale checksum sidecar must go")
     val m = CellManifest.read(spark, dir).get
     val name0 = lines.head.split('\t').head
     assert(m(name0).rows === -1L && m(name0).bounds.isEmpty)
@@ -1192,6 +1205,117 @@ class SourceDriversSpec extends SparkSuite {
     assert(spark.read.parquet(dest).count() === n)
     intercept[IllegalArgumentException](
       IngestCli.compactCommand(spark, "bogus", root, dest, cfg))
+  }
+
+  test("compactMinor ledger: a re-used batch id with DIFFERENT content fails loudly; the ledger stays bounded") {
+    import graft.sources.CellCompaction
+    val root = tmpDir() + "/fpledger"
+    val dest = s"$root/serving"
+    val cfg = BulkLoad.Config(splits =
+      Some(graft.operators.RegionSort.uniformMd5Splits(10).toSeq))
+    def writeBatch(b: Int, nRows: Int): Unit = {
+      val wide = (0 until nRows).map { i =>
+        val r = (0 until 9).map(c => s"fp${b}_v${i}_$c")
+        (r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7), r(8))
+      }.toDF((0 until 9).map(i => s"c$i"): _*)
+      SortedParquetCellSink.write(
+        BulkLoad.fromPositional(wide, BulkLoad.emptyQuarantine(spark), cfg).cells,
+        f"$root/batch_$b%05d")
+    }
+    writeBatch(0, 40); writeBatch(1, 40)
+    assert(CellCompaction.compactMinor(spark, root, dest, cfg) === 2)
+    // BOUNDED: only the newest absorbed id is retained (streaming commits
+    // batch N before producing N+1, so older ids can never replay), and
+    // every retained entry is a v2 name\tfingerprint line
+    val ledger = new java.io.File(dest, CellCompaction.AbsorbedLedger)
+    val lines = scala.io.Source.fromFile(ledger, "UTF-8").getLines()
+      .filter(_.nonEmpty).toSeq
+    assert(lines.map(_.split('\t').head) === Seq("batch_00001"))
+    assert(lines.forall(l => l.split('\t').length === 2 &&
+      l.split('\t')(1).matches("[0-9a-f]{32}")))
+    // a same-named dir holding NEW data (checkpoint reset / second stream
+    // into this dest) is NOT a replay: refuse loudly, delete nothing
+    writeBatch(1, 55)
+    val rowsBefore = spark.read.parquet(dest).count()
+    val e = intercept[IllegalStateException](
+      CellCompaction.compactMinor(spark, root, dest, cfg))
+    assert(e.getMessage.contains("DIFFERENT content"))
+    assert(CellCompaction.batchDirs(spark, root).nonEmpty,
+      "the mismatched fileset must NOT be deleted")
+    assert(spark.read.parquet(dest).count() === rowsBefore,
+      "nothing may be absorbed past a fingerprint mismatch")
+  }
+
+  test("IngestCli dedup-build / dedup-advance verbs e2e: advance ≡ full recompute; --from-key errors are loud") {
+    import graft.operators.Dedup
+    val drop1 = tmpDir() + "/drop1"
+    val drop2 = tmpDir() + "/drop2"
+    val all = spark.read.parquet(s"$sf001/documents.parquet")
+    val docs1 = all.where(col("doc_id") % 5 < 4)
+    val docs2 = all.where(col("doc_id") % 5 === 4)
+    docs1.write.parquet(s"$drop1/documents.parquet")
+    docs2.write.parquet(s"$drop2/documents.parquet")
+    // build: publishes under the drop-stamped key and prints valid JSON
+    val o1 = IngestCli.storeCommand(spark, "dedup-build",
+      s"$drop1/documents.parquet", drop1, Map.empty)
+    assert(o1.startsWith("""{"verb":"dedup-build","store":""""))
+    val built = Dedup.openStore(spark, drop1, 3, 0.8)
+    assert(built.isDefined, "dedup-build must publish under the given key")
+    assert(o1.contains(s""""store":${IngestCli.jstr(built.get.dir)}"""))
+    // advance: --from-key resolves the PUBLISHED store (never rebuilds),
+    // and the advanced assignment equals a full recompute on drop1 ∪ drop2
+    val advKey = s"$drop2#cliadv"
+    val o2 = IngestCli.storeCommand(spark, "dedup-advance",
+      s"$drop2/documents.parquet", advKey, Map("--from-key" -> drop1))
+    assert(o2.startsWith("""{"verb":"dedup-advance""""))
+    val adv = Dedup.openStore(spark, advKey, 3, 0.8)
+    assert(adv.isDefined, "dedup-advance must publish under the new key")
+    val full = Dedup.clusters(
+        Dedup.corpusDedup(docs1.unionByName(docs2), 3, 0.8)
+          .select(col("a"), col("b")))
+      .as[(Long, Long)].collect().toMap
+    assert(adv.get.clusters.as[(Long, Long)].collect().toMap === full)
+    assert(full.nonEmpty, "fixture must contain near-dup pairs")
+    // error paths: the usage contract is asserted, not just 'it throws'
+    val e1 = intercept[IllegalArgumentException](IngestCli.storeCommand(
+      spark, "dedup-advance", s"$drop2/documents.parquet", advKey, Map.empty))
+    assert(e1.getMessage.contains("requires --from-key"))
+    val e2 = intercept[IllegalArgumentException](IngestCli.storeCommand(
+      spark, "dedup-advance", s"$drop2/documents.parquet", advKey,
+      Map("--from-key" -> (tmpDir() + "/nowhere"))))
+    assert(e2.getMessage.contains("no published dedup store"))
+    intercept[IllegalArgumentException](IngestCli.storeCommand(
+      spark, "bogus-verb", s"$drop1/documents.parquet", drop1, Map.empty))
+  }
+
+  test("IngestCli ann-build verb e2e: publishes the IVF store; stored serve ≡ self-contained ivfTopK") {
+    import graft.operators.Similarity
+    val drop = tmpDir() + "/anndrop"
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    emb.write.parquet(s"$drop/embeddings.parquet")
+    val o = IngestCli.storeCommand(spark, "ann-build",
+      s"$drop/embeddings.parquet", drop, Map.empty)
+    assert(o.startsWith("""{"verb":"ann-build","store":""""))
+    assert(o.contains(""""nlist":16"""))
+    assert(o.contains(s""""vectors":${emb.count()}"""))
+    // the published store serves: re-resolving the key is build-once, and
+    // the stored serve matches the self-contained plan's values
+    val store = Similarity.annIndexStore(
+      spark.read.parquet(s"$drop/embeddings.parquet"), 16, drop)
+    val q = emb.where(col("vec_id") === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Similarity.ivfTopKStored(store, q, 10)) ===
+      rows(Similarity.ivfTopK(emb, q, 10)))
+    // --nlist plumbing reaches the build
+    val o8 = IngestCli.storeCommand(spark, "ann-build",
+      s"$drop/embeddings.parquet", s"$drop#n8", Map("--nlist" -> "8"))
+    assert(o8.contains(""""nlist":8"""))
+  }
+
+  test("IngestCli.jstr: the CLI's one-line JSON survives quotes, backslashes and control bytes") {
+    assert(IngestCli.jstr("plain") === "\"plain\"")
+    assert(IngestCli.jstr("a\"b\\c\nd") === "\"a\\\"b\\\\c\\u000ad\"")
   }
 
   test("streaming hivetext: CLI delimiter mapping parses \\u0001 lines byte-identically to the batch driver") {
