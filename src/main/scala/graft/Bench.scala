@@ -121,9 +121,9 @@ object Bench {
     //     region-aligned layout.
     // min of 2 passes each; per-pass and per-batch secs in the artifact.
     def streamRun(mft: Int, tag: String)
-        : (Option[Double], Seq[Double], Seq[Double]) =
+        : (Option[Double], Seq[Double], Seq[Double], Map[String, Double]) =
       if (!new java.io.File(refCsv).exists())
-        (None, Seq.empty[Double], Seq.empty[Double])
+        (None, Seq.empty[Double], Seq.empty[Double], Map.empty[String, Double])
       else {
       import java.nio.file.{Files, Paths}
       import scala.jdk.CollectionConverters._
@@ -132,6 +132,7 @@ object Bench {
       val bytes = Files.readAllBytes(Paths.get(refCsv))
       var inputRows = 0L
       var batchSecs = Seq.empty[Double]
+      var phaseSums = Map.empty[String, Double]
       var bestPass = Double.MaxValue
       val passes = (1 to 2).map { p =>
         val in = Files.createTempDirectory(s"graft-bench-streamin$tag$p")
@@ -146,18 +147,27 @@ object Bench {
         val secs = (System.nanoTime() - t0) / 1e9
         require(batches.length == (10 + mft - 1) / mft,
           s"expected ${(10 + mft - 1) / mft} micro-batches, got ${batches.length}")
-        // per-batch breakdown (best pass): in-foreachBatch seconds — the
-        // difference between sum(batch secs) and the pass total is the
-        // streaming engine's own trigger/offset-log overhead
-        if (secs < bestPass) { bestPass = secs; batchSecs = batches.map(_.secs) }
+        // per-batch breakdown (best pass): in-foreachBatch seconds per
+        // phase; "deferred" = the off-critical-path manifest+count lane;
+        // "engine" = pass total − in-body sum − deferred-beyond-the-last-
+        // trigger, i.e. Structured Streaming's own trigger/offset-log cost
+        if (secs < bestPass) {
+          bestPass = secs; batchSecs = batches.map(_.secs)
+          val keys = batches.flatMap(_.phases.keys).distinct
+          phaseSums = keys.map(k =>
+            k -> batches.map(_.phases.getOrElse(k, 0.0)).sum).toMap +
+            ("deferred" -> batches.map(_.deferredSecs).sum) +
+            ("engine" -> (secs - batches.map(_.secs).sum))
+        }
         unpersistAll(spark)
         Seq(in, out, ck).foreach(rmTree)
         secs
       }
-      (Some(inputRows / passes.min), passes, batchSecs)
+      (Some(inputRows / passes.min), passes, batchSecs, phaseSums)
     }
-    val (streamIngest, streamPasses, streamBatchSecs) = streamRun(1, "")
-    val (streamIngest5, streamPasses5, _) = streamRun(5, "m5")
+    val (streamIngest, streamPasses, streamBatchSecs, streamPhases) = streamRun(1, "")
+    val (streamIngest5, streamPasses5, streamBatchSecs5, streamPhases5) = streamRun(5, "m5")
+    val (streamIngest10, streamPasses10, streamBatchSecs10, streamPhases10) = streamRun(10, "m10")
 
     def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -177,14 +187,24 @@ object Bench {
     val ingestFull = ingest.map { r =>
       val pp = ingestPasses.map(ms).mkString("[", ",", "]")
       s""","ingest_rows_per_sec":${r.round},"ingest_pass_secs":$pp,"canary_ratio":${ms(canaryRatio.get)},"canary_method":"session ingest rows/s / best recorded (256k, r9); divide family times by this before cross-round comparison","ingest_method":"min-of-3 over 100x-replicated reference CSV""""
-    }.getOrElse("") + streamIngest.map { r =>
-      val pp = streamPasses.map(ms).mkString("[", ",", "]")
-      val bb = streamBatchSecs.map(ms).mkString("[", ",", "]")
-      s""","stream_ingest_rows_per_sec":${r.round},"stream_ingest_pass_secs":$pp,"stream_ingest_batch_secs":$bb,"stream_ingest_method":"min-of-2, 10 single-file micro-batches of the reference CSV; batch_secs = in-foreachBatch time per micro-batch of the best pass""""
-    }.getOrElse("") + streamIngest5.map { r =>
-      val pp = streamPasses5.map(ms).mkString("[", ",", "]")
-      s""","stream_ingest_mft5_rows_per_sec":${r.round},"stream_ingest_mft5_pass_secs":$pp,"stream_ingest_mft5_method":"same input, maxFilesPerTrigger=5 (2 micro-batches) — the backlog/catch-up posture amortizing per-batch fixed cost""""
-    }.getOrElse("")
+    }.getOrElse("") + {
+      def phJson(m: Map[String, Double]): String =
+        m.toSeq.sorted.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+          .mkString("{", ",", "}")
+      def posture(tag: String, rows: Option[Double], passes: Seq[Double],
+                  bsecs: Seq[Double], phases: Map[String, Double],
+                  method: String): String = rows.map { r =>
+        val pp = passes.map(ms).mkString("[", ",", "]")
+        val bb = bsecs.map(ms).mkString("[", ",", "]")
+        s""","stream_ingest${tag}_rows_per_sec":${r.round},"stream_ingest${tag}_pass_secs":$pp,"stream_ingest${tag}_batch_secs":$bb,"stream_ingest${tag}_phase_secs":${phJson(phases)},"stream_ingest${tag}_method":"$method""""
+      }.getOrElse("")
+      posture("", streamIngest, streamPasses, streamBatchSecs, streamPhases,
+        "min-of-2, 10 single-file micro-batches of the reference CSV; batch_secs = in-foreachBatch time per micro-batch of the best pass; phase_secs = best-pass sums (write/quarantine/post_commit in-body; deferred = off-critical-path manifest+count lane; engine = pass - in-body sum)") +
+      posture("_mft5", streamIngest5, streamPasses5, streamBatchSecs5, streamPhases5,
+        "same input, maxFilesPerTrigger=5 (2 micro-batches) — the backlog/catch-up posture amortizing per-batch fixed cost") +
+      posture("_mft10", streamIngest10, streamPasses10, streamBatchSecs10, streamPhases10,
+        "same input, maxFilesPerTrigger=10 (1 micro-batch) — the single-trigger upper bound for the fixed-cost amortization")
+    }
     val full =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$ingestFull,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), full + "\n")
@@ -199,7 +219,8 @@ object Bench {
     val ingestShort = ingest.map(r => s""","ingest_rows_per_sec":${r.round}""").getOrElse("") +
       canaryRatio.map(r => s""","canary_ratio":${ms(r)}""").getOrElse("") +
       streamIngest.map(r => s""","stream_ingest_rows_per_sec":${r.round}""").getOrElse("") +
-      streamIngest5.map(r => s""","stream_ingest_mft5_rows_per_sec":${r.round}""").getOrElse("")
+      streamIngest5.map(r => s""","stream_ingest_mft5_rows_per_sec":${r.round}""").getOrElse("") +
+      streamIngest10.map(r => s""","stream_ingest_mft10_rows_per_sec":${r.round}""").getOrElse("")
     val nFail = results.count(_._2 < 0)
     val summary =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"families":$fams$ingestShort,"full":"bench_out.json","sf":"$sfDir"}"""

@@ -227,8 +227,15 @@ trait CellSink {
   * `saveAsNewAPIHadoopFile[HFileOutputFormat2]` when hbase-mapreduce is on
   * the classpath. */
 object SortedParquetCellSink extends CellSink {
-  override def write(cells: DataFrame, path: String): Unit = {
+  /** Data files only — [[write]] = writeData + manifest. The streaming
+    * harness drives the two phases separately so the manifest (a CACHE
+    * by contract — every reader falls back to footer stats when it is
+    * absent) can land off the micro-batch critical path. */
+  def writeData(cells: DataFrame, path: String): Unit =
     cells.write.mode("overwrite").parquet(path)
+
+  override def write(cells: DataFrame, path: String): Unit = {
+    writeData(cells, path)
     // META-analog boundary index: one distributed footer-stat pass at
     // write time so every later CellScan is one small-file read instead
     // of N driver-side footer opens (graft.sources.CellManifest).

@@ -40,10 +40,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StreamingIngest {
 
-  /** One completed micro-batch: its id, output path, cell count, and
-    * wall-clock seconds spent inside its foreachBatch body. */
+  /** One completed micro-batch: its id, output path, cell count,
+    * wall-clock seconds spent inside its foreachBatch body, the body's
+    * per-phase breakdown (`write` = parse + region-aligned sort + data
+    * files; `quarantine`; `post_commit`), and the seconds the DEFERRED
+    * lane spent on this batch (manifest + cell-count readback — off the
+    * trigger critical path; see [[run]]). */
   case class BatchResult(batchId: Long, path: String, cells: Long,
-                         secs: Double = 0.0)
+                         secs: Double = 0.0,
+                         phases: Map[String, Double] = Map.empty,
+                         deferredSecs: Double = 0.0)
 
   /** Per-batch cell-count readback, cheapest first: the sink's manifest
     * already records per-file row counts (ONE small-file read, zero
@@ -92,6 +98,25 @@ object StreamingIngest {
           graft.operators.RegionSort.uniformMd5Splits(cfg.regions).toSeq))
       else cfg
     val results = scala.collection.mutable.ArrayBuffer.empty[BatchResult]
+
+    // DEFERRED lane (one background thread): the per-batch manifest write
+    // and the cell-count readback are NOT adoption-ordered — the manifest
+    // is a cache (readers fall back to footer stats) and the count is
+    // bookkeeping — so they run here while the NEXT trigger's write job
+    // owns the critical path. One thread keeps the deferred Spark jobs
+    // serialized (they never take more than one scheduler lane from the
+    // live trigger). drain() joins the lane: before any compaction sweep
+    // (the sweep retires batch dirs the lane may still be statting) and
+    // before run() returns.
+    val deferredExec = java.util.concurrent.Executors.newSingleThreadExecutor(
+      (r: Runnable) => { val t = new Thread(r, "graft-stream-deferred"); t.setDaemon(true); t })
+    implicit val deferredEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(deferredExec)
+    val deferred = scala.collection.concurrent.TrieMap
+      .empty[Long, scala.concurrent.Future[(Long, Double)]]
+    def drain(): Unit = deferred.values.foreach(f =>
+      scala.concurrent.Await.ready(f, scala.concurrent.duration.Duration.Inf))
+
     val lines = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(inputDir)
@@ -99,27 +124,58 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t0 = System.nanoTime()
-        val (kept, rejected) = Delimited.naiveSplitLines(batch, delim, cfg.arity)
-        val r = BulkLoad.fromPositional(kept, rejected, fixedCfg)
-        val sink = sinkOverride.getOrElse(r.sink)
-        val dest = f"$outDir/batch_$batchId%05d"
-        sink.write(r.cells, dest)
-        // quarantined rows ride along per batch — same no-silent-drop
-        // contract as the batch path
-        r.quarantined.write.mode("overwrite").parquet(s"$dest.quarantine")
-        sink.postCommit(dest)
-        val n = footerCount(spark, dest)
-        val completed = results.synchronized {
-          results += BatchResult(batchId, dest, n, (System.nanoTime() - t0) / 1e9)
-          results.size
-        }
-        if (compactEvery > 0 && completed % compactEvery == 0)
-          graft.sources.CellCompaction.compactMinor(
-            spark, outDir, s"$outDir/serving", fixedCfg)
+        def lap(since: Long): Double = (System.nanoTime() - since) / 1e9
+        // the cells write and the quarantine write both parse the batch —
+        // cache the raw lines so the second job reads memory, not files
+        val cached = batch.persist()
+        try {
+          val (kept, rejected) = Delimited.naiveSplitLines(cached, delim, cfg.arity)
+          val r = BulkLoad.fromPositional(kept, rejected, fixedCfg)
+          val sink = sinkOverride.getOrElse(r.sink)
+          val dest = f"$outDir/batch_$batchId%05d"
+          val tw = System.nanoTime()
+          val deferManifest = sink == graft.SortedParquetCellSink
+          if (deferManifest) graft.SortedParquetCellSink.writeData(r.cells, dest)
+          else sink.write(r.cells, dest)
+          val wSecs = lap(tw)
+          // quarantined rows ride along per batch — same no-silent-drop
+          // contract as the batch path
+          val tq = System.nanoTime()
+          r.quarantined.write.mode("overwrite").parquet(s"$dest.quarantine")
+          val qSecs = lap(tq)
+          // adoption stays ON the critical path: exactly-once bulk-load
+          // ordering (chmod → doBulkLoad → cleanup) is per batch
+          val tp = System.nanoTime()
+          sink.postCommit(dest)
+          val pSecs = lap(tp)
+          deferred(batchId) = scala.concurrent.Future {
+            val td = System.nanoTime()
+            if (deferManifest)
+              try graft.sources.CellManifest.write(spark, dest)
+              catch { case e: Throwable => System.err.println(
+                s"[graft] deferred manifest for $dest failed " +
+                  s"(${e.getClass.getSimpleName}); readers fall back to footers") }
+            (footerCount(spark, dest), lap(td))
+          }
+          val completed = results.synchronized {
+            results += BatchResult(batchId, dest, -1L, lap(t0),
+              Map("write" -> wSecs, "quarantine" -> qSecs, "post_commit" -> pSecs))
+            results.size
+          }
+          if (compactEvery > 0 && completed % compactEvery == 0) {
+            drain()
+            graft.sources.CellCompaction.compactMinor(
+              spark, outDir, s"$outDir/serving", fixedCfg)
+          }
+        } finally cached.unpersist(blocking = false)
         ()
       }
       .start()
-    try q.processAllAvailable() finally q.stop()
-    results.sortBy(_.batchId).toSeq
+    try { q.processAllAvailable(); drain() } finally { q.stop(); deferredExec.shutdown() }
+    results.map { b =>
+      val (n, dSecs) = scala.concurrent.Await.result(
+        deferred(b.batchId), scala.concurrent.duration.Duration.Inf)
+      b.copy(cells = n, deferredSecs = dSecs)
+    }.sortBy(_.batchId).toSeq
   }
 }
