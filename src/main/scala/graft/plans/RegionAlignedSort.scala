@@ -44,6 +44,12 @@ case class RegionAlignedSortExec(child: SparkPlan, splits: Seq[Array[Byte]])
     extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
+  /** This node REPARTITIONS — never inherit the child's partitioning
+    * (the default), which would let a downstream operator skip a needed
+    * exchange on the basis of a distribution this shuffle destroyed. */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(splits.length + 1)
+
   override def outputOrdering: Seq[SortOrder] =
     child.output.take(1).map(a => SortOrder(a, Ascending))
 
@@ -76,10 +82,78 @@ case class RegionAlignedSortExec(child: SparkPlan, splits: Seq[Array[Byte]])
     copy(child = newChild)
 }
 
+/** Row-level exact-boundary EXCHANGE (no sort): partitions any plan whose
+  * FIRST column is the binary row key into exact region partitions — the
+  * skinny-shuffle half of the two-phase ingest sort
+  * ([[graft.BulkLoad.sortedFromRows]]). The total-order exchange moves
+  * each source ROW once (its 64-byte key + the raw values), and the 9×
+  * cell explode plus the KeyValue sort run INSIDE the region partition
+  * (a narrow Generate followed by a spill-safe partition-local SortExec)
+  * — ~2.5-3× fewer shuffle bytes and arity× fewer shuffle tuples than
+  * exchanging exploded cells, with the IDENTICAL file-i ⊆ region-i,
+  * in-file (row, family, qualifier) output contract. The cell-level
+  * [[RegionAlignedSort]] stays for inputs that are already cells
+  * (layout compaction re-sorts persisted cell filesets).
+  *
+  * Contract: column 0 is a non-null BinaryType row key (callers
+  * quarantine un-keyable rows before the exchange). */
+case class RegionAlignedRowExchange(child: LogicalPlan, splits: Seq[Array[Byte]])
+    extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  /** Positional col-0 read in the exec — keep every child column so
+    * ColumnPruning can't re-project below this node. */
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(child.output)
+  override protected def withNewChildInternal(newChild: LogicalPlan): RegionAlignedRowExchange =
+    copy(child = newChild)
+}
+
+case class RegionAlignedRowExchangeExec(child: SparkPlan, splits: Seq[Array[Byte]])
+    extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+
+  /** Repartitioning node — see [[RegionAlignedSortExec.outputPartitioning]]. */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(splits.length + 1)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val regionPart = new RegionSort.RegionPartitioner(splits.toArray)
+    val part = new Partitioner {
+      override def numPartitions: Int = regionPart.numPartitions
+      override def getPartition(key: Any): Int =
+        regionPart.getPartition(key.asInstanceOf[Array[Byte]])
+    }
+    val keyed = child.execute().mapPartitions { it =>
+      it.map(row => (row.getBinary(0), row.copy()))
+    }
+    new ShuffledRDD[Array[Byte], InternalRow, InternalRow](keyed, part)
+      .mapPartitions(_.map(_._2), preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): RegionAlignedRowExchangeExec =
+    copy(child = newChild)
+}
+
+object RegionAlignedRowExchange {
+  /** DataFrame-level API: rows whose FIRST column is the binary row key →
+    * exact region-aligned partitions (no intra-partition order — compose
+    * `sortWithinPartitions` above the downstream explode). */
+  def apply(rows: DataFrame, splits: Array[Array[Byte]]): DataFrame = {
+    val spark: SparkSession = rows.sparkSession
+    if (!spark.experimental.extraStrategies.contains(RegionSortStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ RegionSortStrategy
+    }
+    Bridge.ofRows(spark, new RegionAlignedRowExchange(Bridge.logicalPlan(rows), splits.toSeq))
+  }
+}
+
 object RegionSortStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case RegionAlignedSort(child, splits) =>
       RegionAlignedSortExec(planLater(child), splits) :: Nil
+    case RegionAlignedRowExchange(child, splits) =>
+      RegionAlignedRowExchangeExec(planLater(child), splits) :: Nil
     case _ => Nil
   }
 }

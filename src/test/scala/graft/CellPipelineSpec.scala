@@ -221,6 +221,64 @@ class CellPipelineSpec extends SparkSuite {
     assert(perPart.map(_._2).sum === 36992L * 3)
   }
 
+  test("two-phase ingest sort: cell-identical to the cell-level sort; exact alignment; the exchange moves ROWS not cells") {
+    import spark.implicits._
+    val wide = (0 until 200).map { i =>
+      val r = (0 until 9).map(c => s"tp${i}_$c")
+      (r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7), r(8))
+    }.toDF((0 until 9).map(i => s"c$i"): _*)
+    val cfg = BulkLoad.Config(splits = Some(RegionSort.uniformMd5Splits(8).toSeq))
+    // (a) content equivalence: the row-exchange + in-partition explode +
+    // local sort yields the EXACT cell multiset of the cell-level path
+    val twoPhase = BulkLoad.fromPositional(wide, BulkLoad.emptyQuarantine(spark), cfg).cells
+    val rowKey = keys.md5CompositeKey(Seq(col("c0"), col("c1"), col("c2"), col("c3")))
+    val cellLevel = BulkLoad.sorted(
+      CellOps.explodeIndexed(wide, rowKey, cfg.family, (0 until 9).map(i => col(s"c$i"))), cfg)
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(hex(col("row")), hex(col("family")), hex(col("qualifier")),
+        hex(col("value")), col("ts"))
+      .as[(String, String, String, String, Long)].collect().sorted.toSeq
+    assert(snap(twoPhase) === snap(cellLevel))
+    // (b) the X1/X2 contract survives the redesign: partition i holds
+    // exactly region i, in KeyValue order
+    val part = new RegionSort.RegionPartitioner(cfg.splits.get.toArray)
+    val perPart = twoPhase.rdd.mapPartitionsWithIndex { (i, it) =>
+      var prev: Array[Byte] = null
+      var ok = true
+      for (r <- it) {
+        val k = r.getAs[Array[Byte]]("row")
+        ok &&= part.getPartition(k) == i
+        if (prev != null) ok &&= RegionSort.unsignedBytes.compare(prev, k) <= 0
+        prev = k
+      }
+      Iterator.single(ok)
+    }.collect()
+    assert(perPart.length === 8)
+    assert(perPart.forall(identity), "file i must hold region i, KV-sorted")
+    // (c) the skinny-shuffle claim as an executed-plan METRIC (sampled
+    // path, where the exchange is a standard node with metrics): the
+    // total-order exchange moves the 200 source rows, not the 1800 cells
+    val r2 = BulkLoad.fromPositional(wide, BulkLoad.emptyQuarantine(spark),
+      BulkLoad.Config())
+    r2.cells.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    val ex = nodes(r2.cells.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeExec => s }
+    assert(ex.nonEmpty, "the sampled path plans a range exchange")
+    val moved = ex.map(e => e.metrics.get("shuffleRecordsWritten")
+      .orElse(e.metrics.get("numOutputRows")).map(_.value).getOrElse(0L)).sum
+    assert(moved === 200L,
+      s"the total-order exchange must move 200 source rows, not cells; moved $moved")
+    assert(r2.cells.count() === 1800)
+  }
+
   test("explicit --splits boundaries: unsalted MD5 load is exactly region-aligned (file i in region i)") {
     // the TotalOrderPartitioner split-file analog: 15 first-byte boundaries
     // -> 16 regions over the uniform MD5 keyspace
@@ -242,8 +300,9 @@ class CellPipelineSpec extends SparkSuite {
     val r = BulkLoad.csv(spark, path,
       BulkLoad.Config(compatNaiveSplit = true, splits = Some(splits)))
     assert(r.cells.queryExecution.executedPlan
-      .exists(_.isInstanceOf[graft.plans.RegionAlignedSortExec]),
-      "explicit splits must plan through the exact-boundary operator")
+      .exists(_.isInstanceOf[graft.plans.RegionAlignedRowExchangeExec]),
+      "explicit splits must plan through the exact-boundary ROW exchange " +
+        "(the two-phase ingest sort)")
     val perPart = r.cells.rdd.mapPartitionsWithIndex { (i, it) =>
       var prev: Array[Byte] = null
       var ok = true

@@ -936,11 +936,12 @@ class SourceDriversSpec extends SparkSuite {
     assert(r.cells.where(length(col("row")) =!= 65).count() === 0)
     val salts = r.cells.select(substring(col("row").cast("string"), 1, 1)).distinct().count()
     assert(salts >= 2) // 3 distinct keys → very likely ≥2 buckets
-    // salted path plans through the exact RegionAlignedSort operator:
-    // one output partition per salt bucket, even for tiny inputs
+    // salted path plans through the exact row-level exchange (the
+    // two-phase ingest sort: rows move once, cells explode inside the
+    // region partition): one output partition per salt bucket
     assert(r.cells.rdd.getNumPartitions === 10)
     assert(r.cells.queryExecution.executedPlan
-      .exists(_.isInstanceOf[graft.plans.RegionAlignedSortExec]))
+      .exists(_.isInstanceOf[graft.plans.RegionAlignedRowExchangeExec]))
   }
 
   test("jsonl: documents roundtrip losslessly (incl. CJK); malformed lines quarantine") {
