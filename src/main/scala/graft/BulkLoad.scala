@@ -89,11 +89,10 @@ object BulkLoad {
     val df = AvroSource.read(spark, input)
     val idCol = df.columns.head
     val kept = df.where(col(idCol).isNotNull)
-    val cells = CellOps.explodeNamed(kept, keys.reversedKey(col(idCol)),
-      cfg.family, df.columns.toSeq, cfg.loadTs)
     val rejected = df.where(col(idCol).isNull)
       .select(to_json(struct(df.columns.map(col): _*)).as("value"))
-    Result(sorted(cells, cfg), rejected, SortedParquetCellSink)
+    Result(sortedNamedFromRows(kept, keys.reversedKey(col(idCol)),
+      df.columns.toSeq, cfg), rejected, SortedParquetCellSink)
   }
 
   /** JSON-lines driver — same named-cell semantics as [[avro]] (reversed
@@ -109,12 +108,11 @@ object BulkLoad {
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
     val idCol = df.columns.head
     val kept = df.where(col(idCol).isNotNull)
-    val cells = CellOps.explodeNamed(kept, keys.reversedKey(col(idCol)),
-      cfg.family, df.columns.toSeq, cfg.loadTs)
     val rejected = df.where(col(idCol).isNull)
       .select(to_json(struct(df.columns.map(col): _*)).as("value"))
       .unionByName(malformed)
-    Result(sorted(cells, cfg), rejected, SortedParquetCellSink)
+    Result(sortedNamedFromRows(kept, keys.reversedKey(col(idCol)),
+      df.columns.toSeq, cfg), rejected, SortedParquetCellSink)
   }
 
   /** The reference RC driver's literal key fields (BulkImporterFromRC.java:54-56):
@@ -218,18 +216,32 @@ object BulkLoad {
   private[graft] def sortedFromRows(rows: DataFrame,
                                     explode: DataFrame => DataFrame,
                                     cfg: Config): DataFrame = {
+    val key = rows.columns.head // the leading column IS the binary row key
     val exchanged = (cfg.saltBuckets, cfg.splits) match {
       case (Some(b), _) =>
-        val salted = rows.withColumn("row",
-          concat(keys.saltPrefix(crc32(col("row")), b), col("row")))
+        val salted = rows.withColumn(key,
+          concat(keys.saltPrefix(crc32(col(key)), b), col(key)))
         graft.plans.RegionAlignedRowExchange(salted, RegionSort.saltSplits(b))
       case (None, Some(s)) =>
         graft.plans.RegionAlignedRowExchange(rows, s.toArray)
       case (None, None) =>
-        rows.repartitionByRange(cfg.regions, col("row"))
+        rows.repartitionByRange(cfg.regions, col(key))
     }
     explode(exchanged)
       .sortWithinPartitions(col("row"), col("family"), col("qualifier"))
+  }
+
+  /** [[sortedFromRows]] for the NAMED-qualifier feeds (Avro/JSONL): keys
+    * each source row once under a collision-proof column name (the source
+    * schema may legitimately contain a `row` field) and explodes with
+    * field-name qualifiers inside the region partition. */
+  private[graft] def sortedNamedFromRows(kept: DataFrame, rowKey: Column,
+                                         names: Seq[String], cfg: Config): DataFrame = {
+    val keyName = "__graft_row"
+    val wide = kept.select((rowKey.as(keyName) +: names.map(col)): _*)
+    sortedFromRows(wide,
+      df => CellOps.explodeNamed(df, col(keyName), cfg.family, names, cfg.loadTs),
+      cfg)
   }
 }
 
