@@ -43,9 +43,10 @@ object StreamingIngest {
   /** One completed micro-batch: its id, output path, cell count,
     * wall-clock seconds spent inside its foreachBatch body, the body's
     * per-phase breakdown (`write` = parse + region-aligned sort + data
-    * files; `quarantine`; `post_commit`), and the seconds the DEFERRED
-    * lane spent on this batch (manifest + cell-count readback — off the
-    * trigger critical path; see [[run]]). */
+    * files; `quarantine` — runs CONCURRENTLY with `write` on its own
+    * lane, so phases overlap and do not sum to `secs`; `post_commit`),
+    * and the seconds the DEFERRED lane spent on this batch (manifest +
+    * cell-count readback — off the trigger critical path; see [[run]]). */
   case class BatchResult(batchId: Long, path: String, cells: Long,
                          secs: Double = 0.0,
                          phases: Map[String, Double] = Map.empty,
@@ -112,6 +113,15 @@ object StreamingIngest {
       (r: Runnable) => { val t = new Thread(r, "graft-stream-deferred"); t.setDaemon(true); t })
     implicit val deferredEc: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(deferredExec)
+    // quarantine lane: the quarantine write IS commit-ordered (it must
+    // land before the checkpoint commit — no-silent-drop), but it is
+    // INDEPENDENT of the cells write, so it runs concurrently with it
+    // and is joined before postCommit; its tiny job hides entirely under
+    // the region exchange
+    val quarExec = java.util.concurrent.Executors.newSingleThreadExecutor(
+      (r: Runnable) => { val t = new Thread(r, "graft-stream-quarantine"); t.setDaemon(true); t })
+    val quarEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(quarExec)
     val deferred = scala.collection.concurrent.TrieMap
       .empty[Long, scala.concurrent.Future[(Long, Double)]]
     def drain(): Unit = deferred.values.foreach(f =>
@@ -133,16 +143,22 @@ object StreamingIngest {
           val r = BulkLoad.fromPositional(kept, rejected, fixedCfg)
           val sink = sinkOverride.getOrElse(r.sink)
           val dest = f"$outDir/batch_$batchId%05d"
+          // quarantined rows ride along per batch — same no-silent-drop
+          // contract as the batch path; submitted FIRST so the tiny job
+          // overlaps the cells write, joined before postCommit (a
+          // quarantine failure still fails the batch pre-commit)
+          val quarF = scala.concurrent.Future {
+            val t = System.nanoTime()
+            r.quarantined.write.mode("overwrite").parquet(s"$dest.quarantine")
+            lap(t)
+          }(quarEc)
           val tw = System.nanoTime()
           val deferManifest = sink == graft.SortedParquetCellSink
           if (deferManifest) graft.SortedParquetCellSink.writeData(r.cells, dest)
           else sink.write(r.cells, dest)
           val wSecs = lap(tw)
-          // quarantined rows ride along per batch — same no-silent-drop
-          // contract as the batch path
-          val tq = System.nanoTime()
-          r.quarantined.write.mode("overwrite").parquet(s"$dest.quarantine")
-          val qSecs = lap(tq)
+          val qSecs = scala.concurrent.Await.result(
+            quarF, scala.concurrent.duration.Duration.Inf)
           // adoption stays ON the critical path: exactly-once bulk-load
           // ordering (chmod → doBulkLoad → cleanup) is per batch
           val tp = System.nanoTime()
@@ -171,7 +187,8 @@ object StreamingIngest {
         ()
       }
       .start()
-    try { q.processAllAvailable(); drain() } finally { q.stop(); deferredExec.shutdown() }
+    try { q.processAllAvailable(); drain() }
+    finally { q.stop(); deferredExec.shutdown(); quarExec.shutdown() }
     results.map { b =>
       val (n, dSecs) = scala.concurrent.Await.result(
         deferred(b.batchId), scala.concurrent.duration.Duration.Inf)
