@@ -1247,6 +1247,38 @@ class SourceDriversSpec extends SparkSuite {
       "nothing may be absorbed past a fingerprint mismatch")
   }
 
+  test("batch fileset fingerprint: deterministic across identical re-writes, different for different content") {
+    // the replay guard's foundation: a deterministic foreachBatch replay
+    // re-lands byte-identical part files (fresh names, same lengths), so
+    // the name-independent length fingerprint matches — and any content
+    // change moves at least one length
+    import graft.sources.CellCompaction
+    import org.apache.hadoop.fs.Path
+    val cfg = BulkLoad.Config(splits =
+      Some(graft.operators.RegionSort.uniformMd5Splits(10).toSeq))
+    def land(dir: String, nRows: Int): Unit = {
+      val wide = (0 until nRows).map { i =>
+        val r = (0 until 9).map(c => s"fpd_v${i}_$c")
+        (r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7), r(8))
+      }.toDF((0 until 9).map(i => s"c$i"): _*)
+      SortedParquetCellSink.write(
+        BulkLoad.fromPositional(wide, BulkLoad.emptyQuarantine(spark), cfg).cells, dir)
+    }
+    val base = tmpDir()
+    land(s"$base/a", 40); land(s"$base/b", 40); land(s"$base/c", 55)
+    val fs = new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
+    val (fa, fb, fc) = (CellCompaction.fingerprint(fs, new Path(s"$base/a")),
+      CellCompaction.fingerprint(fs, new Path(s"$base/b")),
+      CellCompaction.fingerprint(fs, new Path(s"$base/c")))
+    assert(fa === fb, "identical content re-landed must fingerprint identically")
+    assert(fa !== fc, "different content must move the fingerprint")
+    // name-independence: part names differ across the two writes (fresh
+    // task UUIDs) even though the fingerprints match
+    def names(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert((names(s"$base/a") intersect names(s"$base/b")).isEmpty)
+  }
+
   test("IngestCli dedup-build / dedup-advance verbs e2e: advance ≡ full recompute; --from-key errors are loud") {
     import graft.operators.Dedup
     val drop1 = tmpDir() + "/drop1"
