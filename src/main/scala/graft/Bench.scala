@@ -115,10 +115,14 @@ object Bench {
     //   - maxFilesPerTrigger=1 (10 micro-batches): the per-batch FLOOR —
     //     the latency-bound posture, every batch pays trigger/offset-log/
     //     write-job/postCommit cost alone;
-    //   - maxFilesPerTrigger=5 (2 micro-batches): the throughput posture —
+    //   - maxFilesPerTrigger=10 (1 micro-batch): the throughput posture —
     //     a backlogged or catch-up stream amortizes the fixed per-batch
     //     cost across files, same exactly-once contract, same per-batch
     //     region-aligned layout.
+    // The intermediate mft5 posture was RETIRED in r14: r13 showed mft5 ≈
+    // mft10 (169k vs 219k rows/s, same ambient) — the per-batch fixed
+    // cost it existed to expose is amortized away by 5 files/trigger, so
+    // a third posture is redundant bench time (BASELINE.md methodology).
     // min of 2 passes each; per-pass and per-batch secs in the artifact.
     def streamRun(mft: Int, tag: String)
         : (Option[Double], Seq[Double], Seq[Double], Map[String, Double]) =
@@ -149,8 +153,11 @@ object Bench {
           s"expected ${(10 + mft - 1) / mft} micro-batches, got ${batches.length}")
         // per-batch breakdown (best pass): in-foreachBatch seconds per
         // phase; "deferred" = the off-critical-path manifest+count lane;
-        // "engine" = pass total − in-body sum − deferred-beyond-the-last-
-        // trigger, i.e. Structured Streaming's own trigger/offset-log cost
+        // "engine" = pass total − in-body sum: Structured Streaming's own
+        // trigger/offset-log cost PLUS the deferred lane's drain tail
+        // (run() joins the lane before returning, so any deferred work
+        // outlasting the last trigger lands here — bounded above by the
+        // final batch's deferredSecs)
         if (secs < bestPass) {
           bestPass = secs; batchSecs = batches.map(_.secs)
           val keys = batches.flatMap(_.phases.keys).distinct
@@ -166,7 +173,6 @@ object Bench {
       (Some(inputRows / passes.min), passes, batchSecs, phaseSums)
     }
     val (streamIngest, streamPasses, streamBatchSecs, streamPhases) = streamRun(1, "")
-    val (streamIngest5, streamPasses5, streamBatchSecs5, streamPhases5) = streamRun(5, "m5")
     val (streamIngest10, streamPasses10, streamBatchSecs10, streamPhases10) = streamRun(10, "m10")
 
     def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
@@ -204,11 +210,9 @@ object Bench {
         s""","stream_ingest${tag}_rows_per_sec":${r.round},"stream_ingest${tag}_pass_secs":$pp,"stream_ingest${tag}_batch_secs":$bb,"stream_ingest${tag}_phase_secs":${phJson(phases)},"stream_ingest${tag}_method":"$method""""
       }.getOrElse("")
       posture("", streamIngest, streamPasses, streamBatchSecs, streamPhases,
-        "min-of-2, 10 single-file micro-batches of the reference CSV; batch_secs = in-foreachBatch time per micro-batch of the best pass; phase_secs = best-pass sums (write/quarantine/post_commit in-body; deferred = off-critical-path manifest+count lane; engine = pass - in-body sum)") +
-      posture("_mft5", streamIngest5, streamPasses5, streamBatchSecs5, streamPhases5,
-        "same input, maxFilesPerTrigger=5 (2 micro-batches) — the backlog/catch-up posture amortizing per-batch fixed cost") +
+        "min-of-2, 10 single-file micro-batches of the reference CSV; batch_secs = in-foreachBatch time per micro-batch of the best pass; phase_secs = best-pass sums (write/quarantine/post_commit in-body; deferred = off-critical-path manifest+count lane; engine = pass - in-body sum, which includes trigger/offset-log cost plus the deferred drain tail past the last trigger)") +
       posture("_mft10", streamIngest10, streamPasses10, streamBatchSecs10, streamPhases10,
-        "same input, maxFilesPerTrigger=10 (1 micro-batch) — the single-trigger upper bound for the fixed-cost amortization")
+        "same input, maxFilesPerTrigger=10 (1 micro-batch) — the amortized/backlog posture (mft5 retired r14: converged with mft10 at r13)")
     }
     val full =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$ingestFull,"sf":"$sfDir"}"""
@@ -224,7 +228,6 @@ object Bench {
     val ingestShort = ingest.map(r => s""","ingest_rows_per_sec":${r.round}""").getOrElse("") +
       canaryRatio.map(r => s""","canary_ratio":${ms(r)}""").getOrElse("") +
       streamIngest.map(r => s""","stream_ingest_rows_per_sec":${r.round}""").getOrElse("") +
-      streamIngest5.map(r => s""","stream_ingest_mft5_rows_per_sec":${r.round}""").getOrElse("") +
       streamIngest10.map(r => s""","stream_ingest_mft10_rows_per_sec":${r.round}""").getOrElse("")
     val nFail = results.count(_._2 < 0)
     val summary =

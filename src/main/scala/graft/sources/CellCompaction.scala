@@ -88,9 +88,10 @@ object CellCompaction {
     *
     * IDEMPOTENT PER BATCH ID: `dest/_absorbed` records the batch-dir
     * NAME plus a CONTENT FINGERPRINT (md5 over the fileset's sorted
-    * part-file lengths — name-independent, since a deterministic replay
-    * re-lands the same bytes under fresh task-attempt file names) of each
-    * recently absorbed batch. A batch dir whose name AND fingerprint
+    * per-file length/rowCount/row-key-bound tuples — name-independent,
+    * since a deterministic replay re-lands the same bytes under fresh
+    * task-attempt file names; see [[fingerprint]]) of each recently
+    * absorbed batch. A batch dir whose name AND fingerprint
     * match a ledger entry is a STREAMING REPLAY (a crash after the sweep
     * but before the checkpoint commit re-runs foreachBatch for the same
     * batch id, which deterministically recreates the same fileset) — it
@@ -171,23 +172,46 @@ object CellCompaction {
     name.stripPrefix("batch_").toLong
 
   /** Content fingerprint of a landed batch fileset: md5 over the SORTED
-    * part-file LENGTHS (names excluded — a deterministic foreachBatch
-    * replay recreates identical bytes under fresh task-attempt UUID
-    * names). One driver-side listStatus; no data bytes read. */
+    * per-file (length, rowCount, loKeyHex, hiKeyHex) tuples — names
+    * excluded (a deterministic foreachBatch replay recreates identical
+    * bytes under fresh task-attempt UUID names). Lengths alone are NOT
+    * enough: a checkpoint-reset batch whose NEW data coincidentally lands
+    * the same sorted length multiset would be indistinguishable from a
+    * replay and silently retired; row counts and row-key bounds are
+    * content-derived and free (the batch's own manifest already records
+    * them — one small-file read; a missing/stale manifest entry costs one
+    * footer open for that file only, metadata pages, no data read). */
   private[graft] def fingerprint(fs: org.apache.hadoop.fs.FileSystem,
                                  dir: Path): String = {
-    val lens = fs.listStatus(dir)
+    val conf = fs.getConf
+    val manifest = CellManifest.read(conf, dir.toString).getOrElse(Map.empty)
+    val sigs = fs.listStatus(dir)
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
         s.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sorted
-    val body = lens.length + ":" + lens.mkString(",")
+      .map { s =>
+        val len = s.getLen
+        val (rows, bounds) = manifest.get(s.getPath.getName)
+          .filter(e => e.length == len && e.rows >= 0) match {
+          case Some(e) => (e.rows, e.bounds)
+          case None    => CellManifest.footerStats(s.getPath.toString, conf)
+        }
+        val b = bounds.map { case (lo, hi) =>
+          CellManifest.toHex(lo) + "/" + CellManifest.toHex(hi) }.getOrElse("-")
+        s"$len:$rows:$b"
+      }.sorted
+    val body = sigs.length + ":" + sigs.mkString(",")
     java.security.MessageDigest.getInstance("MD5")
       .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
   /** name → fingerprint ("" for legacy name-only lines). Falls back to
     * the temp sibling when a crash landed between the old ledger's
-    * retirement and the new one's rename-in. */
+    * retirement and the new one's rename-in. Lines whose name is not a
+    * `batch_<digits>` id are DROPPED: such a name can never match a batch
+    * dir ([[batchDirs]] admits only that shape), so it carries no replay
+    * protection — and keeping it would crash every subsequent sweep's
+    * bounded-retention filter ([[batchId]] toLong) on a hand-edited or
+    * corrupted ledger line. Degrade, don't abort. */
   private def readLedger(fs: org.apache.hadoop.fs.FileSystem,
                          p: Path): Map[String, String] = {
     val tmp = new Path(p.getParent, p.getName + ".tmp")
@@ -204,7 +228,7 @@ object CellCompaction {
           case Array(n, fp) => n -> fp
           case fields       => fields.head -> ""
         }
-      }.toMap
+      }.filter { case (n, _) => n.matches("batch_\\d+") }.toMap
     }
   }
 

@@ -70,6 +70,7 @@ object CellManifest {
     * files/parallelism footer opens per task — O(seconds) even at 100k
     * regions — and the driver only writes the collected ~50 B/file TSV. */
   def write(spark: SparkSession, dir: String): Unit = {
+    checkSeam(dir)
     val hc = spark.sessionState.newHadoopConf()
     val p = new Path(dir)
     val fs = p.getFileSystem(hc)
@@ -85,6 +86,7 @@ object CellManifest {
     * 50 files costs 50 footer opens, not 100k. No existing manifest →
     * identical to [[write]]. Returns the number of files statted. */
   def update(spark: SparkSession, dir: String): Int = {
+    checkSeam(dir)
     val hc = spark.sessionState.newHadoopConf()
     val p = new Path(dir)
     val fs = p.getFileSystem(hc)
@@ -152,6 +154,30 @@ object CellManifest {
     }
   }
 
+  /** Test seam: [[write]]/[[update]] throw before touching anything when
+    * the target dir starts with this prefix — lets a spec drive the
+    * deferred-manifest failure path ([[graft.streaming.StreamingIngest]])
+    * without corrupting real state. Path-scoped so a parallel suite can
+    * never trip another test's writes. */
+  @volatile private[graft] var failWritesUnder: Option[String] = None
+
+  private def checkSeam(dir: String): Unit =
+    failWritesUnder.foreach { prefix =>
+      if (dir.startsWith(prefix))
+        throw new java.io.IOException(s"injected manifest write failure (test seam): $dir")
+    }
+
+  /** ATOMIC install — temp sibling + rename, never an in-place overwrite.
+    * The deferred manifest lane ([[graft.streaming.StreamingIngest]])
+    * made writer/reader overlap routine: a reader racing this rewrite
+    * must see either the old manifest or the new one, never a prefix of
+    * a torn in-place write. If the FS refuses a rename onto an existing
+    * destination (HDFS semantics), the old file is retired first; the
+    * [live-missing, tmp-present] crash/race window between those steps is
+    * covered by [[readOrThrow]]'s tmp fallback (the tmp is always
+    * complete by then — it is fully written and closed before the live
+    * file is touched). Same posture as the compaction ledger install
+    * ([[CellCompaction]]). */
   private def persist(fs: org.apache.hadoop.fs.FileSystem, p: Path,
                       entries: Seq[(String, Entry)]): Unit = {
     val body = entries.map {
@@ -159,8 +185,15 @@ object CellManifest {
         s"$name\t$len\t$rows\t${toHex(lo)}\t${toHex(hi)}"
       case (name, Entry(len, rows, None)) => s"$name\t$len\t$rows\t-\t-"
     }.mkString("", "\n", "\n")
-    val out = fs.create(new Path(p, FileName), true)
+    val live = new Path(p, FileName)
+    val tmp = new Path(p, FileName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, live)) {
+      fs.delete(live, false)
+      if (!fs.rename(tmp, live))
+        throw new java.io.IOException(s"manifest install failed: $tmp -> $live")
+    }
   }
 
   /** Parse the manifest if present: part-file name → [[Entry]]. Returns
@@ -179,12 +212,26 @@ object CellManifest {
     *     Entry(-1,-1,None) — weaker pruning + a live re-stat for that
     *     file only. */
   def read(spark: SparkSession, dir: String): Option[Map[String, Entry]] =
-    scala.util.Try(readOrThrow(spark, dir)).toOption.flatten
+    read(spark.sessionState.newHadoopConf(), dir)
 
-  private def readOrThrow(spark: SparkSession, dir: String): Option[Map[String, Entry]] = {
-    val p = new Path(dir, FileName)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) return None
+  /** Configuration-based variant (no SparkSession) — usable from executor
+    * tasks and non-Spark call sites (the compaction replay fingerprint). */
+  private[graft] def read(conf: Configuration, dir: String): Option[Map[String, Entry]] =
+    scala.util.Try(readOrThrow(conf, dir)).toOption.flatten
+
+  private def readOrThrow(conf: Configuration, dir: String): Option[Map[String, Entry]] = {
+    val live = new Path(dir, FileName)
+    val fs = live.getFileSystem(conf)
+    // tmp fallback: persist() on an HDFS-semantics FS retires the live
+    // file before renaming the (complete, closed) temp sibling in — a
+    // reader landing in that window reads the tmp instead of degrading
+    // to footer stats. Same recovery the compaction ledger uses.
+    val p =
+      if (fs.exists(live)) live
+      else {
+        val tmp = new Path(dir, FileName + ".tmp")
+        if (fs.exists(tmp)) tmp else return None
+      }
     val in = fs.open(p)
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString

@@ -152,11 +152,22 @@ object StreamingIngest {
             r.quarantined.write.mode("overwrite").parquet(s"$dest.quarantine")
             lap(t)
           }(quarEc)
-          val tw = System.nanoTime()
           val deferManifest = sink == graft.SortedParquetCellSink
-          if (deferManifest) graft.SortedParquetCellSink.writeData(r.cells, dest)
-          else sink.write(r.cells, dest)
-          val wSecs = lap(tw)
+          val wSecs =
+            try {
+              val tw = System.nanoTime()
+              if (deferManifest) graft.SortedParquetCellSink.writeData(r.cells, dest)
+              else sink.write(r.cells, dest)
+              lap(tw)
+            } catch { case e: Throwable =>
+              // join the in-flight quarantine job before the batch failure
+              // propagates: an abandoned Future would keep writing after
+              // the engine retries/replays this batch id, racing a second
+              // mode-overwrite writer on the same $dest.quarantine dir
+              scala.concurrent.Await.ready(
+                quarF, scala.concurrent.duration.Duration.Inf)
+              throw e
+            }
           val qSecs = scala.concurrent.Await.result(
             quarF, scala.concurrent.duration.Duration.Inf)
           // adoption stays ON the critical path: exactly-once bulk-load
@@ -167,8 +178,11 @@ object StreamingIngest {
           deferred(batchId) = scala.concurrent.Future {
             val td = System.nanoTime()
             if (deferManifest)
+              // NonFatal only: OutOfMemoryError/InterruptedException must
+              // propagate (fail the Future, surface at drain), never be
+              // logged away as a benign manifest fallback
               try graft.sources.CellManifest.write(spark, dest)
-              catch { case e: Throwable => System.err.println(
+              catch { case scala.util.control.NonFatal(e) => System.err.println(
                 s"[graft] deferred manifest for $dest failed " +
                   s"(${e.getClass.getSimpleName}); readers fall back to footers") }
             (footerCount(spark, dest), lap(td))

@@ -1279,6 +1279,199 @@ class SourceDriversSpec extends SparkSuite {
     assert((names(s"$base/a") intersect names(s"$base/b")).isEmpty)
   }
 
+  test("replay fingerprint folds in row counts + key bounds: footer-sourced ≡ manifest-sourced; a row-count change at identical lengths moves it") {
+    import graft.sources.{CellCompaction, CellManifest}
+    val cfg = BulkLoad.Config(splits =
+      Some(graft.operators.RegionSort.uniformMd5Splits(10).toSeq))
+    val base = tmpDir()
+    val wide = (0 until 40).map { i =>
+      val r = (0 until 9).map(c => s"fpr_v${i}_$c")
+      (r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7), r(8))
+    }.toDF((0 until 9).map(i => s"c$i"): _*)
+    SortedParquetCellSink.write(
+      BulkLoad.fromPositional(wide, BulkLoad.emptyQuarantine(spark), cfg).cells,
+      s"$base/d")
+    val fs = new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new Path(s"$base/d")
+    val fromManifest = CellCompaction.fingerprint(fs, p)
+    // the two sourcing paths must agree: delete the manifest (and its
+    // checksum sidecar) and the per-file footer opens yield the same hash
+    val mf = new java.io.File(s"$base/d", CellManifest.FileName)
+    val crcName = "." + CellManifest.FileName + ".crc"
+    val bytes = java.nio.file.Files.readAllBytes(mf.toPath)
+    assert(mf.delete())
+    new java.io.File(s"$base/d", crcName).delete()
+    assert(CellCompaction.fingerprint(fs, p) === fromManifest,
+      "manifest-sourced and footer-sourced fingerprints must agree")
+    // forge the manifest: same names, same LENGTHS, different ROW COUNTS —
+    // the checkpoint-reset corner a lengths-only hash cannot see. The
+    // fingerprint trusts a length-matching manifest entry, so it must move.
+    val forged = new String(bytes, "UTF-8").split('\n').filter(_.nonEmpty)
+      .map { l =>
+        val f = l.split('\t'); f(2) = (f(2).toLong + 1).toString; f.mkString("\t")
+      }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(mf.toPath, forged.getBytes("UTF-8"))
+    new java.io.File(s"$base/d", crcName).delete()
+    assert(CellCompaction.fingerprint(fs, p) !== fromManifest,
+      "a row-count change at identical part lengths must move the fingerprint")
+  }
+
+  test("compactMinor: corrupted/hand-edited ledger lines are dropped, never crash the sweep") {
+    import graft.sources.CellCompaction
+    val root = tmpDir() + "/badledger"
+    val dest = s"$root/serving"
+    val cfg = BulkLoad.Config(splits =
+      Some(graft.operators.RegionSort.uniformMd5Splits(10).toSeq))
+    def writeBatch(b: Int, nRows: Int): Unit = {
+      val wide = (0 until nRows).map { i =>
+        val r = (0 until 9).map(c => s"bl${b}_v${i}_$c")
+        (r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7), r(8))
+      }.toDF((0 until 9).map(i => s"c$i"): _*)
+      SortedParquetCellSink.write(
+        BulkLoad.fromPositional(wide, BulkLoad.emptyQuarantine(spark), cfg).cells,
+        f"$root/batch_$b%05d")
+    }
+    writeBatch(0, 30)
+    assert(CellCompaction.compactMinor(spark, root, dest, cfg) === 1)
+    // hand-edit the ledger: a non-batch name and a junk line — neither can
+    // ever match a batch dir, so both are droppable; before validation the
+    // bounded-retention filter crashed every later sweep on toLong
+    val ledger = new java.io.File(dest, CellCompaction.AbsorbedLedger)
+    val text = scala.io.Source.fromFile(ledger, "UTF-8").mkString
+    java.nio.file.Files.write(ledger.toPath,
+      (text + "not_a_batch\tdeadbeef\ngarbage line without tabs\n").getBytes("UTF-8"))
+    new java.io.File(dest, "." + CellCompaction.AbsorbedLedger + ".crc").delete()
+    writeBatch(1, 30)
+    assert(CellCompaction.compactMinor(spark, root, dest, cfg) === 1,
+      "a sweep past a corrupted ledger line must degrade, not crash")
+    // the rewritten ledger carries only well-formed batch ids
+    val after = scala.io.Source.fromFile(ledger, "UTF-8").getLines()
+      .filter(_.nonEmpty).toSeq
+    assert(after.nonEmpty &&
+      after.forall(_.split('\t').head.matches("batch_\\d+")), after.toString)
+  }
+
+  test("CellManifest.persist installs atomically: racing reads parse complete manifests, never a prefix; tmp fallback covers the rename window") {
+    import graft.sources.CellManifest
+    val dir = tmpDir() + "/race"
+    val cfg = BulkLoad.Config(splits =
+      Some(graft.operators.RegionSort.uniformMd5Splits(8).toSeq))
+    val wide = (0 until 40).map { i =>
+      val r = (0 until 9).map(c => s"race_v${i}_$c")
+      (r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7), r(8))
+    }.toDF((0 until 9).map(i => s"c$i"): _*)
+    SortedParquetCellSink.write(
+      BulkLoad.fromPositional(wide, BulkLoad.emptyQuarantine(spark), cfg).cells, dir)
+    val parts = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts > 0)
+    // hammer full rewrites on another thread while this one reads: the
+    // rename-based install means every successful read parses COMPLETELY
+    // (full part count, no torn/conservative entries). A transient None
+    // (e.g. a checksum-sidecar race on the local FS) is the documented
+    // degrade path and is allowed; a PARTIAL parse never is.
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val writer = new Thread({ () =>
+      try (0 until 12).foreach(_ => CellManifest.write(spark, dir))
+      catch { case t: Throwable => writerErr.set(t) }
+      finally stop.set(true)
+    }: Runnable)
+    writer.start()
+    var observed = 0
+    while (!stop.get()) {
+      CellManifest.read(spark, dir).foreach { m =>
+        assert(m.size === parts, "a racing read may never see a partial manifest")
+        assert(m.values.forall(e => e.length >= 0 && e.rows >= 0 && e.bounds.nonEmpty),
+          "a racing read may never see torn entries under pure rewrites")
+        observed += 1
+      }
+    }
+    writer.join()
+    assert(writerErr.get() === null, s"writer failed: ${writerErr.get()}")
+    assert(observed > 0, "the reader must have observed the manifest")
+    // the [live-missing, tmp-present] retire-first window (HDFS rename
+    // semantics): a reader falls back to the COMPLETE temp sibling
+    val expected = CellManifest.read(spark, dir).get
+    val live = new java.io.File(dir, CellManifest.FileName)
+    val tmp = new java.io.File(dir, CellManifest.FileName + ".tmp")
+    assert(live.renameTo(tmp))
+    val liveCrc = new java.io.File(dir, "." + CellManifest.FileName + ".crc")
+    if (liveCrc.exists())
+      assert(liveCrc.renameTo(
+        new java.io.File(dir, "." + CellManifest.FileName + ".tmp.crc")))
+    val viaTmp = CellManifest.read(spark, dir)
+    assert(viaTmp.isDefined, "read must fall back to the tmp sibling")
+    assert(viaTmp.get.keySet === expected.keySet)
+  }
+
+  test("streaming ingest: a deferred-manifest failure degrades to footer fallback — batch commits, counts exact, serving read exact") {
+    import graft.streaming.StreamingIngest
+    import graft.sources.CellManifest
+    val in = tmpDir() + "/in"
+    new java.io.File(in).mkdirs()
+    def put(name: String, rows: Seq[Product]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        rows.map(_.productIterator.mkString(",")).mkString("\n").getBytes("UTF-8"))
+    put("f1.txt", Seq(rows9(0), rows9(1)))
+    put("f2.txt", Seq(rows9(2)))
+    val out = tmpDir() + "/out"
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    CellManifest.failWritesUnder = Some(out)
+    val batches =
+      try {
+        System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+        try StreamingIngest.run(spark, in, out, tmpDir() + "/ckpt",
+          cfg = BulkLoad.Config(compatNaiveSplit = true))
+        finally System.setErr(oldErr)
+      } finally CellManifest.failWritesUnder = None
+    assert(batches.length === 2, "batches must still commit past a manifest failure")
+    assert(new String(errBuf.toByteArray, "UTF-8").contains("deferred manifest"),
+      "the degrade must be logged, not silent")
+    batches.foreach { b =>
+      assert(!new java.io.File(b.path, CellManifest.FileName).exists(),
+        "the injected failure must have blocked the manifest write")
+      assert(b.cells === spark.read.parquet(b.path).count(),
+        "the cell-count readback must be exact via the footer fallback")
+    }
+    // serving content is exact without any manifest (scan-side footer path)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(hex(col("row")), hex(col("qualifier")), hex(col("value")))
+      .as[(String, String, String)].collect().sorted.toSeq
+    val streamed = batches.map(b => spark.read.parquet(b.path))
+      .reduce(_ unionByName _)
+    val batch = BulkLoad.csv(spark, in, BulkLoad.Config(compatNaiveSplit = true))
+    assert(key(streamed) === key(batch.cells))
+  }
+
+  test("streaming ingest: a failed cells write fails the batch LOUDLY with the quarantine job joined, not orphaned") {
+    import graft.streaming.StreamingIngest
+    val in = tmpDir() + "/in"
+    new java.io.File(in).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "f1.txt"),
+      Seq(rows9(0), rows9(1)).map(_.productIterator.mkString(","))
+        .mkString("\n").getBytes("UTF-8"))
+    val out = tmpDir() + "/out"
+    val boom = new CellSink {
+      override def write(cells: org.apache.spark.sql.DataFrame, path: String): Unit =
+        throw new RuntimeException("injected cells-write failure")
+    }
+    val e = intercept[Throwable](
+      StreamingIngest.run(spark, in, out, tmpDir() + "/ckpt",
+        cfg = BulkLoad.Config(compatNaiveSplit = true), sinkOverride = Some(boom)))
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ causes(t.getCause)
+    assert(causes(e).exists(_.contains("injected cells-write failure")),
+      s"the batch failure must propagate loudly, got: ${causes(e)}")
+    // the in-flight quarantine job was JOINED before the failure left the
+    // batch body: its output is a committed fileset (_SUCCESS present),
+    // never an orphan writer that would race a replayed batch's overwrite
+    assert(new java.io.File(s"$out/batch_00000.quarantine", "_SUCCESS").exists(),
+      "quarantine must be complete by the time the batch failure surfaces")
+  }
+
   test("IngestCli dedup-build / dedup-advance verbs e2e: advance ≡ full recompute; --from-key errors are loud") {
     import graft.operators.Dedup
     val drop1 = tmpDir() + "/drop1"
