@@ -49,6 +49,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local("graft-bench", cpus.toInt)
 
+    // SPARK_GRAFT_STREAM_ROCKSDB=1 measures the RocksDB state-backend
+    // posture for every stateful stream_* query (see StateBackend's
+    // scaladoc for when that posture wins). Evaluation lever only; the
+    // standing artifact uses the default heap-backed store.
+    if (sys.env.get("SPARK_GRAFT_STREAM_ROCKSDB").contains("1"))
+      graft.streaming.StateBackend.useRocksDB(spark)
+
     // Warmup: JIT, codegen cache, parquet footer reads.
     try force(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
     catch { case _: Throwable => () }

@@ -51,7 +51,11 @@ object ScaleStress {
     "dedup_store_incremental",
     // PPJoin family (r11 ask #4): the df-capped prefix filter's candidate
     // volume should track corpus size, not its square
-    "dedup_jaccard_prefix")
+    "dedup_jaccard_prefix",
+    // exact-substring REWRITE (r14): shuffles sized by duplication, the
+    // doc-local token filter adds no token-level exchange — alpha should
+    // track the window-digest aggregate (linear), not pair volume
+    "dedup_span_removal")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -213,6 +213,159 @@ object Dedup {
           .as("dup_fraction"))
   }
 
+  /** Exact-substring dedup as a REWRITE, not just a score — the actual
+    * removal pass of Lee et al. 2022: every ≥ k-token span occurring in
+    * two or more documents is deleted from all but one of them. Detection
+    * is the [[repeatedSpanStats]] sliding k-token window (every repeated
+    * substring of length ≥ k contains a repeated k-window); the retained
+    * copy is deterministic — for each duplicated window digest, the
+    * minimum doc_id that contains it keeps ALL its occurrences, every
+    * other document drops every token position covered by that window.
+    * Output: (doc_id, text_clean, n_tokens, n_removed) — one row per input
+    * document (fully-deduplicated documents survive with text_clean = '').
+    *
+    * Scale shape — the key property is that the expensive frames are sized
+    * by DUPLICATION, not by the corpus: the positional window frame
+    * collapses digest-keyed (map-side-combinable `min`/`count distinct`)
+    * before its one shuffle; only dup-flagged occurrences expand to
+    * covered positions (≤ k · dup windows) and collapse again to ONE
+    * per-doc position-set row. The rewrite itself is doc-local — a codegen
+    * higher-order `filter` over the token array where the document row
+    * already lives — so clean data flows through with an empty side of a
+    * single key-join and zero token-level shuffle. Same md5 hash-exactness
+    * caveat as [[exact]]. */
+  def removeRepeatedSpans(docs: DataFrame, k: Int): DataFrame = {
+    val win = spanWindows(docs, k).materialized
+    val keepers = win.groupBy(col("s"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"), min(col("doc_id")).as("keeper"))
+    val removedPerDoc = win.join(keepers, Seq("s"))
+      .where(col("ndocs") >= 2 && col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("rm"))
+    applySpanRemoval(docs, removedPerDoc)
+  }
+
+  /** Positional k-token window digests: (doc_id, pos, s) — one row per
+    * window occurrence, s = md5 of the space-joined window. */
+  private def spanWindows(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(TextOps.shingleStructs(col("text"), k)).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("pos"),
+        unhex(md5(TextOps.shingleString(col("t"), k).cast(BinaryType))).as("s"))
+
+  /** Doc-local token rewrite shared by the one-shot and stored span
+    * removers: drop each document's removed-position set (`rm`,
+    * array<int> keyed by doc_id) inside a codegen higher-order `filter`
+    * where the document row lives — no token-level shuffle. */
+  private def applySpanRemoval(docs: DataFrame, removedPerDoc: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    docs.join(removedPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), toks.as("w"),
+        coalesce(col("rm"), array().cast(ArrayType(IntegerType))).as("rm"))
+      .select(col("doc_id"),
+        filter(col("w"), (_, i) => !array_contains(col("rm"), i)).as("kept"),
+        size(col("w")).cast(LongType).as("n_tokens"))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("text_clean"),
+        col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).as("n_removed"))
+  }
+
+  /** Durable window-digest registry backing INCREMENTAL exact-substring
+    * removal: one row per distinct k-token window digest with the minimum
+    * doc_id holding it (`keeper`) and the count of distinct documents
+    * holding it (`ndocs`). ~40 B/digest, text never stored. */
+  final case class SpanStore(spark: org.apache.spark.sql.SparkSession,
+                             dir: String) {
+    def spans: DataFrame =
+      spark.read.schema("s BINARY, keeper BIGINT, ndocs BIGINT")
+        .parquet(s"$dir/spans.parquet")
+  }
+
+  /** Build-once, serve-many [[SpanStore]] over a corpus drop (same
+    * keying / atomic-rename / immutability contract as [[dedupStore]]).
+    * One corpus text scan: windows → digest-keyed map-side-combinable
+    * aggregate → publish. */
+  def spanStore(docs: DataFrame, k: Int, corpusKey: String): SpanStore = {
+    val spark = docs.sparkSession
+    val path = storePath(spark, s"$corpusKey#spanstore", k, 0.0)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) {
+      fs.mkdirs(path.getParent)
+      val tmp = new org.apache.hadoop.fs.Path(path.getParent,
+        s"_store_tmp_${java.util.UUID.randomUUID()}")
+      spanWindows(docs, k).groupBy(col("s"))
+        .agg(min(col("doc_id")).as("keeper"),
+          countDistinct(col("doc_id")).as("ndocs"))
+        .write.mode("overwrite").parquet(s"$tmp/spans.parquet")
+      if (!fs.rename(tmp, path)) fs.delete(tmp, true)
+    }
+    SpanStore(spark, path.toString)
+  }
+
+  /** INCREMENTAL exact-substring removal: rewrite ONLY the new batch,
+    * with duplication judged against store ∪ batch — output ≡
+    * [[removeRepeatedSpans]] over the full corpus restricted to batch
+    * doc_ids (the contract `dedup_span_store_incremental`'s oracle
+    * hash-checks), provided batch and store doc sets are disjoint — the
+    * same drop-partition contract every store in this engine assumes.
+    *
+    * Scale shape: the old corpus contributes only its persisted digest
+    * registry — old TEXT is never re-read, re-tokenized, or re-hashed,
+    * and old documents are never re-emitted. Per-batch cost = one batch
+    * text scan + a digest-keyed join of batch digests against the
+    * registry (fixed ~40 B rows; the join is the store's scan + exchange,
+    * the price of exact global span identity — bucket the registry by
+    * digest to make the store side exchange-free at deployment scale). */
+  def removeRepeatedSpansStored(newDocs: DataFrame, store: SpanStore,
+                                k: Int): DataFrame = {
+    val win = spanWindows(newDocs, k).materialized
+    val batchAgg = win.groupBy(col("s"))
+      .agg(countDistinct(col("doc_id")).as("bnd"), min(col("doc_id")).as("bkeep"))
+    val merged = batchAgg.join(
+        store.spans.select(col("s"), col("keeper").as("okeep"),
+          col("ndocs").as("ond")),
+        Seq("s"), "left")
+      .select(col("s"),
+        (coalesce(col("ond"), lit(0L)) + col("bnd")).as("ndocs"),
+        least(col("bkeep"), coalesce(col("okeep"), col("bkeep"))).as("keeper"))
+    val removedPerDoc = win.join(merged, Seq("s"))
+      .where(col("ndocs") >= 2 && col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("rm"))
+    applySpanRemoval(newDocs, removedPerDoc)
+  }
+
+  /** ADVANCE a span store by one corpus drop and publish under
+    * `newCorpusKey` (build-once, atomic rename): merged registry =
+    * digest-keyed fold of the stored rows with the batch's — keeper =
+    * min, ndocs = sum (doc sets disjoint by the drop contract), so the
+    * advanced store is EXACTLY the registry a full rebuild over
+    * old ∪ batch would produce (`dedup_span_store_advance`'s oracle),
+    * at batch-scan + registry-merge cost — old text never read. */
+  def spanStoreAdvance(store: SpanStore, newDocs: DataFrame, k: Int,
+                       newCorpusKey: String): SpanStore = {
+    val spark = newDocs.sparkSession
+    val path = storePath(spark, s"$newCorpusKey#spanstore", k, 0.0)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) {
+      fs.mkdirs(path.getParent)
+      val tmp = new org.apache.hadoop.fs.Path(path.getParent,
+        s"_store_tmp_${java.util.UUID.randomUUID()}")
+      val batch = spanWindows(newDocs, k).groupBy(col("s"))
+        .agg(min(col("doc_id")).as("keeper"),
+          countDistinct(col("doc_id")).as("ndocs"))
+      store.spans.unionByName(batch)
+        .groupBy(col("s"))
+        .agg(min(col("keeper")).as("keeper"), sum(col("ndocs")).as("ndocs"))
+        .write.mode("overwrite").parquet(s"$tmp/spans.parquet")
+      if (!fs.rename(tmp, path)) fs.delete(tmp, true)
+    }
+    SpanStore(spark, path.toString)
+  }
+
   val MinHashK = 32
   val Bands = 8
   val RowsPerBand = 4 // MinHashK / Bands

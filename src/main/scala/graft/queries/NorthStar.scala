@@ -525,6 +525,40 @@ object NorthStar {
     "dedup_repeated_spans" -> ((s, dir) =>
       Dedup.repeatedSpanStats(t(s, dir, "documents"), 8)),
 
+    // exact-substring dedup as a rewrite (Lee et al. 2022's removal pass):
+    // every 8-token window occurring in ≥2 docs is deleted from all but
+    // the min-doc_id holder; output is the REWRITTEN corpus, shuffles
+    // sized by duplication (doc-local token filter), not corpus tokens
+    "dedup_span_removal" -> ((s, dir) =>
+      Dedup.removeRepeatedSpans(t(s, dir, "documents"), 8)),
+
+    // INCREMENTAL span removal: the 10% drop is rewritten against the
+    // old-90% corpus' durable window-digest registry — old text never
+    // re-read, old docs never re-emitted. The oracle is the FULL-corpus
+    // removal restricted to batch ids, so store ∪ batch ≡ full recompute
+    // is a hash-checked fact
+    "dedup_span_store_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newDocs = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val oldDocs = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val store = Dedup.spanStore(oldDocs, 8, s"$dir#old90")
+      Dedup.removeRepeatedSpansStored(newDocs, store, 8)
+    }),
+
+    // the maintenance cycle: advance the old-90% registry by the 10%
+    // drop (digest-keyed merge, batch-scan cost) and serve the advanced
+    // store's dup rows — the oracle recomputes them from the full corpus,
+    // so advanced registry ≡ full rebuild is a hash-checked fact
+    "dedup_span_store_advance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newDocs = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val oldDocs = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val store = Dedup.spanStore(oldDocs, 8, s"$dir#old90")
+      val adv = Dedup.spanStoreAdvance(store, newDocs, 8, s"$dir#full")
+      adv.spans.where(col("ndocs") >= 2)
+        .select(lower(hex(col("s"))).as("span_md5"), col("keeper"), col("ndocs"))
+    }),
+
     // frequency-rank vocabulary encoding: top-1000 tokens become ids, the
     // corpus re-assembles into the id sequences a trainer consumes
     "corpus_token_ids" -> ((s, dir) =>
@@ -1953,6 +1987,47 @@ object NorthStar {
        FROM c2 JOIN lft USING (w0) JOIN cont USING (w1), ty
        WHERE c2 >= 3"""
 
+  /** Literal mirror of [[graft.operators.Dedup.removeRepeatedSpans]] at
+    * k = 8: dup-flagged window occurrences (df ≥ 2, not the min-doc_id
+    * keeper) expand to covered token positions; the rewrite anti-joins
+    * those positions out and re-joins the survivors in order. */
+  private val spanRemovalSql = {
+    val span = (1 to 8).map(j => s"w[i+$j]").mkString("||' '||")
+    s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        sp AS (SELECT doc_id, i, md5($span) s
+               FROM (SELECT doc_id, w, unnest(range(len(w)-7)) i FROM t0)
+               WHERE len(w) >= 8),
+        ag AS (SELECT s, count(DISTINCT doc_id) ndocs, min(doc_id) keeper
+               FROM sp GROUP BY 1),
+        fl AS (SELECT sp.doc_id, sp.i FROM sp JOIN ag USING (s)
+               WHERE ndocs >= 2 AND sp.doc_id <> keeper),
+        rm AS (SELECT DISTINCT doc_id, i + j.j AS t
+               FROM fl CROSS JOIN (SELECT unnest(range(8)) AS j) j),
+        tok AS (SELECT doc_id, t, w[t+1] tok
+                FROM (SELECT doc_id, w, unnest(range(len(w))) t FROM t0)),
+        kept AS (SELECT tok.doc_id, tok.t, tok.tok
+                 FROM tok ANTI JOIN rm USING (doc_id, t)),
+        agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY t) tc,
+                       count(*) nk FROM kept GROUP BY 1)
+        SELECT t0.doc_id, coalesce(agg.tc, '') AS text_clean,
+          CAST(len(t0.w) AS BIGINT) AS n_tokens,
+          CAST(len(t0.w) - coalesce(agg.nk, 0) AS BIGINT) AS n_removed
+        FROM t0 LEFT JOIN agg USING (doc_id)"""
+  }
+
+  /** Oracle for `dedup_span_store_advance`: the advanced registry's dup
+    * rows recomputed from the FULL corpus in one shot. */
+  private val spanStoreAdvanceSql = {
+    val span = (1 to 8).map(j => s"w[i+$j]").mkString("||' '||")
+    s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        sp AS (SELECT doc_id, md5($span) s
+               FROM (SELECT doc_id, w, unnest(range(len(w)-7)) i FROM t0)
+               WHERE len(w) >= 8)
+        SELECT s AS span_md5, min(doc_id) AS keeper,
+               count(DISTINCT doc_id) AS ndocs
+        FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2"""
+  }
+
   /** Literal mirror of [[graft.operators.Dedup.repeatedSpanStats]] at
     * k = 8: positional 8-token windows, md5 span identity, df ≥ 2 flag. */
   private val repeatedSpansSql = {
@@ -2523,6 +2598,10 @@ object NorthStar {
     "text_lm_score" -> lmScoreSql,
     "text_kn_bigram_lm" -> knBigramSql,
     "dedup_repeated_spans" -> repeatedSpansSql,
+    "dedup_span_removal" -> spanRemovalSql,
+    "dedup_span_store_incremental" ->
+      s"""SELECT * FROM ($spanRemovalSql) WHERE doc_id % 10 = 0""",
+    "dedup_span_store_advance" -> spanStoreAdvanceSql,
     "corpus_token_ids" ->
       """WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),
          tk AS (SELECT doc_id, i AS pos, w[i+1] AS tok

@@ -977,6 +977,65 @@ class DedupTextSpec extends SparkSuite {
     assert(r(2) === ((3L, 9L, 0L, 0.0)))
   }
 
+  test("removeRepeatedSpans: non-keeper occurrences removed positionally; keeper, self-repeats, short docs intact") {
+    val shared = "one two three four five six seven eight" // one 8-token window
+    val d = Seq(
+      (1L, s"$shared tail1 tail2"),            // min doc_id holding the span → keeper
+      (2L, s"lead1 lead2 $shared"),            // covered positions 2..9 removed
+      (3L, "a b c d e f g h a b c d e f g h"), // self-repeat only: df = 1, untouched
+      (4L, "too short"),                       // < 8 tokens → no windows, untouched
+      (5L, shared)                             // fully duplicated doc
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeRepeatedSpans(d, 8)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(r.length === 5) // every input doc survives as a row
+    assert(r(0) === ((1L, s"$shared tail1 tail2", 10L, 0L)))
+    assert(r(1) === ((2L, "lead1 lead2", 10L, 8L)))
+    assert(r(2) === ((3L, "a b c d e f g h a b c d e f g h", 16L, 0L)))
+    assert(r(3) === ((4L, "too short", 2L, 0L)))
+    assert(r(4) === ((5L, "", 8L, 8L)))
+  }
+
+  test("spanStore: incremental rewrite ≡ full-corpus removal on batch ids; advance ≡ rebuild; reopen never recomputes") {
+    val shared = "one two three four five six seven eight"
+    val old = Seq(
+      (1L, s"$shared old tail"),
+      (3L, "completely different old words going here right now")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (0L, shared),                                            // batch id BELOW the old keeper: becomes global keeper
+      (10L, s"lead1 lead2 $shared"),                           // dup vs store → positions 2..9 removed
+      (20L, "alpha beta gamma delta epsilon zeta eta theta"),  // batch-internal dup, keeper
+      (30L, "alpha beta gamma delta epsilon zeta eta theta")   // batch-internal dup, removed
+    ).toDF("doc_id", "text")
+    val key = s"spanspec-${java.util.UUID.randomUUID()}"
+    val store = Dedup.spanStore(old, 8, key)
+    val inc = Dedup.removeRepeatedSpansStored(batch, store, 8)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    val full = Dedup.removeRepeatedSpans(old.unionByName(batch), 8)
+      .where(col("doc_id").isin(0L, 10L, 20L, 30L))
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(inc === full)
+    assert(inc(0) === ((0L, shared, 8L, 0L)))
+    assert(inc(1) === ((10L, "lead1 lead2", 10L, 8L)))
+    assert(inc(2)._4 === 0L) // doc 20 is the batch-internal keeper
+    assert(inc(3) === ((30L, "", 8L, 8L)))
+    // advance ≡ a fresh full-corpus rebuild, registry content equal
+    def rows(st: Dedup.SpanStore) =
+      st.spans.select(lower(hex(col("s"))), col("keeper"), col("ndocs"))
+        .collect().map(_.toString).sorted.toSeq
+    val adv = Dedup.spanStoreAdvance(store, batch, 8, s"$key-adv")
+    val rebuilt = Dedup.spanStore(old.unionByName(batch), 8, s"$key-rebuild")
+    assert(rows(adv) === rows(rebuilt))
+    // build-once: reopening under the same key with a POISONED corpus is
+    // served from the published registry — success IS the no-recompute proof
+    val poisoned = old.withColumn("text",
+      when(length(col("text")) >= 0,
+        raise_error(lit("spanStore recomputed instead of reading the store")))
+        .otherwise(col("text")))
+    assert(rows(Dedup.spanStore(poisoned, 8, key)) === rows(store))
+  }
+
   test("knBigramProbs: hand-computed KN probabilities; per-context mass ≤ 1") {
     val d = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
     val p = TextOps.knBigramProbs(d, minCount = 1)

@@ -121,6 +121,26 @@ class PipelineSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("RocksDB state backend: provider conf binds to stateful queries; results ≡ default heap store") {
+    import graft.streaming.StateBackend
+    // the provider conf is HONORED on this path — a bogus class must fail
+    // the query, so the parity run below provably exercised RocksDB
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", "graft.NoSuchProvider")
+    try intercept[Exception] { EventStream.windowedAgg(spark, sf001).collect() }
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    val default = EventStream.windowedAgg(spark, sf001)
+      .orderBy("window_start", "event_type").collect().toSeq
+    val rocks = StateBackend.withRocksDB(spark) {
+      EventStream.windowedAgg(spark, sf001)
+        .orderBy("window_start", "event_type").collect().toSeq
+    }
+    assert(rocks === default)
+    // withRocksDB restored the prior (heap-backed) provider on exit —
+    // getOption surfaces the conf DEFAULT, so assert it is not RocksDB
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .contains(StateBackend.RocksDBProvider))
+  }
+
   test("append-mode file-sink windowed agg: watermark-closed windows equal the batch result") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_append").toString
     val evs = graft.queries.Tables.events(spark, sf001)
