@@ -319,12 +319,20 @@ object Dedup {
     * the price of exact global span identity — bucket the registry by
     * digest to make the store side exchange-free at deployment scale). */
   def removeRepeatedSpansStored(newDocs: DataFrame, store: SpanStore,
-                                k: Int): DataFrame = {
+                                k: Int): DataFrame =
+    removeRepeatedSpansVs(newDocs, store.spans, k)
+
+  /** [[removeRepeatedSpansStored]] against any registry FRAME
+    * (s, keeper, ndocs) — the streaming path holds its registry as a
+    * materialized in-session frame instead of a published store. */
+  private[graft] def removeRepeatedSpansVs(newDocs: DataFrame,
+                                           registry: DataFrame,
+                                           k: Int): DataFrame = {
     val win = spanWindows(newDocs, k).materialized
     val batchAgg = win.groupBy(col("s"))
       .agg(countDistinct(col("doc_id")).as("bnd"), min(col("doc_id")).as("bkeep"))
     val merged = batchAgg.join(
-        store.spans.select(col("s"), col("keeper").as("okeep"),
+        registry.select(col("s"), col("keeper").as("okeep"),
           col("ndocs").as("ond")),
         Seq("s"), "left")
       .select(col("s"),
@@ -337,6 +345,28 @@ object Dedup {
       .groupBy(col("doc_id")).agg(collect_set(col("p")).as("rm"))
     applySpanRemoval(newDocs, removedPerDoc)
   }
+
+  /** Fold a new drop's window digests into a registry frame: keeper =
+    * min, ndocs = sum (disjoint doc sets). Shared by [[spanStoreAdvance]]
+    * and the streaming registry handoff. */
+  private[graft] def spanRegistryMerge(registry: DataFrame, newDocs: DataFrame,
+                                       k: Int): DataFrame =
+    registry.unionByName(
+        spanWindows(newDocs, k).groupBy(col("s"))
+          .agg(min(col("doc_id")).as("keeper"),
+            countDistinct(col("doc_id")).as("ndocs")))
+      .groupBy(col("s"))
+      .agg(min(col("keeper")).as("keeper"), sum(col("ndocs")).as("ndocs"))
+
+  /** Empty span registry frame — the streaming cold start. */
+  private[graft] def emptySpanRegistry(
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("s", BinaryType),
+        StructField("keeper", LongType),
+        StructField("ndocs", LongType))))
 
   /** ADVANCE a span store by one corpus drop and publish under
     * `newCorpusKey` (build-once, atomic rename): merged registry =
@@ -354,12 +384,7 @@ object Dedup {
       fs.mkdirs(path.getParent)
       val tmp = new org.apache.hadoop.fs.Path(path.getParent,
         s"_store_tmp_${java.util.UUID.randomUUID()}")
-      val batch = spanWindows(newDocs, k).groupBy(col("s"))
-        .agg(min(col("doc_id")).as("keeper"),
-          countDistinct(col("doc_id")).as("ndocs"))
-      store.spans.unionByName(batch)
-        .groupBy(col("s"))
-        .agg(min(col("keeper")).as("keeper"), sum(col("ndocs")).as("ndocs"))
+      spanRegistryMerge(store.spans, newDocs, k)
         .write.mode("overwrite").parquet(s"$tmp/spans.parquet")
       if (!fs.rename(tmp, path)) fs.delete(tmp, true)
     }

@@ -545,6 +545,13 @@ object NorthStar {
       Dedup.removeRepeatedSpansStored(newDocs, store, 8)
     }),
 
+    // STREAMING span removal: two doc_id-ordered micro-batches, each
+    // rewritten against the registry of everything seen so far then
+    // folded into it — the oracle is the ONE-SHOT full-corpus removal,
+    // so the cross-batch registry handoff is a hash-checked fact
+    "stream_span_removal" -> ((s, dir) =>
+      graft.streaming.CorpusStream.spanRemovalAll(s, dir, 8)),
+
     // the maintenance cycle: advance the old-90% registry by the 10%
     // drop (digest-keyed merge, batch-scan cost) and serve the advanced
     // store's dup rows — the oracle recomputes them from the full corpus,
@@ -2601,6 +2608,7 @@ object NorthStar {
     "dedup_span_removal" -> spanRemovalSql,
     "dedup_span_store_incremental" ->
       s"""SELECT * FROM ($spanRemovalSql) WHERE doc_id % 10 = 0""",
+    "stream_span_removal" -> spanRemovalSql,
     "dedup_span_store_advance" -> spanStoreAdvanceSql,
     "corpus_token_ids" ->
       """WITH t0 AS (SELECT doc_id, string_split(text,' ') w FROM documents),

@@ -94,6 +94,67 @@ object CorpusStream {
     batches.map(b => spark.read.parquet(b.path)).reduce(_ unionByName _)
   }
 
+  /** Streaming exact-substring removal — the continuous form of
+    * [[graft.operators.Dedup.removeRepeatedSpansStored]]: each document
+    * micro-batch is rewritten against the window-digest registry of
+    * everything seen so far, then folded into it (the same
+    * registry-merge the durable store's advance uses, held as a
+    * materialized in-session frame; at cluster scale it is the published
+    * [[graft.operators.Dedup.SpanStore]] advanced per batch).
+    *
+    * EQUIVALENCE CONTRACT: within a batch, duplication resolves exactly
+    * as the one-shot operator does; across batches it resolves
+    * first-seen-wins (an already-emitted document is never rewritten).
+    * When batches arrive in doc_id order — which this driver stages
+    * explicitly by splitting the table at max(doc_id)/2 with ordered
+    * file mtimes — first-seen coincides with min-doc_id, so the union of
+    * batch outputs is VALUE-EQUAL to the one-shot
+    * [[graft.operators.Dedup.removeRepeatedSpans]] over the whole
+    * corpus: that one-shot result is the declared oracle
+    * (`stream_span_removal`), making the cross-batch registry handoff a
+    * hash-checked fact. */
+  def spanRemovalAll(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    import java.nio.file.Files
+    val staging = Files.createTempDirectory("graft-span-stream")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val inDir = staging.resolve("in"); Files.createDirectory(inDir)
+    def stage(name: String, part: DataFrame, mtime: Long): Unit = {
+      val tmp = staging.resolve(s"build_$name").toString
+      part.coalesce(1).write.parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = inDir.resolve(s"$name.parquet")
+      Files.move(f.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    // fixed mtimes: the file source orders by (mtime, path), so batch
+    // order — and therefore keeper resolution — is deterministic
+    val t0 = 1700000000000L
+    stage("00_low", docs.where(col("doc_id") <= mid), t0)
+    stage("01_high", docs.where(col("doc_id") > mid), t0 + 60000L)
+    val registry = new java.util.concurrent.atomic.AtomicReference[DataFrame](
+      Dedup.emptySpanRegistry(spark))
+    val outs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema(docs.schema).parquet(inDir.toString)
+      .writeStream
+      .option("checkpointLocation", staging.resolve("ckpt").toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val reg = registry.get()
+        val dest = staging.resolve(f"out_$batchId%05d").toString
+        Dedup.removeRepeatedSpansVs(batch, reg, k)
+          .write.mode("overwrite").parquet(dest)
+        registry.set(Dedup.spanRegistryMerge(reg, batch, k).materialized)
+        outs.synchronized { outs += dest }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    outs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
+
   /** Epoch base of [[qualityMonitor]]'s synthetic ingest clock (micros). */
   val EpochBaseMicros: Long = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     .toInstant.getEpochSecond * 1000000L

@@ -141,6 +141,16 @@ class PipelineSpec extends SparkSuite {
       .contains(StateBackend.RocksDBProvider))
   }
 
+  test("streaming span removal: cross-batch registry handoff ≡ the one-shot rewrite") {
+    val got = graft.streaming.CorpusStream.spanRemovalAll(spark, sf001, 8)
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = graft.operators.Dedup.removeRepeatedSpans(
+      graft.queries.Tables.t(spark, sf001, "documents"), 8)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty)
+    assert(got === oneShot)
+  }
+
   test("append-mode file-sink windowed agg: watermark-closed windows equal the batch result") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_append").toString
     val evs = graft.queries.Tables.events(spark, sf001)

@@ -238,6 +238,32 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Join") || p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("dedup_span_removal: dup filter prunes the registry below the join; windows materialized once") {
+    // AQE off for the explain only: formatted details (the Condition
+    // lines) are not rendered for a not-yet-final AdaptiveSparkPlan
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    val p = try { spark.conf.set(key, "false"); plan("dedup_span_removal") }
+      finally spark.conf.set(key, prev)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the ndocs >= 2 conjunct must prune the keeper registry BEFORE the
+    // window join (Catalyst pushes it through; the cross-side
+    // doc_id != keeper predicate stays on the join) — without the push,
+    // the join's right side is the full corpus-digest frame instead of
+    // the duplication-sized one
+    val pushed = p.linesIterator.exists(l =>
+      l.contains("Condition") && l.contains("ndocs") && l.contains(">= 2") &&
+        !l.contains("doc_id"))
+    assert(pushed, p)
+    // the positional window frame is computed once (checkpointed) and
+    // both consumers read it; corpus text is re-scanned only by the
+    // doc-local rewrite itself
+    val simple = SparkEntry.queries("dedup_span_removal")(spark, sf001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(simple.contains("ExistingRDD"), simple)
+    assert("documents\\.parquet".r.findAllIn(simple).size === 1, simple)
+  }
+
   test("simhashPairs/corpusDedup: shared frames computed ONCE (reuse / materialize)") {
     // the banded self-join's two sides are the same subtree; ReuseExchange
     // must collapse them or the signature frame is aggregated twice. (AQE
