@@ -24,7 +24,7 @@ object IngestCli {
       "--key-fields", "--family", "--qualifiers", "--load-ts",
       "--stream-checkpoint", "--schema", "--compact-mode",
       "--stream-compact-every", "--ngram", "--threshold", "--from-key",
-      "--nlist")
+      "--nlist", "--window")
 
   /** Region-boundary file → split keys: one lowercase/uppercase hex row key
     * per line (first key of region i+1), blanks and `#` comments ignored —
@@ -148,6 +148,16 @@ object IngestCli {
     *   ann-build     <embeddingsParquet> <corpusKey> [--nlist N] —
     *     build + publish the IVF index
     *     ([[graft.operators.Similarity.annIndexStore]]).
+    *   span-build    <docsParquet> <corpusKey> [--window K] — build +
+    *     publish the exact-substring window-digest registry
+    *     ([[graft.operators.Dedup.spanStore]]).
+    *   span-advance  <newDocsParquet> <newCorpusKey> --from-key KEY —
+    *     roll a published registry forward by one drop
+    *     ([[graft.operators.Dedup.spanStoreAdvance]]).
+    *   span-clean    <docsParquet> <outDir> --from-key KEY — rewrite a
+    *     drop against a published registry (Lee et al. 2022 removal,
+    *     [[graft.operators.Dedup.removeRepeatedSpansStored]]) and write
+    *     the cleaned corpus to `outDir`.
     *
     * `corpusKey` follows the store keying contract: `<dropDir>[#tag]`,
     * where `<dropDir>/documents.parquet` (dedup) or `/embeddings.parquet`
@@ -188,11 +198,42 @@ object IngestCli {
         val s = graft.operators.Similarity.annIndexStore(
           spark.read.parquet(input), nlist, key)
         s"""{"verb":"ann-build","store":${jstr(s.dir)},"nlist":$nlist,"vectors":${s.lists.count()}}"""
+      case "span-build" =>
+        val k = opts.get("--window").map(_.toInt).getOrElse(8)
+        val s = graft.operators.Dedup.spanStore(spark.read.parquet(input), k, key)
+        s"""{"verb":"span-build","store":${jstr(s.dir)},"digests":${s.spans.count()}}"""
+      case "span-advance" =>
+        val k = opts.get("--window").map(_.toInt).getOrElse(8)
+        val fromKey = opts.getOrElse("--from-key", throw new IllegalArgumentException(
+          "span-advance requires --from-key <corpusKey of the store to advance>"))
+        val from = graft.operators.Dedup.openSpanStore(spark, fromKey, k)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no published span store for --from-key '$fromKey' (window=$k)"))
+        val s = graft.operators.Dedup.spanStoreAdvance(
+          from, spark.read.parquet(input), k, key)
+        s"""{"verb":"span-advance","store":${jstr(s.dir)},"digests":${s.spans.count()}}"""
+      // span-clean rewrites a new drop against a PUBLISHED registry and
+      // writes the cleaned corpus: <input> = docs parquet, key = OUT dir
+      case "span-clean" =>
+        val k = opts.get("--window").map(_.toInt).getOrElse(8)
+        val fromKey = opts.getOrElse("--from-key", throw new IllegalArgumentException(
+          "span-clean requires --from-key <corpusKey of the registry to clean against>"))
+        val from = graft.operators.Dedup.openSpanStore(spark, fromKey, k)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no published span store for --from-key '$fromKey' (window=$k)"))
+        graft.operators.Dedup.removeRepeatedSpansStored(
+            spark.read.parquet(input), from, k)
+          .write.mode("overwrite").parquet(key)
+        import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+        val st = spark.read.parquet(key)
+          .agg(count(lit(1)), coalesce(sum("n_removed"), lit(0L))).head()
+        s"""{"verb":"span-clean","out":${jstr(key)},"docs":${st.getLong(0)},"tokens_removed":${st.getLong(1)}}"""
       case other => throw new IllegalArgumentException(s"unknown store verb: $other")
     }
   }
 
-  private val storeVerbs = Set("dedup-build", "dedup-advance", "ann-build")
+  private val storeVerbs = Set("dedup-build", "dedup-advance", "ann-build",
+    "span-build", "span-advance", "span-clean")
 
   private def usageExit(): Nothing = {
     System.err.println(
@@ -203,7 +244,10 @@ object IngestCli {
         "[--schema DDL (jsonl)] [--compact-mode batches|minor|major]\n" +
         "   or: IngestCli dedup-build <docsParquet> <corpusKey> [--ngram N] [--threshold T]\n" +
         "       IngestCli dedup-advance <newDocsParquet> <newCorpusKey> --from-key KEY [--ngram N] [--threshold T]\n" +
-        "       IngestCli ann-build <embeddingsParquet> <corpusKey> [--nlist N]")
+        "       IngestCli ann-build <embeddingsParquet> <corpusKey> [--nlist N]\n" +
+        "       IngestCli span-build <docsParquet> <corpusKey> [--window K]\n" +
+        "       IngestCli span-advance <newDocsParquet> <newCorpusKey> --from-key KEY [--window K]\n" +
+        "       IngestCli span-clean <docsParquet> <outDir> --from-key KEY [--window K]")
     sys.exit(2)
   }
 

@@ -283,6 +283,15 @@ object Dedup {
         .parquet(s"$dir/spans.parquet")
   }
 
+  /** Resolve the PUBLISHED span store for a (corpusKey, k) pair, if one
+    * exists — the admin/CLI entry point (mirrors [[openStore]]). */
+  def openSpanStore(spark: org.apache.spark.sql.SparkSession,
+                    corpusKey: String, k: Int): Option[SpanStore] = {
+    val path = storePath(spark, s"$corpusKey#spanstore", k, 0.0)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) Some(SpanStore(spark, path.toString)) else None
+  }
+
   /** Build-once, serve-many [[SpanStore]] over a corpus drop (same
     * keying / atomic-rename / immutability contract as [[dedupStore]]).
     * One corpus text scan: windows → digest-keyed map-side-combinable

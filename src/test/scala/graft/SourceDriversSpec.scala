@@ -1538,6 +1538,53 @@ class SourceDriversSpec extends SparkSuite {
       spark, "bogus-verb", s"$drop1/documents.parquet", drop1, Map.empty))
   }
 
+  test("IngestCli span-build / span-advance / span-clean verbs e2e: clean ≡ full-corpus removal on the drop; errors are loud") {
+    import graft.operators.Dedup
+    val drop1 = tmpDir() + "/spandrop1"
+    val drop2 = tmpDir() + "/spandrop2"
+    val all = spark.read.parquet(s"$sf001/documents.parquet")
+    val docs1 = all.where(col("doc_id") % 5 < 4)
+    val docs2 = all.where(col("doc_id") % 5 === 4)
+    docs1.write.parquet(s"$drop1/documents.parquet")
+    docs2.write.parquet(s"$drop2/documents.parquet")
+    val o1 = IngestCli.storeCommand(spark, "span-build",
+      s"$drop1/documents.parquet", drop1, Map.empty)
+    assert(o1.startsWith("""{"verb":"span-build","store":""""))
+    val built = Dedup.openSpanStore(spark, drop1, 8)
+    assert(built.isDefined, "span-build must publish under the given key")
+    // clean: rewrite drop2 against drop1's registry ≡ one-shot removal
+    // over drop1 ∪ drop2 restricted to drop2's ids
+    val outDir = tmpDir() + "/spanclean"
+    val o2 = IngestCli.storeCommand(spark, "span-clean",
+      s"$drop2/documents.parquet", outDir, Map("--from-key" -> drop1))
+    assert(o2.startsWith("""{"verb":"span-clean","out":"""), o2)
+    val cleaned = spark.read.parquet(outDir)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val oneShot = Dedup.removeRepeatedSpans(docs1.unionByName(docs2), 8)
+      .where(col("doc_id") % 5 === 4)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(cleaned === oneShot)
+    assert(cleaned.exists(_._4 > 0L), "fixture must contain removable dup spans")
+    // advance: published merged registry ≡ fresh full rebuild
+    val advKey = s"$drop2#cliadv"
+    val o3 = IngestCli.storeCommand(spark, "span-advance",
+      s"$drop2/documents.parquet", advKey, Map("--from-key" -> drop1))
+    assert(o3.startsWith("""{"verb":"span-advance""""), o3)
+    def rows(st: Dedup.SpanStore) =
+      st.spans.select(lower(hex(col("s"))), col("keeper"), col("ndocs"))
+        .collect().map(_.toString).sorted.toSeq
+    val rebuilt = Dedup.spanStore(docs1.unionByName(docs2), 8, s"$drop2#clirebuild")
+    assert(rows(Dedup.openSpanStore(spark, advKey, 8).get) === rows(rebuilt))
+    // error paths
+    val e1 = intercept[IllegalArgumentException](IngestCli.storeCommand(
+      spark, "span-clean", s"$drop2/documents.parquet", outDir, Map.empty))
+    assert(e1.getMessage.contains("requires --from-key"))
+    val e2 = intercept[IllegalArgumentException](IngestCli.storeCommand(
+      spark, "span-advance", s"$drop2/documents.parquet", advKey,
+      Map("--from-key" -> (tmpDir() + "/nowhere"))))
+    assert(e2.getMessage.contains("no published span store"))
+  }
+
   test("IngestCli ann-build verb e2e: publishes the IVF store; stored serve ≡ self-contained ivfTopK") {
     import graft.operators.Similarity
     val drop = tmpDir() + "/anndrop"
