@@ -55,7 +55,11 @@ object ScaleStress {
     // exact-substring REWRITE (r14): shuffles sized by duplication, the
     // doc-local token filter adds no token-level exchange — alpha should
     // track the window-digest aggregate (linear), not pair volume
-    "dedup_span_removal")
+    "dedup_span_removal",
+    // its incremental form (r14): min-of-2 serves the second run from
+    // the published registry, so the measured cost is the batch rewrite
+    // against a 10x registry — the store-maintenance posture
+    "dedup_span_store_incremental")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

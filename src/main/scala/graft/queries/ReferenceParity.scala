@@ -313,6 +313,20 @@ object ReferenceParity {
           col("row") < lit(Array(0x80.toByte))))
     }),
 
+    // COUNT(*) over the staged table answers from METADATA (manifest row
+    // counts / parquet footers — CellScan.countRows): the DSv2 scan
+    // builder claims complete aggregate pushdown and plans a local
+    // one-row relation — zero data pages, zero tasks at any table size
+    "cells_count_pushdown" -> ((s, dir) => {
+      val path = staged(fixturePath(dir, "cellscan")) {
+        graft.SortedParquetCellSink.write(RegionSort.sortedByRange(
+          CellOps.explodeIndexed(t(s, dir, "customer"), custKey, "c",
+            custValueCols), 10), fixturePath(dir, "cellscan"))
+      }
+      s.read.format("graft-cells").load(path)
+        .agg(count(lit(1)).as("n_cells"))
+    }),
+
     // HBase PrefixFilter analog: all rows under a 1-byte key prefix as
     // the [prefix, prefix+1) range — same manifest-pruned machinery
     "cells_scan_prefix" -> ((s, dir) => {
@@ -611,6 +625,8 @@ object ReferenceParity {
       s"""SELECT * FROM ($cellsIndexedSql) WHERE "row" >= '40' AND "row" < '80'""",
     "cells_scan_prefix" ->
       s"""SELECT * FROM ($cellsIndexedSql) WHERE "row" >= '01' AND "row" < '02'""",
+    "cells_count_pushdown" ->
+      s"""SELECT count(*) AS n_cells FROM ($cellsIndexedSql)""",
     "cells_compact_versions" -> cellsCompactSql,
     "cells_compact_tombstones" -> cellsTombstonesSql,
     // layout compaction is the identity on cell content

@@ -171,6 +171,31 @@ object CellScan {
     if (i < 0) None else { p(i) = (p(i) + 1).toByte; Some(p.take(i + 1)) }
   }
 
+  /** EXACT row count of a staged cell directory from METADATA only —
+    * no data pages read, no Spark job: live part files × (manifest
+    * `rows` when the entry is FRESH — recorded length matches the live
+    * file — else one footer open for the file's record count). The trust
+    * rules are [[scanRange]]'s exactly: an unlisted or in-place-rewritten
+    * file falls back to its own footer, a deleted file's stale entry is
+    * never consulted, so the count always describes the LIVE fileset.
+    * None for layouts this scanner doesn't understand (nested /
+    * hive-partitioned) — the caller scans instead. At 100 TB this is the
+    * difference between a `SELECT count(*)` that reads every region file
+    * and one answered from ~100k manifest lines. */
+  def countRows(spark: SparkSession, dir: String): Option[Long] = {
+    val all = partFiles(spark, dir)
+    if (all.isEmpty) None
+    else {
+      val manifest = CellManifest.read(spark, dir)
+      val hc = spark.sessionState.newHadoopConf()
+      Some(all.map { case (f, liveLen) =>
+        manifest.flatMap(_.get(new Path(f).getName))
+          .collect { case e if (e.length < 0 || e.length == liveLen) && e.rows >= 0 => e.rows }
+          .getOrElse { footerOpens.incrementAndGet(); CellManifest.footerStats(f, hc)._1 }
+      }.sum)
+    }
+  }
+
   /** (path, live byte length) of the flat region files — the length
     * rides along so the manifest's recorded length can be validated
     * without a second listing. */

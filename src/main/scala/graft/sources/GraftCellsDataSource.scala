@@ -145,12 +145,23 @@ private[sources] class GraftCellsRelation(
   * everything else is re-evaluated by Spark above the scan. Execution
   * rides the [[V1Scan]] seam — the same posture as the write side's
   * [[V1Write]]: DSv2 pushdown/catalog surface, the proven relation
-  * underneath, one implementation of both contracts. */
+  * underneath, one implementation of both contracts.
+  *
+  * COUNT(*) additionally pushes down COMPLETELY when unfiltered and
+  * ungrouped: the answer comes from [[CellScan.countRows]] — manifest
+  * row counts (footer fallback under the scan's own freshness rules) —
+  * so `SELECT count(*)` over a staged table is a metadata read, zero
+  * data pages, zero tasks (the scan plans as a local one-row relation).
+  * The push is claimed only AFTER the metadata count succeeds, so a
+  * layout the scanner doesn't understand silently falls back to the
+  * ordinary scan-and-count plan. */
 private[sources] class GraftCellsScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = CellOps.cellSchema
+  private var pushedCount: Option[(Long, Int)] = None // (total, #CountStar)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (handled, unhandled) = filters.partition(GraftCellsFilters.recognized)
@@ -161,7 +172,39 @@ private[sources] class GraftCellsScanBuilder(path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new V1Scan {
+  private def countable(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    countable(agg) &&
+      CellScan.countRows(org.apache.spark.sql.SparkSession.active, path).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    countable(agg) && {
+      val n = CellScan.countRows(org.apache.spark.sql.SparkSession.active, path)
+      pushedCount = n.map(c => (c, agg.aggregateExpressions.length))
+      pushedCount.isDefined
+    }
+
+  override def build(): Scan = pushedCount match {
+    case Some((total, n)) =>
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = StructType(
+          (0 until n).map(i => org.apache.spark.sql.types.StructField(
+            s"count_$i", org.apache.spark.sql.types.LongType, nullable = false)))
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array.fill[Any](n)(total)))
+        override def description(): String =
+          s"graft-cells metadata COUNT(*) [$path]"
+      }
+    case None => new V1Scan {
     override def readSchema(): StructType = required
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: org.apache.spark.sql.SQLContext): T = {
@@ -173,6 +216,7 @@ private[sources] class GraftCellsScanBuilder(path: String)
           GraftCellsFilters.buildScan(context.sparkSession, p,
             cols.fieldNames.toSeq, filters)
       }.asInstanceOf[T]
+    }
     }
   }
 }

@@ -117,7 +117,9 @@ object CorpusStream {
     import java.nio.file.Files
     val staging = Files.createTempDirectory("graft-span-stream")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    // empty corpus → NULL max; stage two empty files and let the fold run
+    val mid = Option(docs.agg(max(col("doc_id"))).head().get(0))
+      .map(_.asInstanceOf[Long] / 2).getOrElse(0L)
     val inDir = staging.resolve("in"); Files.createDirectory(inDir)
     def stage(name: String, part: DataFrame, mtime: Long): Unit = {
       val tmp = staging.resolve(s"build_$name").toString

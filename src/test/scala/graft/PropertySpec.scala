@@ -290,6 +290,57 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("removeRepeatedSpans ≡ in-memory reference; incremental ≡ full across random id-ordered splits") {
+    import graft.operators.Dedup
+    // 4-token pool + k=3 forces heavy cross-doc window collisions; doc
+    // lengths span empty / shorter-than-k / exactly-k / longer classes
+    val k = 3
+    val docGen = Gen.choose(0, 14).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    val corpus = samples(docGen, 24).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    // plain-Scala reference of the published semantics: every k-window in
+    // ≥2 docs removes its covered positions everywhere but the min doc_id
+    def reference(docs: Seq[(Long, String)]): Map[Long, (String, Long, Long)] = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val occs = for {
+        (id, ws) <- docs.map { case (id, _) => id -> toks(id) }
+        p <- 0 to ws.length - k
+      } yield (ws.slice(p, p + k).mkString(" "), id, p)
+      val removed = scala.collection.mutable.Set.empty[(Long, Int)]
+      occs.groupBy(_._1).values.foreach { os =>
+        val holders = os.map(_._2).distinct
+        if (holders.size >= 2) {
+          val keeper = holders.min
+          os.foreach { case (_, id, p) =>
+            if (id != keeper) (p until p + k).foreach(t => removed += ((id, t)))
+          }
+        }
+      }
+      docs.map { case (id, _) =>
+        val ws = toks(id)
+        val kept = ws.zipWithIndex.collect { case (w, i) if !removed((id, i)) => w }
+        id -> ((kept.mkString(" "), ws.length.toLong, (ws.length - kept.length).toLong))
+      }.toMap
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val got = Dedup.removeRepeatedSpans(df, k)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val ref = reference(corpus)
+    assert(got === ref)
+    assert(got.values.exists(_._3 > 0L), "generator must produce removable dups")
+    // incremental ≡ full: registry built over ids < cut, batch = the rest
+    for (cut <- Seq(5L, 12L, 20L)) {
+      val reg = Dedup.spanRegistryMerge(
+        Dedup.emptySpanRegistry(spark), df.where(col("doc_id") < cut), k)
+      val inc = Dedup.removeRepeatedSpansVs(df.where(col("doc_id") >= cut), reg, k)
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(inc === got.filter(_._1 >= cut), s"cut=$cut")
+    }
+  }
+
   test("participationRatio ≡ direct covariance-trace computation, and is bounded by [1, d]") {
     import graft.operators.Similarity
     val d = 6

@@ -828,6 +828,48 @@ class SourceDriversSpec extends SparkSuite {
     assert(lo.count() === cells.count())
   }
 
+  test("graft-cells COUNT(*): complete aggregate pushdown plans a local one-row relation; fallbacks stay correct") {
+    import graft.sources.CellScan
+    val wide = (0 until 80).map { i =>
+      val r = (0 until 9).map(c => s"q${i}_$c")
+      (r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7), r(8))
+    }.toDF((0 until 9).map(i => s"c$i"): _*)
+    val r = BulkLoad.fromPositional(wide, BulkLoad.emptyQuarantine(spark),
+      BulkLoad.Config(saltBuckets = Some(10)))
+    val out = tmpDir() + "/cellsCount"
+    SortedParquetCellSink.write(r.cells, out)
+    val expected = spark.read.parquet(out).count()
+    // metadata count is exact without a Spark job
+    assert(CellScan.countRows(spark, out) === Some(expected))
+    // pushed COUNT(*): the executed plan is a local one-row relation —
+    // no parquet scan node anywhere
+    val df = spark.read.format("graft-cells").load(out)
+      .agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), plan)
+    assert(!plan.toLowerCase.contains("parquet"), plan)
+    assert(df.head().getLong(0) === expected)
+    // a filtered count does NOT claim the push — and stays correct
+    val lo = Array('3'.toByte)
+    val filtered = spark.read.format("graft-cells").load(out)
+      .where(col("row") >= lit(lo)).agg(count(lit(1)).as("n"))
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("LocalTableScan") === false)
+    assert(filtered.head().getLong(0) ===
+      spark.read.parquet(out).where(col("row") >= lit(lo)).count())
+    // freshness rule: an externally added part file the manifest does not
+    // list is counted via its own footer (same keep-unlisted contract as
+    // the scan)
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val extraRows = spark.read.parquet(parts.head.getPath).count()
+    java.nio.file.Files.copy(parts.head.toPath,
+      new java.io.File(out, "part-99999-extra.parquet").toPath)
+    assert(CellScan.countRows(spark, out) === Some(expected + extraRows))
+    assert(spark.read.format("graft-cells").load(out)
+      .agg(count(lit(1))).head().getLong(0) === expected + extraRows)
+  }
+
   test("DSv2: write.format(\"graft-cells\") lands the golden layout from an UNALIGNED frame") {
     import graft.operators.RegionSort
     // same 200-row corpus as the golden test, but cells arrive UNSALTED
