@@ -313,10 +313,11 @@ object ReferenceParity {
           col("row") < lit(Array(0x80.toByte))))
     }),
 
-    // COUNT(*) over the staged table answers from METADATA (manifest row
-    // counts / parquet footers — CellScan.countRows): the DSv2 scan
-    // builder claims complete aggregate pushdown and plans a local
-    // one-row relation — zero data pages, zero tasks at any table size
+    // COUNT(*) / MIN(row) / MAX(row) over the staged table answer from
+    // METADATA (manifest row counts + key bounds, parquet-footer
+    // fallback — CellScan.metaStats): the DSv2 scan builder claims
+    // complete aggregate pushdown and plans a local one-row relation —
+    // zero data pages, zero tasks at any table size
     "cells_count_pushdown" -> ((s, dir) => {
       val path = staged(fixturePath(dir, "cellscan")) {
         graft.SortedParquetCellSink.write(RegionSort.sortedByRange(
@@ -324,7 +325,10 @@ object ReferenceParity {
             custValueCols), 10), fixturePath(dir, "cellscan"))
       }
       s.read.format("graft-cells").load(path)
-        .agg(count(lit(1)).as("n_cells"))
+        .agg(count(lit(1)).as("n_cells"),
+          min(col("row")).as("lo"), max(col("row")).as("hi"))
+        .select(col("n_cells"),
+          lower(hex(col("lo"))).as("row_lo"), lower(hex(col("hi"))).as("row_hi"))
     }),
 
     // HBase PrefixFilter analog: all rows under a 1-byte key prefix as
@@ -626,7 +630,8 @@ object ReferenceParity {
     "cells_scan_prefix" ->
       s"""SELECT * FROM ($cellsIndexedSql) WHERE "row" >= '01' AND "row" < '02'""",
     "cells_count_pushdown" ->
-      s"""SELECT count(*) AS n_cells FROM ($cellsIndexedSql)""",
+      s"""SELECT count(*) AS n_cells, min("row") AS row_lo,
+                 max("row") AS row_hi FROM ($cellsIndexedSql)""",
     "cells_compact_versions" -> cellsCompactSql,
     "cells_compact_tombstones" -> cellsTombstonesSql,
     // layout compaction is the identity on cell content

@@ -182,17 +182,45 @@ object CellScan {
     * hive-partitioned) — the caller scans instead. At 100 TB this is the
     * difference between a `SELECT count(*)` that reads every region file
     * and one answered from ~100k manifest lines. */
-  def countRows(spark: SparkSession, dir: String): Option[Long] = {
+  def countRows(spark: SparkSession, dir: String): Option[Long] =
+    metaStats(spark, dir).map(_._1)
+
+  /** EXACT global MIN/MAX of the `row` key from the same metadata walk:
+    * fold of per-file [lo, hi] bounds (manifest when fresh, footer
+    * statistics otherwise). None when any live file lacks usable bounds
+    * — like the scan's pruning, metadata answers are an optimization,
+    * never a correctness gamble. Empty tables have no min/max → None
+    * (the caller's ordinary aggregate returns SQL NULL from a scan). */
+  def rowBoundsExact(spark: SparkSession, dir: String)
+      : Option[(Array[Byte], Array[Byte])] =
+    metaStats(spark, dir).filter(_._1 > 0).flatMap(_._2)
+
+  /** One metadata walk: (total rows, folded [lo, hi] bounds — None when
+    * any file lacks them). Manifest entries are trusted under
+    * [[scanRange]]'s freshness rule; everything else opens one footer. */
+  private[sources] def metaStats(spark: SparkSession, dir: String)
+      : Option[(Long, Option[(Array[Byte], Array[Byte])])] = {
     val all = partFiles(spark, dir)
     if (all.isEmpty) None
     else {
       val manifest = CellManifest.read(spark, dir)
       val hc = spark.sessionState.newHadoopConf()
-      Some(all.map { case (f, liveLen) =>
+      val cmp = RegionSort.unsignedBytes
+      val perFile = all.map { case (f, liveLen) =>
         manifest.flatMap(_.get(new Path(f).getName))
-          .collect { case e if (e.length < 0 || e.length == liveLen) && e.rows >= 0 => e.rows }
-          .getOrElse { footerOpens.incrementAndGet(); CellManifest.footerStats(f, hc)._1 }
-      }.sum)
+          .collect { case e if (e.length < 0 || e.length == liveLen) && e.rows >= 0 =>
+            (e.rows, e.bounds) }
+          .getOrElse { footerOpens.incrementAndGet(); CellManifest.footerStats(f, hc) }
+      }
+      val total = perFile.map(_._1).sum
+      val bounds = perFile.filter(_._1 > 0).map(_._2) match {
+        case bs if bs.nonEmpty && bs.forall(_.isDefined) =>
+          val known = bs.flatten
+          val ord = scala.math.Ordering.comparatorToOrdering(cmp)
+          Some((known.map(_._1).min(ord), known.map(_._2).max(ord)))
+        case _ => None
+      }
+      Some((total, bounds))
     }
   }
 

@@ -147,21 +147,28 @@ private[sources] class GraftCellsRelation(
   * [[V1Write]]: DSv2 pushdown/catalog surface, the proven relation
   * underneath, one implementation of both contracts.
   *
-  * COUNT(*) additionally pushes down COMPLETELY when unfiltered and
-  * ungrouped: the answer comes from [[CellScan.countRows]] — manifest
-  * row counts (footer fallback under the scan's own freshness rules) —
-  * so `SELECT count(*)` over a staged table is a metadata read, zero
-  * data pages, zero tasks (the scan plans as a local one-row relation).
-  * The push is claimed only AFTER the metadata count succeeds, so a
-  * layout the scanner doesn't understand silently falls back to the
-  * ordinary scan-and-count plan. */
+  * COUNT(*), MIN(row) and MAX(row) additionally push down COMPLETELY
+  * when unfiltered and ungrouped: the answers come from
+  * [[CellScan.metaStats]] — manifest row counts and key bounds (footer
+  * fallback under the scan's own freshness rules) — so these aggregates
+  * over a staged table are a metadata read, zero data pages, zero tasks
+  * (the scan plans as a local one-row relation). The push is claimed
+  * only AFTER the metadata walk succeeds (and, for MIN/MAX, only when
+  * every non-empty live file carries exact bounds), so a layout the
+  * scanner doesn't understand silently falls back to the ordinary
+  * scan-and-aggregate plan. */
 private[sources] class GraftCellsScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = CellOps.cellSchema
-  private var pushedCount: Option[(Long, Int)] = None // (total, #CountStar)
+  // pushed aggregate kinds ("c" = COUNT(*), "lo" = MIN(row), "hi" =
+  // MAX(row)) + the metadata answers backing them
+  private var pushedAgg: Option[(Seq[String], Long, Option[(Array[Byte], Array[Byte])])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (handled, unhandled) = filters.partition(GraftCellsFilters.recognized)
@@ -172,37 +179,65 @@ private[sources] class GraftCellsScanBuilder(path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  private def countable(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(
-        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
-
-  override def supportCompletePushDown(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    countable(agg) &&
-      CellScan.countRows(org.apache.spark.sql.SparkSession.active, path).isDefined
-
-  override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    countable(agg) && {
-      val n = CellScan.countRows(org.apache.spark.sql.SparkSession.active, path)
-      pushedCount = n.map(c => (c, agg.aggregateExpressions.length))
-      pushedCount.isDefined
+  private def rowRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: NamedReference => r.fieldNames.length == 1 && r.fieldNames()(0) == "row"
+      case _ => false
     }
 
-  override def build(): Scan = pushedCount match {
-    case Some((total, n)) =>
+  /** Aggregate kinds iff EVERY expression is metadata-answerable and the
+    * scan is unfiltered/ungrouped; None otherwise. */
+  private def kinds(agg: Aggregation): Option[Seq[String]] =
+    if (!(pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+        agg.aggregateExpressions.nonEmpty)) None
+    else {
+      val ks = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some("c")
+        case m: Min if rowRef(m.column) => Some("lo")
+        case m: Max if rowRef(m.column) => Some("hi")
+        case _ => None
+      }
+      if (ks.forall(_.isDefined)) Some(ks.flatten) else None
+    }
+
+  /** The metadata answers, iff they can back `ks`: bounds are required
+    * only when MIN/MAX is requested against a non-empty table. */
+  private def answers(ks: Seq[String])
+      : Option[(Long, Option[(Array[Byte], Array[Byte])])] =
+    CellScan.metaStats(org.apache.spark.sql.SparkSession.active, path)
+      .filter { case (total, bounds) =>
+        !ks.exists(k => k == "lo" || k == "hi") || total == 0L || bounds.isDefined
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    kinds(agg).exists(ks => answers(ks).isDefined)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    kinds(agg).exists { ks =>
+      answers(ks) match {
+        case Some((total, bounds)) => pushedAgg = Some((ks, total, bounds)); true
+        case None => false
+      }
+    }
+
+  override def build(): Scan = pushedAgg match {
+    case Some((ks, total, bounds)) =>
       new org.apache.spark.sql.connector.read.LocalScan {
-        override def readSchema(): StructType = StructType(
-          (0 until n).map(i => org.apache.spark.sql.types.StructField(
-            s"count_$i", org.apache.spark.sql.types.LongType, nullable = false)))
+        override def readSchema(): StructType = StructType(ks.zipWithIndex.map {
+          case ("c", i) => org.apache.spark.sql.types.StructField(
+            s"count_$i", org.apache.spark.sql.types.LongType, nullable = false)
+          case (k, i) => org.apache.spark.sql.types.StructField(
+            s"${k}_$i", org.apache.spark.sql.types.BinaryType, nullable = true)
+        })
         override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
           Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            Array.fill[Any](n)(total)))
+            ks.map {
+              case "c"  => total: Any
+              case "lo" => bounds.map(_._1).orNull
+              case "hi" => bounds.map(_._2).orNull
+            }.toArray))
         override def description(): String =
-          s"graft-cells metadata COUNT(*) [$path]"
+          s"graft-cells metadata aggregate [${ks.mkString(",")}] [$path]"
       }
     case None => new V1Scan {
     override def readSchema(): StructType = required

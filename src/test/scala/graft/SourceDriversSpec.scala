@@ -841,14 +841,19 @@ class SourceDriversSpec extends SparkSuite {
     val expected = spark.read.parquet(out).count()
     // metadata count is exact without a Spark job
     assert(CellScan.countRows(spark, out) === Some(expected))
-    // pushed COUNT(*): the executed plan is a local one-row relation —
-    // no parquet scan node anywhere
+    // pushed COUNT(*) + MIN/MAX(row): the executed plan is a local
+    // one-row relation — no parquet scan node anywhere
     val df = spark.read.format("graft-cells").load(out)
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"), min(col("row")).as("lo"), max(col("row")).as("hi"))
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("LocalTableScan"), plan)
     assert(!plan.toLowerCase.contains("parquet"), plan)
-    assert(df.head().getLong(0) === expected)
+    val got = df.head()
+    val viaScan = spark.read.parquet(out)
+      .agg(count(lit(1)), min(col("row")), max(col("row"))).head()
+    assert(got.getLong(0) === expected)
+    assert(got.getAs[Array[Byte]](1).sameElements(viaScan.getAs[Array[Byte]](1)))
+    assert(got.getAs[Array[Byte]](2).sameElements(viaScan.getAs[Array[Byte]](2)))
     // a filtered count does NOT claim the push — and stays correct
     val lo = Array('3'.toByte)
     val filtered = spark.read.format("graft-cells").load(out)
