@@ -205,8 +205,9 @@ private[sources] class GraftCellsScanBuilder(path: String)
   private def answers(ks: Seq[String])
       : Option[(Long, Option[(Array[Byte], Array[Byte])])] =
     CellScan.metaStats(org.apache.spark.sql.SparkSession.active, path)
-      .filter { case (total, bounds) =>
-        !ks.exists(k => k == "lo" || k == "hi") || total == 0L || bounds.isDefined
+      .collect { case (total, bounds)
+        if !ks.exists(k => k == "lo" || k == "hi") || total == 0L || bounds.isDefined =>
+        (total, bounds)
       }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -239,19 +240,27 @@ private[sources] class GraftCellsScanBuilder(path: String)
         override def description(): String =
           s"graft-cells metadata aggregate [${ks.mkString(",")}] [$path]"
       }
+    // NOTE on join statistics: the ordinary scan rides the V1Scan seam,
+    // and Spark's V1ScanWrapper does not forward SupportsReportStatistics
+    // (verified on this Spark: the wrapper reports the default infinite
+    // size). Static auto-broadcast of a small staged table is therefore
+    // unavailable through this seam BY CONSTRUCTION — the deployment
+    // answer is AQE's runtime join conversion, which re-plans from the
+    // ACTUAL materialized size (a property the engine's default session
+    // enables and the SourceDriversSpec join test pins).
     case None => new V1Scan {
-    override def readSchema(): StructType = required
-    override def toV1TableScan[T <: BaseRelation with TableScan](
-        context: org.apache.spark.sql.SQLContext): T = {
-      val (p, filters, cols) = (path, pushed, required)
-      new BaseRelation with TableScan {
-        override def sqlContext: org.apache.spark.sql.SQLContext = context
-        override def schema: StructType = cols
-        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-          GraftCellsFilters.buildScan(context.sparkSession, p,
-            cols.fieldNames.toSeq, filters)
-      }.asInstanceOf[T]
-    }
+      override def readSchema(): StructType = required
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: org.apache.spark.sql.SQLContext): T = {
+        val (p, filters, cols) = (path, pushed, required)
+        new BaseRelation with TableScan {
+          override def sqlContext: org.apache.spark.sql.SQLContext = context
+          override def schema: StructType = cols
+          override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+            GraftCellsFilters.buildScan(context.sparkSession, p,
+              cols.fieldNames.toSeq, filters)
+        }.asInstanceOf[T]
+      }
     }
   }
 }

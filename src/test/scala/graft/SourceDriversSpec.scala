@@ -854,6 +854,30 @@ class SourceDriversSpec extends SparkSuite {
     assert(got.getLong(0) === expected)
     assert(got.getAs[Array[Byte]](1).sameElements(viaScan.getAs[Array[Byte]](1)))
     assert(got.getAs[Array[Byte]](2).sameElements(viaScan.getAs[Array[Byte]](2)))
+    // join posture: the V1Scan seam cannot report statistics (Spark's
+    // V1ScanWrapper does not forward SupportsReportStatistics, so the
+    // relation statically costs the default infinite size) — the
+    // deployment answer is AQE's runtime conversion, which re-plans the
+    // join from the ACTUAL materialized size. Pin it: static broadcast
+    // disabled, adaptive threshold on → the executed join IS a broadcast.
+    val prevStatic = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    try {
+      val cellsSide = spark.read.format("graft-cells").load(out)
+        .select(col("row"), col("qualifier"))
+      val factSide = spark.read.parquet(out).select(col("row"), col("value"))
+      val j = factSide.join(cellsSide, "row")
+      // collect() executes THIS queryExecution, finalizing its adaptive
+      // plan (count() would spawn a separate execution and leave this
+      // one unexecuted)
+      assert(j.collect().length > 0)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevStatic)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
     // a filtered count does NOT claim the push — and stays correct
     val lo = Array('3'.toByte)
     val filtered = spark.read.format("graft-cells").load(out)
