@@ -328,8 +328,13 @@ object ScaleStress {
         Thread.sleep(1500) // let the listener bus drain task-end events
         spark.sparkContext.removeSparkListener(tally)
         unpersistAll(spark)
-        if (secs < best) best = secs
-        b = tally.bytes.get(); r = tally.records.get()
+        // record bytes/records together with the wall-clock they belong
+        // to — unconditionally overwriting them would publish a ratio
+        // that mixes metrics from one pass with the other's timing
+        if (secs < best) {
+          best = secs
+          b = tally.bytes.get(); r = tally.records.get()
+        }
       }
       (best, b, r)
     }

@@ -234,17 +234,12 @@ object Dedup {
     * already lives — so clean data flows through with an empty side of a
     * single key-join and zero token-level shuffle. Same md5 hash-exactness
     * caveat as [[exact]]. */
-  def removeRepeatedSpans(docs: DataFrame, k: Int): DataFrame = {
-    val win = spanWindows(docs, k).materialized
-    val keepers = win.groupBy(col("s"))
-      .agg(countDistinct(col("doc_id")).as("ndocs"), min(col("doc_id")).as("keeper"))
-    val removedPerDoc = win.join(keepers, Seq("s"))
-      .where(col("ndocs") >= 2 && col("doc_id") =!= col("keeper"))
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
-      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("rm"))
-    applySpanRemoval(docs, removedPerDoc)
-  }
+  def removeRepeatedSpans(docs: DataFrame, k: Int): DataFrame =
+    // the one-shot IS the incremental form against an empty registry
+    // (left join coalesces to ndocs = batch df, keeper = batch min) —
+    // one implementation, so the hash-checked incremental ≡ full
+    // contract can never drift
+    removeRepeatedSpansVs(docs, emptySpanRegistry(docs.sparkSession), k)
 
   /** Positional k-token window digests: (doc_id, pos, s) — one row per
     * window occurrence, s = md5 of the space-joined window. */
@@ -299,16 +294,11 @@ object Dedup {
   def spanStore(docs: DataFrame, k: Int, corpusKey: String): SpanStore = {
     val spark = docs.sparkSession
     val path = storePath(spark, s"$corpusKey#spanstore", k, 0.0)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(path)) {
-      fs.mkdirs(path.getParent)
-      val tmp = new org.apache.hadoop.fs.Path(path.getParent,
-        s"_store_tmp_${java.util.UUID.randomUUID()}")
+    publishIfAbsent(spark, path) { tmp =>
       spanWindows(docs, k).groupBy(col("s"))
         .agg(min(col("doc_id")).as("keeper"),
           countDistinct(col("doc_id")).as("ndocs"))
         .write.mode("overwrite").parquet(s"$tmp/spans.parquet")
-      if (!fs.rename(tmp, path)) fs.delete(tmp, true)
     }
     SpanStore(spark, path.toString)
   }
@@ -388,14 +378,9 @@ object Dedup {
                        newCorpusKey: String): SpanStore = {
     val spark = newDocs.sparkSession
     val path = storePath(spark, s"$newCorpusKey#spanstore", k, 0.0)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(path)) {
-      fs.mkdirs(path.getParent)
-      val tmp = new org.apache.hadoop.fs.Path(path.getParent,
-        s"_store_tmp_${java.util.UUID.randomUUID()}")
+    publishIfAbsent(spark, path) { tmp =>
       spanRegistryMerge(store.spans, newDocs, k)
         .write.mode("overwrite").parquet(s"$tmp/spans.parquet")
-      if (!fs.rename(tmp, path)) fs.delete(tmp, true)
     }
     SpanStore(spark, path.toString)
   }
@@ -1070,15 +1055,30 @@ object Dedup {
     if (fs.exists(path)) Some(DedupStore(spark, path.toString)) else None
   }
 
-  def dedupStore(docs: DataFrame, n: Int, threshold: Double,
-                 corpusKey: String): DedupStore = {
-    val spark = docs.sparkSession
-    val path = storePath(spark, corpusKey, n, threshold)
+  /** Build-once atomic publish shared by every durable store: when
+    * `path` is absent, `write` lands the artifacts in a UUID temp
+    * sibling which is renamed in whole. Losing the rename race to a
+    * concurrent identical build keeps theirs (the computations are
+    * deterministic). ONE implementation of the install protocol — a fix
+    * to the rename-failure handling applies to every store at once. */
+  private def publishIfAbsent(spark: org.apache.spark.sql.SparkSession,
+                              path: org.apache.hadoop.fs.Path)
+                             (write: String => Unit): Unit = {
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) {
       fs.mkdirs(path.getParent)
       val tmp = new org.apache.hadoop.fs.Path(path.getParent,
         s"_store_tmp_${java.util.UUID.randomUUID()}")
+      write(tmp.toString)
+      if (!fs.rename(tmp, path)) fs.delete(tmp, true)
+    }
+  }
+
+  def dedupStore(docs: DataFrame, n: Int, threshold: Double,
+                 corpusKey: String): DedupStore = {
+    val spark = docs.sparkSession
+    val path = storePath(spark, corpusKey, n, threshold)
+    publishIfAbsent(spark, path) { tmp =>
       // ONE text scan: the digest index is computed once, persisted, and
       // every downstream artifact (signatures, bands, candidates, verify,
       // fixpoint) derives from it
@@ -1096,9 +1096,6 @@ object Dedup {
         sigsz.select(col("doc_id"), col("nsh")), threshold)
       clusters(pairs.select(col("a"), col("b")))
         .write.mode("overwrite").parquet(s"$tmp/clusters.parquet")
-      // atomic publish; if a concurrent writer won the race, keep theirs
-      // (identical content — the computation is deterministic)
-      if (!fs.rename(tmp, path)) fs.delete(tmp, true)
     }
     DedupStore(spark, path.toString)
   }
@@ -1122,11 +1119,7 @@ object Dedup {
                         threshold: Double, newCorpusKey: String): DedupStore = {
     val spark = newDocs.sparkSession
     val path = storePath(spark, newCorpusKey, n, threshold)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(path)) {
-      fs.mkdirs(path.getParent)
-      val tmp = new org.apache.hadoop.fs.Path(path.getParent,
-        s"_store_tmp_${java.util.UUID.randomUUID()}")
+    publishIfAbsent(spark, path) { tmp =>
       // ONE batch text scan: digests → signatures → band keys, each
       // persisted (merged with the stored frames) AND probed
       val shNew = shingleIndex(newDocs, n)
@@ -1148,7 +1141,6 @@ object Dedup {
         .select(col("doc_id").as("a"), col("cluster_id").as("b"))
       clusters(star.unionByName(touching.select(col("a"), col("b"))))
         .write.mode("overwrite").parquet(s"$tmp/clusters.parquet")
-      if (!fs.rename(tmp, path)) fs.delete(tmp, true)
     }
     DedupStore(spark, path.toString)
   }

@@ -128,9 +128,16 @@ object CellCompaction {
     replayed.foreach { d =>
       val dp = new Path(d)
       val recorded = absorbed(dp.getName)
-      // legacy name-only entries ("") predate the fingerprint and retire
-      // on name alone; v2 entries must match content before a delete
-      if (recorded.nonEmpty) {
+      // three generations of ledger entries:
+      //  - name-only ("")     — predate fingerprints; retire on name alone
+      //  - bare hex           — written by earlier fingerprint FORMATS
+      //    (lengths-only, or unversioned tuples); indistinguishable from
+      //    each other, so a mismatch against today's format proves
+      //    nothing — retire on name with a warning (the pre-upgrade
+      //    guarantee), never wedge the sweep on a format change
+      //  - "v2:"-prefixed     — today's content fingerprint; a mismatch
+      //    here IS new data under a reused batch id: fail loudly
+      if (recorded.startsWith(FingerprintVersion)) {
         val found = fingerprint(fs, dp)
         if (found != recorded)
           throw new IllegalStateException(
@@ -139,7 +146,11 @@ object CellCompaction {
               "not a streaming replay (checkpoint reset with new data, or a " +
               "second stream compacting into this dest?). Refusing to retire it; " +
               "compact into a fresh dest.")
-      }
+      } else if (recorded.nonEmpty)
+        System.err.println(s"[graft] compactMinor: ledger entry for " +
+          s"${dp.getName} carries a pre-versioned fingerprint; retiring the " +
+          "replay on batch id alone (content check unavailable across the " +
+          "fingerprint format upgrade)")
       fs.delete(dp, true)
     }
     if (dirs.isEmpty) return 0
@@ -181,6 +192,12 @@ object CellCompaction {
     * content-derived and free (the batch's own manifest already records
     * them — one small-file read; a missing/stale manifest entry costs one
     * footer open for that file only, metadata pages, no data read). */
+  /** Ledger fingerprint FORMAT version. Bumped whenever [[fingerprint]]'s
+    * input tuple changes: a recorded value from a different format is
+    * unverifiable (not wrong), and the replay check degrades to
+    * name-based retirement for it instead of wedging the sweep. */
+  private[graft] val FingerprintVersion = "v2:"
+
   private[graft] def fingerprint(fs: org.apache.hadoop.fs.FileSystem,
                                  dir: Path): String = {
     val conf = fs.getConf
@@ -200,7 +217,7 @@ object CellCompaction {
         s"$len:$rows:$b"
       }.sorted
     val body = sigs.length + ":" + sigs.mkString(",")
-    java.security.MessageDigest.getInstance("MD5")
+    FingerprintVersion + java.security.MessageDigest.getInstance("MD5")
       .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 

@@ -186,7 +186,12 @@ object CellManifest {
       case (name, Entry(len, rows, None)) => s"$name\t$len\t$rows\t-\t-"
     }.mkString("", "\n", "\n")
     val live = new Path(p, FileName)
-    val tmp = new Path(p, FileName + ".tmp")
+    // UUID-suffixed temp sibling: two concurrent persist() calls (an
+    // operator-run compaction racing a stream's deferred lane on the
+    // same dir) each write their OWN temp — a fixed ".tmp" name would
+    // let one writer truncate the other's half-written file and then
+    // rename those torn bytes in as the live manifest
+    val tmp = new Path(p, s"$FileName.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, live)) {
@@ -194,11 +199,16 @@ object CellManifest {
       if (!fs.rename(tmp, live))
         throw new java.io.IOException(s"manifest install failed: $tmp -> $live")
     }
+    // best-effort sweep of crashed writers' leftovers, now shadowed by
+    // the live file we just installed
+    scala.util.Try(fs.globStatus(new Path(p, FileName + ".tmp-*"))
+      .foreach(s => fs.delete(s.getPath, false)))
   }
 
   /** Parse the manifest if present: part-file name → [[Entry]]. Returns
     * None when the directory carries no manifest — callers fall back to
-    * footer reads. Accepts the legacy 3-field format (length/rows −1).
+    * footer reads. 3-field lines (the legacy format, indistinguishable
+    * from a torn 5-field line) parse to the conservative no-stats entry.
     *
     * TRUST CONTRACT — a damaged manifest degrades, never aborts. Two
     * distinct failure layers, both covered:
@@ -229,8 +239,13 @@ object CellManifest {
     val p =
       if (fs.exists(live)) live
       else {
-        val tmp = new Path(dir, FileName + ".tmp")
-        if (fs.exists(tmp)) tmp else return None
+        // temps are UUID-suffixed (concurrent-writer safety) — glob for
+        // them and take the newest; a half-written leftover parses to
+        // conservative entries, never to a wrong prune
+        val tmps = scala.util.Try(
+          fs.globStatus(new Path(dir, FileName + ".tmp-*")).toSeq).getOrElse(Seq.empty)
+        if (tmps.isEmpty) return None
+        tmps.maxBy(_.getModificationTime).getPath
       }
     val in = fs.open(p)
     val text =
@@ -244,9 +259,14 @@ object CellManifest {
       val fields = line.split('\t')
       val parsed = scala.util.Try {
         fields match {
-          case Array(name, "-", "-") => name -> Entry(-1L, -1L, None)
-          case Array(name, lo, hi) =>
-            name -> Entry(-1L, -1L, Some((fromHex(lo), fromHex(hi))))
+          // a 3-field line is AMBIGUOUS: it is either the legacy bounds
+          // format (name, loHex, hiHex) or a 5-field line torn after the
+          // rows field (decimal lengths parse as valid hex!) — trusting
+          // bounds from it could prune a live file on garbage, so both
+          // readings collapse to the conservative no-stats entry (the
+          // file is kept and re-statted; legacy dirs lose manifest
+          // pruning, never rows)
+          case Array(name, _, _) => name -> Entry(-1L, -1L, None)
           case Array(name, len, rows, "-", "-") =>
             name -> Entry(len.toLong, rows.toLong, None)
           case Array(name, len, rows, lo, hi) =>

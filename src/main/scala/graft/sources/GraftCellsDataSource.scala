@@ -200,12 +200,18 @@ private[sources] class GraftCellsScanBuilder(path: String)
       if (ks.forall(_.isDefined)) Some(ks.flatten) else None
     }
 
+  // one metadata walk per planned query: supportCompletePushDown and
+  // pushAggregation are both called during planning, and at the 100k-file
+  // scale a manifest-less directory would otherwise pay every footer
+  // open twice (the builder instance is per-query, so caching is safe)
+  private lazy val meta =
+    CellScan.metaStats(org.apache.spark.sql.SparkSession.active, path)
+
   /** The metadata answers, iff they can back `ks`: bounds are required
     * only when MIN/MAX is requested against a non-empty table. */
   private def answers(ks: Seq[String])
       : Option[(Long, Option[(Array[Byte], Array[Byte])])] =
-    CellScan.metaStats(org.apache.spark.sql.SparkSession.active, path)
-      .collect { case (total, bounds)
+    meta.collect { case (total, bounds)
         if !ks.exists(k => k == "lo" || k == "hi") || total == 0L || bounds.isDefined =>
         (total, bounds)
       }

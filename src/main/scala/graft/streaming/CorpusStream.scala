@@ -154,7 +154,12 @@ object CorpusStream {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    outs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    // materialize the union BEFORE deleting the staging tree (a lazy
+    // frame would read deleted files); without the cleanup every call
+    // leaks two copies of the corpus plus a checkpoint into the temp dir
+    val result = outs.map(spark.read.parquet(_)).reduce(_ unionByName _).materialized
+    EventStream.deleteStaging(staging.toString)
+    result
   }
 
   /** Epoch base of [[qualityMonitor]]'s synthetic ingest clock (micros). */

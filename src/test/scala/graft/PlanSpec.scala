@@ -247,12 +247,13 @@ class PlanSpec extends SparkSuite {
       finally spark.conf.set(key, prev)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     // the ndocs >= 2 conjunct must prune the keeper registry BEFORE the
-    // window join (Catalyst pushes it through; the cross-side
-    // doc_id != keeper predicate stays on the join) — without the push,
-    // the join's right side is the full corpus-digest frame instead of
-    // the duplication-sized one
+    // window join (Catalyst pushes it through the projection as
+    // `coalesce(ond,0)+bnd >= 2`; the cross-side doc_id != keeper
+    // predicate stays on the join) — without the push, the join's right
+    // side is the full corpus-digest frame instead of the
+    // duplication-sized one
     val pushed = p.linesIterator.exists(l =>
-      l.contains("Condition") && l.contains("ndocs") && l.contains(">= 2") &&
+      l.contains("Condition") && l.contains(">= 2") && l.contains("bnd") &&
         !l.contains("doc_id"))
     assert(pushed, p)
     // the positional window frame is computed once (checkpointed) and

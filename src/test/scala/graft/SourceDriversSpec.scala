@@ -406,16 +406,19 @@ class SourceDriversSpec extends SparkSuite {
     assert(CellManifest.fromHex(CellManifest.toHex(bytes)).toSeq === bytes.toSeq)
     assert(CellManifest.fromHex(CellManifest.toHex(Array.empty[Byte])).isEmpty)
 
-    // 5) legacy 3-field manifests (no length) still parse — length -1,
-    //    bounds trusted as before
-    val legacy = "part-x.parquet\t0A\t0B\npart-y.parquet\t-\t-\n"
+    // 5) 3-field lines (legacy format OR a 5-field line torn after the
+    //    rows field — decimal lengths parse as valid hex, so the two are
+    //    indistinguishable) parse CONSERVATIVELY: no bounds trusted, the
+    //    file is kept and re-statted instead of risking a garbage prune
+    val legacy = "part-x.parquet\t0A\t0B\npart-y.parquet\t-\t-\n" +
+      "part-z.parquet\t12345\t678\n" // torn 5-field line (len\trows)
     val lp = new Path(out, CellManifest.FileName)
     val os = fs.create(lp, true)
     os.write(legacy.getBytes("UTF-8")); os.close()
     val lm = CellManifest.read(spark, out).get
-    assert(lm("part-x.parquet").length === -1L)
-    assert(lm("part-x.parquet").bounds.get._1.toSeq === Seq(0x0a.toByte))
+    assert(lm("part-x.parquet") === CellManifest.Entry(-1L, -1L, None))
     assert(lm("part-y.parquet") === CellManifest.Entry(-1L, -1L, None))
+    assert(lm("part-z.parquet") === CellManifest.Entry(-1L, -1L, None))
     // legacy entries lack row counts → no manifest-served total
     assert(CellManifest.totalRows(spark, out).isEmpty)
   }
@@ -1304,7 +1307,7 @@ class SourceDriversSpec extends SparkSuite {
       .filter(_.nonEmpty).toSeq
     assert(lines.map(_.split('\t').head) === Seq("batch_00001"))
     assert(lines.forall(l => l.split('\t').length === 2 &&
-      l.split('\t')(1).matches("[0-9a-f]{32}")))
+      l.split('\t')(1).matches("v2:[0-9a-f]{32}")))
     // a same-named dir holding NEW data (checkpoint reset / second stream
     // into this dest) is NOT a replay: refuse loudly, delete nothing
     writeBatch(1, 55)
@@ -1316,6 +1319,20 @@ class SourceDriversSpec extends SparkSuite {
       "the mismatched fileset must NOT be deleted")
     assert(spark.read.parquet(dest).count() === rowsBefore,
       "nothing may be absorbed past a fingerprint mismatch")
+    // a PRE-VERSIONED (bare-hex) recorded fingerprint cannot be verified
+    // across a format upgrade: the replay retires on batch id alone
+    // (warning, no wedge) instead of throwing a spurious mismatch — the
+    // pre-upgrade, name-based replay guarantee, never a stuck sweep
+    val bareHex = lines.head.split('\t') match {
+      case Array(n, fp) => s"$n\t${fp.stripPrefix("v2:")}\n"
+    }
+    java.nio.file.Files.writeString(ledger.toPath, bareHex)
+    // the raw rewrite invalidates the local-FS checksum sidecar
+    new java.io.File(dest, "." + CellCompaction.AbsorbedLedger + ".crc").delete()
+    assert(CellCompaction.compactMinor(spark, root, dest, cfg) === 0)
+    assert(CellCompaction.batchDirs(spark, root).isEmpty,
+      "v1-era ledger entry retires the replayed id on name alone")
+    assert(spark.read.parquet(dest).count() === rowsBefore, "nothing re-absorbed")
   }
 
   test("batch fileset fingerprint: deterministic across identical re-writes, different for different content") {
@@ -1465,12 +1482,14 @@ class SourceDriversSpec extends SparkSuite {
     // semantics): a reader falls back to the COMPLETE temp sibling
     val expected = CellManifest.read(spark, dir).get
     val live = new java.io.File(dir, CellManifest.FileName)
-    val tmp = new java.io.File(dir, CellManifest.FileName + ".tmp")
+    // temps are UUID-suffixed since the concurrent-writer fix; the
+    // reader globs FileName.tmp-*
+    val tmp = new java.io.File(dir, CellManifest.FileName + ".tmp-racewindow")
     assert(live.renameTo(tmp))
     val liveCrc = new java.io.File(dir, "." + CellManifest.FileName + ".crc")
     if (liveCrc.exists())
       assert(liveCrc.renameTo(
-        new java.io.File(dir, "." + CellManifest.FileName + ".tmp.crc")))
+        new java.io.File(dir, "." + CellManifest.FileName + ".tmp-racewindow.crc")))
     val viaTmp = CellManifest.read(spark, dir)
     assert(viaTmp.isDefined, "read must fall back to the tmp sibling")
     assert(viaTmp.get.keySet === expected.keySet)
