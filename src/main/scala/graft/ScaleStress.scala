@@ -223,6 +223,15 @@ object ScaleStress {
     val ta = System.nanoTime()
     Dedup.dedupStoreAdvance(store, batch10, 3, 0.8, s"$dst#advanced")
     val advSecs = lap(ta)
+    // exact-substring REMOVAL worst case: per-doc token sort makes any
+    // two vocabulary-sharing docs window-identical, maximizing cross-doc
+    // duplication — coverage is token-bounded, so cost must stay
+    // comparable to the plain ciphered corpus (the SCALESTRESS.md x10
+    // row), not blow up with the dup rate
+    val tSpanAdv = min2(force(Dedup.removeRepeatedSpans(all, 8)))
+    val spanStats = Dedup.removeRepeatedSpans(all, 8)
+      .agg(sum(col("n_removed")), sum(col("n_tokens"))).head()
+    val (remTok, totTok) = (spanStats.getLong(0), spanStats.getLong(1))
     val table =
       s"""# Adversarial store maintenance (canonicalized-order corpus, x$reps, local[32])
          |
@@ -253,13 +262,23 @@ object ScaleStress {
          |order of magnitude under it, so the incremental result is
          |EXACTLY the full recompute here; the binding-cap regime is
          |oracle-pinned separately (`dedup_capped_lsh`, cap=2).
+         |
+         |Exact-substring removal under the same hostile transform (every
+         |vocabulary-sharing doc pair becomes window-identical — the
+         |worst case for cross-doc span duplication): full-corpus
+         |`removeRepeatedSpans` k=8 over all ${nOld + n10} docs runs in
+         |${f"$tSpanAdv%.2f"} s (min-of-2) and removes $remTok of $totTok
+         |tokens. Dup coverage is TOKEN-bounded by construction, so even a
+         |maximally duplicated corpus prices like the plain ciphered x$reps
+         |decade row (SCALESTRESS.md), not like its duplication rate.
          |""".stripMargin
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("SCALESTRESS_adversarial.md"), table)
     println(s"""{"adversarial":{"reps":$reps,"old_docs":$nOld,"stored_bands":$storedBands,""" +
       s""""build_secs":${f"$buildSecs%.2f"},"batch10_docs":$n10,"batch10_secs":${f"$t10%.2f"},""" +
       s""""batch01_docs":$n01,"batch01_secs":${f"$t01%.2f"},"advance_secs":${f"$advSecs%.2f"},""" +
-      s""""cap_crossings":$crossings}}""")
+      s""""cap_crossings":$crossings,"span_removal_secs":${f"$tSpanAdv%.2f"},""" +
+      s""""span_removed_tokens":$remTok,"span_total_tokens":$totTok}}""")
   }
 
   /** Per-run shuffle-write tally (bytes + records across all tasks). */
