@@ -251,7 +251,17 @@ object CellManifest {
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    Some(text.split('\n').iterator.filter(_.nonEmpty).map { line =>
+    // [[persist]] always terminates the body with '\n', so a file that
+    // does NOT end in a newline was torn mid-line — and a line torn
+    // inside its LAST hex field still parses as valid (shorter) bounds,
+    // which would UNDERSTATE hi and mis-prune. The unterminated final
+    // fragment is therefore never trusted: it degrades to the
+    // conservative no-stats entry like any other damaged line.
+    val lines = text.split('\n').iterator.filter(_.nonEmpty).toSeq
+    val (terminated, torn) =
+      if (text.isEmpty || text.endsWith("\n")) (lines, Seq.empty[String])
+      else (lines.dropRight(1), lines.takeRight(1))
+    Some((terminated.iterator.map { line =>
       // any damaged field (wrong arity, truncated number, bad hex) maps
       // to the conservative Entry(-1, -1, None) — a corrupted manifest
       // degrades to weaker pruning + a live re-stat, never to an aborted
@@ -274,7 +284,8 @@ object CellManifest {
         }
       }
       parsed.getOrElse(fields.head -> Entry(-1L, -1L, None))
-    }.toMap)
+    } ++ torn.iterator.map(line =>
+      line.split('\t').head -> Entry(-1L, -1L, None))).toMap)
   }
 
   /** Unsigned min/max of the `row` column across a file's row groups,

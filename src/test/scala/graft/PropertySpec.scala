@@ -341,6 +341,46 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("manifest parsing: EVERY byte-truncation yields only exact or conservative entries — never wrong bounds") {
+    import graft.sources.CellManifest
+    import graft.sources.CellManifest.Entry
+    // a line torn inside its trailing hex field parses as VALID shorter
+    // hex — an understated hi bound that would mis-prune; the parser's
+    // torn-tail rule (complete files end in '\n') must catch every cut
+    val rows = Seq(
+      ("part-00000-aaaa.parquet", 123456L, 789L,
+        Some((Array(0x00.toByte, 0xde.toByte),
+          Array(0xad.toByte, 0xbe.toByte, 0xef.toByte)))),
+      ("part-00001-bbbb.parquet", 99L, 1L,
+        Some((Array(0x10.toByte), Array(0xff.toByte, 0x00.toByte)))),
+      ("part-00002-cccc.parquet", 7L, 0L, None))
+    def hex(b: Array[Byte]) = CellManifest.toHex(b)
+    val body = rows.map {
+      case (n, len, r, Some((lo, hi))) => s"$n\t$len\t$r\t${hex(lo)}\t${hex(hi)}"
+      case (n, len, r, None)           => s"$n\t$len\t$r\t-\t-"
+    }.mkString("", "\n", "\n")
+    val expected = rows.map { case (n, len, r, b) => n -> Entry(len, r, b) }.toMap
+    def same(a: Entry, b: Entry): Boolean =
+      a.length == b.length && a.rows == b.rows &&
+        a.bounds.map { case (l, h) => (hex(l), hex(h)) } ==
+          b.bounds.map { case (l, h) => (hex(l), hex(h)) }
+    val conservative = Entry(-1L, -1L, None)
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest-trunc")
+    val f = dir.resolve(CellManifest.FileName)
+    (1 to body.length).foreach { cut =>
+      java.nio.file.Files.write(f, body.substring(0, cut).getBytes("UTF-8"))
+      CellManifest.read(spark, dir.toString).foreach(_.foreach { case (name, e) =>
+        expected.get(name) match {
+          case Some(exp) =>
+            assert(same(e, exp) || same(e, conservative),
+              s"cut=$cut name=$name got=$e want exact-or-conservative")
+          case None => // a truncated NAME can never carry trusted stats
+            assert(same(e, conservative), s"cut=$cut torn-name=$name got=$e")
+        }
+      })
+    }
+  }
+
   test("participationRatio ≡ direct covariance-trace computation, and is bounded by [1, d]") {
     import graft.operators.Similarity
     val d = 6
