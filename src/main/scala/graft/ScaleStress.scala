@@ -59,7 +59,11 @@ object ScaleStress {
     // its incremental form (r14): min-of-2 serves the second run from
     // the published registry, so the measured cost is the batch rewrite
     // against a 10x registry — the store-maintenance posture
-    "dedup_span_store_incremental")
+    "dedup_span_store_incremental",
+    // the streaming form (r14): per-pass Structured Streaming fixed cost
+    // (staging writes, stream start, 2 triggers) should dominate — the
+    // per-batch plan is the incremental rewrite above
+    "stream_span_removal")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
