@@ -91,7 +91,13 @@ object CorpusStream {
       .repartition(2).write.mode("overwrite").parquet(s"$staging/in")
     val batches = run(spark, s"$staging/in", s"$staging/out", s"$staging/ckpt",
       n, minEst)
-    batches.map(b => spark.read.parquet(b.path)).reduce(_ unionByName _)
+    // materialize before deleting the staging tree (same leak fix as
+    // [[spanRemovalAll]]: a lazy frame would read deleted files, and
+    // without cleanup every call leaks a corpus copy + checkpoint)
+    val result = batches.map(b => spark.read.parquet(b.path))
+      .reduce(_ unionByName _).materialized
+    EventStream.deleteStaging(staging)
+    result
   }
 
   /** Streaming exact-substring removal — the continuous form of
