@@ -331,6 +331,21 @@ object ReferenceParity {
           lower(hex(col("lo"))).as("row_lo"), lower(hex(col("hi"))).as("row_hi"))
     }),
 
+    // COUNT(*) under a row-RANGE also pushes: fully-contained region
+    // files answer from the manifest, only the boundary files are
+    // scanned — a range count touches <= 2 data files at any region count
+    "cells_count_range_pushdown" -> ((s, dir) => {
+      val path = staged(fixturePath(dir, "cellscan")) {
+        graft.SortedParquetCellSink.write(RegionSort.sortedByRange(
+          CellOps.explodeIndexed(t(s, dir, "customer"), custKey, "c",
+            custValueCols), 10), fixturePath(dir, "cellscan"))
+      }
+      s.read.format("graft-cells").load(path)
+        .where(col("row") >= lit(Array(0x40.toByte)) &&
+          col("row") < lit(Array(0x80.toByte)))
+        .agg(count(lit(1)).as("n_cells"))
+    }),
+
     // HBase PrefixFilter analog: all rows under a 1-byte key prefix as
     // the [prefix, prefix+1) range — same manifest-pruned machinery
     "cells_scan_prefix" -> ((s, dir) => {
@@ -632,6 +647,9 @@ object ReferenceParity {
     "cells_count_pushdown" ->
       s"""SELECT count(*) AS n_cells, min("row") AS row_lo,
                  max("row") AS row_hi FROM ($cellsIndexedSql)""",
+    "cells_count_range_pushdown" ->
+      s"""SELECT count(*) AS n_cells FROM ($cellsIndexedSql)
+          WHERE "row" >= '40' AND "row" < '80'""",
     "cells_compact_versions" -> cellsCompactSql,
     "cells_compact_tombstones" -> cellsTombstonesSql,
     // layout compaction is the identity on cell content

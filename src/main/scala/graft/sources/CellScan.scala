@@ -195,6 +195,50 @@ object CellScan {
       : Option[(Array[Byte], Array[Byte])] =
     metaStats(spark, dir).filter(_._1 > 0).flatMap(_._2)
 
+  /** EXACT row count of the [startRow, stopRow) key range: region files
+    * FULLY inside the range contribute their metadata row count (no data
+    * read), files that straddle a boundary — or carry no usable bounds —
+    * are scanned with the residual range filter, and files outside
+    * contribute nothing. At 100k regions a point/range count is a
+    * manifest sum plus a scan of at most the two boundary files, instead
+    * of counting every row in range. None for layouts this scanner
+    * doesn't understand. */
+  def countRowsInRange(spark: SparkSession, dir: String,
+                       startRow: Option[Array[Byte]],
+                       stopRow: Option[Array[Byte]]): Option[Long] = {
+    val all = partFiles(spark, dir)
+    if (all.isEmpty) return None
+    val manifest = CellManifest.read(spark, dir)
+    val hc = spark.sessionState.newHadoopConf()
+    val cmp = RegionSort.unsignedBytes
+    var contained = 0L
+    val straddling = scala.collection.mutable.ArrayBuffer.empty[String]
+    all.foreach { case (f, liveLen) =>
+      val (rows, bounds) = manifest.flatMap(_.get(new Path(f).getName))
+        .collect { case e if (e.length < 0 || e.length == liveLen) && e.rows >= 0 =>
+          (e.rows, e.bounds) }
+        .getOrElse { footerOpens.incrementAndGet(); CellManifest.footerStats(f, hc) }
+      bounds match {
+        case _ if rows == 0L => () // nothing to count either way
+        case Some((lo, hi))
+          if startRow.exists(s => cmp.compare(hi, s) < 0) ||
+             stopRow.exists(e => cmp.compare(lo, e) >= 0) => () // outside
+        case Some((lo, hi))
+          if startRow.forall(s => cmp.compare(lo, s) >= 0) &&
+             stopRow.forall(e => cmp.compare(hi, e) < 0) => contained += rows
+        case _ => straddling += f // boundary file, or no usable bounds
+      }
+    }
+    val boundary =
+      if (straddling.isEmpty) 0L
+      else {
+        val fromStart = startRow.map(s => col("row") >= lit(s)).getOrElse(lit(true))
+        val toStop = stopRow.map(e => col("row") < lit(e)).getOrElse(lit(true))
+        spark.read.parquet(straddling.toSeq: _*).where(fromStart && toStop).count()
+      }
+    Some(contained + boundary)
+  }
+
   /** One metadata walk: (total rows, folded [lo, hi] bounds — None when
     * any file lacks them). Manifest entries are trusted under
     * [[scanRange]]'s freshness rule; everything else opens one footer. */

@@ -152,11 +152,15 @@ private[sources] class GraftCellsRelation(
   * [[CellScan.metaStats]] — manifest row counts and key bounds (footer
   * fallback under the scan's own freshness rules) — so these aggregates
   * over a staged table are a metadata read, zero data pages, zero tasks
-  * (the scan plans as a local one-row relation). The push is claimed
-  * only AFTER the metadata walk succeeds (and, for MIN/MAX, only when
-  * every non-empty live file carries exact bounds), so a layout the
-  * scanner doesn't understand silently falls back to the ordinary
-  * scan-and-aggregate plan. */
+  * (the scan plans as a local one-row relation). Under a pushed
+  * row-RANGE filter, COUNT(*) still pushes: fully-contained region
+  * files contribute their manifest counts and only the boundary files
+  * are scanned ([[CellScan.countRowsInRange]], run once at planning) —
+  * a range count touches ≤ 2 data files no matter how many regions
+  * exist. The push is claimed only AFTER the metadata walk succeeds
+  * (and, for MIN/MAX, only when every non-empty live file carries exact
+  * bounds), so a layout the scanner doesn't understand silently falls
+  * back to the ordinary scan-and-aggregate plan. */
 private[sources] class GraftCellsScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -186,15 +190,16 @@ private[sources] class GraftCellsScanBuilder(path: String)
     }
 
   /** Aggregate kinds iff EVERY expression is metadata-answerable and the
-    * scan is unfiltered/ungrouped; None otherwise. */
+    * scan is ungrouped; None otherwise. Under pushed row-range filters
+    * only COUNT(*) qualifies (answered as manifest counts of the fully-
+    * contained region files + a scan of the boundary files only). */
   private def kinds(agg: Aggregation): Option[Seq[String]] =
-    if (!(pushed.isEmpty && agg.groupByExpressions.isEmpty &&
-        agg.aggregateExpressions.nonEmpty)) None
+    if (!(agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty)) None
     else {
       val ks = agg.aggregateExpressions.toSeq.map {
         case _: CountStar => Some("c")
-        case m: Min if rowRef(m.column) => Some("lo")
-        case m: Max if rowRef(m.column) => Some("hi")
+        case m: Min if rowRef(m.column) && pushed.isEmpty => Some("lo")
+        case m: Max if rowRef(m.column) && pushed.isEmpty => Some("hi")
         case _ => None
       }
       if (ks.forall(_.isDefined)) Some(ks.flatten) else None
@@ -206,12 +211,19 @@ private[sources] class GraftCellsScanBuilder(path: String)
   // open twice (the builder instance is per-query, so caching is safe)
   private lazy val meta =
     CellScan.metaStats(org.apache.spark.sql.SparkSession.active, path)
+  private lazy val rangedCount: Option[Long] = {
+    val (lo, hi) = GraftCellsFilters.rowBounds(pushed)
+    CellScan.countRowsInRange(
+      org.apache.spark.sql.SparkSession.active, path, lo, hi)
+  }
 
   /** The metadata answers, iff they can back `ks`: bounds are required
-    * only when MIN/MAX is requested against a non-empty table. */
+    * only when MIN/MAX is requested against a non-empty table; a pushed
+    * row range routes through the contained+boundary count. */
   private def answers(ks: Seq[String])
       : Option[(Long, Option[(Array[Byte], Array[Byte])])] =
-    meta.collect { case (total, bounds)
+    if (pushed.nonEmpty) rangedCount.map(c => (c, None))
+    else meta.collect { case (total, bounds)
         if !ks.exists(k => k == "lo" || k == "hi") || total == 0L || bounds.isDefined =>
         (total, bounds)
       }

@@ -758,7 +758,9 @@ class SourceDriversSpec extends SparkSuite {
     val hi = Array('4'.toByte)
     val pruned = spark.read.format("graft-cells").load(out)
       .where(col("row") >= lit(lo) && col("row") < lit(hi))
-    val nPruned = pruned.count()
+    // collect(), not count(): a range COUNT is now answered from
+    // metadata without running the scan whose pruning this test pins
+    val nPruned = pruned.collect().length.toLong
     // the V1 pushdown delivered the bounds: the relation kept ONE of the
     // ten region files, via the manifest (no footer opens)
     assert(CellScan.lastKeptFiles.get() === 1L,
@@ -780,11 +782,16 @@ class SourceDriversSpec extends SparkSuite {
     try {
       assert(spark.sql("SELECT count(*) FROM cells_v").head().getLong(0) ===
         r.cells.count())
+      // a range COUNT now pushes to metadata (contained manifest counts
+      // + boundary-file scan) — assert the VALUE against a real scan;
+      // per-file pruning for row-returning scans is asserted above
       val viaSql = spark.sql(
         "SELECT count(*) FROM cells_v WHERE row >= x'33' AND row < x'34'")
         .head().getLong(0)
-      assert(viaSql > 0 && CellScan.lastKeptFiles.get() === 1L,
-        "SQL-through-view range must prune to one region file")
+      assert(viaSql > 0 && viaSql === spark.read.parquet(out)
+        .where(col("row") >= lit(Array('3'.toByte)) &&
+          col("row") < lit(Array('4'.toByte))).count(),
+        "SQL-through-view range count must be exact")
     } finally spark.catalog.dropTempView("cells_v")
 
     // the CATALOG path is READABLE (DSv2 SupportsRead on the same table
@@ -800,9 +807,12 @@ class SourceDriversSpec extends SparkSuite {
       val viaCat = spark.sql(
         "SELECT count(*) FROM cells_cat WHERE row >= x'33' AND row < x'34'")
         .head().getLong(0)
-      assert(viaCat > 0 && CellScan.lastKeptFiles.get() === 1L,
-        "catalog-table range must prune to one region file")
-      assert(CellScan.footerOpens.get() === b3)
+      assert(viaCat > 0 && viaCat === spark.read.parquet(out)
+        .where(col("row") >= lit(Array('3'.toByte)) &&
+          col("row") < lit(Array('4'.toByte))).count(),
+        "catalog-table range count must be exact")
+      assert(CellScan.footerOpens.get() === b3,
+        "manifest present: the metadata count opens zero footers")
       // the DSv2 scan reports the pushed row filters in EXPLAIN
       val plan = spark.sql(
         "SELECT * FROM cells_cat WHERE row >= x'33' AND row < x'34'")
@@ -881,14 +891,34 @@ class SourceDriversSpec extends SparkSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevStatic)
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
-    // a filtered count does NOT claim the push — and stays correct
+    // a RANGE-filtered count pushes too: fully-contained region files
+    // answer from the manifest, only boundary files are scanned — the
+    // executed plan is still a local one-row relation, values exact
+    // across range shapes (point, half-open, boundary-straddling, empty)
+    val ranges = Seq(
+      (Some(Array('3'.toByte)), None),
+      (Some(Array('3'.toByte)), Some(Array('7'.toByte))),
+      (Some(Array('3'.toByte, 0x33.toByte)), Some(Array('4'.toByte, 0x99.toByte))),
+      (Some(Array(0xfe.toByte)), Some(Array(0xff.toByte)))) // empty range
+    ranges.foreach { case (lo2, hi2) =>
+      var q = spark.read.format("graft-cells").load(out)
+      var e = spark.read.parquet(out)
+      lo2.foreach { b => q = q.where(col("row") >= lit(b)); e = e.where(col("row") >= lit(b)) }
+      hi2.foreach { b => q = q.where(col("row") < lit(b)); e = e.where(col("row") < lit(b)) }
+      val agg = q.agg(count(lit(1)).as("n"))
+      assert(agg.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+        s"range ($lo2,$hi2) must plan locally")
+      assert(agg.head().getLong(0) === e.count(), s"range ($lo2,$hi2)")
+    }
+    // a MIN/MAX under a range does NOT claim the push — and stays correct
     val lo = Array('3'.toByte)
     val filtered = spark.read.format("graft-cells").load(out)
-      .where(col("row") >= lit(lo)).agg(count(lit(1)).as("n"))
+      .where(col("row") >= lit(lo)).agg(min(col("row")).as("m"))
     assert(filtered.queryExecution.executedPlan.toString
       .contains("LocalTableScan") === false)
-    assert(filtered.head().getLong(0) ===
-      spark.read.parquet(out).where(col("row") >= lit(lo)).count())
+    assert(filtered.head().getAs[Array[Byte]](0).sameElements(
+      spark.read.parquet(out).where(col("row") >= lit(lo))
+        .agg(min(col("row"))).head().getAs[Array[Byte]](0)))
     // freshness rule: an externally added part file the manifest does not
     // list is counted via its own footer (same keep-unlisted contract as
     // the scan)
