@@ -236,6 +236,39 @@ object ScaleStress {
     val spanStats = Dedup.removeRepeatedSpans(all, 8)
       .agg(sum(col("n_removed")), sum(col("n_tokens"))).head()
     val (remTok, totTok) = (spanStats.getLong(0), spanStats.getLong(1))
+    // RP-bucket occupancy cap under an embedding BOILERPLATE COHORT
+    // (r15 ask): the real corpus plus a `reps`×|corpus|/5 cohort of ONE
+    // template vector — the embedded boilerplate page. Every band
+    // collides the whole cohort into a single bucket, so uncapped
+    // candidate volume gains a cohort²/2·bands quadratic term while the
+    // real part keeps its ordinary occupancies; a cap sitting between
+    // the two regimes (binding, the ann_capped_rp_pairs oracle posture)
+    // must price the corpus like its non-cohort part.
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val dEmb = emb.select(size(col("embedding"))).head().getInt(0)
+    val template = array((0 until dEmb).map(i =>
+      lit(math.cos(i * 0.37).toFloat)): _*)
+    val nBase = emb.count()
+    val cohort = nBase * reps / 5
+    val cohortDf = spark.range(cohort)
+      .select((col("id") + lit(Shift)).as("vec_id"), template.as("embedding"),
+        lit("boilerplate").as("label"))
+    emb.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(cohortDf)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    val hostile = spark.read.parquet(s"$dst/embeddings.parquet")
+    val nVec = hostile.count()
+    val embCap = 500 // >> real-corpus band occupancy, << cohort size
+    val tEmbCapped = min2(force(
+      Similarity.cosinePairsBucketed(hostile, 0.4, maxBucket = embCap)))
+    val tEmbBase = min2(force(Similarity.cosinePairsBucketed(emb, 0.4)))
+    val cappedPairs = Similarity
+      .cosinePairsBucketed(hostile, 0.4, maxBucket = embCap).count()
+    // uncapped cohort candidate volume per band is a closed form — the
+    // quadratic the cap removes (timing it IS the blowup, so it is
+    // counted, not run)
+    val uncappedCand = cohort * (cohort - 1) / 2
     val table =
       s"""# Adversarial store maintenance (canonicalized-order corpus, x$reps, local[32])
          |
@@ -275,6 +308,19 @@ object ScaleStress {
          |tokens. Dup coverage is TOKEN-bounded by construction, so even a
          |maximally duplicated corpus prices like the plain ciphered x$reps
          |decade row (SCALESTRESS.md), not like its duplication rate.
+         |
+         |RP-bucket occupancy cap under an embedding BOILERPLATE COHORT
+         |($nVec vectors = the real corpus ($nBase) plus a $cohort-copy
+         |template cohort — every band collides the cohort into one
+         |bucket): `cosinePairsBucketed` with the cap binding at $embCap
+         |runs in ${f"$tEmbCapped%.2f"} s (min-of-2) and emits $cappedPairs
+         |verified pairs, vs ${f"$tEmbBase%.2f"} s for the cohort-free
+         |corpus — the capped plan prices like the corpus's non-cohort
+         |part. Uncapped, the cohort alone contributes $uncappedCand
+         |candidate pairs PER BAND before any verify — the occ²/2
+         |quadratic the cap removes. Cohort members are exact duplicates
+         |by construction, which the identity pass catches without a pair
+         |join (the composition the cap's scaladoc prescribes).
          |""".stripMargin
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("SCALESTRESS_adversarial.md"), table)
@@ -282,7 +328,10 @@ object ScaleStress {
       s""""build_secs":${f"$buildSecs%.2f"},"batch10_docs":$n10,"batch10_secs":${f"$t10%.2f"},""" +
       s""""batch01_docs":$n01,"batch01_secs":${f"$t01%.2f"},"advance_secs":${f"$advSecs%.2f"},""" +
       s""""cap_crossings":$crossings,"span_removal_secs":${f"$tSpanAdv%.2f"},""" +
-      s""""span_removed_tokens":$remTok,"span_total_tokens":$totTok}}""")
+      s""""span_removed_tokens":$remTok,"span_total_tokens":$totTok,""" +
+      s""""emb_vectors":$nVec,"emb_cohort":$cohort,"emb_cap":$embCap,""" +
+      s""""emb_capped_secs":${f"$tEmbCapped%.2f"},"emb_base_secs":${f"$tEmbBase%.2f"},""" +
+      s""""emb_capped_pairs":$cappedPairs,"emb_uncapped_cohort_cand":$uncappedCand}}""")
   }
 
   /** Per-run shuffle-write tally (bytes + records across all tasks). */

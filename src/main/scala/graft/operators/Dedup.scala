@@ -270,12 +270,78 @@ object Dedup {
   /** Durable window-digest registry backing INCREMENTAL exact-substring
     * removal: one row per distinct k-token window digest with the minimum
     * doc_id holding it (`keeper`) and the count of distinct documents
-    * holding it (`ndocs`). ~40 B/digest, text never stored. */
+    * holding it (`ndocs`). ~40 B/digest, text never stored.
+    *
+    * The registry is BUCKETED BY DIGEST at write time
+    * ([[spanRegistryBuckets]] buckets, per-bucket sorted — the
+    * [[graft.operators.Layout.writeBucketed]] contract): a bucketed scan
+    * reports `HashPartitioning(s, n)`, so every digest-keyed store-side
+    * operation — the incremental rewrite's registry probe, the advance's
+    * full-outer fold — runs with ZERO exchange on the store side. At
+    * 100 TB the registry is corpus-duplication-sized; pre-bucketing it
+    * moves the per-batch shuffle from O(registry) to O(batch), the same
+    * amortize-the-shuffle-once trade the bucketed fact-table layout
+    * makes. Registries published by pre-bucketing code (no
+    * [[SpanBucketsFile]] sidecar) fall back to a plain parquet scan. */
   final case class SpanStore(spark: org.apache.spark.sql.SparkSession,
                              dir: String) {
-    def spans: DataFrame =
-      spark.read.schema("s BINARY, keeper BIGINT, ndocs BIGINT")
-        .parquet(s"$dir/spans.parquet")
+    def spans: DataFrame = {
+      val side = new org.apache.hadoop.fs.Path(s"$dir/$SpanBucketsFile")
+      val fs = side.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(side))
+        spark.read.schema("s BINARY, keeper BIGINT, ndocs BIGINT")
+          .parquet(s"$dir/spans.parquet")
+      else {
+        val in = fs.open(side)
+        val n = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+        // bucket metadata lives in the catalog, not the files — register
+        // an external bucketed table over the published location once per
+        // session (name keyed on the store dir, which is content-keyed)
+        val tbl = "graft_spanstore_" + md5Hex(dir)
+        if (!spark.catalog.tableExists(tbl))
+          spark.sql(
+            s"""CREATE TABLE IF NOT EXISTS `$tbl` (s BINARY, keeper BIGINT, ndocs BIGINT)
+               |USING PARQUET
+               |CLUSTERED BY (s) SORTED BY (s) INTO $n BUCKETS
+               |LOCATION '$dir/spans.parquet'""".stripMargin)
+        spark.table(tbl)
+      }
+    }
+  }
+
+  /** Sidecar recording the bucket count a span registry's files were
+    * laid out with (written LAST, before the store's atomic publish). */
+  private[graft] val SpanBucketsFile = "SPAN_BUCKETS"
+
+  /** Span-registry bucket count. 32 matches the local session's shuffle
+    * width; a deployment sizes it so one bucket's digests fit an
+    * executor's join hash table (`-Dgraft.spanstore.buckets=N`). */
+  private[graft] def spanRegistryBuckets: Int =
+    sys.props.get("graft.spanstore.buckets").map(_.toInt).getOrElse(32)
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Land a registry frame as the digest-bucketed `spans.parquet` fileset
+    * under `tmp` (staging table → drop keeps the files → sidecar). The
+    * stage table is external (explicit path), so DROP leaves the data;
+    * the UUID name keeps concurrent builders apart. */
+  private def writeSpanRegistry(spark: org.apache.spark.sql.SparkSession,
+                                registry: DataFrame, tmp: String): Unit = {
+    val n = spanRegistryBuckets
+    val stage = s"graft_spanstore_stage_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    registry.repartition(n, col("s"))
+      .write.mode("overwrite")
+      .option("path", s"$tmp/spans.parquet")
+      .bucketBy(n, "s").sortBy("s")
+      .saveAsTable(stage)
+    spark.sql(s"DROP TABLE IF EXISTS `$stage`")
+    val side = new org.apache.hadoop.fs.Path(s"$tmp/$SpanBucketsFile")
+    val fs = side.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(side, true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** Resolve the PUBLISHED span store for a (corpusKey, k) pair, if one
@@ -295,10 +361,11 @@ object Dedup {
     val spark = docs.sparkSession
     val path = storePath(spark, s"$corpusKey#spanstore", k, 0.0)
     publishIfAbsent(spark, path) { tmp =>
-      spanWindows(docs, k).groupBy(col("s"))
-        .agg(min(col("doc_id")).as("keeper"),
-          countDistinct(col("doc_id")).as("ndocs"))
-        .write.mode("overwrite").parquet(s"$tmp/spans.parquet")
+      writeSpanRegistry(spark,
+        spanWindows(docs, k).groupBy(col("s"))
+          .agg(min(col("doc_id")).as("keeper"),
+            countDistinct(col("doc_id")).as("ndocs")),
+        tmp)
     }
     SpanStore(spark, path.toString)
   }
@@ -314,22 +381,34 @@ object Dedup {
     * registry — old TEXT is never re-read, re-tokenized, or re-hashed,
     * and old documents are never re-emitted. Per-batch cost = one batch
     * text scan + a digest-keyed join of batch digests against the
-    * registry (fixed ~40 B rows; the join is the store's scan + exchange,
-    * the price of exact global span identity — bucket the registry by
-    * digest to make the store side exchange-free at deployment scale). */
+    * registry (fixed ~40 B rows). The registry is digest-bucketed at
+    * write time ([[SpanStore]]), so the store side of that join is scan
+    * only — ZERO exchange; only the batch's own digest aggregate
+    * shuffles (to the registry's bucket width), which is the O(batch)
+    * cost an incremental pass is supposed to pay. */
   def removeRepeatedSpansStored(newDocs: DataFrame, store: SpanStore,
                                 k: Int): DataFrame =
     removeRepeatedSpansVs(newDocs, store.spans, k)
 
-  /** [[removeRepeatedSpansStored]] against any registry FRAME
-    * (s, keeper, ndocs) — the streaming path holds its registry as a
-    * materialized in-session frame instead of a published store. */
-  private[graft] def removeRepeatedSpansVs(newDocs: DataFrame,
-                                           registry: DataFrame,
-                                           k: Int): DataFrame = {
-    val win = spanWindows(newDocs, k).materialized
-    val batchAgg = win.groupBy(col("s"))
-      .agg(countDistinct(col("doc_id")).as("bnd"), min(col("doc_id")).as("bkeep"))
+  /** The batch's digest-keyed aggregate over a positional window frame:
+    * one row per distinct batch digest, (s, bkeep = min doc_id, bnd =
+    * distinct doc count). Map-side combinable; the ONE batch-side
+    * shuffle every span operation below shares. */
+  private def batchSpanAgg(win: DataFrame): DataFrame =
+    win.groupBy(col("s"))
+      .agg(min(col("doc_id")).as("bkeep"), countDistinct(col("doc_id")).as("bnd"))
+
+  /** Rewrite `newDocs` given its materialized window frame `win` and its
+    * digest aggregate `batchAgg` — the body shared by the one-shot, the
+    * stored-registry, and the streaming forms (so the hash-checked
+    * incremental ≡ full contract can never drift). The registry probe is
+    * a LEFT join keyed on the digest: against a digest-bucketed
+    * [[SpanStore]] scan (or a previously hash-partitioned in-session
+    * registry) the store side satisfies the join's distribution from its
+    * layout — zero store-side exchange. */
+  private def removeSpansCore(newDocs: DataFrame, win: DataFrame,
+                              batchAgg: DataFrame, registry: DataFrame,
+                              k: Int): DataFrame = {
     val merged = batchAgg.join(
         registry.select(col("s"), col("keeper").as("okeep"),
           col("ndocs").as("ond")),
@@ -345,17 +424,55 @@ object Dedup {
     applySpanRemoval(newDocs, removedPerDoc)
   }
 
+  /** [[removeRepeatedSpansStored]] against any registry FRAME
+    * (s, keeper, ndocs) — the streaming path holds its registry as a
+    * materialized in-session frame instead of a published store. */
+  private[graft] def removeRepeatedSpansVs(newDocs: DataFrame,
+                                           registry: DataFrame,
+                                           k: Int): DataFrame = {
+    val win = spanWindows(newDocs, k).materialized
+    removeSpansCore(newDocs, win, batchSpanAgg(win), registry, k)
+  }
+
+  /** One streaming step: rewrite the batch against `registry` AND return
+    * the advanced registry, sharing ONE materialized window pass and ONE
+    * digest aggregate between the two — the merge costs a small
+    * digest-keyed fold instead of re-scanning and re-hashing the batch's
+    * text (which is what merging via [[spanRegistryMerge]] after a
+    * separate rewrite paid). Both returned frames depend only on
+    * materialized inputs, so the caller may evaluate them after its
+    * micro-batch completes. */
+  private[graft] def removeRepeatedSpansAndAdvance(
+      newDocs: DataFrame, registry: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    val win = spanWindows(newDocs, k).materialized
+    val agg = batchSpanAgg(win).materialized
+    (removeSpansCore(newDocs, win, agg, registry, k),
+      spanRegistryMergeFromAgg(registry, agg))
+  }
+
+  /** Fold a batch digest aggregate into a registry frame — keeper = min,
+    * ndocs = sum (disjoint doc sets) — as a digest-keyed FULL OUTER join
+    * rather than union + re-aggregate: against a digest-bucketed
+    * [[SpanStore]] scan the store side satisfies the join distribution
+    * from its layout (zero store-side exchange), and the join's output
+    * ordering lets the advanced registry land back in bucketed files
+    * without an extra sort. */
+  private def spanRegistryMergeFromAgg(registry: DataFrame,
+                                       batchAgg: DataFrame): DataFrame =
+    registry.select(col("s"), col("keeper").as("okeep"), col("ndocs").as("ond"))
+      .join(batchAgg, Seq("s"), "full_outer")
+      .select(col("s"),
+        least(coalesce(col("okeep"), col("bkeep")),
+          coalesce(col("bkeep"), col("okeep"))).as("keeper"),
+        (coalesce(col("ond"), lit(0L)) + coalesce(col("bnd"), lit(0L))).as("ndocs"))
+
   /** Fold a new drop's window digests into a registry frame: keeper =
     * min, ndocs = sum (disjoint doc sets). Shared by [[spanStoreAdvance]]
     * and the streaming registry handoff. */
   private[graft] def spanRegistryMerge(registry: DataFrame, newDocs: DataFrame,
                                        k: Int): DataFrame =
-    registry.unionByName(
-        spanWindows(newDocs, k).groupBy(col("s"))
-          .agg(min(col("doc_id")).as("keeper"),
-            countDistinct(col("doc_id")).as("ndocs")))
-      .groupBy(col("s"))
-      .agg(min(col("keeper")).as("keeper"), sum(col("ndocs")).as("ndocs"))
+    spanRegistryMergeFromAgg(registry,
+      batchSpanAgg(spanWindows(newDocs, k)))
 
   /** Empty span registry frame — the streaming cold start. */
   private[graft] def emptySpanRegistry(
@@ -379,8 +496,7 @@ object Dedup {
     val spark = newDocs.sparkSession
     val path = storePath(spark, s"$newCorpusKey#spanstore", k, 0.0)
     publishIfAbsent(spark, path) { tmp =>
-      spanRegistryMerge(store.spans, newDocs, k)
-        .write.mode("overwrite").parquet(s"$tmp/spans.parquet")
+      writeSpanRegistry(spark, spanRegistryMerge(store.spans, newDocs, k), tmp)
     }
     SpanStore(spark, path.toString)
   }
@@ -967,7 +1083,7 @@ object Dedup {
     * verbatim to newer code: the version changes the key, so the new code
     * simply builds a fresh store. */
   val StoreAlgoVersion: String =
-    s"minhash:k=$MinHashK,b=$Bands,r=$RowsPerBand,cap=$BandBucketCap,rev=2"
+    s"minhash:k=$MinHashK,b=$Bands,r=$RowsPerBand,cap=$BandBucketCap,rev=3"
 
   /** Handle over one persisted dedup store: the cluster assignment plus
     * the COMPANION INDEX a production store keeps beside it (the HBase

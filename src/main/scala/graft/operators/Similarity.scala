@@ -929,9 +929,25 @@ object Similarity {
     * band recall. The per-band self-join is an equi-join on (band, bucket) —
     * no O(n²) BroadcastNestedLoopJoin anywhere in the plan; at 100 TB,
     * planesPerBand scales with log(n) to keep E[bucket size] bounded. */
+  /** An RP-band bucket past this occupancy contributes occ²/2 candidate
+    * pairs from ONE (band, bucket) key — the same boilerplate-cohort
+    * quadratic [[graft.operators.Dedup.BandBucketCap]] caps for MinHash
+    * buckets: a corpus with 10⁶ near-identical template embeddings (one
+    * embedded boilerplate page) collides them into one bucket in EVERY
+    * band. Buckets past the cap are dropped from candidate generation;
+    * their members are near-certainly an exact-duplicate cohort, which an
+    * identity pass (group by the rounded vector's digest) catches without
+    * any pair join — compose exact dedup first and the cap costs recall
+    * only for similar-but-distinct vectors whose every collision band is
+    * oversized. 10,000 bounds one bucket at 5·10⁷ pairs while sitting
+    * far above any bucket the declared corpora produce. */
+  val RpBucketCap = 10000
+
   def cosinePairsBucketed(corpus: DataFrame, threshold: Double,
                           bands: Int = 4, planesPerBand: Int = 4,
-                          dims: Int = 64): DataFrame = {
+                          dims: Int = 64,
+                          maxBucket: Int = RpBucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val banded = e.select(col("vec_id"), col("v"),
         explode(array((0 until bands).map { b =>
@@ -939,7 +955,16 @@ object Similarity {
             rpSketchRange(col("v"), b * planesPerBand, planesPerBand, dims).as("bucket"))
         }: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = banded.as("x").join(banded.as("y"),
+    // occupancy cap shares the self-join's (band, bucket) exchange — no
+    // extra shuffle (the [[graft.operators.Dedup.minHashCandidates]] shape)
+    val kept =
+      if (maxBucket == Int.MaxValue) banded
+      else banded
+        .withColumn("occ",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+        .where(col("occ") <= maxBucket)
+        .drop("occ")
+    val cand = kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))

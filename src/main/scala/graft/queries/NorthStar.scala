@@ -1180,6 +1180,15 @@ object NorthStar {
       e.join(drop.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("label"))
     }),
+    // the RpBucketCap path under the oracle gate (the dedup_capped_lsh
+    // pattern for embeddings): RP-band candidate generation with a cap
+    // LOW enough (30) to bind on the real corpus's dense buckets — the
+    // oracle mirrors the occupancy window literally, so the capped
+    // generator (not just the uncapped happy path) is hash-checked
+    "ann_capped_rp_pairs" -> ((s, dir) =>
+      Similarity.cosinePairsBucketed(t(s, dir, "embeddings"), -1.0,
+          maxBucket = AnnBindingRpCap)
+        .select(col("a"), col("b"))),
     // hard-negative mining (contrastive training): per query, the top-10
     // most similar vectors with a DIFFERENT label — boundary negatives,
     // label filter applied before any dot product is computed
@@ -1630,30 +1639,48 @@ object NorthStar {
       s"(CASE WHEN round(list_dot_product($v, ${planeSql(fromPlane + i)}), 6) >= 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" + ")
 
-  private val annPairsBucketedSql = {
-    val bandSelects = (0 until 4).map { b =>
-      s"SELECT vec_id, $b AS band, ${bucketSql("v", b * 4, 4)} AS bucket FROM e"
-    }.mkString(" UNION ALL ")
+  /** The RP-band occupancy window — [[bandCapSql]]'s embedding analog
+    * (mirrors [[Similarity.RpBucketCap]]'s filter literally). */
+  private def rpCapSql(cap: Int) =
+    s"""bbk AS (SELECT vec_id, band, bucket FROM (
+          SELECT *, count(*) OVER (PARTITION BY band, bucket) occ FROM bb)
+         WHERE occ <= $cap)"""
+
+  private def annBandSelects: String = (0 until 4).map { b =>
+    s"SELECT vec_id, $b AS band, ${bucketSql("v", b * 4, 4)} AS bucket FROM e"
+  }.mkString(" UNION ALL ")
+
+  private val annPairsBucketedSql =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-        bb AS ($bandSelects),
+        bb AS ($annBandSelects),
+        ${rpCapSql(Similarity.RpBucketCap)},
         cand AS (SELECT DISTINCT x.vec_id a, y.vec_id b
-                 FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket
+                 FROM bbk x JOIN bbk y ON x.band = y.band AND x.bucket = y.bucket
                    AND x.vec_id < y.vec_id)
         SELECT a, b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
         FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
         WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4"""
-  }
+
+  /** The capped RP candidate generator IN the binding regime (cap 30 sits
+    * inside the sf corpora's occupancy distribution — some buckets kept,
+    * some dropped), the `dedup_capped_lsh` pattern for embeddings. */
+  private[queries] val AnnBindingRpCap = 30
+  private val annCappedRpPairsSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        bb AS ($annBandSelects),
+        ${rpCapSql(AnnBindingRpCap)}
+        SELECT DISTINCT x.vec_id a, y.vec_id b
+        FROM bbk x JOIN bbk y ON x.band = y.band AND x.bucket = y.bucket
+          AND x.vec_id < y.vec_id"""
 
   /** Literal mirror of [[Similarity.knnGraph]]: same banded candidates as
     * [[annPairsBucketedSql]], no threshold, symmetrized, per-node top-3. */
   private val annKnnGraphSql = {
-    val bandSelects = (0 until 4).map { b =>
-      s"SELECT vec_id, $b AS band, ${bucketSql("v", b * 4, 4)} AS bucket FROM e"
-    }.mkString(" UNION ALL ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-        bb AS ($bandSelects),
+        bb AS ($annBandSelects),
+        ${rpCapSql(Similarity.RpBucketCap)},
         cand AS (SELECT DISTINCT x.vec_id a, y.vec_id b
-                 FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket
+                 FROM bbk x JOIN bbk y ON x.band = y.band AND x.bucket = y.bucket
                    AND x.vec_id < y.vec_id),
         sc AS (SELECT a, b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
                FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b),
@@ -3055,6 +3082,7 @@ object NorthStar {
                FROM sc)
          SELECT qid, nid, cos_sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10""",
     "ann_cosine_pairs" -> annPairsBucketedSql,
+    "ann_capped_rp_pairs" -> annCappedRpPairsSql,
     "ann_knn_graph" -> annKnnGraphSql,
     "emb_lof_outliers" ->
       s"""WITH knn AS (SELECT * FROM ($annKnnGraphSql)),

@@ -146,11 +146,27 @@ object CellCompaction {
               "not a streaming replay (checkpoint reset with new data, or a " +
               "second stream compacting into this dest?). Refusing to retire it; " +
               "compact into a fresh dest.")
-      } else if (recorded.nonEmpty)
-        System.err.println(s"[graft] compactMinor: ledger entry for " +
-          s"${dp.getName} carries a pre-versioned fingerprint; retiring the " +
-          "replay on batch id alone (content check unavailable across the " +
-          "fingerprint format upgrade)")
+      } else if (recorded.nonEmpty) {
+        // bare-hex entry: written either by the immediately prior release
+        // (the SAME md5 tuple body as today's fingerprint, just without
+        // the version prefix) or by the older lengths-only format. The
+        // prior-release case is directly VERIFIABLE — compare against
+        // today's fingerprint with the prefix stripped: a match PROVES
+        // the replay and retires silently with the full content
+        // guarantee (pre-fix, every bare-hex entry skipped verification
+        // outright). A mismatch proves nothing on its own — it is either
+        // the lengths-only era (true replay, different formula) or new
+        // data under a reused id — so it keeps the pre-upgrade
+        // warn-and-retire-on-name behavior rather than wedging every
+        // lengths-only upgrade; the warning now names the reset risk.
+        val found = fingerprint(fs, dp).stripPrefix(FingerprintVersion)
+        if (found != recorded)
+          System.err.println(s"[graft] compactMinor: ledger entry for " +
+            s"${dp.getName} carries a pre-versioned fingerprint that does not " +
+            "match today's format (lengths-only era, or new data under a " +
+            "reused batch id); retiring the replay on batch id alone — if " +
+            "this followed a checkpoint reset with new data, use a fresh dest")
+      }
       fs.delete(dp, true)
     }
     if (dirs.isEmpty) return 0

@@ -195,13 +195,34 @@ object CellManifest {
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, live)) {
+      // re-check OUR temp before retiring the live file: if the temp has
+      // vanished (external sweep, crash cleanup), deleting live would
+      // leave the directory with no manifest at all and the retry rename
+      // would still fail — the lose-lose end state of the sweep race.
+      // A vanished temp with a live file present means a concurrent
+      // writer won the install; their manifest may lack our newest
+      // entries, but a missing entry only degrades that file to a footer
+      // re-stat (the same trust contract as a damaged line) — accept it.
+      if (!fs.exists(tmp)) {
+        if (fs.exists(live)) return
+        throw new java.io.IOException(
+          s"manifest install lost its temp with no live manifest present: $tmp -> $live")
+      }
       fs.delete(live, false)
       if (!fs.rename(tmp, live))
         throw new java.io.IOException(s"manifest install failed: $tmp -> $live")
     }
     // best-effort sweep of crashed writers' leftovers, now shadowed by
-    // the live file we just installed
+    // the live file we just installed. GRACE-GUARDED: a temp younger
+    // than the window may be a CONCURRENT writer's in-flight file —
+    // deleting it would fail their first rename and (pre-guard) made
+    // them retire the just-installed live manifest before failing too,
+    // leaving no manifest at all. Only temps old enough to be crashed
+    // writers' leftovers are swept.
+    val sweepGraceMs = 10 * 60 * 1000L
+    val now = System.currentTimeMillis()
     scala.util.Try(fs.globStatus(new Path(p, FileName + ".tmp-*"))
+      .filter(s => now - s.getModificationTime > sweepGraceMs)
       .foreach(s => fs.delete(s.getPath, false)))
   }
 

@@ -211,6 +211,15 @@ private[sources] class GraftCellsScanBuilder(path: String)
   // open twice (the builder instance is per-query, so caching is safe)
   private lazy val meta =
     CellScan.metaStats(org.apache.spark.sql.SparkSession.active, path)
+  // DELIBERATE planning-time work: the boundary-file count runs a real
+  // (two-task-ish) job inside pushAggregation, so even an EXPLAIN of a
+  // range-filtered COUNT touches the two boundary files, and the answer
+  // is snapshotted at plan time rather than execution time. Accepted
+  // trade for an immutable-fileset store (plan/execute skew requires a
+  // concurrent rewrite of the scanned dir, which the layout contract
+  // forbids); if EXPLAIN side effects ever matter, the alternative is a
+  // one-task Batch scan carrying (lo, hi) that defers this count to
+  // execution — same I/O, later.
   private lazy val rangedCount: Option[Long] = {
     val (lo, hi) = GraftCellsFilters.rowBounds(pushed)
     CellScan.countRowsInRange(

@@ -352,14 +352,17 @@ object EventStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     val ev = raw.withColumn("ts", graft.queries.Tables.normTs(raw.schema("ts").dataType))
-    val maxTsRow = ev.agg(unix_micros(max(col("ts")))).head()
+    val batchCol =
+      ((dayofmonth(col("ts")) - 1) / 3).cast(org.apache.spark.sql.types.IntegerType) +
+        when(pmod(col("event_id"), lit(17)) === 0, 2).otherwise(0)
+    // max ts and max batch in ONE scan (this harness pays per-trigger
+    // fixed costs ~14 times already; no reason to add driver-side passes)
+    val maxTsRow = ev.agg(unix_micros(max(col("ts"))), max(batchCol)).head()
     if (maxTsRow.isNullAt(0)) // empty stream: nothing to window, nothing late
       return ev.limit(0).select(col("ts").as("window_start"),
         col("event_type"), lit(0L).as("n"))
     val maxTs = maxTsRow.getLong(0)
-    val staged = ev.withColumn("batch",
-      ((dayofmonth(col("ts")) - 1) / 3).cast(org.apache.spark.sql.types.IntegerType) +
-        when(pmod(col("event_id"), lit(17)) === 0, 2).otherwise(0))
+    val staged = ev.withColumn("batch", batchCol)
     val staging = java.nio.file.Files.createTempDirectory("graft_late_stage")
     val in = staging.resolve("in")
     java.nio.file.Files.createDirectory(in)
@@ -379,7 +382,7 @@ object EventStream {
       java.nio.file.Files.move(part.toPath, dest.toPath)
       dest.setLastModified(mtime)
     }
-    val nBatches = staged.agg(max(col("batch"))).head().getInt(0) + 1
+    val nBatches = maxTsRow.getInt(1) + 1
     staged.repartition(nBatches, col("batch"))
       .write.partitionBy("batch").mode("overwrite")
       .parquet(staging.resolve("stage_build").toString)
@@ -408,13 +411,27 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
     val out = staging.resolve("out").toString
-    withStreamPartitions(spark, 8) {
+    // 3 state partitions, not the stream default 8: per-trigger cost
+    // scales with partition count (state commits, sink files, tasks)
+    // while the answer does not depend on it. Measured floor (r15): the
+    // ~13 triggers ARE the semantics (one watermark advancement per
+    // staged arrival batch — the oracle models eviction per batch index,
+    // so triggers cannot fold), and each costs ~0.4 s of microbatch
+    // machinery (incremental re-plan + offset/commit log + sink commit;
+    // state partitions 8→3→1 moved nothing beyond noise, and async
+    // progress tracking is structurally unavailable — Spark's
+    // checkNotStatefulStreamingQuery refuses stateful queries). The
+    // query is therefore fixed-cost-bound: decade α ≈ 0 (SCALESTRESS.md),
+    // a harness floor, not a scale risk.
+    withStreamPartitions(spark, 3) {
+      val tQ = System.nanoTime()
       val q = agg.writeStream
         .outputMode("append")
         .format("parquet")
         .option("checkpointLocation", staging.resolve("ckpt").toString)
         .start(out)
       try q.processAllAvailable() finally q.stop()
+      System.err.println(f"[latedrop] stream ${(System.nanoTime()-tQ)/1e9}%.2f s over $nBatches+1 triggers")
     }
     import graft.operators.Dedup.MaterializeSyntax
     val res = spark.read.parquet(out)

@@ -1036,6 +1036,58 @@ class DedupTextSpec extends SparkSuite {
     assert(rows(Dedup.spanStore(poisoned, 8, key)) === rows(store))
   }
 
+  test("span store: digest-bucketed registry — zero store-side exchange in the incremental probe and the advance fold") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val helper = new AdaptiveSparkPlanHelper {}
+    val shared = "one two three four five six seven eight"
+    val old = (1L to 40L).map(i =>
+        (i, s"$shared filler$i words$i going here right now end$i"))
+      .toDF("doc_id", "text")
+    val key = s"spanbkt-${java.util.UUID.randomUUID()}"
+    val store = Dedup.spanStore(old, 8, key)
+    val batch = Seq((100L, shared), (101L, s"extra lead $shared")).toDF("doc_id", "text")
+    // a STORE-SIDE exchange = a ShuffleExchange that re-partitions the
+    // registry's rows BEFORE their first join — i.e. a shuffle whose
+    // subtree holds the bucketed registry scan but no join below it
+    // (shuffles above the join carry join output, which is sized by the
+    // batch's duplication, not the registry; the batch side still
+    // shuffles — that is the O(batch) cost an incremental pass pays).
+    // The digest-bucketed layout must eliminate every such node.
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def storeScans(plan: org.apache.spark.sql.execution.SparkPlan) =
+      helper.collectWithSubqueries(plan) {
+        case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+      }
+    def pinned(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val scans = storeScans(plan)
+      assert(scans.nonEmpty, s"$what: registry scan is not bucketed\n$plan")
+      assert(scans.forall(_.outputPartitioning.isInstanceOf[HashPartitioning]),
+        s"$what: bucketed scan does not report hash partitioning\n$plan")
+      val storeSideShuffles = helper.collectWithSubqueries(plan) {
+        case e: ShuffleExchangeLike
+          if storeScans(e).nonEmpty &&
+            helper.collectWithSubqueries(e) { case j: BaseJoinExec => j }.isEmpty => e
+      }
+      assert(storeSideShuffles.isEmpty, s"$what: store-side exchange\n$plan")
+    }
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      pinned(Dedup.removeRepeatedSpansStored(batch, store, 8), "incremental probe")
+      pinned(Dedup.spanRegistryMerge(store.spans, batch, 8), "advance fold")
+    }
+    // and the capped rewrite result still matches the full recompute
+    val inc = Dedup.removeRepeatedSpansStored(batch, store, 8)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    val full = Dedup.removeRepeatedSpans(old.unionByName(batch), 8)
+      .where(col("doc_id") >= 100L)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(inc === full)
+  }
+
   test("knBigramProbs: hand-computed KN probabilities; per-context mass ≤ 1") {
     val d = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
     val p = TextOps.knBigramProbs(d, minCount = 1)

@@ -199,6 +199,7 @@ class ScaleSpec extends SparkSuite {
       "emb_participation_ratio", "graph_assortativity", "graph_triangles",
       "quality_score_auc", "quality_constraint_report",
       "quality_linear_probe", // 1-row trained-model readout (9 moments)
+      "source_csv_compat_skips", // 1-row skip-parity census readout
       "table_checksum",
       "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
       "q19_disjunctive_predicates", "q6_filter_pushdown", "q_sql_not_in_nulls",

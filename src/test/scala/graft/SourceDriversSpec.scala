@@ -1138,12 +1138,63 @@ class SourceDriversSpec extends SparkSuite {
       // the adoption call reached the (stand-in) tool with the configured
       // table and the staging path — the full create→valueOf→bulkLoad
       // wiring, not a stub
-      assert(graft.fakehbase.RecordedBulkLoads.calls.toArray.toSeq ===
-        Seq(("transactions", out)))
+      val calls = graft.fakehbase.RecordedBulkLoads.calls.toArray
+        .toSeq.map(_.asInstanceOf[(String, String, Set[String])])
+      assert(calls.map(c => (c._1, c._2)) === Seq(("transactions", out)))
+      // the ADOPTED FILE SET (walked inside the tool at adoption time) is
+      // exactly the staged fileset — X5 ran on the real files, after X4
+      // and before any cleanup could touch them
+      def listing(d: String): Set[String] = {
+        def walk(f: java.io.File): Seq[String] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f.getName)
+        // the tool walks through Hadoop's ChecksumFileSystem, which hides
+        // the local-FS .crc sidecars — compare the visible fileset
+        walk(new java.io.File(d)).filterNot(_.startsWith(".")).toSet
+      }
+      assert(calls.head._3 === listing(out))
+      assert(calls.head._3.exists(n => n.startsWith("part-") && n.endsWith(".parquet")),
+        s"no data files in the adopted set: ${calls.head._3}")
       // and X4 had already run by then (postCommit order is final in the
       // trait; the chmod walk's effect is visible after the sequence)
       val st = java.nio.file.Files.getPosixFilePermissions(java.nio.file.Paths.get(out))
       assert(st.contains(java.nio.file.attribute.PosixFilePermission.OTHERS_WRITE))
+    } finally {
+      conf.unset(HFileCellSink.TableKey)
+      conf.unset(HFileCellSink.ToolClassKey)
+      conf.unset(HFileCellSink.TableNameClassKey)
+    }
+  }
+
+  test("X5 e2e: container write + adoption against the fake hbase classes — the adopted set is the container fileset") {
+    // the full reference tail on one dir: the HFile CONTAINER write
+    // (saveAsNewAPIHadoopFile through the reflection-resolved stand-in
+    // classes) followed by postCommit's chmod → doBulkLoad → cleanup,
+    // with the adoption tool recording the fileset it saw — the
+    // LoadIncrementalHFiles call-shape end to end, no step stubbed
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set(HFileCellSink.TableKey, "transactions")
+    conf.set(HFileCellSink.ToolClassKey, "graft.fakehbase.BulkLoadHFiles")
+    conf.set(HFileCellSink.TableNameClassKey, "graft.fakehbase.TableName")
+    try {
+      graft.fakehbase.RecordedBulkLoads.calls.clear()
+      val dir = tmpDir()
+      rows9.map(r => r.productIterator.mkString("\u0001"))
+        .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+      val r = BulkLoad.hiveText(spark, dir)
+      val out = tmpDir() + "/adopt-container"
+      HFileCellSink.writeVia(r.cells, out,
+        "graft.fakehbase.KeyValue", "graft.fakehbase.BytesKey",
+        "graft.fakehbase.CellTextOutputFormat")
+      HFileCellSink.postCommit(out)
+      val calls = graft.fakehbase.RecordedBulkLoads.calls.toArray
+        .toSeq.map(_.asInstanceOf[(String, String, Set[String])])
+      assert(calls.map(c => (c._1, c._2)) === Seq(("transactions", out)))
+      val adopted = calls.head._3
+      assert(adopted.exists(n => n.startsWith("part-") && n.endsWith(".txt")),
+        s"container data files missing from the adopted set: $adopted")
+      // every cell byte the pipeline produced is inside the adopted files
+      val fromAdopted = spark.read.text(out).count()
+      assert(fromAdopted === r.cells.count())
     } finally {
       conf.unset(HFileCellSink.TableKey)
       conf.unset(HFileCellSink.ToolClassKey)
@@ -1362,6 +1413,15 @@ class SourceDriversSpec extends SparkSuite {
     assert(CellCompaction.compactMinor(spark, root, dest, cfg) === 0)
     assert(CellCompaction.batchDirs(spark, root).isEmpty,
       "v1-era ledger entry retires the replayed id on name alone")
+    assert(spark.read.parquet(dest).count() === rowsBefore, "nothing re-absorbed")
+    // a bare-hex entry from the IMMEDIATELY PRIOR release carries today's
+    // md5 body unprefixed — a TRUE replay is therefore PROVABLE: the
+    // deterministic re-land matches the stripped fingerprint and retires
+    // with the full content guarantee (not the name-only degradation)
+    writeBatch(1, 40) // the original batch_00001 content, re-landed
+    assert(CellCompaction.compactMinor(spark, root, dest, cfg) === 0)
+    assert(CellCompaction.batchDirs(spark, root).isEmpty,
+      "prior-release bare-hex entry with matching content must retire the replay")
     assert(spark.read.parquet(dest).count() === rowsBefore, "nothing re-absorbed")
   }
 

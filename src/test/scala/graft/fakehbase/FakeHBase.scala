@@ -15,9 +15,14 @@ class KeyValue(val row: Array[Byte], val family: Array[Byte],
 
 class BytesKey(val get: Array[Byte])
 
-/** Call log for the stand-in adoption tool (X5). */
+/** Call log for the stand-in adoption tool (X5): (table, staging dir,
+  * file names under the dir AT ADOPTION TIME). The file set is walked
+  * INSIDE bulkLoad — the same discovery `LoadIncrementalHFiles.doBulkLoad`
+  * performs over the staging layout — so a spec can assert both WHICH
+  * files the cluster would have adopted and that adoption ran while the
+  * files still existed (i.e. before any cleanup step). */
 object RecordedBulkLoads {
-  val calls = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  val calls = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Set[String])]()
 }
 
 /** Stand-in for `org.apache.hadoop.hbase.TableName` (static `valueOf`). */
@@ -29,9 +34,17 @@ object TableName {
 /** Stand-in for `org.apache.hadoop.hbase.tool.BulkLoadHFiles`: static
   * `create(Configuration)` factory, instance `bulkLoad(TableName, Path)` —
   * the exact shape `HFileCellSink.bulkLoadVia` resolves by name. */
-class BulkLoadHFiles private (conf: org.apache.hadoop.conf.Configuration) {
-  def bulkLoad(table: TableName, dir: org.apache.hadoop.fs.Path): Unit =
-    RecordedBulkLoads.calls.add((table.name, dir.toString))
+class BulkLoadHFiles private (val conf: org.apache.hadoop.conf.Configuration) {
+  def bulkLoad(table: TableName, dir: org.apache.hadoop.fs.Path): Unit = {
+    val fs = dir.getFileSystem(conf)
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.flatMap(s => walk(s.getPath))
+      else Seq(p.getName)
+    RecordedBulkLoads.calls.add(
+      (table.name, dir.toString,
+        scala.util.Try(walk(dir).toSet).getOrElse(Set.empty)))
+  }
 }
 object BulkLoadHFiles {
   def create(conf: org.apache.hadoop.conf.Configuration): BulkLoadHFiles =
