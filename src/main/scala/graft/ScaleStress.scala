@@ -128,25 +128,7 @@ object ScaleStress {
     // matching the text cipher — while a vector and its cross-replica
     // image decorrelate like random pairs. Permutation/signs are
     // md5-derived per (replica, dim), built once on the driver.
-    val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    val d = emb.select(size(col("embedding"))).head().getInt(0)
-    def h(r: Int, i: Int): String = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(s"perm|$r|$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    }
-    write(reps10 { r =>
-      if (r == 0)
-        emb.select(col("vec_id"), col("embedding"), col("label"))
-      else {
-        val perm = (0 until d).sortBy(h(r, _))
-        val sign = (0 until d).map(i => if (h(r, i + d).head < '8') 1.0f else -1.0f)
-        val mapped = array(perm.zip(sign).map { case (p, s) =>
-          (element_at(col("embedding"), p + 1) * lit(s)).cast("float")
-        }: _*)
-        emb.select((col("vec_id") + lit(r * Shift)).as("vec_id"),
-          mapped.as("embedding"), col("label"))
-      }
-    }, "embeddings")
+    write(embeddingDecade(spark, src, reps), "embeddings")
 
     // dims replicate WITH shifted surrogate keys so every lineitem FK
     // resolves within its replica (nation/region keys are small fixed
@@ -178,6 +160,90 @@ object ScaleStress {
 
     Seq("region", "nation")
       .foreach(n => write(spark.read.parquet(s"$src/$n.parquet"), n))
+  }
+
+  /** The signed-permutation embedding decade frame (see [[buildScaled]]
+    * — shared with the [[embScaleMain]] layout-scaling measurement). */
+  private def embeddingDecade(spark: SparkSession, src: String,
+                              reps: Int): DataFrame = {
+    val Shift = 10000000L
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val d = emb.select(size(col("embedding"))).head().getInt(0)
+    def h(r: Int, i: Int): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"perm|$r|$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    (0 until reps).map { r =>
+      if (r == 0)
+        emb.select(col("vec_id"), col("embedding"), col("label"))
+      else {
+        val perm = (0 until d).sortBy(h(r, _))
+        val sign = (0 until d).map(i => if (h(r, i + d).head < '8') 1.0f else -1.0f)
+        val mapped = array(perm.zip(sign).map { case (p, s) =>
+          (element_at(col("embedding"), p + 1) * lit(s)).cast("float")
+        }: _*)
+        emb.select((col("vec_id") + lit(r * Shift)).as("vec_id"),
+          mapped.as("embedding"), col("label"))
+      }
+    }.reduce(_ unionByName _)
+  }
+
+  /** LAYOUT-SCALED RP search decade (`runMain graft.ScaleStress
+    * embscale`): the fixed-parameter decade rows for the RP-band family
+    * (dedup_embedding α ~1.2, ann_cosine_pairs α ~1.7 at x10) measure a
+    * STRUCTURAL quadratic — 2^planesPerBand band buckets are a constant,
+    * so per-bucket occupancy grows with n and candidate volume with n².
+    * The deployment answer named in [[graft.operators.Similarity
+    * .cosinePairsBucketed]]'s scaladoc is that planesPerBand scales with
+    * log(n), holding E[occupancy] constant. This mode MEASURES that
+    * knob: the x`reps` corpus under (a) the declared fixed parameters
+    * and (b) planesPerBand+ceil(log2 reps) — same expected occupancy as
+    * x1 — and prints both alphas. (More planes lower per-band recall; a
+    * deployment compensates with more bands — the cost knob measured
+    * here is buckets, recall tuning is the S-curve eval's job.)
+    * Results → SCALESTRESS_embscale.md + one JSON line. */
+  private def embScaleMain(spark: SparkSession, src: String, reps: Int): Unit = {
+    import graft.operators.Similarity
+    val dst = java.nio.file.Files.createTempDirectory("graft-embscale").toString
+    System.err.println(s"[scalestress] building embedding x$reps decade at $dst")
+    embeddingDecade(spark, src, reps)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    val small = spark.read.parquet(s"$src/embeddings.parquet")
+    val big = spark.read.parquet(s"$dst/embeddings.parquet")
+    val extraPlanes = math.ceil(math.log(reps.toDouble) / math.log(2)).toInt
+    def min2(body: => Unit): Double = (1 to 2).map { _ =>
+      val t0 = System.nanoTime(); body; unpersistAll(spark)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val tSmall = min2(force(Similarity.cosinePairsBucketed(small, 0.4)))
+    val tFixed = min2(force(Similarity.cosinePairsBucketed(big, 0.4)))
+    val tScaled = min2(force(Similarity.cosinePairsBucketed(big, 0.4,
+      bands = 4, planesPerBand = 4 + extraPlanes)))
+    def alpha(b: Double): Double = math.log(b / tSmall) / math.log(reps.toDouble)
+    val table =
+      s"""# RP-band layout scaling (embeddings sf0.1 -> x$reps, min-of-2, local[32])
+         |
+         |Fixed parameters leave 2^4 buckets/band at every scale, so occupancy
+         |grows with n and candidate volume with n² — the structural quadratic
+         |behind the fixed-parameter decade alphas. Scaling planesPerBand with
+         |log2(reps) (4 -> ${4 + extraPlanes}) holds E[occupancy] at the x1 level:
+         |
+         || corpus | planes/band | secs | alpha vs x1 |
+         ||---|---|---|---|
+         || x1 | 4 | ${f"$tSmall%.2f"} | — |
+         || x$reps | 4 (fixed) | ${f"$tFixed%.2f"} | ${f"${alpha(tFixed)}%.2f"} |
+         || x$reps | ${4 + extraPlanes} (scaled) | ${f"$tScaled%.2f"} | ${f"${alpha(tScaled)}%.2f"} |
+         |
+         |The scaled layout is the 100 TB posture: bucket count is a data-size
+         |knob, not a constant — with it the RP candidate stage prices linearly
+         |(occupancy-capped against cohorts either way, RpBucketCap).
+         |""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("SCALESTRESS_embscale.md"), table)
+    println(s"""{"emb_scale":{"reps":$reps,"small_secs":${f"$tSmall%.2f"},""" +
+      s""""fixed_secs":${f"$tFixed%.2f"},"fixed_alpha":${f"${alpha(tFixed)}%.2f"},""" +
+      s""""scaled_planes":${4 + extraPlanes},"scaled_secs":${f"$tScaled%.2f"},""" +
+      s""""scaled_alpha":${f"${alpha(tScaled)}%.2f"}}}""")
   }
 
   /** ADVERSARIAL store-maintenance stress (`runMain graft.ScaleStress
@@ -253,7 +319,7 @@ object ScaleStress {
     val cohort = nBase * reps / 5
     val cohortDf = spark.range(cohort)
       .select((col("id") + lit(Shift)).as("vec_id"), template.as("embedding"),
-        lit("boilerplate").as("label"))
+        lit(-1L).cast(emb.schema("label").dataType).as("label"))
     emb.select(col("vec_id"), col("embedding"), col("label"))
       .unionByName(cohortDf)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
@@ -467,6 +533,10 @@ object ScaleStress {
     }
     if (args.headOption.contains("ingest")) {
       try ingestMain(spark, reps) finally spark.stop()
+      return
+    }
+    if (args.headOption.contains("embscale")) {
+      try embScaleMain(spark, src, reps) finally spark.stop()
       return
     }
     val dst = java.nio.file.Files.createTempDirectory("graft-scalestress").toString

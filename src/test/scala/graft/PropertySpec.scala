@@ -339,6 +339,24 @@ class PropertySpec extends SparkSuite {
         .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
       assert(inc === got.filter(_._1 >= cut), s"cut=$cut")
     }
+    // the streaming step (shared window pass + lazy advance) produces the
+    // SAME rewrite and the SAME advanced registry as the separate calls
+    locally {
+      val cut = 12L
+      val reg = Dedup.spanRegistryMerge(
+        Dedup.emptySpanRegistry(spark), df.where(col("doc_id") < cut), k)
+      val (out2, adv2) = Dedup.removeRepeatedSpansAndAdvance(
+        df.where(col("doc_id") >= cut), reg, k)
+      val inc2 = out2.as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(inc2 === got.filter(_._1 >= cut), "AndAdvance rewrite drifted")
+      def regRows(r: org.apache.spark.sql.DataFrame) =
+        r.select(lower(hex(col("s"))), col("keeper"), col("ndocs"))
+          .as[(String, Long, Long)].collect().toSet
+      assert(regRows(adv2) === regRows(
+        Dedup.spanRegistryMerge(Dedup.emptySpanRegistry(spark), df, k)),
+        "advanced registry != full-corpus registry")
+    }
   }
 
   test("manifest parsing: EVERY byte-truncation yields only exact or conservative entries — never wrong bounds") {
