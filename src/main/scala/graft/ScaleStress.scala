@@ -210,7 +210,9 @@ object ScaleStress {
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
     val small = spark.read.parquet(s"$src/embeddings.parquet")
     val big = spark.read.parquet(s"$dst/embeddings.parquet")
-    val extraPlanes = math.ceil(math.log(reps.toDouble) / math.log(2)).toInt
+    // the engine's own sizing function picks the scaled layout (for the
+    // x10 corpus it lands on 4 + log2(reps) — the constant-occupancy knob)
+    val extraPlanes = Similarity.rpPlanesFor(big.count()) - 4
     def min2(body: => Unit): Double = (1 to 2).map { _ =>
       val t0 = System.nanoTime(); body; unpersistAll(spark)
       (System.nanoTime() - t0) / 1e9

@@ -943,6 +943,25 @@ object Similarity {
     * far above any bucket the declared corpora produce. */
   val RpBucketCap = 10000
 
+  /** Deployment sizing for the RP-band layout: planes per band so that
+    * E[bucket occupancy] stays near `targetOccupancy` for an `n`-vector
+    * corpus (buckets/band = 2^planes). Bucket count is a DATA-SIZE knob,
+    * not a constant — the fixed default (4 planes = 16 buckets) prices a
+    * ×10 corpus at α ≈ 1.4–1.7 (candidate volume ~n²/buckets), while
+    * scaling planes with log2(n) holds the candidate stage linear
+    * (measured: 38.1 s → 5.3 s at ×10, α 0.55 — SCALESTRESS_embscale.md).
+    * More planes lower per-band recall; deployments compensate with more
+    * bands — recall tuning is the S-curve eval's job, this function sizes
+    * COST. Clamped to [4, 24] (16 buckets minimum keeps tiny corpora off
+    * degenerate 1-bucket bands; 2^24 buckets is past any single-cluster
+    * corpus). */
+  def rpPlanesFor(n: Long, targetOccupancy: Int = 125): Int = {
+    require(targetOccupancy >= 1, s"targetOccupancy must be >= 1")
+    val planes = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2)).toInt
+    math.min(24, math.max(4, planes))
+  }
+
   def cosinePairsBucketed(corpus: DataFrame, threshold: Double,
                           bands: Int = 4, planesPerBand: Int = 4,
                           dims: Int = 64,

@@ -67,6 +67,11 @@ object CorpusStream {
         val pairs = Dedup.incrementalMinHashPairsFromSigs(sig, idx, minEst)
         val dest = f"$outDir/batch_$batchId%05d"
         pairs.write.mode("overwrite").parquet(dest)
+        // the handoff union is re-checkpointed DELIBERATELY: a lazy union
+        // chain over the materialized per-batch frames was measured 30%
+        // SLOWER end-to-end (r15) — the pair search consumes the index
+        // several times and each consumption re-plans and re-reads every
+        // chain leaf, which costs more than one flat block-store copy
         index.set(idx.union(sig).materialized)
         results.synchronized {
           results += BatchResult(batchId, dest, spark.read.parquet(dest).count())

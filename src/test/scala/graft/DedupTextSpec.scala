@@ -1088,6 +1088,28 @@ class DedupTextSpec extends SparkSuite {
     assert(inc === full)
   }
 
+  test("span store: a pre-bucketing registry (no SPAN_BUCKETS sidecar) is served through the plain-scan fallback") {
+    // layouts published by pre-r15 code: plain parquet, no sidecar — the
+    // open path must degrade to an ordinary scan, and the incremental
+    // rewrite against it must still match the full recompute
+    val shared = "one two three four five six seven eight"
+    val old = Seq((1L, s"$shared legacy tail")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-legacy-span")
+      .toString + "/legacy-spanstore"
+    Dedup.spanRegistryMerge(Dedup.emptySpanRegistry(spark), old, 8)
+      .write.parquet(s"$dir/spans.parquet")
+    val store = Dedup.SpanStore(spark, dir)
+    assert(store.spans.count() > 0)
+    val batch = Seq((10L, s"lead $shared")).toDF("doc_id", "text")
+    val inc = Dedup.removeRepeatedSpansStored(batch, store, 8)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val full = Dedup.removeRepeatedSpans(old.unionByName(batch), 8)
+      .where(col("doc_id") === 10L)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(inc === full)
+    assert(inc.head._4 === 8L, "the shared span must be removed from the batch doc")
+  }
+
   test("knBigramProbs: hand-computed KN probabilities; per-context mass ≤ 1") {
     val d = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
     val p = TextOps.knBigramProbs(d, minCount = 1)

@@ -412,4 +412,16 @@ class SimilaritySpec extends SparkSuite {
     // hit count against the exact truth is >= the seed ranking's
     assert((expanded & brute).size >= (seeds & brute).size)
   }
+  test("rpPlanesFor: constant-occupancy layout sizing, clamped at both ends") {
+    import graft.operators.Similarity
+    assert(Similarity.rpPlanesFor(2000) === 4)  // the declared sf layout
+    assert(Similarity.rpPlanesFor(20000) === 8) // the measured x10 point
+    assert(Similarity.rpPlanesFor(1) === 4)     // tiny corpus: floor
+    assert(Similarity.rpPlanesFor(Long.MaxValue) === 24) // ceiling
+    // expected occupancy stays within (target/2, target] across decades
+    for (n <- Seq(10000L, 100000L, 1000000L, 10000000L)) {
+      val occ = n.toDouble / (1L << Similarity.rpPlanesFor(n))
+      assert(occ <= 125.0 && occ > 62.5, s"n=$n occ=$occ")
+    }
+  }
 }
