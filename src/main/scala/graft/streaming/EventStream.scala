@@ -422,7 +422,11 @@ object EventStream {
     // progress tracking is structurally unavailable — Spark's
     // checkNotStatefulStreamingQuery refuses stateful queries). The
     // query is therefore fixed-cost-bound: decade α ≈ 0 (SCALESTRESS.md),
-    // a harness floor, not a scale risk.
+    // a harness floor, not a scale risk. The parquet FILE SINK is kept
+    // deliberately: a foreachBatch per-batch-dir sink was measured 40%
+    // SLOWER here (r15) — thirteen standalone FileFormatWriter jobs with
+    // their commit protocols cost more than the file sink's incremental
+    // _spark_metadata maintenance.
     withStreamPartitions(spark, 3) {
       val tQ = System.nanoTime()
       val q = agg.writeStream
