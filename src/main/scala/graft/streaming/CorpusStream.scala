@@ -39,7 +39,8 @@ object CorpusStream {
   def run(spark: SparkSession, inputDir: String, outDir: String,
           checkpointDir: String, n: Int, minEst: Double,
           initialIndex: Option[DataFrame] = None,
-          maxFilesPerTrigger: Int = 1): Seq[BatchResult] = {
+          maxFilesPerTrigger: Int = 1,
+          lastBatchHint: Option[Long] = None): Seq[BatchResult] = {
     val results = scala.collection.mutable.ArrayBuffer.empty[BatchResult]
     val schema = spark.read.parquet(inputDir).schema
     val emptyIndex = spark.createDataFrame(
@@ -71,8 +72,12 @@ object CorpusStream {
         // chain over the materialized per-batch frames was measured 30%
         // SLOWER end-to-end (r15) — the pair search consumes the index
         // several times and each consumption re-plans and re-reads every
-        // chain leaf, which costs more than one flat block-store copy
-        index.set(idx.union(sig).materialized)
+        // chain leaf, which costs more than one flat block-store copy.
+        // A caller that KNOWS the final batch id (it staged the files on
+        // a fresh checkpoint) skips the copy there — that handoff has no
+        // consumer; a standing stream passes no hint and always folds
+        if (!lastBatchHint.contains(batchId))
+          index.set(idx.union(sig).materialized)
         results.synchronized {
           results += BatchResult(batchId, dest, spark.read.parquet(dest).count())
         }
@@ -94,8 +99,10 @@ object CorpusStream {
     val staging = java.nio.file.Files.createTempDirectory("graft-docs-stream").toString
     spark.read.parquet(s"$dir/documents.parquet")
       .repartition(2).write.mode("overwrite").parquet(s"$staging/in")
+    // two staged files on a fresh checkpoint → batch ids 0 and 1; the
+    // final batch's index handoff is skipped (no consumer)
     val batches = run(spark, s"$staging/in", s"$staging/out", s"$staging/ckpt",
-      n, minEst)
+      n, minEst, lastBatchHint = Some(1L))
     // materialize before deleting the staging tree (same leak fix as
     // [[spanRemovalAll]]: a lazy frame would read deleted files, and
     // without cleanup every call leaks a corpus copy + checkpoint)
