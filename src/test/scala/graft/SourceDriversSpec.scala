@@ -1585,6 +1585,32 @@ class SourceDriversSpec extends SparkSuite {
     assert(viaTmp.get.keySet === expected.keySet)
   }
 
+  test("CellManifest.persist sweep is grace-guarded: stale crashed-writer temps are swept, a concurrent writer's fresh temp survives") {
+    import graft.sources.CellManifest
+    val dir = tmpDir() + "/sweepgrace"
+    val cfg = BulkLoad.Config(splits =
+      Some(graft.operators.RegionSort.uniformMd5Splits(4).toSeq))
+    val wide = (0 until 10).map { i =>
+      val r = (0 until 9).map(c => s"swp_v${i}_$c")
+      (r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7), r(8))
+    }.toDF((0 until 9).map(i => s"c$i"): _*)
+    SortedParquetCellSink.write(
+      BulkLoad.fromPositional(wide, BulkLoad.emptyQuarantine(spark), cfg).cells, dir)
+    // a STALE temp (a crashed writer's leftover, mtime past the grace
+    // window) and a FRESH temp (a concurrent writer's in-flight file —
+    // deleting it would fail that writer's install AND make it retire
+    // the live manifest, the r15 ADVICE race)
+    val stale = new java.io.File(dir, CellManifest.FileName + ".tmp-stalecrash")
+    val fresh = new java.io.File(dir, CellManifest.FileName + ".tmp-inflight")
+    java.nio.file.Files.writeString(stale.toPath, "half-written")
+    java.nio.file.Files.writeString(fresh.toPath, "half-written")
+    assert(stale.setLastModified(System.currentTimeMillis() - 11 * 60 * 1000L))
+    CellManifest.write(spark, dir) // persist() runs the sweep
+    assert(!stale.exists(), "crashed-writer leftover must be swept")
+    assert(fresh.exists(), "a concurrent writer's fresh temp must survive the sweep")
+    assert(CellManifest.read(spark, dir).isDefined)
+  }
+
   test("streaming ingest: a deferred-manifest failure degrades to footer fallback — batch commits, counts exact, serving read exact") {
     import graft.streaming.StreamingIngest
     import graft.sources.CellManifest
