@@ -41,7 +41,10 @@ object CorpusStream {
           initialIndex: Option[DataFrame] = None,
           maxFilesPerTrigger: Int = 1,
           lastBatchHint: Option[Long] = None): Seq[BatchResult] = {
-    val results = scala.collection.mutable.ArrayBuffer.empty[BatchResult]
+    // keyed by batch id: a transient failure can re-run foreachBatch for
+    // the same id, and appending a second BatchResult for it would make
+    // callers union that batch's output twice
+    val results = scala.collection.mutable.LinkedHashMap.empty[Long, BatchResult]
     val schema = spark.read.parquet(inputDir).schema
     val emptyIndex = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -51,17 +54,23 @@ object CorpusStream {
         org.apache.spark.sql.types.StructField("sig",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.LongType)))))
-    // foreachBatch bodies run serially per stream; the index handoff
-    // between batches needs no synchronization beyond the reference
-    val index = new java.util.concurrent.atomic.AtomicReference[DataFrame](
-      initialIndex.getOrElse(emptyIndex))
+    // RETRY-SAFE handoff (foreachBatch bodies run serially per stream, so
+    // the only synchronization needed is the reference itself): the triple
+    // is (foldedUpTo, preFold, postFold) — a REPLAYED id searches against
+    // the PRE-fold index (the post-fold one already contains the batch's
+    // own signatures, which would duplicate index rows and grow the
+    // handoff unboundedly under repeated retries) and never folds twice
+    val init = initialIndex.getOrElse(emptyIndex)
+    val handoff = new java.util.concurrent.atomic.AtomicReference[
+      (Long, DataFrame, DataFrame)]((-1L, init, init))
     val docs = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .schema(schema).parquet(inputDir)
     val q = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val idx = index.get()
+        val (folded, pre, post) = handoff.get()
+        val idx = if (batchId <= folded) pre else post
         // ONE signature pass per batch: the pair search reads it from the
         // checkpoint and the same materialization merges into the index
         val sig = Dedup.minHashSignatures(batch, n).materialized
@@ -76,16 +85,17 @@ object CorpusStream {
         // A caller that KNOWS the final batch id (it staged the files on
         // a fresh checkpoint) skips the copy there — that handoff has no
         // consumer; a standing stream passes no hint and always folds
-        if (!lastBatchHint.contains(batchId))
-          index.set(idx.union(sig).materialized)
+        if (batchId > folded && !lastBatchHint.contains(batchId))
+          handoff.set((batchId, idx, idx.union(sig).materialized))
         results.synchronized {
-          results += BatchResult(batchId, dest, spark.read.parquet(dest).count())
+          results(batchId) =
+            BatchResult(batchId, dest, spark.read.parquet(dest).count())
         }
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    results.sortBy(_.batchId).toSeq
+    results.synchronized(results.values.toSeq).sortBy(_.batchId)
   }
 
   /** Declared-query driver: stage the documents table as two parquet
@@ -165,11 +175,19 @@ object CorpusStream {
       Future(stage("01_high", docs.where(col("doc_id") > mid), t0 + 60000L)))
     staged.foreach(Await.result(_, Duration.Inf))
     System.err.println(f"[spanstream] staging ${(System.nanoTime()-tStage0)/1e9}%.2f s")
-    val registry = new java.util.concurrent.atomic.AtomicReference[DataFrame](
-      Dedup.emptySpanRegistry(spark))
-    // a Set, not a buffer: a transient batch failure re-runs foreachBatch
-    // for the same id, and re-appending the same dest would double-count
-    // that batch's rows in the final union (r15 ADVICE)
+    // RETRY-SAFE registry handoff: a transient failure can re-run
+    // foreachBatch for the SAME batch id, and a replay that reads a
+    // registry already advanced by the failed attempt would judge the
+    // batch against ITSELF — every within-batch singleton window reaches
+    // ndocs ≥ 2 and gets removed, a wrong answer, not just wasted work.
+    // The handoff therefore carries (foldedUpTo, preFold, postFold): a
+    // replayed id rewrites against the PRE-fold registry and never folds
+    // twice.
+    val handoff = new java.util.concurrent.atomic.AtomicReference[
+      (Long, DataFrame, DataFrame)](
+      (-1L, Dedup.emptySpanRegistry(spark), Dedup.emptySpanRegistry(spark)))
+    // a Set, not a buffer: the same replay would re-append the same dest
+    // and double-count that batch's rows in the final union (r15 ADVICE)
     val outs = scala.collection.mutable.LinkedHashSet.empty[String]
     val q = spark.readStream
       .option("maxFilesPerTrigger", 1)
@@ -177,7 +195,8 @@ object CorpusStream {
       .writeStream
       .option("checkpointLocation", staging.resolve("ckpt").toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val reg = registry.get()
+        val (folded, pre, post) = handoff.get()
+        val reg = if (batchId <= folded) pre else post
         val dest = staging.resolve(f"out_$batchId%05d").toString
         // rewrite + advance share one window pass and one digest
         // aggregate; this driver staged exactly two files on a fresh
@@ -197,7 +216,7 @@ object CorpusStream {
           // single consumption computes the small digest fold inline —
           // cheaper than eagerly checkpointing a frame the final batch
           // would never read
-          registry.set(advanced)
+          if (batchId > folded) handoff.set((batchId, reg, advanced))
         }
         System.err.println(f"[spanstream] batch $batchId ${(System.nanoTime()-tB)/1e9}%.2f s")
         outs.synchronized { outs += dest }
