@@ -186,9 +186,14 @@ object CorpusStream {
     val handoff = new java.util.concurrent.atomic.AtomicReference[
       (Long, DataFrame, DataFrame)](
       (-1L, Dedup.emptySpanRegistry(spark), Dedup.emptySpanRegistry(spark)))
-    // a Set, not a buffer: the same replay would re-append the same dest
-    // and double-count that batch's rows in the final union (r15 ADVICE)
-    val outs = scala.collection.mutable.LinkedHashSet.empty[String]
+    // keyed by batch id so a replayed id REPLACES its result (the r15
+    // ADVICE double-count class); each batch's output is handed over as
+    // a lineage-severed localCheckpoint frame instead of a parquet write
+    // + read-back — the rewritten corpus is materialized ONCE into the
+    // block store rather than three times (write, re-read, union
+    // checkpoint), and the frames outlive both the micro-batch and the
+    // staging tree's deletion
+    val results = scala.collection.mutable.LinkedHashMap.empty[Long, DataFrame]
     val q = spark.readStream
       .option("maxFilesPerTrigger", 1)
       .schema(docs.schema).parquet(inDir.toString)
@@ -197,42 +202,38 @@ object CorpusStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (folded, pre, post) = handoff.get()
         val reg = if (batchId <= folded) pre else post
-        val dest = staging.resolve(f"out_$batchId%05d").toString
         // rewrite + advance share one window pass and one digest
         // aggregate; this driver staged exactly two files on a fresh
         // checkpoint, so batch 1 is final and its advanced registry has
         // no consumer — skip the fold (a standing stream keeps it)
         val tB = System.nanoTime()
         val last = batchId >= 1
-        if (last) {
-          Dedup.removeRepeatedSpansVs(batch, reg, k)
-            .write.mode("overwrite").parquet(dest)
-        } else {
-          val (out, advanced) = Dedup.removeRepeatedSpansAndAdvance(batch, reg, k)
-          out.write.mode("overwrite").parquet(dest)
-          // hand the advanced registry over LAZILY: it depends only on
-          // materialized inputs (the batch digest aggregate is
-          // localCheckpointed inside the advance), so the next batch's
-          // single consumption computes the small digest fold inline —
-          // cheaper than eagerly checkpointing a frame the final batch
-          // would never read
-          if (batchId > folded) handoff.set((batchId, reg, advanced))
-        }
+        val kept =
+          if (last) Dedup.materialize(Dedup.removeRepeatedSpansVs(batch, reg, k))
+          else {
+            val (out, advanced) = Dedup.removeRepeatedSpansAndAdvance(batch, reg, k)
+            val m = Dedup.materialize(out)
+            // hand the advanced registry over LAZILY: it depends only on
+            // materialized inputs (the batch digest aggregate is
+            // localCheckpointed inside the advance), so the next batch's
+            // single consumption computes the small digest fold inline —
+            // cheaper than eagerly checkpointing a frame the final batch
+            // would never read
+            if (batchId > folded) handoff.set((batchId, reg, advanced))
+            m
+          }
         System.err.println(f"[spanstream] batch $batchId ${(System.nanoTime()-tB)/1e9}%.2f s")
-        outs.synchronized { outs += dest }
+        results.synchronized { results(batchId) = kept }
         ()
       }
       .start()
     val tQ = System.nanoTime()
     try q.processAllAvailable() finally q.stop()
     System.err.println(f"[spanstream] stream ${(System.nanoTime()-tQ)/1e9}%.2f s")
-    // materialize the union BEFORE deleting the staging tree (a lazy
-    // frame would read deleted files); without the cleanup every call
-    // leaks two copies of the corpus plus a checkpoint into the temp dir
-    val tU = System.nanoTime()
-    val result = outs.synchronized(outs.toSeq)
-      .map(spark.read.parquet(_)).reduce(_ unionByName _).materialized
-    System.err.println(f"[spanstream] union ${(System.nanoTime()-tU)/1e9}%.2f s")
+    // the per-batch frames are checkpointed (no lineage into the staged
+    // files), so the staging tree can go before the union is consumed
+    val result = results.synchronized(results.values.toSeq)
+      .reduce(_ unionByName _)
     EventStream.deleteStaging(staging.toString)
     result
   }
