@@ -217,26 +217,33 @@ object ScaleStress {
       val t0 = System.nanoTime(); body; unpersistAll(spark)
       (System.nanoTime() - t0) / 1e9
     }.min
+    // since r16 the DECLARED DEFAULT is the corpus-sized layout
+    // (planesPerBand = rpPlanesFor(count)); the fixed row pins the old
+    // 4-plane constant explicitly to keep measuring the structural
+    // quadratic the default retired
     val tSmall = min2(force(Similarity.cosinePairsBucketed(small, 0.4)))
-    val tFixed = min2(force(Similarity.cosinePairsBucketed(big, 0.4)))
-    val tScaled = min2(force(Similarity.cosinePairsBucketed(big, 0.4,
-      bands = 4, planesPerBand = 4 + extraPlanes)))
+    val tFixed = min2(force(Similarity.cosinePairsBucketed(big, 0.4,
+      bands = 4, planesPerBand = 4)))
+    val tScaled = min2(force(Similarity.cosinePairsBucketed(big, 0.4)))
     def alpha(b: Double): Double = math.log(b / tSmall) / math.log(reps.toDouble)
     val table =
       s"""# RP-band layout scaling (embeddings sf0.1 -> x$reps, min-of-2, local[32])
          |
          |Fixed parameters leave 2^4 buckets/band at every scale, so occupancy
          |grows with n and candidate volume with n² — the structural quadratic
-         |behind the fixed-parameter decade alphas. Scaling planesPerBand with
-         |log2(reps) (4 -> ${4 + extraPlanes}) holds E[occupancy] at the x1 level:
+         |behind the pre-r16 fixed-layout decade alphas. Scaling planesPerBand
+         |with log2(reps) (4 -> ${4 + extraPlanes}) holds E[occupancy] at the
+         |x1 level — and since r16 that corpus-sized layout (rpPlanesFor over a
+         |planning-time count) IS the declared default; the fixed row pins
+         |planesPerBand=4 explicitly:
          |
          || corpus | planes/band | secs | alpha vs x1 |
          ||---|---|---|---|
-         || x1 | 4 | ${f"$tSmall%.2f"} | — |
-         || x$reps | 4 (fixed) | ${f"$tFixed%.2f"} | ${f"${alpha(tFixed)}%.2f"} |
-         || x$reps | ${4 + extraPlanes} (scaled) | ${f"$tScaled%.2f"} | ${f"${alpha(tScaled)}%.2f"} |
+         || x1 | 4 (default, sized) | ${f"$tSmall%.2f"} | — |
+         || x$reps | 4 (pinned fixed) | ${f"$tFixed%.2f"} | ${f"${alpha(tFixed)}%.2f"} |
+         || x$reps | ${4 + extraPlanes} (default, sized) | ${f"$tScaled%.2f"} | ${f"${alpha(tScaled)}%.2f"} |
          |
-         |The scaled layout is the 100 TB posture: bucket count is a data-size
+         |The sized layout is the 100 TB posture: bucket count is a data-size
          |knob, not a constant — with it the RP candidate stage prices linearly
          |(occupancy-capped against cohorts either way, RpBucketCap).
          |""".stripMargin

@@ -1646,13 +1646,32 @@ object NorthStar {
           SELECT *, count(*) OVER (PARTITION BY band, bucket) occ FROM bb)
          WHERE occ <= $cap)"""
 
-  private def annBandSelects: String = (0 until 4).map { b =>
-    s"SELECT vec_id, $b AS band, ${bucketSql("v", b * 4, 4)} AS bucket FROM e"
-  }.mkString(" UNION ALL ")
+  /** Dynamic-layout mirror of [[Similarity.cosinePairsBucketed]]'s r16
+    * DEFAULT: r = [[Similarity.rpPlanesFor]](count) — the smallest r in
+    * [4, 24] with 2^r · 125 ≥ n, integer arithmetic on both engines — and
+    * the 4·r hyperplanes computed IN SQL from the same md5 derivation as
+    * [[Similarity.plane]]: ((first 2 md5 bytes of "p:d") − 32768) / 32768,
+    * exact binary fractions, so both engines hold identical doubles and
+    * round-6 projections sign-match bit-exactly. Band b owns planes
+    * [b·r, b·r+r): global plane p ⇒ band p÷r, bit p mod r. Requires an
+    * `e(vec_id, v DOUBLE[])` CTE; defines `bb(vec_id, band, bucket)`. */
+  private val annBandCtes =
+    s"""rr AS (SELECT coalesce((SELECT min(r) FROM range(4, 25) t(r)
+                WHERE (CAST(1 AS BIGINT) << r) * 125 >= (SELECT count(*) FROM e)), 24) r),
+        pl AS (SELECT CAST(p // r AS INT) band, CAST(p % r AS INT) i,
+                 list((CAST(('0x' || substr(md5(p || ':' || d), 1, 4)) AS BIGINT) - 32768)
+                      / 32768.0 ORDER BY d) pv
+               FROM rr, range(0, 96) tp(p), range(0, 64) td(d)
+               WHERE p < 4 * r
+               GROUP BY p, r),
+        bb AS (SELECT vec_id, band,
+                 SUM(CASE WHEN round(list_dot_product(v, pv), 6) >= 0
+                     THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) bucket
+               FROM e CROSS JOIN pl GROUP BY 1, 2)"""
 
   private val annPairsBucketedSql =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-        bb AS ($annBandSelects),
+        $annBandCtes,
         ${rpCapSql(Similarity.RpBucketCap)},
         cand AS (SELECT DISTINCT x.vec_id a, y.vec_id b
                  FROM bbk x JOIN bbk y ON x.band = y.band AND x.bucket = y.bucket
@@ -1667,7 +1686,7 @@ object NorthStar {
   private[queries] val AnnBindingRpCap = 30
   private val annCappedRpPairsSql =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-        bb AS ($annBandSelects),
+        $annBandCtes,
         ${rpCapSql(AnnBindingRpCap)}
         SELECT DISTINCT x.vec_id a, y.vec_id b
         FROM bbk x JOIN bbk y ON x.band = y.band AND x.bucket = y.bucket
@@ -1677,7 +1696,7 @@ object NorthStar {
     * [[annPairsBucketedSql]], no threshold, symmetrized, per-node top-3. */
   private val annKnnGraphSql = {
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-        bb AS ($annBandSelects),
+        $annBandCtes,
         ${rpCapSql(Similarity.RpBucketCap)},
         cand AS (SELECT DISTINCT x.vec_id a, y.vec_id b
                  FROM bbk x JOIN bbk y ON x.band = y.band AND x.bucket = y.bucket

@@ -423,5 +423,65 @@ class SimilaritySpec extends SparkSuite {
       val occ = n.toDouble / (1L << Similarity.rpPlanesFor(n))
       assert(occ <= 125.0 && occ > 62.5, s"n=$n occ=$occ")
     }
+    // integer form: exactly the smallest r with 2^r * occ >= n (the ulp-proof
+    // property the DuckDB oracle mirrors literally)
+    for (n <- Seq(1999L, 2000L, 2001L, 16L * 125, 16L * 125 + 1)) {
+      val r = Similarity.rpPlanesFor(n)
+      assert((1L << r) * 125 >= n)
+      if (r > 4) assert((1L << (r - 1)) * 125 < n, s"n=$n r=$r not minimal")
+    }
+  }
+
+  test("cosinePairsBucketed: r16 sized default equals the explicit rpPlanesFor layout") {
+    val n = emb.count()
+    val sized = Similarity.cosinePairsBucketed(emb, 0.4)
+      .select("a", "b", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    val explicit = Similarity.cosinePairsBucketed(emb, 0.4,
+        bands = 4, planesPerBand = Similarity.rpPlanesFor(n))
+      .select("a", "b", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    assert(sized === explicit)
+    assert(sized.nonEmpty)
+  }
+
+  test("RP cap observation: binding regime metered, all-buckets-dropped warns loudly") {
+    import graft.operators.Similarity
+    // binding regime: cap 30 drops some (band, bucket) groups of the real
+    // corpus but keeps others — the observation must carry both counts
+    val capped = Similarity.cosinePairsBucketed(emb, -1.0, maxBucket = 30)
+    capped.collect()
+    val bindMsgs = Similarity.rpCapWarnings(capped.queryExecution.observedMetrics)
+    assert(bindMsgs.nonEmpty, "cap binding produced no observation message")
+    assert(bindMsgs.forall { case (collapse, _) => !collapse },
+      "binding-but-not-collapsed regime must not report collapse")
+    assert(bindMsgs.head._2.contains("binding"))
+
+    // collapse regime: a pure template cohort (one embedding replicated
+    // past the cap) occupies ONE over-cap bucket in EVERY band — the cap
+    // silently returns zero pairs, which is exactly what the warning exists
+    // to make loud
+    val template = emb.where(col("vec_id") === 0)
+      .select(explode(sequence(lit(1L), lit(40L))).as("i"), col("embedding"))
+      .select(col("i").as("vec_id"), col("embedding"))
+    val collapsed = Similarity.cosinePairsBucketed(template, -1.0, maxBucket = 30)
+    assert(collapsed.count() === 0)
+    collapsed.collect()
+    // AQE's empty-relation propagation prunes the CollectMetrics subtree in
+    // exactly this regime (verified r16) — the declared-but-absent name IS
+    // the collapse signal the listener reports
+    def declaredNames(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect {
+        case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
+            if c.name.startsWith(Similarity.RpCapMetricPrefix) => c.name
+      }
+    val msgs = Similarity.rpCapWarnings(
+      collapsed.queryExecution.observedMetrics, declaredNames(collapsed))
+    assert(msgs.exists(_._1), s"expected a collapse warning, got: $msgs")
+    assert(msgs.find(_._1).get._2.contains("ZERO"))
+
+    // uncapped plans carry no cap observation — nothing to warn about
+    val uncapped = Similarity.cosinePairsBucketed(emb, 0.4, maxBucket = Int.MaxValue)
+    uncapped.collect()
+    assert(Similarity.rpCapWarnings(
+      uncapped.queryExecution.observedMetrics, declaredNames(uncapped)).isEmpty)
   }
 }
