@@ -63,7 +63,14 @@ object ScaleStress {
     // the streaming form (r14): per-pass Structured Streaming fixed cost
     // (staging writes, stream start, 2 triggers) should dominate — the
     // per-batch plan is the incremental rewrite above
-    "stream_span_removal")
+    "stream_span_removal",
+    // cell-store READ path (r15 ask #6): range COUNT must stay flat at
+    // x10 (manifest-answered, <=2 boundary files scanned at any region
+    // count) and the secondary-index multiGet page must stay bounded by
+    // the <=40 region files its keys land in. min-of-2 serves the staged
+    // layout from the fixture, so the measured cost is the read path,
+    // not the stage write
+    "cells_count_range_pushdown", "cells_index_lookup")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -566,9 +573,31 @@ object ScaleStress {
     catch { case _: Throwable => () }
     unpersistAll(spark)
 
+    // the ANN index-advance MAINTENANCE path (r15 ask #2): the declared
+    // query's keyed store would serve from cache on the second run, so
+    // batch cost is measured with a fresh advance key per pass against a
+    // pre-built (and excluded) base store — what's timed is exactly one
+    // broadcast-centroid assignment of the 10% batch plus the delta
+    // publish, at both scales
+    def annAdvanceBatch(dir: String): Double = {
+      import graft.operators.Similarity
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val newV = e.where(pmod(col("vec_id"), lit(10)) === 0)
+      val oldV = e.where(pmod(col("vec_id"), lit(10)) =!= 0)
+      val store = Similarity.annIndexStore(oldV, 16, s"$dir#scalestress-old90")
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        Similarity.annIndexStoreAdvance(store, newV,
+          s"$dir#scalestress-adv-${java.util.UUID.randomUUID()}")
+        unpersistAll(spark)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val AdvanceRowName = "ann_ivf_store_advance_batch"
+
     // optional args = subset of Targets (re-measuring one family)
     val picked = if (args.isEmpty) Targets else Targets.filter(args.toSet)
-    val rows = picked.map { name =>
+    val rows0 = picked.map { name =>
       val small = time(name, src)
       System.err.println(f"[scalestress] $name%-28s sf0.1 $small%7.2f s")
       val big = time(name, dst)
@@ -576,6 +605,14 @@ object ScaleStress {
       System.err.println(f"[scalestress] $name%-28s x$reps   $big%7.2f s  alpha=$alpha%5.2f")
       (name, small, big, alpha)
     }
+    val rows = rows0 ++ (if (args.isEmpty || args.contains(AdvanceRowName)) {
+      val small = annAdvanceBatch(src)
+      System.err.println(f"[scalestress] $AdvanceRowName%-28s sf0.1 $small%7.2f s")
+      val big = annAdvanceBatch(dst)
+      val alpha = math.log(big / small) / math.log(reps.toDouble)
+      System.err.println(f"[scalestress] $AdvanceRowName%-28s x$reps   $big%7.2f s  alpha=$alpha%5.2f")
+      Seq((AdvanceRowName, small, big, alpha))
+    } else Nil)
     val table = rows.map { case (n, s, b, a) =>
       f"| $n | $s%.2f | $b%.2f | $a%.2f |"
     }.mkString(

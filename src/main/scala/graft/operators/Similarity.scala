@@ -321,10 +321,39 @@ object Similarity {
     def centroids: DataFrame =
       spark.read.schema("cid BIGINT, cv ARRAY<DOUBLE>, cn DOUBLE")
         .parquet(s"$dir/centroids.parquet")
-    def lists: DataFrame =
-      spark.read.schema("nid BIGINT, nv ARRAY<DOUBLE>, nn DOUBLE, cell BIGINT")
+    /** The inverted lists. An ADVANCED index ([[annIndexStoreAdvance]])
+      * holds only its own batch's delta fileset plus an [[AnnBaseFile]]
+      * pointer; the full lists are the pointer chain's union — each link
+      * is an independent cell-partitioned fileset, so a probed-cell
+      * filter partition-prunes every link separately and a serve reads
+      * only `cell=` directories it probed, never a whole link. */
+    def lists: DataFrame = {
+      val own = spark.read
+        .schema("nid BIGINT, nv ARRAY<DOUBLE>, nn DOUBLE, cell BIGINT")
         .parquet(s"$dir/lists.parquet")
+      base.map(_.lists.unionByName(own)).getOrElse(own)
+    }
+    /** The base index this store advances, if any. */
+    def base: Option[AnnIndexStore] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$AnnBaseFile")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val baseDir = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        Some(AnnIndexStore(spark, baseDir, nlist))
+      }
+    }
   }
+
+  /** Pointer file inside an ADVANCED index dir naming the base index dir
+    * (written before the advance's atomic publish). The chain contract
+    * matches parquet-over-object-store reality: links are immutable
+    * filesets; deleting a base store orphans its descendants, exactly as
+    * deleting a table's old files orphans a snapshot that references
+    * them — retention is the store root's job, not the reader's. */
+  private[graft] val AnnBaseFile = "BASE"
 
   /** DURABLE IVF index — build-once/serve-many for the ANN family (the
     * dedup cluster store's posture applied to retrieval serving): first
@@ -374,6 +403,76 @@ object Similarity {
       if (!fs.rename(tmp, path)) fs.delete(tmp, true)
     }
     AnnIndexStore(spark, path.toString, nlist)
+  }
+
+  /** The advance's ONLY computation, factored for the spec to pin its
+    * read set: the batch assigned to the BASE store's pinned centroids
+    * (one broadcast-centroid pass over the batch). `delta.inputFiles` is
+    * exactly {base centroids fileset} ∪ {batch files} — no base list
+    * file, no old-corpus file, anywhere in the plan. */
+  private[graft] def annIndexAdvanceDelta(store: AnnIndexStore,
+                                          batch: DataFrame): DataFrame =
+    nearestCells(store.centroids)(
+      batch.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv")),
+      "nid", "nv", 1)
+      .withColumn("nn", norm2(col("nv")))
+
+  /** INCREMENTAL maintenance for the durable IVF index (the
+    * dedup/span-store advance posture applied to retrieval serving):
+    * route one new vector batch to the EXISTING index's inverted lists.
+    * The batch is assigned against the base's PINNED centroids (16 rows,
+    * broadcast — coarse quantizers are retrained on rebuild cadence, not
+    * per batch, or every prior assignment would be invalidated), and the
+    * advanced index publishes a NEW keyed dir holding only
+    *  - `centroids.parquet` — the pinned centroids (nlist rows, copied),
+    *  - `lists.parquet`     — the BATCH's delta lists, cell-partitioned,
+    *  - [[AnnBaseFile]]     — a pointer to the base index dir,
+    * with the same one-atomic-rename publish as [[annIndexStore]]. Old
+    * vectors are never re-read and old list files never rewritten: the
+    * advance's cost is one broadcast pass over the batch plus the delta
+    * write — O(batch) at any index size. Serving reads the pointer
+    * chain's union, partition-pruned per link, so a probe still touches
+    * only probed `cell=` directories. [[AnnStoreVersion]] is folded into
+    * the key unchanged — the assignment rule is identical, so existing
+    * base indexes remain valid (store families version independently;
+    * the r15 lesson of the shared-rev bump). */
+  def annIndexStoreAdvance(store: AnnIndexStore, batch: DataFrame,
+                           newKey: String): AnnIndexStore = {
+    val spark = batch.sparkSession
+    val stampDir = newKey.takeWhile(_ != '#')
+    val stamp = try {
+      val p = new org.apache.hadoop.fs.Path(s"$stampDir/embeddings.parquet")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val s = fs.getFileStatus(p)
+      if (s.isFile) s"${s.getLen}:${s.getModificationTime}"
+      else fs.listStatus(p).map(c => s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}")
+        .sorted.mkString(",")
+    } catch { case e: Throwable =>
+      System.err.println(s"[graft] annIndexStoreAdvance: corpus stamp read failed " +
+        s"for '$stampDir' (${e.getClass.getSimpleName}); key degrades to path-only")
+      ""
+    }
+    val keyHex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"advance|${store.dir}|$newKey|$stamp|nlist=${store.nlist}|$AnnStoreVersion"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val root = sys.props.getOrElse("graft.store.dir",
+      sys.props("java.io.tmpdir") + "/graft-ann-store")
+    val path = new org.apache.hadoop.fs.Path(s"$root/$keyHex", "store")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) {
+      fs.mkdirs(path.getParent)
+      val tmp = new org.apache.hadoop.fs.Path(path.getParent,
+        s"_store_tmp_${java.util.UUID.randomUUID()}")
+      store.centroids.write.mode("overwrite").parquet(s"$tmp/centroids.parquet")
+      annIndexAdvanceDelta(store, batch)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$tmp/lists.parquet")
+      val ptr = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/$AnnBaseFile"), true)
+      try ptr.write(store.dir.getBytes("UTF-8")) finally ptr.close()
+      if (!fs.rename(tmp, path)) fs.delete(tmp, true)
+    }
+    AnnIndexStore(spark, path.toString, store.nlist)
   }
 
   /** [[ivfTopK]] SERVED from a persisted index: probe cells against the

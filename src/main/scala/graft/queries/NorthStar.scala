@@ -1234,6 +1234,23 @@ object NorthStar {
       val store = Similarity.annIndexStore(e, 16, dir)
       Similarity.ivfTopKStored(store, e.where(col("vec_id") < 5), 10)
     }),
+    // INCREMENTAL index maintenance (the dedup_store_advance posture for
+    // retrieval): the old-90% index is advanced by the 10% batch — new
+    // vectors assigned to the PINNED base centroids, delta lists appended
+    // as their own cell-partitioned fileset behind a BASE pointer, old
+    // vectors never re-read, old list files never rewritten — and top-k
+    // is SERVED from the advanced chain. The oracle recomputes the whole
+    // search from the full corpus with the same pinned (old-90%-derived)
+    // centroids, so advance ≡ pinned-centroid rebuild is a hash-checked
+    // fact and a 100 TB index rolls forward at batch cost.
+    "ann_ivf_store_advance" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val newV = e.where(pmod(col("vec_id"), lit(10)) === 0)
+      val oldV = e.where(pmod(col("vec_id"), lit(10)) =!= 0)
+      val store = Similarity.annIndexStore(oldV, 16, s"$dir#emb-old90")
+      val adv = Similarity.annIndexStoreAdvance(store, newV, s"$dir#emb-adv100")
+      Similarity.ivfTopKStored(adv, e.where(col("vec_id") < 5), 10)
+    }),
     // retrieval QUALITY as a query: recall@10 of the IVF search vs the
     // exact ranking — the evaluation loop a retrieval stack runs after
     // every index rebuild, here one semi-join of two declared pipelines
@@ -3212,6 +3229,36 @@ object NorthStar {
     "ann_ivf_topk" -> annIvfTopKSql,
     // store-served IVF ≡ the from-scratch search (deterministic build)
     "ann_ivf_store" -> annIvfTopKSql,
+    // pinned-centroid full recompute: centroids from the old-90% corpus
+    // (what the base index derived and the advance must NOT move), lists
+    // over the FULL corpus (base ∪ delta) — the advanced chain must equal
+    // this exactly
+    "ann_ivf_store_advance" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         cent AS (SELECT vec_id cid, v cv FROM e WHERE vec_id % 10 <> 0
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         asn AS (SELECT nid, cell FROM (
+                  SELECT e.vec_id nid, cent.cid cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY round(list_cosine_similarity(e.v, cent.cv), 6) DESC,
+                               cent.cid ASC) rn
+                  FROM e, cent) WHERE rn = 1),
+         qp AS (SELECT qid, cell FROM (
+                 SELECT q.vec_id qid, cent.cid cell,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_cosine_similarity(q.v, cent.cv), 6) DESC,
+                              cent.cid ASC) rn
+                 FROM e q, cent WHERE q.vec_id < 5) WHERE rn <= 4),
+         sc AS (SELECT qp.qid, asn.nid,
+                  round(list_cosine_similarity(eq.v, en.v), 6) cos_sim
+                FROM qp JOIN asn USING (cell)
+                  JOIN e eq ON eq.vec_id = qp.qid
+                  JOIN e en ON en.vec_id = asn.nid
+                WHERE qp.qid <> asn.nid),
+         r AS (SELECT qid, nid, cos_sim,
+                row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) rn
+               FROM sc)
+         SELECT qid, nid, cos_sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10""",
     "ann_pq_codes" -> pqCodesSql,
     "ann_pq_adc_topk" -> pqAdcTopKSql,
     "ann_ivf_adc_topk" -> annIvfAdcTopKSql,

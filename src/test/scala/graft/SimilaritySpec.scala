@@ -154,6 +154,89 @@ class SimilaritySpec extends SparkSuite {
       rows(Similarity.ivfTopK(emb, q, 10)))
   }
 
+  test("annIndexStoreAdvance: batch-cost delta behind a BASE pointer; base untouched; serve prunes every link") {
+    val baseKey = s"annadv-${java.util.UUID.randomUUID()}"
+    val oldV = emb.where(pmod(col("vec_id"), lit(10)) =!= 0)
+    val newV = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+    val store = Similarity.annIndexStore(oldV, 16, baseKey)
+    def fileState(dir: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir.stripPrefix("file:"), "lists.parquet"))
+        .map(f => (f.getPath, f.length, f.lastModified)).sorted
+    }
+    val baseBefore = fileState(store.dir)
+
+    // the advance's read set: base centroids + the batch — never a list
+    // file, never an old-corpus scan beyond the batch's own source
+    val delta = Similarity.annIndexAdvanceDelta(store, newV)
+    assert(delta.inputFiles.nonEmpty)
+    assert(!delta.inputFiles.exists(_.contains("lists.parquet")),
+      "the advance must not read any inverted-list file")
+    assert(delta.inputFiles.exists(_.contains("centroids.parquet")),
+      "the advance assigns against the base's pinned centroids")
+
+    val adv = Similarity.annIndexStoreAdvance(store, newV, s"$baseKey#adv")
+    // delta-only fileset: the advanced dir holds exactly the batch's rows
+    val own = spark.read
+      .schema("nid BIGINT, nv ARRAY<DOUBLE>, nn DOUBLE, cell BIGINT")
+      .parquet(s"${adv.dir}/lists.parquet")
+    assert(own.count() === newV.count())
+    // chain union = full corpus; centroids pinned; base files untouched
+    assert(adv.lists.count() === emb.count())
+    assert(adv.base.map(_.dir) === Some(store.dir))
+    assert(adv.centroids.collect().map(_.getLong(0)).sorted.toSeq ===
+      store.centroids.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(fileState(store.dir) === baseBefore, "old list files must not be rewritten")
+
+    // a second advance with the same key SERVES (no recompute): a batch
+    // poisoned with raise_error must never be evaluated
+    val poisoned = newV.withColumn("embedding",
+      when(size(col("embedding")) >= 0,
+        raise_error(lit("annIndexStoreAdvance rebuilt instead of serving"))
+          .cast("array<float>")).otherwise(col("embedding")))
+    val served = Similarity.annIndexStoreAdvance(store, poisoned, s"$baseKey#adv")
+    assert(served.dir === adv.dir)
+    assert(served.lists.count() === emb.count())
+
+    // an EMPTY batch publishes a file-less delta that reads back as empty
+    // (not a schema-inference failure), leaving the chain count unchanged
+    val advEmpty = Similarity.annIndexStoreAdvance(adv,
+      emb.where(col("vec_id") < 0), s"$baseKey#advempty")
+    assert(advEmpty.lists.count() === emb.count())
+
+    // chained advance: the second delta stacks behind a second pointer
+    val batch2 = emb.where(col("vec_id") < 3)
+      .select((col("vec_id") + lit(100000L)).as("vec_id"), col("embedding"))
+    val adv2 = Similarity.annIndexStoreAdvance(adv, batch2, s"$baseKey#adv2")
+    assert(adv2.base.map(_.dir) === Some(adv.dir))
+    assert(adv2.lists.count() === emb.count() + 3)
+
+    // the served search still reads only probed cell partitions — on
+    // EVERY link of the chain
+    val q = emb.where(col("vec_id") === 0)
+    val topk = Similarity.ivfTopKStored(adv2, q, 5, nprobe = 2)
+    topk.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case qs: QueryStageExec => qs +: nodes(qs.plan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    val scans = nodes(topk.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("lists.parquet")) => f
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        "every chain link's lists scan must carry the static cell filter")
+      assert(f.selectedPartitions.partitionCount <= 2,
+        "1 query x nprobe=2 may read at most 2 inverted lists per link")
+    }
+  }
+
   test("ivfTopKStored: the query-time read set is the probed cells' partitions ONLY (static pruning, not DPP)") {
     val key = s"annreadspec-${java.util.UUID.randomUUID()}"
     val store = Similarity.annIndexStore(emb, 16, key)
