@@ -1206,6 +1206,52 @@ object Similarity {
       .where(col("cos_sim") >= threshold)
   }
 
+  /** IDENTITY KEY of an embedding: md5 of the '|'-joined components
+    * rounded to 1e-4 (scaled to integers BEFORE stringification, so both
+    * engines hash the same bytes — double→string formatting differs
+    * between JVM and DuckDB, integer formatting does not). Two vectors
+    * agreeing to 4 decimals per component — re-embedded boilerplate,
+    * replicated templates — share the key; one hash aggregate groups
+    * them with no pair join anywhere. */
+  private[graft] def embeddingIdentityKey(v: Column): Column =
+    md5(concat_ws("|", transform(v,
+      x => round(x * lit(10000), 0).cast("long").cast("string"))).cast("binary"))
+
+  /** The COHORT-SAFE composed embedding dedup — the decision pipeline the
+    * [[RpBucketCap]] recall story prescribes (compose exact dedup first
+    * and the cap costs recall only for similar-but-distinct vectors):
+    *
+    *  1. IDENTITY PASS — group by [[embeddingIdentityKey]], representative
+    *     = min vec_id. A 10⁶-copy template cohort (one boilerplate page
+    *     embedded everywhere) collapses to ONE representative here, in a
+    *     map-side-combinable aggregate — it never reaches a pair join.
+    *  2. CAPPED RP PAIRS — [[cosinePairsBucketed]] over REPRESENTATIVES
+    *     only (sized default layout, caller's occupancy cap). The cohort
+    *     no longer floods any (band, bucket), so the cap binds only on
+    *     genuine dense regions.
+    *  3. CONNECTED COMPONENTS over identity edges ∪ pair edges, keep-list
+    *     output (vectors minus non-representative cluster members) — the
+    *     same decision stage dedup_keep_list ships for text.
+    *
+    * Output: (vec_id, label) of kept vectors. */
+  def embeddingDedupComposed(corpus: DataFrame, threshold: Double,
+                             maxBucket: Int = RpBucketCap): DataFrame = {
+    val keyed = corpus.select(col("vec_id"),
+      embeddingIdentityKey(asDouble(col("embedding"))).as("ik"))
+    val groups = keyed.groupBy(col("ik")).agg(min(col("vec_id")).as("rep"))
+    val members = keyed.join(groups, "ik").select(col("vec_id"), col("rep"))
+    val identityEdges = members.where(col("vec_id") =!= col("rep"))
+      .select(col("vec_id").as("a"), col("rep").as("b"))
+    val reps = corpus.join(
+      members.where(col("vec_id") === col("rep")).select(col("vec_id")), "vec_id")
+    val pairEdges = cosinePairsBucketed(reps, threshold, maxBucket = maxBucket)
+      .select(col("a"), col("b"))
+    val drop = Dedup.clusters(identityEdges.unionByName(pairEdges))
+      .where(col("doc_id") =!= col("cluster_id"))
+    corpus.join(drop.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
+
   /** k-NN GRAPH construction — the build step for graph-based ANN serving
     * (NSW-family) and for any downstream pass that wants edges rather
     * than clusters: every vector's top-k neighbors by exact cosine, with

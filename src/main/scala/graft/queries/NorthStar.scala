@@ -1180,6 +1180,26 @@ object NorthStar {
       e.join(drop.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("label"))
     }),
+    // the COHORT-SAFE composed pipeline the RpBucketCap recall story
+    // prescribes, declared end-to-end on a corpus WITH a template cohort
+    // (61 copies of vec_id 0's embedding — the embedded-boilerplate
+    // shape that floods one bucket in every band): identity pass
+    // (rounded-vector digest groupBy) collapses the cohort to one
+    // representative BEFORE any pair join, the capped RP stage (cap 30,
+    // binding on the real corpus) runs over representatives only, CC
+    // over identity ∪ pair edges yields the keep-list — hash-checked
+    // proof that the cohort is fully deduped while the pair join stays
+    // capped
+    "dedup_embedding_composed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cohort = e.where(col("vec_id") === 0)
+        .select(explode(sequence(lit(1L), lit(60L))).as("i"),
+          col("embedding"), col("label"))
+        .select((lit(1000000L) + col("i")).as("vec_id"),
+          col("embedding"), col("label"))
+      Similarity.embeddingDedupComposed(e.unionByName(cohort), 0.4,
+        maxBucket = AnnBindingRpCap)
+    }),
     // the RpBucketCap path under the oracle gate (the dedup_capped_lsh
     // pattern for embeddings): RP-band candidate generation with a cap
     // LOW enough (30) to bind on the real corpus's dense buckets — the
@@ -3189,6 +3209,43 @@ object NorthStar {
             SELECT re.id, e2.b FROM reach re JOIN edges e2 ON e2.a = re.r),
           cl AS (SELECT id, min(r) cluster_id FROM reach GROUP BY id)
           SELECT vec_id, label FROM embeddings
+          WHERE vec_id NOT IN (SELECT id FROM cl WHERE id <> cluster_id)""",
+    // literal mirror of the composed pipeline: cohort append → integer-
+    // scaled rounded digest groupBy (identical bytes on both engines) →
+    // dynamic-layout capped RP over representatives → CC over identity ∪
+    // pair edges → keep-list
+    "dedup_embedding_composed" ->
+      s"""WITH RECURSIVE
+          base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v, label FROM embeddings),
+          cohort AS (SELECT 1000000 + i AS vec_id, t.v, t.label
+                     FROM (SELECT v, label FROM base WHERE vec_id = 0) t,
+                          range(1, 61) g(i)),
+          e0 AS (SELECT vec_id, v, label FROM base
+                 UNION ALL SELECT vec_id, v, label FROM cohort),
+          ikt AS (SELECT vec_id, md5(array_to_string(list_transform(v,
+                    x -> CAST(CAST(round(x * 10000) AS BIGINT) AS VARCHAR)), '|')) k
+                  FROM e0),
+          grp AS (SELECT k, min(vec_id) rep FROM ikt GROUP BY k),
+          mem AS (SELECT ikt.vec_id, grp.rep FROM ikt JOIN grp USING (k)),
+          ide AS (SELECT vec_id a, rep b FROM mem WHERE vec_id <> rep),
+          e AS (SELECT e0.vec_id, e0.v FROM e0
+                JOIN mem ON mem.vec_id = e0.vec_id WHERE mem.vec_id = mem.rep),
+          $annBandCtes,
+          ${rpCapSql(AnnBindingRpCap)},
+          cand AS (SELECT DISTINCT x.vec_id a, y.vec_id b
+                   FROM bbk x JOIN bbk y ON x.band = y.band AND x.bucket = y.bucket
+                     AND x.vec_id < y.vec_id),
+          p AS (SELECT a, b FROM cand
+                JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
+                WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4),
+          alledges AS (SELECT a, b FROM p UNION SELECT a, b FROM ide),
+          edges AS (SELECT a, b FROM alledges UNION SELECT b, a FROM alledges),
+          reach(id, r) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT re.id, e2.b FROM reach re JOIN edges e2 ON e2.a = re.r),
+          cl AS (SELECT id, min(r) cluster_id FROM reach GROUP BY id)
+          SELECT vec_id, label FROM e0
           WHERE vec_id NOT IN (SELECT id FROM cl WHERE id <> cluster_id)""",
     "ann_lsh_topk" -> annLshTopKSql,
     "ann_sq8_topk" ->

@@ -495,6 +495,30 @@ class SimilaritySpec extends SparkSuite {
     // hit count against the exact truth is >= the seed ranking's
     assert((expanded & brute).size >= (seeds & brute).size)
   }
+  test("embeddingDedupComposed: template cohort fully deduped though the cap would drop its bucket") {
+    import graft.operators.Similarity
+    // 40 exact copies of vec_id 0: one over-cap bucket in EVERY band —
+    // the capped pair stage alone returns zero cohort pairs (the collapse
+    // regime pinned above), so only the identity-first composition can
+    // dedup it
+    val cohort = emb.where(col("vec_id") === 0)
+      .select(explode(sequence(lit(1L), lit(40L))).as("i"),
+        col("embedding"), col("label"))
+      .select((lit(500000L) + col("i")).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(cohort)
+    val kept = Similarity.embeddingDedupComposed(corpus, 0.4, maxBucket = 30)
+      .select("vec_id").as[Long].collect().toSet
+    // every cohort copy dropped, its representative (vec_id 0) kept
+    assert(cohort.select("vec_id").as[Long].collect().forall(!kept.contains(_)))
+    assert(kept.contains(0L))
+    // the pair stage saw representatives only: the capped RP pass over the
+    // raw cohort corpus finds NO cohort pairs (they flood every band), so
+    // the dedup above cannot have come from the pair join
+    val rawPairs = Similarity.cosinePairsBucketed(corpus, 0.4, maxBucket = 30)
+      .where(col("a") >= 500000L || col("b") >= 500000L)
+    assert(rawPairs.count() === 0)
+  }
+
   test("rpPlanesFor: constant-occupancy layout sizing, clamped at both ends") {
     import graft.operators.Similarity
     assert(Similarity.rpPlanesFor(2000) === 4)  // the declared sf layout
