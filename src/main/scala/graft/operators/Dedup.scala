@@ -297,8 +297,13 @@ object Dedup {
         finally in.close()
         // bucket metadata lives in the catalog, not the files — register
         // an external bucketed table over the published location once per
-        // session (name keyed on the store dir, which is content-keyed)
-        val tbl = "graft_spanstore_" + md5Hex(dir)
+        // session. The name keys on (dir, bucket count): the dir is
+        // content-keyed, but a dir deleted and re-published in the same
+        // session under a different -Dgraft.spanstore.buckets would
+        // otherwise reuse a stale catalog entry whose bucket spec no
+        // longer matches the files — the zero-exchange join would then
+        // read wrong partitioning silently
+        val tbl = "graft_spanstore_" + md5Hex(s"$dir|$n")
         if (!spark.catalog.tableExists(tbl))
           spark.sql(
             s"""CREATE TABLE IF NOT EXISTS `$tbl` (s BINARY, keeper BIGINT, ndocs BIGINT)
@@ -348,7 +353,7 @@ object Dedup {
     * exists — the admin/CLI entry point (mirrors [[openStore]]). */
   def openSpanStore(spark: org.apache.spark.sql.SparkSession,
                     corpusKey: String, k: Int): Option[SpanStore] = {
-    val path = storePath(spark, s"$corpusKey#spanstore", k, 0.0)
+    val path = storePath(spark, s"$corpusKey#spanstore:$SpanLayoutVersion", k, 0.0)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(path)) Some(SpanStore(spark, path.toString)) else None
   }
@@ -359,7 +364,7 @@ object Dedup {
     * aggregate → publish. */
   def spanStore(docs: DataFrame, k: Int, corpusKey: String): SpanStore = {
     val spark = docs.sparkSession
-    val path = storePath(spark, s"$corpusKey#spanstore", k, 0.0)
+    val path = storePath(spark, s"$corpusKey#spanstore:$SpanLayoutVersion", k, 0.0)
     publishIfAbsent(spark, path) { tmp =>
       writeSpanRegistry(spark,
         spanWindows(docs, k).groupBy(col("s"))
@@ -499,7 +504,7 @@ object Dedup {
   def spanStoreAdvance(store: SpanStore, newDocs: DataFrame, k: Int,
                        newCorpusKey: String): SpanStore = {
     val spark = newDocs.sparkSession
-    val path = storePath(spark, s"$newCorpusKey#spanstore", k, 0.0)
+    val path = storePath(spark, s"$newCorpusKey#spanstore:$SpanLayoutVersion", k, 0.0)
     publishIfAbsent(spark, path) { tmp =>
       writeSpanRegistry(spark, spanRegistryMerge(store.spans, newDocs, k), tmp)
     }
@@ -1086,9 +1091,23 @@ object Dedup {
     * clustering logic (different k/bands/cap, or a changed algorithm —
     * bump the trailing literal on any such change) can never be served
     * verbatim to newer code: the version changes the key, so the new code
-    * simply builds a fresh store. */
+    * simply builds a fresh store.
+    *
+    * Store FAMILIES version independently: a LAYOUT change scoped to one
+    * family bumps that family's version ([[SpanLayoutVersion]] for the
+    * span registries), not this shared literal — r15 bumped rev here for
+    * the span-bucketing change and needlessly invalidated every MinHash
+    * cluster store whose format had not moved (full rebuilds on first
+    * use). rev stays at 2: the shared minhash algorithm is unchanged
+    * since then. */
   val StoreAlgoVersion: String =
-    s"minhash:k=$MinHashK,b=$Bands,r=$RowsPerBand,cap=$BandBucketCap,rev=3"
+    s"minhash:k=$MinHashK,b=$Bands,r=$RowsPerBand,cap=$BandBucketCap,rev=2"
+
+  /** The span registries' OWN layout version, folded only into span-store
+    * keys: rev=3 is the digest-bucketed per-bucket-sorted fileset
+    * (SPAN_BUCKETS sidecar). Future span-layout changes bump THIS, so
+    * dedup/cluster stores keep their cached builds. */
+  val SpanLayoutVersion: String = "spanlayout:rev=3"
 
   /** Handle over one persisted dedup store: the cluster assignment plus
     * the COMPANION INDEX a production store keeps beside it (the HBase

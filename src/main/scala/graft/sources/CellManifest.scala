@@ -186,12 +186,17 @@ object CellManifest {
       case (name, Entry(len, rows, None)) => s"$name\t$len\t$rows\t-\t-"
     }.mkString("", "\n", "\n")
     val live = new Path(p, FileName)
-    // UUID-suffixed temp sibling: two concurrent persist() calls (an
-    // operator-run compaction racing a stream's deferred lane on the
+    // epoch+UUID-suffixed temp sibling: two concurrent persist() calls
+    // (an operator-run compaction racing a stream's deferred lane on the
     // same dir) each write their OWN temp — a fixed ".tmp" name would
     // let one writer truncate the other's half-written file and then
-    // rename those torn bytes in as the live manifest
-    val tmp = new Path(p, s"$FileName.tmp-${java.util.UUID.randomUUID()}")
+    // rename those torn bytes in as the live manifest. The leading
+    // epoch is the WRITER's clock, embedded so the sweep below ages
+    // temps by it instead of filesystem mtime (object stores with
+    // skewed clocks made the mtime grace a narrowed window, not a
+    // closed one)
+    val tmp = new Path(p,
+      s"$FileName.tmp-${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, live)) {
@@ -204,7 +209,18 @@ object CellManifest {
       // entries, but a missing entry only degrades that file to a footer
       // re-stat (the same trust contract as a damaged line) — accept it.
       if (!fs.exists(tmp)) {
-        if (fs.exists(live)) return
+        if (fs.exists(live)) {
+          // LOGGED, not silent: the winner's manifest may lack this
+          // writer's newest entries — each missing entry degrades that
+          // file to a footer re-stat (the documented trust contract),
+          // but an operator chasing slow reads deserves the breadcrumb
+          System.err.println(s"[graft] manifest install for $live lost its " +
+            s"temp ($tmp) to a concurrent writer/sweep and accepted the " +
+            "winner's manifest; entries from this writer may be missing " +
+            "until the next update (missing entries degrade to footer " +
+            "re-stats, never wrong data)")
+          return
+        }
         throw new java.io.IOException(
           s"manifest install lost its temp with no live manifest present: $tmp -> $live")
       }
@@ -222,8 +238,21 @@ object CellManifest {
     val sweepGraceMs = 10 * 60 * 1000L
     val now = System.currentTimeMillis()
     scala.util.Try(fs.globStatus(new Path(p, FileName + ".tmp-*"))
-      .filter(s => now - s.getModificationTime > sweepGraceMs)
+      .filter(s => now - tempAgeBasis(s) > sweepGraceMs)
       .foreach(s => fs.delete(s.getPath, false)))
+  }
+
+  /** Age basis for sweeping a leftover temp: the writer's epoch embedded
+    * in the name (`manifest.tmp-<epochMs>-<uuid>`) when present —
+    * writer-clock-to-writer-clock comparison, immune to store-side mtime
+    * skew — falling back to filesystem mtime for legacy UUID-only names. */
+  private[graft] def tempAgeBasis(s: org.apache.hadoop.fs.FileStatus): Long = {
+    val rest = s.getPath.getName.stripPrefix(s"$FileName.tmp-")
+    val head = rest.takeWhile(_ != '-')
+    // a UUID segment is 8 hex chars and can be all digits; a real epoch
+    // is 13+ digits for any modern date — only trust the longer form
+    if (head.length >= 13 && head.forall(_.isDigit)) head.toLong
+    else s.getModificationTime
   }
 
   /** Parse the manifest if present: part-file name → [[Entry]]. Returns

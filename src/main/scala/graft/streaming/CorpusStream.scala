@@ -33,6 +33,26 @@ object CorpusStream {
   /** One completed micro-batch: its id, output path, and pair count. */
   case class BatchResult(batchId: Long, path: String, pairs: Long)
 
+  /** Pick the index/registry frame for a (possibly replayed) micro-batch
+    * from a (foldedUpTo, preFold, postFold) handoff. The triple retains
+    * exactly ONE pre-fold frame — the latest folded batch's — so a replay
+    * of that id rewrites against the pre-fold state (correct), while a
+    * replay of any STRICTLY OLDER id has no correct frame left: both
+    * retained frames already contain that batch's own signatures, and
+    * silently using either would judge the batch against itself (the
+    * self-match bug the triple exists to prevent). Serial foreachBatch on
+    * a fresh checkpoint can never produce such a replay, so this refuses
+    * LOUDLY instead of answering wrongly if that invariant ever breaks. */
+  private[graft] def replaySafeFrame[A](batchId: Long, foldedUpTo: Long,
+                                            preFold: A, postFold: A): A = {
+    require(batchId >= foldedUpTo,
+      s"micro-batch $batchId replayed BEHIND the latest folded batch " +
+        s"$foldedUpTo: the handoff retains only that batch's pre-fold frame, " +
+        "so an older replay would be matched against state containing its " +
+        "own signatures — refusing instead of self-matching")
+    if (batchId == foldedUpTo) preFold else postFold
+  }
+
   /** Stream parquet document files from `inputDir` through incremental
     * dedup. Runs until all currently-available input drains; returns the
     * per-batch results. `initialIndex` defaults to empty (cold start). */
@@ -70,7 +90,7 @@ object CorpusStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (folded, pre, post) = handoff.get()
-        val idx = if (batchId <= folded) pre else post
+        val idx = replaySafeFrame(batchId, folded, pre, post)
         // ONE signature pass per batch: the pair search reads it from the
         // checkpoint and the same materialization merges into the index
         val sig = Dedup.minHashSignatures(batch, n).materialized
@@ -201,7 +221,7 @@ object CorpusStream {
       .option("checkpointLocation", staging.resolve("ckpt").toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (folded, pre, post) = handoff.get()
-        val reg = if (batchId <= folded) pre else post
+        val reg = replaySafeFrame(batchId, folded, pre, post)
         // rewrite + advance share one window pass and one digest
         // aggregate; this driver staged exactly two files on a fresh
         // checkpoint, so batch 1 is final and its advanced registry has

@@ -13,6 +13,18 @@ class PipelineSpec extends SparkSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("replaySafeFrame: folded-id replay gets pre-fold, newer gets post-fold, older refuses loudly") {
+    import graft.streaming.CorpusStream.replaySafeFrame
+    assert(replaySafeFrame(5L, 5L, "pre", "post") === "pre")
+    assert(replaySafeFrame(6L, 5L, "pre", "post") === "post")
+    assert(replaySafeFrame(0L, -1L, "pre", "post") === "post") // cold start
+    // a replay strictly behind the fold has no correct frame left: both
+    // retained frames contain its own signatures — must fail, not self-match
+    val e = intercept[IllegalArgumentException](
+      replaySafeFrame(4L, 5L, "pre", "post"))
+    assert(e.getMessage.contains("replayed BEHIND"))
+  }
+
   test("asOfJoin: inclusive <=, latest-wins, tiebreak on max key, null when no match") {
     val left = Seq(
       (1L, 10L, ts("2024-01-01 12:00:00")),  // exact tie with right row

@@ -359,6 +359,39 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("manifest temp sweep: writer-epoch names age by embedded epoch, legacy names by filesystem mtime") {
+    import graft.sources.CellManifest
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest-sweep")
+    val now = System.currentTimeMillis()
+    val hourAgo = now - 3600L * 1000
+    // stale by WRITER epoch though its mtime is fresh (store clock ahead):
+    // swept — the embedded epoch is the age basis
+    val stale = dir.resolve(s"${CellManifest.FileName}.tmp-$hourAgo-deadbeef")
+    // fresh by writer epoch though its mtime is an hour old (store clock
+    // behind): survives — pre-epoch naming would have swept a concurrent
+    // writer's in-flight temp here
+    val fresh = dir.resolve(s"${CellManifest.FileName}.tmp-$now-cafebabe")
+    // legacy UUID-only name: no embedded epoch, ages by mtime
+    val legacy = dir.resolve(s"${CellManifest.FileName}.tmp-0af3c1d2-e654")
+    Seq(stale, fresh, legacy).foreach(p =>
+      java.nio.file.Files.write(p, "x".getBytes("UTF-8")))
+    fresh.toFile.setLastModified(hourAgo)
+    legacy.toFile.setLastModified(hourAgo)
+    CellManifest.write(spark, dir.toString) // install runs the sweep
+    assert(!java.nio.file.Files.exists(stale), "stale-by-writer-epoch temp must be swept")
+    assert(java.nio.file.Files.exists(fresh), "fresh-by-writer-epoch temp must survive mtime skew")
+    assert(!java.nio.file.Files.exists(legacy), "legacy temp must still age by mtime")
+    // the age-basis parse itself: >=13 all-digit head = writer epoch;
+    // anything else (a UUID segment can be all digits but shorter) = mtime
+    def st(name: String, mtime: Long) = new org.apache.hadoop.fs.FileStatus(
+      1L, false, 1, 1L, mtime,
+      new org.apache.hadoop.fs.Path(dir.toString, name))
+    assert(CellManifest.tempAgeBasis(
+      st(s"${CellManifest.FileName}.tmp-$hourAgo-u", now)) === hourAgo)
+    assert(CellManifest.tempAgeBasis(
+      st(s"${CellManifest.FileName}.tmp-12345678-u", now)) === now)
+  }
+
   test("manifest parsing: EVERY byte-truncation yields only exact or conservative entries — never wrong bounds") {
     import graft.sources.CellManifest
     import graft.sources.CellManifest.Entry
