@@ -1206,6 +1206,22 @@ object Similarity {
       .where(col("cos_sim") >= threshold)
   }
 
+  /** Sentinel for [[embeddingDedupComposed]]'s `maxBucket`: derive the
+    * MEDIAN-OCCUPANCY cap ceil(n / 2^r) from the representative corpus —
+    * the scale-invariant binding regime. A FIXED binding cap cannot stay
+    * binding across scales: r16's sf0.1 full-inventory compare caught the
+    * fixed cap 30 dropping EVERY bucket at n=2000 (min occupancy 68 under
+    * the sized 16-bucket layout), i.e. the silent-collapse regime the
+    * observation warns about — while ceil(n/2^r) straddles the occupancy
+    * median at every n (36/28 buckets kept/dropped at sf0.01, 30/34 at
+    * sf0.1). Integer arithmetic throughout, so the DuckDB oracle mirrors
+    * it bit-exactly. */
+  val BindingOccupancyCap: Int = -1
+
+  /** ceil(n / 2^r) as the integer form both engines compute. */
+  def derivedBindingCap(n: Long, r: Int): Int =
+    ((n + (1L << r) - 1) / (1L << r)).toInt
+
   /** IDENTITY KEY of an embedding: md5 of the '|'-joined components
     * rounded to 1e-4 (scaled to integers BEFORE stringification, so both
     * engines hash the same bytes — double→string formatting differs
@@ -1244,7 +1260,15 @@ object Similarity {
       .select(col("vec_id").as("a"), col("rep").as("b"))
     val reps = corpus.join(
       members.where(col("vec_id") === col("rep")).select(col("vec_id")), "vec_id")
-    val pairEdges = cosinePairsBucketed(reps, threshold, maxBucket = maxBucket)
+    // one planning count serves the layout, and — under the
+    // [[BindingOccupancyCap]] sentinel — the scale-invariant cap too
+    val nReps = reps.count()
+    val r = rpPlanesFor(nReps)
+    val cap =
+      if (maxBucket == BindingOccupancyCap) derivedBindingCap(nReps, r)
+      else maxBucket
+    val pairEdges = cosinePairsBucketed(reps, threshold,
+        bands = 4, planesPerBand = r, maxBucket = cap)
       .select(col("a"), col("b"))
     val drop = Dedup.clusters(identityEdges.unionByName(pairEdges))
       .where(col("doc_id") =!= col("cluster_id"))

@@ -1185,11 +1185,11 @@ object NorthStar {
     // (61 copies of vec_id 0's embedding — the embedded-boilerplate
     // shape that floods one bucket in every band): identity pass
     // (rounded-vector digest groupBy) collapses the cohort to one
-    // representative BEFORE any pair join, the capped RP stage (cap 30,
-    // binding on the real corpus) runs over representatives only, CC
-    // over identity ∪ pair edges yields the keep-list — hash-checked
-    // proof that the cohort is fully deduped while the pair join stays
-    // capped
+    // representative BEFORE any pair join, the capped RP stage (the
+    // derived median-occupancy binding cap) runs over representatives
+    // only, CC over identity ∪ pair edges yields the keep-list —
+    // hash-checked proof that the cohort is fully deduped while the
+    // pair join stays capped
     "dedup_embedding_composed" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val cohort = e.where(col("vec_id") === 0)
@@ -1198,17 +1198,24 @@ object NorthStar {
         .select((lit(1000000L) + col("i")).as("vec_id"),
           col("embedding"), col("label"))
       Similarity.embeddingDedupComposed(e.unionByName(cohort), 0.4,
-        maxBucket = AnnBindingRpCap)
+        maxBucket = Similarity.BindingOccupancyCap)
     }),
     // the RpBucketCap path under the oracle gate (the dedup_capped_lsh
-    // pattern for embeddings): RP-band candidate generation with a cap
-    // LOW enough (30) to bind on the real corpus's dense buckets — the
-    // oracle mirrors the occupancy window literally, so the capped
-    // generator (not just the uncapped happy path) is hash-checked
-    "ann_capped_rp_pairs" -> ((s, dir) =>
-      Similarity.cosinePairsBucketed(t(s, dir, "embeddings"), -1.0,
-          maxBucket = AnnBindingRpCap)
-        .select(col("a"), col("b"))),
+    // pattern for embeddings): RP-band candidate generation with the cap
+    // in its BINDING regime at every scale — ceil(n/2^r), the median-
+    // occupancy cap (a fixed literal cannot stay binding: r16's sf0.1
+    // compare caught cap 30 dropping EVERY bucket at n=2000 — the silent-
+    // collapse regime). The oracle mirrors the occupancy window AND the
+    // cap derivation literally, so the capped generator (not just the
+    // uncapped happy path) is hash-checked
+    "ann_capped_rp_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val n = e.count()
+      val r = Similarity.rpPlanesFor(n)
+      Similarity.cosinePairsBucketed(e, -1.0, bands = 4, planesPerBand = r,
+          maxBucket = Similarity.derivedBindingCap(n, r))
+        .select(col("a"), col("b"))
+    }),
     // hard-negative mining (contrastive training): per query, the top-10
     // most similar vectors with a DIFFERENT label — boundary negatives,
     // label filter applied before any dot product is computed
@@ -1717,14 +1724,20 @@ object NorthStar {
         FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
         WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4"""
 
-  /** The capped RP candidate generator IN the binding regime (cap 30 sits
-    * inside the sf corpora's occupancy distribution — some buckets kept,
-    * some dropped), the `dedup_capped_lsh` pattern for embeddings. */
-  private[queries] val AnnBindingRpCap = 30
+  /** The DERIVED median-occupancy cap ceil(n/2^r) — binding at every
+    * scale (mirror of [[Similarity.derivedBindingCap]]; integer
+    * arithmetic, so both engines agree bit-exactly). Requires the `e`
+    * and `rr` CTEs. */
+  private val rpCapDerivedSql =
+    """bbk AS (SELECT vec_id, band, bucket FROM (
+          SELECT *, count(*) OVER (PARTITION BY band, bucket) occ FROM bb)
+         WHERE occ <= (SELECT ((SELECT count(*) FROM e) + (CAST(1 AS BIGINT) << r) - 1)
+                              // (CAST(1 AS BIGINT) << r) FROM rr))"""
+
   private val annCappedRpPairsSql =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
         $annBandCtes,
-        ${rpCapSql(AnnBindingRpCap)}
+        $rpCapDerivedSql
         SELECT DISTINCT x.vec_id a, y.vec_id b
         FROM bbk x JOIN bbk y ON x.band = y.band AND x.bucket = y.bucket
           AND x.vec_id < y.vec_id"""
@@ -3231,7 +3244,7 @@ object NorthStar {
           e AS (SELECT e0.vec_id, e0.v FROM e0
                 JOIN mem ON mem.vec_id = e0.vec_id WHERE mem.vec_id = mem.rep),
           $annBandCtes,
-          ${rpCapSql(AnnBindingRpCap)},
+          $rpCapDerivedSql,
           cand AS (SELECT DISTINCT x.vec_id a, y.vec_id b
                    FROM bbk x JOIN bbk y ON x.band = y.band AND x.bucket = y.bucket
                      AND x.vec_id < y.vec_id),

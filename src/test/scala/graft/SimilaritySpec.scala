@@ -517,6 +517,18 @@ class SimilaritySpec extends SparkSuite {
     val rawPairs = Similarity.cosinePairsBucketed(corpus, 0.4, maxBucket = 30)
       .where(col("a") >= 500000L || col("b") >= 500000L)
     assert(rawPairs.count() === 0)
+    // the BindingOccupancyCap sentinel equals the hand-derived cap: the
+    // declared query's scale-invariant regime is just ceil(nReps/2^r)
+    val nReps = corpus.select(Similarity.embeddingIdentityKey(
+      col("embedding").cast("array<double>"))).distinct.count()
+    val r = Similarity.rpPlanesFor(nReps)
+    val viaSentinel = Similarity.embeddingDedupComposed(corpus, 0.4,
+        maxBucket = Similarity.BindingOccupancyCap)
+      .select("vec_id").as[Long].collect().toSet
+    val viaDerived = Similarity.embeddingDedupComposed(corpus, 0.4,
+        maxBucket = Similarity.derivedBindingCap(nReps, r))
+      .select("vec_id").as[Long].collect().toSet
+    assert(viaSentinel === viaDerived)
   }
 
   test("rpPlanesFor: constant-occupancy layout sizing, clamped at both ends") {
