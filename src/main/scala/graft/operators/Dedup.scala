@@ -1020,46 +1020,24 @@ object Dedup {
         df.checkpoint()
     }
 
+  /** Connected components over an irreflexive near-dup pair list:
+    * (doc_id, cluster_id = min id reachable) for every node appearing in
+    * an edge.
+    *
+    * Since r16 this delegates to [[GraphOps.connectedComponentsStar]]
+    * (large-star/small-star contraction, O(log diameter) rounds). The
+    * previous min-label propagation converged in component-ECCENTRICITY
+    * rounds — fine on the blocky near-dup graphs the sf corpora produce,
+    * but a CHAIN of near-dups (versioned documents; the decade corpus's
+    * cross-replica chains) made it pay one full fixpoint round per hop:
+    * measured 107 rounds ≈ 30 s on a 10k-edge graph whose star
+    * contraction finishes in a handful of rounds. Output is identical on
+    * irreflexive inputs (min-id representative is algorithm-independent;
+    * AnalyticsLayoutSpec pins star ≡ hash-min equality), and every
+    * declared pair generator emits strict a < b pairs. */
   def clusters(pairs: DataFrame,
-               storage: FixpointStorage = SessionDefault): DataFrame = {
-    // materialize the edge list ONCE — without this every fixpoint
-    // iteration re-runs the upstream pair pipeline (LSH + verify) from
-    // scratch inside its join. The undirected doubling is an explode of a
-    // 2-element struct array, NOT a union of two selects: each union
-    // branch would evaluate the (expensive) upstream pair pipeline once
-    // per branch. Partitioned by the JOIN key before the checkpoint:
-    // hashpartitioning(b) survives materialization, so each iteration's
-    // equi-join exchanges only the label rows — the (usually much larger)
-    // edge list never moves again.
-    val und = materializeFixpoint(pairs
-      .select(explode(array(
-        struct(col("a"), col("b")),
-        struct(col("b").as("a"), col("a").as("b")))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
-      .distinct()
-      .repartition(col("b")), storage)
-    var labels = materializeFixpoint(und.select(col("a").as("id")).distinct()
-      .withColumn("cluster_id", col("id")), storage)
-    var changed = 1L
-    while (changed > 0) {
-      val nbrMin = und
-        .join(labels.select(col("id").as("b"), col("cluster_id")), "b")
-        .groupBy(col("a")).agg(min(col("cluster_id")).as("nbr_min"))
-      // convergence flag computed INLINE (the old label is already in the
-      // row) — a join-based next-vs-old compare would cost an extra
-      // shuffle per iteration just to count changes
-      val next = materializeFixpoint(labels
-        .join(nbrMin.withColumnRenamed("a", "id"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"),
-          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("chg")),
-        storage)
-      changed = next.where(col("chg")).count()
-      labels = next.select(col("id"), col("cluster_id"))
-    }
-    labels.select(col("id").as("doc_id"), col("cluster_id"))
-  }
+               storage: FixpointStorage = SessionDefault): DataFrame =
+    GraphOps.connectedComponentsStar(pairs, storage)
 
   /** The cluster assignment as a DURABLE ARTIFACT — build-once,
     * serve-many. A production curation run computes
