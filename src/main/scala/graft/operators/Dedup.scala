@@ -1020,24 +1020,96 @@ object Dedup {
         df.checkpoint()
     }
 
+  /** Rounds of cheap min-label propagation [[clusters]] runs before
+    * escalating to star contraction: blocky near-dup graphs (the
+    * overwhelmingly common shape — clusters of mutually-similar docs)
+    * converge inside this budget on the LIGHT per-round plan, while a
+    * chain-grade component (versioned documents; the decade corpus's
+    * cross-replica chains) escalates after paying only these rounds.
+    * 8 light rounds resolve any component of eccentricity ≤ 7. */
+  private[graft] val CcEscalateAfterRounds = 8
+
   /** Connected components over an irreflexive near-dup pair list:
     * (doc_id, cluster_id = min id reachable) for every node appearing in
     * an edge.
     *
-    * Since r16 this delegates to [[GraphOps.connectedComponentsStar]]
-    * (large-star/small-star contraction, O(log diameter) rounds). The
-    * previous min-label propagation converged in component-ECCENTRICITY
-    * rounds — fine on the blocky near-dup graphs the sf corpora produce,
-    * but a CHAIN of near-dups (versioned documents; the decade corpus's
-    * cross-replica chains) made it pay one full fixpoint round per hop:
-    * measured 107 rounds ≈ 30 s on a 10k-edge graph whose star
-    * contraction finishes in a handful of rounds. Output is identical on
-    * irreflexive inputs (min-id representative is algorithm-independent;
-    * AnalyticsLayoutSpec pins star ≡ hash-min equality), and every
-    * declared pair generator emits strict a < b pairs. */
+    * HYBRID algorithm (r16): min-label propagation for up to
+    * [[CcEscalateAfterRounds]] rounds — each round is one
+    * edge-stationary equi-join + a map-side-combinable min (the edge
+    * list is hash-partitioned by the join key ONCE and never moves
+    * again) — then, if not yet converged, escalation to
+    * [[GraphOps.connectedComponentsStar]] (O(log diameter) rounds,
+    * heavier per round). Propagation alone pays component-ECCENTRICITY
+    * rounds (measured: 107 rounds ≈ 30 s on the decade corpus's
+    * chained 10k-edge component); star contraction alone pays its
+    * heavier round on the blocky graphs that converge in 2–4 light
+    * rounds (measured: +~1.5 s/query across the dedup bench family).
+    * The hybrid is the min of both regimes, and the escalation
+    * threshold is deterministic, so outputs stay engine-reproducible:
+    * min-id per component is algorithm-independent on irreflexive
+    * inputs (AnalyticsLayoutSpec pins star ≡ propagation equality), and
+    * every declared pair generator emits strict a < b pairs. */
   def clusters(pairs: DataFrame,
-               storage: FixpointStorage = SessionDefault): DataFrame =
-    GraphOps.connectedComponentsStar(pairs, storage)
+               storage: FixpointStorage = SessionDefault): DataFrame = {
+    // materialize the edge list ONCE — without this every fixpoint
+    // iteration re-runs the upstream pair pipeline (LSH + verify) from
+    // scratch inside its join. The undirected doubling is an explode of a
+    // 2-element struct array, NOT a union of two selects: each union
+    // branch would evaluate the (expensive) upstream pair pipeline once
+    // per branch. Partitioned by the JOIN key before the checkpoint:
+    // hashpartitioning(b) survives materialization, so each iteration's
+    // equi-join exchanges only the label rows — the (usually much larger)
+    // edge list never moves again.
+    val und = materializeFixpoint(pairs
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .distinct()
+      .repartition(col("b")), storage)
+    var labels = materializeFixpoint(und.select(col("a").as("id")).distinct()
+      .withColumn("cluster_id", col("id")), storage)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < CcEscalateAfterRounds) {
+      round += 1
+      val nbrMin = und
+        .join(labels.select(col("id").as("b"), col("cluster_id")), "b")
+        .groupBy(col("a")).agg(min(col("cluster_id")).as("nbr_min"))
+      // convergence flag computed INLINE (the old label is already in the
+      // row) — a join-based next-vs-old compare would cost an extra
+      // shuffle per iteration just to count changes
+      val next = materializeFixpoint(labels
+        .join(nbrMin.withColumnRenamed("a", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"),
+          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("chg")),
+        storage)
+      changed = next.where(col("chg")).count()
+      labels = next.select(col("id"), col("cluster_id"))
+    }
+    if (changed == 0) labels.select(col("id").as("doc_id"), col("cluster_id"))
+    else {
+      // chain-grade component: contract edges through the labels the
+      // light rounds already earned (label(x) is reachable from x, so
+      // the contracted graph has the same components over label ids),
+      // then finish with log-round star contraction and map back
+      System.err.println(s"[graft] clusters: not converged after " +
+        s"$CcEscalateAfterRounds propagation rounds (component diameter " +
+        "exceeds the light-round budget) — escalating to star contraction")
+      val contracted = und
+        .join(labels.select(col("id").as("a"), col("cluster_id").as("la")), "a")
+        .join(labels.select(col("id").as("b"), col("cluster_id").as("lb")), "b")
+        .select(col("la").as("a"), col("lb").as("b"))
+        .where(col("a") =!= col("b"))
+      val roots = GraphOps.connectedComponentsStar(contracted, storage)
+        .select(col("doc_id").as("cluster_id"), col("cluster_id").as("root"))
+      labels.join(roots, Seq("cluster_id"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("root"), col("cluster_id")).as("cluster_id"))
+    }
+  }
 
   /** The cluster assignment as a DURABLE ARTIFACT — build-once,
     * serve-many. A production curation run computes

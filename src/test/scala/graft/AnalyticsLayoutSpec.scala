@@ -203,6 +203,24 @@ class AnalyticsLayoutSpec extends SparkSuite {
     assert(star(23L) === 20L && star(31L) === 30L)
   }
 
+  test("clusters escalation: a chain past the light-round budget finishes via star contraction, same min-id output") {
+    // a 40-node chain (diameter 39 > CcEscalateAfterRounds): the hybrid
+    // must escalate — and still label every node with the chain head —
+    // alongside a blocky 3-clique and an isolated pair that would have
+    // converged in the light rounds
+    val chain = (100L until 139L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((1L, 2L), (1L, 3L), (2L, 3L), (50L, 51L)))
+      .toDF("a", "b")
+    val got = graft.operators.Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert((100L to 139L).forall(got(_) === 100L))
+    assert(Seq(1L, 2L, 3L).forall(got(_) === 1L))
+    assert(got(51L) === 50L && got(50L) === 50L)
+    // and equals the pure star algorithm on the same input
+    val star = graft.operators.GraphOps.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === star)
+  }
+
   test("anomalyMad: planted spike flags, MAD=0 degenerate case, quiet series stays quiet") {
     // type a: 7 flat days then a 50-count spike → med 5, MAD 0, spike flags
     // type b: counts 1..7 → med 4, MAD 2, threshold 6 → nothing flags
