@@ -262,6 +262,87 @@ object ScaleStress {
       s""""scaled_alpha":${f"${alpha(tScaled)}%.2f"}}}""")
   }
 
+  /** REGION-COUNT decade for the cell-store read path (`runMain
+    * graft.ScaleStress cellscale`): the Targets decade row for
+    * `cells_index_lookup` reads α ≈ 0.65 — but that corpus decade holds
+    * REGION COUNT fixed at 10, so each region FILE grows 10× and the
+    * per-lookup bound ("K keys open ≤ K files, one file per Get") is a
+    * bound over 10×-bigger files. A deployment does the opposite —
+    * region SIZE is the held constant (the HBase split policy) and
+    * region COUNT grows with data. This mode measures THAT posture:
+    * x1 = sf0.1 customer cells in 10 regions, x`reps` = the shifted-key
+    * customer decade in `reps`×10 regions (same expected cells/region),
+    * timing (a) the manifest-answered row-range COUNT and (b) a 40-key
+    * multiGet page. Both read sets are bounded by files of CONSTANT
+    * size at any region count, so both should hold ~flat. Results →
+    * SCALESTRESS_cellscale.md + one JSON line. */
+  private def cellScaleMain(spark: SparkSession, src: String, reps: Int): Unit = {
+    import graft.functions.keys
+    import graft.operators.{CellOps, RegionSort}
+    val custKey = keys.md5CompositeKey(Seq(
+      col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment")))
+    val custVals = Seq(col("c_custkey").cast("string"), col("c_name"),
+      col("c_nationkey").cast("string"),
+      col("c_acctbal").cast("decimal(18,2)").cast("string"), col("c_mktsegment"))
+    val Shift = 10000000L
+    val cust1 = spark.read.parquet(s"$src/customer.parquet")
+    val custN = (0 until reps).map(r =>
+      cust1.select((col("c_custkey") + lit(r * Shift)).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
+      .reduce(_ unionByName _)
+    val base = java.nio.file.Files.createTempDirectory("graft-cellscale").toString
+    def stage(df: DataFrame, regions: Int, name: String): String = {
+      val path = s"$base/$name"
+      graft.SortedParquetCellSink.write(RegionSort.sortedByRange(
+        CellOps.explodeIndexed(df, custKey, "c", custVals), regions), path)
+      path
+    }
+    System.err.println(s"[scalestress] staging cellscale layouts under $base")
+    val p1 = stage(cust1, 10, "x1")
+    val pN = stage(custN, reps * 10, s"x$reps")
+    // the same 40-key Get page on both layouts: replica 0 keeps the
+    // original keys, so x1's page exists verbatim in the xN table
+    val page = cust1.select(custKey.as("k")).collect()
+      .map(_.getAs[Array[Byte]]("k"))
+      .sortBy(_.map("%02x".format(_)).mkString).take(40).toSeq
+    def min2(body: => Unit): Double = (1 to 2).map { _ =>
+      val t0 = System.nanoTime(); body; unpersistAll(spark)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    def rangeCount(path: String): Unit =
+      spark.read.format("graft-cells").load(path)
+        .where(col("row") >= lit(Array(0x40.toByte)) &&
+          col("row") < lit(Array(0x80.toByte)))
+        .agg(count(lit(1))).collect()
+    def multiGet(path: String): Unit =
+      graft.sources.CellScan.multiGet(spark, path, page).collect()
+    val rc1 = min2(rangeCount(p1)); val rcN = min2(rangeCount(pN))
+    val mg1 = min2(multiGet(p1)); val mgN = min2(multiGet(pN))
+    def alpha(b: Double, s: Double) = math.log(b / s) / math.log(reps.toDouble)
+    val table =
+      s"""# Cell-store read path, REGION-COUNT decade (sf0.1 -> x$reps, min-of-2, local[32])
+         |
+         |Constant region SIZE (the deployment posture): x1 = 10 regions,
+         |x$reps = ${reps * 10} regions, same expected cells/region. The corpus
+         |decade in SCALESTRESS_partial.md holds region COUNT fixed instead,
+         |so its per-file bound is over 10x-bigger files (alpha 0.65 there).
+         |
+         || read | x1 s | x$reps s | alpha |
+         ||---|---|---|---|
+         || range COUNT (manifest-answered, <=2 boundary files) | ${f"$rc1%.2f"} | ${f"$rcN%.2f"} | ${f"${alpha(rcN, rc1)}%.2f"} |
+         || 40-key multiGet page (<=40 region files) | ${f"$mg1%.2f"} | ${f"$mgN%.2f"} | ${f"${alpha(mgN, mg1)}%.2f"} |
+         |
+         |Both read sets are bounded by files of constant size at any region
+         |count — the lookup tier a serving deployment actually scales on.
+         |""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("SCALESTRESS_cellscale.md"), table)
+    println(s"""{"cell_scale":{"reps":$reps,"range_count_x1":${f"$rc1%.2f"},""" +
+      s""""range_count_xN":${f"$rcN%.2f"},"range_count_alpha":${f"${alpha(rcN, rc1)}%.2f"},""" +
+      s""""multiget_x1":${f"$mg1%.2f"},"multiget_xN":${f"$mgN%.2f"},""" +
+      s""""multiget_alpha":${f"${alpha(mgN, mg1)}%.2f"}}}""")
+  }
+
   /** ADVERSARIAL store-maintenance stress (`runMain graft.ScaleStress
     * adversarial`): rebuild the canonicalized-order corpus that first
     * exposed the bucket-occupancy bound (per-replica token cipher THEN
@@ -553,6 +634,10 @@ object ScaleStress {
     }
     if (args.headOption.contains("embscale")) {
       try embScaleMain(spark, src, reps) finally spark.stop()
+      return
+    }
+    if (args.headOption.contains("cellscale")) {
+      try cellScaleMain(spark, src, reps) finally spark.stop()
       return
     }
     val dst = java.nio.file.Files.createTempDirectory("graft-scalestress").toString
