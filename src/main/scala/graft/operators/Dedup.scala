@@ -594,12 +594,19 @@ object Dedup {
   def minHashCandidates(sigd: DataFrame,
                         maxBucket: Int = BandBucketCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    CapMetrics.ensureListener(sigd.sparkSession)
     val banded = bandKeys(sigd)
+    // the occupancy cap carries the shared CapMetrics observation (r16):
+    // binding logs its drop count, and the template-cohort collapse
+    // regime — where every band bucket is over the cap and the candidate
+    // set silently empties — warns loudly, including through AQE's
+    // empty-relation pruning of the metric node itself
     val kept =
       if (maxBucket == Int.MaxValue) banded
-      else banded
-        .withColumn("occ",
-          count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+      else CapMetrics.observed(banded
+          .withColumn("occ",
+            count(lit(1)).over(Window.partitionBy(col("band"), col("bkey")))),
+          col("occ"), maxBucket)
         .where(col("occ") <= maxBucket)
         .drop("occ")
     kept.as("x").join(kept.as("y"),

@@ -1068,93 +1068,15 @@ object Similarity {
     (4 to 24).find(r => (1L << r) * targetOccupancy >= n).getOrElse(24)
   }
 
-  /** Name prefix of the [[org.apache.spark.sql.Dataset.observe]] metric
-    * [[cosinePairsBucketed]] attaches to its occupancy-cap filter. Each
-    * observation carries (banded_rows, kept_rows): `kept_rows <
-    * banded_rows` means [[RpBucketCap]] (or the caller's cap) is BINDING
-    * this run, and `kept_rows == 0` with input present is the silent-
-    * recall-collapse regime — every (band, bucket) group was over the cap,
-    * so the pair stage would return nothing regardless of how many true
-    * near-dup pairs exist. A session listener ([[ensureRpCapListener]],
-    * installed by every cosinePairsBucketed call) logs both conditions;
-    * the metric itself rides the existing window exchange — no extra job,
-    * no extra shuffle. */
-  val RpCapMetricPrefix = "graft_rp_cap_"
-  private val rpCapMetricSeq = new java.util.concurrent.atomic.AtomicLong(0)
-
-  /** The cap-observation messages for one finished query execution —
-    * pure so the spec can pin the exact binding/collapse conditions.
-    * Returns (isCollapse, message) pairs.
-    *
-    * `declared` is the set of [[RpCapMetricPrefix]] observation names in
-    * the query's ANALYZED plan: a name that is declared but ABSENT from
-    * the executed metrics means AQE's empty-relation propagation replaced
-    * the observed subtree after its stage ran empty — which for this
-    * observation happens exactly when the cap filter kept ZERO rows (or
-    * the input itself was empty). That is the silent-recall-collapse
-    * regime, so the absence is reported as loudly as an explicit
-    * kept_rows == 0 (verified empirically: Spark 4.1 drops the
-    * CollectMetrics node from the final adaptive plan in this regime, so
-    * waiting for the metric alone would go silent precisely when the
-    * warning matters most). */
+  /** The RP cap observation rides the shared [[CapMetrics]] machinery
+    * (one observe() metric per capped generator + the
+    * declared-but-absent collapse detection; see there). These aliases
+    * keep the RP call sites and specs reading naturally. */
+  val RpCapMetricPrefix: String = CapMetrics.MetricPrefix
   private[graft] def rpCapWarnings(
       metrics: Map[String, org.apache.spark.sql.Row],
-      declared: Seq[String] = Nil): Seq[(Boolean, String)] = {
-    val fromMetrics = metrics.toSeq.collect {
-      case (name, row) if name.startsWith(RpCapMetricPrefix) =>
-        val banded = row.getAs[Long]("banded_rows")
-        val kept = row.getAs[Long]("kept_rows")
-        (banded, kept)
-    }.collect {
-      case (banded, 0L) if banded > 0L =>
-        (true, s"[graft] RP-band occupancy cap dropped ALL $banded banded rows — " +
-          "every (band, bucket) group is over the cap, so the candidate stage " +
-          "returns NO pairs (silent recall collapse). Run the identity pass " +
-          "(rounded-vector digest dedup) first, or raise maxBucket / the plane count.")
-      case (banded, kept) if kept < banded =>
-        (false, s"[graft] RP-band occupancy cap binding: dropped ${banded - kept} " +
-          s"of $banded banded rows (over-cap (band, bucket) groups are excluded " +
-          "from candidate generation; their members are near-certain exact-dup " +
-          "cohorts an identity pass catches without a pair join).")
-    }
-    val pruned = declared.filter(n =>
-      n.startsWith(RpCapMetricPrefix) && !metrics.contains(n)).map { _ =>
-      (true, "[graft] RP-band occupancy cap kept ZERO rows — the observed " +
-        "candidate subtree executed empty and was pruned by adaptive " +
-        "empty-relation propagation. Either every (band, bucket) group is over " +
-        "the cap (silent recall collapse — run the identity pass first, or " +
-        "raise maxBucket / the plane count) or the input corpus was empty.")
-    }
-    fromMetrics ++ pruned
-  }
-
-  private val rpCapListenerSessions =
-    java.util.Collections.synchronizedSet(
-      java.util.Collections.newSetFromMap(
-        new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
-
-  /** Install (once per session) the listener that surfaces the
-    * [[RpCapMetricPrefix]] observations: collapse → WARN-grade stderr
-    * line, binding → one INFO-grade line. Metrics flow whether or not a
-    * reader is listening; this is the default "never silent" reader. */
-  private[graft] def ensureRpCapListener(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (rpCapListenerSessions.add(spark))
-      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
-        override def onSuccess(funcName: String,
-                               qe: org.apache.spark.sql.execution.QueryExecution,
-                               durationNs: Long): Unit = {
-          val declared = qe.analyzed.collect {
-            case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
-                if c.name.startsWith(RpCapMetricPrefix) => c.name
-          }
-          rpCapWarnings(qe.observedMetrics, declared).foreach { case (_, msg) =>
-            System.err.println(msg)
-          }
-        }
-        override def onFailure(funcName: String,
-                               qe: org.apache.spark.sql.execution.QueryExecution,
-                               exception: Exception): Unit = ()
-      })
+      declared: Seq[String] = Nil): Seq[(Boolean, String)] =
+    CapMetrics.warnings(metrics, declared)
 
   /** `planesPerBand = 0` (the default since round 16) sizes the layout
     * from a planning-time corpus count via [[rpPlanesFor]] — one
@@ -1170,7 +1092,7 @@ object Similarity {
     require(planesPerBand >= 0, "planesPerBand: 0 = size from corpus count")
     val planesPerBand0 =
       if (planesPerBand > 0) planesPerBand else rpPlanesFor(corpus.count())
-    ensureRpCapListener(corpus.sparkSession)
+    CapMetrics.ensureListener(corpus.sparkSession)
     val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val banded = e.select(col("vec_id"), col("v"),
         explode(array((0 until bands).map { b =>
@@ -1183,12 +1105,10 @@ object Similarity {
     // the observe node rides the same pass and feeds [[rpCapWarnings]]
     val kept =
       if (maxBucket == Int.MaxValue) banded
-      else banded
-        .withColumn("occ",
-          count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-        .observe(RpCapMetricPrefix + rpCapMetricSeq.incrementAndGet(),
-          count(lit(1)).as("banded_rows"),
-          count(when(col("occ") <= maxBucket, 1)).as("kept_rows"))
+      else CapMetrics.observed(banded
+          .withColumn("occ",
+            count(lit(1)).over(Window.partitionBy(col("band"), col("bucket")))),
+          col("occ"), maxBucket)
         .where(col("occ") <= maxBucket)
         .drop("occ")
     val cand = kept.as("x").join(kept.as("y"),

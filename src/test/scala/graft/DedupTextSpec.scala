@@ -228,6 +228,38 @@ class DedupTextSpec extends SparkSuite {
     assert(full.size === capped.size + 30 * 29 / 2)
   }
 
+  test("minHashCandidates cap observation: binding metered, pure-cohort collapse warns loudly") {
+    import graft.operators.CapMetrics
+    def declaredNames(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect {
+        case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
+            if c.name.startsWith(CapMetrics.MetricPrefix) => c.name
+      }
+    // binding regime: cohort buckets dropped, small buckets kept
+    val cohort = (100L until 130L)
+      .map(i => (i, "zebra yankee xray whiskey victor uniform tango sierra romeo quebec"))
+    val pairDocs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliett"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel india kilo"))
+    val mixed = Dedup.minHashCandidates(
+      Dedup.minHashSignatures((cohort ++ pairDocs).toDF("doc_id", "text"), 3),
+      maxBucket = 10)
+    mixed.collect()
+    val bindMsgs = CapMetrics.warnings(
+      mixed.queryExecution.observedMetrics, declaredNames(mixed))
+    assert(bindMsgs.nonEmpty && bindMsgs.forall(!_._1), s"binding only: $bindMsgs")
+    // collapse regime: a PURE cohort floods every band bucket past the
+    // cap — zero candidates, which must warn (through AQE's
+    // empty-relation pruning of the metric node)
+    val pure = Dedup.minHashCandidates(
+      Dedup.minHashSignatures(cohort.toDF("doc_id", "text"), 3), maxBucket = 10)
+    assert(pure.count() === 0)
+    pure.collect()
+    val msgs = CapMetrics.warnings(
+      pure.queryExecution.observedMetrics, declaredNames(pure))
+    assert(msgs.exists(_._1), s"expected a collapse warning, got: $msgs")
+  }
+
   test("ngram jaccard finds the near-dup pair and the exact pair") {
     val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet
