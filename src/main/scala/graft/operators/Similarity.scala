@@ -475,6 +475,40 @@ object Similarity {
     AnnIndexStore(spark, path.toString, store.nlist)
   }
 
+  /** COMPACTION for an advanced index chain: fold every link's inverted
+    * lists into ONE cell-partitioned fileset under a new keyed store
+    * (same pinned centroids, one atomic rename, no [[AnnBaseFile]]).
+    * The advance chain is the write-optimized posture — O(batch) per
+    * advance — but each serve lists and unions every link; after many
+    * advances the per-probe file-listing overhead accumulates exactly
+    * like small HFiles after many memstore flushes, and this is the
+    * minor-compaction answer: ONE pass over the index files themselves
+    * (never the corpus embeddings — the lists already carry vectors,
+    * norms, and cell assignments), cost O(index), run on maintenance
+    * cadence. Serving from the compacted store is value-identical:
+    * assignments were all made against the same pinned centroids. */
+  def annIndexStoreCompact(store: AnnIndexStore, newKey: String): AnnIndexStore = {
+    val spark = store.spark
+    val keyHex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"compact|${store.dir}|$newKey|nlist=${store.nlist}|$AnnStoreVersion"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val root = sys.props.getOrElse("graft.store.dir",
+      sys.props("java.io.tmpdir") + "/graft-ann-store")
+    val path = new org.apache.hadoop.fs.Path(s"$root/$keyHex", "store")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) {
+      fs.mkdirs(path.getParent)
+      val tmp = new org.apache.hadoop.fs.Path(path.getParent,
+        s"_store_tmp_${java.util.UUID.randomUUID()}")
+      store.centroids.write.mode("overwrite").parquet(s"$tmp/centroids.parquet")
+      store.lists.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$tmp/lists.parquet")
+      if (!fs.rename(tmp, path)) fs.delete(tmp, true)
+    }
+    AnnIndexStore(spark, path.toString, store.nlist)
+  }
+
   /** [[ivfTopK]] SERVED from a persisted index: probe cells against the
     * stored centroids (broadcast), score only inside the probed inverted
     * lists, bounded top-k. Values are identical to the self-contained

@@ -212,6 +212,18 @@ class SimilaritySpec extends SparkSuite {
     assert(adv2.base.map(_.dir) === Some(adv.dir))
     assert(adv2.lists.count() === emb.count() + 3)
 
+    // COMPACTION folds the chain into one fileset: no BASE pointer, same
+    // rows, same served values, corpus embeddings never read
+    val compacted = Similarity.annIndexStoreCompact(adv2, s"$baseKey#compact")
+    assert(compacted.base.isEmpty, "a compacted store must not chain")
+    assert(compacted.lists.count() === adv2.lists.count())
+    assert(!compacted.lists.inputFiles.exists(_.contains("embeddings.parquet")),
+      "compaction reads index files only, never the corpus")
+    def served10(st: Similarity.AnnIndexStore) =
+      Similarity.ivfTopKStored(st, emb.where(col("vec_id") < 5), 10)
+        .collect().map(_.toString).sorted.toSeq
+    assert(served10(compacted) === served10(adv2))
+
     // the served search still reads only probed cell partitions — on
     // EVERY link of the chain
     val q = emb.where(col("vec_id") === 0)
