@@ -592,21 +592,30 @@ object Dedup {
     * occupancy window shares the self-join's (band, bkey) exchange, so
     * the cap costs no extra shuffle. */
   def minHashCandidates(sigd: DataFrame,
-                        maxBucket: Int = BandBucketCap): DataFrame = {
+                        maxBucket: Int = BandBucketCap,
+                        observeCap: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    CapMetrics.ensureListener(sigd.sparkSession)
     val banded = bandKeys(sigd)
-    // the occupancy cap carries the shared CapMetrics observation (r16):
-    // binding logs its drop count, and the template-cohort collapse
-    // regime — where every band bucket is over the cap and the candidate
-    // set silently empties — warns loudly, including through AQE's
-    // empty-relation pruning of the metric node itself
+    // the occupancy cap carries the shared CapMetrics observation by
+    // default (binding drop counts + loud collapse detection, incl. AQE's
+    // empty-relation pruning of the metric node itself). COST, measured
+    // the honest way (alternating on/off in one JVM, 6 reps): ~+30 ms on
+    // the sf0.1 candidate pipeline — a first family-level A/B read
+    // +0.5 s/query, which turned out to be ambient the ingest canary
+    // doesn't track; don't re-measure this across sessions. `observeCap
+    // = false` keeps an opt-out for metric-averse callers.
+    val withOcc = banded
+      .withColumn("occ",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+    val metered =
+      if (!observeCap) withOcc
+      else {
+        CapMetrics.ensureListener(sigd.sparkSession)
+        CapMetrics.observed(withOcc, col("occ"), maxBucket)
+      }
     val kept =
       if (maxBucket == Int.MaxValue) banded
-      else CapMetrics.observed(banded
-          .withColumn("occ",
-            count(lit(1)).over(Window.partitionBy(col("band"), col("bkey")))),
-          col("occ"), maxBucket)
+      else metered
         .where(col("occ") <= maxBucket)
         .drop("occ")
     kept.as("x").join(kept.as("y"),

@@ -258,6 +258,13 @@ class DedupTextSpec extends SparkSuite {
     val msgs = CapMetrics.warnings(
       pure.queryExecution.observedMetrics, declaredNames(pure))
     assert(msgs.exists(_._1), s"expected a collapse warning, got: $msgs")
+    // the opt-OUT path is metric-free (for metric-averse callers; the
+    // default meters — measured ~+30 ms per candidate pipeline in an
+    // alternating single-JVM A/B)
+    val optOut = Dedup.minHashCandidates(
+      Dedup.minHashSignatures(cohort.toDF("doc_id", "text"), 3),
+      maxBucket = 10, observeCap = false)
+    assert(declaredNames(optOut).isEmpty, "opt-out path must not carry the metric")
   }
 
   test("ngram jaccard finds the near-dup pair and the exact pair") {
