@@ -209,6 +209,38 @@ object ScaleStress {
     * deployment compensates with more bands — the cost knob measured
     * here is buckets, recall tuning is the S-curve eval's job.)
     * Results → SCALESTRESS_embscale.md + one JSON line. */
+  /** Alternating in-session A/B of the adaptive CC escalation trigger
+    * (`graft.cc.adaptive`) over the cluster-heavy declared queries at
+    * sf0.1 — the measurement discipline the r16 cap-metric ledger line
+    * mandates: same JVM, arms interleaved, 3 reps each, report mins and
+    * means. The adaptive trigger can only move COST (outputs are min-id
+    * identical, spec-pinned), so this is the whole question. */
+  private def ccAbMain(spark: SparkSession, src: String): Unit = {
+    val queries = Seq("dedup_clusters", "dedup_embedding",
+      "dedup_embedding_composed", "graph_cc_star")
+    val arms = Seq("true", "false")
+    val times = scala.collection.mutable.Map[(String, String),
+      List[Double]]().withDefaultValue(Nil)
+    // warmup
+    force(SparkEntry.queries("dedup_clusters")(spark, src))
+    unpersistAll(spark)
+    for (rep <- 1 to 3; arm <- arms; qn <- queries) {
+      spark.conf.set("graft.cc.adaptive", arm)
+      val t0 = System.nanoTime()
+      force(SparkEntry.queries(qn)(spark, src))
+      unpersistAll(spark)
+      val t = (System.nanoTime() - t0) / 1e9
+      times((qn, arm)) ::= t
+      System.err.println(f"[ccab] rep$rep adaptive=$arm $qn%-28s $t%6.2f s")
+    }
+    spark.conf.set("graft.cc.adaptive", "true")
+    println(queries.map { qn =>
+      val on = times((qn, "true")); val off = times((qn, "false"))
+      f""""$qn":{"adaptive_min":${on.min}%.2f,"fixed_min":${off.min}%.2f,""" +
+        f""""adaptive_mean":${on.sum / on.size}%.2f,"fixed_mean":${off.sum / off.size}%.2f}"""
+    }.mkString("{", ",", "}"))
+  }
+
   private def embScaleMain(spark: SparkSession, src: String, reps: Int): Unit = {
     import graft.operators.Similarity
     val dst = java.nio.file.Files.createTempDirectory("graft-embscale").toString
@@ -632,6 +664,10 @@ object ScaleStress {
       try ingestMain(spark, reps) finally spark.stop()
       return
     }
+    if (args.headOption.contains("ccab")) {
+      try ccAbMain(spark, src) finally spark.stop()
+      return
+    }
     if (args.headOption.contains("embscale")) {
       try embScaleMain(spark, src, reps) finally spark.stop()
       return
@@ -680,6 +716,40 @@ object ScaleStress {
     }
     val AdvanceRowName = "ann_ivf_store_advance_batch"
 
+    // chain-cost vs compaction (r16 ask #2): after k advances every
+    // serve lists and unions k+1 link filesets (partition-pruned per
+    // link, but the listing overhead accumulates exactly like small
+    // HFiles after many flushes); compaction folds the chain into one
+    // fileset. Measured: the SAME pinned-centroid top-k served from an
+    // 8-link chain vs from its compacted store, at both scales — the
+    // per-serve overhead the compaction exists to kill, and its decade
+    // trend. Stores are pre-built outside the timed region; a fresh tag
+    // per invocation keeps min-of-2 serving real filesets, not caches.
+    def annServeChainVsCompact(dir: String): (Double, Double) = {
+      import graft.operators.Similarity
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val oldV = e.where(pmod(col("vec_id"), lit(10)) =!= 0)
+      val newV = e.where(pmod(col("vec_id"), lit(10)) === 0)
+      val base = Similarity.annIndexStore(oldV, 16, s"$dir#scalestress-old90")
+      val tag = java.util.UUID.randomUUID()
+      var chain = base
+      for (i <- 0 until 8)
+        chain = Similarity.annIndexStoreAdvance(chain,
+          newV.where(pmod((col("vec_id") / lit(10)).cast("long"), lit(8)) === i),
+          s"$dir#scalestress-chain-$tag-$i")
+      val compacted = Similarity.annIndexStoreCompact(chain, s"$dir#scalestress-cpt-$tag")
+      val q = e.where(col("vec_id") < 5)
+      def serve(st: Similarity.AnnIndexStore): Double = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        force(Similarity.ivfTopKStored(st, q, 10))
+        unpersistAll(spark)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      (serve(chain), serve(compacted))
+    }
+    val ChainRowName = "ann_ivf_serve_chain8"
+    val CompactRowName = "ann_ivf_serve_compacted"
+
     // optional args = subset of Targets (re-measuring one family)
     val picked = if (args.isEmpty) Targets else Targets.filter(args.toSet)
     val rows0 = picked.map { name =>
@@ -697,6 +767,18 @@ object ScaleStress {
       val alpha = math.log(big / small) / math.log(reps.toDouble)
       System.err.println(f"[scalestress] $AdvanceRowName%-28s x$reps   $big%7.2f s  alpha=$alpha%5.2f")
       Seq((AdvanceRowName, small, big, alpha))
+    } else Nil) ++ (if (args.isEmpty || args.contains(ChainRowName) ||
+        args.contains(CompactRowName)) {
+      val (chainS, cptS) = annServeChainVsCompact(src)
+      System.err.println(f"[scalestress] $ChainRowName%-28s sf0.1 $chainS%7.2f s" +
+        f" vs compacted $cptS%7.2f s")
+      val (chainB, cptB) = annServeChainVsCompact(dst)
+      val aChain = math.log(chainB / chainS) / math.log(reps.toDouble)
+      val aCpt = math.log(cptB / cptS) / math.log(reps.toDouble)
+      System.err.println(f"[scalestress] $ChainRowName%-28s x$reps   $chainB%7.2f s" +
+        f" vs compacted $cptB%7.2f s")
+      Seq((ChainRowName, chainS, chainB, aChain),
+        (CompactRowName, cptS, cptB, aCpt))
     } else Nil)
     val table = rows.map { case (n, s, b, a) =>
       f"| $n | $s%.2f | $b%.2f | $a%.2f |"

@@ -60,13 +60,23 @@ object CapMetrics {
           "from candidate generation; their members are near-certain exact-dup " +
           "cohorts an identity pass catches without a pair join).")
     }
+    // A declared-but-absent name only proves the observed subtree DID NOT
+    // EXECUTE — adaptive empty-relation propagation prunes it when it
+    // executes empty (the collapse regime this warning exists for), but
+    // also when a DOWNSTREAM empty relation (e.g. an empty sibling join
+    // input in a larger composed plan) makes its stage unnecessary, and
+    // when the input corpus itself was empty. The message states all
+    // three causes rather than asserting collapse: on a healthy composed
+    // plan with an empty source it is a pointer, not a verdict.
     val pruned = declared.filter(n =>
       n.startsWith(MetricPrefix) && !metrics.contains(n)).map { _ =>
-      (true, "[graft] occupancy cap kept ZERO rows — the observed candidate " +
-        "subtree executed empty and was pruned by adaptive empty-relation " +
-        "propagation. Either every (band, bucket) group is over the cap " +
-        "(silent recall collapse — run the identity pass first, or raise " +
-        "maxBucket / the band layout) or the input corpus was empty.")
+      (true, "[graft] occupancy cap observation did not execute — the observed " +
+        "candidate subtree was pruned by adaptive empty-relation propagation. " +
+        "If the banded input was non-empty this is silent recall collapse " +
+        "(every (band, bucket) group over the cap ⇒ ZERO kept rows — run the " +
+        "identity pass first, or raise maxBucket / the band layout); otherwise " +
+        "the input corpus was empty, or a downstream empty relation pruned a " +
+        "healthy subtree before it ran.")
     }
     fromMetrics ++ pruned
   }

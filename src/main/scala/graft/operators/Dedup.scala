@@ -604,20 +604,26 @@ object Dedup {
     // +0.5 s/query, which turned out to be ambient the ingest canary
     // doesn't track; don't re-measure this across sessions. `observeCap
     // = false` keeps an opt-out for metric-averse callers.
-    val withOcc = banded
-      .withColumn("occ",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
-    val metered =
-      if (!observeCap) withOcc
-      else {
-        CapMetrics.ensureListener(sigd.sparkSession)
-        CapMetrics.observed(withOcc, col("occ"), maxBucket)
-      }
+    // the occupancy window, metric, and listener exist only when the cap
+    // can bind: the uncapped path returns the bare banded frame with no
+    // side effects (no listener install, no metric name burned on a
+    // frame that would be discarded)
     val kept =
       if (maxBucket == Int.MaxValue) banded
-      else metered
-        .where(col("occ") <= maxBucket)
-        .drop("occ")
+      else {
+        val withOcc = banded
+          .withColumn("occ",
+            count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+        val metered =
+          if (!observeCap) withOcc
+          else {
+            CapMetrics.ensureListener(sigd.sparkSession)
+            CapMetrics.observed(withOcc, col("occ"), maxBucket)
+          }
+        metered
+          .where(col("occ") <= maxBucket)
+          .drop("occ")
+      }
     kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -1036,14 +1042,47 @@ object Dedup {
         df.checkpoint()
     }
 
-  /** Rounds of cheap min-label propagation [[clusters]] runs before
-    * escalating to star contraction: blocky near-dup graphs (the
-    * overwhelmingly common shape — clusters of mutually-similar docs)
-    * converge inside this budget on the LIGHT per-round plan, while a
-    * chain-grade component (versioned documents; the decade corpus's
-    * cross-replica chains) escalates after paying only these rounds.
-    * 8 light rounds resolve any component of eccentricity ≤ 7. */
+  /** HARD BACKSTOP on cheap min-label propagation rounds in [[clusters]]
+    * (any component of eccentricity ≤ 7 resolves inside it). Since
+    * round 17 the primary escalation trigger is ADAPTIVE — the
+    * changed-count decay stall test [[ccStalled]] — so chain-grade
+    * graphs escalate at round ~2-3 instead of paying all 8 light
+    * rounds; this constant only bounds the pathological middle (decay
+    * hovering just under the stall floor). */
   private[graft] val CcEscalateAfterRounds = 8
+
+  /** Adaptive escalation trigger for [[clusters]]: propagation has
+    * STALLED when a round retires less than 30% of the previous round's
+    * changed labels (changed/prev > 0.7, integer form so the decision
+    * is engine-exact) AND the residual is big enough to be worth a
+    * contraction ([[CcStallChangedFloor]]). Blocky components decay
+    * geometrically (ratio ≈ 0 by round 2-3) and simply converge; a
+    * chain-grade component changes ~constant labels per round
+    * (ratio ≈ 1), which this test catches at round 2 — 6 light rounds
+    * earlier than the fixed budget, each of them a full corpus-edge
+    * join on the decade corpus's chained component. Round 1 is always
+    * paid: its changed count IS the baseline.
+    *
+    * The floor exists because a stalled changed of C bounds the
+    * remaining light rounds by ~C (the moving frontier is the set of
+    * nodes whose component-min is still > k hops away; it retires at
+    * least its farthest member every round) — the round-17 in-session
+    * A/B caught the floorless rule firing star contraction on a 2-label
+    * residual that two more cheap rounds would have finished. Outputs
+    * are escalation-time-independent (min-id per component is
+    * algorithm-independent; AnalyticsLayoutSpec pins star ≡ propagation
+    * equality), so the adaptive trigger can only move COST, never
+    * values. */
+  private[graft] def ccStalled(round: Int, changed: Long,
+                               prevChanged: Long): Boolean =
+    round >= 2 && changed >= CcStallChangedFloor &&
+      changed * 10L > prevChanged * 7L
+
+  /** Smallest stalled residual worth a star-contraction escalation: at
+    * ~0.2-0.4 s per light round and ~3-4 heavier contraction rounds,
+    * the breakeven sits at a handful of remaining rounds — below it,
+    * finishing the propagation is strictly cheaper. */
+  private[graft] val CcStallChangedFloor = 8L
 
   /** Connected components over an irreflexive near-dup pair list:
     * (doc_id, cluster_id = min id reachable) for every node appearing in
@@ -1086,8 +1125,14 @@ object Dedup {
     var labels = materializeFixpoint(und.select(col("a").as("id")).distinct()
       .withColumn("cluster_id", col("id")), storage)
     var changed = 1L
+    var prevChanged = Long.MaxValue
+    var stalled = false
     var round = 0
-    while (changed > 0 && round < CcEscalateAfterRounds) {
+    // session off-switch for the adaptive trigger (measurement harness +
+    // deployment escape hatch); the 8-round backstop always stands
+    val adaptive =
+      pairs.sparkSession.conf.get("graft.cc.adaptive", "true").toBoolean
+    while (changed > 0 && !stalled && round < CcEscalateAfterRounds) {
       round += 1
       val nbrMin = und
         .join(labels.select(col("id").as("b"), col("cluster_id")), "b")
@@ -1103,6 +1148,8 @@ object Dedup {
           (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("chg")),
         storage)
       changed = next.where(col("chg")).count()
+      stalled = adaptive && ccStalled(round, changed, prevChanged)
+      prevChanged = changed
       labels = next.select(col("id"), col("cluster_id"))
     }
     if (changed == 0) labels.select(col("id").as("doc_id"), col("cluster_id"))
@@ -1111,9 +1158,10 @@ object Dedup {
       // light rounds already earned (label(x) is reachable from x, so
       // the contracted graph has the same components over label ids),
       // then finish with log-round star contraction and map back
-      System.err.println(s"[graft] clusters: not converged after " +
-        s"$CcEscalateAfterRounds propagation rounds (component diameter " +
-        "exceeds the light-round budget) — escalating to star contraction")
+      System.err.println(s"[graft] clusters: escalating to star contraction " +
+        s"after $round propagation rounds (" +
+        (if (stalled) s"changed-count decay stalled at $changed"
+         else s"light-round budget $CcEscalateAfterRounds exhausted") + ")")
       val contracted = und
         .join(labels.select(col("id").as("a"), col("cluster_id").as("la")), "a")
         .join(labels.select(col("id").as("b"), col("cluster_id").as("lb")), "b")
@@ -1164,10 +1212,18 @@ object Dedup {
     * span registries), not this shared literal — r15 bumped rev here for
     * the span-bucketing change and needlessly invalidated every MinHash
     * cluster store whose format had not moved (full rebuilds on first
-    * use). rev stays at 2: the shared minhash algorithm is unchanged
-    * since then. */
+    * use).
+    *
+    * NEVER REUSE A RETIRED LITERAL: r16 decoupled the span layout by
+    * reverting this to rev=2 — but rev=2 had been live before r15, so
+    * the key would silently re-admit any store written by pre-r15 rev=2
+    * code as current; whether that is safe rests on commit archaeology
+    * the key itself cannot enforce. Version literals only move FORWARD:
+    * rev=4 gives the same family decoupling (span stores keep
+    * [[SpanLayoutVersion]]) while guaranteeing no artifact from any
+    * earlier code era can match the key. */
   val StoreAlgoVersion: String =
-    s"minhash:k=$MinHashK,b=$Bands,r=$RowsPerBand,cap=$BandBucketCap,rev=2"
+    s"minhash:k=$MinHashK,b=$Bands,r=$RowsPerBand,cap=$BandBucketCap,rev=4"
 
   /** The span registries' OWN layout version, folded only into span-store
     * keys: rev=3 is the digest-bucketed per-bucket-sorted fileset
@@ -1226,21 +1282,11 @@ object Dedup {
     // (e.g. "<dir>#old90") — it differentiates the key while the stamp
     // still reads the underlying drop's files
     val stampDir = corpusKey.takeWhile(_ != '#')
-    val stamp = try {
-      val p = new org.apache.hadoop.fs.Path(s"$stampDir/documents.parquet")
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val s = fs.getFileStatus(p)
-      if (s.isFile) s"${s.getLen}:${s.getModificationTime}"
-      else fs.listStatus(p).map(c => s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}")
-        .sorted.mkString(",")
-    } catch { case e: Throwable =>
-      // loud degradation, not silent: path-only keying loses the
-      // regenerated-drop-at-same-path protection
-      System.err.println(s"[graft] dedupStore: corpus stamp read failed for " +
-        s"'$stampDir' (${e.getClass.getSimpleName}: ${e.getMessage}); " +
-        "store key degrades to path-only")
-      ""
-    }
+    // fail-hard stamp contract shared with the ANN store family — see
+    // [[StoreStamp]]: absent table ⇒ opaque key (path-only, logged);
+    // any other stamp-read fault ⇒ error, never a silent stale serve
+    val stamp = StoreStamp.read(spark, stampDir, "documents.parquet",
+      "dedupStore")
     val keyHex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$corpusKey|$stamp|n=$n|thr=$threshold|$StoreAlgoVersion"
         .getBytes("UTF-8"))

@@ -369,18 +369,11 @@ object Similarity {
                     corpusKey: String): AnnIndexStore = {
     val spark = corpus.sparkSession
     val stampDir = corpusKey.takeWhile(_ != '#')
-    val stamp = try {
-      val p = new org.apache.hadoop.fs.Path(s"$stampDir/embeddings.parquet")
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val s = fs.getFileStatus(p)
-      if (s.isFile) s"${s.getLen}:${s.getModificationTime}"
-      else fs.listStatus(p).map(c => s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}")
-        .sorted.mkString(",")
-    } catch { case e: Throwable =>
-      System.err.println(s"[graft] annIndexStore: corpus stamp read failed " +
-        s"for '$stampDir' (${e.getClass.getSimpleName}); key degrades to path-only")
-      ""
-    }
+    // fail-hard stamp contract shared with every store family — see
+    // [[StoreStamp]]: absent table ⇒ opaque key (path-only, logged);
+    // any other stamp-read fault ⇒ error, never a silent stale serve
+    val stamp = StoreStamp.read(spark, stampDir, "embeddings.parquet",
+      "annIndexStore")
     val keyHex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$corpusKey|$stamp|nlist=$nlist|$AnnStoreVersion".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
@@ -440,18 +433,12 @@ object Similarity {
                            newKey: String): AnnIndexStore = {
     val spark = batch.sparkSession
     val stampDir = newKey.takeWhile(_ != '#')
-    val stamp = try {
-      val p = new org.apache.hadoop.fs.Path(s"$stampDir/embeddings.parquet")
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val s = fs.getFileStatus(p)
-      if (s.isFile) s"${s.getLen}:${s.getModificationTime}"
-      else fs.listStatus(p).map(c => s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}")
-        .sorted.mkString(",")
-    } catch { case e: Throwable =>
-      System.err.println(s"[graft] annIndexStoreAdvance: corpus stamp read failed " +
-        s"for '$stampDir' (${e.getClass.getSimpleName}); key degrades to path-only")
-      ""
-    }
+    // fail-hard stamp contract ([[StoreStamp]]): a transient stamp-read
+    // fault must error, not degrade — a degraded (path-only) key here
+    // would serve a stale advanced store for a corpus that changed in
+    // place (the r16 review's flagged edge)
+    val stamp = StoreStamp.read(spark, stampDir, "embeddings.parquet",
+      "annIndexStoreAdvance")
     val keyHex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"advance|${store.dir}|$newKey|$stamp|nlist=${store.nlist}|$AnnStoreVersion"
         .getBytes("UTF-8"))
@@ -507,6 +494,93 @@ object Similarity {
       if (!fs.rename(tmp, path)) fs.delete(tmp, true)
     }
     AnnIndexStore(spark, path.toString, store.nlist)
+  }
+
+  /** CENTROID-DRIFT MONITOR for the pinned-centroid IVF posture (the
+    * rebuild-cadence contract): [[annIndexStoreAdvance]] and
+    * [[annIndexStoreCompact]] pin the base centroids forever — coarse
+    * quantizers retrain on REBUILD cadence, never per batch — so as the
+    * corpus distribution shifts, serving recall decays silently unless
+    * something measures the shift. This is that something, composing
+    * the engine's two in-house drift shapes over the store:
+    *
+    *  - OCCUPANCY DRIFT — the incoming batch is assigned to the pinned
+    *    centroids (the advance's own rule) and its per-cell occupancy
+    *    distribution is PSI-compared to the stored lists' build-time
+    *    distribution over the FIXED nlist-cell universe
+    *    (Laplace-smoothed 0.5 pseudo-counts, the
+    *    [[graft.operators.Profile.psiDrift]] convention): mass
+    *    re-allocation across cells = the corpus moved relative to the
+    *    quantizer.
+    *  - QUANTIZATION-ERROR TREND — mean (1 − cos to assigned centroid)
+    *    for stored vectors vs the batch: a batch that lands
+    *    systematically farther from every pinned centroid is drifting
+    *    into cells the quantizer never carved.
+    *
+    * REBUILD CONTRACT (`rebuild_due`): retrain + rebuild (then
+    * re-advance from the new base) when PSI > 0.25 (the standard
+    * drifted threshold psiDrift uses) OR the batch's mean quantization
+    * error exceeds 1.5× the build-time mean. Run on every advance
+    * batch; cost is one broadcast-centroid pass over the batch plus one
+    * pass over the stored lists (both map-side-combined into
+    * nlist-sized aggregates — nothing corpus-sized ever shuffles).
+    * Determinism: round-9 terms through DECIMAL(28,12), one 6dp cut
+    * (the psiDrift convention), so the DuckDB oracle mirrors it
+    * bit-exactly.
+    *
+    * Output: one row per cell — (cell, n_base, n_batch) — with the
+    * monitor scalars (psi, qerr_base, qerr_batch, rebuild_due) attached
+    * to every row (the census pattern). */
+  def annIndexDrift(store: AnnIndexStore, batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(28, 12)
+    val cent = store.centroids
+    val nlist = store.nlist
+    // winning-cell similarity, recomputed against the broadcast pinned
+    // centroids: stored rows carry their precomputed norm, batch rows
+    // norm on the fly — both round-6, the store family's cosine form
+    def cellSim(df: DataFrame, v: String, n: Column): DataFrame =
+      df.join(broadcast(cent), col("cell") === col("cid"))
+        .select(col("cell"),
+          round(dot(col(v), col("cv")) / (n * col("cn")), 6).as("sim"))
+    val baseSim = cellSim(store.lists, "nv", col("nn"))
+    val batchAsn = nearestCells(cent)(
+      batch.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv")),
+      "nid", "nv", 1)
+    val batchSim = cellSim(batchAsn, "nv", norm2(col("nv")))
+    def perCell(sims: DataFrame, nCol: String, sCol: String): DataFrame =
+      sims.groupBy(col("cell")).agg(count(lit(1)).as(nCol),
+        sum(round(lit(1.0) - col("sim"), 9).cast(dec)).as(sCol))
+    val u = cent.select(col("cid").as("cell"))
+      .join(perCell(baseSim, "n_base", "s_base"), Seq("cell"), "left")
+      .join(perCell(batchSim, "n_batch", "s_batch"), Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        coalesce(col("s_base"), lit(0).cast(dec)).as("s_base"),
+        coalesce(col("s_batch"), lit(0).cast(dec)).as("s_batch"))
+    val tot = u.agg(sum(col("n_base")).as("nb"), sum(col("n_batch")).as("nq"),
+      sum(col("s_base")).as("sb"), sum(col("s_batch")).as("sq"))
+    val p = (col("n_base").cast("double") + lit(0.5)) /
+      (col("nb").cast("double") + lit(0.5) * lit(nlist))
+    val q = (col("n_batch").cast("double") + lit(0.5)) /
+      (col("nq").cast("double") + lit(0.5) * lit(nlist))
+    val psiRow = u.crossJoin(broadcast(tot)) // 1-row scalar, documented pattern
+      .agg(round(sum(round((q - p) * log(q / p), 9).cast(dec))
+        .cast("double"), 6).as("psi"))
+    val monitor = psiRow.crossJoin(broadcast(tot))
+      .select(col("psi"),
+        when(col("nb") > 0,
+          round(col("sb").cast("double") / col("nb").cast("double"), 6))
+          .otherwise(lit(0.0)).as("qerr_base"),
+        when(col("nq") > 0,
+          round(col("sq").cast("double") / col("nq").cast("double"), 6))
+          .otherwise(lit(0.0)).as("qerr_batch"))
+      .select(col("psi"), col("qerr_base"), col("qerr_batch"),
+        (col("psi") > lit(0.25) ||
+          col("qerr_batch") > lit(1.5) * col("qerr_base")).as("rebuild_due"))
+    u.select(col("cell"), col("n_base"), col("n_batch"))
+      .crossJoin(broadcast(monitor))
   }
 
   /** [[ivfTopK]] SERVED from a persisted index: probe cells against the
@@ -1097,9 +1171,50 @@ object Similarity {
     * float log2 of an exact power of two can land one ulp above the
     * integer and ceil to the wrong plane count, and the DuckDB oracle
     * mirrors the integer form bit-exactly. */
-  def rpPlanesFor(n: Long, targetOccupancy: Int = 125): Int = {
+  def rpPlanesFor(n: Long, targetOccupancy: Int = RpTargetOccupancy,
+                  maxPlanes: Int = RpMaxPlanes): Int = {
     require(targetOccupancy >= 1, s"targetOccupancy must be >= 1")
-    (4 to 24).find(r => (1L << r) * targetOccupancy >= n).getOrElse(24)
+    require(maxPlanes >= 4 && maxPlanes <= 62,
+      s"maxPlanes must be in [4, 62], got $maxPlanes")
+    (4 to maxPlanes).find(r => (1L << r) * targetOccupancy >= n)
+      .getOrElse(maxPlanes)
+  }
+
+  /** Sized-layout defaults and their VALIDITY ENVELOPE: the plane count
+    * is clamped at [[RpMaxPlanes]], so above
+    * 2^maxPlanes · targetOccupancy vectors (≈ 2.1 B at the defaults)
+    * per-bucket occupancy grows LINEARLY with n again — the layout is
+    * slow there, not collapsed, and the cap-binding metric will not
+    * warn (nothing is dropped). Deployments past the envelope raise the
+    * session confs [[RpTargetOccupancyConf]] / [[RpMaxPlanesConf]],
+    * which every sized-default consumer reads; [[sizedRpPlanes]] logs
+    * the estimated occupancy next to each layout decision and warns
+    * when n exceeds the envelope, so the regime change is never
+    * silent. */
+  val RpTargetOccupancy: Int = 125
+  val RpMaxPlanes: Int = 24
+  val RpTargetOccupancyConf = "graft.rp.targetOccupancy"
+  val RpMaxPlanesConf = "graft.rp.maxPlanes"
+
+  /** The sized default's layout decision: conf-aware [[rpPlanesFor]]
+    * plus the occupancy log line (and the loud past-the-envelope
+    * warning) — every declared RP consumer routes its sizing through
+    * here. */
+  private[graft] def sizedRpPlanes(spark: org.apache.spark.sql.SparkSession,
+                                   n: Long): Int = {
+    val occ = spark.conf.get(RpTargetOccupancyConf, RpTargetOccupancy.toString).toInt
+    val maxP = spark.conf.get(RpMaxPlanesConf, RpMaxPlanes.toString).toInt
+    val r = rpPlanesFor(n, occ, maxP)
+    val est = (n + (1L << r) - 1) / (1L << r)
+    val envelope = (1L << maxP) * occ
+    System.err.println(s"[graft] RP sized layout: n=$n -> $r planes/band, " +
+      s"estimated bucket occupancy ~$est (target $occ, clamp [4,$maxP])")
+    if (n > envelope)
+      System.err.println(s"[graft] RP sized layout: n=$n EXCEEDS the " +
+        s"2^$maxP*$occ=$envelope validity envelope — occupancy now grows " +
+        s"linearly with n (slow, not collapsed; the cap metric will not " +
+        s"warn). Raise $RpMaxPlanesConf / $RpTargetOccupancyConf.")
+    r
   }
 
   /** The RP cap observation rides the shared [[CapMetrics]] machinery
@@ -1117,7 +1232,16 @@ object Similarity {
     * metadata-cheap count job, the same accepted planning-read pattern as
     * the manifest-answered `rangedCount`. Fixed layouts remain available
     * for callers that manage sizing themselves (ScaleStress's
-    * fixed-vs-scaled measurement, recall studies). */
+    * fixed-vs-scaled measurement, recall studies).
+    *
+    * CONSTRUCTION COST CAVEAT: under the sized default, building the
+    * frame runs the planning count EAGERLY — constructing it is not
+    * side-effect-free, and an expensive un-materialized upstream
+    * pipeline executes twice (once for the count, once for the banded
+    * pass). Callers composing this over a derived pipeline should
+    * materialize the input first or pass an explicit
+    * [[rpPlanesFor]]-derived layout ([[embeddingDedupComposed]] does
+    * both: checkpointed representatives, explicit planes). */
   def cosinePairsBucketed(corpus: DataFrame, threshold: Double,
                           bands: Int = 4, planesPerBand: Int = 0,
                           dims: Int = 64,
@@ -1125,8 +1249,11 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(planesPerBand >= 0, "planesPerBand: 0 = size from corpus count")
     val planesPerBand0 =
-      if (planesPerBand > 0) planesPerBand else rpPlanesFor(corpus.count())
-    CapMetrics.ensureListener(corpus.sparkSession)
+      if (planesPerBand > 0) planesPerBand
+      else sizedRpPlanes(corpus.sparkSession, corpus.count())
+    // listener + metric only when a cap can bind: the uncapped path
+    // stays side-effect-free (no listener install, no metric name burned)
+    if (maxBucket != Int.MaxValue) CapMetrics.ensureListener(corpus.sparkSession)
     val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val banded = e.select(col("vec_id"), col("v"),
         explode(array((0 until bands).map { b =>
@@ -1209,15 +1336,31 @@ object Similarity {
     val keyed = corpus.select(col("vec_id"),
       embeddingIdentityKey(asDouble(col("embedding"))).as("ik"))
     val groups = keyed.groupBy(col("ik")).agg(min(col("vec_id")).as("rep"))
-    val members = keyed.join(groups, "ik").select(col("vec_id"), col("rep"))
+    // the identity aggregate + member join run ONCE (the dedup_corpus
+    // materialize-the-shared-index convention): `members` feeds the
+    // identity edges, the representative filter, and — through `reps` —
+    // the planning count and all three pair-stage references; without
+    // the checkpoint each of those consumers re-executes the
+    // full-corpus identity shuffle in its own job (exchange reuse only
+    // dedupes within one physical plan, never across the planning-count
+    // job and the fixpoint's materialization job).
+    // CompositionSpec pins exactly one identity-aggregate execution
+    // across the whole pipeline.
+    val members = Dedup.materialize(
+      keyed.join(groups, "ik").select(col("vec_id"), col("rep")))
     val identityEdges = members.where(col("vec_id") =!= col("rep"))
       .select(col("vec_id").as("a"), col("rep").as("b"))
-    val reps = corpus.join(
-      members.where(col("vec_id") === col("rep")).select(col("vec_id")), "vec_id")
+    // representatives materialized too: the pair stage reads them three
+    // times (banded sketch, both exact-verify sides) and the layout
+    // count makes a fourth — one corpus join, then every consumer scans
+    // the checkpointed block (embedding rows are the pair stage's whole
+    // working set; at 100 TB this is the index you'd persist anyway)
+    val reps = Dedup.materialize(corpus.join(
+      members.where(col("vec_id") === col("rep")).select(col("vec_id")), "vec_id"))
     // one planning count serves the layout, and — under the
     // [[BindingOccupancyCap]] sentinel — the scale-invariant cap too
     val nReps = reps.count()
-    val r = rpPlanesFor(nReps)
+    val r = sizedRpPlanes(corpus.sparkSession, nReps)
     val cap =
       if (maxBucket == BindingOccupancyCap) derivedBindingCap(nReps, r)
       else maxBucket

@@ -1278,6 +1278,41 @@ object NorthStar {
       val adv = Similarity.annIndexStoreAdvance(store, newV, s"$dir#emb-adv100")
       Similarity.ivfTopKStored(adv, e.where(col("vec_id") < 5), 10)
     }),
+    // COMPACTION of an advance chain under the oracle gate (previously
+    // suite-pinned only): the same old-90% base advanced TWICE (two 5%
+    // batches), then folded into ONE cell-partitioned fileset — the
+    // minor-compaction answer to per-serve link-listing overhead. The
+    // oracle is the identical pinned-centroid full recompute as
+    // ann_ivf_store_advance (assignments never moved: same centroids at
+    // every link), so compact ≡ chain ≡ rebuild is a hash-checked fact.
+    "ann_ivf_store_compact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val oldV = e.where(pmod(col("vec_id"), lit(10)) =!= 0)
+      val b1 = e.where(pmod(col("vec_id"), lit(20)) === 0)
+      val b2 = e.where(pmod(col("vec_id"), lit(20)) === 10)
+      val store = Similarity.annIndexStore(oldV, 16, s"$dir#emb-old90")
+      val a1 = Similarity.annIndexStoreAdvance(store, b1, s"$dir#emb-cpt-a1")
+      val a2 = Similarity.annIndexStoreAdvance(a1, b2, s"$dir#emb-cpt-a2")
+      val cpt = Similarity.annIndexStoreCompact(a2, s"$dir#emb-cpt")
+      Similarity.ivfTopKStored(cpt, e.where(col("vec_id") < 5), 10)
+    }),
+    // the REBUILD-CADENCE monitor for the pinned-centroid posture (r16
+    // ask #3): advance/compact pin centroids forever, so this query is
+    // what tells a deployment when retraining is due — per-cell
+    // occupancy of the incoming batch (assigned by the advance's own
+    // pinned-centroid rule) PSI-compared to the stored lists'
+    // build-time occupancy over the fixed nlist universe, plus the
+    // mean-quantization-error trend; rebuild_due fires at PSI > 0.25 or
+    // batch qerr > 1.5x build-time. Everything decimal-summed and
+    // 6dp-cut, so the whole monitor — thresholds included — is
+    // hash-checked against the DuckDB mirror.
+    "ann_ivf_drift_monitor" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val newV = e.where(pmod(col("vec_id"), lit(10)) === 0)
+      val oldV = e.where(pmod(col("vec_id"), lit(10)) =!= 0)
+      val store = Similarity.annIndexStore(oldV, 16, s"$dir#emb-old90")
+      Similarity.annIndexDrift(store, newV)
+    }),
     // retrieval QUALITY as a query: recall@10 of the IVF search vs the
     // exact ranking — the evaluation loop a retrieval stack runs after
     // every index rebuild, here one semi-join of two declared pipelines
@@ -3303,8 +3338,28 @@ object NorthStar {
     // (what the base index derived and the advance must NOT move), lists
     // over the FULL corpus (base ∪ delta) — the advanced chain must equal
     // this exactly
-    "ann_ivf_store_advance" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    "ann_ivf_store_advance" -> annIvfPinnedRebuildSql,
+    // compaction serves the SAME pinned-centroid search as the chain it
+    // folded (assignments were all made against the base centroids), so
+    // the oracle is the identical full recompute
+    "ann_ivf_store_compact" -> annIvfPinnedRebuildSql,
+    // literal mirror of the drift monitor: pinned-centroid assignment of
+    // base and batch, per-cell counts over the fixed 16-cell universe,
+    // Laplace-smoothed PSI + decimal-summed quantization-error means,
+    // same thresholds
+    "ann_ivf_drift_monitor" -> annIvfDriftSql,
+    "ann_pq_codes" -> pqCodesSql,
+    "ann_pq_adc_topk" -> pqAdcTopKSql,
+    "ann_ivf_adc_topk" -> annIvfAdcTopKSql,
+    "ann_ivf_recall" -> annIvfRecallSql,
+  )
+
+  /** Pinned-centroid full recompute shared by the advance-chain and
+    * compaction oracles: centroids from the old-90% corpus (what the
+    * base index derived and no advance/compact may move), lists over the
+    * FULL corpus — every store posture must equal this exactly. */
+  private lazy val annIvfPinnedRebuildSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
          cent AS (SELECT vec_id cid, v cv FROM e WHERE vec_id % 10 <> 0
                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
          asn AS (SELECT nid, cell FROM (
@@ -3328,10 +3383,63 @@ object NorthStar {
          r AS (SELECT qid, nid, cos_sim,
                 row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) rn
                FROM sc)
-         SELECT qid, nid, cos_sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10""",
-    "ann_pq_codes" -> pqCodesSql,
-    "ann_pq_adc_topk" -> pqAdcTopKSql,
-    "ann_ivf_adc_topk" -> annIvfAdcTopKSql,
-    "ann_ivf_recall" -> annIvfRecallSql,
-  )
+         SELECT qid, nid, cos_sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10"""
+
+  /** DuckDB mirror of [[graft.operators.Similarity.annIndexDrift]] on
+    * the declared old-90%/batch-10% split: same pinned-centroid
+    * assignment rule as the advance oracle, per-cell counts over the
+    * fixed 16-cell universe, the psiDrift smoothing/rounding
+    * conventions, identical thresholds. */
+  private lazy val annIvfDriftSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       cent AS (SELECT vec_id cid, v cv FROM e WHERE vec_id % 10 <> 0
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       basn AS (SELECT cell, sim FROM (
+                 SELECT b.vec_id, cent.cid cell,
+                   round(list_cosine_similarity(b.v, cent.cv), 6) sim,
+                   row_number() OVER (PARTITION BY b.vec_id
+                     ORDER BY round(list_cosine_similarity(b.v, cent.cv), 6) DESC,
+                              cent.cid ASC) rn
+                 FROM e b, cent WHERE b.vec_id % 10 <> 0) WHERE rn = 1),
+       qasn AS (SELECT cell, sim FROM (
+                 SELECT b.vec_id, cent.cid cell,
+                   round(list_cosine_similarity(b.v, cent.cv), 6) sim,
+                   row_number() OVER (PARTITION BY b.vec_id
+                     ORDER BY round(list_cosine_similarity(b.v, cent.cv), 6) DESC,
+                              cent.cid ASC) rn
+                 FROM e b, cent WHERE b.vec_id % 10 = 0) WHERE rn = 1),
+       bs AS (SELECT cell, count(*) n_base,
+                SUM(CAST(round(1.0 - sim, 9) AS DECIMAL(28,12))) s_base
+              FROM basn GROUP BY 1),
+       qs AS (SELECT cell, count(*) n_batch,
+                SUM(CAST(round(1.0 - sim, 9) AS DECIMAL(28,12))) s_batch
+              FROM qasn GROUP BY 1),
+       u AS (SELECT cent.cid cell,
+               COALESCE(bs.n_base, 0) n_base, COALESCE(qs.n_batch, 0) n_batch,
+               COALESCE(bs.s_base, CAST(0 AS DECIMAL(28,12))) s_base,
+               COALESCE(qs.s_batch, CAST(0 AS DECIMAL(28,12))) s_batch
+             FROM cent LEFT JOIN bs ON bs.cell = cent.cid
+               LEFT JOIN qs ON qs.cell = cent.cid),
+       tot AS (SELECT CAST(SUM(n_base) AS BIGINT) nb,
+                 CAST(SUM(n_batch) AS BIGINT) nq,
+                 SUM(s_base) sb, SUM(s_batch) sq FROM u),
+       psi AS (SELECT round(CAST(SUM(CAST(round(
+                 ((CAST(n_batch AS DOUBLE) + 0.5) / (CAST(nq AS DOUBLE) + 0.5 * 16)
+                  - (CAST(n_base AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 0.5 * 16))
+                 * ln(((CAST(n_batch AS DOUBLE) + 0.5) / (CAST(nq AS DOUBLE) + 0.5 * 16))
+                    / ((CAST(n_base AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 0.5 * 16))),
+                 9) AS DECIMAL(28,12))) AS DOUBLE), 6) psi
+               FROM u, tot),
+       mon AS (SELECT psi.psi,
+                 CASE WHEN tot.nb > 0
+                   THEN round(CAST(tot.sb AS DOUBLE) / CAST(tot.nb AS DOUBLE), 6)
+                   ELSE 0.0 END qerr_base,
+                 CASE WHEN tot.nq > 0
+                   THEN round(CAST(tot.sq AS DOUBLE) / CAST(tot.nq AS DOUBLE), 6)
+                   ELSE 0.0 END qerr_batch
+               FROM psi, tot)
+       SELECT u.cell, u.n_base, u.n_batch, mon.psi, mon.qerr_base,
+         mon.qerr_batch,
+         (mon.psi > 0.25 OR mon.qerr_batch > 1.5 * mon.qerr_base) AS rebuild_due
+       FROM u, mon"""
 }

@@ -237,9 +237,17 @@ object CellManifest {
     // writers' leftovers are swept.
     val sweepGraceMs = 10 * 60 * 1000L
     val now = System.currentTimeMillis()
-    scala.util.Try(fs.globStatus(new Path(p, FileName + ".tmp-*"))
-      .filter(s => now - tempAgeBasis(s) > sweepGraceMs)
-      .foreach(s => fs.delete(s.getPath, false)))
+    // each candidate is judged and deleted under its OWN Try: one
+    // malformed name (or one delete fault) must not veto the rest of
+    // the sweep — a single all-Try around the loop would abort on the
+    // first bad entry and silently leak every remaining stale temp
+    scala.util.Try(fs.globStatus(new Path(p, FileName + ".tmp-*"))).toOption
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+      .foreach { s =>
+        scala.util.Try {
+          if (now - tempAgeBasis(s) > sweepGraceMs) fs.delete(s.getPath, false)
+        }
+      }
   }
 
   /** Age basis for sweeping a leftover temp: the writer's epoch embedded
@@ -250,8 +258,11 @@ object CellManifest {
     val rest = s.getPath.getName.stripPrefix(s"$FileName.tmp-")
     val head = rest.takeWhile(_ != '-')
     // a UUID segment is 8 hex chars and can be all digits; a real epoch
-    // is 13+ digits for any modern date — only trust the longer form
-    if (head.length >= 13 && head.forall(_.isDigit)) head.toLong
+    // is 13+ digits for any modern date and ≤18 fits a Long — a 19+
+    // digit all-digit head is NOT a writer epoch (and would overflow
+    // `toLong`), so it falls back to mtime like any other foreign name
+    if (head.length >= 13 && head.length <= 18 && head.forall(_.isDigit))
+      head.toLong
     else s.getModificationTime
   }
 

@@ -16,6 +16,49 @@ class DedupTextSpec extends SparkSuite {
     (4L, "el el la la los y y y es es")                           // spanish-ish
   ).toDF("doc_id", "text")
 
+  test("clusters: adaptive escalation decision table; chain and blocky outputs unchanged") {
+    // the stall test (integer form): round 1 is always paid — its changed
+    // count is the baseline; geometric decay keeps propagating; a round
+    // retiring <30% of the previous round's labels escalates
+    assert(!Dedup.ccStalled(1, 100, Long.MaxValue))
+    assert(!Dedup.ccStalled(2, 69, 100), "decay below the floor must keep propagating")
+    assert(Dedup.ccStalled(2, 71, 100), "stalled decay must escalate")
+    assert(!Dedup.ccStalled(2, 0, 100))
+    // tiny stalled residuals finish cheaper by propagating (a stalled
+    // changed of C bounds remaining light rounds by ~C): below the
+    // changed floor the stall test never fires — the r17 A/B caught the
+    // floorless rule contracting a 2-label residual
+    assert(!Dedup.ccStalled(5, 2, 2))
+    assert(!Dedup.ccStalled(2, 7, 7))
+    assert(Dedup.ccStalled(2, 8, 8))
+    // chain graph (path of 60): changed stays ~constant per round, so the
+    // adaptive trigger escalates at round 2 — and min-id labels must be
+    // EXACTLY the fixed-budget hybrid's (escalation time moves cost only)
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.clusters(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size === 60 && (0L to 59L).forall(i => got(i) === 0L))
+    // blocky graph (4 disjoint 5-cliques): converges inside the light
+    // rounds, never escalates, per-clique min ids
+    val cliques = (for (c <- 0L until 4L; i <- 0L until 5L; j <- (i + 1) until 5L)
+      yield (c * 10 + i, c * 10 + j)).toDF("a", "b")
+    val gotB = Dedup.clusters(cliques).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotB.length === 20)
+    assert(gotB.forall { case (id, cl) => cl === (id / 10) * 10 })
+  }
+
+  test("dedupStore: a stamp-read FAULT fails hard (shared StoreStamp contract, no stale serve)") {
+    // unhandled filesystem scheme → non-FileNotFound Throwable: the
+    // transient-fault shape that must error instead of degrading the
+    // store key to path-only (which would serve a stale artifact for a
+    // corpus regenerated in place)
+    val e = intercept[IllegalStateException] {
+      Dedup.dedupStore(docs, 3, 0.8, "graft-nofs://nohost/drop")
+    }
+    assert(e.getMessage.contains("stamp"))
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val d = Dedup.exact(docs).collect()
     assert(d.length === 4)

@@ -390,6 +390,24 @@ class PropertySpec extends SparkSuite {
       st(s"${CellManifest.FileName}.tmp-$hourAgo-u", now)) === hourAgo)
     assert(CellManifest.tempAgeBasis(
       st(s"${CellManifest.FileName}.tmp-12345678-u", now)) === now)
+    // a 19+-digit all-digit head is NOT a writer epoch (it would overflow
+    // Long): ages by mtime instead of throwing
+    assert(CellManifest.tempAgeBasis(
+      st(s"${CellManifest.FileName}.tmp-9999999999999999999-u", now)) === now)
+    // and one such name must never veto the rest of the sweep: the old
+    // single Try around the whole glob aborted on the first bad head,
+    // silently leaking every remaining stale temp (r16 advice) — now
+    // each candidate is judged under its own Try
+    val overflow = dir.resolve(s"${CellManifest.FileName}.tmp-9999999999999999999-x")
+    val stale2 = dir.resolve(s"${CellManifest.FileName}.tmp-$hourAgo-ee")
+    Seq(overflow, stale2).foreach(p =>
+      java.nio.file.Files.write(p, "x".getBytes("UTF-8")))
+    overflow.toFile.setLastModified(hourAgo)
+    CellManifest.write(spark, dir.toString)
+    assert(!java.nio.file.Files.exists(overflow),
+      "overflow-named temp must age by mtime and be swept")
+    assert(!java.nio.file.Files.exists(stale2),
+      "a malformed sibling name must not veto sweeping a stale temp")
   }
 
   test("manifest parsing: EVERY byte-truncation yields only exact or conservative entries — never wrong bounds") {

@@ -615,4 +615,89 @@ class SimilaritySpec extends SparkSuite {
     assert(Similarity.rpCapWarnings(
       uncapped.queryExecution.observedMetrics, declaredNames(uncapped)).isEmpty)
   }
+
+  test("rpPlanesFor: parameterized ceiling + conf-aware sized default (the validity envelope is movable)") {
+    // past the default 2^24*125 envelope the plane count saturates (the
+    // linear-occupancy regime); raising maxPlanes restores the
+    // constant-occupancy layout
+    assert(Similarity.rpPlanesFor(1L << 40) === Similarity.RpMaxPlanes)
+    assert(Similarity.rpPlanesFor(1L << 40, 125, 34) === 34)
+    assert(Similarity.rpPlanesFor(2000, 1) === 11)
+    // session confs reach the sized default every declared RP consumer
+    // routes through (and the decision is logged with its estimated
+    // occupancy — the envelope is never silently exceeded)
+    spark.conf.set(Similarity.RpTargetOccupancyConf, "1")
+    try assert(Similarity.sizedRpPlanes(spark, 2000) === 11)
+    finally spark.conf.unset(Similarity.RpTargetOccupancyConf)
+    assert(Similarity.sizedRpPlanes(spark, 2000) === 4)
+  }
+
+  test("embeddingDedupComposed: the identity aggregate executes exactly ONCE across the whole pipeline") {
+    import scala.jdk.CollectionConverters._
+    // r16's one `weak`: un-materialized members/reps re-ran the identity
+    // aggregate + member join in the planning-count job, the fixpoint's
+    // edge materialization (three reps references), and the final union —
+    // 3-5 full-corpus shuffles where one suffices. The fix checkpoints
+    // members and reps once; this pin counts identity-aggregate
+    // EXECUTIONS — QueryExecutions whose executed plan carries both the
+    // identity md5 key and the min(vec_id) representative aggregate —
+    // across every job the pipeline triggers (localCheckpoint actions
+    // included: Dataset.checkpoint routes through withAction, so the
+    // listener sees them).
+    Thread.sleep(2000) // drain async listener deliveries from prior tests
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        seen.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = Similarity.embeddingDedupComposed(emb, 0.4,
+        maxBucket = Similarity.BindingOccupancyCap)
+      assert(out.count() > 0)
+      def idAggExecs(): Int =
+        seen.asScala.count(p => p.contains("min(vec_id") && p.contains("md5("))
+      // listener delivery is async — poll until the count stabilizes
+      val deadline = System.currentTimeMillis() + 30000
+      var n = idAggExecs(); var stable = 0
+      while (System.currentTimeMillis() < deadline && stable < 8) {
+        Thread.sleep(250); val m = idAggExecs()
+        if (m == n) stable += 1 else { stable = 0; n = m }
+      }
+      assert(n === 1, s"identity aggregate executed $n times (must be exactly 1)")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("StoreStamp: a stamp-read FAULT fails hard — no silent path-only key; opaque keys still work") {
+    import graft.operators.StoreStamp
+    // no FileSystem handles the scheme → a non-FileNotFound Throwable,
+    // the transient-fault shape that previously degraded the key to
+    // path-only and could serve a STALE store for a corpus changed in
+    // place (r16 ledger edge). Now: loud error, not a stale serve.
+    val e = intercept[IllegalStateException] {
+      Similarity.annIndexStore(emb, 16, "graft-nofs://nohost/drop")
+    }
+    assert(e.getMessage.contains("stamp"))
+    val e2 = intercept[IllegalStateException] {
+      val base = Similarity.annIndexStore(emb, 16,
+        s"annstamp-${java.util.UUID.randomUUID()}")
+      Similarity.annIndexStoreAdvance(base, emb.limit(3), "graft-nofs://nohost/adv")
+    }
+    assert(e2.getMessage.contains("stamp"))
+    // the explicit escape hatch restores the old degrade (still logged)
+    sys.props(StoreStamp.AllowPathOnlyKeyProp) = "true"
+    try {
+      val hatch = Similarity.annIndexStore(emb, 16,
+        s"graft-nofs://nohost/drop#hatch-${java.util.UUID.randomUUID()}")
+      assert(hatch.lists.count() > 0)
+    } finally sys.props -= StoreStamp.AllowPathOnlyKeyProp
+    // an OPAQUE key (no embeddings.parquet under the key path) is NOT a
+    // fault: path-only keying by contract — spec fixtures depend on it
+    val opaque = Similarity.annIndexStore(emb, 16,
+      s"annstamp-opaque-${java.util.UUID.randomUUID()}")
+    assert(opaque.lists.count() > 0)
+  }
 }
