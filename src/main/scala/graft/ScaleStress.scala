@@ -36,7 +36,8 @@ object ScaleStress {
     // second wave: the rest of the bench top — embedding-space dedup/ANN
     // (decade via the signed-permutation transform below), the remaining
     // text-dedup heavies, streaming index maintenance, graph census
-    "dedup_embedding", "ann_whitened_topk", "ann_cosine_pairs",
+    "dedup_embedding", "dedup_embedding_composed",
+    "ann_whitened_topk", "ann_cosine_pairs",
     "dedup_minhash_est", "dedup_ngram_jaccard", "stream_dedup_incremental",
     "graph_modularity",
     // third wave: the q relational family (the largest bench family) —

@@ -518,19 +518,27 @@ object Similarity {
     *    into cells the quantizer never carved.
     *
     * REBUILD CONTRACT (`rebuild_due`): retrain + rebuild (then
-    * re-advance from the new base) when PSI > 0.25 (the standard
-    * drifted threshold psiDrift uses) OR the batch's mean quantization
-    * error exceeds 1.5× the build-time mean. Run on every advance
-    * batch; cost is one broadcast-centroid pass over the batch plus one
-    * pass over the stored lists (both map-side-combined into
-    * nlist-sized aggregates — nothing corpus-sized ever shuffles).
-    * Determinism: round-9 terms through DECIMAL(28,12), one 6dp cut
-    * (the psiDrift convention), so the DuckDB oracle mirrors it
-    * bit-exactly.
+    * re-advance from the new base) when PSI > 0.25 + PSI_NULL, or the
+    * batch's mean quantization error exceeds 1.5× the build-time mean.
+    * `psi_null = (nlist−1)·(1/n_batch + 1/n_base)` is the expected PSI
+    * of a STATIONARY batch from finite-sample multinomial noise alone
+    * (the χ²/n approximation: E[χ²] = k−1 per sample set) — without it
+    * the industry 0.25 rule sits BELOW the noise floor at small batch
+    * sizes and the alarm always fires (measured: a stationary 50-vector
+    * batch over 16 cells reads PSI ≈ 0.37 against a null of 0.33; an
+    * alarm that always fires is as useless as one that never does). As
+    * n_batch and n_base grow the null vanishes and the threshold
+    * converges to the standard 0.25. Run on every advance batch; cost
+    * is one broadcast-centroid pass over the batch plus one pass over
+    * the stored lists (both map-side-combined into nlist-sized
+    * aggregates — nothing corpus-sized ever shuffles). Determinism:
+    * round-9 terms through DECIMAL(28,12), one 6dp cut (the psiDrift
+    * convention); the null is integer-derived double arithmetic — the
+    * DuckDB oracle mirrors everything bit-exactly, thresholds included.
     *
     * Output: one row per cell — (cell, n_base, n_batch) — with the
-    * monitor scalars (psi, qerr_base, qerr_batch, rebuild_due) attached
-    * to every row (the census pattern). */
+    * monitor scalars (psi, psi_null, qerr_base, qerr_batch,
+    * rebuild_due) attached to every row (the census pattern). */
   def annIndexDrift(store: AnnIndexStore, batch: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(28, 12)
@@ -570,14 +578,22 @@ object Similarity {
         .cast("double"), 6).as("psi"))
     val monitor = psiRow.crossJoin(broadcast(tot))
       .select(col("psi"),
+        // finite-sample null: the PSI a stationary batch produces from
+        // multinomial noise alone; sentinel-infinite when either side
+        // has no samples (drift is unassessable, never alarmed)
+        when(col("nb") > 0 && col("nq") > 0,
+          round(lit(nlist - 1) *
+            (lit(1.0) / col("nq").cast("double") +
+             lit(1.0) / col("nb").cast("double")), 6))
+          .otherwise(lit(1.0e308)).as("psi_null"),
         when(col("nb") > 0,
           round(col("sb").cast("double") / col("nb").cast("double"), 6))
           .otherwise(lit(0.0)).as("qerr_base"),
         when(col("nq") > 0,
           round(col("sq").cast("double") / col("nq").cast("double"), 6))
           .otherwise(lit(0.0)).as("qerr_batch"))
-      .select(col("psi"), col("qerr_base"), col("qerr_batch"),
-        (col("psi") > lit(0.25) ||
+      .select(col("psi"), col("psi_null"), col("qerr_base"), col("qerr_batch"),
+        (col("psi") > round(lit(0.25) + col("psi_null"), 6) ||
           col("qerr_batch") > lit(1.5) * col("qerr_base")).as("rebuild_due"))
     u.select(col("cell"), col("n_base"), col("n_batch"))
       .crossJoin(broadcast(monitor))

@@ -1302,10 +1302,12 @@ object NorthStar {
     // occupancy of the incoming batch (assigned by the advance's own
     // pinned-centroid rule) PSI-compared to the stored lists'
     // build-time occupancy over the fixed nlist universe, plus the
-    // mean-quantization-error trend; rebuild_due fires at PSI > 0.25 or
+    // mean-quantization-error trend; rebuild_due fires at
+    // PSI > 0.25 + psi_null (the finite-sample noise floor — without
+    // it the industry 0.25 rule always fires at small batches) or
     // batch qerr > 1.5x build-time. Everything decimal-summed and
-    // 6dp-cut, so the whole monitor — thresholds included — is
-    // hash-checked against the DuckDB mirror.
+    // 6dp-cut, so the whole monitor — thresholds and null included —
+    // is hash-checked against the DuckDB mirror.
     "ann_ivf_drift_monitor" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val newV = e.where(pmod(col("vec_id"), lit(10)) === 0)
@@ -3431,6 +3433,10 @@ object NorthStar {
                  9) AS DECIMAL(28,12))) AS DOUBLE), 6) psi
                FROM u, tot),
        mon AS (SELECT psi.psi,
+                 CASE WHEN tot.nb > 0 AND tot.nq > 0
+                   THEN round((16 - 1) * (1.0 / CAST(tot.nq AS DOUBLE)
+                          + 1.0 / CAST(tot.nb AS DOUBLE)), 6)
+                   ELSE 1e308 END psi_null,
                  CASE WHEN tot.nb > 0
                    THEN round(CAST(tot.sb AS DOUBLE) / CAST(tot.nb AS DOUBLE), 6)
                    ELSE 0.0 END qerr_base,
@@ -3438,8 +3444,9 @@ object NorthStar {
                    THEN round(CAST(tot.sq AS DOUBLE) / CAST(tot.nq AS DOUBLE), 6)
                    ELSE 0.0 END qerr_batch
                FROM psi, tot)
-       SELECT u.cell, u.n_base, u.n_batch, mon.psi, mon.qerr_base,
-         mon.qerr_batch,
-         (mon.psi > 0.25 OR mon.qerr_batch > 1.5 * mon.qerr_base) AS rebuild_due
+       SELECT u.cell, u.n_base, u.n_batch, mon.psi, mon.psi_null,
+         mon.qerr_base, mon.qerr_batch,
+         (mon.psi > round(0.25 + mon.psi_null, 6)
+           OR mon.qerr_batch > 1.5 * mon.qerr_base) AS rebuild_due
        FROM u, mon"""
 }

@@ -671,6 +671,42 @@ class SimilaritySpec extends SparkSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("annIndexDrift: stationary batch keeps rebuild_due quiet; a shifted batch fires it") {
+    import graft.operators.Similarity
+    val store = Similarity.annIndexStore(emb.where(pmod(col("vec_id"), lit(10)) =!= 0),
+      16, s"driftspec-${java.util.UUID.randomUUID()}")
+    def monitor(batch: org.apache.spark.sql.DataFrame) =
+      Similarity.annIndexDrift(store, batch)
+        .select("psi", "psi_null", "qerr_base", "qerr_batch", "rebuild_due")
+        .head()
+    // a batch drawn from the SAME distribution (the held-out 10%): PSI
+    // inside the finite-sample null band, comparable quantization
+    // error, no rebuild — the sample-aware threshold is what makes this
+    // hold (a fixed 0.25 sits BELOW the 16-cell/50-vector noise floor)
+    val same = monitor(emb.where(pmod(col("vec_id"), lit(10)) === 0))
+    assert(!same.getBoolean(4),
+      s"stationary batch must not demand a rebuild: $same")
+    // a batch whose mass CONCENTRATES (a template cohort: 50 copies of
+    // one vector, all landing in a single cell — the corpus-shift shape
+    // that actually starves an IVF quantizer): occupancy PSI blows past
+    // the null and the monitor MUST fire. (Negating embeddings is NOT a
+    // drift signal here, by design: it permutes near-uniform cell mass
+    // and leaves |cos-to-best-centroid| similar, so both PSI and qerr
+    // correctly read stationary.)
+    val hot = emb.where(col("vec_id") === 0)
+      .select(explode(sequence(lit(1L), lit(50L))).as("i"), col("embedding"))
+      .select((lit(900000L) + col("i")).as("vec_id"), col("embedding"))
+    val shifted = monitor(hot)
+    assert(shifted.getBoolean(4),
+      s"one-cell cohort batch must demand a rebuild: $shifted")
+    // the monitor row is constant across the per-cell census rows
+    val distinctRows = Similarity.annIndexDrift(store,
+      emb.where(pmod(col("vec_id"), lit(10)) === 0))
+      .select("psi", "psi_null", "qerr_base", "qerr_batch", "rebuild_due")
+      .distinct().count()
+    assert(distinctRows === 1)
+  }
+
   test("StoreStamp: a stamp-read FAULT fails hard — no silent path-only key; opaque keys still work") {
     import graft.operators.StoreStamp
     // no FileSystem handles the scheme → a non-FileNotFound Throwable,
