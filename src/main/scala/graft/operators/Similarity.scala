@@ -539,29 +539,50 @@ object Similarity {
     * Output: one row per cell — (cell, n_base, n_batch) — with the
     * monitor scalars (psi, psi_null, qerr_base, qerr_batch,
     * rebuild_due) attached to every row (the census pattern). */
-  def annIndexDrift(store: AnnIndexStore, batch: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val dec = DecimalType(28, 12)
+  def annIndexDrift(store: AnnIndexStore, batch: DataFrame): DataFrame =
+    annIndexDriftFinish(store, annIndexDriftBatchPartials(store, batch))
+
+  /** The BATCH side of [[annIndexDrift]] as mergeable partials — (cell,
+    * n_batch, s_batch): a count and a decimal qerr sum, both
+    * associative, so micro-batch partials folded with
+    * sum-by-cell equal the one-shot monitor EXACTLY (the
+    * streaming-maintenance contract every replay-fold query rides). */
+  private[graft] def annIndexDriftBatchPartials(store: AnnIndexStore,
+                                                batch: DataFrame): DataFrame = {
     val cent = store.centroids
-    val nlist = store.nlist
-    // winning-cell similarity, recomputed against the broadcast pinned
-    // centroids: stored rows carry their precomputed norm, batch rows
-    // norm on the fly — both round-6, the store family's cosine form
-    def cellSim(df: DataFrame, v: String, n: Column): DataFrame =
-      df.join(broadcast(cent), col("cell") === col("cid"))
-        .select(col("cell"),
-          round(dot(col(v), col("cv")) / (n * col("cn")), 6).as("sim"))
-    val baseSim = cellSim(store.lists, "nv", col("nn"))
     val batchAsn = nearestCells(cent)(
       batch.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv")),
       "nid", "nv", 1)
-    val batchSim = cellSim(batchAsn, "nv", norm2(col("nv")))
-    def perCell(sims: DataFrame, nCol: String, sCol: String): DataFrame =
-      sims.groupBy(col("cell")).agg(count(lit(1)).as(nCol),
-        sum(round(lit(1.0) - col("sim"), 9).cast(dec)).as(sCol))
+    driftCellSim(cent)(batchAsn, "nv", norm2(col("nv")))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_batch"),
+        sum(round(lit(1.0) - col("sim"), 9).cast(DriftDec)).as("s_batch"))
+  }
+
+  /** Winning-cell similarity against the broadcast pinned centroids:
+    * stored rows carry their precomputed norm, batch rows norm on the
+    * fly — both round-6, the store family's cosine form. */
+  private def driftCellSim(cent: DataFrame)(
+      df: DataFrame, v: String, n: Column): DataFrame =
+    df.join(broadcast(cent), col("cell") === col("cid"))
+      .select(col("cell"),
+        round(dot(col(v), col("cv")) / (n * col("cn")), 6).as("sim"))
+
+  private val DriftDec = org.apache.spark.sql.types.DecimalType(28, 12)
+
+  /** [[annIndexDrift]] given already-aggregated batch partials (one-shot
+    * or a folded streaming store — identical by associativity). */
+  private[graft] def annIndexDriftFinish(store: AnnIndexStore,
+                                         batchPartials: DataFrame): DataFrame = {
+    val dec = DriftDec
+    val cent = store.centroids
+    val nlist = store.nlist
+    val baseSim = driftCellSim(cent)(store.lists, "nv", col("nn"))
+    val basePerCell = baseSim.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_base"),
+        sum(round(lit(1.0) - col("sim"), 9).cast(dec)).as("s_base"))
     val u = cent.select(col("cid").as("cell"))
-      .join(perCell(baseSim, "n_base", "s_base"), Seq("cell"), "left")
-      .join(perCell(batchSim, "n_batch", "s_batch"), Seq("cell"), "left")
+      .join(basePerCell, Seq("cell"), "left")
+      .join(batchPartials, Seq("cell"), "left")
       .select(col("cell"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_batch"), lit(0L)).as("n_batch"),

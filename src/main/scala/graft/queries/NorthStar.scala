@@ -3392,7 +3392,7 @@ object NorthStar {
     * assignment rule as the advance oracle, per-cell counts over the
     * fixed 16-cell universe, the psiDrift smoothing/rounding
     * conventions, identical thresholds. */
-  private lazy val annIvfDriftSql =
+  private[queries] lazy val annIvfDriftSql =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
        cent AS (SELECT vec_id cid, v cv FROM e WHERE vec_id % 10 <> 0
                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),

@@ -148,6 +148,14 @@ object Pipelines {
     // census, equal to one-shot assignment by construction
     "stream_ann_assign" -> ((s, dir) =>
       graft.streaming.CorpusStream.annAssignAll(s, dir, 16)),
+    // the drift monitor STANDING: advance-batch micro-batches append
+    // (cell, count, decimal qerr-sum) partials — both associative — and
+    // the readout folds them against the base index's build-time
+    // occupancy; provably equals the one-shot ann_ivf_drift_monitor,
+    // which is the shared oracle (thresholds + finite-sample null
+    // included), so rebuild_due flips while vectors land
+    "stream_drift_monitor" -> ((s, dir) =>
+      graft.streaming.CorpusStream.driftMonitorAll(s, dir)),
 
     // stateful sessionization (30-min inactivity gap)
     "sessionize_events" -> ((s, dir) => EventStream.sessionize(s, dir, 30)),
@@ -860,6 +868,9 @@ object Pipelines {
                                cent.cid ASC) rn
                   FROM e, cent) WHERE rn = 1)
          SELECT cell, COUNT(*) AS n_vecs FROM asn GROUP BY 1""",
+    // streaming fold ≡ one-shot monitor (associative partials), so the
+    // batch drift oracle is shared verbatim
+    "stream_drift_monitor" -> graft.queries.NorthStar.annIvfDriftSql,
     "stream_static_join" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
            c_nationkey, COUNT(*) AS n,

@@ -376,4 +376,35 @@ object CorpusStream {
       store => store.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
     }
   }
+
+  /** STREAMING drift monitoring — [[graft.operators.Similarity
+    * .annIndexDrift]] in its production posture: the advance batch
+    * arrives as micro-batches, each contributing its (cell, n_batch,
+    * s_batch) partials (one broadcast-centroid assignment pass — a
+    * count and a decimal qerr sum, both associative) to an append-only
+    * store; the standing monitor folds the store by cell and finishes
+    * against the base index's build-time occupancy. Disjoint batches'
+    * partials sum to the whole-drop partials, so the streaming readout
+    * provably EQUALS the one-shot [[graft.operators.Similarity
+    * .annIndexDrift]] — which is the declared oracle
+    * (ann_ivf_drift_monitor's SQL, thresholds and finite-sample null
+    * included). This is the monitor a serving tier keeps STANDING next
+    * to [[annAssignAll]]'s index maintenance: rebuild_due flips while
+    * vectors land, not at the nightly audit.
+    * Output: (cell, n_base, n_batch, psi, psi_null, qerr_base,
+    * qerr_batch, rebuild_due). */
+  def driftMonitorAll(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+    val oldV = corpus.where(pmod(col("vec_id"), lit(10)) =!= 0)
+    val newV = corpus.where(pmod(col("vec_id"), lit(10)) === 0)
+    val store = Similarity.annIndexStore(oldV, 16, s"$dir#emb-old90")
+    EventStream.replayFold(spark, newV, 2)(
+      batch => Similarity.annIndexDriftBatchPartials(store, batch)) { parts =>
+      Similarity.annIndexDriftFinish(store,
+        parts.groupBy(col("cell")).agg(
+          sum(col("n_batch")).as("n_batch"),
+          sum(col("s_batch")).as("s_batch")))
+    }
+  }
 }

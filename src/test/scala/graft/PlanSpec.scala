@@ -190,6 +190,7 @@ class PlanSpec extends SparkSuite {
       "stream_session_window", "stream_sessionize",
       "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental",
       "stream_quality_monitor", "stream_static_join", "stream_ann_assign",
+      "stream_drift_monitor",
       "stream_quantile_sketch", "stream_cms_heavy_hitters", "stream_cdc_apply",
       "stream_hll_distinct", "stream_late_drop", "stream_bitmap_retention")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
@@ -219,6 +220,7 @@ class PlanSpec extends SparkSuite {
       "stream_session_window", "stream_sessionize",
       "stream_stream_join", "stream_dedup_events", "stream_dedup_incremental",
       "stream_quality_monitor", "stream_static_join", "stream_ann_assign",
+      "stream_drift_monitor",
       "stream_quantile_sketch", "stream_cms_heavy_hitters", "stream_cdc_apply",
       "stream_hll_distinct", "stream_late_drop", "stream_bitmap_retention")
     val offenders = SparkEntry.queries.keys.toSeq.sorted

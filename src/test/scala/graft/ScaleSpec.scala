@@ -147,6 +147,7 @@ class ScaleSpec extends SparkSuite {
       "stream_session_window", "stream_sessionize", "stream_stream_join",
       "stream_dedup_events", "stream_dedup_incremental", "sessionize_events",
       "stream_quality_monitor", "stream_static_join", "stream_ann_assign",
+      "stream_drift_monitor",
       "stream_quantile_sketch")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => skip.contains(q._1))
@@ -211,6 +212,7 @@ class ScaleSpec extends SparkSuite {
       "stream_session_window", "stream_sessionize", "stream_stream_join",
       "stream_dedup_events", "stream_dedup_incremental", "sessionize_events",
       "stream_quality_monitor", "stream_static_join", "stream_ann_assign",
+      "stream_drift_monitor",
       "stream_quantile_sketch", "stream_cms_heavy_hitters", "stream_cdc_apply",
       "stream_hll_distinct", "stream_late_drop", "stream_bitmap_retention")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
