@@ -1315,6 +1315,22 @@ object NorthStar {
       val store = Similarity.annIndexStore(oldV, 16, s"$dir#emb-old90")
       Similarity.annIndexDrift(store, newV)
     }),
+    // the monitor in the production posture: the CURRENT index is
+    // usually an advance CHAIN, so the build-time occupancy side is
+    // the pointer-chain union (base lists ∪ delta lists), read through
+    // the same per-link partition pruning a serve uses. Base = old-90%
+    // advanced by the first 5% batch; monitored batch = the second 5%.
+    // The oracle recomputes the chain's membership relationally, so
+    // the chain-union read path itself is hash-checked under drift.
+    "ann_ivf_drift_monitor_chain" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val oldV = e.where(pmod(col("vec_id"), lit(10)) =!= 0)
+      val b1 = e.where(pmod(col("vec_id"), lit(20)) === 0)
+      val b2 = e.where(pmod(col("vec_id"), lit(20)) === 10)
+      val store = Similarity.annIndexStore(oldV, 16, s"$dir#emb-old90")
+      val a1 = Similarity.annIndexStoreAdvance(store, b1, s"$dir#emb-cpt-a1")
+      Similarity.annIndexDrift(a1, b2)
+    }),
     // retrieval QUALITY as a query: recall@10 of the IVF search vs the
     // exact ranking — the evaluation loop a retrieval stack runs after
     // every index rebuild, here one semi-join of two declared pipelines
@@ -3350,6 +3366,10 @@ object NorthStar {
     // Laplace-smoothed PSI + decimal-summed quantization-error means,
     // same thresholds
     "ann_ivf_drift_monitor" -> annIvfDriftSql,
+    // chain posture: the store's lists are old-90% ∪ first-5% batch
+    // (everything except the monitored second-5%), centroids unchanged
+    "ann_ivf_drift_monitor_chain" ->
+      annIvfDriftSqlFor("b.vec_id % 20 <> 10", "b.vec_id % 20 = 10"),
     "ann_pq_codes" -> pqCodesSql,
     "ann_pq_adc_topk" -> pqAdcTopKSql,
     "ann_ivf_adc_topk" -> annIvfAdcTopKSql,
@@ -3393,7 +3413,15 @@ object NorthStar {
     * fixed 16-cell universe, the psiDrift smoothing/rounding
     * conventions, identical thresholds. */
   private[queries] lazy val annIvfDriftSql =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    annIvfDriftSqlFor("b.vec_id % 10 <> 0", "b.vec_id % 10 = 0")
+
+  /** The drift-monitor mirror parameterized by base/batch membership —
+    * the base predicate describes WHOSE vectors the monitored store's
+    * (possibly chain-union) lists hold; centroids are always the
+    * old-90% pick the base index pinned. */
+  private[queries] def annIvfDriftSqlFor(basePred: String,
+                                         batchPred: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
        cent AS (SELECT vec_id cid, v cv FROM e WHERE vec_id % 10 <> 0
                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
        basn AS (SELECT cell, sim FROM (
@@ -3402,14 +3430,14 @@ object NorthStar {
                    row_number() OVER (PARTITION BY b.vec_id
                      ORDER BY round(list_cosine_similarity(b.v, cent.cv), 6) DESC,
                               cent.cid ASC) rn
-                 FROM e b, cent WHERE b.vec_id % 10 <> 0) WHERE rn = 1),
+                 FROM e b, cent WHERE $basePred) WHERE rn = 1),
        qasn AS (SELECT cell, sim FROM (
                  SELECT b.vec_id, cent.cid cell,
                    round(list_cosine_similarity(b.v, cent.cv), 6) sim,
                    row_number() OVER (PARTITION BY b.vec_id
                      ORDER BY round(list_cosine_similarity(b.v, cent.cv), 6) DESC,
                               cent.cid ASC) rn
-                 FROM e b, cent WHERE b.vec_id % 10 = 0) WHERE rn = 1),
+                 FROM e b, cent WHERE $batchPred) WHERE rn = 1),
        bs AS (SELECT cell, count(*) n_base,
                 SUM(CAST(round(1.0 - sim, 9) AS DECIMAL(28,12))) s_base
               FROM basn GROUP BY 1),

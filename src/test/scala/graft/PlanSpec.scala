@@ -174,7 +174,7 @@ class PlanSpec extends SparkSuite {
       "dedup_lsh_recall",         // 1-row sample-size scalar (q22 pattern)
       "rag_rrf_fusion",           // broadcast-query ANN list (ann_cosine_topk shape)
       "quality_probe_accuracy",   // 1-row broadcast model scoring (q22 pattern)
-      "ann_ivf_drift_monitor",    // 1-row monitor scalars broadcast onto the 16-cell census (psiDrift pattern)
+      "ann_ivf_drift_monitor", "ann_ivf_drift_monitor_chain", // 1-row monitor scalars broadcast onto the 16-cell census (psiDrift pattern)
       "quality_ks_drift",         // census grid x group-totals bounded expansion
       "quality_ks_drift_ttr",     // same census shape, quantized continuous metric
       "corpus_stratified_neyman", // 1-row weight-total scalar (q22 pattern)

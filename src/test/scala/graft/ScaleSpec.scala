@@ -188,7 +188,7 @@ class ScaleSpec extends SparkSuite {
       "events_uplift_deciles", "graph_clustering_coeff", "graph_modularity",
       "graph_pagerank", "graph_ppr", "profile_key_skew", "q11_important_share",
       "q22_idle_balances", "q_histogram_equidepth", "q_join_cardinality_est",
-      "ann_ivf_drift_monitor", // 1-row monitor scalars (psi/qerr) broadcast onto the 16-cell census (psiDrift pattern)
+      "ann_ivf_drift_monitor", "ann_ivf_drift_monitor_chain", // 1-row monitor scalars (psi/qerr) broadcast onto the 16-cell census (psiDrift pattern)
       "quality_ks_drift", "quality_ks_drift_ttr", "quality_psi_drift",
       "quality_probe_accuracy", // 1-row broadcast model scoring (q22 pattern)
       "rag_passage_topk", "rag_rrf_fusion", "text_bm25_topk",
