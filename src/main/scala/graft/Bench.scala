@@ -44,6 +44,47 @@ object Bench {
     if (head.matches("q\\d+")) "q" else head
   }
 
+  /** QUERY-FAMILY ambient canary (r17 ask #3). The ingest canary
+    * normalizes INGEST ambient only — three same-session r17 runs showed
+    * totals ±7% and the graph family ±27–44% on identical code while the
+    * ingest canary moved 0.505→0.940 the OPPOSITE way — so cross-round
+    * per-query diffs had no mechanical normalizer for the shuffle+CPU
+    * regime most queries live in. This probe is that normalizer: a FIXED
+    * synthetic workload, independent of the sf dir and of every declared
+    * query — `spark.range` rows through an md5 CPU stage, a non-broadcast
+    * shuffle join (both sides above the 10 MB auto-broadcast threshold),
+    * and a two-shuffle distinct aggregate — run 3×, min taken, at bench
+    * start. Reported as `query_probe_sec` (raw) and `query_probe_ratio`
+    * (best-recorded / session — same orientation as `canary_ratio`:
+    * > 1.0 = this session's shuffle+CPU regime ran FASTER than the
+    * recorded best, multiply family times by it before cross-round
+    * comparison). */
+  private[graft] def queryProbe(spark: SparkSession): Seq[Double] = {
+    import org.apache.spark.sql.functions._
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val a = spark.range(0L, 3000000L)
+        .select(col("id"), pmod(hash(col("id")), lit(200000)).as("k"),
+          md5(col("id").cast("string").cast("binary")).as("s"))
+      val b = spark.range(0L, 1000000L)
+        .select(pmod(hash(col("id") * 31), lit(200000)).as("k"),
+          md5((col("id") + 7L).cast("string").cast("binary")).as("t"))
+      force(a.join(b, "k")
+        .groupBy(substring(col("s"), 1, 2).as("g"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("t")).as("d")))
+      unpersistAll(spark)
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
+
+  /** Best recorded [[queryProbe]] min (r18 calibration: 2.209 s at
+    * ingest canary 0.947 — pass secs 6.2/2.9/2.2, the first pass paying
+    * the probe's own JIT, which is why min-of-3 is the statistic). The
+    * probe REBASES like the ingest canary: re-measure only when the
+    * probe workload itself changes, and never reuse a stale best across
+    * a probe change. */
+  private val BestRecordedProbeSec = 2.209
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -60,6 +101,12 @@ object Bench {
     try force(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
     catch { case _: Throwable => () }
     unpersistAll(spark)
+
+    // query-family ambient canary: fixed shuffle+CPU probe, min-of-3,
+    // AFTER warmup so JIT is not billed to the probe
+    val probePasses = queryProbe(spark)
+    val probeSec = probePasses.min
+    val probeRatio = BestRecordedProbeSec / probeSec
 
     // optional args = query-name subset (same contract as graft.Verify)
     val subset = args.toSet
@@ -212,6 +259,10 @@ object Bench {
 
     // Full artifact → disk only (a 200-query map exceeds the driver's tail).
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    val probeFull =
+      s""","query_probe_sec":${ms(probeSec)},"query_probe_pass_secs":${
+        probePasses.map(ms).mkString("[", ",", "]")
+      },"query_probe_ratio":${ms(probeRatio)},"query_probe_method":"fixed synthetic shuffle+CPU workload (3M-row md5 stage, non-broadcast shuffle join, two-shuffle distinct agg), min-of-3 after warmup; ratio = best recorded (${BestRecordedProbeSec}s) / session, >1.0 = session shuffle+CPU ambient FASTER than best — multiply family times by it before cross-round comparison (the ingest canary normalizes ingest ambient only)""""
     val ingestFull = ingest.map { r =>
       val pp = ingestPasses.map(ms).mkString("[", ",", "]")
       s""","ingest_rows_per_sec":${r.round},"ingest_pass_secs":$pp,"canary_ratio":${ms(canaryRatio.get)},"canary_method":"session ingest rows/s / best recorded (288.8k, r13 two-phase rebase), UNCAPPED since r15 (>1.0 = session faster than the recorded best); divide family times by this before cross-round comparison","ingest_method":"min-of-3 over 100x-replicated reference CSV""""
@@ -234,7 +285,7 @@ object Bench {
         "same input, maxFilesPerTrigger=10 (1 micro-batch) — the amortized/backlog posture")
     }
     val full =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$ingestFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$probeFull$ingestFull,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), full + "\n")
     catch { case _: Throwable => () }
 
@@ -244,7 +295,8 @@ object Bench {
       .map { case (f, xs) => f -> xs.map(_._2).sum }
       .toSeq.sortBy(_._1)
     val fams = famTotals.map { case (f, v) => "\"" + f + "\":" + f"$v%.1f" }.mkString("{", ",", "}")
-    val ingestShort = ingest.map(r => s""","ingest_rows_per_sec":${r.round}""").getOrElse("") +
+    val ingestShort = s""","query_probe_ratio":${ms(probeRatio)}""" +
+      ingest.map(r => s""","ingest_rows_per_sec":${r.round}""").getOrElse("") +
       canaryRatio.map(r => s""","canary_ratio":${ms(r)}""").getOrElse("") +
       streamIngest.map(r => s""","stream_ingest_rows_per_sec":${r.round}""").getOrElse("") +
       streamIngest5.map(r => s""","stream_ingest_mft5_rows_per_sec":${r.round}""").getOrElse("") +

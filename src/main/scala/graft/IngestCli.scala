@@ -24,7 +24,7 @@ object IngestCli {
       "--key-fields", "--family", "--qualifiers", "--load-ts",
       "--stream-checkpoint", "--schema", "--compact-mode",
       "--stream-compact-every", "--ngram", "--threshold", "--from-key",
-      "--nlist", "--window")
+      "--nlist", "--window", "--dry-run")
 
   /** Region-boundary file → split keys: one lowercase/uppercase hex row key
     * per line (first key of region i+1), blanks and `#` comments ignored —
@@ -175,6 +175,135 @@ object IngestCli {
       case c             => c.toString
     }.mkString("\"", "", "\"")
 
+  /** RETENTION for ANN advance chains (`ann-gc`): advance links and
+    * superseded compaction inputs otherwise accumulate forever —
+    * BASE-pointer orphaning is documented as "the store root's job"
+    * ([[graft.operators.Similarity.AnnBaseFile]]), and this is the tool
+    * that does that job. Given a COMPACTED store (its `COMPACTED_FROM`
+    * provenance names the chain head it folded) and the store root:
+    *
+    *  1. walk the superseded chain head→base and VERIFY every link
+    *     (centroids + lists + drift sidecar present, no pointer cycle),
+    *  2. verify the compacted store actually holds the chain's rows
+    *     (count parity over the lists filesets — refuse on mismatch:
+    *     deleting inputs a compaction did NOT absorb loses data),
+    *  3. delete links from the head DOWN, STOPPING at the first link
+    *     that must survive: referenced by a BASE pointer of any store
+    *     under the root OUTSIDE the chain (another advance chain grew
+    *     from it — deleting it would orphan that chain), or living
+    *     outside the store root. Retention propagates down the chain:
+    *     a surviving link's own BASE targets must survive with it, so
+    *     everything below the first survivor is retained too.
+    *
+    * BASE pointers are the only reference mechanism a store root has
+    * (the parquet-over-object-store reality: snapshots reference files;
+    * GC may remove only what no live snapshot references). A client
+    * holding a bare dir handle outside the root is, as with any table
+    * format, the operator's retention window to honor. `--dry-run true`
+    * reports the full plan — chain, integrity, would-delete, retained
+    * (with reasons) — without touching anything. */
+  def annGcCommand(spark: SparkSession, compactedDir: String, root: String,
+                   dryRun: Boolean): String = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    def fsOf(p: Path) = p.getFileSystem(conf)
+    def norm(s: String): String = {
+      val p = new Path(s); fsOf(p).makeQualified(p).toString
+    }
+    def readPtr(dir: String, name: String): Option[String] = {
+      val p = new Path(s"$dir/$name"); val fs = fsOf(p)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      }
+    }
+    val head = readPtr(compactedDir, "COMPACTED_FROM").getOrElse(
+      throw new IllegalArgumentException(s"'$compactedDir' carries no " +
+        "COMPACTED_FROM provenance — not a compacted ANN store; refusing " +
+        "(ann-gc deletes only what a compaction provably superseded)"))
+    // superseded chain, head → base; cycle-guarded (a corrupt pointer
+    // loop must refuse, not spin)
+    val chain = scala.collection.mutable.Buffer.empty[String]
+    val seen = scala.collection.mutable.Set.empty[String]
+    var cur: Option[String] = Some(head)
+    while (cur.isDefined) {
+      val d = cur.get
+      if (!seen.add(norm(d)))
+        throw new IllegalStateException(
+          s"BASE pointer cycle in the chain at '$d'; refusing")
+      chain += d
+      cur = readPtr(d, "BASE")
+    }
+    def integrity(dir: String): Seq[String] =
+      Seq("centroids.parquet", "lists.parquet",
+          graft.operators.Similarity.DriftSidecarFile)
+        .filter { f =>
+          val p = new Path(s"$dir/$f"); !fsOf(p).exists(p)
+        }.map(f => s"missing $f")
+    val badLinks = chain.map(d => d -> integrity(d)).filter(_._2.nonEmpty)
+    val badCpt = integrity(compactedDir)
+    if (badLinks.nonEmpty || badCpt.nonEmpty)
+      throw new IllegalStateException("chain/compacted integrity failed — " +
+        "refusing to delete anything: " +
+        (badLinks.map { case (d, m) => s"$d: ${m.mkString(",")}" } ++
+          badCpt.map(m => s"$compactedDir: $m")).mkString("; "))
+    // the compaction must have absorbed every chain row — count parity
+    // over the lists filesets (explicit schema: empty links are
+    // footer-less by contract)
+    def listCount(dir: String): Long = spark.read
+      .schema("nid BIGINT, nv ARRAY<DOUBLE>, nn DOUBLE, cell BIGINT")
+      .parquet(s"$dir/lists.parquet").count()
+    val chainRows = chain.map(listCount).sum
+    val cptRows = listCount(compactedDir)
+    if (cptRows != chainRows)
+      throw new IllegalStateException(s"compacted store holds $cptRows " +
+        s"rows but the chain holds $chainRows — the compaction did not " +
+        "absorb this chain (or data was lost); refusing to delete")
+    // external BASE references: every OTHER store under the root that
+    // points at a chain link keeps that link (and everything below it)
+    val chainSet = chain.map(norm).toSet
+    val rootPath = new Path(root)
+    val rfs = fsOf(rootPath)
+    val others =
+      if (!rfs.exists(rootPath)) Seq.empty[String]
+      else rfs.listStatus(rootPath).filter(_.isDirectory)
+        .map(s => new Path(s.getPath, "store").toString).toSeq
+        .filter(s => rfs.exists(new Path(s)))
+        .filterNot(s => chainSet(norm(s)) || norm(s) == norm(compactedDir))
+    val referenced: Map[String, Seq[String]] = others
+      .flatMap(s => readPtr(s, "BASE").map(t => norm(t) -> s))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val rootPrefix = norm(root).stripSuffix("/") + "/"
+    def survivor(link: String): Option[String] =
+      referenced.get(norm(link))
+        .map(rs => s"referenced by BASE of ${rs.sorted.mkString(", ")}")
+        .orElse(if (!norm(link).startsWith(rootPrefix))
+          Some("outside the store root") else None)
+    val firstKeep = chain.indexWhere(l => survivor(l).isDefined)
+    val (deletable, retained) =
+      if (firstKeep < 0) (chain.toSeq, Seq.empty[String])
+      else (chain.take(firstKeep).toSeq, chain.drop(firstKeep).toSeq)
+    val retainedWhy = retained.zipWithIndex.map { case (l, i) =>
+      l -> survivor(l).getOrElse(
+        s"base of the retained link '${retained(i - 1)}'")
+    }
+    if (!dryRun) deletable.foreach { l =>
+      // stores live at <root>/<key>/store — retire the keyed dir
+      val p = new Path(l)
+      val unit = if (p.getName == "store") p.getParent else p
+      fsOf(unit).delete(unit, true)
+    }
+    s"""{"verb":"ann-gc","compacted":${jstr(compactedDir)},"dry_run":$dryRun,""" +
+      s""""chain":${chain.map(jstr).mkString("[", ",", "]")},""" +
+      s""""rows":$cptRows,""" +
+      s""""deleted":${deletable.map(jstr).mkString("[", ",", "]")},""" +
+      s""""retained":${retainedWhy.map { case (l, why) =>
+        s"""{"dir":${jstr(l)},"reason":${jstr(why)}}"""
+      }.mkString("[", ",", "]")}}"""
+  }
+
   def storeCommand(spark: SparkSession, verb: String, input: String,
                    key: String, opts: Map[String, String]): String = {
     val n = opts.get("--ngram").map(_.toInt).getOrElse(3)
@@ -228,12 +357,17 @@ object IngestCli {
         val st = spark.read.parquet(key)
           .agg(count(lit(1)), coalesce(sum("n_removed"), lit(0L))).head()
         s"""{"verb":"span-clean","out":${jstr(key)},"docs":${st.getLong(0)},"tokens_removed":${st.getLong(1)}}"""
+      // ann-gc retires a compacted-away advance chain: <input> =
+      // compacted store dir, key = store ROOT scanned for BASE references
+      case "ann-gc" =>
+        annGcCommand(spark, input, key,
+          dryRun = opts.get("--dry-run").exists(_.toBoolean))
       case other => throw new IllegalArgumentException(s"unknown store verb: $other")
     }
   }
 
   private val storeVerbs = Set("dedup-build", "dedup-advance", "ann-build",
-    "span-build", "span-advance", "span-clean")
+    "span-build", "span-advance", "span-clean", "ann-gc")
 
   private def usageExit(): Nothing = {
     System.err.println(
@@ -247,7 +381,9 @@ object IngestCli {
         "       IngestCli ann-build <embeddingsParquet> <corpusKey> [--nlist N]\n" +
         "       IngestCli span-build <docsParquet> <corpusKey> [--window K]\n" +
         "       IngestCli span-advance <newDocsParquet> <newCorpusKey> --from-key KEY [--window K]\n" +
-        "       IngestCli span-clean <docsParquet> <outDir> --from-key KEY [--window K]")
+        "       IngestCli span-clean <docsParquet> <outDir> --from-key KEY [--window K]\n" +
+        "       IngestCli ann-gc <compactedStoreDir> <storeRoot> [--dry-run true] — list/verify the chain the\n" +
+        "         compaction superseded and delete its unreferenced links (BASE-referenced links survive)")
     sys.exit(2)
   }
 

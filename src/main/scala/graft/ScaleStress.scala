@@ -71,7 +71,12 @@ object ScaleStress {
     // the <=40 region files its keys land in. min-of-2 serves the staged
     // layout from the fixture, so the measured cost is the read path,
     // not the stage write
-    "cells_count_range_pushdown", "cells_index_lookup")
+    "cells_count_range_pushdown", "cells_index_lookup",
+    // the STANDING drift monitor (r17 ask #6): replayFold partials are
+    // O(micro-batch) and the finisher reads only sidecars after r18, so
+    // the row should be trigger-floor-bound like the other replayFold
+    // streams (batch side scales with the drop; nothing O(index))
+    "stream_drift_monitor")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -701,6 +706,14 @@ object ScaleStress {
     // pre-built (and excluded) base store — what's timed is exactly one
     // broadcast-centroid assignment of the 10% batch plus the delta
     // publish, at both scales
+    // fresh-UUID-keyed stores are measurement scaffolding, not artifacts:
+    // delete each one's keyed dir after its timing so a scalestress run
+    // leaves only the stable cached base behind (pre-fix every run leaked
+    // ~11 store filesets per scale into the store root permanently)
+    def deleteStore(st: graft.operators.Similarity.AnnIndexStore): Unit = {
+      val keyed = new org.apache.hadoop.fs.Path(st.dir).getParent
+      keyed.getFileSystem(spark.sessionState.newHadoopConf()).delete(keyed, true)
+    }
     def annAdvanceBatch(dir: String): Double = {
       import graft.operators.Similarity
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -709,13 +722,38 @@ object ScaleStress {
       val store = Similarity.annIndexStore(oldV, 16, s"$dir#scalestress-old90")
       (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        Similarity.annIndexStoreAdvance(store, newV,
+        val adv = Similarity.annIndexStoreAdvance(store, newV,
           s"$dir#scalestress-adv-${java.util.UUID.randomUUID()}")
+        unpersistAll(spark)
+        val t = (System.nanoTime() - t0) / 1e9
+        deleteStore(adv) // outside the timed region; base stays cached
+        t
+      }.min
+    }
+    val AdvanceRowName = "ann_ivf_store_advance_batch"
+
+    // drift monitor at FIXED batch size (r17 ask #1 evidence): the base
+    // side is the persisted per-link sidecar (O(nlist) rows), so
+    // monitoring cost must stay FLAT while the index grows 10x under an
+    // unchanged batch — pre-r18 this was O(index): annIndexDriftFinish
+    // rescanned every inverted-list file (embedding vectors included)
+    // on every run. The store is pre-built outside the timed region;
+    // the batch is always the sf0.1 10% slice, both scales.
+    def annDriftFixedBatch(dir: String): Double = {
+      import graft.operators.Similarity
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val batch = spark.read.parquet(s"$src/embeddings.parquet")
+        .where(pmod(col("vec_id"), lit(10)) === 0)
+      val oldV = e.where(pmod(col("vec_id"), lit(10)) =!= 0)
+      val store = Similarity.annIndexStore(oldV, 16, s"$dir#scalestress-old90")
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        force(Similarity.annIndexDrift(store, batch))
         unpersistAll(spark)
         (System.nanoTime() - t0) / 1e9
       }.min
     }
-    val AdvanceRowName = "ann_ivf_store_advance_batch"
+    val DriftRowName = "ann_ivf_drift_fixed_batch"
 
     // chain-cost vs compaction (r16 ask #2): after k advances every
     // serve lists and unions k+1 link filesets (partition-pruned per
@@ -733,11 +771,14 @@ object ScaleStress {
       val newV = e.where(pmod(col("vec_id"), lit(10)) === 0)
       val base = Similarity.annIndexStore(oldV, 16, s"$dir#scalestress-old90")
       val tag = java.util.UUID.randomUUID()
+      val links = scala.collection.mutable.Buffer.empty[Similarity.AnnIndexStore]
       var chain = base
-      for (i <- 0 until 8)
+      for (i <- 0 until 8) {
         chain = Similarity.annIndexStoreAdvance(chain,
           newV.where(pmod((col("vec_id") / lit(10)).cast("long"), lit(8)) === i),
           s"$dir#scalestress-chain-$tag-$i")
+        links += chain
+      }
       val compacted = Similarity.annIndexStoreCompact(chain, s"$dir#scalestress-cpt-$tag")
       val q = e.where(col("vec_id") < 5)
       def serve(st: Similarity.AnnIndexStore): Double = (1 to 2).map { _ =>
@@ -746,7 +787,9 @@ object ScaleStress {
         unpersistAll(spark)
         (System.nanoTime() - t0) / 1e9
       }.min
-      (serve(chain), serve(compacted))
+      val r = (serve(chain), serve(compacted))
+      (links :+ compacted).foreach(deleteStore) // keep only the cached base
+      r
     }
     val ChainRowName = "ann_ivf_serve_chain8"
     val CompactRowName = "ann_ivf_serve_compacted"
@@ -768,6 +811,13 @@ object ScaleStress {
       val alpha = math.log(big / small) / math.log(reps.toDouble)
       System.err.println(f"[scalestress] $AdvanceRowName%-28s x$reps   $big%7.2f s  alpha=$alpha%5.2f")
       Seq((AdvanceRowName, small, big, alpha))
+    } else Nil) ++ (if (args.isEmpty || args.contains(DriftRowName)) {
+      val small = annDriftFixedBatch(src)
+      System.err.println(f"[scalestress] $DriftRowName%-28s sf0.1 $small%7.2f s")
+      val big = annDriftFixedBatch(dst)
+      val alpha = math.log(big / small) / math.log(reps.toDouble)
+      System.err.println(f"[scalestress] $DriftRowName%-28s x$reps   $big%7.2f s  alpha=$alpha%5.2f")
+      Seq((DriftRowName, small, big, alpha))
     } else Nil) ++ (if (args.isEmpty || args.contains(ChainRowName) ||
         args.contains(CompactRowName)) {
       val (chainS, cptS) = annServeChainVsCompact(src)

@@ -304,9 +304,14 @@ object Similarity {
 
   /** Folded into every ANN index-store key (the [[graft.operators.Dedup
     * .StoreAlgoVersion]] discipline): bump on any change to the
-    * centroid rule / assignment semantics so older persisted indexes
-    * can never serve newer code. */
-  val AnnStoreVersion: String = "ivfflat:rev=1"
+    * centroid rule / assignment semantics OR the store fileset contract,
+    * so older persisted indexes can never serve newer code. Never reuse a
+    * retired literal.
+    *
+    * rev=2 (r18): every link now carries a [[DriftSidecarFile]] — the
+    * per-cell (n_base, s_base) drift partials the monitor reads instead
+    * of rescanning the inverted lists. rev=1 filesets lack it. */
+  val AnnStoreVersion: String = "ivfflat:rev=2"
 
   /** Handle over one persisted IVF index: `centroids` (cid, cv, cn) and
     * `lists` — the INVERTED LISTS: every corpus vector with its norm,
@@ -333,6 +338,33 @@ object Similarity {
         .parquet(s"$dir/lists.parquet")
       base.map(_.lists.unionByName(own)).getOrElse(own)
     }
+    /** THIS link's drift-base sidecar — per-cell (n_base, s_base)
+      * partials over the link's OWN lists fileset, written at
+      * build/advance/compact/rebuild time (the manifest pattern the cell
+      * store uses): the store-invariant half of the drift monitor,
+      * persisted once so [[annIndexDrift]] reads nlist rows per link
+      * instead of rescanning the inverted lists — including the
+      * embedding vectors, the fattest column in the store — on every
+      * monitoring cycle. */
+    def ownDriftBase: DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$DriftSidecarFile")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p))
+        throw new IllegalStateException(s"[graft] ANN store at '$dir' has " +
+          s"no $DriftSidecarFile sidecar — it predates $AnnStoreVersion. " +
+          "Rebuild the store (the keyed API never resolves pre-sidecar " +
+          "filesets; only a hand-pointed dir can reach this).")
+      spark.read.schema("cell BIGINT, n_base BIGINT, s_base DECIMAL(28,12)")
+        .parquet(p.toString)
+    }
+
+    /** The whole store's drift-base partials: own sidecar ∪ the base
+      * chain's (decimal sums are associative, so summing per-link
+      * partials by cell equals one pass over the chain-union lists
+      * EXACTLY). O(nlist × links) rows — never the index. */
+    def driftBase: DataFrame =
+      base.map(_.driftBase.unionByName(ownDriftBase)).getOrElse(ownDriftBase)
+
     /** The base index this store advances, if any. */
     def base: Option[AnnIndexStore] = {
       val p = new org.apache.hadoop.fs.Path(s"$dir/$AnnBaseFile")
@@ -354,6 +386,58 @@ object Similarity {
     * deleting a table's old files orphans a snapshot that references
     * them — retention is the store root's job, not the reader's. */
   private[graft] val AnnBaseFile = "BASE"
+
+  /** Per-link drift-base sidecar fileset name (see
+    * [[AnnIndexStore.ownDriftBase]]). */
+  private[graft] val DriftSidecarFile = "drift_base.parquet"
+
+  /** Provenance file inside a COMPACTED index dir naming the chain-head
+    * dir it folded — what the `ann-gc` admin verb walks to find the
+    * superseded links a compaction leaves behind. Provenance only: a
+    * compacted store never reads through it. */
+  private[graft] val CompactedFromFile = "COMPACTED_FROM"
+
+  /** Write the [[DriftSidecarFile]] partials for the fileset just staged
+    * at `tmp`: one pass over the staged lists (read BACK from tmp — the
+    * written bytes are the truth the sidecar must mirror, and the
+    * assignment pass is never recomputed) against the staged centroids,
+    * folded to per-cell (n_base, s_base) exactly as
+    * [[annIndexDriftFinish]] used to compute them per monitor run. The
+    * sum is cast back to DECIMAL(28,12) — the sidecar's documented
+    * schema — which is exact for any s_base < 10^16 (s_base ≤ 2·n). */
+  private def writeDriftSidecar(spark: org.apache.spark.sql.SparkSession,
+                                tmp: String): Unit = {
+    val cent = spark.read.schema("cid BIGINT, cv ARRAY<DOUBLE>, cn DOUBLE")
+      .parquet(s"$tmp/centroids.parquet")
+    val lists = spark.read
+      .schema("nid BIGINT, nv ARRAY<DOUBLE>, nn DOUBLE, cell BIGINT")
+      .parquet(s"$tmp/lists.parquet")
+    driftCellSim(cent)(lists, "nv", col("nn"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_base"),
+        sum(round(lit(1.0) - col("sim"), 9).cast(DriftDec)).cast(DriftDec)
+          .as("s_base"))
+      .write.mode("overwrite").parquet(s"$tmp/$DriftSidecarFile")
+  }
+
+  /** Stage a full (non-advanced) index fileset at `tmp`: retrained
+    * coarse centroids over `corpus` (vec_id, embedding), the
+    * cell-partitioned inverted lists, and the drift sidecar — shared by
+    * [[annIndexStore]] and [[annIndexStoreRebuild]] so rebuild ≡
+    * from-scratch build is true by construction, not by parallel
+    * maintenance of two bodies. */
+  private def writeIndexFilesets(corpus: DataFrame, nlist: Int,
+                                 tmp: String): Unit = {
+    val cent = coarseCentroids(corpus, nlist)
+    cent.write.mode("overwrite").parquet(s"$tmp/centroids.parquet")
+    nearestCells(cent)(
+      corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv")),
+      "nid", "nv", 1)
+      .withColumn("nn", norm2(col("nv")))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$tmp/lists.parquet")
+    writeDriftSidecar(corpus.sparkSession, tmp)
+  }
 
   /** DURABLE IVF index — build-once/serve-many for the ANN family (the
     * dedup cluster store's posture applied to retrieval serving): first
@@ -385,14 +469,7 @@ object Similarity {
       fs.mkdirs(path.getParent)
       val tmp = new org.apache.hadoop.fs.Path(path.getParent,
         s"_store_tmp_${java.util.UUID.randomUUID()}")
-      val cent = coarseCentroids(corpus, nlist)
-      cent.write.mode("overwrite").parquet(s"$tmp/centroids.parquet")
-      nearestCells(cent)(
-        corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv")),
-        "nid", "nv", 1)
-        .withColumn("nn", norm2(col("nv")))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$tmp/lists.parquet")
+      writeIndexFilesets(corpus, nlist, tmp.toString)
       if (!fs.rename(tmp, path)) fs.delete(tmp, true)
     }
     AnnIndexStore(spark, path.toString, nlist)
@@ -455,6 +532,10 @@ object Similarity {
       annIndexAdvanceDelta(store, batch)
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$tmp/lists.parquet")
+      // the link's OWN drift partials (delta lists only — the chain
+      // monitor sums sidecars across links): one O(batch) pass over the
+      // just-staged delta, so the advance stays O(batch) at any index size
+      writeDriftSidecar(spark, tmp.toString)
       val ptr = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/$AnnBaseFile"), true)
       try ptr.write(store.dir.getBytes("UTF-8")) finally ptr.close()
       if (!fs.rename(tmp, path)) fs.delete(tmp, true)
@@ -491,6 +572,63 @@ object Similarity {
       store.centroids.write.mode("overwrite").parquet(s"$tmp/centroids.parquet")
       store.lists.write.mode("overwrite").partitionBy("cell")
         .parquet(s"$tmp/lists.parquet")
+      // the compacted sidecar FOLDS the chain's sidecars (nlist·links
+      // rows, decimal sums associative ⇒ exactly the union-lists
+      // partials) instead of re-scoring the full folded lists — the one
+      // part of compaction that doesn't need to touch vector data
+      store.driftBase.groupBy(col("cell"))
+        .agg(sum(col("n_base")).as("n_base"),
+          sum(col("s_base")).cast(DriftDec).as("s_base"))
+        .write.mode("overwrite").parquet(s"$tmp/$DriftSidecarFile")
+      // provenance for retention tooling (`ann-gc`): which chain head
+      // this compaction superseded — never read on the serve path
+      val prov = fs.create(
+        new org.apache.hadoop.fs.Path(s"$tmp/$CompactedFromFile"), true)
+      try prov.write(store.dir.getBytes("UTF-8")) finally prov.close()
+      if (!fs.rename(tmp, path)) fs.delete(tmp, true)
+    }
+    AnnIndexStore(spark, path.toString, store.nlist)
+  }
+
+  /** REBUILD for a drifted index — the operator [[annIndexDrift]]'s
+    * `rebuild_due` contract mandates ("retrain + rebuild + re-advance
+    * from the new base"), closing the maintenance loop the monitor
+    * opens: RETRAIN the coarse quantizer over the chain union's full
+    * membership (the lists already carry every vector — the corpus is
+    * never re-read) and publish a FRESH base index — new centroids, new
+    * cell-partitioned lists, new drift sidecar, no [[AnnBaseFile]] —
+    * under one atomic rename. Subsequent batches advance from the
+    * rebuilt base; the superseded chain stays untouched until `ann-gc`
+    * retires it (serving cutover first, retention second — the HFile
+    * compaction discipline).
+    *
+    * The build is deterministic and shares [[annIndexStore]]'s staging
+    * body verbatim ([[writeIndexFilesets]]), so rebuild(chain) is
+    * VALUE-IDENTICAL to a from-scratch [[annIndexStore]] over the
+    * chain's full corpus — which is exactly the hash-checked oracle of
+    * the `ann_ivf_store_rebuild` query. Cost is O(index): one pass over
+    * the chain-union lists for the centroid pick and one for the
+    * re-assignment — run on monitor-fired cadence, never per batch. */
+  def annIndexStoreRebuild(store: AnnIndexStore, newKey: String): AnnIndexStore = {
+    val spark = store.spark
+    // keyed on the chain head dir: a published chain is an immutable
+    // fileset whose dir name already folds in corpus stamps and
+    // [[AnnStoreVersion]] transitively, so no live-table stamp is needed
+    val keyHex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rebuild|${store.dir}|$newKey|nlist=${store.nlist}|$AnnStoreVersion"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val root = sys.props.getOrElse("graft.store.dir",
+      sys.props("java.io.tmpdir") + "/graft-ann-store")
+    val path = new org.apache.hadoop.fs.Path(s"$root/$keyHex", "store")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) {
+      fs.mkdirs(path.getParent)
+      val tmp = new org.apache.hadoop.fs.Path(path.getParent,
+        s"_store_tmp_${java.util.UUID.randomUUID()}")
+      writeIndexFilesets(
+        store.lists.select(col("nid").as("vec_id"), col("nv").as("embedding")),
+        store.nlist, tmp.toString)
       if (!fs.rename(tmp, path)) fs.delete(tmp, true)
     }
     AnnIndexStore(spark, path.toString, store.nlist)
@@ -529,9 +667,13 @@ object Similarity {
     * alarm that always fires is as useless as one that never does). As
     * n_batch and n_base grow the null vanishes and the threshold
     * converges to the standard 0.25. Run on every advance batch; cost
-    * is one broadcast-centroid pass over the batch plus one pass over
-    * the stored lists (both map-side-combined into nlist-sized
-    * aggregates — nothing corpus-sized ever shuffles). Determinism:
+    * is one broadcast-centroid pass over the BATCH plus an O(nlist)
+    * read of the store's persisted drift sidecars
+    * ([[AnnIndexStore.driftBase]] — the base occupancy/qerr partials
+    * are store invariants, written once at build/advance/compact, never
+    * recomputed from the inverted lists; nothing corpus-sized is read
+    * or shuffled, so the standing streaming monitor costs O(batch +
+    * nlist) per trigger at any index size). Determinism:
     * round-9 terms through DECIMAL(28,12), one 6dp cut (the psiDrift
     * convention); the null is integer-derived double arithmetic — the
     * DuckDB oracle mirrors everything bit-exactly, thresholds included.
@@ -576,10 +718,16 @@ object Similarity {
     val dec = DriftDec
     val cent = store.centroids
     val nlist = store.nlist
-    val baseSim = driftCellSim(cent)(store.lists, "nv", col("nn"))
-    val basePerCell = baseSim.groupBy(col("cell"))
-      .agg(count(lit(1)).as("n_base"),
-        sum(round(lit(1.0) - col("sim"), 9).cast(dec)).as("s_base"))
+    // the base side is a STORE INVARIANT (pinned centroids, immutable
+    // filesets), so it is read from the per-link sidecars — nlist rows
+    // per chain link — never recomputed from the inverted lists. Until
+    // r18 this line scanned every list file (embedding vectors included)
+    // on every monitor run; the standing streaming monitor re-ran that
+    // full-index pass per trigger. Now the monitor's read set excludes
+    // list files entirely (spec-pinned), and its base cost is O(nlist).
+    val basePerCell = store.driftBase.groupBy(col("cell"))
+      .agg(sum(col("n_base")).as("n_base"),
+        sum(col("s_base")).as("s_base"))
     val u = cent.select(col("cid").as("cell"))
       .join(basePerCell, Seq("cell"), "left")
       .join(batchPartials, Seq("cell"), "left")
@@ -1213,7 +1361,11 @@ object Similarity {
     require(targetOccupancy >= 1, s"targetOccupancy must be >= 1")
     require(maxPlanes >= 4 && maxPlanes <= 62,
       s"maxPlanes must be in [4, 62], got $maxPlanes")
-    (4 to maxPlanes).find(r => (1L << r) * targetOccupancy >= n)
+    // overflow-free form of 2^r·occupancy >= n: compare ceil(n/2^r) to the
+    // occupancy instead — (1L << r) * occupancy wraps Long from r ≈ 57 at
+    // the default occupancy, exactly the raise-maxPlanes regime the API
+    // advertises for past-envelope corpora
+    (4 to maxPlanes).find(r => n <= 0 || ((n - 1) >> r) + 1 <= targetOccupancy)
       .getOrElse(maxPlanes)
   }
 
@@ -1242,11 +1394,13 @@ object Similarity {
     val occ = spark.conf.get(RpTargetOccupancyConf, RpTargetOccupancy.toString).toInt
     val maxP = spark.conf.get(RpMaxPlanesConf, RpMaxPlanes.toString).toInt
     val r = rpPlanesFor(n, occ, maxP)
-    val est = (n + (1L << r) - 1) / (1L << r)
-    val envelope = (1L << maxP) * occ
+    val est = if (n <= 0) 0L else ((n - 1) >> r) + 1 // ceil(n/2^r), overflow-free
+    // BigInt keeps the envelope computation (and its log line) exact where
+    // (1L << maxP) * occ wraps Long (maxP >= 57 at the default occupancy)
+    val envelope = (BigInt(1) << maxP) * occ
     System.err.println(s"[graft] RP sized layout: n=$n -> $r planes/band, " +
       s"estimated bucket occupancy ~$est (target $occ, clamp [4,$maxP])")
-    if (n > envelope)
+    if (BigInt(n) > envelope)
       System.err.println(s"[graft] RP sized layout: n=$n EXCEEDS the " +
         s"2^$maxP*$occ=$envelope validity envelope — occupancy now grows " +
         s"linearly with n (slow, not collapsed; the cap metric will not " +

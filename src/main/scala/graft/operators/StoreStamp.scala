@@ -47,13 +47,17 @@ private[graft] object StoreStamp {
         System.err.println(s"[graft] $site: no '$table' under '$stampDir' — " +
           "opaque store key, key degrades to path-only")
         ""
-      case e: Throwable if sys.props.get(AllowPathOnlyKeyProp).contains("true") =>
+      // NonFatal only: a fatal throwable (OutOfMemoryError, interruption,
+      // linkage failure) is neither a degradable stamp fault nor something
+      // to wrap — it propagates unchanged, escape hatch or not
+      case scala.util.control.NonFatal(e)
+          if sys.props.get(AllowPathOnlyKeyProp).contains("true") =>
         System.err.println(s"[graft] $site: corpus stamp read failed for " +
           s"'$stampDir' (${e.getClass.getSimpleName}: ${e.getMessage}); " +
           s"$AllowPathOnlyKeyProp=true — key degrades to path-only " +
           "(a regenerated drop at this path would serve a STALE store)")
         ""
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         throw new IllegalStateException(s"[graft] $site: corpus stamp read " +
           s"failed for '$stampDir' (${e.getClass.getSimpleName}: " +
           s"${e.getMessage}). Refusing to key the store path-only: a " +

@@ -1331,6 +1331,24 @@ object NorthStar {
       val a1 = Similarity.annIndexStoreAdvance(store, b1, s"$dir#emb-cpt-a1")
       Similarity.annIndexDrift(a1, b2)
     }),
+    // the REBUILD the monitor mandates (r17 ask #2): when rebuild_due
+    // fires, the coarse quantizer is RETRAINED over the advance chain's
+    // full membership (read from the lists — the corpus is never
+    // re-read) and a fresh base is published; serving cuts over and new
+    // batches advance from it. Top-k served from the rebuilt index must
+    // equal a from-scratch build over the full corpus — the build is
+    // deterministic and shares its staging body — so the oracle is
+    // exactly ann_ivf_store's from-scratch search, making
+    // monitor→rebuild→cutover a hash-checked loop, not a convention.
+    "ann_ivf_store_rebuild" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val newV = e.where(pmod(col("vec_id"), lit(10)) === 0)
+      val oldV = e.where(pmod(col("vec_id"), lit(10)) =!= 0)
+      val store = Similarity.annIndexStore(oldV, 16, s"$dir#emb-old90")
+      val adv = Similarity.annIndexStoreAdvance(store, newV, s"$dir#emb-adv100")
+      val rebuilt = Similarity.annIndexStoreRebuild(adv, s"$dir#emb-rebuilt")
+      Similarity.ivfTopKStored(rebuilt, e.where(col("vec_id") < 5), 10)
+    }),
     // retrieval QUALITY as a query: recall@10 of the IVF search vs the
     // exact ranking — the evaluation loop a retrieval stack runs after
     // every index rebuild, here one semi-join of two declared pipelines
@@ -3370,6 +3388,9 @@ object NorthStar {
     // (everything except the monitored second-5%), centroids unchanged
     "ann_ivf_drift_monitor_chain" ->
       annIvfDriftSqlFor("b.vec_id % 20 <> 10", "b.vec_id % 20 = 10"),
+    // rebuild retrains centroids over the chain union = the FULL corpus,
+    // so the rebuilt index must serve exactly the from-scratch search
+    "ann_ivf_store_rebuild" -> annIvfTopKSql,
     "ann_pq_codes" -> pqCodesSql,
     "ann_pq_adc_topk" -> pqAdcTopKSql,
     "ann_ivf_adc_topk" -> annIvfAdcTopKSql,

@@ -241,7 +241,12 @@ object CellManifest {
     // malformed name (or one delete fault) must not veto the rest of
     // the sweep — a single all-Try around the loop would abort on the
     // first bad entry and silently leak every remaining stale temp
+    // flatMap(Option(_)): several FileSystem implementations return NULL
+    // from globStatus instead of an empty array — Some(null) would NPE the
+    // foreach outside the narrowed Try and fail the write after the live
+    // manifest was already installed
     scala.util.Try(fs.globStatus(new Path(p, FileName + ".tmp-*"))).toOption
+      .flatMap(Option(_))
       .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
       .foreach { s =>
         scala.util.Try {

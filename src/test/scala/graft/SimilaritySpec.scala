@@ -707,6 +707,96 @@ class SimilaritySpec extends SparkSuite {
     assert(distinctRows === 1)
   }
 
+  test("annIndexDrift: read set is sidecars + centroids + batch — NEVER an inverted-list file (flat and chain)") {
+    val key = s"driftread-${java.util.UUID.randomUUID()}"
+    val oldV = emb.where(pmod(col("vec_id"), lit(10)) =!= 0)
+    val b1 = emb.where(pmod(col("vec_id"), lit(20)) === 0)
+    val b2 = emb.where(pmod(col("vec_id"), lit(20)) === 10)
+    val store = Similarity.annIndexStore(oldV, 16, key)
+    // the r17 weak: the monitor rescanned every list file (embedding
+    // vectors included) per run to recompute the store-INVARIANT base
+    // partials; the standing streaming monitor did it per trigger. The
+    // contract is now a plan property: base partials come from the
+    // persisted per-link sidecars, O(nlist) rows, no list file anywhere
+    // in the monitor's read set.
+    val flat = Similarity.annIndexDrift(store, b1)
+    assert(flat.inputFiles.nonEmpty)
+    assert(!flat.inputFiles.exists(_.contains("lists.parquet")),
+      "the drift monitor must never read an inverted-list file")
+    assert(flat.inputFiles.exists(_.contains("drift_base.parquet")),
+      "the base side must come from the persisted sidecar")
+    // chain posture: one sidecar PER LINK, summed — still no list file
+    val a1 = Similarity.annIndexStoreAdvance(store, b1, s"$key#a1")
+    val chainMon = Similarity.annIndexDrift(a1, b2)
+    assert(!chainMon.inputFiles.exists(_.contains("lists.parquet")))
+    val sidecarDirs = chainMon.inputFiles.filter(_.contains("drift_base.parquet"))
+      .map(_.split("/drift_base.parquet").head).distinct
+    assert(sidecarDirs.length === 2,
+      s"a 2-link chain monitor reads both links' sidecars, got $sidecarDirs")
+    // the sidecar IS the lists' partials: per-cell (n_base, s_base)
+    // summed across links equals the direct recomputation from the
+    // chain-union lists (associative decimal sums) — the invariant that
+    // makes the O(nlist) read exact, not approximate
+    val cent = a1.centroids
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val fromLists = a1.lists.join(broadcast(cent), col("cell") === col("cid"))
+      .select(col("cell"),
+        round(Similarity.dot(col("nv"), col("cv")) / (col("nn") * col("cn")), 6)
+          .as("sim"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_base"),
+        sum(round(lit(1.0) - col("sim"), 9).cast(dec)).as("s_base"))
+    val fromSidecars = a1.driftBase.groupBy(col("cell"))
+      .agg(sum(col("n_base")).as("n_base"), sum(col("s_base")).as("s_base"))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("cell"), col("n_base"),
+        col("s_base").cast(dec).as("s_base"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(snap(fromSidecars) === snap(fromLists))
+  }
+
+  test("annIndexStoreRebuild: the monitor's mandated loop — fire, retrain over the chain, re-advance from the fresh base") {
+    val key = s"annrebuild-${java.util.UUID.randomUUID()}"
+    val oldV = emb.where(pmod(col("vec_id"), lit(10)) =!= 0)
+    val store = Similarity.annIndexStore(oldV, 16, key)
+    // the corpus drifts: a one-cell template cohort (the shape that
+    // starves a pinned quantizer) — the monitor MUST mandate a rebuild
+    val hot = emb.where(col("vec_id") === 0)
+      .select(explode(sequence(lit(1L), lit(50L))).as("i"), col("embedding"))
+      .select((lit(900000L) + col("i")).as("vec_id"), col("embedding"))
+    val adv = Similarity.annIndexStoreAdvance(store, hot, s"$key#adv")
+    assert(Similarity.annIndexDrift(store, hot)
+      .select("rebuild_due").head().getBoolean(0),
+      "the template-cohort batch must fire rebuild_due")
+    // the mandated response: retrain + rebuild over the chain union
+    val rebuilt = Similarity.annIndexStoreRebuild(adv, s"$key#rebuilt")
+    assert(rebuilt.base.isEmpty, "a rebuilt store is a fresh base, no chain")
+    // rebuild(chain) ≡ from-scratch build on the same membership — the
+    // deterministic-build identity the CORRECTNESS oracle also pins
+    val scratch = Similarity.annIndexStore(
+      oldV.select(col("vec_id"), col("embedding")).unionByName(hot), 16,
+      s"$key#scratch")
+    assert(rebuilt.centroids.collect().map(_.getLong(0)).sorted.toSeq ===
+      scratch.centroids.collect().map(_.getLong(0)).sorted.toSeq,
+      "retrained centroids must equal the from-scratch pick")
+    def served(st: Similarity.AnnIndexStore) =
+      Similarity.ivfTopKStored(st, emb.where(col("vec_id") < 5), 10)
+        .collect().map(_.toString).sorted.toSeq
+    assert(served(rebuilt) === served(scratch))
+    // serving caches: a second rebuild under the same key must not
+    // recompute (the keyed-store discipline every family follows)
+    assert(Similarity.annIndexStoreRebuild(adv, s"$key#rebuilt").dir
+      === rebuilt.dir)
+    // …and the loop closes: the next batch advances from the REBUILT
+    // base (O(batch), fresh centroids), and the standing monitor over
+    // the new chain still reads only sidecars
+    val newV = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+    val adv2 = Similarity.annIndexStoreAdvance(rebuilt, newV, s"$key#adv2")
+    assert(adv2.lists.count() === emb.count() + 50)
+    val mon2 = Similarity.annIndexDrift(adv2, newV)
+    assert(!mon2.inputFiles.exists(_.contains("lists.parquet")))
+    assert(mon2.select("psi").distinct().count() === 1)
+  }
+
   test("StoreStamp: a stamp-read FAULT fails hard — no silent path-only key; opaque keys still work") {
     import graft.operators.StoreStamp
     // no FileSystem handles the scheme → a non-FileNotFound Throwable,

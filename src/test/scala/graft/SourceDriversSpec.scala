@@ -1816,6 +1816,63 @@ class SourceDriversSpec extends SparkSuite {
     assert(o8.contains(""""nlist":8"""))
   }
 
+  test("IngestCli ann-gc verb: retires a compacted-away chain, never a BASE-referenced or chained-under link") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val key = s"anngc-${java.util.UUID.randomUUID()}"
+    val root = sys.props.getOrElse("graft.store.dir",
+      sys.props("java.io.tmpdir") + "/graft-ann-store")
+    val oldV = emb.where(pmod(col("vec_id"), lit(10)) =!= 0)
+    val b1 = emb.where(pmod(col("vec_id"), lit(20)) === 0)
+    val b2 = emb.where(pmod(col("vec_id"), lit(20)) === 10)
+    val base = Similarity.annIndexStore(oldV, 16, key)
+    val a1 = Similarity.annIndexStoreAdvance(base, b1, s"$key#a1")
+    val a2 = Similarity.annIndexStoreAdvance(a1, b2, s"$key#a2")
+    val cpt = Similarity.annIndexStoreCompact(a2, s"$key#cpt")
+    // an EXTERNAL chain grows from a1 — the orphan-protection fixture:
+    // deleting a1 (or anything below it) would orphan this store
+    val ext = Similarity.annIndexStoreAdvance(a1,
+      emb.where(col("vec_id") < 2)
+        .select((col("vec_id") + lit(700000L)).as("vec_id"), col("embedding")),
+      s"$key#ext")
+    def alive(st: Similarity.AnnIndexStore) =
+      new java.io.File(st.dir.stripPrefix("file:")).exists()
+    // dry run: the full plan, nothing touched
+    val dry = IngestCli.annGcCommand(spark, cpt.dir, root, dryRun = true)
+    assert(dry.contains(""""dry_run":true"""))
+    assert(dry.contains(s""""deleted":[${IngestCli.jstr(a2.dir)}]"""),
+      s"only the unreferenced head is deletable: $dry")
+    assert(dry.contains("referenced by BASE of"))
+    assert(Seq(base, a1, a2, cpt, ext).forall(alive))
+    // real run: head gone; the referenced link, its base, the compacted
+    // store, and the external chain all survive and still serve
+    val out = IngestCli.annGcCommand(spark, cpt.dir, root, dryRun = false)
+    assert(out.contains(s""""deleted":[${IngestCli.jstr(a2.dir)}]"""))
+    assert(!alive(a2), "the superseded unreferenced head must be deleted")
+    assert(Seq(base, a1, cpt, ext).forall(alive),
+      "a chained-under or BASE-referenced link is NEVER deleted")
+    assert(ext.lists.count() === oldV.count() + b1.count() + 2)
+    assert(Similarity.ivfTopKStored(cpt,
+      emb.where(col("vec_id") === 0), 5).count() === 5)
+    // refusal paths are loud: not-a-compacted-store; integrity damage
+    val e1 = intercept[IllegalArgumentException](
+      IngestCli.annGcCommand(spark, a1.dir, root, dryRun = true))
+    assert(e1.getMessage.contains("COMPACTED_FROM"))
+    // second chain: wound a link's lists fileset → gc refuses wholesale
+    val key2 = s"$key-2"
+    val base2 = Similarity.annIndexStore(oldV, 16, s"$key2")
+    val c1 = Similarity.annIndexStoreAdvance(base2, b1, s"$key2#a1")
+    val cpt2 = Similarity.annIndexStoreCompact(c1, s"$key2#cpt")
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree); f.delete()
+    }
+    rmTree(new java.io.File(c1.dir.stripPrefix("file:"), "lists.parquet"))
+    val e2 = intercept[IllegalStateException](
+      IngestCli.annGcCommand(spark, cpt2.dir, root, dryRun = false))
+    assert(e2.getMessage.contains("integrity"))
+    assert(alive(base2) && alive(cpt2))
+  }
+
   test("IngestCli.jstr: the CLI's one-line JSON survives quotes, backslashes and control bytes") {
     assert(IngestCli.jstr("plain") === "\"plain\"")
     assert(IngestCli.jstr("a\"b\\c\nd") === "\"a\\\"b\\\\c\\u000ad\"")
