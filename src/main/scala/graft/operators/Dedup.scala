@@ -741,6 +741,45 @@ object Dedup {
       .where(col("est_jaccard") >= minEst)
   }
 
+  /** Sketch-accuracy eval: every [[minHashPairs]] pair (est ≥ `minEst`)
+    * with its signature estimate, TRUE n-gram Jaccard, and the absolute
+    * error — the MinHash analogue of the HLL/CMS est-vs-exact rows.
+    *
+    * ROW-IDENTICAL to `minHashPairs(docs,n,minEst) ⋈_{a,b}
+    * corpusDedup(docs,n,0.0)` (the r17 form of `dedup_minhash_est`) but
+    * ONE pipeline instead of two: both operands derive the same digest
+    * index, the same signatures and the same banded candidates, so the
+    * join was recomputing the entire corpus pass twice. Equivalence: the
+    * old join kept exactly {(a,b) ∈ candidates : est ≥ minEst ∧ common
+    * ≥ 1} (exactVerify inner-joins on shared digests, so common = 0
+    * pairs never emit a row; threshold 0.0 keeps the rest); restricting
+    * the exact verify to the est-passing candidate subset selects the
+    * same set because the final join was inner on both sides. Verified
+    * hash-green against the unchanged DuckDB oracle (r18). */
+  def minHashEstVsExact(docs: DataFrame, n: Int, minEst: Double): DataFrame = {
+    val sh = shingleIndex(docs, n)
+      .select(col("doc_id"), unhex(md5(col("s").cast(BinaryType))).as("s"))
+      .materialized
+    val sigsz = digestSignatures(sh)
+    val sigd = sigsz.select(col("doc_id"), sigArray)
+    val est = minHashCandidates(sigd)
+      .join(sigd.select(col("doc_id").as("a"), col("sig").as("siga")), "a")
+      .join(sigd.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
+      .select(col("a"), col("b"),
+        (size(filter(sequence(lit(0), lit(MinHashK - 1)),
+          i => element_at(col("siga"), i + lit(1)) === element_at(col("sigb"), i + lit(1))))
+          .cast(DoubleType) / lit(MinHashK.toDouble)).as("est_jaccard"))
+      .where(col("est_jaccard") >= minEst)
+      .materialized // feeds the verify probe side AND the final join
+    val ex = exactVerify(est.select(col("a"), col("b")), sh,
+      sigsz.select(col("doc_id"), col("nsh")), 0.0)
+    est.join(ex, Seq("a", "b"))
+      .select(col("a"), col("b"),
+        round(col("est_jaccard"), 6).as("est_jaccard"),
+        round(col("jaccard"), 6).as("exact_jaccard"),
+        round(abs(col("est_jaccard") - col("jaccard")), 6).as("abs_err"))
+  }
+
   /** The flagship corpus-dedup composition: MinHash-LSH candidate
     * generation + EXACT n-gram Jaccard verification restricted to candidate
     * pairs. Output: (a, b, jaccard), a < b, jaccard >= threshold (exact,

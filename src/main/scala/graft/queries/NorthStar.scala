@@ -65,8 +65,10 @@ object NorthStar {
 
   val defs: Map[String, Q] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+    // tSpread (r18): the shingle explode + md5 pass is scan-chained and
+    // single-row-group-serialized; measured −0.6 s with adaptive spread
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), N, 0.8)),
+      Dedup.ngramJaccardPairs(tSpread(s, dir, "documents"), N, 0.8)),
     // the df-capped form a standalone corpus-wide run needs: boilerplate
     // shingles (df > 2) leave the index before the self-join, bounding the
     // quadratic blowup; Jaccard is exact over the capped shingle sets
@@ -84,15 +86,12 @@ object NorthStar {
     // this closes the set for MinHash): every dedup_minhash_lsh pair with
     // its signature estimate, TRUE Jaccard, and the absolute error —
     // candidates stay LSH-restricted on both sides, no all-pairs join
-    "dedup_minhash_est" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      Dedup.minHashPairs(d, N, 0.5)
-        .join(Dedup.corpusDedup(d, N, 0.0), Seq("a", "b"))
-        .select(col("a"), col("b"),
-          round(col("est_jaccard"), 6).as("est_jaccard"),
-          round(col("jaccard"), 6).as("exact_jaccard"),
-          round(abs(col("est_jaccard") - col("jaccard")), 6).as("abs_err"))
-    }),
+    // one pipeline, not minHashPairs ⋈ corpusDedup(0.0): the two operands
+    // recomputed the same digest index / signatures / banded candidates —
+    // see Dedup.minHashEstVsExact's equivalence note (r18; rows identical,
+    // same oracle)
+    "dedup_minhash_est" -> ((s, dir) =>
+      Dedup.minHashEstVsExact(t(s, dir, "documents"), N, 0.5)),
     // incremental dedup — the operational 100 TB form: every 10th doc
     // plays the incoming batch, the rest the existing corpus represented
     // ONLY by its persisted signature index; output = near-dup pairs
@@ -391,8 +390,10 @@ object NorthStar {
     // DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
     // log-likelihood-ratio scores against the src0 target domain, top-50
     // most target-like documents
+    // tSpread (r18): the hashed-ngram scoring pass is scan-chained and
+    // single-row-group-serialized; measured −0.8 s with adaptive spread
     "corpus_dsir_topk" -> ((s, dir) =>
-      CorpusPipeline.dsirTopK(t(s, dir, "documents"), "src0", 256, 50)),
+      CorpusPipeline.dsirTopK(tSpread(s, dir, "documents"), "src0", 256, 50)),
 
     // leakage-safe train/val/test split: hash assignment on the near-dup
     // cluster REPRESENTATIVE, so no cluster ever straddles a split

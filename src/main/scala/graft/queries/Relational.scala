@@ -39,11 +39,15 @@ object Relational {
     // new engine load the same bytes") — exact decimal SUM of per-row
     // 60-bit md5 hashes over a canonical column rendering; no row order,
     // partitioning or agg schedule can move it
+    // tSpread (r18): the per-row md5+render pass is chained into the scan
+    // stage, which a single-row-group file serializes onto one core —
+    // measured −0.8 s with the adaptive spread, the single-consumer
+    // CPU-bound shape where it wins (see Tables.tSpread)
     "table_checksum" -> ((s, dir) =>
       graft.operators.Profile.tableChecksum(
-          t(s, dir, "lineitem"), profileCols.map(_._1), "lineitem")
+          tSpread(s, dir, "lineitem"), profileCols.map(_._1), "lineitem")
         .unionAll(graft.operators.Profile.tableChecksum(
-          t(s, dir, "orders"),
+          tSpread(s, dir, "orders"),
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"), "orders"))),
 
     // re-identification audit: k-anonymity class sizes + l-diversity of

@@ -22,6 +22,56 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** [[t]] + [[spreadScan]] — opt-in per query. The r18 in-session A/B
+    * (20-query subset, alternating on/off sweeps, min-of-3 noop timing)
+    * measured a BLANKET spread in [[t]] net-NEGATIVE (+7.8 s on the
+    * subset): multi-consumer plans re-execute the repartition exchange
+    * once per differently-pruned branch (table_profile +3.3 s: one
+    * exchange per column branch), and the added stage costs more than
+    * the parallelism buys on already-shuffle-shaped queries
+    * (q21 +1.0 s, rag_mmr_topk +0.9 s). Only single-pass CPU-bound
+    * scans won (table_checksum −0.8 s, corpus_dsir_topk −0.8 s,
+    * dedup_ngram_jaccard −0.6 s), so those call sites opt in here. */
+  def tSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    spreadScan(spark, t(spark, dir, name), s"$dir/$name.parquet")
+
+  /** Scale-adaptive scan SPREAD (optimization guide §2.5 "input skew: one
+    * huge unsplittable file — repartition immediately after the read",
+    * §1.2 step 1). A parquet file is splittable only at row-group
+    * boundaries, and the sf fixtures are single-file/single-row-group —
+    * so every scan stage, INCLUDING the narrow per-row work Spark chains
+    * into it (shingle explode + md5 digests, decimal partial aggregation,
+    * vector arithmetic), runs as ONE task regardless of session cores
+    * (measured: the r18 baseline bench held the 32-core machine ~90%
+    * idle). When the layout under-splits the session — estimated scan
+    * splits < half the default parallelism — and the table is big enough
+    * that one cheap exchange buys real parallelism (`graft.scan.spread
+    * .minBytes`, default 256 KiB; region/nation-sized lookups pass
+    * through), insert one round-robin repartition to defaultParallelism.
+    * A cluster-scale layout (many files ⇒ splits ≥ parallelism) is
+    * untouched: the decision derives from the input layout and the
+    * session, never from a local constant. Filters and column pruning
+    * push through a Repartition node, so PushedFilters/ReadSchema at the
+    * scan are unchanged (verified in plans/r18). Set
+    * `graft.scan.spread.minBytes=-1` to disable. */
+  def spreadScan(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    val minBytes = spark.conf.getOption("graft.scan.spread.minBytes")
+      .map(_.toLong).getOrElse(256L * 1024)
+    if (minBytes < 0) return df
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val files = if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.isFile).map(_.getLen).toSeq
+      else Seq(fs.getFileStatus(p).getLen)
+      val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+      val splits = files.map(l => math.max(1L, (l + maxSplit - 1) / maxSplit)).sum
+      val par = spark.sparkContext.defaultParallelism
+      if (files.sum >= minBytes && splits * 2 <= par) df.repartition(par)
+      else df
+    } catch { case scala.util.control.NonFatal(_) => df }
+  }
+
   /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (which Spark 4
     * refuses by default — read nanos as long under the legacy conf and
     * normalize in integer math; a double roundtrip would lose precision on
