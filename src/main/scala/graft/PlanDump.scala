@@ -16,6 +16,11 @@ import java.nio.file.{Files, Paths}
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: PlanDump <sfDir> <outDir> [_suffix] [query ...]")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir) = args.take(2)
     val rest = args.drop(2)
     val (suffix, names) =

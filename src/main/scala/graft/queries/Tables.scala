@@ -18,9 +18,18 @@ import org.apache.spark.sql.types._
 object Tables {
   type Q = (SparkSession, String) => DataFrame
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val base =
+      if (name == "events") events(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet")
+    // sweep lever (r19): `graft.scan.spread.all=true` applies the adaptive
+    // spread to EVERY table read — used only by the AbSweep A/B harness to
+    // measure per-query spread deltas; the standing posture stays opt-in
+    // per call site (tSpread), chosen from those measurements.
+    if (spark.conf.getOption("graft.scan.spread.all").contains("true"))
+      spreadScan(spark, base, s"$dir/$name.parquet")
+    else base
+  }
 
   /** [[t]] + [[spreadScan]] — opt-in per query. The r18 in-session A/B
     * (20-query subset, alternating on/off sweeps, min-of-3 noop timing)
@@ -55,22 +64,61 @@ object Tables {
     * scan are unchanged (verified in plans/r18). Set
     * `graft.scan.spread.minBytes=-1` to disable. */
   def spreadScan(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
-    val minBytes = spark.conf.getOption("graft.scan.spread.minBytes")
-      .map(_.toLong).getOrElse(256L * 1024)
-    if (minBytes < 0) return df
     try {
+      // conf parse inside the try (r19, ADVICE): a malformed value degrades
+      // to the default rather than failing query construction
+      val minBytes = spark.conf.getOption("graft.scan.spread.minBytes")
+        .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+        .getOrElse(256L * 1024)
+      if (minBytes < 0) return df
+      val hconf = spark.sessionState.newHadoopConf()
       val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val files = if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile).map(_.getLen).toSeq
-      else Seq(fs.getFileStatus(p).getLen)
+      val fs = p.getFileSystem(hconf)
+      // recursive listing (r19, ADVICE): partitioned layouts (key=…
+      // subdirectories) are seen, and only non-empty *.parquet data files
+      // count — zero-length markers like _SUCCESS never inflate the census
+      val it = fs.listFiles(p, true)
+      val files = scala.collection.mutable.ArrayBuffer.empty[
+        org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getLen > 0 && f.getPath.getName.endsWith(".parquet"))
+          files += f
+      }
       val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-      val splits = files.map(l => math.max(1L, (l + maxSplit - 1) / maxSplit)).sum
+      // effective parallelism per file = min(byte splits, ROW GROUPS)
+      // (r19, ADVICE): parquet is splittable only at row-group boundaries,
+      // so a single-row-group file yields one non-empty task no matter how
+      // many byte ranges the scan planner cuts — the r18 byte-only estimate
+      // silently skipped the spread on exactly the one-huge-unsplittable-
+      // file layout it targets. Footer reads are cached per (path, mtime,
+      // len) — layout metadata, not data.
+      val splits = files.map { f =>
+        val bySize = math.max(1L, (f.getLen + maxSplit - 1) / maxSplit)
+        math.min(bySize, rowGroups(f, hconf).getOrElse(bySize))
+      }.sum
       val par = spark.sparkContext.defaultParallelism
-      if (files.sum >= minBytes && splits * 2 <= par) df.repartition(par)
+      if (files.map(_.getLen).sum >= minBytes && splits * 2 <= par)
+        df.repartition(par)
       else df
     } catch { case scala.util.control.NonFatal(_) => df }
   }
+
+  /** Parquet row-group count per data file, footer-read once per
+    * (path, mtime, length) — pure layout metadata (never row data), so the
+    * cache cannot carry results across bench/oracle runs. */
+  private val rowGroupCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Int]()
+  private def rowGroups(f: org.apache.hadoop.fs.LocatedFileStatus,
+                        hconf: org.apache.hadoop.conf.Configuration): Option[Long] =
+    try {
+      val key = (f.getPath.toString, f.getModificationTime, f.getLen)
+      Some(rowGroupCache.computeIfAbsent(key, _ => {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, hconf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRowGroups.size() finally r.close()
+      }).toLong)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (which Spark 4
     * refuses by default — read nanos as long under the legacy conf and
